@@ -1,0 +1,288 @@
+package graft
+
+/** DuckDB oracle SQL builders for SparkEntry.oracleSql.
+  *
+  * Every query here mirrors a Spark plan in SparkEntry semantically
+  * *and numerically*: rounding happens only at the output edge, money
+  * sums go through DECIMAL so summation order cannot perturb them, and
+  * the decimation variance carries the same 1e-9 noise floor as the
+  * Scala implementation.
+  */
+object OracleSql {
+
+  // ---- shared time constants (nanoseconds since epoch, UTC) ----
+  val NS: Long = 1000000000L
+  val P1H: Long = 3600L * NS
+  val P6H: Long = 21600L * NS
+  /** 2024-01-10T00:00:00Z */
+  val LO: Long = 1704844800L * NS
+  /** 2024-01-20T00:00:00Z */
+  val HI: Long = 1705708800L * NS
+  /** 2024-01-11T00:00:00Z — boundary-lookup probe time */
+  val TB: Long = 1704931200L * NS
+  /** 2024-01-16T00:00:00Z — multi-resolution cutover */
+  val CUT: Long = 1705363200L * NS
+  /** 7 days */
+  val RET7D: Long = 7L * 86400L * NS
+
+  /** events → canonical sample frame (graft.core.Samples.fromEvents).
+    * epoch_ns() sees the same µs-truncated nanoseconds Spark does.
+    */
+  val SAMPLES: String =
+    """samples AS (
+      |  SELECT event_type AS channel, epoch_ns(ts) AS ts, value,
+      |         props AS str_value,
+      |         (CAST(json_extract_string(props, '$.k') AS INT) % 4) AS severity,
+      |         (CAST(json_extract_string(props, '$.k') AS INT) % 8) AS status,
+      |         event_id AS sample_id
+      |  FROM events)""".stripMargin
+
+  /** F6 monotonic dedup (graft.core.Samples.monotonicDedup). */
+  val CLEAN: String =
+    """clean AS (
+      |  SELECT channel, ts, value, str_value, severity, status, sample_id FROM (
+      |    SELECT s.*, max(ts) OVER (PARTITION BY channel ORDER BY sample_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |    FROM samples s) t
+      |  WHERE prev_max IS NULL OR ts > prev_max)""".stripMargin
+
+  /** Marker transform: severity 3 → disconnected (null value). */
+  val MARKED: String =
+    """marked AS (
+      |  SELECT channel, ts, CASE WHEN severity = 3 THEN NULL ELSE value END AS value,
+      |         str_value, severity, status, sample_id FROM clean)""".stripMargin
+
+  /** W3 validity intervals + flush horizon over source CTE `src`. */
+  def validity(src: String): String =
+    s"""v AS (
+       |  SELECT *, lead(ts) OVER (PARTITION BY channel ORDER BY ts) AS next_ts,
+       |         max(ts) OVER (PARTITION BY channel) AS t_max
+       |  FROM $src)""".stripMargin
+
+  /** Slice explosion over tumbling windows of period `p` ns. */
+  def slices(p: Long): String =
+    s"""sl AS (
+       |  SELECT channel, ts, value, str_value, severity, status,
+       |         u.win AS win, GREATEST(ts, u.win) AS lo,
+       |         LEAST(next_ts, u.win + $p) AS hi
+       |  FROM v, UNNEST(generate_series(ts - (ts % $p),
+       |         (next_ts - 1) - ((next_ts - 1) % $p), $p)) AS u(win)
+       |  WHERE next_ts IS NOT NULL AND u.win + $p <= t_max
+       |    AND LEAST(next_ts, u.win + $p) > GREATEST(ts, u.win))""".stripMargin
+
+  /** A1/A3 weighted moments per (channel, window); unrounded. */
+  def decAgg(p: Long): String =
+    s"""decagg AS (
+       |  SELECT channel, win,
+       |    sum((hi - lo) * value) AS sum_wx,
+       |    sum((hi - lo) * value * value) AS sum_wx2,
+       |    sum(CASE WHEN value IS NOT NULL THEN hi - lo ELSE 0 END) AS w_cov,
+       |    min(value) AS min_value, max(value) AS max_value,
+       |    count(value) AS n_samples
+       |  FROM sl GROUP BY 1, 2),
+       |dec AS (
+       |  SELECT channel, win AS win_start,
+       |    sum_wx / w_cov AS mean,
+       |    CASE WHEN (sum_wx2 / w_cov - (sum_wx / w_cov) * (sum_wx / w_cov)) < 1e-9
+       |         THEN 0.0
+       |         ELSE sqrt(sum_wx2 / w_cov - (sum_wx / w_cov) * (sum_wx / w_cov)) END AS std,
+       |    min_value, max_value,
+       |    w_cov / $p.0 AS covered_fraction, n_samples
+       |  FROM decagg)""".stripMargin
+
+  /** Full prelude for decimation-based queries at period `p`. */
+  def decPrelude(p: Long): String =
+    s"WITH $SAMPLES,\n$CLEAN,\n$MARKED,\n${validity("marked")},\n${slices(p)},\n${decAgg(p)}"
+
+  val all: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "arch_range_scan" ->
+      s"""WITH $SAMPLES
+         |SELECT channel, ts, value, severity, status, sample_id
+         |FROM samples WHERE ts BETWEEN $LO AND $HI
+         |ORDER BY channel, ts, sample_id""".stripMargin,
+
+    "arch_boundary_before" ->
+      s"""WITH $SAMPLES
+         |SELECT channel, ts, value, severity, status, sample_id FROM (
+         |  SELECT s.*, row_number() OVER (PARTITION BY channel
+         |    ORDER BY ts DESC, sample_id DESC) AS rn
+         |  FROM samples s WHERE ts <= $TB) t
+         |WHERE rn = 1 ORDER BY channel""".stripMargin,
+
+    "arch_boundary_after" ->
+      s"""WITH $SAMPLES
+         |SELECT channel, ts, value, severity, status, sample_id FROM (
+         |  SELECT s.*, row_number() OVER (PARTITION BY channel
+         |    ORDER BY ts ASC, sample_id ASC) AS rn
+         |  FROM samples s WHERE ts >= $TB) t
+         |WHERE rn = 1 ORDER BY channel""".stripMargin,
+
+    "arch_limit_modes" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN
+         |SELECT channel, ts, value, severity, status, sample_id FROM (
+         |  SELECT channel, ts, value, severity, status, sample_id FROM (
+         |    SELECT c.*, row_number() OVER (PARTITION BY channel
+         |      ORDER BY ts DESC, sample_id DESC) AS rn
+         |    FROM clean c WHERE ts <= $LO) t1 WHERE rn = 1
+         |  UNION
+         |  SELECT channel, ts, value, severity, status, sample_id
+         |  FROM clean WHERE ts > $LO AND ts < $HI
+         |  UNION
+         |  SELECT channel, ts, value, severity, status, sample_id FROM (
+         |    SELECT c.*, row_number() OVER (PARTITION BY channel
+         |      ORDER BY ts ASC, sample_id ASC) AS rn
+         |    FROM clean c WHERE ts >= $HI) t2 WHERE rn = 1) u
+         |ORDER BY channel, ts""".stripMargin,
+
+    "arch_reverse_topk" ->
+      s"""WITH $SAMPLES
+         |SELECT channel, ts, value, severity, status, sample_id FROM (
+         |  SELECT s.*, row_number() OVER (PARTITION BY channel
+         |    ORDER BY ts DESC, sample_id DESC) AS rn
+         |  FROM samples s) t
+         |WHERE rn <= 5 ORDER BY channel, ts DESC, sample_id DESC""".stripMargin,
+
+    "arch_monotonic_dedup" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN
+         |SELECT channel, ts, value, severity, status, sample_id
+         |FROM clean ORDER BY channel, sample_id""".stripMargin,
+
+    "arch_decimate_1h" ->
+      s"""${decPrelude(P1H)}
+         |SELECT channel, win_start, round(mean, 6) AS mean, round(std, 6) AS std,
+         |  min_value, max_value, round(covered_fraction, 6) AS covered_fraction,
+         |  n_samples
+         |FROM dec ORDER BY channel, win_start""".stripMargin,
+
+    "arch_decimate_severity" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |${validity("clean")},
+         |${slices(P1H)}
+         |SELECT channel, win AS win_start, max(severity) AS max_severity,
+         |  (max(struct_pack(sev := severity, nts := -ts, st := status))).st AS status_at_max
+         |FROM sl GROUP BY 1, 2 ORDER BY channel, win_start""".stripMargin,
+
+    "arch_pick_first" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |${validity("clean")},
+         |${slices(P1H)}
+         |SELECT channel, win AS win_start, str_value AS first_value, ts AS source_ts
+         |FROM sl WHERE lo = win ORDER BY channel, win_start""".stripMargin,
+
+    "arch_reagg_6h" ->
+      s"""${decPrelude(P1H)},
+         |re AS (
+         |  SELECT channel, win_start - (win_start % $P6H) AS win_start,
+         |    sum(($P1H.0 * covered_fraction) * mean) AS sum_wm,
+         |    sum(($P1H.0 * covered_fraction) * (std * std + mean * mean)) AS sum_wm2,
+         |    sum($P1H.0 * covered_fraction) AS sum_w,
+         |    min(min_value) AS min_value, max(max_value) AS max_value,
+         |    sum(n_samples) AS n_samples
+         |  FROM dec GROUP BY 1, 2)
+         |SELECT channel, win_start,
+         |  round(sum_wm / sum_w, 6) AS mean,
+         |  round(CASE WHEN (sum_wm2 / sum_w - (sum_wm / sum_w) * (sum_wm / sum_w)) < 1e-9
+         |        THEN 0.0
+         |        ELSE sqrt(sum_wm2 / sum_w - (sum_wm / sum_w) * (sum_wm / sum_w)) END, 6) AS std,
+         |  min_value, max_value,
+         |  round(sum_w / $P6H.0, 6) AS covered_fraction, n_samples
+         |FROM re ORDER BY channel, win_start""".stripMargin,
+
+    "arch_asof_lookup" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |chans AS (SELECT DISTINCT channel FROM samples),
+         |grid AS (SELECT channel, u.g FROM chans,
+         |         UNNEST(generate_series($LO, $HI, $P6H)) AS u(g))
+         |SELECT grid.channel, grid.g, s.value AS held_value, s.ts AS held_ts
+         |FROM grid ASOF LEFT JOIN clean s
+         |  ON grid.channel = s.channel AND grid.g >= s.ts
+         |ORDER BY grid.channel, grid.g""".stripMargin,
+
+    "arch_multilevel_union" ->
+      s"""${decPrelude(P1H)}
+         |SELECT channel, ts, round(value, 6) AS value, level FROM (
+         |  SELECT channel, win_start AS ts, mean AS value,
+         |         CAST(${P1H / NS} AS BIGINT) AS level
+         |  FROM dec WHERE win_start < $CUT
+         |  UNION ALL
+         |  SELECT channel, ts, value, CAST(0 AS BIGINT) AS level
+         |  FROM clean WHERE ts >= $CUT) u
+         |ORDER BY channel, ts, level""".stripMargin,
+
+    "arch_retention" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |m AS (SELECT channel, max(ts) AS t_max FROM clean GROUP BY 1)
+         |SELECT c.channel, count(*) AS n_kept, min(c.ts) AS first_ts,
+         |       max(c.ts) AS last_ts
+         |FROM clean c JOIN m ON c.channel = m.channel
+         |WHERE c.ts >= m.t_max - $RET7D
+         |GROUP BY c.channel ORDER BY c.channel""".stripMargin,
+
+    "chan_registry" ->
+      s"""WITH $SAMPLES
+         |SELECT channel, count(*) AS n_samples, min(ts) AS first_ts,
+         |       max(ts) AS last_ts, max(severity) AS max_severity
+         |FROM samples GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "chan_glob" ->
+      s"""WITH $SAMPLES
+         |SELECT channel, count(*) AS n_samples, min(ts) AS first_ts,
+         |       max(ts) AS last_ts, max(severity) AS max_severity
+         |FROM samples WHERE channel ILIKE '%u%'
+         |GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "chan_regex" ->
+      s"""WITH $SAMPLES
+         |SELECT channel, count(*) AS n_samples, min(ts) AS first_ts,
+         |       max(ts) AS last_ts, max(severity) AS max_severity
+         |FROM samples WHERE regexp_full_match(channel, '(?:click|view)')
+         |GROUP BY channel ORDER BY channel""".stripMargin,
+  )
+}

@@ -1,13 +1,183 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.archive.{ArchiveReader, ChannelRegistry, Decimation}
+import graft.core.{Samples, Tables}
+import OracleSql._
+
+/** Driver contract — one entry per implemented operator from SURVEY.md
+  * §2, each with a DuckDB oracle in [[OracleSql]]. Query functions are
+  * thin wrappers over the library (graft.archive / graft.core /
+  * graft.pipeline); all rounding happens here at the output edge.
+  */
 object SparkEntry {
+
+  type Q = (SparkSession, String) => DataFrame
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("arch_decimate_1h")(spark, "/root/testdata/sf0.001")
+
+  private def r6(c: String): Column = round(col(c), 6).as(c)
+
+  private def raw(s: SparkSession, dir: String) = Samples.fromEvents(s, dir)
+  private def clean(s: SparkSession, dir: String) =
+    Samples.monotonicDedup(Samples.fromEvents(s, dir))
+  private def marked(s: SparkSession, dir: String) =
+    Samples.fromEventsWithMarkers(s, dir)
+
+  private val coreCols =
+    Seq("channel", "ts", "value", "severity", "status", "sample_id").map(col)
+
+  /** Exact-cents sum: route a double money column through DECIMAL so
+    * summation order cannot perturb the result, back to double at the
+    * edge. Partial aggregation still applies (decimal sum merges).
+    */
+  private def moneySum(c: Column, scale: Int): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  def queries: Map[String, Q] = Map(
+    // ---- TPC-H-style relational core (scan/filter/agg/join/topk) ----
+    "q1_pricing_summary" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+      val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val charge = discPrice * (lit(1) + col("l_tax"))
+      l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          moneySum(col("l_quantity"), 2).as("sum_qty"),
+          moneySum(col("l_extendedprice"), 2).as("sum_base_price"),
+          moneySum(discPrice, 6).as("sum_disc_price"),
+          moneySum(charge, 6).as("sum_charge"),
+          round(moneySum(col("l_quantity"), 2) / count(lit(1)), 6).as("avg_qty"),
+          round(moneySum(col("l_extendedprice"), 2) / count(lit(1)), 6).as("avg_price"),
+          round(moneySum(col("l_discount"), 6) / count(lit(1)), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cutoff = lit("1996-06-30").cast("timestamp")
+      val c = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir).where(col("o_orderdate") < cutoff)
+      val l = Tables.lineitem(s, dir).where(col("l_shipdate") > cutoff)
+      // customer is the small side — broadcast it into orders, then join
+      // the big fact table once.
+      l.join(o.join(broadcast(c), col("c_custkey") === col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q5_local_supplier" -> ((s, dir) => {
+      val r = Tables.region(s, dir).where(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir)
+      // dimension chain broadcast; lineitem⨝orders is the only big join
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("c_custkey") === col("o_custkey") &&
+                            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // ---- archive read path (SURVEY §2.1/2.2/2.5/2.6) ----
+    "arch_range_scan" -> ((s, dir) =>
+      ArchiveReader.rangeScan(raw(s, dir), LO, HI)
+        .select(coreCols: _*)
+        .orderBy(col("channel"), col("ts"), col("sample_id"))),
+
+    "arch_boundary_before" -> ((s, dir) =>
+      ArchiveReader.boundaryBefore(raw(s, dir), TB)
+        .select(coreCols: _*).orderBy("channel")),
+
+    "arch_boundary_after" -> ((s, dir) =>
+      ArchiveReader.boundaryAfter(raw(s, dir), TB)
+        .select(coreCols: _*).orderBy("channel")),
+
+    "arch_limit_modes" -> ((s, dir) =>
+      ArchiveReader.getSamples(clean(s, dir), LO, ArchiveReader.AtOrWidened,
+          HI, ArchiveReader.AtOrWidened)
+        .select(coreCols: _*).orderBy("channel", "ts")),
+
+    "arch_reverse_topk" -> ((s, dir) =>
+      ArchiveReader.reverseTopK(raw(s, dir), 5)
+        .select(coreCols: _*)
+        .orderBy(col("channel"), col("ts").desc, col("sample_id").desc)),
+
+    "arch_monotonic_dedup" -> ((s, dir) =>
+      clean(s, dir).select(coreCols: _*).orderBy("channel", "sample_id")),
+
+    "arch_decimate_1h" -> ((s, dir) =>
+      Decimation.decimate(marked(s, dir), P1H)
+        .select(col("channel"), col("win_start"), r6("mean"), r6("std"),
+          col("min_value"), col("max_value"), r6("covered_fraction"),
+          col("n_samples"))
+        .orderBy("channel", "win_start")),
+
+    "arch_decimate_severity" -> ((s, dir) =>
+      Decimation.decimateSeverity(raw(s, dir), P1H)
+        .orderBy("channel", "win_start")),
+
+    "arch_pick_first" -> ((s, dir) =>
+      Decimation.pickFirst(raw(s, dir), P1H)
+        .orderBy("channel", "win_start")),
+
+    "arch_reagg_6h" -> ((s, dir) =>
+      Decimation.reAggregate(Decimation.decimate(marked(s, dir), P1H), P1H, P6H)
+        .select(col("channel"), col("win_start"), r6("mean"), r6("std"),
+          col("min_value"), col("max_value"), r6("covered_fraction"),
+          col("n_samples"))
+        .orderBy("channel", "win_start")),
+
+    "arch_asof_lookup" -> ((s, dir) => {
+      val grid = raw(s, dir).select("channel").distinct()
+        .withColumn("g", explode(sequence(lit(LO), lit(HI), lit(P6H))))
+      ArchiveReader.asOfLookup(clean(s, dir), grid).orderBy("channel", "g")
+    }),
+
+    "arch_multilevel_union" -> ((s, dir) => {
+      val coarse = Decimation.decimate(marked(s, dir), P1H)
+        .select(col("channel"), col("win_start").as("ts"), col("mean").as("value"))
+      ArchiveReader.multiLevelUnion(clean(s, dir), 0L, coarse, P1H / NS, CUT)
+        .select(col("channel"), col("ts"), round(col("value"), 6).as("value"),
+          col("level"))
+        .orderBy("channel", "ts", "level")
+    }),
+
+    "arch_retention" -> ((s, dir) =>
+      ArchiveReader.retain(clean(s, dir), RET7D)
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_kept"), min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"))
+        .orderBy("channel")),
+
+    // ---- channel registry (S7/F3/F4/O4) ----
+    "chan_registry" -> ((s, dir) => ChannelRegistry.registry(raw(s, dir))),
+
+    "chan_glob" -> ((s, dir) => ChannelRegistry.channelsByGlob(raw(s, dir), "*u*")),
+
+    "chan_regex" -> ((s, dir) =>
+      ChannelRegistry.channelsByRegex(raw(s, dir), "click|view")),
+  )
+
+  /** DuckDB equivalents (driver correctness gate). */
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,157 @@
+package graft.archive
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-range query semantics of the reference's read path
+  * (ArchiveAccessService.java:55-135, ArchiveAccessServiceImpl.java) —
+  * re-expressed as declarative plans. The reference's six-phase bucket
+  * walk (find boundary bucket → boundary sample → regular buckets →
+  * per-bucket scans) collapses to: a pushed-down range filter, plus a
+  * per-channel top-1 aggregate for each widened boundary. Catalyst
+  * pushes the ts predicate into the parquet scan (row-group min/max
+  * skipping replaces the bucket index — SURVEY.md §4).
+  */
+object ArchiveReader {
+
+  /** Boundary handling per bound — TimeStampLimitMode.java. */
+  sealed trait LimitMode
+  /** Bound is a hard cut: only samples inside [lo, hi]. */
+  case object Exact extends LimitMode
+  /** Lower bound widened to the last sample at-or-before it;
+    * upper bound widened to the first sample at-or-after it. */
+  case object AtOrWidened extends LimitMode
+
+  /** S5/F1/O1 — inclusive range scan, time-ascending. */
+  def rangeScan(samples: DataFrame, lo: Long, hi: Long): DataFrame =
+    samples.where(col("ts").between(lo, hi))
+
+  /** W4 — last sample at-or-before `t`, per channel: a per-channel
+    * argmax. `max_by` keeps it a regular (partial-merge) aggregate —
+    * no window shuffle, no sort (Catalyst plans partial max_by per
+    * input partition, then one merge).
+    */
+  def boundaryBefore(samples: DataFrame, t: Long): DataFrame =
+    topOfChannel(samples.where(col("ts") <= t), asc = false)
+
+  /** W4 — first sample at-or-after `t`, per channel. */
+  def boundaryAfter(samples: DataFrame, t: Long): DataFrame =
+    topOfChannel(samples.where(col("ts") >= t), asc = true)
+
+  private val sampleCols =
+    Seq("ts", "value", "str_value", "severity", "status", "sample_id")
+
+  /** Per-channel argmin/argmax of ts, returning whole rows.
+    * Ties are impossible after monotonic dedup (strictly increasing ts
+    * per channel), and broken by sample_id otherwise.
+    */
+  private def topOfChannel(samples: DataFrame, asc: Boolean): DataFrame = {
+    val key = struct((if (asc) Seq(col("ts"), col("sample_id"))
+                      else Seq(lit(0L) - col("ts"), lit(0L) - col("sample_id"))): _*)
+    val row = struct(sampleCols.map(col): _*)
+    samples.groupBy("channel")
+      .agg(min_by(row, key).as("r"))
+      .select(col("channel") +: sampleCols.map(c => col(s"r.$c").as(c)): _*)
+  }
+
+  /** F2 — the full getSamples contract: range [lo, hi] with a limit
+    * mode per bound (ArchiveAccessService.java:77-103). With both
+    * bounds widened the result is
+    *   {last sample <= lo} ∪ {samples in (lo, hi)} ∪ {first sample >= hi}
+    * which reproduces the reference's 0/1/2-sample matrix when lo == hi
+    * (a sample exactly at the bound *is* its own boundary sample).
+    * Time-ascending output.
+    */
+  def getSamples(samples: DataFrame, lo: Long, loMode: LimitMode,
+                 hi: Long, hiMode: LimitMode): DataFrame = {
+    require(lo <= hi, s"lo $lo must be <= hi $hi")
+    val lower = loMode match {
+      case Exact => rangeScan(samples, lo, hi).where(col("ts") <= lo)
+      case AtOrWidened => boundaryBefore(samples, lo)
+    }
+    val upper = hiMode match {
+      case Exact => rangeScan(samples, lo, hi).where(col("ts") >= hi)
+      case AtOrWidened => boundaryAfter(samples, hi)
+    }
+    val inner = samples.where(col("ts") > lo && col("ts") < hi)
+    val cols = (col("channel") +: sampleCols.map(col)): Seq[Column]
+    lower.select(cols: _*)
+      .unionByName(inner.select(cols: _*))
+      .unionByName(upper.select(cols: _*))
+      // a sample exactly at lo==hi satisfies both boundary lookups
+      .dropDuplicates("channel", "ts")
+  }
+
+  /** S6/O2 — newest k samples per channel (the reference's
+    * reverse-order LIMIT k used for boundary discovery and "latest
+    * value" serving). Window + row_number keeps it one shuffle; at
+    * scale this is a per-channel top-k, which AQE executes with
+    * partial limits per map task.
+    */
+  def reverseTopK(samples: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("channel").orderBy(col("ts").desc, col("sample_id").desc)
+    samples.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** J3 — as-of lookup: for each (channel, grid time), the last sample
+    * at-or-before that time. Implemented as the union-merge as-of
+    * pattern: probe rows are interleaved with samples in one per-channel
+    * time order and `last(value, ignoreNulls)` carries the held sample
+    * forward — O(n log n) per channel, one shuffle, no O(n·m) join.
+    * `grid` must have columns (channel, g).
+    */
+  def asOfLookup(samples: DataFrame, grid: DataFrame): DataFrame = {
+    val probes = grid.select(
+      col("channel"), col("g").as("ts"),
+      lit(null).cast("double").as("value"),
+      lit(null).cast("long").as("sample_ts"),
+      lit(1).as("is_probe"))
+    val data = samples.select(
+      col("channel"), col("ts"),
+      col("value"), col("ts").as("sample_ts"),
+      lit(0).as("is_probe"))
+    // samples sort before probes at equal ts (is_probe asc) so a sample
+    // exactly at the probe time is visible to it (at-or-before).
+    val w = Window.partitionBy("channel").orderBy(col("ts"), col("is_probe"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    data.unionByName(probes)
+      .withColumn("held_value", last(col("value"), ignoreNulls = true).over(w))
+      .withColumn("held_ts", last(col("sample_ts"), ignoreNulls = true).over(w))
+      .where(col("is_probe") === 1)
+      .select(col("channel"), col("ts").as("g"), col("held_value"), col("held_ts"))
+  }
+
+  /** U1 — retention-aware multi-resolution union: serve recent time
+    * from a fine level and older time from a coarser one, with disjoint
+    * range predicates so rows never overlap
+    * (Api10Controller.java:446-518). Both inputs must expose
+    * (channel, ts, value); `level` tags provenance.
+    */
+  def multiLevelUnion(fine: DataFrame, fineLevel: Long,
+                      coarse: DataFrame, coarseLevel: Long,
+                      cutover: Long): DataFrame = {
+    val a = coarse.where(col("ts") < cutover)
+      .select(col("channel"), col("ts"), col("value"), lit(coarseLevel).as("level"))
+    val b = fine.where(col("ts") >= cutover)
+      .select(col("channel"), col("ts"), col("value"), lit(fineLevel).as("level"))
+    a.unionByName(b)
+  }
+
+  /** ST9 — retention: keep only samples whose time is within
+    * `retentionNanos` of the channel's latest sample
+    * (ArchivedChannelDecimationLevel.java:602-640; retention 0 = keep
+    * forever). As a storage operation this is a partition drop /
+    * `DELETE WHERE`; as a plan it is this filter.
+    */
+  def retain(samples: DataFrame, retentionNanos: Long): DataFrame =
+    if (retentionNanos == 0L) samples
+    else {
+      val w = Window.partitionBy("channel")
+      samples.withColumn("_t_max", max(col("ts")).over(w))
+        .where(col("ts") >= col("_t_max") - retentionNanos)
+        .drop("_t_max")
+    }
+}

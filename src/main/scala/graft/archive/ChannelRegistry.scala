@@ -1,0 +1,51 @@
+package graft.archive
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Channel registry operations (SURVEY.md §2.1 S7, §2.2 F3/F4, §2.6 O4)
+  * — the reference's channel listing / glob / regexp endpoints
+  * (Api10Controller.java:189-345) over a metadata frame derived from
+  * the sample store. At 100 TB the registry is tiny (one row per
+  * channel) and always broadcast.
+  */
+object ChannelRegistry {
+
+  /** S7/O4 — per-channel summary, name-ordered (the reference keeps
+    * channels in a SortedMap, ChannelInformationCacheImpl.java:156).
+    */
+  def registry(samples: DataFrame): DataFrame =
+    samples.groupBy("channel")
+      .agg(
+        count(lit(1)).as("n_samples"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        max(col("severity")).as("max_severity"))
+      .orderBy("channel")
+
+  /** F3 — compile a `*`/`?` glob into an anchored, case-insensitive
+    * regex, quoting every other metacharacter — same contract as
+    * Api10Controller.compileGlobPattern (:307-345), fresh
+    * implementation.
+    */
+  def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("(?i)^")
+    glob.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c if "\\.[]{}()<>+-=!?^$|".contains(c) => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    sb.append('$').toString
+  }
+
+  /** F3 — channel listing filtered by glob. */
+  def channelsByGlob(samples: DataFrame, glob: String): DataFrame =
+    registry(samples).where(col("channel").rlike(globToRegex(glob)))
+
+  /** F4 — channel listing filtered by raw regexp (anchored, like the
+    * reference's Pattern.matches).
+    */
+  def channelsByRegex(samples: DataFrame, regex: String): DataFrame =
+    registry(samples).where(col("channel").rlike("^(?:" + regex + ")$"))
+}

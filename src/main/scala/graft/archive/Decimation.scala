@@ -1,0 +1,168 @@
+package graft.archive
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Samples
+
+/** Tumbling-window, time-weighted decimation — the reference's
+  * analytical core (SURVEY.md §2.4/§2.5), re-expressed as a pure
+  * Catalyst plan.
+  *
+  * Reference semantics (SampleDecimator.java:36-79,
+  * AbstractStatefulSampleDecimator.java:74-92):
+  *   - intervals are epoch-aligned tumbling windows of `period` ns;
+  *   - each sample is valid on [max(ts, winStart), min(nextTs, winEnd))
+  *     — piecewise-constant sample-and-hold integration;
+  *   - the first sample of an interval has ts <= interval start (the
+  *     window *inherits* the previous value — hold-last-value);
+  *   - empty windows still emit output from the held sample (gap fill,
+  *     ArchivedChannelDecimatedSamplesDecimationLevel.java:954-1047);
+  *   - a window is emitted once a sample at-or-after its end exists
+  *     (flush-on-crossing), so the trailing partial window is withheld;
+  *   - output sample is stamped at the window start;
+  *   - marker samples (disconnected/disabled → value IS NULL) occupy
+  *     time but contribute no coverage: coveredPeriodFraction < 1.
+  *
+  * Spark-first design — *slice explosion* instead of a stateful
+  * per-interval decimator: `lead(ts)` gives each sample its validity
+  * interval, `sequence() + explode` splits that interval across every
+  * tumbling window it overlaps, and the per-window statistics become
+  * plain weighted aggregates over the slices. Hold-last-value and gap
+  * fill fall out of the same mechanism (a sample held across N empty
+  * windows simply produces N slices), there is no custom state, and the
+  * whole plan stays inside whole-stage codegen. The only shuffles are
+  * the per-channel window (for `lead`) and the final groupBy — and the
+  * groupBy reuses the channel clustering, so AQE coalesces it cheaply.
+  */
+object Decimation {
+
+  /** Per-sample validity + per-channel max ts.
+    * One shuffle on `channel`; both window functions share it.
+    */
+  def withValidity(samples: DataFrame): DataFrame = {
+    val byTs = Window.partitionBy("channel").orderBy("ts")
+    val all = Window.partitionBy("channel")
+    samples
+      .withColumn("next_ts", lead(col("ts"), 1).over(byTs))
+      .withColumn("t_max", max(col("ts")).over(all))
+  }
+
+  /** Explode each sample's validity interval into per-window slices.
+    * Output columns: channel, win (window start), lo, hi, weight (ns),
+    * plus the sample's value/severity/status/ts/str_value.
+    *
+    * Only windows whose end is at or before the channel's last sample
+    * time are produced (flush-on-crossing rule), so the trailing
+    * partial window is withheld exactly like the reference.
+    */
+  def slices(samples: DataFrame, periodNanos: Long): DataFrame = {
+    val p = lit(periodNanos)
+    withValidity(Samples.monotonicDedup(samples))
+      .where(col("next_ts").isNotNull)
+      // windows overlapped by [ts, next_ts): floor(ts/P) .. floor((next_ts-1)/P)
+      .withColumn("win", explode(sequence(
+        Samples.windowStart(col("ts"), periodNanos),
+        Samples.windowStart(col("next_ts") - 1, periodNanos),
+        p)))
+      .where(col("win") + p <= col("t_max"))
+      .withColumn("lo", greatest(col("ts"), col("win")))
+      .withColumn("hi", least(col("next_ts"), col("win") + p))
+      .where(col("hi") > col("lo"))
+      .withColumn("weight", (col("hi") - col("lo")).cast("double"))
+  }
+
+  /** A1/A3 — time-weighted mean / std / min / max / covered-period
+    * fraction per (channel, window). Null values (markers) contribute
+    * no coverage. std uses the reference's population formula
+    * var = Σw·x²/Σw − mean², clamped at 0
+    * (ScalarDoubleAggregator.java:62-85).
+    */
+  def decimate(samples: DataFrame, periodNanos: Long): DataFrame = {
+    val sl = slices(samples, periodNanos)
+    val wCov = sum(when(col("value").isNotNull, col("weight")).otherwise(lit(0.0)))
+    val m = sum(col("weight") * col("value")) / wCov
+    // variance noise floor: Σw·x²/Σw − mean² suffers catastrophic
+    // cancellation when the window is near-constant; anything below
+    // 1e-9 is numerical noise and is clamped to exactly 0 (a NULL
+    // variance — empty coverage — stays NULL).
+    val variance = sum(col("weight") * col("value") * col("value")) / wCov - m * m
+    sl.groupBy(col("channel"), col("win").as("win_start"))
+      .agg(
+        m.as("mean"),
+        when(variance < lit(1e-9), lit(0.0)).otherwise(sqrt(variance)).as("std"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        (wCov / lit(periodNanos.toDouble)).as("covered_fraction"),
+        count(col("value")).as("n_samples"))
+  }
+
+  /** A4 — max-severity propagation: the aggregate carries the maximum
+    * alarm severity seen in the window, with the status of the
+    * *earliest* sample attaining it
+    * (AveragingSampleAggregator.java:114-141). Expressed as a single
+    * lexicographic max over (severity, -ts, status) — no second pass.
+    */
+  def decimateSeverity(samples: DataFrame, periodNanos: Long): DataFrame =
+    slices(samples, periodNanos)
+      .groupBy(col("channel"), col("win").as("win_start"))
+      .agg(
+        max(col("severity")).as("max_severity"),
+        max(struct(col("severity"), (lit(0L) - col("ts")).as("neg_ts"),
+          col("status"))).getField("status").as("status_at_max"))
+
+  /** A5 — pick-first: the sample valid at the window start, re-stamped
+    * to the window start (PickFirstSampleAggregator.java:50-76). In the
+    * slice formulation this is exactly the slice whose lo == win.
+    */
+  def pickFirst(samples: DataFrame, periodNanos: Long): DataFrame =
+    slices(samples, periodNanos)
+      .where(col("lo") === col("win"))
+      .select(
+        col("channel"),
+        col("win").as("win_start"),
+        col("str_value").as("first_value"),
+        col("ts").as("source_ts"))
+
+  /** A2 — re-aggregation: merge fine-grained aggregates (period
+    * `sourcePeriodNanos`, which must divide `targetPeriodNanos`) into
+    * coarser ones without revisiting raw data — the reference's
+    * cascaded decimation (AggregatedScalarDoubleAggregator.java:62-109).
+    * Each source row's weight is its period × covered fraction;
+    * Σw·mean and Σw·(std² + mean²) recover the merged mean/std.
+    * This is Spark's partial→final aggregate merge made explicit and
+    * persisted — the medallion cascade that makes 100 TB of raw data
+    * queryable at interactive resolution.
+    */
+  def reAggregate(decimated: DataFrame, sourcePeriodNanos: Long,
+                  targetPeriodNanos: Long): DataFrame = {
+    require(targetPeriodNanos % sourcePeriodNanos == 0,
+      s"source period $sourcePeriodNanos must divide target $targetPeriodNanos")
+    val w = lit(sourcePeriodNanos.toDouble) * col("covered_fraction")
+    val sumW = sum(w)
+    val m = sum(w * col("mean")) / sumW
+    val variance =
+      sum(w * (col("std") * col("std") + col("mean") * col("mean"))) / sumW - m * m
+    decimated
+      .groupBy(col("channel"),
+        Samples.windowStart(col("win_start"), targetPeriodNanos).as("win_start"))
+      .agg(
+        m.as("mean"),
+        when(variance < lit(1e-9), lit(0.0)).otherwise(sqrt(variance)).as("std"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"),
+        (sumW / lit(targetPeriodNanos.toDouble)).as("covered_fraction"),
+        sum(col("n_samples")).as("n_samples"))
+  }
+
+  /** A8 — source-level selection for the decimation cascade: the source
+    * for a target period is the configured level with the largest
+    * period that properly divides it, else raw (level 0)
+    * (ArchivedChannel.java:766-793).
+    */
+  def selectSourcePeriod(targetPeriodSec: Long, available: Seq[Long]): Long =
+    available
+      .filter(p => p != 0 && p < targetPeriodSec && targetPeriodSec % p == 0)
+      .sorted.lastOption.getOrElse(0L)
+}

@@ -1,0 +1,90 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The canonical sample frame — the engine's equivalent of the
+  * reference's `channel_access_samples` table
+  * (ChannelAccessDatabaseAccess.java:1149-1230), flattened for a
+  * columnar store:
+  *
+  * {{{
+  * channel    string  -- channel name (reference: channel_name)
+  * ts         long    -- nanoseconds since epoch (Sample.java:22-28)
+  * value      double  -- scalar numeric value (the 21-way union promoted
+  *                    -- to double; SURVEY.md §1.4)
+  * str_value  string  -- non-numeric payload (strings/enums serialized)
+  * severity   int     -- alarm severity 0=OK 1=MINOR 2=MAJOR 3=INVALID
+  * status     int     -- alarm status code
+  * sample_id  long    -- arrival sequence number (write-queue order)
+  * }}}
+  *
+  * A row with `value IS NULL` is a marker sample (disabled /
+  * disconnected, reference ChannelAccessDisabledSample /
+  * DisconnectedSample): it occupies time but contributes no coverage,
+  * exactly like the reference's marker types in decimation.
+  */
+object Samples {
+
+  val NS: Long = 1000000000L
+
+  /** Tumbling-window period helper: seconds → nanoseconds. */
+  def periodNs(seconds: Long): Long = seconds * NS
+
+  /** Adapt the synthetic `events` table into a canonical sample frame:
+    * event_type → channel, ts (ns, truncated to µs so the DuckDB oracle
+    * sees identical values), value, and alarm fields derived
+    * deterministically from the json `props` payload.
+    */
+  def fromEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    ev.select(
+      col("event_type").as("channel"),
+      (col("ts") - pmod(col("ts"), lit(1000L))).as("ts"),
+      col("value"),
+      col("props").as("str_value"),
+      pmod(k, lit(4)).cast("int").as("severity"),
+      pmod(k, lit(8)).cast("int").as("status"),
+      col("event_id").as("sample_id"))
+  }
+
+  /** Marker-aware variant: severity 3 (INVALID) rows become marker
+    * samples (null value) — models disconnected periods so decimation
+    * coverage drops below 1 (reference ST8).
+    */
+  def fromEventsWithMarkers(spark: SparkSession, sfDir: String): DataFrame =
+    fromEvents(spark, sfDir)
+      .withColumn("value", when(col("severity") === 3, lit(null)).otherwise(col("value")))
+
+  /** F6 — out-of-order / duplicate drop. The reference's writer rejects
+    * any sample whose ts is <= the last *written* ts, in arrival order
+    * (ArchivedChannelDecimationLevel.java:394-424). Batch re-expression:
+    * keep a row iff its ts is strictly greater than the running max ts
+    * over all earlier-arriving rows of the same channel. After this,
+    * ts is strictly increasing per channel in sample_id order.
+    *
+    * Scale note: one window shuffle on `channel`; at 100 TB this is the
+    * same per-channel ordering invariant the reference enforces with its
+    * single-writer queues — per-channel data must be sortable within an
+    * executor, which holds because a single channel's arrivals are tiny
+    * relative to the cluster (reference sizing: ≤50 KB/s per channel).
+    */
+  def monotonicDedup(samples: DataFrame): DataFrame = {
+    val w = Window.partitionBy("channel").orderBy("sample_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    samples
+      .withColumn("_prev_max_ts", max(col("ts")).over(w))
+      .where(col("_prev_max_ts").isNull || col("ts") > col("_prev_max_ts"))
+      .drop("_prev_max_ts")
+  }
+
+  /** Floor-align a nanosecond timestamp to a tumbling-window start,
+    * epoch-aligned — `ts - ts mod period`, the reference's interval
+    * alignment (ArchivedChannelDecimatedSamplesDecimationLevel.java:854-889).
+    * pmod keeps it correct for pre-epoch timestamps too.
+    */
+  def windowStart(ts: Column, periodNanos: Long): Column =
+    ts - pmod(ts, lit(periodNanos))
+}

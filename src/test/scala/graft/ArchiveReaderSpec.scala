@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.archive.ArchiveReader
+import graft.archive.ArchiveReader.{AtOrWidened, Exact}
+
+/** Limit-mode boundary semantics — the 0/1/2-sample matrix from the
+  * reference's ArchiveAccessService contract (reimplemented; see
+  * ArchiveAccessService.java:55-135 for the spec being matched).
+  */
+class ArchiveReaderSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  // channel "c": samples at ts 10 and 20; channel "d": sample at 15
+  private def df: DataFrame = Seq(
+    ("c", 10L, 1.0, "a", 0, 0, 0L),
+    ("c", 20L, 2.0, "b", 0, 0, 1L),
+    ("d", 15L, 3.0, "e", 0, 0, 2L)
+  ).toDF("channel", "ts", "value", "str_value", "severity", "status", "sample_id")
+
+  private def ts(r: DataFrame, ch: String): Seq[Long] =
+    r.where(s"channel = '$ch'").select("ts").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("widened bounds include the enclosing samples") {
+    val r = ArchiveReader.getSamples(df, 12L, AtOrWidened, 18L, AtOrWidened)
+    assert(ts(r, "c") == Seq(10L, 20L)) // nothing inside → both boundaries
+    assert(ts(r, "d") == Seq(15L))      // inside the range
+  }
+
+  test("exact bounds return only enclosed samples") {
+    val r = ArchiveReader.getSamples(df, 12L, Exact, 18L, Exact)
+    assert(ts(r, "c") == Seq())
+    assert(ts(r, "d") == Seq(15L))
+  }
+
+  test("lo == hi on a sample returns exactly that sample once") {
+    val r = ArchiveReader.getSamples(df, 20L, AtOrWidened, 20L, AtOrWidened)
+    assert(ts(r, "c") == Seq(20L))
+  }
+
+  test("lo == hi between samples returns the two neighbours") {
+    val r = ArchiveReader.getSamples(df, 15L, AtOrWidened, 15L, AtOrWidened)
+    assert(ts(r, "c") == Seq(10L, 20L))
+    assert(ts(r, "d") == Seq(15L))
+  }
+
+  test("lo == hi before all samples, widened: only the after-boundary") {
+    val r = ArchiveReader.getSamples(df, 5L, AtOrWidened, 5L, AtOrWidened)
+    assert(ts(r, "c") == Seq(10L))
+  }
+
+  test("sample exactly at an exact bound is included") {
+    val r = ArchiveReader.getSamples(df, 10L, Exact, 20L, Exact)
+    assert(ts(r, "c") == Seq(10L, 20L))
+  }
+
+  test("as-of lookup holds the last sample at-or-before each probe") {
+    val grid = Seq(("c", 5L), ("c", 10L), ("c", 15L), ("c", 25L))
+      .toDF("channel", "g")
+    val r = ArchiveReader.asOfLookup(df, grid).collect()
+      .map(x => x.getAs[Long]("g") ->
+        (if (x.isNullAt(x.fieldIndex("held_value"))) None
+         else Some(x.getAs[Double]("held_value")))).toMap
+    assert(r == Map(5L -> None, 10L -> Some(1.0), 15L -> Some(1.0), 25L -> Some(2.0)))
+  }
+
+  test("reverse top-k returns the newest k per channel") {
+    val r = ArchiveReader.reverseTopK(df, 1)
+    assert(ts(r, "c") == Seq(20L))
+    assert(ts(r, "d") == Seq(15L))
+  }
+
+  test("retention keeps only the trailing window per channel") {
+    val r = ArchiveReader.retain(df, 5L)
+    assert(ts(r, "c") == Seq(20L)) // 10 < 20-5
+    assert(ts(r, "d") == Seq(15L))
+  }
+}
