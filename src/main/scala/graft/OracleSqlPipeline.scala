@@ -1,0 +1,217 @@
+package graft
+
+import graft.pipeline.{Hashing, Similarity, TextAnalysis}
+import Hashing._
+
+/** DuckDB oracles for the corpus-pipeline operators (dedup, text
+  * analysis, similarity). Generated from the same constants
+  * ([[Hashing.Perms]], [[Similarity.Planes]], [[TextAnalysis.Stopwords]])
+  * the Spark plans embed, so both engines execute identical math.
+  */
+object OracleSqlPipeline {
+
+  /** doc_id + whitespace tokens (same regex split as the Spark side). */
+  private val TOKS =
+    """t AS (
+      |  SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS toks
+      |  FROM documents)""".stripMargin
+
+  /** Distinct 3-token shingles per doc. */
+  private val SH3 =
+    """sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+      |  FROM t, UNNEST(range(1, greatest(len(toks) - 1, 1))) u(i))""".stripMargin
+
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'${w.replace("'", "''")}'").mkString("[", ", ", "]")
+
+  private val hitsCols = TextAnalysis.Stopwords.map { case (l, ws) =>
+    s"CAST(len(list_filter(toks, x -> list_contains(${inList(ws)}, x))) AS INT) AS hits_$l"
+  }.mkString(",\n    ")
+
+  private val langCase = {
+    val langs = TextAnalysis.Stopwords.map(_._1)
+    langs.map { l =>
+      val others = langs.filter(_ != l).map(o => s"hits_$l >= hits_$o").mkString(" AND ")
+      s"WHEN hits_$l > 0 AND $others THEN '$l'"
+    }.mkString("CASE ", "\n       ", "\n       ELSE 'und' END")
+  }
+
+  private val sigCols = (0 until NumMinHashes)
+    .map(i => s"min(${permSql("h", i)}) AS s$i").mkString(",\n    ")
+
+  private val bandSelects = (0 until NumBands).map { b =>
+    val ks = (0 until RowsPerBand).map(r => s"s${b * RowsPerBand + r}").mkString(", ")
+    s"SELECT doc_id, $b AS band, concat_ws('_', $ks) AS key FROM sig"
+  }.mkString("\n  UNION ALL ")
+
+  private val sigMatches = (0 until NumMinHashes)
+    .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END").mkString(" + ")
+
+  private val bitSumCols = (0 until 32)
+    .map(b => s"sum(((h >> $b) & 1) * 2 - 1) AS b$b").mkString(",\n    ")
+
+  private val simhashExpr = (0 until 32)
+    .map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b}::BIGINT ELSE 0::BIGINT END)")
+    .mkString(" + ")
+
+  private def planeArray(p: Int): String =
+    Similarity.Planes(p).map(c => if (c > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]::DOUBLE[]")
+
+  private val bucketExpr = (0 until Similarity.NumPlanes).map { p =>
+    s"(CASE WHEN list_dot_product(v, ${planeArray(p)}) >= 0 THEN ${1L << p}::BIGINT ELSE 0::BIGINT END)"
+  }.mkString(" + ")
+
+  private val enList = inList(TextAnalysis.Stopwords.head._2)
+
+  val all: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH $TOKS,
+         |$SH3,
+         |hs AS (SELECT doc_id, ${md5HashM31Sql("shingle")} AS h FROM sh),
+         |sig AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM hs GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(($sigMatches)::DOUBLE / $NumMinHashes, 6) AS est_jaccard
+         |FROM pairs
+         |JOIN sig sa ON doc_a = sa.doc_id
+         |JOIN sig sb ON doc_b = sb.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH $TOKS,
+         |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         |th AS (SELECT doc_id, ${md5Hash60Sql("tk")} AS h FROM tok),
+         |bits AS (SELECT doc_id,
+         |    $bitSumCols
+         |  FROM th GROUP BY doc_id),
+         |sh2 AS (SELECT doc_id, $simhashExpr AS simhash FROM bits),
+         |blocks AS (
+         |  SELECT doc_id, simhash, u.blk AS blk,
+         |         (simhash >> (u.blk * 8)) % 256 AS v
+         |  FROM sh2, UNNEST(range(0, 4)) u(blk))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM blocks a JOIN blocks b
+         |  ON a.blk = b.blk AND a.v = b.v AND a.doc_id < b.doc_id
+         |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $TOKS,
+         |$SH3,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(i::DOUBLE / (ca.n + cb.n - i), 6) AS jaccard
+         |FROM inter
+         |JOIN cnt ca ON doc_a = ca.doc_id
+         |JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.15
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH $TOKS,
+         |h AS (SELECT doc_id, lang AS lang_actual,
+         |    $hitsCols
+         |  FROM t)
+         |SELECT doc_id, lang_actual,
+         |  ${TextAnalysis.Stopwords.map { case (l, _) => s"hits_$l" }.mkString(", ")},
+         |  $langCase AS lang_detected,
+         |  CAST(($langCase) = lang_actual AS INT) AS is_match
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH $TOKS,
+         |d AS (SELECT t.doc_id, toks, text,
+         |        length(text)::DOUBLE AS n_chars,
+         |        len(toks)::DOUBLE AS n_tokens,
+         |        length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE AS n_nonspace,
+         |        (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS n_digits,
+         |        (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g'))) AS n_punct,
+         |        len(list_filter(toks, x -> list_contains($enList, x)))::DOUBLE AS stop_hits
+         |      FROM documents JOIN t ON documents.doc_id = t.doc_id)
+         |SELECT doc_id,
+         |  CAST(n_chars AS BIGINT) AS n_chars,
+         |  CAST(n_tokens AS INT) AS n_tokens,
+         |  round(n_nonspace / n_tokens, 6) AS avg_token_len,
+         |  round(stop_hits / n_tokens, 6) AS stopword_ratio,
+         |  CAST(n_digits AS BIGINT) AS n_digits,
+         |  CAST(n_punct AS BIGINT) AS n_punct,
+         |  round(least(1.0, (stop_hits / n_tokens) * 3) * 0.5
+         |    + (CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 0.3 ELSE 0.0 END)
+         |    + (CASE WHEN n_digits / n_chars < 0.2 THEN 0.2 ELSE 0.0 END), 6)
+         |    AS quality_score
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "text_token_stats" ->
+      s"""WITH $TOKS
+         |SELECT t.doc_id,
+         |  CAST(len(toks) AS INT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT)
+         |    AS n_bpe_tokens,
+         |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens
+         |FROM documents JOIN t ON documents.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH $TOKS
+         |SELECT doc_id,
+         |  list_reduce(
+         |    list_concat([0::BIGINT],
+         |      list_transform(toks, tk -> ${md5HashM31Sql("tk")})),
+         |    (a, b) -> (a * 31 + b) % $M31) AS fingerprint
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "sim_bruteforce_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT * FROM e WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+         |         round(list_cosine_similarity(p.v, c.v), 6) AS cos_sim
+         |  FROM p JOIN e c ON c.vec_id != p.vec_id),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY probe_id
+         |           ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT probe_id, vec_id, cos_sim, rank
+         |FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+
+    "sim_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+         |n AS (SELECT bucket, count(*) AS n_in_bucket FROM b GROUP BY 1),
+         |pair AS (
+         |  SELECT a.vec_id AS vec_id, a.bucket AS bucket,
+         |         bb.vec_id AS mate_id,
+         |         round(list_cosine_similarity(a.v, bb.v), 6) AS cos_sim
+         |  FROM b a LEFT JOIN b bb
+         |    ON a.bucket = bb.bucket AND a.vec_id != bb.vec_id),
+         |ranked AS (
+         |  SELECT pair.vec_id, pair.bucket, n.n_in_bucket, mate_id, cos_sim,
+         |         row_number() OVER (PARTITION BY pair.vec_id
+         |           ORDER BY cos_sim DESC NULLS LAST, mate_id NULLS LAST) AS rn
+         |  FROM pair JOIN n ON pair.bucket = n.bucket)
+         |SELECT vec_id, bucket, n_in_bucket, mate_id AS best_mate,
+         |       cos_sim AS best_cos
+         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+  )
+}

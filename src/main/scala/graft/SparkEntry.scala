@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.archive.{ArchiveReader, ChannelRegistry, Decimation}
 import graft.core.{Samples, Tables}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import OracleSql._
 
 /** Driver contract — one entry per implemented operator from SURVEY.md
@@ -176,8 +177,62 @@ object SparkEntry {
 
     "chan_regex" -> ((s, dir) =>
       ChannelRegistry.channelsByRegex(raw(s, dir), "click|view")),
+
+    // ---- corpus pipeline: dedup / text / similarity / multimodal ----
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir)).orderBy("text_hash")),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashCandidates(Tables.documents(s, dir))
+        .select(col("doc_a"), col("doc_b"), r6("est_jaccard"))
+        .orderBy("doc_a", "doc_b")),
+
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashCandidates(Tables.documents(s, dir), maxHamming = 6)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("doc_a", "doc_b")),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.documents(s, dir), k = 3, minJaccard = 0.15)
+        .select(col("doc_a"), col("doc_b"), r6("jaccard"))
+        .orderBy("doc_a", "doc_b")),
+
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "text_token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "sim_bruteforce_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), 10)
+        .select(col("probe_id"), col("vec_id"), col("cos_sim"), col("rank"))
+        .orderBy("probe_id", "rank")
+    }),
+
+    "sim_ann_lsh" -> ((s, dir) =>
+      Similarity.lshNearestInBucket(Tables.embeddings(s, dir))
+        .orderBy("vec_id")),
+
+    // multimodal plumbing: no SQL-expressible oracle (binary decode);
+    // driver records a rows-only check, semantics are ScalaTest'd.
+    "mm_features" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.extractFeatures(Multimodal.attachPayload(Tables.documents(s, dir)))
+        .toDF()
+        .select(col("doc_id"), col("mime"), col("n_bytes"), col("width"),
+          col("height"), round(col("mean_px"), 6).as("mean_px"),
+          round(col("std_px"), 6).as("std_px"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** DuckDB equivalents (driver correctness gate). */
-  def oracleSql: Map[String, String] = OracleSql.all
+  def oracleSql: Map[String, String] = OracleSql.all ++ OracleSqlPipeline.all
 }

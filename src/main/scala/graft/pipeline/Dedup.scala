@@ -1,0 +1,155 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import Hashing._
+
+/** Document deduplication operators for large-scale corpus curation:
+  * exact (hash-group), MinHash+LSH, SimHash block-LSH, and n-gram
+  * Jaccard. All are shuffle-on-key plans that scale horizontally —
+  * no driver-side loops, no O(n²) stages (candidate generation always
+  * goes through an LSH/bucket equi-join).
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the smallest doc_id.
+    * One map-side-combinable aggregation; at 100 TB use
+    * [[Hashing.fastHash64]] + a 128-bit md5 only on collisions.
+    */
+  def exact(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(textCol: String): Column = split(lower(col(textCol)), "\\s+")
+
+  /** Distinct k-token shingles per document: (doc_id, shingle).
+    * The shingle array is built positionally (`transform` over an index
+    * `sequence`) so it stays inside whole-stage codegen; `explode` +
+    * `distinct` turns it into the set representation the Jaccard /
+    * MinHash math needs.
+    */
+  def shingles(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    val parts = (0 until k).map(o => s"element_at(_toks, i + $o)").mkString(", ")
+    docs
+      .withColumn("_toks", tokens(textCol))
+      .withColumn("_sh", expr(
+        s"""CASE WHEN size(_toks) < $k THEN CAST(array() AS array<string>)
+           |ELSE transform(sequence(1, size(_toks) - ${k - 1}),
+           |               i -> concat_ws(' ', $parts)) END""".stripMargin))
+      .select(col("doc_id"), explode(col("_sh")).as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signatures: one row per doc with columns s0..s{n-1}.
+    * Signature component i = min over shingles of perm_i(h(shingle)).
+    * Plain partial-merge min aggregates — the 16 mins ride one shuffle.
+    */
+  def minHashSignatures(docs: DataFrame, k: Int = 3): DataFrame = {
+    val withHash = shingles(docs, k).withColumn("h", md5HashM31(col("shingle")))
+    withHash.groupBy("doc_id")
+      .agg(min(perm(col("h"), 0)).as("s0"),
+        (1 until NumMinHashes).map(i => min(perm(col("h"), i)).as(s"s$i")): _*)
+  }
+
+  /** LSH banding: (doc_id, band, key) — docs sharing any band key are
+    * near-dup candidates. The band key concatenates the band's
+    * signature rows.
+    */
+  def minHashBands(sigs: DataFrame): DataFrame = {
+    val bands = array((0 until NumBands).map { b =>
+      val ks = (0 until RowsPerBand).map(r => col(s"s${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), concat_ws("_", ks: _*).as("key"))
+    }: _*)
+    sigs.select(col("doc_id"), explode(bands).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** MinHash+LSH near-dup candidates with estimated Jaccard
+    * (fraction of matching signature components). The candidate join
+    * is an equi-join on (band, key) — at scale this is the only
+    * correct shape: no all-pairs comparison ever materializes, and
+    * skewed buckets (boilerplate docs) are handled by AQE skew
+    * splitting.
+    */
+  def minHashCandidates(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sigs = minHashSignatures(docs, k).cache()
+    val bands = minHashBands(sigs)
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val matches = (0 until NumMinHashes)
+      .map(i => when(col(s"sa.s$i") === col(s"sb.s$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / NumMinHashes).as("est_jaccard"))
+  }
+
+  /** 32-bit SimHash over (non-distinct) tokens: bit b of the hash is
+    * the majority vote of bit b across all token hashes. 32 sums ride
+    * a single aggregation.
+    */
+  def simHash(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(textCol)).as("t"))
+      .withColumn("h", md5Hash60(col("t")))
+    val bitSums = (0 until 32).map { b =>
+      sum(shiftright(col("h"), b) % 2 * 2 - 1).as(s"b$b")
+    }
+    val assembled = (0 until 32).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tok.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), assembled.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: docs sharing any of the four 8-bit
+    * blocks are candidates (any pair within Hamming distance 3 must
+    * share a block — pigeonhole); the exact Hamming distance filters
+    * them. Block join keeps this linear-ish, never all-pairs.
+    */
+  def simHashCandidates(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val sh = simHash(docs).cache()
+    val blocks = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("blk"), (shiftright(col("simhash"), b * 8) % 256).as("v"))): _*))
+        .as("bv"))
+      .select(col("doc_id"), col("simhash"), col("bv.blk").as("blk"), col("bv.v").as("v"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.v") === col("b.v") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs that share at least one
+    * shingle. intersection via shingle equi-join, union by inclusion-
+    * exclusion. `minJaccard` bounds the output, not the work; the work
+    * is bounded by the shingle join (skew: cap document frequency of
+    * shingles upstream if a corpus has heavy boilerplate).
+    */
+  def ngramJaccard(docs: DataFrame, k: Int = 3,
+                   minJaccard: Double = 0.15): DataFrame = {
+    val sh = shingles(docs, k).cache()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media (image/audio/video) as opaque
+  * `binary` columns with typed metadata, and partition-wise feature
+  * extraction.
+  *
+  * The Spark-side shape is real and tested: schema, batching,
+  * partition sizing, and the typed `mapPartitions` boundary are
+  * exactly what a production decode stage uses. The codec itself is
+  * STUBBED (this container ships no image/audio libraries): the
+  * "decoder" is a deterministic fake that derives pixel-like
+  * statistics from the raw bytes. Swap [[MediaDecoder.decode]] for a
+  * real JNI/Java codec without touching the plan.
+  */
+object Multimodal {
+
+  /** A media row: payload + the typed metadata a real pipeline carries. */
+  case class MediaRow(doc_id: Long, mime: String, n_bytes: Int,
+                      payload: Array[Byte])
+
+  /** Extracted features (what a decode→resize→featurize stage emits). */
+  case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
+                           width: Int, height: Int, mean_px: Double,
+                           std_px: Double, histogram: Array[Long])
+
+  /** STUB decoder — deterministic fake in place of a real codec. */
+  object MediaDecoder {
+    /** "Decode" payload bytes into a fake WxH gray image: the byte
+      * stream itself plays the pixel buffer. Deterministic, so tests
+      * and benchmarks of the surrounding plan are real.
+      */
+    def decode(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+      val w = math.max(1, math.min(64, payload.length))
+      val h = math.max(1, payload.length / w)
+      val px = payload.take(w * h).map(b => b & 0xff)
+      (w, h, px)
+    }
+  }
+
+  /** Attach a binary payload column. Here the document text bytes
+    * stand in for media blobs; a real corpus reads them from parquet
+    * `binary` columns directly.
+    */
+  def attachPayload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      lit("image/fake").as("mime"),
+      octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** Partition-wise decode + featurize. One task per input split; the
+    * iterator never materializes a partition in memory, so executor
+    * footprint is one media item at a time — the property that matters
+    * when payloads are MBs and partitions are GBs. At 100 TB, size
+    * input splits by payload bytes (maxPartitionBytes), not row count.
+    */
+  def extractFeatures(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = MediaDecoder.decode(r.payload)
+        val n = math.max(1, px.length)
+        val mean = px.sum.toDouble / n
+        val variance = px.map(p => (p - mean) * (p - mean)).sum / n
+        val hist = new Array[Long](8)
+        px.foreach(p => hist(p / 32) += 1)
+        MediaFeatures(r.doc_id, r.mime, r.n_bytes, w, h,
+          mean, math.sqrt(variance), hist)
+      }
+    }
+  }
+}

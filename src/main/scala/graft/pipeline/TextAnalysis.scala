@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import Hashing._
+
+/** Text-analysis operators for corpus curation: stopword-based
+  * language ID, quality scoring, token statistics, and document
+  * fingerprinting. Everything is per-row (embarrassingly parallel,
+  * no shuffle) and built from codegen'd expressions — the shape that
+  * survives a 100 TB scan.
+  */
+object TextAnalysis {
+
+  /** Small, fixed stopword lists (top function words per language).
+    * Shared with the oracle SQL generator — keep in sync by
+    * construction.
+    */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "a", "is", "that", "for",
+      "it", "on", "with", "as", "are", "this", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+      "zu", "den", "von", "mit", "auf", "für", "im", "sich"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "por", "con",
+      "para", "no", "se", "del", "al", "como", "más"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une", "que", "pour",
+      "dans", "qui", "sur", "pas", "au", "ce", "il", "du"))
+
+  private def toks(textCol: String): Column = split(lower(col(textCol)), "\\s+")
+
+  private def hits(t: Column, words: Seq[String]): Column =
+    size(filter(t, x => x.isin(words.map(lit): _*)))
+
+  /** Language ID: count stopword hits per language; winner = highest
+    * count (ties broken by list order), 'und' (undetermined) when no
+    * stopword matched — CJK and too-short texts land there.
+    */
+  def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = toks(textCol)
+    val withHits = docs.select(
+      col("doc_id") +: col("lang").as("lang_actual") +:
+        Stopwords.map { case (l, ws) => hits(t, ws).as(s"hits_$l") }: _*)
+    val best = Stopwords.map(_._1)
+      .foldRight(lit("und")) { (l, acc) =>
+        // foldRight so earlier languages win ties (>= later ones)
+        when(col(s"hits_$l") > 0 &&
+          Stopwords.map(_._1).filter(_ != l)
+            .map(o => col(s"hits_$l") >= col(s"hits_$o")).reduce(_ && _),
+          lit(l)).otherwise(acc)
+      }
+    withHits.withColumn("lang_detected", best)
+      .withColumn("is_match", (col("lang_detected") === col("lang_actual")).cast("int"))
+  }
+
+  /** Quality signals: length, token counts, average token length,
+    * stopword ratio, digit/punctuation ratios, and a composite score.
+    */
+  def quality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = toks(textCol)
+    val nTok = size(t).cast("double")
+    val nChars = length(col(textCol)).cast("double")
+    val nNonSpace = length(regexp_replace(col(textCol), "\\s+", "")).cast("double")
+    val nDigit = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[0-9]", ""))
+    val nPunct = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[.,;:!?'\"()\\[\\]{}-]", ""))
+    val stopHits = hits(t, Stopwords.head._2).cast("double")
+    val stopRatio = stopHits / nTok
+    val score =
+      least(lit(1.0), stopRatio * 3) * 0.5 +
+        when(nTok.between(20, 80), 0.3).otherwise(0.0) +
+        when(nDigit / nChars < 0.2, 0.2).otherwise(0.0)
+    docs.select(col("doc_id"),
+      nChars.cast("long").as("n_chars"),
+      size(t).as("n_tokens"),
+      round(nNonSpace / nTok, 6).as("avg_token_len"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      nDigit.cast("long").as("n_digits"),
+      nPunct.cast("long").as("n_punct"),
+      round(score, 6).as("quality_score"))
+  }
+
+  /** Token statistics: whitespace tokens, BPE-ish subword pieces
+    * (letter runs / digit runs / single other chars — the classic
+    * pre-tokenizer regex), and distinct-token count.
+    */
+  def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = toks(textCol)
+    val bpe = regexp_extract_all(lower(col(textCol)),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    docs.select(col("doc_id"),
+      size(t).as("n_ws_tokens"),
+      size(bpe).as("n_bpe_tokens"),
+      size(array_distinct(t)).as("n_distinct_tokens"))
+  }
+
+  /** Order-sensitive document fingerprint: polynomial rolling hash of
+    * the token-hash sequence in the M31 field (same hash both
+    * engines). Content-defined, whitespace-normalized.
+    */
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val hashes = transform(toks(textCol), t => md5HashM31(t))
+    docs.select(col("doc_id"),
+      aggregate(hashes, lit(0L), (acc, x) => (acc * 31 + x) % lit(M31))
+        .as("fingerprint"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*): DataFrame =
+    rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+
+  test("exact dedup groups identical texts under the smallest doc id") {
+    val d = docs((1L, "a b c", "en"), (5L, "a b c", "en"), (3L, "x y", "en"))
+    val got = Dedup.exact(d).collect()
+      .map(r => r.getAs[Long]("keeper_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("shingles are distinct k-grams; short docs yield none") {
+    val d = docs((1L, "a b c d", "en"), (2L, "a b", "en"), (3L, "a b c a b c", "en"))
+    val got = Dedup.shingles(d, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.filter(_._1 == 1).map(_._2).toSet == Set("a b c", "b c d"))
+    assert(!got.exists(_._1 == 2L))                   // too short
+    // positions give (a b c),(b c a),(c a b),(a b c) → 3 distinct
+    assert(got.count(_._1 == 3L) == 3)
+  }
+
+  test("identical docs have identical minhash signatures and est_jaccard 1") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again", "en"),
+      (2L, "the quick brown fox jumps over the lazy dog again", "en"),
+      (3L, "completely different words entirely unrelated to anything here now", "en"))
+    val cand = Dedup.minHashCandidates(d).collect()
+    assert(cand.length == 1)
+    assert(cand.head.getAs[Long]("doc_a") == 1L)
+    assert(cand.head.getAs[Long]("doc_b") == 2L)
+    assert(cand.head.getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("simhash of identical docs is equal; hamming 0") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon", "en"),
+      (2L, "alpha beta gamma delta epsilon", "en"))
+    val pairs = Dedup.simHashCandidates(d).collect()
+    assert(pairs.length == 1 && pairs.head.getAs[Int]("hamming") == 0)
+  }
+
+  test("ngram jaccard is 1 for identical docs, absent for disjoint") {
+    val d = docs(
+      (1L, "a b c d e", "en"), (2L, "a b c d e", "en"), (3L, "x y z w v", "en"))
+    val got = Dedup.ngramJaccard(d, 3, 0.1).collect()
+    assert(got.length == 1 && got.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("language id picks the language with most stopword hits") {
+    val d = docs(
+      (1L, "the cat is on the mat and it is nice", "en"),
+      (2L, "der hund ist nicht in der schule und das ist gut", "de"),
+      (3L, "qqq www zzz", "zh"))
+    val got = TextAnalysis.languageId(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_detected")).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+
+  test("quality and token stats are deterministic and sane") {
+    val d = docs((1L, "the quick brown fox 42 jumps!", "en"))
+    val q = TextAnalysis.quality(d).collect().head
+    assert(q.getAs[Int]("n_tokens") == 6)
+    assert(q.getAs[Long]("n_digits") == 2)
+    assert(q.getAs[Long]("n_punct") == 1)
+    val t = TextAnalysis.tokenStats(d).collect().head
+    assert(t.getAs[Int]("n_ws_tokens") == 6)
+    // bpe: the,quick,brown,fox,42,jumps,! → 7 pieces
+    assert(t.getAs[Int]("n_bpe_tokens") == 7)
+  }
+
+  test("fingerprint is order-sensitive") {
+    val d = docs((1L, "a b c", "en"), (2L, "c b a", "en"), (3L, "a b c", "en"))
+    val fp = TextAnalysis.fingerprint(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(3L))
+    assert(fp(1L) != fp(2L))
+  }
+
+  test("brute-force cosine ranks an identical vector first") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.9f, 0.1f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.bruteForceTopK(e, e.where($"vec_id" === 0), 3).collect()
+    assert(got.head.getAs[Long]("vec_id") == 1L)
+    assert(got.head.getAs[Double]("cos_sim") == 1.0)
+  }
+
+  test("multimodal feature extraction is deterministic over the payload bytes") {
+    implicit val s: SparkSession = spark
+    val d = docs((1L, "hello world", "en"), (2L, "abc", "en"))
+    val feats = Multimodal.extractFeatures(Multimodal.attachPayload(d))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).n_bytes == 11)
+    assert(feats(2L).n_bytes == 3)
+    // "abc" → bytes 97,98,99 → mean 98
+    assert(feats(2L).mean_px == 98.0)
+    assert(feats(2L).histogram.sum == 3)
+  }
+}
