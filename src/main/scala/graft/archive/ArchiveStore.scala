@@ -1,0 +1,131 @@
+package graft.archive
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Samples
+
+/** The persisted sample store — the engine's replacement for the
+  * reference's `channel_access_samples` table + bucket index
+  * (SURVEY.md §1.2/§1.4).
+  *
+  * Layout: one directory tree per store, hive-partitioned by
+  * `level` (decimation period in seconds, 0 = raw) and `bucket_date`
+  * (UTC day of the sample). Inside each partition, files are written
+  * clustered by channel and sorted by (channel, ts).
+  *
+  * Why this layout at 100 TB:
+  *  - `level=` pruning replaces the reference's per-level tables;
+  *  - `bucket_date=` pruning replaces the bucket index: a time-range
+  *    query touches only the day partitions it overlaps — the same
+  *    two-phase prune (index → bucket) the reference does with its
+  *    `channels` table, done declaratively by Catalyst;
+  *  - within a day, parquet row-group min/max stats on `ts` and
+  *    `channel` give the in-bucket clustering-order scan (no runtime
+  *    sort for time-ascending reads, row-group skipping for single-
+  *    channel reads);
+  *  - day × channel-sort bounds any single file's writer memory and
+  *    keeps partitions ≪ the reference's 96 MB bucket cap after
+  *    columnar compression.
+  *
+  * Retention (ST9) is a partition-level delete: dropping
+  * `bucket_date` directories older than the horizon never rewrites
+  * surviving data.
+  */
+object ArchiveStore {
+
+  /** Derive the partition column from the canonical ts (ns). */
+  private def withBucketDate(samples: DataFrame): DataFrame =
+    samples.withColumn("bucket_date",
+      to_date(timestamp_micros((col("ts") / 1000L).cast("long"))))
+
+  /** S9 — append samples for one decimation level. `repartition` by
+    * the partition key + channel hash spreads writers; sortWithin
+    * gives the clustering order the read path exploits.
+    */
+  def write(samples: DataFrame, path: String, levelSec: Long,
+            mode: SaveMode = SaveMode.Append): Unit =
+    withBucketDate(samples)
+      .withColumn("level", lit(levelSec))
+      .repartition(col("bucket_date"), col("channel"))
+      .sortWithinPartitions("channel", "ts")
+      .write
+      .partitionBy("level", "bucket_date")
+      .mode(mode)
+      .parquet(path)
+
+  /** Read one level, optionally clipped to [loNs, hiNs] — the time
+    * predicate prunes whole day partitions before any file is opened,
+    * then pushes into row-group stats.
+    */
+  def read(spark: SparkSession, path: String, levelSec: Long,
+           loNs: Option[Long] = None, hiNs: Option[Long] = None): DataFrame = {
+    var df = spark.read.parquet(path).where(col("level") === levelSec)
+    // partition-prune on bucket_date AND row-group-prune on ts
+    loNs.foreach { lo =>
+      df = df.where(col("bucket_date") >=
+        to_date(timestamp_micros(lit(lo / 1000L))) && col("ts") >= lo)
+    }
+    hiNs.foreach { hi =>
+      df = df.where(col("bucket_date") <=
+        to_date(timestamp_micros(lit(hi / 1000L))) && col("ts") <= hi)
+    }
+    df
+  }
+
+  /** ST9 — retention as partition drop: rewrite the store keeping only
+    * day partitions at-or-after the horizon. With a catalog-backed
+    * table this is `ALTER TABLE DROP PARTITION` / `DELETE WHERE`;
+    * on raw parquet we enumerate and delete expired directories.
+    * Horizon rule matches the reference: a bucket is deleted only when
+    * its *end* (here: end of day) is older than latest − retention
+    * (ArchivedChannelDecimationLevel.java:1226-1229).
+    */
+  def expiredPartitions(spark: SparkSession, path: String, levelSec: Long,
+                        retentionNs: Long): Seq[String] = {
+    if (retentionNs == 0) return Nil // keep forever
+    val latest = read(spark, path, levelSec).agg(max("ts")).head.getLong(0)
+    val horizon = latest - retentionNs
+    val dayNs = 86400L * Samples.NS
+    read(spark, path, levelSec)
+      .select(col("bucket_date")).distinct().collect()
+      .map(_.getDate(0))
+      .filter { d =>
+        val dayStartNs = d.toLocalDate.toEpochDay * dayNs
+        dayStartNs + dayNs - 1 < horizon // partition END older than horizon
+      }
+      .map(d => s"$path/level=$levelSec/bucket_date=$d")
+      .toSeq
+  }
+
+  /** Execute retention: physically remove expired day partitions. */
+  def applyRetention(spark: SparkSession, path: String, levelSec: Long,
+                     retentionNs: Long): Seq[String] = {
+    val expired = expiredPartitions(spark, path, levelSec, retentionNs)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    expired.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    expired
+  }
+
+  /** S10-adjacent — compaction: rewrite one (level, day) partition into
+    * right-sized files (the job a 100 TB store runs continuously
+    * behind the ingest edge).
+    */
+  def compact(spark: SparkSession, path: String, levelSec: Long,
+              date: String, targetFiles: Int = 1): Unit = {
+    val partPath = s"$path/level=$levelSec/bucket_date=$date"
+    val tmpPath = s"$partPath._compact_tmp"
+    // write-to-temp + atomic swap: never overwrite a path being read
+    spark.read.parquet(partPath)
+      .repartition(targetFiles)
+      .sortWithinPartitions("channel", "ts")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(tmpPath)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(partPath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmpPath),
+      new org.apache.hadoop.fs.Path(partPath))
+  }
+}

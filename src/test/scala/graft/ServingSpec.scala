@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.archive.{ChannelConfig, ChannelConfigXml, JsonV1, ResolutionPlanner}
+
+class ServingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  test("json v1 raw sample shape") {
+    val df = Seq(("c", 123L, 4.5, "", 1, 7, 0L))
+      .toDF("channel", "ts", "value", "str_value", "severity", "status", "sample_id")
+    val json = JsonV1.serializeRaw(df).select("json").head.getString(0)
+    assert(json ==
+      """{"time":123,"severity":{"level":"MINOR","hasValue":true},"status":"7","quality":"Original","type":"double","value":[4.5]}""")
+  }
+
+  test("json v1 decimated sample carries minimum/maximum") {
+    val df = Seq(("c", 1000L, Some(2.0), Some(0.5), Some(1.0), Some(3.0), 1.0, 4L))
+      .toDF("channel", "win_start", "mean", "std", "min_value", "max_value",
+        "covered_fraction", "n_samples")
+    val json = JsonV1.serializeDecimated(df).select("json").head.getString(0)
+    assert(json.contains("\"quality\":\"Interpolated\""))
+    assert(json.contains("\"minimum\":1.0") && json.contains("\"maximum\":3.0"))
+    assert(json.startsWith("{\"time\":1000,"))
+  }
+
+  test("xml config round-trips") {
+    val cfg = Seq(
+      ChannelConfig("ch:b", "uuid-2", "channel_access", enabled = false,
+        Map("monitor" -> "true"), Map(0L -> 0L, 30L -> 2592000L)),
+      ChannelConfig("ch:a", "uuid-1", "channel_access", enabled = true,
+        Map.empty, Map(0L -> 86400L)))
+    val xml = ChannelConfigXml.exportXml("srv-1", cfg)
+    val (sid, parsed) = ChannelConfigXml.importXml(xml)
+    assert(sid == "srv-1")
+    assert(parsed.map(_.name) == Seq("ch:a", "ch:b")) // name-sorted
+    assert(parsed.toSet == cfg.toSet)
+  }
+
+  test("resolution selection prefers the shorter period unless the longer is within 5% and closer") {
+    // perfect period = (end-start)/count/1e9 seconds
+    val levels = Seq(0L, 30L, 300L, 3600L)
+    // want ~600 points over 1h → perfect 6 s → shorter=0(raw)... 30 is > 6
+    assert(ResolutionPlanner.selectLevel(levels, 0, 3600L * 1000000000L,
+      Some(600)) == 0L)
+    // want 12 points over 1h → perfect 300 s → exact level
+    assert(ResolutionPlanner.selectLevel(levels, 0, 3600L * 1000000000L,
+      Some(12)) == 300L)
+    // no count → raw
+    assert(ResolutionPlanner.selectLevel(levels, 0, 1, None) == 0L)
+    // want 13 points over 1h → perfect ≈ 276.9 → shorter 30 (diff 247),
+    // longer 300 (diff 23, within 5%? 0.05*276.9=13.8 → no) → 30
+    assert(ResolutionPlanner.selectLevel(levels, 0, 3600L * 1000000000L,
+      Some(13)) == 30L)
+    // perfect 3500 s: shorter 300 (diff 3200), longer 3600 (diff 100,
+    // within 5% of 3500=175, closer) → 3600
+    assert(ResolutionPlanner.selectLevel(levels, 0, 3500L * 1000000000L,
+      Some(1)) == 3600L)
+  }
+
+  test("retention fallback covers older ranges with coarser levels, no overlap") {
+    val segs = ResolutionPlanner.fallbackSegments(
+      chosenPeriod = 30L,
+      earliestByPeriod = Map(30L -> 5000L, 3600L -> 1000L),
+      coarserPeriods = Seq(3600L),
+      startNs = 0L, endNs = 10000L)
+    // 30s level covers [5000,10000]; 3600s level covers [1000,4999];
+    // nothing below 1000
+    assert(segs == Seq((3600L, 1000L, 4999L), (30L, 5000L, 10000L)))
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.archive.Decimation
+import graft.streaming.StreamingDecimation
+import graft.streaming.StreamingDecimation.{AggOut, InSample}
+
+/** The streaming decimator must produce byte-identical aggregates to
+  * the batch operator on the same input — the reference guarantees the
+  * same (its catch-up batch path and live path share the decimator;
+  * SURVEY.md §3.3).
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  private val S = 1000000000L
+  private val P10 = 10 * S
+
+  private def withSeq(samples: Seq[InSample]): Seq[InSample] =
+    samples.zipWithIndex.map { case (s, i) => s.copy(seq = i.toLong) }
+
+  private def runStream(batches: Seq[Seq[InSample]], periodNs: Long): Seq[AggOut] = {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[InSample]
+    val q = StreamingDecimation.decimateStream(mem.toDS(), periodNs)
+      .writeStream.format("memory").queryName("dec_out")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      spark.table("dec_out").as[AggOut].collect().toSeq
+    } finally q.stop()
+  }
+
+  private def runBatch(samples: Seq[InSample], periodNs: Long): Seq[AggOut] = {
+    import spark.implicits._
+    val df = samples.zipWithIndex.map { case (s, i) =>
+      (s.channel, s.ts, s.value, "", 0, 0, i.toLong)
+    }.toDF("channel", "ts", "value", "str_value", "severity", "status", "sample_id")
+    Decimation.decimate(df, periodNs).as[AggOut].collect().toSeq
+  }
+
+  private def key(a: AggOut) = (a.channel, a.win_start)
+
+  private def assertSame(stream: Seq[AggOut], batch: Seq[AggOut]): Unit = {
+    assert(stream.map(key).sorted == batch.map(key).sorted)
+    val bm = batch.map(a => key(a) -> a).toMap
+    stream.foreach { s =>
+      val b = bm(key(s))
+      def eq(x: Option[Double], y: Option[Double], what: String): Unit =
+        (x, y) match {
+          case (Some(a), Some(c)) =>
+            assert(math.abs(a - c) < 1e-9, s"$what at ${key(s)}: $a vs $c")
+          case (a, c) => assert(a == c, s"$what at ${key(s)}: $a vs $c")
+        }
+      eq(s.mean, b.mean, "mean"); eq(s.std, b.std, "std")
+      eq(s.min_value, b.min_value, "min"); eq(s.max_value, b.max_value, "max")
+      assert(math.abs(s.covered_fraction - b.covered_fraction) < 1e-9)
+      assert(s.n_samples == b.n_samples, s"n at ${key(s)}")
+    }
+  }
+
+  test("streaming decimation equals batch decimation, across micro-batches") {
+    val samples = Seq(
+      InSample("c", 5 * S, Some(1.0)),
+      InSample("c", 12 * S, Some(3.0)),
+      InSample("c", 25 * S, Some(5.0)),
+      InSample("d", 3 * S, Some(10.0)),
+      InSample("c", 41 * S, Some(2.0)),
+      InSample("d", 44 * S, Some(20.0)))
+    // split mid-window and mid-gap to exercise state carry-over
+    val all = withSeq(samples)
+    val batches = Seq(all.take(2), all.slice(2, 4), all.drop(4))
+    assertSame(runStream(batches, P10), runBatch(samples, P10))
+  }
+
+  test("streaming handles gaps, markers, and out-of-order drops like batch") {
+    val samples = Seq(
+      InSample("c", 2 * S, Some(4.0)),
+      InSample("c", 1 * S, Some(99.0)), // out of order: dropped (F6)
+      InSample("c", 8 * S, None),       // marker: breaks the hold
+      InSample("c", 37 * S, Some(6.0)), // long gap over empty windows
+      InSample("c", 55 * S, Some(8.0)))
+    val all = withSeq(samples)
+    val batches = Seq(all.take(3), all.drop(3))
+    assertSame(runStream(batches, P10), runBatch(samples, P10))
+  }
+
+  test("windowed counts with watermark produce per-channel rates") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[InSample]
+    val stream = StreamingDecimation.windowedCounts(
+      mem.toDS().toDF().withColumnRenamed("value", "v")
+        .selectExpr("channel", "ts", "cast(v as double) as value"))
+    val q = stream.writeStream.format("memory").queryName("wc_out")
+      .outputMode("append").start()
+    try {
+      val base = 1700000000L * S
+      mem.addData(Seq(
+        InSample("c", base, Some(1.0)),
+        InSample("c", base + 10 * S, Some(2.0)),
+        InSample("d", base + 20 * S, Some(3.0))))
+      q.processAllAvailable()
+      // advance event time beyond watermark so the first window closes
+      mem.addData(Seq(InSample("c", base + 200 * S, Some(4.0))))
+      q.processAllAvailable()
+      mem.addData(Seq(InSample("c", base + 400 * S, Some(5.0))))
+      q.processAllAvailable()
+      val rows = spark.table("wc_out").collect()
+      assert(rows.exists(r => r.getAs[String]("channel") == "c" &&
+        r.getAs[Long]("n") == 2))
+    } finally q.stop()
+  }
+}
