@@ -278,6 +278,79 @@ object OracleSql {
          |FROM samples WHERE channel ILIKE '%u%'
          |GROUP BY channel ORDER BY channel""".stripMargin,
 
+    // one-pass mapPartitions path must match the same oracle as the
+    // declarative plan — same DecimatorCore math, same output
+    "arch_decimate_1h_onepass" ->
+      s"""${decPrelude(P1H)}
+         |SELECT channel, win_start, round(mean, 6) AS mean, round(std, 6) AS std,
+         |  min_value, max_value, round(covered_fraction, 6) AS covered_fraction,
+         |  n_samples
+         |FROM dec ORDER BY channel, win_start""".stripMargin,
+
+    "arch_decimate_typed" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |typed AS (
+         |  SELECT channel, ts,
+         |    CASE WHEN severity = 3 THEN 'disconnected'
+         |         WHEN status >= 6 THEN 'string' ELSE 'double' END AS vtype,
+         |    CASE WHEN severity = 3 OR status >= 6 THEN NULL ELSE value END AS value,
+         |    str_value, severity, status, sample_id
+         |  FROM clean),
+         |v AS (
+         |  SELECT *, lead(ts) OVER (PARTITION BY channel ORDER BY ts) AS next_ts,
+         |         max(ts) OVER (PARTITION BY channel) AS t_max
+         |  FROM typed),
+         |sl AS (
+         |  SELECT channel, ts, value, str_value, vtype,
+         |         u.win AS win, GREATEST(ts, u.win) AS lo,
+         |         LEAST(next_ts, u.win + $P1H) AS hi
+         |  FROM v, UNNEST(generate_series(ts - (ts % $P1H),
+         |         (next_ts - 1) - ((next_ts - 1) % $P1H), $P1H)) AS u(win)
+         |  WHERE next_ts IS NOT NULL AND u.win + $P1H <= t_max
+         |    AND LEAST(next_ts, u.win + $P1H) > GREATEST(ts, u.win)),
+         |lvl1 AS (
+         |  SELECT channel, win, vtype,
+         |    sum((hi - lo)::DOUBLE) AS cov,
+         |    sum((hi - lo) * value) /
+         |      sum(CASE WHEN value IS NOT NULL THEN hi - lo ELSE 0 END) AS mean,
+         |    CASE WHEN (sum((hi - lo) * value * value) /
+         |        sum(CASE WHEN value IS NOT NULL THEN hi - lo ELSE 0 END)
+         |      - (sum((hi - lo) * value) /
+         |         sum(CASE WHEN value IS NOT NULL THEN hi - lo ELSE 0 END)) ^ 2) < 1e-9
+         |      THEN 0.0
+         |      ELSE sqrt(sum((hi - lo) * value * value) /
+         |        sum(CASE WHEN value IS NOT NULL THEN hi - lo ELSE 0 END)
+         |      - (sum((hi - lo) * value) /
+         |         sum(CASE WHEN value IS NOT NULL THEN hi - lo ELSE 0 END)) ^ 2) END AS std,
+         |    min(lo) AS first_lo,
+         |    arg_min(str_value, lo) AS first_str
+         |  FROM sl GROUP BY 1, 2, 3),
+         |ann AS (
+         |  SELECT l.*,
+         |    max(CASE WHEN vtype = 'string' THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY channel, win) AS has_string,
+         |    arg_min(vtype, first_lo)
+         |      OVER (PARTITION BY channel, win) AS first_vtype
+         |  FROM lvl1 l),
+         |sel AS (
+         |  SELECT *, row_number() OVER (PARTITION BY channel, win ORDER BY
+         |      (CASE WHEN has_string = 1
+         |            THEN (CASE WHEN vtype = first_vtype THEN 0 ELSE 1 END)
+         |            ELSE 0 END),
+         |      (CASE WHEN has_string = 0 THEN -cov ELSE 0.0 END),
+         |      vtype) AS rn
+         |  FROM ann)
+         |SELECT channel, win AS win_start, vtype AS win_type,
+         |  CASE WHEN has_string = 0 AND vtype = 'double'
+         |       THEN round(mean, 6) END AS mean,
+         |  CASE WHEN has_string = 0 AND vtype = 'double'
+         |       THEN round(std, 6) END AS std,
+         |  CASE WHEN has_string = 1 OR vtype != 'double'
+         |       THEN first_str END AS first_value,
+         |  round(cov / $P1H.0, 6) AS covered_fraction
+         |FROM sel WHERE rn = 1 ORDER BY channel, win_start""".stripMargin,
+
     "chan_regex" ->
       s"""WITH $SAMPLES
          |SELECT channel, count(*) AS n_samples, min(ts) AS first_ts,

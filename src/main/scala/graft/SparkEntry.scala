@@ -141,6 +141,20 @@ object SparkEntry {
       Decimation.pickFirst(raw(s, dir), P1H)
         .orderBy("channel", "win_start")),
 
+    "arch_decimate_1h_onepass" -> ((s, dir) =>
+      Decimation.decimateSorted(marked(s, dir), P1H)
+        .select(col("channel"), col("win_start"), r6("mean"), r6("std"),
+          col("min_value"), col("max_value"), r6("covered_fraction"),
+          col("n_samples"))
+        .orderBy("channel", "win_start")),
+
+    "arch_decimate_typed" -> ((s, dir) =>
+      Decimation.decimateTyped(
+          Samples.monotonicDedup(Samples.fromEventsTyped(s, dir)), P1H)
+        .select(col("channel"), col("win_start"), col("win_type"),
+          r6("mean"), r6("std"), col("first_value"), r6("covered_fraction"))
+        .orderBy("channel", "win_start")),
+
     "arch_reagg_6h" -> ((s, dir) =>
       Decimation.reAggregate(Decimation.decimate(marked(s, dir), P1H), P1H, P6H)
         .select(col("channel"), col("win_start"), r6("mean"), r6("std"),

@@ -23,9 +23,28 @@ object ArchiveReader {
     * upper bound widened to the first sample at-or-after it. */
   case object AtOrWidened extends LimitMode
 
+  /** When the frame carries `ts_raw` (the untruncated source
+    * timestamp as a plain attribute), add a widened, *pushable*
+    * predicate on it alongside the exact predicate on the derived
+    * canonical `ts`. The raw value is within [ts, ts+999] of the
+    * canonical one, so the widened bound never drops a matching row —
+    * it only lets Parquet prune row groups / partitions that the exact
+    * (non-pushable) predicate would otherwise scan in full.
+    */
+  private def pushdownHint(samples: DataFrame, lo: Option[Long],
+                           hi: Option[Long]): DataFrame =
+    if (!samples.columns.contains("ts_raw")) samples
+    else {
+      val slack = graft.core.Samples.RawSlackNs
+      val withLo = lo.map(l => samples.where(col("ts_raw") >= l))
+        .getOrElse(samples)
+      hi.map(h => withLo.where(col("ts_raw") <= h + slack)).getOrElse(withLo)
+    }
+
   /** S5/F1/O1 — inclusive range scan, time-ascending. */
   def rangeScan(samples: DataFrame, lo: Long, hi: Long): DataFrame =
-    samples.where(col("ts").between(lo, hi))
+    pushdownHint(samples, Some(lo), Some(hi))
+      .where(col("ts").between(lo, hi))
 
   /** W4 — last sample at-or-before `t`, per channel: a per-channel
     * argmax. `max_by` keeps it a regular (partial-merge) aggregate —
@@ -33,11 +52,13 @@ object ArchiveReader {
     * input partition, then one merge).
     */
   def boundaryBefore(samples: DataFrame, t: Long): DataFrame =
-    topOfChannel(samples.where(col("ts") <= t), asc = false)
+    topOfChannel(pushdownHint(samples, None, Some(t)).where(col("ts") <= t),
+      asc = false)
 
   /** W4 — first sample at-or-after `t`, per channel. */
   def boundaryAfter(samples: DataFrame, t: Long): DataFrame =
-    topOfChannel(samples.where(col("ts") >= t), asc = true)
+    topOfChannel(pushdownHint(samples, Some(t), None).where(col("ts") >= t),
+      asc = true)
 
   private val sampleCols =
     Seq("ts", "value", "str_value", "severity", "status", "sample_id")
@@ -74,7 +95,8 @@ object ArchiveReader {
       case Exact => rangeScan(samples, lo, hi).where(col("ts") >= hi)
       case AtOrWidened => boundaryAfter(samples, hi)
     }
-    val inner = samples.where(col("ts") > lo && col("ts") < hi)
+    val inner = pushdownHint(samples, Some(lo), Some(hi))
+      .where(col("ts") > lo && col("ts") < hi)
     val cols = (col("channel") +: sampleCols.map(col)): Seq[Column]
     lower.select(cols: _*)
       .unionByName(inner.select(cols: _*))

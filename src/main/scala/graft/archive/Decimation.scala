@@ -125,6 +125,94 @@ object Decimation {
         col("str_value").as("first_value"),
         col("ts").as("source_ts"))
 
+  /** One-pass alternative to [[decimate]]: cluster by channel, sort by
+    * ts within partitions, run [[DecimatorCore]] once per channel in
+    * mapPartitions. Identical output (same state machine as streaming;
+    * same oracle as the explode plan). Trade-off vs the Catalyst plan:
+    * no slice explosion (better for long gaps / fine periods), but an
+    * explicit repartition+sort and no whole-stage codegen. Benchmarked
+    * side by side — see Bench.
+    */
+  def decimateSorted(samples: DataFrame, periodNanos: Long): DataFrame = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    Samples.monotonicDedup(samples)
+      .select(col("channel"), col("ts"), col("value"))
+      .as[(String, Long, Option[Double])]
+      .repartition(col("channel"))
+      .sortWithinPartitions("channel", "ts")
+      .mapPartitions[DecimatorCore.Out] { (rows: Iterator[(String, Long, Option[Double])]) =>
+        new Iterator[DecimatorCore.Out] {
+          private val src = rows.buffered
+          private var pending: Iterator[DecimatorCore.Out] = Iterator.empty
+          private def fill(): Unit = {
+            while (!pending.hasNext && src.hasNext) {
+              val ch = src.head._1
+              val chRows = new Iterator[(Long, Option[Double])] {
+                def hasNext: Boolean = src.hasNext && src.head._1 == ch
+                def next(): (Long, Option[Double]) = {
+                  val r = src.next(); (r._2, r._3)
+                }
+              }
+              pending = DecimatorCore.run(ch, chRows, periodNanos)
+            }
+          }
+          def hasNext: Boolean = { fill(); pending.hasNext }
+          def next(): DecimatorCore.Out = { fill(); pending.next() }
+        }
+      }
+      .toDF()
+  }
+
+  /** A6 — mixed-type dispatch (ChannelAccessSampleDecimator's
+    * resolution rule, re-derived): per window, one aggregate per
+    * encountered `vtype`; if a non-aggregatable type (`string`) is
+    * present the window falls back to pick-first of the window's first
+    * sample's type; otherwise the winner is the type with the longest
+    * covered period (markers may win → marker output). Two-level plan:
+    * per-type aggregates, then a deterministic winner selection via
+    * window functions — no per-row state.
+    */
+  def decimateTyped(samples: DataFrame, periodNanos: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sl = slices(samples, periodNanos)
+    val wCov = sum(when(col("value").isNotNull, col("weight")).otherwise(lit(0.0)))
+    val m = sum(col("weight") * col("value")) / wCov
+    val variance = sum(col("weight") * col("value") * col("value")) / wCov - m * m
+    val lvl1 = sl.groupBy("channel", "win", "vtype").agg(
+      sum(col("weight")).as("cov"),
+      m.as("mean"),
+      when(variance < lit(1e-9), lit(0.0)).otherwise(sqrt(variance)).as("std"),
+      min(col("lo")).as("first_lo"),
+      min_by(col("str_value"), col("lo")).as("first_str"))
+    val w = Window.partitionBy("channel", "win")
+    val annotated = lvl1
+      .withColumn("has_string",
+        max(when(col("vtype") === "string", 1).otherwise(0)).over(w))
+      .withColumn("first_vtype",
+        min_by(col("vtype"), col("first_lo")).over(w))
+    val selKey = struct(
+      when(col("has_string") === 1,
+        when(col("vtype") === col("first_vtype"), 0).otherwise(1))
+        .otherwise(0).as("k1"),
+      when(col("has_string") === 0, lit(0.0) - col("cov")).otherwise(lit(0.0)).as("k2"),
+      col("vtype").as("k3"))
+    val wSel = Window.partitionBy("channel", "win").orderBy(selKey)
+    annotated
+      .withColumn("rn", row_number().over(wSel))
+      .where(col("rn") === 1)
+      .select(
+        col("channel"), col("win").as("win_start"),
+        col("vtype").as("win_type"),
+        when(col("has_string") === 0 && col("vtype") === "double", col("mean"))
+          .as("mean"),
+        when(col("has_string") === 0 && col("vtype") === "double", col("std"))
+          .as("std"),
+        when(col("has_string") === 1 || col("vtype") =!= "double",
+          col("first_str")).as("first_value"),
+        (col("cov") / lit(periodNanos.toDouble)).as("covered_fraction"))
+  }
+
   /** A2 — re-aggregation: merge fine-grained aggregates (period
     * `sourcePeriodNanos`, which must divide `targetPeriodNanos`) into
     * coarser ones without revisiting raw data — the reference's

@@ -47,8 +47,18 @@ object Samples {
       col("props").as("str_value"),
       pmod(k, lit(4)).cast("int").as("severity"),
       pmod(k, lit(8)).cast("int").as("status"),
-      col("event_id").as("sample_id"))
+      col("event_id").as("sample_id"),
+      // the untruncated source timestamp, as a plain attribute: range
+      // predicates on the (derived) canonical ts cannot reach the
+      // parquet scan, but an equivalent widened predicate on ts_raw
+      // can — ArchiveReader adds it automatically (see pushdownHint).
+      col("ts").as("ts_raw"))
   }
+
+  /** Max distance between canonical ts and the raw source timestamp
+    * (µs truncation ⇒ raw ∈ [ts, ts + 999]).
+    */
+  val RawSlackNs: Long = 999L
 
   /** Marker-aware variant: severity 3 (INVALID) rows become marker
     * samples (null value) — models disconnected periods so decimation
@@ -57,6 +67,21 @@ object Samples {
   def fromEventsWithMarkers(spark: SparkSession, sfDir: String): DataFrame =
     fromEvents(spark, sfDir)
       .withColumn("value", when(col("severity") === 3, lit(null)).otherwise(col("value")))
+
+  /** Typed variant for A6 mixed-type dispatch: a `vtype` discriminator
+    * models the reference's 21-type union collapsed to three classes —
+    * `double` (aggregatable), `string` (non-aggregatable payload in
+    * str_value), `disconnected` (marker). Numeric value is null for
+    * non-double rows.
+    */
+  def fromEventsTyped(spark: SparkSession, sfDir: String): DataFrame =
+    fromEvents(spark, sfDir)
+      .withColumn("vtype",
+        when(col("severity") === 3, lit("disconnected"))
+          .when(col("status") >= 6, lit("string"))
+          .otherwise(lit("double")))
+      .withColumn("value",
+        when(col("vtype") === "double", col("value")).otherwise(lit(null)))
 
   /** F6 — out-of-order / duplicate drop. The reference's writer rejects
     * any sample whose ts is <= the last *written* ts, in arrival order

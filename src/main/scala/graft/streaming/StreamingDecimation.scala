@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import graft.archive.DecimatorCore
+
 /** Structured-Streaming re-expression of the reference's continuous
   * ingest + decimation cascade (SURVEY.md §2.9):
   *
@@ -35,85 +37,30 @@ object StreamingDecimation {
                     max_value: Option[Double], covered_fraction: Double,
                     n_samples: Long)
 
-  /** Open-window accumulator + held sample — the streaming decimator's
-    * whole per-channel state (a few dozen bytes; state store size is
-    * O(#channels), never O(#samples)).
-    */
-  case class DecimState(lastTs: Long, lastValue: Option[Double],
-                        winStart: Long, sumW: Double, sumWX: Double,
-                        sumWX2: Double, minV: Option[Double],
-                        maxV: Option[Double], n: Long)
-
   /** 30 s — the reference's in-memory queue bound. */
   val WatermarkDelay = "30 seconds"
 
-  private def emit(ch: String, st: DecimState, winEnd: Long,
-                   periodNs: Long): AggOut = {
-    // close the open window: held tail [lastTs (clamped), winEnd)
-    val tail = (winEnd - math.max(st.lastTs, st.winStart)).toDouble
-    val (w, wx, wx2, n2) = st.lastValue match {
-      case Some(v) =>
-        // the held sample's open slice closes at winEnd and counts once
-        (st.sumW + tail, st.sumWX + tail * v, st.sumWX2 + tail * v * v,
-          st.n + 1)
-      case None => (st.sumW, st.sumWX, st.sumWX2, st.n)
-    }
-    val minV = (st.minV, st.lastValue) match {
-      case (Some(a), Some(b)) => Some(math.min(a, b))
-      case (a, b) => a.orElse(b)
-    }
-    val maxV = (st.maxV, st.lastValue) match {
-      case (Some(a), Some(b)) => Some(math.max(a, b))
-      case (a, b) => a.orElse(b)
-    }
-    if (w > 0) {
-      val mean = wx / w
-      val variance = wx2 / w - mean * mean
-      val std = if (variance < 1e-9) 0.0 else math.sqrt(variance)
-      AggOut(ch, st.winStart, Some(mean), Some(std), minV, maxV,
-        w / periodNs, n2)
-    } else AggOut(ch, st.winStart, None, None, minV, maxV, 0.0, 0)
-  }
-
-  /** Process one channel's micro-batch. Samples inside a batch are
-    * sorted by ts (the batch is bounded); monotonicity across batches
-    * comes from the persisted lastTs (F6).
+  /** Process one channel's micro-batch with the shared
+    * [[graft.archive.DecimatorCore]] state machine. Samples inside a
+    * batch replay in arrival (`seq`) order; monotonicity across
+    * batches comes from the persisted lastTs (F6).
     */
   def processChannel(periodNs: Long)(
       channel: String, it: Iterator[InSample],
-      state: GroupState[DecimState]): Iterator[AggOut] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[AggOut]
+      state: GroupState[DecimatorCore.State]): Iterator[AggOut] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[DecimatorCore.Out]
     var st = state.getOption.orNull
     for (s <- it.toSeq.sortBy(_.seq)) {
-      if (st == null) {
-        st = DecimState(s.ts, s.value, s.ts - math.floorMod(s.ts, periodNs),
-          0.0, 0.0, 0.0, None, None, 0)
-      } else if (s.ts > st.lastTs) { // ST5: drop out-of-order/duplicate
-        // flush every window the new sample crosses (incl. gap windows)
-        while (s.ts >= st.winStart + periodNs) {
-          out += emit(channel, st, st.winStart + periodNs, periodNs)
-          st = st.copy(winStart = st.winStart + periodNs,
-            sumW = 0.0, sumWX = 0.0, sumWX2 = 0.0,
-            minV = None, maxV = None, n = 0)
-        }
-        // accumulate the now-closed validity of the held sample
-        val from = math.max(st.lastTs, st.winStart)
-        val dur = (s.ts - from).toDouble
-        st.lastValue match {
-          case Some(v) if dur > 0 =>
-            st = st.copy(
-              sumW = st.sumW + dur, sumWX = st.sumWX + dur * v,
-              sumWX2 = st.sumWX2 + dur * v * v,
-              minV = Some(st.minV.fold(v)(math.min(_, v))),
-              maxV = Some(st.maxV.fold(v)(math.max(_, v))),
-              n = st.n + 1)
-          case _ => ()
-        }
-        st = st.copy(lastTs = s.ts, lastValue = s.value)
+      if (st == null) st = DecimatorCore.init(s.ts, s.value, periodNs)
+      else if (s.ts > st.lastTs) { // ST5: drop out-of-order/duplicate
+        val (emitted, next) = DecimatorCore.advance(channel, st, s.ts, s.value, periodNs)
+        out ++= emitted
+        st = next
       }
     }
     if (st != null) state.update(st)
-    out.iterator
+    out.iterator.map(o => AggOut(o.channel, o.win_start, o.mean, o.std,
+      o.min_value, o.max_value, o.covered_fraction, o.n_samples))
   }
 
   /** ST2 — streaming decimation: one flatMapGroupsWithState over the
