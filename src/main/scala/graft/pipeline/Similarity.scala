@@ -36,14 +36,13 @@ object Similarity {
       }
     }
 
-  /** Cosine similarity between two double-array columns (sequential
-    * left fold — deterministic and oracle-reproducible).
+  /** Cosine similarity between two double-array columns. Uses the
+    * native codegen'd [[graft.functions.VectorDot]] expression; its
+    * sequential left-to-right summation is bit-identical to the
+    * `zip_with`+`aggregate` fold it replaces, so oracle parity holds.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vector_cosine(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -67,10 +66,8 @@ object Similarity {
   /** LSH bucket id: bit p set iff plane p's dot product is >= 0. */
   def bucketId(embedding: Column): Column =
     (0 until NumPlanes).map { p =>
-      val dot = aggregate(
-        zip_with(asDouble(embedding),
-          lit(Planes(p).toArray), _ * _),
-        lit(0.0), _ + _)
+      val dot = graft.functions.VectorExpressions.vector_dot(
+        asDouble(embedding), lit(Planes(p).toArray))
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
