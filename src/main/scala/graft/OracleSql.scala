@@ -25,6 +25,29 @@ object OracleSql {
   /** 7 days */
   val RET7D: Long = 7L * 86400L * NS
 
+  // ---- auto-resolution request (planner-driven query) ----
+  /** 2024-01-03T00:00:00Z */
+  val LO2: Long = 1704240000L * NS
+  /** 2024-01-28T00:00:00Z */
+  val HI2: Long = 1706400000L * NS
+  /** simulated retention: earliest available 1h sample (2024-01-12) */
+  val E1H: Long = 1705017600L * NS
+  /** earliest available 6h sample (2024-01-01) */
+  val E6H: Long = 1704067200L * NS
+  val AutoLevels: Seq[Long] = Seq(0L, 3600L, 21600L)
+  val AutoCount: Long = 600L
+
+  /** The planned segments — computed by the SAME planner the Spark
+    * query calls, so plan parity is by construction.
+    */
+  def autoSegments: Seq[(Long, Long, Long)] = {
+    val chosen = graft.archive.ResolutionPlanner.selectLevel(
+      AutoLevels, LO2, HI2, Some(AutoCount))
+    graft.archive.ResolutionPlanner.fallbackSegments(chosen,
+      Map(3600L -> E1H, 21600L -> E6H),
+      AutoLevels.filter(_ > chosen), LO2, HI2)
+  }
+
   /** events → canonical sample frame (graft.core.Samples.fromEvents).
     * epoch_ns() sees the same µs-truncated nanoseconds Spark does.
     */
@@ -52,35 +75,38 @@ object OracleSql {
       |  SELECT channel, ts, CASE WHEN severity = 3 THEN NULL ELSE value END AS value,
       |         str_value, severity, status, sample_id FROM clean)""".stripMargin
 
-  /** W3 validity intervals + flush horizon over source CTE `src`. */
-  def validity(src: String): String =
-    s"""v AS (
+  /** W3 validity intervals + flush horizon over source CTE `src`.
+    * `sfx` suffixes the CTE names so several decimation chains can
+    * coexist in one statement.
+    */
+  def validity(src: String, sfx: String = ""): String =
+    s"""v$sfx AS (
        |  SELECT *, lead(ts) OVER (PARTITION BY channel ORDER BY ts) AS next_ts,
        |         max(ts) OVER (PARTITION BY channel) AS t_max
        |  FROM $src)""".stripMargin
 
   /** Slice explosion over tumbling windows of period `p` ns. */
-  def slices(p: Long): String =
-    s"""sl AS (
+  def slices(p: Long, sfx: String = ""): String =
+    s"""sl$sfx AS (
        |  SELECT channel, ts, value, str_value, severity, status,
        |         u.win AS win, GREATEST(ts, u.win) AS lo,
        |         LEAST(next_ts, u.win + $p) AS hi
-       |  FROM v, UNNEST(generate_series(ts - (ts % $p),
+       |  FROM v$sfx, UNNEST(generate_series(ts - (ts % $p),
        |         (next_ts - 1) - ((next_ts - 1) % $p), $p)) AS u(win)
        |  WHERE next_ts IS NOT NULL AND u.win + $p <= t_max
        |    AND LEAST(next_ts, u.win + $p) > GREATEST(ts, u.win))""".stripMargin
 
   /** A1/A3 weighted moments per (channel, window); unrounded. */
-  def decAgg(p: Long): String =
-    s"""decagg AS (
+  def decAgg(p: Long, sfx: String = ""): String =
+    s"""decagg$sfx AS (
        |  SELECT channel, win,
        |    sum((hi - lo) * value) AS sum_wx,
        |    sum((hi - lo) * value * value) AS sum_wx2,
        |    sum(CASE WHEN value IS NOT NULL THEN hi - lo ELSE 0 END) AS w_cov,
        |    min(value) AS min_value, max(value) AS max_value,
        |    count(value) AS n_samples
-       |  FROM sl GROUP BY 1, 2),
-       |dec AS (
+       |  FROM sl$sfx GROUP BY 1, 2),
+       |dec$sfx AS (
        |  SELECT channel, win AS win_start,
        |    sum_wx / w_cov AS mean,
        |    CASE WHEN (sum_wx2 / w_cov - (sum_wx / w_cov) * (sum_wx / w_cov)) < 1e-9
@@ -88,11 +114,15 @@ object OracleSql {
        |         ELSE sqrt(sum_wx2 / w_cov - (sum_wx / w_cov) * (sum_wx / w_cov)) END AS std,
        |    min_value, max_value,
        |    w_cov / $p.0 AS covered_fraction, n_samples
-       |  FROM decagg)""".stripMargin
+       |  FROM decagg$sfx)""".stripMargin
 
   /** Full prelude for decimation-based queries at period `p`. */
   def decPrelude(p: Long): String =
     s"WITH $SAMPLES,\n$CLEAN,\n$MARKED,\n${validity("marked")},\n${slices(p)},\n${decAgg(p)}"
+
+  /** One extra decimation chain (CTEs suffixed) to append to a prelude. */
+  def decChain(p: Long, sfx: String): String =
+    s"${validity("marked", sfx)},\n${slices(p, sfx)},\n${decAgg(p, sfx)}"
 
   val all: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -183,6 +213,14 @@ object OracleSql {
          |    ORDER BY ts DESC, sample_id DESC) AS rn
          |  FROM samples s) t
          |WHERE rn <= 5 ORDER BY channel, ts DESC, sample_id DESC""".stripMargin,
+
+    "arch_bounded_fetch" ->
+      s"""WITH $SAMPLES
+         |SELECT channel, ts, value, severity, status, sample_id FROM (
+         |  SELECT s.*, row_number() OVER (PARTITION BY channel
+         |    ORDER BY ts, sample_id) AS rn
+         |  FROM samples s WHERE ts BETWEEN $LO AND $HI) t
+         |WHERE rn <= 50 ORDER BY channel, ts, sample_id""".stripMargin,
 
     "arch_monotonic_dedup" ->
       s"""WITH $SAMPLES,
@@ -277,6 +315,25 @@ object OracleSql {
          |       max(ts) AS last_ts, max(severity) AS max_severity
          |FROM samples WHERE channel ILIKE '%u%'
          |GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "arch_auto_resolution" -> {
+      val segs = autoSegments
+      val chains = segs.map { case (p, _, _) =>
+        decChain(p * NS, s"_$p")
+      }.mkString(",\n")
+      val selects = segs.map { case (p, from, to) =>
+        s"""SELECT channel, win_start AS ts, round(mean, 6) AS value,
+           |       CAST($p AS BIGINT) AS level
+           |FROM dec_$p WHERE win_start BETWEEN $from AND $to""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |$MARKED,
+         |$chains
+         |SELECT * FROM (
+         |  $selects) u
+         |ORDER BY channel, ts, level""".stripMargin
+    },
 
     // one-pass mapPartitions path must match the same oracle as the
     // declarative plan — same DecimatorCore math, same output

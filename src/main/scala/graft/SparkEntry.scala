@@ -123,6 +123,11 @@ object SparkEntry {
         .select(coreCols: _*)
         .orderBy(col("channel"), col("ts").desc, col("sample_id").desc)),
 
+    "arch_bounded_fetch" -> ((s, dir) =>
+      ArchiveReader.boundedFetch(raw(s, dir), LO, HI, 50)
+        .select(coreCols: _*)
+        .orderBy(col("channel"), col("ts"), col("sample_id"))),
+
     "arch_monotonic_dedup" -> ((s, dir) =>
       clean(s, dir).select(coreCols: _*).orderBy("channel", "sample_id")),
 
@@ -175,6 +180,19 @@ object SparkEntry {
         .select(col("channel"), col("ts"), round(col("value"), 6).as("value"),
           col("level"))
         .orderBy("channel", "ts", "level")
+    }),
+
+    // the reference's full read-path planning (Api10Controller:382-518):
+    // count-based level selection + retention fallback, end to end
+    "arch_auto_resolution" -> ((s, dir) => {
+      val m = marked(s, dir)
+      val dfs = OracleSql.autoSegments.map { case (p, from, to) =>
+        Decimation.decimate(m, p * NS)
+          .where(col("win_start").between(from, to))
+          .select(col("channel"), col("win_start").as("ts"),
+            round(col("mean"), 6).as("value"), lit(p).as("level"))
+      }
+      dfs.reduce(_ unionByName _).orderBy("channel", "ts", "level")
     }),
 
     "arch_retention" -> ((s, dir) =>

@@ -118,6 +118,18 @@ object ArchiveReader {
       .drop("rn")
   }
 
+  /** O3 — bounded fetch: the first `k` samples at-or-after `lo` per
+    * channel, time-ascending (the reference's `count`-limited forward
+    * fetch; SAMPLES_LIMIT_UNBOUNDED = no limit → use rangeScan).
+    */
+  def boundedFetch(samples: DataFrame, lo: Long, hi: Long, k: Int): DataFrame = {
+    val w = Window.partitionBy("channel").orderBy(col("ts"), col("sample_id"))
+    rangeScan(samples, lo, hi)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** J3 — as-of lookup: for each (channel, grid time), the last sample
     * at-or-before that time. Implemented as the union-merge as-of
     * pattern: probe rows are interleaved with samples in one per-channel

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.rng.Seed
+
+import graft.archive.{ArchiveReader, Decimation}
+import graft.archive.ArchiveReader.AtOrWidened
+
+/** Property-based checks of the engine's algebraic invariants
+  * (SURVEY.md §5): the cascade merge law and the limit-mode boundary
+  * matrix, over randomized sample layouts. Deterministic seeds keep CI
+  * stable; each property samples a handful of layouts (Spark jobs are
+  * expensive per case).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  private val S = 1000000000L
+
+  private def frame(rows: Seq[(Long, Option[Double])]): DataFrame =
+    rows.zipWithIndex.map { case ((t, v), i) =>
+      ("c", t, v, s"s$i", 0, 0, i.toLong)
+    }.toDF("channel", "ts", "value", "str_value", "severity", "status", "sample_id")
+
+  private val layoutGen: Gen[List[(Long, Option[Double])]] = for {
+    n <- Gen.choose(2, 40)
+    ts <- Gen.listOfN(n, Gen.choose(0L, 120L)).map(_.distinct.sorted)
+    vs <- Gen.listOfN(ts.size, Gen.frequency(
+      9 -> Gen.choose(-100.0, 100.0).map(Some(_)),
+      1 -> Gen.const(Option.empty[Double])))
+  } yield ts.zip(vs).map { case (t, v) => (t * S, v) }
+
+  private def layouts(count: Int, seed: Long): Seq[List[(Long, Option[Double])]] =
+    (0 until count).flatMap(i =>
+      layoutGen.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  test("A2 merge law: reAggregate(decimate(p), p→kp) == decimate(kp) on full windows") {
+    for (layout <- layouts(8, seed = 7)) {
+      val df = frame(layout)
+      val fine = Decimation.decimate(df, 10 * S)
+      val merged = Decimation.reAggregate(fine, 10 * S, 30 * S)
+        .collect().map(r => r.getLong(1) -> r).toMap
+      val direct = Decimation.decimate(df, 30 * S)
+        .collect().map(r => r.getLong(1) -> r).toMap
+      // compare only coarse windows whose three fine windows all exist
+      // (the trailing coarse window may see fewer fine windows than the
+      // direct computation, which follows the flush rule exactly)
+      val fineWins = fine.collect().map(_.getLong(1)).toSet
+      val complete = direct.keySet.intersect(merged.keySet).filter { w =>
+        (0 until 3).forall(i => fineWins.contains(w + i * 10 * S))
+      }
+      for (w <- complete) {
+        val (m, d) = (merged(w), direct(w))
+        def g(r: org.apache.spark.sql.Row, f: String): Option[Double] = {
+          val i = r.fieldIndex(f)
+          if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        }
+        (g(m, "mean"), g(d, "mean")) match {
+          case (Some(a), Some(b)) =>
+            assert(math.abs(a - b) < 1e-6, s"mean at $w: $a vs $b\n$layout")
+          case (a, b) => assert(a == b, s"mean at $w: $a vs $b\n$layout")
+        }
+        (g(m, "std"), g(d, "std")) match {
+          case (Some(a), Some(b)) =>
+            assert(math.abs(a - b) < 1e-4, s"std at $w: $a vs $b\n$layout")
+          case (a, b) => assert(a == b, s"std at $w")
+        }
+        (g(m, "covered_fraction"), g(d, "covered_fraction")) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9)
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  test("limit-mode matrix: widened [t,t] returns the enclosing 0/1/2 samples") {
+    for (layout <- layouts(6, seed = 21)) {
+      val df = frame(layout)
+      val tsSet = layout.map(_._1)
+      // probe: below all, at a sample, between samples, above all
+      val probes = Seq(tsSet.min - S, tsSet.head,
+        tsSet.min + (tsSet.max - tsSet.min) / 2, tsSet.max + S)
+      for (t <- probes) {
+        val got = ArchiveReader.getSamples(df, t, AtOrWidened, t, AtOrWidened)
+          .select("ts").collect().map(_.getLong(0)).sorted.toSeq
+        val before = tsSet.filter(_ <= t).maxOption
+        val after = tsSet.filter(_ >= t).minOption
+        val expected = (before.toSeq ++ after.toSeq).distinct.sorted
+        assert(got == expected, s"probe $t on $tsSet")
+      }
+    }
+  }
+
+  test("decimate and decimateSorted agree on random layouts") {
+    for (layout <- layouts(6, seed = 42)) {
+      val df = frame(layout)
+      def norm(d: DataFrame) = d.select("channel", "win_start", "mean",
+          "covered_fraction", "n_samples")
+        .collect().map { r =>
+          (r.getLong(1),
+            if (r.isNullAt(2)) Long.MinValue else math.round(r.getDouble(2) * 1e9),
+            math.round(r.getDouble(3) * 1e9), r.getLong(4))
+        }.toSet
+      assert(norm(Decimation.decimate(df, 10 * S)) ==
+        norm(Decimation.decimateSorted(df, 10 * S)), s"$layout")
+    }
+  }
+}
