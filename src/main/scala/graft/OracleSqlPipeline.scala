@@ -195,6 +195,31 @@ object OracleSqlPipeline {
          |SELECT probe_id, vec_id, cos_sim, rank
          |FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
 
+    "sim_ivf_assign" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |seeds AS (SELECT vec_id AS cluster, v AS sv FROM e WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT e.vec_id, seeds.cluster,
+         |         round(list_cosine_similarity(e.v, seeds.sv), 6) AS cos_to_centroid
+         |  FROM e CROSS JOIN seeds),
+         |ranked AS (
+         |  SELECT vec_id, cluster, cos_to_centroid,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY cos_to_centroid DESC, cluster) AS rn
+         |  FROM scored)
+         |SELECT vec_id, cluster, cos_to_centroid
+         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e)
+         |SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b,
+         |       round(list_cosine_similarity(a.v, bb.v), 6) AS cos_sim
+         |FROM b a JOIN b bb
+         |  ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+         |WHERE round(list_cosine_similarity(a.v, bb.v), 6) >= 0.3
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
     "sim_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),

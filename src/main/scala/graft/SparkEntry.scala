@@ -252,6 +252,14 @@ object SparkEntry {
       Similarity.lshNearestInBucket(Tables.embeddings(s, dir))
         .orderBy("vec_id")),
 
+    "sim_ivf_assign" -> ((s, dir) =>
+      Similarity.ivfAssign(Tables.embeddings(s, dir), k = 8)
+        .orderBy("vec_id")),
+
+    "dedup_embedding" -> ((s, dir) =>
+      Similarity.embeddingNearDup(Tables.embeddings(s, dir), minCos = 0.3)
+        .orderBy("vec_a", "vec_b")),
+
     // multimodal plumbing: no SQL-expressible oracle (binary decode);
     // driver records a rows-only check, semantics are ScalaTest'd.
     "mm_features" -> ((s, dir) => {

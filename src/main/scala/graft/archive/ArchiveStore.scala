@@ -60,7 +60,13 @@ object ArchiveStore {
     */
   def read(spark: SparkSession, path: String, levelSec: Long,
            loNs: Option[Long] = None, hiNs: Option[Long] = None): DataFrame = {
-    var df = spark.read.parquet(path).where(col("level") === levelSec)
+    // raw and decimated levels carry different stat columns — one
+    // store, one merged schema with nulls where absent (the columnar
+    // form of the reference's sparse 21-column union table). A
+    // production deployment declares the unified schema in a catalog
+    // instead of paying mergeSchema footer reads.
+    var df = spark.read.option("mergeSchema", "true").parquet(path)
+      .where(col("level") === levelSec)
     // partition-prune on bucket_date AND row-group-prune on ts
     loNs.foreach { lo =>
       df = df.where(col("bucket_date") >=

@@ -71,6 +71,43 @@ object Similarity {
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF-style assignment: each vector goes to its nearest seed
+    * centroid (deterministic seeds = the first `k` vectors). One
+    * broadcast of k centroids against a single corpus scan — the
+    * coarse-quantizer shape of an IVF index build; a probe search then
+    * touches only its cluster's inverted list instead of the corpus.
+    */
+  def ivfAssign(corpus: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seeds = corpus.where(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("embedding").as("seed_emb"))
+    val scored = corpus.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("cluster"),
+        round(cosine(asDouble(col("embedding")), asDouble(col("seed_emb"))), 6)
+          .as("cos_to_centroid"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_to_centroid").desc, col("cluster"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cluster"), col("cos_to_centroid"))
+  }
+
+  /** Embedding-cosine near-dup: candidate pairs from shared LSH
+    * buckets, kept when exact cosine clears `minCos`. Same
+    * never-all-pairs shape as the text dedup family.
+    */
+  def embeddingNearDup(corpus: DataFrame, minCos: Double): DataFrame = {
+    val b = corpus.select(col("vec_id"), col("embedding"),
+      bucketId(col("embedding")).as("bucket"))
+    b.as("a").join(b.as("bb"),
+        col("a.bucket") === col("bb.bucket") &&
+        col("a.vec_id") < col("bb.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("bb.vec_id").as("vec_b"),
+        round(cosine(asDouble(col("a.embedding")),
+          asDouble(col("bb.embedding"))), 6).as("cos_sim"))
+      .where(col("cos_sim") >= minCos)
+  }
+
   /** Bucketed ANN: per vector, its best same-bucket neighbour (by
     * rounded cosine, vec_id tie-break) plus bucket occupancy. At scale
     * the same-bucket self-join replaces the quadratic all-pairs scan.
