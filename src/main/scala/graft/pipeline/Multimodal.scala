@@ -50,6 +50,50 @@ object Multimodal {
       octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
       encode(col("text"), "UTF-8").as("payload"))
 
+  /** One sampled frame of a (fake) video payload. */
+  case class Frame(doc_id: Long, frame_idx: Int, n_frames: Int,
+                   frame: Array[Byte])
+
+  /** Frame sampling: treat the payload as a fixed-frame-size stream and
+    * keep every `everyN`-th frame — the row-explosion shape of a video
+    * pipeline (one input row → k frame rows), with frame bytes sliced
+    * lazily per partition. Output rows are small; partition sizing
+    * stays driven by input bytes.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, everyN: Int)
+                  (implicit spark: SparkSession): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      val total = math.max(1, r.payload.length / math.max(1, frameBytes))
+      (0 until total by everyN).map { i =>
+        val from = i * frameBytes
+        val until = math.min(r.payload.length, from + frameBytes)
+        Frame(r.doc_id, i, total, java.util.Arrays.copyOfRange(r.payload, from, until))
+      }
+    }
+  }
+
+  /** STUB resize: deterministic nearest-neighbour subsample of the fake
+    * pixel buffer to `(w, h)` — stands in for a real scaler; the plan
+    * shape (map over decoded features, fixed output size) is real.
+    */
+  def resize(px: Array[Int], srcW: Int, srcH: Int, w: Int, h: Int): Array[Int] = {
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val sx = math.min(srcW - 1, x * srcW / w)
+        val sy = math.min(srcH - 1, y * srcH / h)
+        val idx = sy * srcW + sx
+        out(y * w + x) = if (idx < px.length) px(idx) else 0
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Partition-wise decode + featurize. One task per input split; the
     * iterator never materializes a partition in memory, so executor
     * footprint is one media item at a time — the property that matters

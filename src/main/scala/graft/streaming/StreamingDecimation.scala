@@ -78,6 +78,71 @@ object StreamingDecimation {
         GroupStateTimeout.NoTimeout)(processChannel(periodNs))
   }
 
+  /** Accumulator for the streaming cascade stage (A2/A8 live form):
+    * merges finished fine windows into an open coarse window.
+    */
+  case class ReAggState(winStart: Long, sumW: Double, sumWM: Double,
+                        sumWM2: Double, minV: Option[Double],
+                        maxV: Option[Double], n: Long)
+
+  /** ST2/A8 — second cascade hop as a stream: consume the finalized
+    * fine-window aggregates emitted by [[decimateStream]] and merge
+    * them into coarser windows with the A2 weights
+    * (w = sourcePeriod × coveredFraction), flushing a coarse window
+    * when a fine window at-or-after its end arrives. Chaining these
+    * stages is the reference's live decimation cascade; each stage's
+    * state is O(#channels).
+    */
+  def reAggregateStream(fine: Dataset[AggOut], sourcePeriodNs: Long,
+                        targetPeriodNs: Long)
+                       (implicit spark: SparkSession): Dataset[AggOut] = {
+    import spark.implicits._
+    require(targetPeriodNs % sourcePeriodNs == 0)
+
+    def emit(ch: String, st: ReAggState): AggOut =
+      if (st.sumW > 0) {
+        val mean = st.sumWM / st.sumW
+        val variance = st.sumWM2 / st.sumW - mean * mean
+        val std = if (variance < 1e-9) 0.0 else math.sqrt(variance)
+        AggOut(ch, st.winStart, Some(mean), Some(std), st.minV, st.maxV,
+          st.sumW / targetPeriodNs, st.n)
+      } else AggOut(ch, st.winStart, None, None, st.minV, st.maxV, 0.0, st.n)
+
+    def process(channel: String, it: Iterator[AggOut],
+                state: GroupState[ReAggState]): Iterator[AggOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[AggOut]
+      var st = state.getOption.orNull
+      for (a <- it.toSeq.sortBy(_.win_start)) {
+        val target = a.win_start - math.floorMod(a.win_start, targetPeriodNs)
+        if (st == null) st = ReAggState(target, 0.0, 0.0, 0.0, None, None, 0)
+        else if (target > st.winStart) { out += emit(channel, st)
+          st = ReAggState(target, 0.0, 0.0, 0.0, None, None, 0)
+        }
+        if (target == st.winStart) {
+          val w = sourcePeriodNs.toDouble * a.covered_fraction
+          (a.mean, a.std) match {
+            case (Some(m), Some(s)) =>
+              st = st.copy(sumW = st.sumW + w, sumWM = st.sumWM + w * m,
+                sumWM2 = st.sumWM2 + w * (s * s + m * m),
+                minV = (st.minV.toSeq ++ a.min_value.toSeq)
+                  .reduceOption((x: Double, y: Double) => math.min(x, y)),
+                maxV = (st.maxV.toSeq ++ a.max_value.toSeq)
+                  .reduceOption((x: Double, y: Double) => math.max(x, y)),
+                n = st.n + a.n_samples)
+            case _ =>
+              st = st.copy(n = st.n + a.n_samples)
+          }
+        }
+      }
+      if (st != null) state.update(st)
+      out.iterator
+    }
+
+    fine.groupByKey(_.channel)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(process)
+  }
+
   /** ST1/ST3 — ingest shaping: event-time column, watermark, and the
     * windowed pre-aggregation a monitoring sink consumes. (The raw
     * append path writes `samples` to ArchiveStore unchanged.)

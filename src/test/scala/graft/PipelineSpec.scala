@@ -101,6 +101,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.head.getAs[Double]("cos_sim") == 1.0)
   }
 
+  test("frame sampling explodes payloads into every-Nth fixed-size frames") {
+    implicit val s: SparkSession = spark
+    val d = docs((1L, "0123456789abcdef", "en")) // 16 bytes → 4 frames of 4
+    val frames = Multimodal.sampleFrames(
+      Multimodal.attachPayload(d), frameBytes = 4, everyN = 2).collect()
+    assert(frames.map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+    assert(frames.forall(_.n_frames == 4))
+    assert(new String(frames.find(_.frame_idx == 2).get.frame) == "89ab")
+  }
+
+  test("resize subsamples deterministically") {
+    val px = Array.tabulate(16)(i => i) // 4x4
+    val out = Multimodal.resize(px, 4, 4, 2, 2)
+    assert(out.toSeq == Seq(0, 2, 8, 10))
+  }
+
   test("multimodal feature extraction is deterministic over the payload bytes") {
     implicit val s: SparkSession = spark
     val d = docs((1L, "hello world", "en"), (2L, "abc", "en"))
