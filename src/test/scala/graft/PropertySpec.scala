@@ -7,6 +7,7 @@ import org.scalacheck.rng.Seed
 
 import graft.archive.{ArchiveReader, Decimation}
 import graft.archive.ArchiveReader.AtOrWidened
+import graft.core.Samples
 
 /** Property-based checks of the engine's algebraic invariants
   * (SURVEY.md §5): the cascade merge law and the limit-mode boundary
@@ -92,6 +93,22 @@ class PropertySpec extends AnyFunSuite {
         val expected = (before.toSeq ++ after.toSeq).distinct.sorted
         assert(got == expected, s"probe $t on $tsSet")
       }
+    }
+  }
+
+  test("chunked validity (skew path) equals the per-channel window path") {
+    for (layout <- layouts(6, seed = 99)) {
+      val clean = Samples.monotonicDedup(frame(layout))
+      def norm(d: DataFrame) = d.select("channel", "win_start", "mean",
+          "covered_fraction", "n_samples")
+        .collect().map { r =>
+          (r.getLong(1),
+            if (r.isNullAt(2)) Long.MinValue else math.round(r.getDouble(2) * 1e9),
+            math.round(r.getDouble(3) * 1e9), r.getLong(4))
+        }.toSet
+      // chunk of 25 s cuts across the 10 s windows and sample gaps
+      assert(norm(Decimation.decimateChunked(clean, 10 * S, 25 * S)) ==
+        norm(Decimation.decimate(frame(layout), 10 * S)), s"$layout")
     }
   }
 
