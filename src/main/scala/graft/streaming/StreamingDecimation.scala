@@ -143,6 +143,29 @@ object StreamingDecimation {
         GroupStateTimeout.NoTimeout)(process)
   }
 
+  /** S9 streaming form — the continuous raw-append path: watermark the
+    * stream and append it into the [[graft.archive.ArchiveStore]]
+    * layout (level/day hive partitions). Exactly-once via the
+    * checkpoint + file-sink manifest; the compaction job
+    * (ArchiveStore.compact) right-sizes the small streamed files
+    * behind the ingest edge.
+    */
+  def writeRawStream(samples: DataFrame, storePath: String,
+                     checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    samples
+      .withColumn("event_time", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withWatermark("event_time", WatermarkDelay)
+      .withColumn("bucket_date", to_date(col("event_time")))
+      .drop("event_time")
+      .withColumn("level", lit(0L))
+      .writeStream
+      .partitionBy("level", "bucket_date")
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", storePath)
+      .outputMode("append")
+      .start()
+
   /** ST1/ST3 — ingest shaping: event-time column, watermark, and the
     * windowed pre-aggregation a monitoring sink consumes. (The raw
     * append path writes `samples` to ArchiveStore unchanged.)

@@ -91,6 +91,30 @@ class StreamingSpec extends AnyFunSuite {
     assertSame(runStream(batches, P10), runBatch(samples, P10))
   }
 
+  test("streaming raw append lands in the store layout and reads back") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val mem = MemoryStream[InSample]
+    val base = 1704067200L * S // 2024-01-01
+    val q = StreamingDecimation.writeRawStream(
+      mem.toDS().toDF().select(
+        $"channel", $"ts", $"value".cast("double").as("value"), $"seq".as("sample_id")),
+      dir, ckpt)
+    try {
+      mem.addData(Seq(
+        InSample("c", base + S, Some(1.0), 0),
+        InSample("c", base + 90000L * S, Some(2.0), 1), // next day
+        InSample("d", base + 2 * S, Some(3.0), 2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = graft.archive.ArchiveStore.read(spark, dir, 0)
+    assert(back.count() == 3)
+    assert(back.select("bucket_date").distinct().count() == 2) // two days
+  }
+
   test("windowed counts with watermark produce per-channel rates") {
     implicit val s: SparkSession = spark
     import s.implicits._
