@@ -23,6 +23,22 @@ object ChannelRegistry {
         max(col("severity")).as("max_severity"))
       .orderBy("channel")
 
+  /** J2 — channel-name → rename-stable data id resolution: the
+    * reference resolves every request's channel name to its permanent
+    * `channelDataId` through an in-memory cache
+    * (ChannelInformationCacheImpl); here the config set is a broadcast
+    * join — per-channel metadata is tiny at any corpus scale.
+    */
+  def withConfigs(samples: DataFrame,
+                  configs: Seq[ChannelConfig]): DataFrame = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val meta = configs
+      .map(c => (c.name, c.channelDataId, c.controlSystemType, c.enabled))
+      .toDF("channel", "channel_data_id", "control_system_type", "enabled")
+    samples.join(org.apache.spark.sql.functions.broadcast(meta), Seq("channel"), "left")
+  }
+
   /** F3 — compile a `*`/`?` glob into an anchored, case-insensitive
     * regex, quoting every other metacharacter — same contract as
     * Api10Controller.compileGlobPattern (:307-345), fresh

@@ -28,6 +28,16 @@ class ServingSpec extends AnyFunSuite {
     assert(json.startsWith("{\"time\":1000,"))
   }
 
+  test("name→dataId resolution via broadcast config join survives renames") {
+    val df = Seq(("c", 1L, 1.0, "", 0, 0, 0L), ("x", 2L, 2.0, "", 0, 0, 1L))
+      .toDF("channel", "ts", "value", "str_value", "severity", "status", "sample_id")
+    val cfg = Seq(ChannelConfig("c", "uuid-c", "ca", enabled = true, Map(), Map()))
+    val got = graft.archive.ChannelRegistry.withConfigs(df, cfg)
+      .select("channel", "channel_data_id").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got == Map("c" -> Some("uuid-c"), "x" -> None))
+  }
+
   test("xml config round-trips") {
     val cfg = Seq(
       ChannelConfig("ch:b", "uuid-2", "channel_access", enabled = false,
