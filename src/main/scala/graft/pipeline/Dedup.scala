@@ -141,9 +141,26 @@ object Dedup {
     * is bounded by the shingle join (skew: cap document frequency of
     * shingles upstream if a corpus has heavy boilerplate).
     */
+  /** Optional skew guard for the shingle joins: drop shingles present
+    * in more than `maxDocFreq` documents. Boilerplate shingles (page
+    * headers, license blurbs) otherwise create quadratic hot keys in
+    * the candidate join at corpus scale; dropping them loses no
+    * near-dup signal (a shingle shared by thousands of docs carries no
+    * pair information). Off (None) in the oracle-gated queries.
+    */
+  def capDocFreq(sh: DataFrame, maxDocFreq: Option[Int]): DataFrame =
+    maxDocFreq match {
+      case None => sh
+      case Some(cap) =>
+        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select("shingle")
+        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
+
   def ngramJaccard(docs: DataFrame, k: Int = 3,
-                   minJaccard: Double = 0.15): DataFrame = {
-    val sh = shingles(docs, k).cache()
+                   minJaccard: Double = 0.15,
+                   maxDocFreq: Option[Int] = None): DataFrame = {
+    val sh = capDocFreq(shingles(docs, k), maxDocFreq).cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

@@ -59,6 +59,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.length == 1 && got.head.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("doc-frequency cap drops boilerplate shingles but keeps signal") {
+    // "x y z" appears in all 4 docs (boilerplate); docs 1/2 also share
+    // a genuine near-dup shingle set
+    val d = docs(
+      (1L, "x y z a b c d", "en"), (2L, "x y z a b c d", "en"),
+      (3L, "x y z q w e r", "en"), (4L, "x y z t u v w", "en"))
+    val capped = Dedup.capDocFreq(Dedup.shingles(d, 3), Some(3))
+    assert(!capped.where("shingle = 'x y z'").head(1).nonEmpty)
+    val pairs = Dedup.ngramJaccard(d, 3, 0.3, maxDocFreq = Some(3)).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
   test("language id picks the language with most stopword hits") {
     val d = docs(
       (1L, "the cat is on the mat and it is nice", "en"),
