@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.archive.Decimation
+import graft.core.Samples
+
+/** SQL-facing entry point: register the engine's frames and functions
+  * on a session so everything is reachable from `spark.sql` — the
+  * "switch from the reference" surface for SQL users.
+  *
+  * {{{
+  *   GraftSession.register(spark, "/root/testdata/sf0.01")
+  *   spark.sql("SELECT * FROM samples WHERE ts BETWEEN :lo AND :hi")
+  *   spark.sql("SELECT channel, win_start, mean FROM decimated_1h")
+  *   spark.sql("SELECT vector_dot(a.embedding_d, b.embedding_d) ...")
+  * }}}
+  */
+object GraftSession {
+
+  def register(spark: SparkSession, sfDir: String): Unit = {
+    // canonical sample frames
+    Samples.fromEvents(spark, sfDir).createOrReplaceTempView("samples")
+    Samples.monotonicDedup(Samples.fromEvents(spark, sfDir))
+      .createOrReplaceTempView("samples_clean")
+    Samples.fromEventsWithMarkers(spark, sfDir)
+      .createOrReplaceTempView("samples_marked")
+    // pre-wired decimation levels (lazy views — nothing materializes
+    // until queried, and Catalyst prunes through them)
+    Decimation.decimate(Samples.fromEventsWithMarkers(spark, sfDir),
+        3600L * Samples.NS)
+      .createOrReplaceTempView("decimated_1h")
+    Decimation.reAggregate(
+        Decimation.decimate(Samples.fromEventsWithMarkers(spark, sfDir),
+          3600L * Samples.NS), 3600L * Samples.NS, 21600L * Samples.NS)
+      .createOrReplaceTempView("decimated_6h")
+    // corpus tables
+    core.Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
+    core.Tables.embeddings(spark, sfDir).createOrReplaceTempView("embeddings")
+    // native functions
+    functions.VectorExpressions.register(spark)
+  }
+}

@@ -18,17 +18,28 @@ object JsonV1 {
       .when(level === 2, "MAJOR")
       .otherwise("INVALID")
 
-  /** Serialize raw samples (quality "Original"). */
-  def serializeRaw(samples: DataFrame): DataFrame =
-    samples.withColumn("json", to_json(struct(
+  /** Serialize raw samples (quality "Original"). Numeric samples emit
+    * `type: "double"`; rows with a null value but a string payload emit
+    * `type: "string"` with the payload (the reference's string/enum
+    * family); pure markers emit no value (hasValue false).
+    */
+  def serializeRaw(samples: DataFrame): DataFrame = {
+    val hasStr = samples.columns.contains("str_value")
+    val isString = if (hasStr) col("value").isNull && col("str_value").isNotNull
+                   else lit(false)
+    val fields = Seq(
       col("ts").as("time"),
       struct(
         severityName(col("severity")).as("level"),
-        col("value").isNotNull.as("hasValue")).as("severity"),
+        (col("value").isNotNull || isString).as("hasValue")).as("severity"),
       col("status").cast("string").as("status"),
       lit("Original").as("quality"),
-      lit("double").as("type"),
-      array(col("value")).as("value"))))
+      when(isString, "string").otherwise("double").as("type"),
+      array(col("value")).as("value")) ++
+      (if (hasStr) Seq(when(isString, array(col("str_value"))).as("strValue"))
+       else Nil)
+    samples.withColumn("json", to_json(struct(fields: _*)))
+  }
 
   /** Serialize decimated samples (quality "Interpolated", adds
     * minimum/maximum like the reference's aggregated-sample shape).

@@ -28,6 +28,31 @@ class ServingSpec extends AnyFunSuite {
     assert(json.startsWith("{\"time\":1000,"))
   }
 
+  test("json v1 string samples carry a string payload") {
+    val df = Seq(("c", 5L, Option.empty[Double], "hello", 0, 1, 0L))
+      .toDF("channel", "ts", "value", "str_value", "severity", "status", "sample_id")
+    val json = JsonV1.serializeRaw(df).select("json").head.getString(0)
+    assert(json.contains("\"type\":\"string\""))
+    assert(json.contains("\"strValue\":[\"hello\"]"))
+    assert(json.contains("\"hasValue\":true"))
+  }
+
+  test("GraftSession exposes the engine through spark.sql") {
+    graft.GraftSession.register(spark, "/root/testdata/sf0.001")
+    assert(spark.sql("SELECT count(*) FROM samples").head.getLong(0) == 1000L)
+    val dec = spark.sql(
+      "SELECT channel, win_start, mean FROM decimated_1h WHERE mean IS NOT NULL")
+    assert(dec.count() > 1000)
+    val d6 = spark.sql("SELECT count(*) FROM decimated_6h").head.getLong(0)
+    assert(d6 > 0 && d6 < dec.count())
+    val vd = spark.sql(
+      """SELECT vector_dot(CAST(a.embedding AS ARRAY<DOUBLE>),
+        |                  CAST(b.embedding AS ARRAY<DOUBLE>)) AS d
+        |FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id = 1
+        |""".stripMargin)
+    assert(!vd.head.isNullAt(0))
+  }
+
   test("name→dataId resolution via broadcast config join survives renames") {
     val df = Seq(("c", 1L, 1.0, "", 0, 0, 0L), ("x", 2L, 2.0, "", 0, 0, 1L))
       .toDF("channel", "ts", "value", "str_value", "severity", "status", "sample_id")
