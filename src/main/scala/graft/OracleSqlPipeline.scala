@@ -49,10 +49,10 @@ object OracleSqlPipeline {
   private val sigMatches = (0 until NumMinHashes)
     .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END").mkString(" + ")
 
-  private val bitSumCols = (0 until 32)
+  private val bitSumCols = (0 until graft.pipeline.Dedup.SimHashBits)
     .map(b => s"sum(((h >> $b) & 1) * 2 - 1) AS b$b").mkString(",\n    ")
 
-  private val simhashExpr = (0 until 32)
+  private val simhashExpr = (0 until graft.pipeline.Dedup.SimHashBits)
     .map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b}::BIGINT ELSE 0::BIGINT END)")
     .mkString(" + ")
 
@@ -92,6 +92,36 @@ object OracleSqlPipeline {
          |JOIN sig sb ON doc_b = sb.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "dedup_minhash_verified" ->
+      s"""WITH $TOKS,
+         |$SH3,
+         |hs AS (SELECT doc_id, ${md5HashM31Sql("shingle")} AS h FROM sh),
+         |sig AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM hs GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT p.doc_a, p.doc_b, count(*) AS i
+         |  FROM pairs p
+         |  JOIN sh a ON p.doc_a = a.doc_id
+         |  JOIN sh b ON p.doc_b = b.doc_id AND a.shingle = b.shingle
+         |  GROUP BY 1, 2)
+         |SELECT p.doc_a, p.doc_b,
+         |  round(coalesce(i, 0)::DOUBLE /
+         |        (ca.n + cb.n - coalesce(i, 0)), 6) AS jaccard
+         |FROM pairs p
+         |LEFT JOIN inter ON p.doc_a = inter.doc_a AND p.doc_b = inter.doc_b
+         |JOIN cnt ca ON p.doc_a = ca.doc_id
+         |JOIN cnt cb ON p.doc_b = cb.doc_id
+         |WHERE coalesce(i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i, 0)) >= 0.15
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+
     "dedup_simhash_pairs" ->
       s"""WITH $TOKS,
          |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
@@ -102,7 +132,8 @@ object OracleSqlPipeline {
          |sh2 AS (SELECT doc_id, $simhashExpr AS simhash FROM bits),
          |blocks AS (
          |  SELECT doc_id, simhash, u.blk AS blk,
-         |         (simhash >> (u.blk * 8)) % 256 AS v
+         |         (simhash >> (u.blk * ${graft.pipeline.Dedup.SimHashBlockBits}))
+         |           % ${1 << graft.pipeline.Dedup.SimHashBlockBits} AS v
          |  FROM sh2, UNNEST(range(0, 4)) u(blk))
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming

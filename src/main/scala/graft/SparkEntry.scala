@@ -219,6 +219,15 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), r6("est_jaccard"))
         .orderBy("doc_a", "doc_b")),
 
+    // the production composition: LSH candidates → exact verification
+    "dedup_minhash_verified" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.verifyCandidates(docs, Dedup.minHashCandidates(docs))
+        .where(col("jaccard") >= 0.15)
+        .select(col("doc_a"), col("doc_b"), r6("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashCandidates(Tables.documents(s, dir), maxHamming = 6)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))

@@ -96,17 +96,28 @@ object Dedup {
         (matches.cast("double") / NumMinHashes).as("est_jaccard"))
   }
 
-  /** 32-bit SimHash over (non-distinct) tokens: bit b of the hash is
-    * the majority vote of bit b across all token hashes. 32 sums ride
+  /** Width of the SimHash in bits. 48 keeps the value positive in a
+    * signed 64-bit long while being wide enough that unrelated
+    * documents rarely collide within small Hamming distances (32 bits
+    * measurably floods the candidate join on small-vocabulary
+    * corpora).
+    */
+  val SimHashBits = 48
+  /** 4 LSH blocks of 12 bits (pigeonhole: any pair within Hamming
+    * distance 3 shares a block). */
+  val SimHashBlockBits: Int = SimHashBits / 4
+
+  /** SimHash over (non-distinct) tokens: bit b of the hash is the
+    * majority vote of bit b across all token hashes. The bit sums ride
     * a single aggregation.
     */
   def simHash(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(textCol)).as("t"))
       .withColumn("h", md5Hash60(col("t")))
-    val bitSums = (0 until 32).map { b =>
+    val bitSums = (0 until SimHashBits).map { b =>
       sum(shiftright(col("h"), b) % 2 * 2 - 1).as(s"b$b")
     }
-    val assembled = (0 until 32).map { b =>
+    val assembled = (0 until SimHashBits).map { b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     tok.groupBy("doc_id")
@@ -114,7 +125,7 @@ object Dedup {
       .select(col("doc_id"), assembled.as("simhash"))
   }
 
-  /** SimHash near-dup candidates: docs sharing any of the four 8-bit
+  /** SimHash near-dup candidates: docs sharing any of the four 12-bit
     * blocks are candidates (any pair within Hamming distance 3 must
     * share a block — pigeonhole); the exact Hamming distance filters
     * them. Block join keeps this linear-ish, never all-pairs.
@@ -123,7 +134,9 @@ object Dedup {
     val sh = simHash(docs).cache()
     val blocks = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
-        struct(lit(b).as("blk"), (shiftright(col("simhash"), b * 8) % 256).as("v"))): _*))
+        struct(lit(b).as("blk"),
+          (shiftright(col("simhash"), b * SimHashBlockBits) %
+            (1 << SimHashBlockBits)).as("v"))): _*))
         .as("bv"))
       .select(col("doc_id"), col("simhash"), col("bv.blk").as("blk"), col("bv.v").as("v"))
     blocks.as("a").join(blocks.as("b"),
@@ -133,6 +146,31 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** The production dedup composition at corpus scale: exact Jaccard
+    * computed ONLY for given candidate pairs (from MinHash/SimHash
+    * LSH), never all co-shingled pairs. The shingle join is keyed by
+    * the candidate pair itself, so work is linear in candidates ×
+    * shingles-per-doc.
+    */
+  def verifyCandidates(docs: DataFrame, pairs: DataFrame,
+                       k: Int = 3): DataFrame = {
+    val sh = shingles(docs, k).cache()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs.select("doc_a", "doc_b")
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id") &&
+        col("a.shingle") === col("b.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    pairs.select("doc_a", "doc_b")
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("ca.n") + col("cb.n") - coalesce(col("inter"), lit(0L))))
+          .as("jaccard"))
   }
 
   /** Exact n-gram Jaccard over candidate pairs that share at least one
