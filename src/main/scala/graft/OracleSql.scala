@@ -100,8 +100,8 @@ object OracleSql {
   def decAgg(p: Long, sfx: String = ""): String =
     s"""decagg$sfx AS (
        |  SELECT channel, win,
-       |    sum((hi - lo) * value) AS sum_wx,
-       |    sum((hi - lo) * value * value) AS sum_wx2,
+       |    CAST(sum(CAST((hi - lo) * value AS DECIMAL(38,12))) AS DOUBLE) AS sum_wx,
+       |    CAST(sum(CAST((hi - lo) * value * value AS DECIMAL(38,12))) AS DOUBLE) AS sum_wx2,
        |    sum(CASE WHEN value IS NOT NULL THEN hi - lo ELSE 0 END) AS w_cov,
        |    min(value) AS min_value, max(value) AS max_value,
        |    count(value) AS n_samples
@@ -256,9 +256,9 @@ object OracleSql {
       s"""${decPrelude(P1H)},
          |re AS (
          |  SELECT channel, win_start - (win_start % $P6H) AS win_start,
-         |    sum(($P1H.0 * covered_fraction) * mean) AS sum_wm,
-         |    sum(($P1H.0 * covered_fraction) * (std * std + mean * mean)) AS sum_wm2,
-         |    sum($P1H.0 * covered_fraction) AS sum_w,
+         |    CAST(sum(CAST(($P1H.0 * covered_fraction) * mean AS DECIMAL(38,12))) AS DOUBLE) AS sum_wm,
+         |    CAST(sum(CAST(($P1H.0 * covered_fraction) * (std * std + mean * mean) AS DECIMAL(38,12))) AS DOUBLE) AS sum_wm2,
+         |    CAST(sum(CAST($P1H.0 * covered_fraction AS DECIMAL(38,12))) AS DOUBLE) AS sum_w,
          |    min(min_value) AS min_value, max(max_value) AS max_value,
          |    sum(n_samples) AS n_samples
          |  FROM dec GROUP BY 1, 2)

@@ -128,16 +128,30 @@ object Decimation {
   def decimate(samples: DataFrame, periodNanos: Long): DataFrame =
     decimateFromValidity(withValidity(Samples.monotonicDedup(samples)), periodNanos)
 
+  /** Order-independent sum of a double expression: route each addend
+    * through DECIMAL so partial-aggregation merge order cannot perturb
+    * the result (double addition is not associative; at 6dp rounding
+    * edges a half-ULP flips a digit between runs — and between Spark
+    * and the DuckDB oracle). Scale 12 keeps 26 integer digits of
+    * headroom for ns-weighted products while the 1e-12 truncation is
+    * ~1e-28 relative on those magnitudes. Partial aggregation still
+    * applies (decimal sums merge exactly).
+    */
+  private[graft] def exactSum(c: Column): Column =
+    sum(c.cast("decimal(38,12)")).cast("double")
+
   /** The weighted aggregation over any validity frame. */
   def decimateFromValidity(validity: DataFrame, periodNanos: Long): DataFrame = {
     val sl = slicesFromValidity(validity, periodNanos)
+    // weights are whole nanosecond counts (< 2^53): a double sum of
+    // integer-valued addends is exact, hence already order-independent.
     val wCov = sum(when(col("value").isNotNull, col("weight")).otherwise(lit(0.0)))
-    val m = sum(col("weight") * col("value")) / wCov
+    val m = exactSum(col("weight") * col("value")) / wCov
     // variance noise floor: Σw·x²/Σw − mean² suffers catastrophic
     // cancellation when the window is near-constant; anything below
     // 1e-9 is numerical noise and is clamped to exactly 0 (a NULL
     // variance — empty coverage — stays NULL).
-    val variance = sum(col("weight") * col("value") * col("value")) / wCov - m * m
+    val variance = exactSum(col("weight") * col("value") * col("value")) / wCov - m * m
     sl.groupBy(col("channel"), col("win").as("win_start"))
       .agg(
         m.as("mean"),
@@ -277,11 +291,15 @@ object Decimation {
                   targetPeriodNanos: Long): DataFrame = {
     require(targetPeriodNanos % sourcePeriodNanos == 0,
       s"source period $sourcePeriodNanos must divide target $targetPeriodNanos")
+    // All three weighted sums are decimal-routed ([[exactSum]]): the
+    // merge is run over already-reduced aggregates, so a single
+    // half-ULP of partial-merge reorder shows up directly in the 6dp
+    // output — this was the one flaky cell in round 1's gate.
     val w = lit(sourcePeriodNanos.toDouble) * col("covered_fraction")
-    val sumW = sum(w)
-    val m = sum(w * col("mean")) / sumW
+    val sumW = exactSum(w)
+    val m = exactSum(w * col("mean")) / sumW
     val variance =
-      sum(w * (col("std") * col("std") + col("mean") * col("mean"))) / sumW - m * m
+      exactSum(w * (col("std") * col("std") + col("mean") * col("mean"))) / sumW - m * m
     decimated
       .groupBy(col("channel"),
         Samples.windowStart(col("win_start"), targetPeriodNanos).as("win_start"))
