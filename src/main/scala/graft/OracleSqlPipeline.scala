@@ -145,10 +145,14 @@ object OracleSqlPipeline {
     "dedup_ngram_jaccard" ->
       s"""WITH $TOKS,
          |$SH3,
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |shc AS (
+         |  SELECT * FROM sh WHERE shingle IN (
+         |    SELECT shingle FROM sh GROUP BY 1
+         |    HAVING count(*) <= ${graft.pipeline.Dedup.DefaultMaxDocFreq})),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
          |  round(i::DOUBLE / (ca.n + cb.n - i), 6) AS jaccard

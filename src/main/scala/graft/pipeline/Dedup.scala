@@ -186,6 +186,16 @@ object Dedup {
     * near-dup signal (a shingle shared by thousands of docs carries no
     * pair information). Off (None) in the oracle-gated queries.
     */
+  /** Library default for [[ngramJaccard]]'s doc-frequency cap. A
+    * shingle shared by 1000+ documents is boilerplate, not near-dup
+    * signal, and each such shingle contributes O(df²) join rows — the
+    * cap is what keeps the co-shingle join linear-ish on real corpora.
+    * Opt out with `maxDocFreq = None` (exhaustive, oracle-exact on
+    * boilerplate-free data — the capped and uncapped results agree
+    * whenever no shingle exceeds the cap).
+    */
+  val DefaultMaxDocFreq = 1000
+
   def capDocFreq(sh: DataFrame, maxDocFreq: Option[Int]): DataFrame =
     maxDocFreq match {
       case None => sh
@@ -197,7 +207,7 @@ object Dedup {
 
   def ngramJaccard(docs: DataFrame, k: Int = 3,
                    minJaccard: Double = 0.15,
-                   maxDocFreq: Option[Int] = None): DataFrame = {
+                   maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
     val sh = capDocFreq(shingles(docs, k), maxDocFreq).cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),

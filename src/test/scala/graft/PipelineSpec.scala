@@ -71,6 +71,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
+  test("ngram jaccard caps boilerplate by default at DefaultMaxDocFreq") {
+    // DefaultMaxDocFreq+1 docs all carry the same boilerplate shingle
+    // plus a unique tail; uncapped, the hot shingle alone would emit
+    // ~n²/2 candidate pairs. The default cap drops it, leaving only the
+    // genuine near-dup pair 1↔2 (which also shares non-boilerplate
+    // shingles).
+    val n = Dedup.DefaultMaxDocFreq + 1
+    val rows = (1L to n.toLong).map { i =>
+      val tail = if (i <= 2) "same near dup tail here" else s"unique tail $i a$i b$i c$i d$i"
+      (i, s"legal boiler plate $tail", "en")
+    }
+    val d = rows.toDF("doc_id", "text", "lang")
+    val pairs = Dedup.ngramJaccard(d, 3, 0.3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
   test("language id picks the language with most stopword hits") {
     val d = docs(
       (1L, "the cat is on the mat and it is nice", "en"),
