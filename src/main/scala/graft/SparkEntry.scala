@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.archive.{ArchiveReader, ChannelRegistry, Decimation}
-import graft.core.{Samples, Tables}
+import graft.archive.{ArchiveReader, ChannelRegistry, Decimation, TypedDecimation}
+import graft.core.{Samples, Tables, TypedSamples}
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import OracleSql._
 
@@ -160,6 +160,59 @@ object SparkEntry {
           r6("mean"), r6("std"), col("first_value"), r6("covered_fraction"))
         .orderBy("channel", "win_start")),
 
+    // ---- full 21-type value union (SURVEY §1.3; A6 true dispatch) ----
+    "arch_typed_roundtrip" -> ((s, dir) =>
+      TypedSamples.fromEvents(s, dir)
+        .select(col("channel"), col("ts"), col("vtype"), col("value"),
+          col("str_value"), col("enum_value"),
+          TypedSamples.strArrayToString(col("labels")).as("labels_str"),
+          TypedSamples.numArrayToString(col("arr_num")).as("arr_num_str"),
+          TypedSamples.strArrayToString(col("arr_str")).as("arr_str_str"),
+          col("agg_mean"), col("agg_std"), col("agg_min"), col("agg_max"),
+          r6("agg_cov"), col("severity"), col("status"),
+          col("meta_units"), col("meta_precision"),
+          col("meta_display_low"), col("meta_display_high"),
+          col("meta_warn_low"), col("meta_warn_high"),
+          col("meta_alarm_low"), col("meta_alarm_high"),
+          col("meta_control_low"), col("meta_control_high"), col("sample_id"))
+        .orderBy("channel", "sample_id")),
+
+    "arch_decimate_typed21" -> ((s, dir) =>
+      TypedDecimation.decimate(TypedSamples.fromEvents(s, dir), P1H)
+        .select(col("channel"), col("win_start"), col("vtype"),
+          r6("mean"), r6("std"), col("min_value"), col("max_value"),
+          r6("covered_fraction"), col("max_severity"), col("status_at_max"),
+          col("first_value"), col("first_str"), col("enum_value"),
+          TypedSamples.strArrayToString(col("labels")).as("labels_str"),
+          TypedSamples.numArrayToString(col("arr_num")).as("arr_num_str"),
+          TypedSamples.strArrayToString(col("arr_str")).as("arr_str_str"),
+          col("severity"), col("status"),
+          col("meta_units"), col("meta_precision"),
+          col("meta_display_low"), col("meta_display_high"),
+          col("meta_warn_low"), col("meta_warn_high"),
+          col("meta_alarm_low"), col("meta_alarm_high"),
+          col("meta_control_low"), col("meta_control_high"), col("n_samples"))
+        .orderBy("channel", "win_start")),
+
+    "arch_decimate_enum" -> ((s, dir) =>
+      TypedDecimation.decimate(TypedSamples.fromEvents(s, dir), P1H)
+        .where(col("vtype") === "scalar_enum")
+        .select(col("channel"), col("win_start"), col("vtype"),
+          col("enum_value"),
+          element_at(col("labels"), col("enum_value") + 1).as("label"),
+          TypedSamples.strArrayToString(col("labels")).as("labels_str"),
+          col("severity"), col("status"))
+        .orderBy("channel", "win_start")),
+
+    "arch_decimate_array" -> ((s, dir) =>
+      TypedDecimation.decimate(TypedSamples.fromEvents(s, dir), P1H)
+        .where(col("vtype").startsWith("array"))
+        .select(col("channel"), col("win_start"), col("vtype"),
+          TypedSamples.numArrayToString(col("arr_num")).as("arr_num_str"),
+          TypedSamples.strArrayToString(col("arr_str")).as("arr_str_str"),
+          col("severity"), col("status"), col("meta_units"))
+        .orderBy("channel", "win_start")),
+
     "arch_reagg_6h" -> ((s, dir) =>
       Decimation.reAggregate(Decimation.decimate(marked(s, dir), P1H), P1H, P6H)
         .select(col("channel"), col("win_start"), r6("mean"), r6("std"),
@@ -283,5 +336,6 @@ object SparkEntry {
   )
 
   /** DuckDB equivalents (driver correctness gate). */
-  def oracleSql: Map[String, String] = OracleSql.all ++ OracleSqlPipeline.all
+  def oracleSql: Map[String, String] =
+    OracleSql.all ++ OracleSqlPipeline.all ++ OracleSqlTyped.all
 }

@@ -1,0 +1,167 @@
+package graft.archive
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Samples, TypedSamples}
+
+/** Tumbling-window decimation over the full 21-type value union —
+  * the reference's ChannelAccessSampleDecimator.java:124-296 dispatch
+  * re-expressed as a two-level Catalyst aggregation:
+  *
+  *  1. per (channel, window, type): the per-type aggregator state —
+  *     covered period (aggregated inputs weighted by their own covered
+  *     fraction, truncated to whole ns like the reference's
+  *     AggregatedScalarDoubleAggregator.java:84-92), decimal-routed
+  *     weighted sums, element min/max, severity propagation, and the
+  *     first sample's full payload (the pick-first candidate);
+  *  2. per (channel, window): the type-dispatch rule — a single type
+  *     uses its own aggregator; several types use the aggregatable
+  *     type with the longest covered period when nothing but markers
+  *     and aggregatables are present (ties break in enum declaration
+  *     order), otherwise the first-arriving type
+  *     (ChannelAccessSampleDecimator.java:127-190).
+  *
+  * Both levels are plain aggregates: level 2 collects level 1's ≤21
+  * rows per window into an array and resolves the dispatch with
+  * higher-order functions — no join, no second pass over slices, and
+  * the expensive level-1 shuffle is the only full-data movement.
+  */
+object TypedDecimation {
+
+  private def rankExpr(c: Column): Column =
+    TypedSamples.TypeRank.foldLeft(lit(-1)) { case (acc, (tag, r)) =>
+      when(c === tag, lit(r)).otherwise(acc)
+    }
+
+  private def inSet(c: Column, s: Set[String]): Column =
+    c.isin(s.toSeq: _*)
+
+  /** Decimate a typed sample frame (schema of
+    * [[TypedSamples.fromEvents]]) to `periodNanos` tumbling windows.
+    * Output: one row per (channel, window) with the dispatched type
+    * tag, the aggregate fields (aggregation route), the first sample's
+    * payload (pick-first route), and the chosen type's first-sample
+    * metadata in both routes.
+    */
+  def decimate(typed: DataFrame, periodNanos: Long): DataFrame = {
+    val validity = Decimation.withValidity(Samples.monotonicDedup(typed))
+    val sl = Decimation.slicesFromValidity(validity, periodNanos)
+
+    val isAggIn = col("vtype").startsWith("aggregated_")
+    // aggregated inputs contribute (duration × their covered fraction)
+    // truncated to whole ns — AggregatedScalarDoubleAggregator.java:84-92
+    val wSlice = when(isAggIn,
+      floor((col("hi") - col("lo")).cast("double") * col("agg_cov"))
+        .cast("double"))
+      .otherwise((col("hi") - col("lo")).cast("double"))
+    val xMean = when(isAggIn, col("agg_mean")).otherwise(col("value"))
+    // Σw·x² merges raw second moments; an aggregated input's second
+    // moment is std² + mean² (AggregatedScalarDoubleAggregator.java:105-115)
+    val xM2 = when(isAggIn,
+      col("agg_std") * col("agg_std") + col("agg_mean") * col("agg_mean"))
+      .otherwise(col("value") * col("value"))
+    val minSrc = when(isAggIn, col("agg_min")).otherwise(col("value"))
+    val maxSrc = when(isAggIn, col("agg_max")).otherwise(col("value"))
+
+    val firstPayload = struct(
+      col("value"), col("str_value"), col("enum_value"), col("labels"),
+      col("arr_num"), col("arr_str"),
+      col("agg_mean"), col("agg_std"), col("agg_min"), col("agg_max"),
+      col("agg_cov"),
+      col("severity"), col("status"),
+      col("meta_units"), col("meta_precision"),
+      col("meta_display_low"), col("meta_display_high"),
+      col("meta_warn_low"), col("meta_warn_high"),
+      col("meta_alarm_low"), col("meta_alarm_high"),
+      col("meta_control_low"), col("meta_control_high"))
+
+    val perType = sl
+      .groupBy(col("channel"), col("win"), col("vtype"))
+      .agg(
+        sum(wSlice).as("covered_ns"), // integer-valued doubles: exact
+        Decimation.exactSum(wSlice * xMean).as("sum_wx"),
+        Decimation.exactSum(wSlice * xM2).as("sum_wx2"),
+        min(minSrc).as("min_v"),
+        max(maxSrc).as("max_v"),
+        // max severity with the status of its earliest attaining sample
+        // (AveragingSampleAggregator.java:114-141)
+        max(struct(col("severity"), (lit(0L) - col("ts")).as("neg_ts"),
+          col("status"))).as("sev_struct"),
+        min(col("ts")).as("first_ts"),
+        min_by(firstPayload, col("ts")).as("first"),
+        count(lit(1)).as("n_samples"))
+
+    val typeRow = struct(
+      col("vtype"), col("covered_ns"), col("sum_wx"), col("sum_wx2"),
+      col("min_v"), col("max_v"), col("sev_struct"), col("first"),
+      col("n_samples"))
+
+    val aggregatable = inSet(col("vtype"), TypedSamples.Aggregatable)
+    val blocker = inSet(col("vtype"), TypedSamples.Blockers)
+
+    val perWin = perType
+      .groupBy(col("channel"), col("win").as("win_start"))
+      .agg(
+        collect_list(typeRow).as("types"),
+        count(lit(1)).as("n_types"),
+        max(when(blocker, 1).otherwise(0)).as("has_blocker"),
+        // longest covered period among aggregatable types with
+        // covered > 0; ties to the smallest enum ordinal
+        max(when(aggregatable && col("covered_ns") > 0,
+          struct(col("covered_ns"),
+            (lit(0) - rankExpr(col("vtype"))).as("neg_rank"),
+            col("vtype")))).as("best_agg"),
+        min_by(col("vtype"), col("first_ts")).as("first_type"))
+
+    val chosen =
+      when(col("n_types") > 1 && col("has_blocker") === 0 &&
+        col("best_agg").isNotNull, col("best_agg.vtype"))
+        .otherwise(col("first_type"))
+
+    val out = perWin
+      .withColumn("chosen", chosen)
+      .withColumn("t", expr("filter(types, x -> x.vtype = chosen)[0]"))
+    val isAggOut = inSet(col("chosen"), TypedSamples.Aggregatable)
+    val aggTag = TypedSamples.Aggregatable.toSeq.sorted
+      .foldLeft(col("chosen")) { (acc, tag) =>
+        when(col("chosen") === tag, lit(TypedSamples.aggregatedTag(tag)))
+          .otherwise(acc)
+      }
+    val mean = col("t.sum_wx") / col("t.covered_ns")
+    val variance = col("t.sum_wx2") / col("t.covered_ns") - mean * mean
+
+    out.select(
+      col("channel"), col("win_start"),
+      when(isAggOut, aggTag).otherwise(col("chosen")).as("vtype"),
+      when(isAggOut, mean).as("mean"),
+      when(isAggOut,
+        when(variance < lit(1e-9), lit(0.0)).otherwise(sqrt(variance)))
+        .as("std"),
+      when(isAggOut, col("t.min_v")).as("min_value"),
+      when(isAggOut, col("t.max_v")).as("max_value"),
+      when(isAggOut, col("t.covered_ns") / lit(periodNanos.toDouble))
+        .as("covered_fraction"),
+      when(isAggOut, col("t.sev_struct.severity")).as("max_severity"),
+      when(isAggOut, col("t.sev_struct.status")).as("status_at_max"),
+      when(!isAggOut, col("t.first.value")).as("first_value"),
+      col("t.first.str_value").as("first_str"),
+      col("t.first.enum_value").as("enum_value"),
+      col("t.first.labels").as("labels"),
+      col("t.first.arr_num").as("arr_num"),
+      col("t.first.arr_str").as("arr_str"),
+      when(!isAggOut, col("t.first.severity")).as("severity"),
+      when(!isAggOut, col("t.first.status")).as("status"),
+      col("t.first.meta_units").as("meta_units"),
+      col("t.first.meta_precision").as("meta_precision"),
+      col("t.first.meta_display_low").as("meta_display_low"),
+      col("t.first.meta_display_high").as("meta_display_high"),
+      col("t.first.meta_warn_low").as("meta_warn_low"),
+      col("t.first.meta_warn_high").as("meta_warn_high"),
+      col("t.first.meta_alarm_low").as("meta_alarm_low"),
+      col("t.first.meta_alarm_high").as("meta_alarm_high"),
+      col("t.first.meta_control_low").as("meta_control_low"),
+      col("t.first.meta_control_high").as("meta_control_high"),
+      col("t.n_samples").as("n_samples"))
+  }
+}
