@@ -55,4 +55,132 @@ object JsonV1 {
       array(col("mean")).as("value"),
       col("min_value").as("minimum"),
       col("max_value").as("maximum"))))
+
+  // ---- full 21-type serialization ----------------------------------
+
+  /** CA alarm-status code → name for the `status` string, the codes
+    * the synthetic frame uses (EPICS alarm status table, as surfaced
+    * by the reference via ChannelAccessAlarmStatus.toString()).
+    */
+  private def statusName(code: Column): Column =
+    when(code === 0, "NO_ALARM").when(code === 1, "READ")
+      .when(code === 2, "WRITE").when(code === 3, "HIHI")
+      .when(code === 4, "HIGH").when(code === 5, "LOLO")
+      .when(code === 6, "LOW").otherwise("STATE")
+
+  /** metaData{numeric} struct, or null (→ omitted) when the sample
+    * carries no metadata; integer families default precision to 0
+    * (ChannelAccessSampleValueAccess.java:286-296).
+    */
+  private def numericMeta(precisionDefault: Column): Column =
+    when(col("meta_units").isNotNull, struct(
+      lit("numeric").as("type"),
+      coalesce(col("meta_precision"), precisionDefault).as("precision"),
+      col("meta_units").as("units"),
+      col("meta_display_low").as("displayLow"),
+      col("meta_display_high").as("displayHigh"),
+      col("meta_warn_low").as("warnLow"),
+      col("meta_warn_high").as("warnHigh"),
+      col("meta_alarm_low").as("alarmLow"),
+      col("meta_alarm_high").as("alarmHigh")))
+
+  /** Serialize a typed sample frame ([[graft.core.TypedSamples]]
+    * schema) to the JSON v1 wire format, one object per row in a
+    * `json` column. Byte-compatible with the reference serializer
+    * (JsonV1SampleSerializer.java:995-1173): field order, Jackson
+    * number text (Spark's double→JSON path is the same Jackson
+    * `writeNumber(double)`, including quoted NaN/±Infinity),
+    * `metaData{numeric|enum}`, per-family `type` strings
+    * (char/short/long → "long", float/double → "double"), and marker
+    * samples as the reference's Archive_Disabled / Disconnected
+    * string samples (ChannelAccessSampleValueAccess.java:312-476).
+    */
+  def serializeTyped(typed: DataFrame, original: Boolean = true): DataFrame = {
+    val quality = lit(if (original) "Original" else "Interpolated")
+    val common = (hasValue: Column) => Seq(
+      col("ts").as("time"),
+      struct(severityName(coalesce(col("severity"), lit(3))).as("level"),
+        hasValue.as("hasValue")).as("severity"),
+      statusName(col("status")).as("status"),
+      quality.as("quality"))
+
+    val longValues =
+      when(col("value").isNotNull, array(col("value").cast("long")))
+        .otherwise(transform(col("arr_num"), _.cast("long")))
+    val doubleValues =
+      when(col("value").isNotNull, array(col("value")))
+        .otherwise(col("arr_num"))
+
+    val longJson = to_json(struct(common(lit(true)) ++ Seq(
+      numericMeta(lit(0)).as("metaData"),
+      lit("long").as("type"),
+      longValues.as("value")): _*))
+    val doubleJson = to_json(struct(common(lit(true)) ++ Seq(
+      numericMeta(lit(0)).as("metaData"),
+      lit("double").as("type"),
+      doubleValues.as("value")): _*))
+    val enumJson = to_json(struct(common(lit(true)) ++ Seq(
+      when(col("labels").isNotNull,
+        struct(lit("enum").as("type"), col("labels").as("states")))
+        .as("metaData"),
+      lit("enum").as("type"),
+      array(col("enum_value")).as("value")): _*))
+    val stringJson = to_json(struct(common(lit(true)) ++ Seq(
+      lit("string").as("type"),
+      when(col("str_value").isNotNull, array(col("str_value")))
+        .otherwise(col("arr_str")).as("value")): _*))
+    val minMaxJson = to_json(struct(common(lit(true)) ++ Seq(
+      numericMeta(lit(0)).as("metaData"),
+      lit("minMaxDouble").as("type"),
+      array(col("agg_mean")).as("value"),
+      col("agg_min").as("minimum"),
+      col("agg_max").as("maximum")): _*))
+    val markerText = when(col("vtype") === "disabled", "Archive_Disabled")
+      .otherwise("Disconnected")
+    val markerJson = to_json(struct(
+      col("ts").as("time"),
+      struct(lit("INVALID").as("level"), lit(false).as("hasValue"))
+        .as("severity"),
+      markerText.as("status"),
+      quality.as("quality"),
+      lit("string").as("type"),
+      array(markerText).as("value")))
+
+    val longTags = Seq("scalar_char", "scalar_short", "scalar_long",
+      "array_char", "array_short", "array_long")
+    val doubleTags = Seq("scalar_double", "scalar_float",
+      "array_double", "array_float")
+    typed.withColumn("json",
+      when(col("vtype").isin(longTags: _*), longJson)
+        .when(col("vtype").isin(doubleTags: _*), doubleJson)
+        .when(col("vtype").isin("scalar_enum", "array_enum"), enumJson)
+        .when(col("vtype").isin("scalar_string", "array_string"), stringJson)
+        .when(col("vtype").startsWith("aggregated_"), minMaxJson)
+        .otherwise(markerJson))
+  }
+
+  /** Serialize [[graft.archive.TypedDecimation.decimate]] output
+    * (quality "Interpolated"): aggregated windows become minMaxDouble
+    * samples; pick-first windows re-serialize their first sample's
+    * payload under its own type, exactly like the reference serves
+    * decimated non-aggregatable samples
+    * (ChannelAccessSampleValueAccess.java:238-330).
+    */
+  def serializeDecimatedTyped(decimated: DataFrame): DataFrame = {
+    val asTyped = decimated.select(
+      col("win_start").as("ts"), col("vtype"),
+      col("first_value").as("value"),
+      col("first_str").as("str_value"),
+      col("enum_value"), col("labels"), col("arr_num"), col("arr_str"),
+      col("mean").as("agg_mean"), col("min_value").as("agg_min"),
+      col("max_value").as("agg_max"),
+      coalesce(col("max_severity"), col("severity")).as("severity"),
+      coalesce(col("status_at_max"), col("status")).as("status"),
+      col("meta_units"), col("meta_precision"),
+      col("meta_display_low"), col("meta_display_high"),
+      col("meta_warn_low"), col("meta_warn_high"),
+      col("meta_alarm_low"), col("meta_alarm_high"),
+      col("channel"))
+    serializeTyped(asTyped, original = false)
+  }
 }
