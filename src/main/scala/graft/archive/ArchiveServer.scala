@@ -41,6 +41,41 @@ object ArchiveServer {
     }.toSeq
   }
 
+  /** One day in nanoseconds — the store's partition granularity. */
+  private val DayNs: Long = 86400L * graft.core.Samples.NS
+
+  /** Bounded boundary lookup — the Spark analog of the reference's
+    * bucket-by-bucket walk-back (ArchiveAccessServiceImpl.java:239-316).
+    * Finding "the last sample ≤ t" must not scan the channel's full
+    * history: probe geometrically widening windows behind (ahead of,
+    * when `forward`) `t`, each a day-partition-pruned store read, until
+    * one contains a sample. The geometric sum bounds the partitions
+    * listed across all probes at ~2× the distance to the boundary
+    * sample; the common recent-boundary case is a single one-day probe.
+    * Returns the single boundary row per the reference's AT_OR_BEFORE /
+    * AT_OR_AFTER contract (bound-inclusive), or None past
+    * `maxSpanNs`.
+    */
+  def boundaryProbe(spark: SparkSession, storePath: String, levelSec: Long,
+                    channel: String, tNs: Long, forward: Boolean,
+                    maxSpanNs: Long = 3650L * 86400L * 1000000000L)
+      : Option[DataFrame] = {
+    var span = DayNs
+    while (span <= maxSpanNs) {
+      val (lo, hi) =
+        if (forward) (tNs, tNs + span) else (math.max(tNs - span, 0L), tNs)
+      val probe = ArchiveStore.read(spark, storePath, levelSec,
+          Some(lo), Some(hi))
+        .where(col("channel") === channel)
+        .orderBy(if (forward) col("ts").asc else col("ts").desc)
+        .limit(1)
+      if (probe.head(1).nonEmpty) return Some(probe)
+      if (!forward && lo == 0) return None // walked past the epoch
+      span *= 2
+    }
+    None
+  }
+
   /** Steps 2–4 — the planned, unioned sample frame (channel, ts,
     * value, level), time-ascending.
     */
@@ -54,28 +89,34 @@ object ArchiveServer {
     val segments = ResolutionPlanner.fallbackSegments(chosen,
       states.map(s => s.periodSec -> s.earliestTs).toMap,
       states.map(_.periodSec).filter(_ > chosen), startNs, endNs)
-    val parts = segments.map { case (period, from, to) =>
+    val parts = segments.flatMap { case (period, from, to) =>
       // boundary widening only on the finest (most recent) segment —
       // the coarser prepended history is range-exact (reference:
       // Api10Controller range-splits with end = earliestSeen − 1).
-      // The widened segment must NOT lower-clip the store read, or the
-      // at-or-before boundary sample would be pruned away with its
-      // partition; a production store walks back one day partition at
-      // a time instead of dropping the bound entirely.
+      // The widened boundaries come from the walk-back probe, so every
+      // read stays day-partition-clipped — no unclipped history scan.
       val widen = period == chosen && count.isEmpty
       val base = ArchiveStore.read(spark, storePath, period,
-          if (widen) None else Some(from), Some(to))
+          Some(from), Some(to))
         .where(col("channel") === channel)
       val valueCol = if (period == 0L) col("value") else col("mean")
-      val widened =
-        if (widen)
-          ArchiveReader.getSamples(base, from, ArchiveReader.AtOrWidened,
-            to, ArchiveReader.AtOrWidened)
-        else base.where(col("ts").between(from, to))
-      widened.select(col("channel"), col("ts"),
+      val project = (df: DataFrame) => df.select(col("channel"), col("ts"),
         valueCol.as("value"), lit(period).as("level"))
+      if (widen) {
+        val inner = base.where(col("ts") > from && col("ts") < to)
+        val lower = boundaryProbe(spark, storePath, period, channel,
+          from, forward = false)
+        val upper = boundaryProbe(spark, storePath, period, channel,
+          to, forward = true)
+        (Seq(inner) ++ lower ++ upper).map(project)
+      } else
+        Seq(project(base.where(col("ts").between(from, to))))
     }
-    parts.reduce(_ unionByName _).orderBy("ts")
+    parts.reduce(_ unionByName _)
+      // a sample exactly at a bound satisfies both its boundary probe
+      // and the inner range of an adjacent segment
+      .dropDuplicates("channel", "ts", "level")
+      .orderBy("ts")
   }
 
   /** Step 5 — the full request: plan, read, serialize; an iterator of

@@ -73,4 +73,47 @@ class ArchiveServerSpec extends AnyFunSuite {
       ArchiveServer.querySamples(spark, store, "nope", T0, T30, None)
     }
   }
+
+  test("boundary walk-back finds a sample days behind a sparse gap") {
+    // channel with multi-day history and a 9-day silence before the
+    // query window: the boundary must come from the partition 9 days
+    // back, found by the geometric probe, not by scanning all history
+    val dir = Files.createTempDirectory("walkback").toString
+    import spark.implicits._
+    val day = 86400L * NS
+    val rows = Seq(
+      ("sparse", T0 + 1 * day + 500L * NS, 1.0, 1L),
+      ("sparse", T0 + 3 * day + 100L * NS, 2.0, 2L),   // the boundary
+      ("sparse", T0 + 12 * day + 10L * NS, 3.0, 3L),
+      ("sparse", T0 + 12 * day + 20L * NS, 4.0, 4L))
+      .toDF("channel", "ts", "value", "sample_id")
+    graft.archive.ArchiveStore.write(rows, dir, 0L)
+
+    val lo = T0 + 12 * day
+    val hi = T0 + 13 * day
+    val got = ArchiveServer.querySamples(spark, dir, "sparse", lo, hi, None)
+      .select("ts", "value").collect().sortBy(_.getLong(0))
+    assert(got.map(_.getDouble(1)).toSeq == Seq(2.0, 3.0, 4.0))
+
+    // the probe itself: first (1-day) probe at `lo` misses, the
+    // widened probes find ts = T0+3d; the probe's plan stays clipped
+    // to its window — partition filters on bucket_date bound the scan
+    val probe = ArchiveServer.boundaryProbe(spark, dir, 0L, "sparse",
+      lo, forward = false).get
+    assert(probe.collect().head.getAs[Double]("value") == 2.0)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("bucket_date"))
+  }
+
+  test("boundary probe returns None when no history exists behind t") {
+    val dir = Files.createTempDirectory("emptyprobe").toString
+    import spark.implicits._
+    val rows = Seq(("c", T0 + 86400L * NS, 1.0, 1L))
+      .toDF("channel", "ts", "value", "sample_id")
+    graft.archive.ArchiveStore.write(rows, dir, 0L)
+    assert(ArchiveServer.boundaryProbe(spark, dir, 0L, "c",
+      T0, forward = false).isEmpty)
+    assert(ArchiveServer.boundaryProbe(spark, dir, 0L, "c",
+      T0, forward = true).nonEmpty)
+  }
 }
