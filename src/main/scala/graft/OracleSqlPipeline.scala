@@ -56,13 +56,23 @@ object OracleSqlPipeline {
     .map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b}::BIGINT ELSE 0::BIGINT END)")
     .mkString(" + ")
 
-  private def planeArray(p: Int): String =
-    Similarity.Planes(p).map(c => if (c > 0) "1.0" else "-1.0")
+  private def planeArray(t: Int, p: Int): String =
+    Similarity.planes(t, Similarity.NumPlanes)(p)
+      .map(c => if (c > 0) "1.0" else "-1.0")
       .mkString("[", ", ", "]::DOUBLE[]")
 
-  private val bucketExpr = (0 until Similarity.NumPlanes).map { p =>
-    s"(CASE WHEN list_dot_product(v, ${planeArray(p)}) >= 0 THEN ${1L << p}::BIGINT ELSE 0::BIGINT END)"
-  }.mkString(" + ")
+  private def bucketExpr(t: Int): String =
+    (0 until Similarity.NumPlanes).map { p =>
+      s"(CASE WHEN list_dot_product(v, ${planeArray(t, p)}) >= 0 THEN ${1L << p}::BIGINT ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+
+  /** One row per (vector, hash table) — mirror of Similarity's
+    * multi-table bucketing with the same plane constants.
+    */
+  private val bucketedCte: String =
+    "b AS (\n" + (0 until Similarity.NumTables).map { t =>
+      s"  SELECT vec_id, v, $t AS tbl, ${bucketExpr(t)} AS bucket FROM e"
+    }.mkString("\n  UNION ALL\n") + ")"
 
   private val enList = inList(TextAnalysis.Stopwords.head._2)
 
@@ -247,31 +257,42 @@ object OracleSqlPipeline {
 
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e)
-         |SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b,
-         |       round(list_cosine_similarity(a.v, bb.v), 6) AS cos_sim
-         |FROM b a JOIN b bb
-         |  ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
-         |WHERE round(list_cosine_similarity(a.v, bb.v), 6) >= 0.3
+         |$bucketedCte,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, bb.vec_id AS vec_b
+         |  FROM b a JOIN b bb
+         |    ON a.tbl = bb.tbl AND a.bucket = bb.bucket
+         |   AND a.vec_id < bb.vec_id)
+         |SELECT vec_a, vec_b,
+         |       round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+         |FROM cand JOIN e ea ON vec_a = ea.vec_id
+         |          JOIN e eb ON vec_b = eb.vec_id
+         |WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     "sim_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
-         |n AS (SELECT bucket, count(*) AS n_in_bucket FROM b GROUP BY 1),
-         |pair AS (
-         |  SELECT a.vec_id AS vec_id, a.bucket AS bucket,
-         |         bb.vec_id AS mate_id,
-         |         round(list_cosine_similarity(a.v, bb.v), 6) AS cos_sim
-         |  FROM b a LEFT JOIN b bb
-         |    ON a.bucket = bb.bucket AND a.vec_id != bb.vec_id),
+         |$bucketedCte,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id, bb.vec_id AS mate_id
+         |  FROM b a JOIN b bb
+         |    ON a.tbl = bb.tbl AND a.bucket = bb.bucket
+         |   AND a.vec_id != bb.vec_id),
+         |sc AS (
+         |  SELECT c.vec_id, c.mate_id,
+         |         round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+         |  FROM cand c JOIN e ea ON c.vec_id = ea.vec_id
+         |              JOIN e eb ON c.mate_id = eb.vec_id),
          |ranked AS (
-         |  SELECT pair.vec_id, pair.bucket, n.n_in_bucket, mate_id, cos_sim,
-         |         row_number() OVER (PARTITION BY pair.vec_id
-         |           ORDER BY cos_sim DESC NULLS LAST, mate_id NULLS LAST) AS rn
-         |  FROM pair JOIN n ON pair.bucket = n.bucket)
-         |SELECT vec_id, bucket, n_in_bucket, mate_id AS best_mate,
-         |       cos_sim AS best_cos
-         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+         |  SELECT vec_id, mate_id, cos_sim,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY cos_sim DESC, mate_id) AS rn,
+         |         count(*) OVER (PARTITION BY vec_id) AS n_candidates
+         |  FROM sc)
+         |SELECT e.vec_id, coalesce(r.n_candidates, 0) AS n_candidates,
+         |       r.mate_id AS best_mate, r.cos_sim AS best_cos
+         |FROM e LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+         |  ON e.vec_id = r.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
   )
 }

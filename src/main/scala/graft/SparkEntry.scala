@@ -311,7 +311,7 @@ object SparkEntry {
     }),
 
     "sim_ann_lsh" -> ((s, dir) =>
-      Similarity.lshNearestInBucket(Tables.embeddings(s, dir))
+      Similarity.lshNearest(Tables.embeddings(s, dir))
         .orderBy("vec_id")),
 
     "sim_ivf_assign" -> ((s, dir) =>

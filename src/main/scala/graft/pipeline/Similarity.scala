@@ -25,16 +25,48 @@ import Hashing._
 object Similarity {
 
   val Dim = 64
-  val NumPlanes = 8
 
-  /** Deterministic ±1 hyperplane coefficients [plane][dim]. */
-  val Planes: IndexedSeq[IndexedSeq[Double]] =
-    (0 until NumPlanes).map { p =>
+  /** Planes per bucket id. 16 ⇒ 65536 buckets per table — at 10⁹
+    * vectors with [[NumTables]] tables the expected bucket holds ~15k
+    * vectors; tune with [[planesFor]] instead of accepting a fixed
+    * count (8 planes = 256 buckets was the round-1 scale-killer: ~4M
+    * vectors/bucket at 10⁹ and a quadratic in-bucket join).
+    */
+  val NumPlanes = 16
+
+  /** Independent hash tables (OR-of-tables probing). More planes
+    * shrink buckets but split true neighbours apart; querying T
+    * independent tables restores recall (a pair collides in ≥1 table
+    * with probability 1 − (1−p^b)^T, the same banding amplification as
+    * MinHash).
+    */
+  val NumTables = 2
+
+  /** Corpus-size-aware plane count: buckets sized toward
+    * `targetBucketSize` vectors, so the per-bucket join stays ~O(n ·
+    * targetBucketSize) as the corpus grows. 10⁹ vectors @ target 64 →
+    * 24 planes.
+    */
+  def planesFor(corpusSize: Long, targetBucketSize: Int = 64): Int = {
+    val raw = math.ceil(
+      math.log(math.max(corpusSize, 1L).toDouble / targetBucketSize) /
+        math.log(2.0)).toInt
+    math.min(28, math.max(4, raw))
+  }
+
+  /** Deterministic ±1 hyperplane coefficients [plane][dim] for one
+    * hash table; table 0 reproduces the round-1 constants.
+    */
+  def planes(table: Int, numPlanes: Int): IndexedSeq[IndexedSeq[Double]] =
+    (0 until numPlanes).map { p =>
       (0 until Dim).map { d =>
-        val h = (0x9E3779B1L * (p * Dim + d + 1)) % M31
+        val h = (0x9E3779B1L * (table * 65536 + p * Dim + d + 1)) % M31
         if (h % 2 == 0) 1.0 else -1.0
       }
     }
+
+  /** Back-compat view of table 0's planes. */
+  val Planes: IndexedSeq[IndexedSeq[Double]] = planes(0, NumPlanes)
 
   /** Cosine similarity between two double-array columns. Uses the
     * native codegen'd [[graft.functions.VectorDot]] expression; its
@@ -63,13 +95,29 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** LSH bucket id: bit p set iff plane p's dot product is >= 0. */
-  def bucketId(embedding: Column): Column =
-    (0 until NumPlanes).map { p =>
+  /** LSH bucket id in table `table`: bit p set iff plane p's dot
+    * product is >= 0.
+    */
+  def bucketId(embedding: Column, table: Int = 0,
+               numPlanes: Int = NumPlanes): Column = {
+    val ps = planes(table, numPlanes)
+    (0 until numPlanes).map { p =>
       val dot = graft.functions.VectorExpressions.vector_dot(
-        asDouble(embedding), lit(Planes(p).toArray))
+        asDouble(embedding), lit(ps(p).toArray))
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  /** (vec_id, embedding, tbl, bucket) — one row per hash table. */
+  private def bucketed(corpus: DataFrame, numPlanes: Int,
+                       numTables: Int): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"),
+      explode(array((0 until numTables).map(t =>
+        struct(lit(t).as("tbl"),
+          bucketId(col("embedding"), t, numPlanes).as("bucket"))): _*))
+        .as("tb"))
+      .select(col("vec_id"), col("embedding"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
 
   /** IVF-style assignment: each vector goes to its nearest seed
     * centroid (deterministic seeds = the first `k` vectors). One
@@ -93,45 +141,61 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup: candidate pairs from shared LSH
-    * buckets, kept when exact cosine clears `minCos`. Same
-    * never-all-pairs shape as the text dedup family.
+    * buckets in ANY of `numTables` tables (OR-of-tables), kept when
+    * exact cosine clears `minCos`. Same never-all-pairs shape as the
+    * text dedup family; each table's join is an equi-join on
+    * (tbl, bucket) and the cross-table union dedups on the pair.
     */
-  def embeddingNearDup(corpus: DataFrame, minCos: Double): DataFrame = {
-    val b = corpus.select(col("vec_id"), col("embedding"),
-      bucketId(col("embedding")).as("bucket"))
+  def embeddingNearDup(corpus: DataFrame, minCos: Double,
+                       numPlanes: Int = NumPlanes,
+                       numTables: Int = NumTables): DataFrame = {
+    val b = bucketed(corpus, numPlanes, numTables)
     b.as("a").join(b.as("bb"),
+        col("a.tbl") === col("bb.tbl") &&
         col("a.bucket") === col("bb.bucket") &&
         col("a.vec_id") < col("bb.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("bb.vec_id").as("vec_b"),
-        round(cosine(asDouble(col("a.embedding")),
-          asDouble(col("bb.embedding"))), 6).as("cos_sim"))
+        col("a.embedding").as("ea"), col("bb.embedding").as("eb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(asDouble(col("ea")), asDouble(col("eb"))), 6)
+          .as("cos_sim"))
       .where(col("cos_sim") >= minCos)
   }
 
-  /** Bucketed ANN: per vector, its best same-bucket neighbour (by
-    * rounded cosine, vec_id tie-break) plus bucket occupancy. At scale
-    * the same-bucket self-join replaces the quadratic all-pairs scan.
+  /** Multi-table ANN: per vector, its best candidate neighbour (by
+    * rounded cosine, vec_id tie-break) across every table it shares a
+    * bucket with, plus its candidate count (0 rows stay present with
+    * nulls). The per-(table, bucket) self-join replaces the quadratic
+    * all-pairs scan; more planes ⇒ smaller buckets, more tables ⇒
+    * recovered recall.
     */
-  def lshNearestInBucket(corpus: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val b = corpus.select(col("vec_id"), col("embedding"),
-      bucketId(col("embedding")).as("bucket"))
-    val withN = b.withColumn("n_in_bucket",
-      count(lit(1)).over(Window.partitionBy("bucket")))
-    val pairs = withN.as("a").join(b.as("bb"),
+  def lshNearest(corpus: DataFrame, numPlanes: Int = NumPlanes,
+                 numTables: Int = NumTables): DataFrame = {
+    val b = bucketed(corpus, numPlanes, numTables)
+    val cand = b.as("a").join(b.as("bb"),
+        col("a.tbl") === col("bb.tbl") &&
         col("a.bucket") === col("bb.bucket") &&
-        col("a.vec_id") =!= col("bb.vec_id"), "left")
-      .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
-        col("a.n_in_bucket").as("n_in_bucket"),
-        col("bb.vec_id").as("mate_id"),
-        when(col("bb.vec_id").isNotNull,
-          round(cosine(asDouble(col("a.embedding")),
-            asDouble(col("bb.embedding"))), 6)).as("cos_sim"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cos_sim").desc_nulls_last, col("mate_id").asc_nulls_last)
-    pairs.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("bucket"), col("n_in_bucket"),
-        col("mate_id").as("best_mate"), col("cos_sim").as("best_cos"))
+        col("a.vec_id") =!= col("bb.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("bb.vec_id").as("mate_id"),
+        col("a.embedding").as("ea"), col("bb.embedding").as("eb"))
+      .dropDuplicates("vec_id", "mate_id")
+      .select(col("vec_id"), col("mate_id"),
+        round(cosine(asDouble(col("ea")), asDouble(col("eb"))), 6)
+          .as("cos_sim"))
+    val best = cand.groupBy("vec_id").agg(
+      count(lit(1)).as("n_candidates"),
+      min_by(struct(col("mate_id"), col("cos_sim")),
+        struct((lit(0.0) - col("cos_sim")).as("neg"), col("mate_id")))
+        .as("b"))
+    corpus.select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("b.mate_id").as("best_mate"), col("b.cos_sim").as("best_cos"))
   }
+
+  /** Back-compat single-table variant of round 1's query shape. */
+  def lshNearestInBucket(corpus: DataFrame): DataFrame =
+    lshNearest(corpus, NumPlanes, 1)
 }

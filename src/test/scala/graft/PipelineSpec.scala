@@ -129,6 +129,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.head.getAs[Double]("cos_sim") == 1.0)
   }
 
+  test("multi-table LSH pairs identical vectors, keeps lonely ones, sizes planes") {
+    val v1 = Array.tabulate(64)(i => math.sin(i + 1.0).toFloat)
+    val e = Seq(
+      (1L, v1), (2L, v1.clone()), (3L, v1.map(x => -x)))
+      .toDF("vec_id", "embedding")
+    // identical vectors share every bucket of every table; the negated
+    // vector flips every plane sign, so it never collides with them
+    val near = Similarity.lshNearest(e).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(near(1L).getAs[Long]("best_mate") == 2L)
+    assert(near(1L).getAs[Double]("best_cos") == 1.0)
+    assert(near(3L).getAs[Long]("n_candidates") == 0L)
+    assert(near(3L).isNullAt(near(3L).fieldIndex("best_mate")))
+    val dup = Similarity.embeddingNearDup(e, minCos = 0.9).collect()
+    assert(dup.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    // corpus-size-aware plane count: 1e9 vectors @ 64/bucket → 24 planes
+    assert(Similarity.planesFor(1000000000L) == 24)
+    assert(Similarity.planesFor(10L) == 4)          // clamped low
+    assert(Similarity.planesFor(Long.MaxValue) == 28) // clamped high
+  }
+
   test("frame sampling explodes payloads into every-Nth fixed-size frames") {
     implicit val s: SparkSession = spark
     val d = docs((1L, "0123456789abcdef", "en")) // 16 bytes → 4 frames of 4
