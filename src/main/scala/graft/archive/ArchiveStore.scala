@@ -54,6 +54,42 @@ object ArchiveStore {
       .mode(mode)
       .parquet(path)
 
+  /** Rename-stable write: the persisted layout is keyed by the
+    * permanent `channel_data_id`, never by the channel name — renaming
+    * a channel is then a pure metadata operation (the reference keys
+    * all buckets by channelDataId for exactly this reason,
+    * SampleBucketId.java:80-89). Input must carry `channel_data_id`
+    * (resolve the name with [[ChannelRegistry.resolveToId]]); the name
+    * column is dropped before writing and re-attached at read time
+    * from the current configuration.
+    */
+  def writeById(samples: DataFrame, path: String, levelSec: Long,
+                mode: SaveMode = SaveMode.Append): Unit =
+    withBucketDate(samples.drop("channel"))
+      .withColumn("level", lit(levelSec))
+      .repartition(col("bucket_date"), col("channel_data_id"))
+      .sortWithinPartitions("channel_data_id", "ts")
+      .write
+      .partitionBy("level", "bucket_date")
+      .mode(mode)
+      .parquet(path)
+
+  /** Read an id-keyed level and serve it under the CURRENT channel
+    * names: a broadcast join of the (tiny) configuration set restores
+    * the `channel` column, so data written before a rename is served
+    * under the new name without touching a single data file.
+    */
+  def readById(spark: SparkSession, path: String,
+               configs: Seq[ChannelConfig], levelSec: Long,
+               loNs: Option[Long] = None, hiNs: Option[Long] = None)
+      : DataFrame = {
+    import spark.implicits._
+    val names = configs.map(c => (c.channelDataId, c.name))
+      .toDF("channel_data_id", "channel")
+    read(spark, path, levelSec, loNs, hiNs)
+      .join(broadcast(names), Seq("channel_data_id"))
+  }
+
   /** Read one level, optionally clipped to [loNs, hiNs] — the time
     * predicate prunes whole day partitions before any file is opened,
     * then pushes into row-group stats.

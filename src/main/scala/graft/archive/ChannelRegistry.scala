@@ -39,6 +39,25 @@ object ChannelRegistry {
     samples.join(org.apache.spark.sql.functions.broadcast(meta), Seq("channel"), "left")
   }
 
+  /** Current data id for a channel name, if configured. */
+  def dataIdFor(configs: Seq[ChannelConfig], name: String): Option[String] =
+    configs.find(_.name == name).map(_.channelDataId)
+
+  /** Ingest-side resolution: replace the transient channel name with
+    * the permanent `channel_data_id` (broadcast join) so the store
+    * layout survives renames. Unconfigured channels are dropped —
+    * the reference likewise refuses samples for unknown channels.
+    */
+  def resolveToId(samples: DataFrame,
+                  configs: Seq[ChannelConfig]): DataFrame = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val meta = configs.map(c => (c.name, c.channelDataId))
+      .toDF("channel", "channel_data_id")
+    samples.join(org.apache.spark.sql.functions.broadcast(meta),
+      Seq("channel")).drop("channel")
+  }
+
   /** F3 — compile a `*`/`?` glob into an anchored, case-insensitive
     * regex, quoting every other metacharacter — same contract as
     * Api10Controller.compileGlobPattern (:307-345), fresh

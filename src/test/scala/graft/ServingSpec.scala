@@ -63,6 +63,42 @@ class ServingSpec extends AnyFunSuite {
     assert(got == Map("c" -> Some("uuid-c"), "x" -> None))
   }
 
+  test("rename-stable store: old data served under the new name without rewrite") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("idstore").toString
+    val day = 86400L * graft.core.Samples.NS
+    val t0 = 1704067200L * graft.core.Samples.NS
+    val raw = Seq(
+      ("pv:old", t0 + 1000L, 1.5, 1L), ("pv:old", t0 + day + 2000L, 2.5, 2L))
+      .toDF("channel", "ts", "value", "sample_id")
+
+    val before = Seq(ChannelConfig("pv:old", "d-123", "ca", enabled = true,
+      Map(), Map()))
+    graft.archive.ArchiveStore.writeById(
+      graft.archive.ChannelRegistry.resolveToId(raw, before), dir, 0L)
+
+    def listing = {
+      val p = Paths.get(dir)
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet")).map(_.toString).toSet
+    }
+    val filesBefore = listing
+
+    // rename is a pure metadata change: a new config set, same data id
+    val after = Seq(ChannelConfig("pv:new", "d-123", "ca", enabled = true,
+      Map(), Map()))
+    val served = graft.archive.ArchiveStore.readById(spark, dir, after, 0L)
+      .select("channel", "ts", "value").collect()
+    assert(served.map(_.getString(0)).toSet == Set("pv:new"))
+    assert(served.map(_.getDouble(2)).sorted.toSeq == Seq(1.5, 2.5))
+    assert(listing == filesBefore) // zero data files touched
+    // the old name no longer resolves
+    assert(graft.archive.ChannelRegistry.dataIdFor(after, "pv:old").isEmpty)
+    assert(graft.archive.ChannelRegistry.dataIdFor(after, "pv:new")
+      .contains("d-123"))
+  }
+
   test("xml config round-trips") {
     val cfg = Seq(
       ChannelConfig("ch:b", "uuid-2", "channel_access", enabled = false,
