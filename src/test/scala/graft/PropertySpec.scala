@@ -112,6 +112,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("chunked monotonic dedup (skew path) equals the window path") {
+    // out-of-order and duplicate arrivals: shuffle ts against arrival
+    // order so the running max actually rejects rows across chunks
+    val gen: Gen[List[Long]] = for {
+      n <- Gen.choose(2, 60)
+      ts <- Gen.listOfN(n, Gen.choose(0L, 50L))
+    } yield ts
+    for (i <- 0 until 6; layout <- gen(Gen.Parameters.default, Seed(55 + i))) {
+      val df = layout.zipWithIndex.map { case (t, idx) =>
+        ("c" + (idx % 2), t * S, t.toDouble, "", 0, 0, idx.toLong)
+      }.toDF("channel", "ts", "value", "str_value", "severity", "status",
+        "sample_id")
+      def ids(d: DataFrame) =
+        d.select("sample_id").collect().map(_.getLong(0)).toSet
+      // chunk of 7 rows cuts across arrival runs
+      assert(ids(Samples.monotonicDedupChunked(df, 7)) ==
+        ids(Samples.monotonicDedup(df)), s"$layout")
+    }
+  }
+
   test("decimate and decimateSorted agree on random layouts") {
     for (layout <- layouts(6, seed = 42)) {
       val df = frame(layout)
