@@ -255,6 +255,39 @@ object OracleSqlPipeline {
          |SELECT vec_id, cluster, cos_to_centroid
          |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
+    "sim_ivf_search" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |seeds AS (SELECT vec_id AS cluster, v AS sv FROM e WHERE vec_id < 8),
+         |assigned AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT e.vec_id, seeds.cluster,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY round(list_cosine_similarity(e.v, seeds.sv), 6) DESC,
+         |                      cluster) AS rn
+         |    FROM e CROSS JOIN seeds) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+         |pclusters AS (
+         |  SELECT probe_id, pv, cluster FROM (
+         |    SELECT p.probe_id, p.pv, seeds.cluster,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY round(list_cosine_similarity(p.pv, seeds.sv), 6) DESC,
+         |                      cluster) AS rn
+         |    FROM probes p CROSS JOIN seeds) WHERE rn <= 2),
+         |cand AS (
+         |  SELECT pc.probe_id, a.vec_id,
+         |         round(list_cosine_similarity(pc.pv, e.v), 6) AS cos_sim
+         |  FROM pclusters pc
+         |  JOIN assigned a ON pc.cluster = a.cluster
+         |  JOIN e ON a.vec_id = e.vec_id
+         |  WHERE pc.probe_id != a.vec_id)
+         |SELECT probe_id, vec_id, cos_sim,
+         |       CAST(rank AS INT) AS rank
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |           ORDER BY cos_sim DESC, vec_id) AS rank
+         |  FROM cand)
+         |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |$bucketedCte,

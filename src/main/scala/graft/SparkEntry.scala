@@ -318,6 +318,13 @@ object SparkEntry {
       Similarity.ivfAssign(Tables.embeddings(s, dir), k = 8)
         .orderBy("vec_id")),
 
+    "sim_ivf_search" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfSearch(e, e.where(col("vec_id") < 5), topK = 10,
+          k = 8, nProbe = 2)
+        .orderBy("probe_id", "rank")
+    }),
+
     "dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingNearDup(Tables.embeddings(s, dir), minCos = 0.3)
         .orderBy("vec_a", "vec_b")),

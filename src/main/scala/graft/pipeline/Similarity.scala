@@ -140,6 +140,50 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), col("cos_to_centroid"))
   }
 
+  /** IVF search — the probe path that makes [[ivfAssign]] an index:
+    * each probe vector searches ONLY the inverted lists of its
+    * `nProbe` nearest centroids instead of the whole corpus. Shape at
+    * scale: centroids are broadcast twice (once against probes, once
+    * against the corpus — both tiny maps over single scans), and the
+    * candidate join is an equi-join on `cluster`, so cost is
+    * |probes| × (nProbe / k) × |corpus| — a k/nProbe-fold reduction
+    * over brute force with the same top-k ranking semantics on the
+    * reduced candidate set.
+    */
+  def ivfSearch(corpus: DataFrame, probes: DataFrame, topK: Int,
+                k: Int = 8, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seeds = corpus.where(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("embedding").as("seed_emb"))
+    // probe → its nProbe nearest clusters
+    val probeClusters = {
+      val scored = probes.crossJoin(broadcast(seeds))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+          col("cluster"),
+          round(cosine(asDouble(col("embedding")), asDouble(col("seed_emb"))), 6)
+            .as("cos_to_centroid"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos_to_centroid").desc, col("cluster"))
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= nProbe)
+        .select(col("probe_id"), col("probe_emb"), col("cluster"))
+    }
+    // corpus member → its cluster (the inverted-list assignment)
+    val assigned = ivfAssign(corpus, k)
+      .select(col("vec_id"), col("cluster"))
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val cand = probeClusters.join(assigned, Seq("cluster"))
+      .where(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(asDouble(col("probe_emb")), asDouble(col("embedding"))), 6)
+          .as("cos_sim"))
+      // no dedup needed: each corpus vector lives in exactly one
+      // cluster, so a (probe, vector) pair occurs at most once
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+  }
+
   /** Embedding-cosine near-dup: candidate pairs from shared LSH
     * buckets in ANY of `numTables` tables (OR-of-tables), kept when
     * exact cosine clears `minCos`. Same never-all-pairs shape as the

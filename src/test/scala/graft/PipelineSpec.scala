@@ -150,6 +150,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(Similarity.planesFor(Long.MaxValue) == 28) // clamped high
   }
 
+  test("IVF search with nProbe = k equals brute force; fewer probes search less") {
+    val rnd = new scala.util.Random(7)
+    val e = (0L until 30L).map { i =>
+      (i, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val probes = e.where($"vec_id" < 3)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "vec_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // probing every cluster covers the whole corpus → identical top-k
+    assert(norm(Similarity.ivfSearch(e, probes, 5, k = 4, nProbe = 4)) ==
+      norm(Similarity.bruteForceTopK(e, probes, 5)))
+    // nProbe=1 searches only one inverted list → candidates shrink
+    val one = Similarity.ivfSearch(e, probes, 5, k = 4, nProbe = 1)
+    assert(one.groupBy("probe_id").count().collect().forall(_.getLong(1) <= 5))
+  }
+
   test("frame sampling explodes payloads into every-Nth fixed-size frames") {
     implicit val s: SparkSession = spark
     val d = docs((1L, "0123456789abcdef", "en")) // 16 bytes → 4 frames of 4
