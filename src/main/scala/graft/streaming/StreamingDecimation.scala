@@ -78,6 +78,45 @@ object StreamingDecimation {
         GroupStateTimeout.NoTimeout)(processChannel(periodNs))
   }
 
+  /** Typed streaming input: the full 21-type payload union. */
+  case class TypedIn(channel: String, ts: Long,
+                     v: graft.archive.TypedDecimatorCore.TValue,
+                     seq: Long = 0L)
+
+  /** ST2 over the full 21-type value union: the same keyed-state shape
+    * as [[decimateStream]], running the
+    * [[graft.archive.TypedDecimatorCore]] dispatch state machine so
+    * mixed-type windows, markers, and pick-first semantics stream
+    * exactly like the batch [[graft.archive.TypedDecimation]] plan
+    * (property-tested equal).
+    */
+  def decimateTypedStream(samples: Dataset[TypedIn], periodNs: Long)
+                         (implicit spark: SparkSession)
+      : Dataset[graft.archive.TypedDecimatorCore.Out] = {
+    import spark.implicits._
+    import graft.archive.TypedDecimatorCore
+    def process(channel: String, it: Iterator[TypedIn],
+                state: GroupState[TypedDecimatorCore.State])
+        : Iterator[TypedDecimatorCore.Out] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[TypedDecimatorCore.Out]
+      var st = state.getOption.orNull
+      for (s <- it.toSeq.sortBy(_.seq)) {
+        if (st == null) st = TypedDecimatorCore.init(s.ts, s.v, periodNs)
+        else if (s.ts > st.lastTs) { // ST5 across micro-batches
+          val (emitted, next) =
+            TypedDecimatorCore.advance(channel, st, s.ts, s.v, periodNs)
+          out ++= emitted
+          st = next
+        }
+      }
+      if (st != null) state.update(st)
+      out.iterator
+    }
+    samples.groupByKey(_.channel)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(process)
+  }
+
   /** Accumulator for the streaming cascade stage (A2/A8 live form):
     * merges finished fine windows into an open coarse window.
     */
