@@ -158,7 +158,14 @@ object ArchiveStore {
               date: String, targetFiles: Int = 1): Unit = {
     val partPath = s"$path/level=$levelSec/bucket_date=$date"
     val tmpPath = s"$partPath._compact_tmp"
-    // write-to-temp + atomic swap: never overwrite a path being read
+    val trashPath = s"$partPath._compact_trash"
+    // Write-to-temp, then a two-rename swap: live→trash, tmp→live.
+    // The delete happens only after the new data is live, so a crash
+    // at any step leaves the old data recoverable (in place, or under
+    // _compact_trash) — the unreadable window is the instant between
+    // the two renames, not the length of a recursive delete. A
+    // catalog-backed table (Delta/Iceberg) would make this one atomic
+    // metadata commit; on raw parquet this is the closest analog.
     spark.read.parquet(partPath)
       .repartition(targetFiles)
       .sortWithinPartitions("channel", "ts")
@@ -166,8 +173,16 @@ object ArchiveStore {
       .parquet(tmpPath)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(partPath), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmpPath),
-      new org.apache.hadoop.fs.Path(partPath))
+    val live = new org.apache.hadoop.fs.Path(partPath)
+    val trash = new org.apache.hadoop.fs.Path(trashPath)
+    val tmp = new org.apache.hadoop.fs.Path(tmpPath)
+    fs.delete(trash, true) // a leftover from a crashed prior run
+    if (!fs.rename(live, trash))
+      throw new java.io.IOException(s"compact: cannot move $live aside")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(trash, live) // roll back; old data stays served
+      throw new java.io.IOException(s"compact: cannot promote $tmp")
+    }
+    fs.delete(trash, true)
   }
 }
