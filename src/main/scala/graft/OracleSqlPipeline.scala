@@ -216,6 +216,25 @@ object OracleSqlPipeline {
          |FROM documents JOIN t ON documents.doc_id = t.doc_id
          |ORDER BY t.doc_id""".stripMargin,
 
+    // mirror of Multimodal.attachPngPayload's analytic pixel law —
+    // the Spark side round-trips these through a real PNG codec, so a
+    // value match proves lossless encode→decode, not just plumbing
+    "mm_png_features" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, 8 + (doc_id % 9) AS w, 8 + ((doc_id * 7) % 9) AS h
+         |  FROM documents),
+         |px AS (
+         |  SELECT doc_id, w, h,
+         |         ((doc_id * 31 + x.x * 7 + y.y * 13) % 256) AS p
+         |  FROM d,
+         |       UNNEST(generate_series(0, w - 1)) x(x),
+         |       UNNEST(generate_series(0, h - 1)) y(y))
+         |SELECT doc_id, 'image/png' AS mime,
+         |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |       round(avg(p), 6) AS mean_px,
+         |       CAST(min(p) AS INT) AS min_px, CAST(max(p) AS INT) AS max_px
+         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
     "text_fingerprint" ->
       s"""WITH $TOKS
          |SELECT doc_id,

@@ -340,6 +340,20 @@ object SparkEntry {
           round(col("std_px"), 6).as("std_px"))
         .orderBy("doc_id")
     }),
+
+    // value-checked image path: REAL PNG encode→decode (javax.imageio)
+    // over analytic test images whose statistics the oracle computes
+    // in closed form — the gate verifies the codec round-trip.
+    "mm_png_features" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.extractImageFeatures(
+          Multimodal.attachPngPayload(Tables.documents(s, dir)))
+        .toDF()
+        .select(col("doc_id"), col("mime"), col("width"), col("height"),
+          round(col("mean_px"), 6).as("mean_px"), col("min_px"),
+          col("max_px"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** DuckDB equivalents (driver correctness gate). */

@@ -50,6 +50,67 @@ object Multimodal {
       octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
       encode(col("text"), "UTF-8").as("payload"))
 
+  /** REAL codec — PNG via `javax.imageio` (pure JRE, no native libs):
+    * grayscale encode/decode, byte-lossless. This replaces the decode
+    * stub for the image path; the container has no external media
+    * libraries, but the JRE's PNG plugin is a genuine codec.
+    */
+  object PngCodec {
+    def encode(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, px(y * w + x)); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      (w, h, px)
+    }
+  }
+
+  /** Deterministic analytic test images, encoded as REAL PNG bytes:
+    * pixel(x, y) = (doc_id·31 + x·7 + y·13) mod 256 over a
+    * doc_id-derived geometry. Because PNG is lossless and the pixel
+    * law is closed-form, the decode→featurize pipeline is value-
+    * checkable by an oracle that computes the same statistics
+    * analytically — the gate verifies an actual codec round-trip, not
+    * just row counts.
+    */
+  def attachPngPayload(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + (id * 7) % 9).toInt
+        val px = Array.tabulate(w * h) { i =>
+          val (x, y) = (i % w, i / w)
+          ((id * 31 + x * 7 + y * 13) % 256).toInt
+        }
+        val bytes = PngCodec.encode(w, h, px)
+        MediaRow(id, "image/png", bytes.length, bytes)
+      }
+    }.toDF()
+  }
+
   /** One sampled frame of a (fake) video payload. */
   case class Frame(doc_id: Long, frame_idx: Int, n_frames: Int,
                    frame: Array[Byte])
@@ -92,6 +153,26 @@ object Multimodal {
       y += 1
     }
     out
+  }
+
+  /** Image features from a real PNG decode ([[PngCodec]]): same
+    * iterator-at-a-time memory shape as [[extractFeatures]], genuine
+    * codec in the loop.
+    */
+  case class ImageFeatures(doc_id: Long, mime: String, width: Int,
+                           height: Int, mean_px: Double, min_px: Int,
+                           max_px: Int)
+
+  def extractImageFeatures(media: DataFrame)
+                          (implicit spark: SparkSession): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = PngCodec.decode(r.payload)
+        ImageFeatures(r.doc_id, r.mime, w, h,
+          px.sum.toDouble / (w * h), px.min, px.max)
+      }
+    }
   }
 
   /** Partition-wise decode + featurize. One task per input split; the

@@ -167,6 +167,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(one.groupBy("probe_id").count().collect().forall(_.getLong(1) <= 5))
   }
 
+  test("PNG codec round-trips pixels losslessly through real imageio bytes") {
+    val px = Array.tabulate(12 * 5)(i => (i * 37) % 256)
+    val bytes = Multimodal.PngCodec.encode(12, 5, px)
+    // a genuine PNG stream, not a fake: magic bytes
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte)
+    val (w, h, back) = Multimodal.PngCodec.decode(bytes)
+    assert(w == 12 && h == 5 && back.toSeq == px.toSeq)
+  }
+
   test("frame sampling explodes payloads into every-Nth fixed-size frames") {
     implicit val s: SparkSession = spark
     val d = docs((1L, "0123456789abcdef", "en")) // 16 bytes → 4 frames of 4
