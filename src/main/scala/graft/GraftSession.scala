@@ -34,6 +34,12 @@ object GraftSession {
         Decimation.decimate(Samples.fromEventsWithMarkers(spark, sfDir),
           3600L * Samples.NS), 3600L * Samples.NS, 21600L * Samples.NS)
       .createOrReplaceTempView("decimated_6h")
+    // the full 21-type value union and its decimation (lazy views)
+    core.TypedSamples.fromEvents(spark, sfDir)
+      .createOrReplaceTempView("samples_typed")
+    archive.TypedDecimation.decimate(
+        core.TypedSamples.fromEvents(spark, sfDir), 3600L * Samples.NS)
+      .createOrReplaceTempView("decimated_typed_1h")
     // corpus tables
     core.Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
     core.Tables.embeddings(spark, sfDir).createOrReplaceTempView("embeddings")

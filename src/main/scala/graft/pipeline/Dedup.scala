@@ -22,6 +22,20 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Production-tier exact dedup: `xxhash64` is codegen'd and an
+    * order of magnitude cheaper than md5 at corpus scale. (64-bit,
+    * length) keys make accidental collisions ~n²/2⁶⁴·P(len match);
+    * for forensic-grade certainty, md5-confirm only inside collided
+    * groups — a second pass over the tiny collided subset, not the
+    * corpus. Spec-gated (DuckDB has no Spark-seeded xxhash64, so the
+    * md5 [[exact]] remains the oracle query).
+    */
+  def exactFast(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(xxhash64(col(textCol)).as("text_hash"),
+        length(col(textCol)).as("text_len"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_copies"))
+
   /** Whitespace tokens, lowercased. */
   def tokens(textCol: String): Column = split(lower(col(textCol)), "\\s+")
 

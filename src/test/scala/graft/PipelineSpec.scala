@@ -22,6 +22,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("fast exact dedup groups like the md5 path") {
+    val d = docs((1L, "a b c", "en"), (5L, "a b c", "en"), (3L, "x y", "en"))
+    val got = Dedup.exactFast(d).collect()
+      .map(r => r.getAs[Long]("keeper_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+  }
+
   test("shingles are distinct k-grams; short docs yield none") {
     val d = docs((1L, "a b c d", "en"), (2L, "a b", "en"), (3L, "a b c a b c", "en"))
     val got = Dedup.shingles(d, 3).collect()
