@@ -90,29 +90,44 @@ object TypedSamples {
     * (ChannelAccessSampleDecimatorTest.java:838-842).
     */
   def fromEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-    val k = get_json_object(col("props"), "$.k").cast("int")
-    val v = col("value")
-    val sev = pmod(k, lit(4)).cast("int")
-    val m = (k / 4).cast("int") % 16
-    val marker = sev === 3
-
-    val vtype =
-      when(marker, when(pmod(k, lit(8)) === 3, lit("disabled"))
+    // Two-stage projection, deliberately: k (a JSON parse) and the
+    // 16-branch vtype CASE are materialized as columns first, so the
+    // payload CASEs below reference plain attributes. Inlining them
+    // would copy the whole vtype tree (and its JSON parse) into every
+    // payload column — an expression blow-up that measured 5× slower.
+    // CollapseProject keeps the stage split because the staged
+    // expressions are non-cheap and multiply referenced.
+    val ev0 = Tables.events(spark, sfDir)
+    val k0 = get_json_object(col("props"), "$.k").cast("int")
+    val sev0 = pmod(k0, lit(4)).cast("int")
+    val m0 = (k0 / 4).cast("int") % 16
+    val marker0 = sev0 === 3
+    val vtype0 =
+      when(marker0, when(pmod(k0, lit(8)) === 3, lit("disabled"))
         .otherwise(lit("disconnected")))
-        .when(m <= 3, lit("scalar_double"))
-        .when(m === 4, lit("scalar_float"))
-        .when(m === 5, lit("scalar_long"))
-        .when(m === 6, lit("scalar_short"))
-        .when(m === 7, lit("scalar_char"))
-        .when(m === 8, lit("scalar_enum"))
-        .when(m === 9, lit("scalar_string"))
-        .when(m === 10, lit("array_double"))
-        .when(m === 11, lit("array_long"))
-        .when(m === 12, lit("array_string"))
-        .when(m === 13, lit("aggregated_scalar_double"))
-        .when(m === 14, lit("array_float"))
+        .when(m0 <= 3, lit("scalar_double"))
+        .when(m0 === 4, lit("scalar_float"))
+        .when(m0 === 5, lit("scalar_long"))
+        .when(m0 === 6, lit("scalar_short"))
+        .when(m0 === 7, lit("scalar_char"))
+        .when(m0 === 8, lit("scalar_enum"))
+        .when(m0 === 9, lit("scalar_string"))
+        .when(m0 === 10, lit("array_double"))
+        .when(m0 === 11, lit("array_long"))
+        .when(m0 === 12, lit("array_string"))
+        .when(m0 === 13, lit("aggregated_scalar_double"))
+        .when(m0 === 14, lit("array_float"))
         .otherwise(lit("aggregated_scalar_long"))
+    val ev = ev0.select(col("event_type"), col("ts"), col("value"),
+      col("props"), col("event_id"),
+      k0.as("_k"), sev0.as("_sev"), marker0.as("_marker"),
+      vtype0.as("_vtype"))
+
+    val k = col("_k")
+    val v = col("value")
+    val sev = col("_sev")
+    val marker = col("_marker")
+    val vtype = col("_vtype")
 
     // numeric scalar payload, promoted to double with the element
     // type's rounding applied at generation time (float via a float
