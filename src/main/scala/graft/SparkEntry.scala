@@ -263,6 +263,16 @@ object SparkEntry {
     "chan_regex" -> ((s, dir) =>
       ChannelRegistry.channelsByRegex(raw(s, dir), "click|view")),
 
+    "chan_config_map" -> ((s, dir) =>
+      ChannelRegistry.configMap(raw(s, dir))
+        .select(col("channel"),
+          element_at(col("options"), "unit").as("unit"),
+          element_at(col("options"), "rate").as("rate"),
+          size(col("options")).as("n_options"),
+          array_join(map_keys(col("options")), ",").as("option_keys"),
+          element_at(col("retention_sec"), 3600).as("retention_1h"))
+        .orderBy("channel")),
+
     // ---- corpus pipeline: dedup / text / similarity / multimodal ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir)).orderBy("text_hash")),

@@ -39,7 +39,23 @@ object ChannelRegistry {
     samples.join(org.apache.spark.sql.functions.broadcast(meta), Seq("channel"), "left")
   }
 
-  /** Current data id for a channel name, if configured. */
+  /** §2.8 Map — the reference keeps per-channel `options
+    * map<text,text>` and `decimation_level_to_retention map<int,
+    * bigint>` (ChannelMetaDataDAOImpl.java:2116-2122); here the same
+    * shapes are native MapType columns built per channel, consumed
+    * with `element_at` / `map_keys` / `size` — no blob, no UDF.
+    */
+  def configMap(samples: DataFrame): DataFrame =
+    registry(samples).select(
+      col("channel"),
+      map(
+        lit("unit"), concat(lit("u_"), col("channel")),
+        lit("rate"), pmod(col("n_samples"), lit(100)).cast("string"))
+        .as("options"),
+      map(
+        lit(0), lit(0L), // raw: keep forever
+        lit(3600), lit(7L * 86400L),
+        lit(21600), lit(30L * 86400L)).as("retention_sec"))
   def dataIdFor(configs: Seq[ChannelConfig], name: String): Option[String] =
     configs.find(_.name == name).map(_.channelDataId)
 
