@@ -14,6 +14,12 @@ import graft.core.Samples
   * medallion rollup that keeps 100 TB of raw data queryable at
   * interactive resolutions: each hop shrinks the input by the period
   * ratio, so total cascade cost ≈ one raw scan.
+  *
+  * Every written window is FINAL (raw decimation flushes on crossing;
+  * coarse hops use [[Decimation.reAggregateFlushed]]), which makes
+  * [[catchUp]] pure append — the reference's incremental
+  * `generateDecimatedSamples` resume
+  * (ArchivedChannelDecimatedSamplesDecimationLevel.java:319-435).
   */
 object Cascade {
 
@@ -32,8 +38,63 @@ object Cascade {
       col("mean"), col("std"), col("min_value"), col("max_value"),
       col("covered_fraction"), col("n_samples"))
 
+  /** Decimate `source` rows into `target`-period windows (raw source →
+    * slice decimation; decimated source → flushed re-aggregation).
+    */
+  private def hop(source: DataFrame, sourceSec: Long,
+                  targetSec: Long): DataFrame =
+    if (sourceSec == 0L)
+      Decimation.decimate(source, targetSec * Samples.NS)
+    else
+      Decimation.reAggregateFlushed(asDecimated(source),
+        sourceSec * Samples.NS, targetSec * Samples.NS)
+
+  /** Per-(channel, level) resume state — the reference's persisted
+    * `lastSampleTimeStamp`
+    * (ArchivedChannelDecimatedSamplesDecimationLevel.java:406-435):
+    *
+    *  - `last_src_ts`: newest consumed source ts (raw) / fine window
+    *    start (coarse) — the flush frontier: windows ending at-or-
+    *    before it were written and are immutable;
+    *  - `resume_ts`: where an incremental run must START reading so
+    *    the first unflushed window sees both its already-arrived
+    *    in-window samples and its held boundary sample. Raw: the last
+    *    sample before the frontier window's start (hold-last-value can
+    *    reach arbitrarily far back across gaps — this is why the
+    *    resume point must be persisted rather than derived). Coarse:
+    *    frontier − targetPeriod (fine rows are points; no hold).
+    */
+  private def watermarkPath(storePath: String, levelSec: Long) =
+    s"$storePath/_watermarks/level_$levelSec"
+
+  private def writeWatermarks(spark: SparkSession, storePath: String,
+                              targetSec: Long, source: DataFrame,
+                              sourceSec: Long): Unit = {
+    val targetP = targetSec * Samples.NS
+    val last = source.groupBy("channel")
+      .agg(max(col("ts")).as("last_src_ts"))
+    val wm =
+      if (sourceSec == 0L) {
+        val w0 = Samples.windowStart(col("last_src_ts"), targetP)
+        val held = source
+          .join(broadcast(last.select(col("channel").as("_c"),
+            col("last_src_ts"))), col("channel") === col("_c"))
+          .where(col("ts") < Samples.windowStart(col("last_src_ts"), targetP))
+          .groupBy("channel").agg(max(col("ts")).as("_held_ts"))
+        last.join(held, Seq("channel"), "left")
+          .select(col("channel"), col("last_src_ts"),
+            coalesce(col("_held_ts"), w0).as("resume_ts"))
+      } else
+        last.select(col("channel"), col("last_src_ts"),
+          (col("last_src_ts") - targetP).as("resume_ts"))
+    wm.coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(watermarkPath(storePath, targetSec))
+  }
+
   /** Write raw samples and materialize every level in `levelsSec`
-    * (ascending), cascading from the best available source.
+    * (ascending), cascading from the best available source; persists
+    * the per-channel resume watermark per level for [[catchUp]].
     */
   def materialize(spark: SparkSession, storePath: String,
                   raw: DataFrame, levelsSec: Seq[Long]): Unit = {
@@ -41,16 +102,53 @@ object Cascade {
     var done = List(0L)
     for (target <- levelsSec.sorted) {
       val source = Decimation.selectSourcePeriod(target, done)
-      val dec =
-        if (source == 0L)
-          Decimation.decimate(
-            ArchiveStore.read(spark, storePath, 0), target * Samples.NS)
-        else
-          Decimation.reAggregate(
-            asDecimated(ArchiveStore.read(spark, storePath, source)),
-            source * Samples.NS, target * Samples.NS)
-      ArchiveStore.write(asStoreRows(dec), storePath, target)
+      val src = ArchiveStore.read(spark, storePath, source)
+      ArchiveStore.write(asStoreRows(hop(src, source, target)),
+        storePath, target)
+      writeWatermarks(spark, storePath, target, src, source)
       done ::= target
     }
+  }
+
+  /** §3.3 incremental catch-up: extend one materialized level over
+    * source data that arrived since the last run. Reads only source
+    * rows at-or-after each channel's `resume_ts` (the global minimum
+    * prunes day partitions; the per-channel bound rides a broadcast
+    * join), re-decimates that suffix — identical window stats to a
+    * from-scratch build because the resume point preserves the held
+    * boundary — and appends only windows past the old flush frontier.
+    * Channels with no watermark (new channels) get a full pass, like
+    * the reference's no-decimated-sample-yet path
+    * (ArchivedChannelDecimatedSamplesDecimationLevel.java:396-401).
+    */
+  def catchUp(spark: SparkSession, storePath: String,
+              targetSec: Long): Unit = {
+    val levels = spark.read.option("mergeSchema", "true").parquet(storePath)
+      .select(col("level").cast("long")).distinct()
+      .collect().map(_.getLong(0)).filter(_ != targetSec).toSeq
+    val source = Decimation.selectSourcePeriod(targetSec, levels)
+    val targetP = targetSec * Samples.NS
+
+    val wm = spark.read.parquet(watermarkPath(storePath, targetSec))
+    val wmRows = wm.collect()
+    val globalMin =
+      if (wmRows.isEmpty) None
+      else Some(wmRows.map(_.getAs[Long]("resume_ts")).min)
+    val bounds = wm.select(col("channel").as("_c"),
+      col("last_src_ts"), col("resume_ts"))
+
+    val src = ArchiveStore.read(spark, storePath, source, globalMin)
+      .join(broadcast(bounds), col("channel") === col("_c"), "left")
+      .where(col("resume_ts").isNull || col("ts") >= col("resume_ts"))
+
+    val dec = hop(src.drop("_c", "last_src_ts", "resume_ts"),
+        source, targetSec)
+      .join(broadcast(bounds), col("channel") === col("_c"), "left")
+      .where(col("last_src_ts").isNull ||
+        col("win_start") + targetP > col("last_src_ts"))
+      .drop("_c", "last_src_ts", "resume_ts")
+    ArchiveStore.write(asStoreRows(dec), storePath, targetSec)
+    writeWatermarks(spark, storePath, targetSec,
+      ArchiveStore.read(spark, storePath, source), source)
   }
 }

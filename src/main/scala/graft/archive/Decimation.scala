@@ -312,6 +312,25 @@ object Decimation {
         sum(col("n_samples")).as("n_samples"))
   }
 
+  /** [[reAggregate]] with the flush-on-crossing rule applied at the
+    * coarse level: a coarse window is emitted only when a fine window
+    * at-or-after its end exists (the same gate the live cascade uses,
+    * ArchivedChannelDecimatedSamplesDecimationLevel.java:954-1047).
+    * Written windows are then immutable — the property incremental
+    * catch-up ([[Cascade.catchUp]]) relies on.
+    */
+  def reAggregateFlushed(decimated: DataFrame, sourcePeriodNanos: Long,
+                         targetPeriodNanos: Long): DataFrame = {
+    val fineMax = decimated.groupBy(col("channel"))
+      .agg(max(col("win_start")).as("_fine_max"))
+    reAggregate(decimated, sourcePeriodNanos, targetPeriodNanos)
+      .join(broadcast(fineMax), Seq("channel"))
+      // same crossing convention as the live reAggregateStream: a fine
+      // window starting at-or-after the coarse end flushes it
+      .where(col("win_start") + lit(targetPeriodNanos) <= col("_fine_max"))
+      .drop("_fine_max")
+  }
+
   /** A8 — source-level selection for the decimation cascade: the source
     * for a target period is the configured level with the largest
     * period that properly divides it, else raw (level 0)

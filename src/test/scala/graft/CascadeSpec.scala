@@ -46,4 +46,40 @@ class CascadeSpec extends AnyFunSuite {
     }
     assert(checked > 100)
   }
+
+  test("incremental catch-up equals a from-scratch materialize") {
+    import spark.implicits._
+    val raw = Samples.fromEvents(spark, "/root/testdata/sf0.001")
+      .cache()
+    val cut = raw.agg(org.apache.spark.sql.functions.expr(
+      "percentile(ts, 0.6)")).head.getDouble(0).toLong
+    val first = raw.where($"ts" <= cut)
+    val rest = Samples.monotonicDedup(raw).where($"ts" > cut)
+
+    // incremental: build on the first 60%, append the rest, catch up
+    val inc = Files.createTempDirectory("casinc").toString
+    Cascade.materialize(spark, inc, first, Seq(30L, 300L))
+    ArchiveStore.write(rest, inc, 0)
+    Cascade.catchUp(spark, inc, 30L)
+    Cascade.catchUp(spark, inc, 300L)
+
+    // from scratch on everything
+    val full = Files.createTempDirectory("casfull").toString
+    Cascade.materialize(spark, full, raw, Seq(30L, 300L))
+
+    for (l <- Seq(30L, 300L)) {
+      def dump(p: String) = ArchiveStore.read(spark, p, l)
+        .select("channel", "ts", "mean", "covered_fraction", "n_samples")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (math.round(r.getDouble(2) * 1e9),
+            math.round(r.getDouble(3) * 1e9), r.getLong(4))).toMap
+      val (a, b) = (dump(inc), dump(full))
+      assert(a.keySet == b.keySet, s"level $l window sets differ: " +
+        s"only-inc=${(a.keySet -- b.keySet).take(3)} " +
+        s"only-full=${(b.keySet -- a.keySet).take(3)}")
+      for (k <- a.keySet)
+        assert(a(k) == b(k), s"level $l at $k: ${a(k)} vs ${b(k)}")
+    }
+  }
 }
