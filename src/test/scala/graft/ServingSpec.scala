@@ -51,6 +51,15 @@ class ServingSpec extends AnyFunSuite {
         |FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id = 1
         |""".stripMargin)
     assert(!vd.head.isNullAt(0))
+    // the typed union and its decimation are SQL-reachable too
+    val tags = spark.sql(
+      "SELECT count(DISTINCT vtype) FROM samples_typed").head.getLong(0)
+    assert(tags >= 10)
+    val tdec = spark.sql(
+      """SELECT count(*) FROM decimated_typed_1h
+        |WHERE vtype LIKE 'aggregated%' AND mean IS NOT NULL""".stripMargin)
+      .head.getLong(0)
+    assert(tdec > 0)
   }
 
   test("name→dataId resolution via broadcast config join survives renames") {
