@@ -39,12 +39,28 @@ object ArchiveStore {
     samples.withColumn("bucket_date",
       to_date(timestamp_micros((col("ts") / 1000L).cast("long"))))
 
+  /** Unified store schema per path, resolved once with mergeSchema and
+    * reused by every subsequent read — a query (or a walk-back probe
+    * sequence) must not pay a footer scan of every file just to learn
+    * the column set. Writes invalidate the entry (a new level can add
+    * stat columns). A catalog-backed table (Delta/Iceberg) declares
+    * the schema outright; this cache is the raw-parquet analog.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def storeSchema(spark: SparkSession, path: String) =
+    schemaCache.computeIfAbsent(path,
+      p => spark.read.option("mergeSchema", "true").parquet(p).schema)
+
+  private def invalidate(path: String): Unit = schemaCache.remove(path)
+
   /** S9 — append samples for one decimation level. `repartition` by
     * the partition key + channel hash spreads writers; sortWithin
     * gives the clustering order the read path exploits.
     */
   def write(samples: DataFrame, path: String, levelSec: Long,
-            mode: SaveMode = SaveMode.Append): Unit =
+            mode: SaveMode = SaveMode.Append): Unit = {
     withBucketDate(samples)
       .withColumn("level", lit(levelSec))
       .repartition(col("bucket_date"), col("channel"))
@@ -53,6 +69,8 @@ object ArchiveStore {
       .partitionBy("level", "bucket_date")
       .mode(mode)
       .parquet(path)
+    invalidate(path)
+  }
 
   /** Rename-stable write: the persisted layout is keyed by the
     * permanent `channel_data_id`, never by the channel name — renaming
@@ -64,7 +82,7 @@ object ArchiveStore {
     * from the current configuration.
     */
   def writeById(samples: DataFrame, path: String, levelSec: Long,
-                mode: SaveMode = SaveMode.Append): Unit =
+                mode: SaveMode = SaveMode.Append): Unit = {
     withBucketDate(samples.drop("channel"))
       .withColumn("level", lit(levelSec))
       .repartition(col("bucket_date"), col("channel_data_id"))
@@ -73,6 +91,8 @@ object ArchiveStore {
       .partitionBy("level", "bucket_date")
       .mode(mode)
       .parquet(path)
+    invalidate(path)
+  }
 
   /** Read an id-keyed level and serve it under the CURRENT channel
     * names: a broadcast join of the (tiny) configuration set restores
@@ -98,10 +118,9 @@ object ArchiveStore {
            loNs: Option[Long] = None, hiNs: Option[Long] = None): DataFrame = {
     // raw and decimated levels carry different stat columns — one
     // store, one merged schema with nulls where absent (the columnar
-    // form of the reference's sparse 21-column union table). A
-    // production deployment declares the unified schema in a catalog
-    // instead of paying mergeSchema footer reads.
-    var df = spark.read.option("mergeSchema", "true").parquet(path)
+    // form of the reference's sparse 21-column union table), resolved
+    // once per path (see storeSchema) instead of per query.
+    var df = spark.read.schema(storeSchema(spark, path)).parquet(path)
       .where(col("level") === levelSec)
     // partition-prune on bucket_date AND row-group-prune on ts
     loNs.foreach { lo =>
