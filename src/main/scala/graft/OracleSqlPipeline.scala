@@ -274,6 +274,33 @@ object OracleSqlPipeline {
          |SELECT vec_id, cluster, cos_to_centroid
          |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
+    "sim_ivf_centroids" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |seeds AS (SELECT vec_id AS cluster, v AS sv FROM e WHERE vec_id < 8),
+         |assigned AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT e.vec_id, seeds.cluster,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY round(list_cosine_similarity(e.v, seeds.sv), 6) DESC,
+         |                      cluster) AS rn
+         |    FROM e CROSS JOIN seeds) WHERE rn = 1),
+         |dims AS (
+         |  SELECT a.cluster, g.pos, e.v[g.pos + 1] AS val
+         |  FROM assigned a JOIN e ON a.vec_id = e.vec_id,
+         |       UNNEST(generate_series(0, len(e.v) - 1)) g(pos)),
+         |cent AS (
+         |  SELECT cluster, pos,
+         |         CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS v,
+         |         count(*) AS n
+         |  FROM dims GROUP BY 1, 2)
+         |SELECT cluster,
+         |       '[' || array_to_string(
+         |         list_transform(list(v ORDER BY pos),
+         |           x -> CAST(CAST(round(x, 6) AS DECIMAL(18,6)) AS VARCHAR)),
+         |         ',') || ']' AS centroid_str,
+         |       max(n) AS n_assigned
+         |FROM cent GROUP BY cluster ORDER BY cluster""".stripMargin,
+
     "sim_ivf_search" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |seeds AS (SELECT vec_id AS cluster, v AS sv FROM e WHERE vec_id < 8),

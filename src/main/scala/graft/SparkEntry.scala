@@ -328,6 +328,13 @@ object SparkEntry {
       Similarity.ivfAssign(Tables.embeddings(s, dir), k = 8)
         .orderBy("vec_id")),
 
+    "sim_ivf_centroids" -> ((s, dir) =>
+      Similarity.ivfCentroids(Tables.embeddings(s, dir), k = 8, iters = 1)
+        .select(col("cluster"),
+          TypedSamples.numArrayToString(col("centroid")).as("centroid_str"),
+          col("n_assigned"))
+        .orderBy("cluster")),
+
     "sim_ivf_search" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.ivfSearch(e, e.where(col("vec_id") < 5), topK = 10,

@@ -140,6 +140,45 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), col("cos_to_centroid"))
   }
 
+  /** IVF index build — Lloyd refinement of the coarse quantizer: each
+    * iteration assigns every vector to its nearest centroid (broadcast
+    * k centroids, one scan) and recomputes each centroid as the
+    * element-wise mean of its members (posexplode → per-(cluster,
+    * dimension) decimal-routed mean → reassembled array). Iterations
+    * are driver-chained plans; each costs one corpus scan + one
+    * k·Dim-sized aggregate — the standard coarse-quantizer training
+    * shape at corpus scale.
+    */
+  def ivfCentroids(corpus: DataFrame, k: Int = 8,
+                   iters: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var centroids = corpus.where(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"),
+        asDouble(col("embedding")).as("centroid"))
+    for (_ <- 1 to iters) {
+      val scored = corpus.crossJoin(
+          broadcast(centroids.select(col("cluster"), col("centroid"))))
+        .select(col("vec_id"), col("embedding"), col("cluster"),
+          round(cosine(asDouble(col("embedding")), col("centroid")), 6)
+            .as("cos"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos").desc, col("cluster"))
+      val assigned = scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+      centroids = assigned
+        .select(col("cluster"),
+          posexplode(asDouble(col("embedding"))).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg((graft.archive.Decimation.exactSum(col("v")) / count(lit(1)))
+          .as("v"), count(lit(1)).as("n"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          x => x.getField("v")).as("centroid"),
+          max(col("n")).as("n_assigned"))
+    }
+    centroids
+  }
+
   /** IVF search — the probe path that makes [[ivfAssign]] an index:
     * each probe vector searches ONLY the inverted lists of its
     * `nProbe` nearest centroids instead of the whole corpus. Shape at
