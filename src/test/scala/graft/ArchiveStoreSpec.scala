@@ -81,4 +81,20 @@ class ArchiveStoreSpec extends AnyFunSuite {
     assert(after.agg(org.apache.spark.sql.functions.sum("value"))
       .head.getDouble(0) == 1275.0)
   }
+
+  test("typed union samples round-trip through the store and serialize") {
+    val dir = Files.createTempDirectory("typedstore").toString
+    val typed = graft.core.TypedSamples.fromEvents(spark, "/root/testdata/sf0.001")
+    ArchiveStore.write(typed, dir, levelSec = 0)
+    val back = ArchiveStore.read(spark, dir, 0)
+    assert(back.count() == typed.count())
+    val tagsIn = typed.select("vtype").distinct().collect()
+      .map(_.getString(0)).toSet
+    val tagsOut = back.select("vtype").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(tagsIn == tagsOut) // arrays, labels, metadata survive parquet
+    val json = graft.archive.JsonV1.serializeTyped(back)
+      .select("json").where("json IS NULL").count()
+    assert(json == 0)
+  }
 }
