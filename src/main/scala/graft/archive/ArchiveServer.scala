@@ -130,4 +130,30 @@ object ArchiveServer {
     JsonV1.serializeRaw(df).select("json").toLocalIterator()
       .asScala.map(_.getString(0))
   }
+
+  /** Typed serving: a raw-level store holding the full 21-type value
+    * union serves the complete JSON v1 wire format — enum channels get
+    * their labels, arrays their elements, aggregated samples
+    * minMaxDouble with metadata, markers their marker strings. Range
+    * read + walk-back boundary, then [[JsonV1.serializeTyped]];
+    * streamed via `toLocalIterator` like the scalar path.
+    */
+  def serveJsonTyped(spark: SparkSession, storePath: String,
+                     channel: String, startNs: Long,
+                     endNs: Long): Iterator[String] = {
+    val base = ArchiveStore.read(spark, storePath, 0L,
+        Some(startNs), Some(endNs))
+      .where(col("channel") === channel)
+    val inner = base.where(col("ts") > startNs && col("ts") < endNs)
+    val lower = boundaryProbe(spark, storePath, 0L, channel,
+      startNs, forward = false)
+    val upper = boundaryProbe(spark, storePath, 0L, channel,
+      endNs, forward = true)
+    val widened = (Seq(inner) ++ lower ++ upper)
+      .reduce(_ unionByName _)
+      .dropDuplicates("channel", "ts")
+      .orderBy("ts")
+    JsonV1.serializeTyped(widened).select("json").toLocalIterator()
+      .asScala.map(_.getString(0))
+  }
 }

@@ -105,6 +105,28 @@ class ArchiveServerSpec extends AnyFunSuite {
     assert(plan.contains("bucket_date"))
   }
 
+  test("typed store serves the full JSON v1 union with boundary widening") {
+    val dir = Files.createTempDirectory("typedserve").toString
+    val typed = graft.core.TypedSamples.fromEvents(spark, "/root/testdata/sf0.001")
+    graft.archive.ArchiveStore.write(typed, dir, 0L)
+    val lo = T0 + 10L * 86400L * NS
+    val out = ArchiveServer.serveJsonTyped(spark, dir, "click", lo,
+      lo + 86400L * NS).toSeq
+    assert(out.nonEmpty)
+    assert(out.forall(_.startsWith("{\"time\":")))
+    assert(out.forall(_.contains("\"quality\":\"Original\"")))
+    // the union's families actually appear on the wire
+    // top-level type = last "type" field (metaData.type precedes it)
+    val types = out.flatMap(j =>
+      "\"type\":\"([A-Za-z]+)\"".r.findAllMatchIn(j).map(_.group(1))
+        .toSeq.lastOption).toSet
+    assert(types.intersect(Set("double", "long", "enum", "string",
+      "minMaxDouble")).size >= 3, s"families seen: $types")
+    // boundary widening: first object at-or-before lo
+    val firstTs = "\"time\":(\\d+)".r.findFirstMatchIn(out.head).get.group(1).toLong
+    assert(firstTs <= lo)
+  }
+
   test("boundary probe returns None when no history exists behind t") {
     val dir = Files.createTempDirectory("emptyprobe").toString
     import spark.implicits._
