@@ -142,6 +142,21 @@ object TypedDecimatorCore {
     (out.toSeq, State(ts, v, s.winStart, aggs))
   }
 
+  /** Re-enter a decimated window into a coarser decimation stage —
+    * the typed cascade hop (A8): aggregated outputs become
+    * aggregated_* input samples (their covered fraction weights the
+    * next merge), pick-first outputs re-enter as their first sample's
+    * payload re-stamped to the window start. Chaining
+    * decimateTypedStream stages with this conversion is the live
+    * typed cascade.
+    */
+  def asInput(o: Out): TValue =
+    if (o.vtype.startsWith("aggregated_"))
+      TValue(o.vtype, aggMean = o.mean, aggStd = o.std, aggMin = o.min_value,
+        aggMax = o.max_value, aggCov = o.covered_fraction,
+        severity = o.max_severity, status = o.status_at_max)
+    else o.first.copy(vtype = o.vtype)
+
   /** Batch driver over one channel's ts-ordered samples (flush rule:
     * only windows with end <= last ts emit).
     */

@@ -47,6 +47,73 @@ class TypedStreamingSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
   }
 
+  test("typed streaming cascade: chained stages equal batch decimation of stage-1 output") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val samples = ((0L until 100L).map { t =>
+      TypedIn("c", t * S, TValue("scalar_double",
+        value = Some(math.cos(t.toDouble) * 5 + 10),
+        severity = Some((t % 3).toInt), status = Some((t % 5).toInt)), t)
+    } ++ (0L until 40L).map { t =>
+      TypedIn("d", (t * 2) * S,
+        if (t % 5 == 0) TValue("scalar_enum", enumValue = Some((t % 3).toInt),
+          labels = Some(Seq("A", "B", "C")), severity = Some(0),
+          status = Some(0))
+        else TValue("scalar_long", value = Some((t % 11).toDouble),
+          severity = Some(0), status = Some(0)), 200 + t)
+    }).sortBy(_.seq)
+
+    // stage 1: raw → 10 s typed windows (streaming)
+    val mem = MemoryStream[TypedIn]
+    val q1 = StreamingDecimation.decimateTypedStream(mem.toDS(), 10 * S)
+      .writeStream.format("memory").queryName("tfine_out")
+      .outputMode("append").start()
+    try {
+      samples.grouped(37).foreach { b => mem.addData(b); q1.processAllAvailable() }
+    } finally q1.stop()
+    val fine = spark.table("tfine_out").as[TypedDecimatorCore.Out].collect()
+
+    // stage 2: 10 s → 30 s via the cascade conversion (streaming)
+    val feed = fine.sortBy(_.win_start).zipWithIndex.map { case (o, i) =>
+      TypedIn(o.channel, o.win_start, TypedDecimatorCore.asInput(o), i.toLong)
+    }.toSeq
+    val mem2 = MemoryStream[TypedIn]
+    val q2 = StreamingDecimation.decimateTypedStream(mem2.toDS(), 30 * S)
+      .writeStream.format("memory").queryName("tcoarse_out")
+      .outputMode("append").start()
+    try {
+      feed.grouped(11).foreach { b => mem2.addData(b); q2.processAllAvailable() }
+    } finally q2.stop()
+    val streamed = spark.table("tcoarse_out").as[TypedDecimatorCore.Out]
+      .collect().map(o => (o.channel, o.win_start) -> o).toMap
+
+    // batch analog over the same stage-1 output
+    val frame = feed.map { t =>
+      TRow(t.channel, t.ts, t.v.vtype, t.v.value, t.v.strValue,
+        t.v.enumValue, t.v.labels, t.v.arrNum, t.v.arrStr, t.v.aggMean,
+        t.v.aggStd, t.v.aggMin, t.v.aggMax, t.v.aggCov, t.v.severity,
+        t.v.status, sample_id = t.seq)
+    }.toDF()
+    val batch = TypedDecimation.decimate(frame, 30 * S).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+
+    assert(streamed.keySet == batch.keySet)
+    for ((k, o) <- streamed) {
+      val b = batch(k)
+      assert(o.vtype == b.getString(b.fieldIndex("vtype")), s"vtype at $k")
+      (o.mean, b.isNullAt(b.fieldIndex("mean"))) match {
+        case (Some(m), false) =>
+          assert(math.abs(m - b.getDouble(b.fieldIndex("mean"))) < 1e-9, s"mean at $k")
+        case (m, isNull) => assert(m.isEmpty == isNull, s"mean null at $k")
+      }
+      assert(o.n_samples == b.getLong(b.fieldIndex("n_samples")), s"n at $k")
+    }
+    // the enum windows survived the cascade as pick-first enums
+    assert(streamed.values.exists(_.vtype == "scalar_enum") ||
+      batch.values.exists(_.getString(2) == "scalar_enum"))
+  }
+
   test("typed streaming decimation equals the batch dispatch across micro-batches") {
     val samples = Seq(
       TypedIn("c", 99 * S, TValue("disconnected")),
