@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.archive.{ArchiveReader, ChannelRegistry, Decimation, TypedDecimation}
+import graft.archive.{ArchiveReader, ChannelRegistry, Decimation, JsonV1, TypedDecimation}
 import graft.core.{Samples, Tables, TypedSamples}
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import OracleSql._
@@ -213,6 +213,15 @@ object SparkEntry {
           col("severity"), col("status"), col("meta_units"))
         .orderBy("channel", "win_start")),
 
+    // the JSON v1 wire format, gated byte-exact against a DuckDB
+    // string-assembly oracle (the one symmetric exclusion: rows whose
+    // agg_std falls in Java's sub-1e-3 scientific-notation range)
+    "json_v1_typed" -> ((s, dir) =>
+      JsonV1.serializeTyped(TypedSamples.fromEvents(s, dir)
+          .where(expr(OracleSqlJson.PlainRange)))
+        .select(col("channel"), col("sample_id"), col("json"))
+        .orderBy("channel", "sample_id")),
+
     "arch_reagg_6h" -> ((s, dir) =>
       Decimation.reAggregate(Decimation.decimate(marked(s, dir), P1H), P1H, P6H)
         .select(col("channel"), col("win_start"), r6("mean"), r6("std"),
@@ -375,5 +384,6 @@ object SparkEntry {
 
   /** DuckDB equivalents (driver correctness gate). */
   def oracleSql: Map[String, String] =
-    OracleSql.all ++ OracleSqlPipeline.all ++ OracleSqlTyped.all
+    OracleSql.all ++ OracleSqlPipeline.all ++ OracleSqlTyped.all ++
+      OracleSqlJson.all
 }
