@@ -246,6 +246,16 @@ object OracleSqlTyped {
          |SELECT $decOutCols
          |FROM tdec ORDER BY channel, win_start""".stripMargin,
 
+    // the one-pass sorted execution must match the same dispatch
+    // oracle (reduced to the columns the state machine carries)
+    "arch_decimate_typed21_onepass" ->
+      s"""${prelude(P1H)}
+         |SELECT channel, win_start, vtype, round(mean, 6) AS mean,
+         |  round(std, 6) AS std, min_value, max_value,
+         |  round(covered_fraction, 6) AS covered_fraction,
+         |  max_severity, status_at_max, first_value, enum_value, n_samples
+         |FROM tdec ORDER BY channel, win_start""".stripMargin,
+
     "arch_decimate_enum" ->
       s"""${prelude(P1H)}
          |SELECT channel, win_start, vtype, enum_value, labels[enum_value + 1] AS label,

@@ -194,6 +194,16 @@ object SparkEntry {
           col("meta_control_low"), col("meta_control_high"), col("n_samples"))
         .orderBy("channel", "win_start")),
 
+    "arch_decimate_typed21_onepass" -> ((s, dir) =>
+      TypedDecimation.decimateSorted(TypedSamples.fromEvents(s, dir), P1H)
+        .select(col("channel"), col("win_start"), col("vtype"),
+          r6("mean"), r6("std"), col("min_value"), col("max_value"),
+          r6("covered_fraction"), col("max_severity"), col("status_at_max"),
+          when(!col("vtype").startsWith("aggregated_"), col("first.value"))
+            .as("first_value"),
+          col("first.enumValue").as("enum_value"), col("n_samples"))
+        .orderBy("channel", "win_start")),
+
     "arch_decimate_enum" -> ((s, dir) =>
       TypedDecimation.decimate(TypedSamples.fromEvents(s, dir), P1H)
         .where(col("vtype") === "scalar_enum")

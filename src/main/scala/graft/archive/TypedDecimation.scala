@@ -29,6 +29,53 @@ import graft.core.{Samples, TypedSamples}
   */
 object TypedDecimation {
 
+  /** One-pass sorted execution of the same dispatch: per-channel
+    * repartition + in-partition sort, then the
+    * [[TypedDecimatorCore]] state machine over each channel run — the
+    * typed sibling of [[Decimation.decimateSorted]], completing
+    * declarative ≡ streaming ≡ one-pass for the full 21-type model.
+    */
+  def decimateSorted(typed: DataFrame, periodNanos: Long): DataFrame = {
+    val spark = typed.sparkSession
+    import spark.implicits._
+    import TypedDecimatorCore.TValue
+    Samples.monotonicDedup(typed)
+      .select(col("channel"), col("ts"),
+        struct(col("vtype"), col("value").as("value"),
+          col("str_value").as("strValue"), col("enum_value").as("enumValue"),
+          col("labels").as("labels"), col("arr_num").as("arrNum"),
+          col("arr_str").as("arrStr"), col("agg_mean").as("aggMean"),
+          col("agg_std").as("aggStd"), col("agg_min").as("aggMin"),
+          col("agg_max").as("aggMax"), col("agg_cov").as("aggCov"),
+          col("severity").as("severity"), col("status").as("status"))
+          .as("v"))
+      .as[(String, Long, TValue)]
+      .repartition(col("channel"))
+      .sortWithinPartitions("channel", "ts")
+      .mapPartitions[TypedDecimatorCore.Out] {
+        (rows: Iterator[(String, Long, TValue)]) =>
+        new Iterator[TypedDecimatorCore.Out] {
+          private val src = rows.buffered
+          private var pending: Iterator[TypedDecimatorCore.Out] = Iterator.empty
+          private def fill(): Unit = {
+            while (!pending.hasNext && src.hasNext) {
+              val ch = src.head._1
+              val chRows = new Iterator[(Long, TValue)] {
+                def hasNext: Boolean = src.hasNext && src.head._1 == ch
+                def next(): (Long, TValue) = {
+                  val r = src.next(); (r._2, r._3)
+                }
+              }
+              pending = TypedDecimatorCore.run(ch, chRows, periodNanos)
+            }
+          }
+          def hasNext: Boolean = { fill(); pending.hasNext }
+          def next(): TypedDecimatorCore.Out = { fill(); pending.next() }
+        }
+      }
+      .toDF()
+  }
+
   private def rankExpr(c: Column): Column =
     TypedSamples.TypeRank.foldLeft(lit(-1)) { case (acc, (tag, r)) =>
       when(c === tag, lit(r)).otherwise(acc)
