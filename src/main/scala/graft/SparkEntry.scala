@@ -227,7 +227,7 @@ object SparkEntry {
     // string-assembly oracle (the one symmetric exclusion: rows whose
     // agg_std falls in Java's sub-1e-3 scientific-notation range)
     "json_v1_typed" -> ((s, dir) =>
-      JsonV1.serializeTyped(TypedSamples.fromEvents(s, dir)
+      JsonV1.serializeTypedFast(TypedSamples.fromEvents(s, dir)
           .where(expr(OracleSqlJson.PlainRange)))
         .select(col("channel"), col("sample_id"), col("json"))
         .orderBy("channel", "sample_id")),

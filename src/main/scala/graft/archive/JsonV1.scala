@@ -159,6 +159,98 @@ object JsonV1 {
         .otherwise(markerJson))
   }
 
+  /** Codegen-friendly variant of [[serializeTyped]]: the JSON is
+    * assembled with `concat` instead of `to_json` — `to_json` is a
+    * CodegenFallback expression, and one in the projection drops the
+    * whole stage out of whole-stage codegen (measured ~5× slower).
+    * String payloads are escaped for quote and backslash; byte-equal
+    * to the Jackson path for payloads without control characters
+    * (ours — spec-verified equal on the full synthetic frame). Use
+    * [[serializeTyped]] when payloads may carry control characters.
+    */
+  def serializeTypedFast(typed: DataFrame, original: Boolean = true): DataFrame = {
+    val quality = if (original) "Original" else "Interpolated"
+    val esc = (c: Column) =>
+      regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+    val dstr = (c: Column) => c.cast("string")
+    val lstr = (c: Column) => c.cast("long").cast("string")
+    // array rendering WITHOUT higher-order functions (transform is
+    // CodegenFallback and would drop the stage out of codegen):
+    // element-wise casts ride the array cast; string elements join on
+    // a control-char separator, escape once, then the separator
+    // becomes the JSON delimiter
+    val numJoin = (c: Column) => concat_ws(",", c.cast("array<string>"))
+    val longJoin = (c: Column) =>
+      concat_ws(",", c.cast("array<long>").cast("array<string>"))
+    val strJoin = (c: Column) =>
+      regexp_replace(esc(concat_ws("\u0001", c)), "\u0001", "\",\"")
+    val marker = col("vtype").isin("disabled", "disconnected")
+    val markerText = when(col("vtype") === "disabled", "Archive_Disabled")
+      .otherwise("Disconnected")
+
+    val common = concat(
+      lit("{\"time\":"), col("ts").cast("string"),
+      lit(",\"severity\":{\"level\":\""),
+      when(marker, "INVALID")
+        .otherwise(severityName(coalesce(col("severity"), lit(3)))),
+      lit("\",\"hasValue\":"), when(marker, "false").otherwise("true"),
+      lit("},\"status\":\""),
+      when(marker, markerText).otherwise(statusName(col("status"))),
+      lit(s"""","quality":"$quality""""))
+
+    val numMeta = when(col("meta_units").isNotNull, concat(
+      lit(",\"metaData\":{\"type\":\"numeric\",\"precision\":"),
+      coalesce(col("meta_precision"), lit(0)).cast("string"),
+      lit(",\"units\":\""), esc(col("meta_units")),
+      lit("\",\"displayLow\":"), dstr(col("meta_display_low")),
+      lit(",\"displayHigh\":"), dstr(col("meta_display_high")),
+      lit(",\"warnLow\":"), dstr(col("meta_warn_low")),
+      lit(",\"warnHigh\":"), dstr(col("meta_warn_high")),
+      lit(",\"alarmLow\":"), dstr(col("meta_alarm_low")),
+      lit(",\"alarmHigh\":"), dstr(col("meta_alarm_high")),
+      lit("}"))).otherwise(lit(""))
+    val enumMeta = when(col("labels").isNotNull, concat(
+      lit(",\"metaData\":{\"type\":\"enum\",\"states\":[\""),
+      strJoin(col("labels")),
+      lit("\"]}"))).otherwise(lit(""))
+
+    val longVals = when(col("value").isNotNull, lstr(col("value")))
+      .otherwise(longJoin(col("arr_num")))
+    val doubleVals = when(col("value").isNotNull, dstr(col("value")))
+      .otherwise(numJoin(col("arr_num")))
+    val stringVals =
+      when(col("str_value").isNotNull,
+        concat(lit("\""), esc(col("str_value")), lit("\"")))
+        .otherwise(concat(lit("\""), strJoin(col("arr_str")), lit("\"")))
+
+    val longTags = Seq("scalar_char", "scalar_short", "scalar_long",
+      "array_char", "array_short", "array_long")
+    val doubleTags = Seq("scalar_double", "scalar_float",
+      "array_double", "array_float")
+    val body =
+      when(col("vtype").isin(longTags: _*),
+        concat(numMeta, lit(",\"type\":\"long\",\"value\":["), longVals,
+          lit("]}")))
+        .when(col("vtype").isin(doubleTags: _*),
+          concat(numMeta, lit(",\"type\":\"double\",\"value\":["), doubleVals,
+            lit("]}")))
+        .when(col("vtype").isin("scalar_enum", "array_enum"),
+          concat(enumMeta, lit(",\"type\":\"enum\",\"value\":["),
+            col("enum_value").cast("string"), lit("]}")))
+        .when(col("vtype").isin("scalar_string", "array_string"),
+          concat(lit(",\"type\":\"string\",\"value\":["), stringVals,
+            lit("]}")))
+        .when(col("vtype").startsWith("aggregated_"),
+          concat(numMeta, lit(",\"type\":\"minMaxDouble\",\"value\":["),
+            dstr(col("agg_mean")), lit("],\"minimum\":"),
+            dstr(col("agg_min")), lit(",\"maximum\":"),
+            dstr(col("agg_max")), lit("}")))
+        .otherwise(concat(lit(",\"type\":\"string\",\"value\":[\""),
+          markerText, lit("\"]}")))
+
+    typed.withColumn("json", concat(common, body))
+  }
+
   /** Serialize [[graft.archive.TypedDecimation.decimate]] output
     * (quality "Interpolated"): aggregated windows become minMaxDouble
     * samples; pick-first windows re-serialize their first sample's

@@ -130,6 +130,18 @@ class JsonV1TypedSpec extends AnyFunSuite {
         "\"type\":\"string\",\"value\":[\"Disconnected\"]}")
   }
 
+  test("fast concat serializer is byte-equal to the Jackson path on the full frame") {
+    val typed = graft.core.TypedSamples.fromEvents(spark, "/root/testdata/sf0.001")
+    val slow = JsonV1.serializeTyped(typed)
+      .select("sample_id", "json").as[(Long, String)].collect().toMap
+    val fast = JsonV1.serializeTypedFast(typed)
+      .select("sample_id", "json").as[(Long, String)].collect().toMap
+    assert(slow.keySet == fast.keySet)
+    val diffs = slow.keys.filter(k => slow(k) != fast(k))
+    assert(diffs.isEmpty,
+      diffs.take(2).map(k => s"$k:\n  ${slow(k)}\n  ${fast(k)}").mkString("\n"))
+  }
+
   test("decimated typed output serializes end to end as Interpolated") {
     val B = 1000000000L
     // [100,200): value 50 holds [100,150) and 20 holds [150,200) →
