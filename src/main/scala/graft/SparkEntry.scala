@@ -227,10 +227,13 @@ object SparkEntry {
     // string-assembly oracle (the one symmetric exclusion: rows whose
     // agg_std falls in Java's sub-1e-3 scientific-notation range)
     "json_v1_typed" -> ((s, dir) =>
+      // sort the narrow typed rows FIRST: serialization then runs
+      // above the sort, so the ~450-byte json strings never ride the
+      // range-shuffle
       JsonV1.serializeTypedFast(TypedSamples.fromEvents(s, dir)
-          .where(expr(OracleSqlJson.PlainRange)))
-        .select(col("channel"), col("sample_id"), col("json"))
-        .orderBy("channel", "sample_id")),
+          .where(expr(OracleSqlJson.PlainRange))
+          .orderBy("channel", "sample_id"))
+        .select(col("channel"), col("sample_id"), col("json"))),
 
     "arch_reagg_6h" -> ((s, dir) =>
       Decimation.reAggregate(Decimation.decimate(marked(s, dir), P1H), P1H, P6H)
