@@ -132,6 +132,53 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("typed one-pass equals the declarative dispatch on random mixed-type layouts") {
+    import graft.archive.TypedDecimation
+    val tagGen = Gen.frequency(
+      4 -> Gen.const("scalar_double"), 2 -> Gen.const("scalar_long"),
+      1 -> Gen.const("scalar_enum"), 1 -> Gen.const("scalar_string"),
+      1 -> Gen.const("aggregated_scalar_double"),
+      1 -> Gen.const("disconnected"))
+    val gen: Gen[List[(Long, String, Double)]] = for {
+      n <- Gen.choose(3, 30)
+      ts <- Gen.listOfN(n, Gen.choose(0L, 100L)).map(_.distinct.sorted)
+      tags <- Gen.listOfN(ts.size, tagGen)
+      vs <- Gen.listOfN(ts.size, Gen.choose(-50.0, 50.0))
+    } yield ts.lazyZip(tags).lazyZip(vs).toList
+    for (i <- 0 until 5; layout <- gen(Gen.Parameters.default, Seed(77 + i))) {
+      val rows = layout.zipWithIndex.map { case ((t, tag, v), idx) =>
+        val base = TRow("c", t * S, tag, sample_id = idx + 1L,
+          severity = if (tag == "disconnected") None else Some((idx % 3)),
+          status = if (tag == "disconnected") None else Some(idx % 5))
+        tag match {
+          case "scalar_double" | "scalar_long" => base.copy(value = Some(v))
+          case "scalar_enum" => base.copy(enum_value = Some(idx % 3),
+            labels = Some(Seq("A", "B")))
+          case "scalar_string" => base.copy(str_value = Some(s"s$idx"))
+          case "aggregated_scalar_double" => base.copy(agg_mean = Some(v),
+            agg_std = Some(math.abs(v) / 10 + 0.01), agg_min = Some(v - 1),
+            agg_max = Some(v + 1), agg_cov = Some(0.5 + (idx % 5) * 0.1))
+          case _ => base
+        }
+      }
+      val df = rows.toDF()
+      def norm(d: DataFrame) = d
+        .select("channel", "win_start", "vtype", "mean", "covered_fraction",
+          "max_severity", "n_samples")
+        .collect().map { r =>
+          (r.getLong(1), r.getString(2),
+            if (r.isNullAt(3)) Long.MinValue else math.round(r.getDouble(3) * 1e9),
+            if (r.isNullAt(4)) Long.MinValue else math.round(r.getDouble(4) * 1e9),
+            if (r.isNullAt(5)) -1 else r.getInt(5),
+            r.getLong(6))
+        }.toSet
+      val declarative = norm(TypedDecimation.decimate(df, 10 * S))
+      val onepass = norm(TypedDecimation.decimateSorted(df, 10 * S)
+        .withColumnRenamed("first", "_f"))
+      assert(declarative == onepass, s"$layout")
+    }
+  }
+
   test("decimate and decimateSorted agree on random layouts") {
     for (layout <- layouts(6, seed = 42)) {
       val df = frame(layout)
