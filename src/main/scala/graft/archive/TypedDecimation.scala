@@ -91,8 +91,21 @@ object TypedDecimation {
     * payload (pick-first route), and the chosen type's first-sample
     * metadata in both routes.
     */
-  def decimate(typed: DataFrame, periodNanos: Long): DataFrame = {
-    val validity = Decimation.withValidity(Samples.monotonicDedup(typed))
+  def decimate(typed: DataFrame, periodNanos: Long): DataFrame =
+    decimateFromValidity(
+      Decimation.withValidity(Samples.monotonicDedup(typed)), periodNanos)
+
+  /** Skew path: chunked validity (hot channels parallelize across
+    * time chunks — [[Decimation.withValidityChunked]]) feeding the
+    * same dispatch. Input must be monotone-clean per channel.
+    */
+  def decimateChunked(cleanTyped: DataFrame, periodNanos: Long,
+                      chunkNanos: Long): DataFrame =
+    decimateFromValidity(
+      Decimation.withValidityChunked(cleanTyped, chunkNanos), periodNanos)
+
+  private def decimateFromValidity(validity: DataFrame,
+                                   periodNanos: Long): DataFrame = {
     val sl = Decimation.slicesFromValidity(validity, periodNanos)
 
     val isAggIn = col("vtype").startsWith("aggregated_")

@@ -176,6 +176,10 @@ class PropertySpec extends AnyFunSuite {
       val onepass = norm(TypedDecimation.decimateSorted(df, 10 * S)
         .withColumnRenamed("first", "_f"))
       assert(declarative == onepass, s"$layout")
+      // skew path: 25 s chunks cut across the 10 s windows
+      val chunked = norm(TypedDecimation.decimateChunked(
+        Samples.monotonicDedup(df), 10 * S, 25 * S))
+      assert(declarative == chunked, s"chunked $layout")
     }
   }
 
