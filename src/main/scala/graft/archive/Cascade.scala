@@ -137,9 +137,20 @@ object Cascade {
     val bounds = wm.select(col("channel").as("_c"),
       col("last_src_ts"), col("resume_ts"))
 
-    val src = ArchiveStore.read(spark, storePath, source, globalMin)
+    val clipped = ArchiveStore.read(spark, storePath, source, globalMin)
       .join(broadcast(bounds), col("channel") === col("_c"), "left")
       .where(col("resume_ts").isNull || col("ts") >= col("resume_ts"))
+    // channels with no watermark yet (first seen after the last run)
+    // need their FULL history — the global partition clip above would
+    // silently truncate them, so they get a dedicated unclipped read
+    val newChannels = clipped.where(col("resume_ts").isNull)
+      .select("channel").distinct().collect().map(_.getString(0))
+    val src =
+      if (newChannels.isEmpty || globalMin.isEmpty) clipped
+      else clipped.where(col("resume_ts").isNotNull)
+        .unionByName(ArchiveStore.read(spark, storePath, source)
+          .where(col("channel").isin(newChannels.toSeq: _*))
+          .join(broadcast(bounds), col("channel") === col("_c"), "left"))
 
     val dec = hop(src.drop("_c", "last_src_ts", "resume_ts"),
         source, targetSec)

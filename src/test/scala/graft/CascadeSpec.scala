@@ -49,12 +49,22 @@ class CascadeSpec extends AnyFunSuite {
 
   test("incremental catch-up equals a from-scratch materialize") {
     import spark.implicits._
-    val raw = Samples.fromEvents(spark, "/root/testdata/sf0.001")
-      .cache()
-    val cut = raw.agg(org.apache.spark.sql.functions.expr(
+    val events = Samples.fromEvents(spark, "/root/testdata/sf0.001")
+    val cut = events.agg(org.apache.spark.sql.functions.expr(
       "percentile(ts, 0.6)")).head.getDouble(0).toLong
-    val first = raw.where($"ts" <= cut)
-    val rest = Samples.monotonicDedup(raw).where($"ts" > cut)
+    // a channel first seen only AFTER the initial build, with history
+    // predating every existing watermark — must not be clipped away
+    val late = Seq(
+      ("latecomer", cut - 40L * 1000000000L, 1.0, "", 0, 0, 900001L),
+      ("latecomer", cut + 10L * 1000000000L, 2.0, "", 0, 0, 900002L),
+      ("latecomer", cut + 700L * 1000000000L, 3.0, "", 0, 0, 900003L))
+      .toDF("channel", "ts", "value", "str_value", "severity", "status",
+        "sample_id")
+      .withColumn("ts_raw", $"ts")
+    val raw = events.unionByName(late).cache()
+    val first = events.where($"ts" <= cut)
+    val rest = Samples.monotonicDedup(raw).where($"ts" > cut ||
+      $"channel" === "latecomer")
 
     // incremental: build on the first 60%, append the rest, catch up
     val inc = Files.createTempDirectory("casinc").toString
