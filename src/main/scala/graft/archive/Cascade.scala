@@ -110,6 +110,39 @@ object Cascade {
     }
   }
 
+  /** Typed cascade materialization: raw typed samples and every
+    * decimation level as typed stores, each level decimating the
+    * previous through the full 21-type dispatch
+    * ([[TypedDecimation.asTypedSamples]] is the hop conversion —
+    * aggregated windows re-enter weighted by their covered fraction,
+    * pick-first windows as their payload). Enum, array, and string
+    * channels thus cascade with the same semantics the live typed
+    * stream applies.
+    */
+  def materializeTyped(spark: SparkSession, storePath: String,
+                       typedRaw: DataFrame, levelsSec: Seq[Long]): Unit = {
+    ArchiveStore.write(Samples.monotonicDedup(typedRaw), storePath, 0)
+    var done = List(0L)
+    for (target <- levelsSec.sorted) {
+      val source = Decimation.selectSourcePeriod(target, done)
+      val src =
+        if (source == 0L) ArchiveStore.read(spark, storePath, 0L)
+        else TypedDecimation.asTypedSamples(
+          fromTypedStore(ArchiveStore.read(spark, storePath, source)))
+      ArchiveStore.write(
+        asTypedStoreRows(TypedDecimation.decimate(src, target * Samples.NS)),
+        storePath, target)
+      done ::= target
+    }
+  }
+
+  /** Typed decimated rows keyed for the store (win_start → ts). */
+  private def asTypedStoreRows(decimated: DataFrame): DataFrame =
+    decimated.withColumnRenamed("win_start", "ts")
+
+  private def fromTypedStore(stored: DataFrame): DataFrame =
+    stored.withColumnRenamed("ts", "win_start")
+
   /** §3.3 incremental catch-up: extend one materialized level over
     * source data that arrived since the last run. Reads only source
     * rows at-or-after each channel's `resume_ts` (the global minimum

@@ -76,6 +76,35 @@ object TypedDecimation {
       .toDF()
   }
 
+  /** Convert decimation output back into a typed sample frame (the
+    * batch analog of [[TypedDecimatorCore.asInput]]): aggregated
+    * windows become aggregated_* input samples stamped at the window
+    * start, pick-first windows re-enter as their first sample's
+    * payload. Feeding this to [[decimate]] at a coarser period is the
+    * typed cascade hop (A8); storing it persists a typed decimation
+    * level.
+    */
+  def asTypedSamples(decimated: DataFrame): DataFrame = {
+    val isAgg = col("vtype").startsWith("aggregated_")
+    decimated.select(
+      col("channel"), col("win_start").as("ts"), col("vtype"),
+      col("first_value").as("value"), col("first_str").as("str_value"),
+      col("enum_value"), col("labels"), col("arr_num"), col("arr_str"),
+      when(isAgg, col("mean")).as("agg_mean"),
+      when(isAgg, col("std")).as("agg_std"),
+      when(isAgg, col("min_value")).as("agg_min"),
+      when(isAgg, col("max_value")).as("agg_max"),
+      when(isAgg, col("covered_fraction")).as("agg_cov"),
+      coalesce(col("max_severity"), col("severity")).as("severity"),
+      coalesce(col("status_at_max"), col("status")).as("status"),
+      col("meta_units"), col("meta_precision"),
+      col("meta_display_low"), col("meta_display_high"),
+      col("meta_warn_low"), col("meta_warn_high"),
+      col("meta_alarm_low"), col("meta_alarm_high"),
+      col("meta_control_low"), col("meta_control_high"),
+      col("win_start").as("sample_id"))
+  }
+
   private def rankExpr(c: Column): Column =
     TypedSamples.TypeRank.foldLeft(lit(-1)) { case (acc, (tag, r)) =>
       when(c === tag, lit(r)).otherwise(acc)

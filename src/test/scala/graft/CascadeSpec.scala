@@ -47,6 +47,54 @@ class CascadeSpec extends AnyFunSuite {
     assert(checked > 100)
   }
 
+  test("typed cascade materializes all levels and agrees with direct typed decimation") {
+    val typed = graft.core.TypedSamples.fromEvents(spark, "/root/testdata/sf0.001")
+    val store = Files.createTempDirectory("tcascade").toString
+    Cascade.materializeTyped(spark, store, typed, Seq(3600L, 21600L))
+
+    for (l <- Seq(0L, 3600L, 21600L))
+      assert(ArchiveStore.read(spark, store, l).count() > 0, s"level $l empty")
+
+    // the full union survives the cascade: enum/string/array windows
+    // present at the fine level alongside aggregated ones
+    val fineTags = ArchiveStore.read(spark, store, 3600L)
+      .select("vtype").distinct().collect().map(_.getString(0)).toSet
+    assert(fineTags.exists(_.startsWith("aggregated_")), s"$fineTags")
+    assert(fineTags.contains("scalar_enum") || fineTags.contains("scalar_string"),
+      s"$fineTags")
+
+    // merge-law equality holds on HOMOGENEOUS input (mixed windows
+    // legitimately differ: the cascade dispatches per fine window like
+    // the reference's per-level decimators, while a direct coarse pass
+    // dispatches over raw slices)
+    val homog = typed.where(org.apache.spark.sql.functions.col("vtype")
+      .isin("scalar_double", "disconnected", "disabled"))
+    val store2 = Files.createTempDirectory("tcascadeh").toString
+    Cascade.materializeTyped(spark, store2, homog, Seq(3600L, 21600L))
+    val cascaded = ArchiveStore.read(spark, store2, 21600L)
+      .where(org.apache.spark.sql.functions.col("vtype")
+        .startsWith("aggregated_"))
+      .select("channel", "ts", "vtype", "mean").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getString(2), r.getDouble(3))).toMap
+    val direct = graft.archive.TypedDecimation
+      .decimate(homog, 21600L * Samples.NS)
+      .where(org.apache.spark.sql.functions.col("vtype")
+        .startsWith("aggregated_"))
+      .select("channel", "win_start", "vtype", "mean").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getString(2), r.getDouble(3))).toMap
+    val common = cascaded.keySet.intersect(direct.keySet)
+    assert(common.size > direct.size / 2, s"${common.size} of ${direct.size}")
+    var checked = 0
+    for (k <- common if cascaded(k)._1 == direct(k)._1) {
+      assert(math.abs(cascaded(k)._2 - direct(k)._2) < 1e-6,
+        s"mean at $k: ${cascaded(k)} vs ${direct(k)}")
+      checked += 1
+    }
+    assert(checked > 20, s"only $checked windows compared")
+  }
+
   test("incremental catch-up equals a from-scratch materialize") {
     import spark.implicits._
     val events = Samples.fromEvents(spark, "/root/testdata/sf0.001")
