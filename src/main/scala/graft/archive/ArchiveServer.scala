@@ -139,21 +139,31 @@ object ArchiveServer {
     * streamed via `toLocalIterator` like the scalar path.
     */
   def serveJsonTyped(spark: SparkSession, storePath: String,
-                     channel: String, startNs: Long,
-                     endNs: Long): Iterator[String] = {
-    val base = ArchiveStore.read(spark, storePath, 0L,
+                     channel: String, startNs: Long, endNs: Long,
+                     levelSec: Long = 0L): Iterator[String] = {
+    val base = ArchiveStore.read(spark, storePath, levelSec,
         Some(startNs), Some(endNs))
       .where(col("channel") === channel)
     val inner = base.where(col("ts") > startNs && col("ts") < endNs)
-    val lower = boundaryProbe(spark, storePath, 0L, channel,
+    val lower = boundaryProbe(spark, storePath, levelSec, channel,
       startNs, forward = false)
-    val upper = boundaryProbe(spark, storePath, 0L, channel,
+    val upper = boundaryProbe(spark, storePath, levelSec, channel,
       endNs, forward = true)
     val widened = (Seq(inner) ++ lower ++ upper)
       .reduce(_ unionByName _)
       .dropDuplicates("channel", "ts")
       .orderBy("ts")
-    JsonV1.serializeTyped(widened).select("json").toLocalIterator()
+    // decimated levels store the typed union too (the typed cascade,
+    // Cascade.materializeTyped) but in decimation-output shape:
+    // convert to sample shape (aggregated windows → aggregated_*
+    // samples, pick-first windows → their payload) and serve as
+    // quality "Interpolated" per the reference's decimated contract
+    val samples =
+      if (levelSec == 0L) widened
+      else TypedDecimation.asTypedSamples(
+        widened.withColumnRenamed("ts", "win_start"))
+    JsonV1.serializeTyped(samples, original = levelSec == 0L)
+      .select("json").toLocalIterator()
       .asScala.map(_.getString(0))
   }
 }

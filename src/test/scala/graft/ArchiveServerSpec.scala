@@ -127,6 +127,19 @@ class ArchiveServerSpec extends AnyFunSuite {
     assert(firstTs <= lo)
   }
 
+  test("typed decimated level serves Interpolated minMaxDouble samples") {
+    val dir = Files.createTempDirectory("typedcascserve").toString
+    val typed = graft.core.TypedSamples.fromEvents(spark, "/root/testdata/sf0.001")
+    graft.archive.Cascade.materializeTyped(spark, dir, typed, Seq(3600L))
+    val lo = T0 + 10L * 86400L * NS
+    val out = ArchiveServer.serveJsonTyped(spark, dir, "click", lo,
+      lo + 2L * 86400L * NS, levelSec = 3600L).toSeq
+    assert(out.nonEmpty)
+    assert(out.forall(_.contains("\"quality\":\"Interpolated\"")))
+    assert(out.exists(_.contains("\"type\":\"minMaxDouble\"")))
+    assert(out.exists(_.contains("\"minimum\":")))
+  }
+
   test("boundary probe returns None when no history exists behind t") {
     val dir = Files.createTempDirectory("emptyprobe").toString
     import spark.implicits._
