@@ -69,12 +69,13 @@ object Cascade {
 
   private def writeWatermarks(spark: SparkSession, storePath: String,
                               targetSec: Long, source: DataFrame,
-                              sourceSec: Long): Unit = {
+                              sourceSec: Long,
+                              heldSource: Boolean = false): Unit = {
     val targetP = targetSec * Samples.NS
     val last = source.groupBy("channel")
       .agg(max(col("ts")).as("last_src_ts"))
     val wm =
-      if (sourceSec == 0L) {
+      if (sourceSec == 0L || heldSource) {
         val w0 = Samples.windowStart(col("last_src_ts"), targetP)
         val held = source
           .join(broadcast(last.select(col("channel").as("_c"),
@@ -125,13 +126,14 @@ object Cascade {
     var done = List(0L)
     for (target <- levelsSec.sorted) {
       val source = Decimation.selectSourcePeriod(target, done)
-      val src =
-        if (source == 0L) ArchiveStore.read(spark, storePath, 0L)
-        else TypedDecimation.asTypedSamples(
-          fromTypedStore(ArchiveStore.read(spark, storePath, source)))
-      ArchiveStore.write(
-        asTypedStoreRows(TypedDecimation.decimate(src, target * Samples.NS)),
+      val src = ArchiveStore.read(spark, storePath, source)
+      ArchiveStore.write(asTypedStoreRows(typedHop(src, source, target)),
         storePath, target)
+      // typed samples hold-last-value at EVERY level (the fine
+      // aggregated sample is held until the next fine sample), so the
+      // resume watermark always needs the held-boundary logic
+      writeWatermarks(spark, storePath, target, src, source,
+        heldSource = true)
       done ::= target
     }
   }
@@ -155,7 +157,32 @@ object Cascade {
     * (ArchivedChannelDecimatedSamplesDecimationLevel.java:396-401).
     */
   def catchUp(spark: SparkSession, storePath: String,
-              targetSec: Long): Unit = {
+              targetSec: Long): Unit =
+    catchUpImpl(spark, storePath, targetSec, hop, asStoreRows)
+
+  /** [[catchUp]] for typed-union stores built by [[materializeTyped]]:
+    * identical watermark machinery (the resume math is ts-based and
+    * type-agnostic), typed dispatch in the hop.
+    */
+  def catchUpTyped(spark: SparkSession, storePath: String,
+                   targetSec: Long): Unit =
+    catchUpImpl(spark, storePath, targetSec, typedHop, asTypedStoreRows,
+      heldSource = true)
+
+  private def typedHop(source: DataFrame, sourceSec: Long,
+                       targetSec: Long): DataFrame =
+    if (sourceSec == 0L)
+      TypedDecimation.decimate(source, targetSec * Samples.NS)
+    else
+      TypedDecimation.decimate(
+        TypedDecimation.asTypedSamples(fromTypedStore(source)),
+        targetSec * Samples.NS)
+
+  private def catchUpImpl(spark: SparkSession, storePath: String,
+                          targetSec: Long,
+                          hopFn: (DataFrame, Long, Long) => DataFrame,
+                          toStore: DataFrame => DataFrame,
+                          heldSource: Boolean = false): Unit = {
     val levels = spark.read.option("mergeSchema", "true").parquet(storePath)
       .select(col("level").cast("long")).distinct()
       .collect().map(_.getLong(0)).filter(_ != targetSec).toSeq
@@ -185,14 +212,14 @@ object Cascade {
           .where(col("channel").isin(newChannels.toSeq: _*))
           .join(broadcast(bounds), col("channel") === col("_c"), "left"))
 
-    val dec = hop(src.drop("_c", "last_src_ts", "resume_ts"),
+    val dec = hopFn(src.drop("_c", "last_src_ts", "resume_ts"),
         source, targetSec)
       .join(broadcast(bounds), col("channel") === col("_c"), "left")
       .where(col("last_src_ts").isNull ||
         col("win_start") + targetP > col("last_src_ts"))
       .drop("_c", "last_src_ts", "resume_ts")
-    ArchiveStore.write(asStoreRows(dec), storePath, targetSec)
+    ArchiveStore.write(toStore(dec), storePath, targetSec)
     writeWatermarks(spark, storePath, targetSec,
-      ArchiveStore.read(spark, storePath, source), source)
+      ArchiveStore.read(spark, storePath, source), source, heldSource)
   }
 }

@@ -95,6 +95,36 @@ class CascadeSpec extends AnyFunSuite {
     assert(checked > 20, s"only $checked windows compared")
   }
 
+  test("typed incremental catch-up equals a from-scratch typed materialize") {
+    import spark.implicits._
+    val typed = graft.core.TypedSamples
+      .fromEvents(spark, "/root/testdata/sf0.001").cache()
+    val cut = typed.agg(org.apache.spark.sql.functions.expr(
+      "percentile(ts, 0.6)")).head.getDouble(0).toLong
+    val first = typed.where($"ts" <= cut)
+    val rest = Samples.monotonicDedup(typed).where($"ts" > cut)
+
+    val inc = Files.createTempDirectory("tcasinc").toString
+    Cascade.materializeTyped(spark, inc, first, Seq(3600L))
+    ArchiveStore.write(rest, inc, 0)
+    Cascade.catchUpTyped(spark, inc, 3600L)
+
+    val full = Files.createTempDirectory("tcasfull").toString
+    Cascade.materializeTyped(spark, full, typed, Seq(3600L))
+
+    def dump(p: String) = ArchiveStore.read(spark, p, 3600L)
+      .select("channel", "ts", "vtype", "mean", "n_samples").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getString(2),
+          if (r.isNullAt(3)) Long.MinValue else math.round(r.getDouble(3) * 1e9),
+          r.getLong(4))).toMap
+    val (a, b) = (dump(inc), dump(full))
+    assert(a.keySet == b.keySet, s"window sets differ: " +
+      s"only-inc=${(a.keySet -- b.keySet).take(3)} " +
+      s"only-full=${(b.keySet -- a.keySet).take(3)}")
+    for (k <- a.keySet) assert(a(k) == b(k), s"at $k: ${a(k)} vs ${b(k)}")
+  }
+
   test("incremental catch-up equals a from-scratch materialize") {
     import spark.implicits._
     val events = Samples.fromEvents(spark, "/root/testdata/sf0.001")
