@@ -252,23 +252,43 @@ object OracleSql {
          |SELECT channel, win AS win_start, str_value AS first_value, ts AS source_ts
          |FROM sl WHERE lo = win ORDER BY channel, win_start""".stripMargin,
 
+    // Engine-exact mirror of Decimation.reAggregateExact: fine values
+    // quantized to the 6dp grid (proven identical cross-engine by the
+    // arch_decimate_1h gate), mean/covered_fraction via integer
+    // half-up division (bit-identical on any engine), std via IEEE
+    // double ops on the same integers.
     "arch_reagg_6h" ->
       s"""${decPrelude(P1H)},
+         |q AS (
+         |  SELECT channel, win_start,
+         |    CAST(round(round(mean, 6) * 1000000.0) AS BIGINT) AS m6,
+         |    CAST(round(round(std, 6) * 1000000.0) AS BIGINT) AS s6,
+         |    CAST(round(round(covered_fraction, 6) * 1000000.0) AS BIGINT) AS cf6,
+         |    min_value, max_value, n_samples
+         |  FROM dec),
          |re AS (
          |  SELECT channel, win_start - (win_start % $P6H) AS win_start,
-         |    CAST(sum(CAST(($P1H.0 * covered_fraction) * mean AS DECIMAL(38,12))) AS DOUBLE) AS sum_wm,
-         |    CAST(sum(CAST(($P1H.0 * covered_fraction) * (std * std + mean * mean) AS DECIMAL(38,12))) AS DOUBLE) AS sum_wm2,
-         |    CAST(sum(CAST($P1H.0 * covered_fraction AS DECIMAL(38,12))) AS DOUBLE) AS sum_w,
+         |    sum(cf6 * m6) AS num_m,
+         |    sum(cf6) AS den,
+         |    sum(CAST(cf6 AS HUGEINT) * (CAST(s6 AS HUGEINT) * s6 + CAST(m6 AS HUGEINT) * m6)) AS num_v,
          |    min(min_value) AS min_value, max(max_value) AS max_value,
          |    sum(n_samples) AS n_samples
-         |  FROM dec GROUP BY 1, 2)
+         |  FROM q GROUP BY 1, 2)
          |SELECT channel, win_start,
-         |  round(sum_wm / sum_w, 6) AS mean,
-         |  round(CASE WHEN (sum_wm2 / sum_w - (sum_wm / sum_w) * (sum_wm / sum_w)) < 1e-9
-         |        THEN 0.0
-         |        ELSE sqrt(sum_wm2 / sum_w - (sum_wm / sum_w) * (sum_wm / sum_w)) END, 6) AS std,
+         |  CASE WHEN den = 0 THEN NULL
+         |       WHEN num_m >= 0 THEN CAST((num_m * 2 + den) // (den * 2) AS DOUBLE) / 1000000.0
+         |       ELSE -CAST((-(num_m * 2) + den) // (den * 2) AS DOUBLE) / 1000000.0 END AS mean,
+         |  CASE WHEN den = 0 THEN NULL ELSE
+         |    round(CASE WHEN (CAST(num_v AS DOUBLE) / (CAST(den AS DOUBLE) * 1000000000000.0)
+         |                     - (CAST(num_m AS DOUBLE) / CAST(den AS DOUBLE) / 1000000.0)
+         |                     * (CAST(num_m AS DOUBLE) / CAST(den AS DOUBLE) / 1000000.0)) < 1e-9
+         |          THEN 0.0
+         |          ELSE sqrt(CAST(num_v AS DOUBLE) / (CAST(den AS DOUBLE) * 1000000000000.0)
+         |                     - (CAST(num_m AS DOUBLE) / CAST(den AS DOUBLE) / 1000000.0)
+         |                     * (CAST(num_m AS DOUBLE) / CAST(den AS DOUBLE) / 1000000.0)) END, 6) END AS std,
          |  min_value, max_value,
-         |  round(sum_w / $P6H.0, 6) AS covered_fraction, n_samples
+         |  CAST((den * 2 + 6) // 12 AS DOUBLE) / 1000000.0 AS covered_fraction,
+         |  n_samples
          |FROM re ORDER BY channel, win_start""".stripMargin,
 
     "arch_asof_lookup" ->

@@ -235,11 +235,14 @@ object SparkEntry {
           .orderBy("channel", "sample_id"))
         .select(col("channel"), col("sample_id"), col("json"))),
 
+    // Gated through the engine-exact merge (see reAggregateExact's
+    // scaladoc): full-precision merges amplify library-level half-ULP
+    // engine differences into 6dp digit flips; the exact variant's
+    // integer half-up arithmetic is bit-identical on any engine.
+    // DecimationSpec pins reAggregateExact ≡ reAggregate at 6dp.
     "arch_reagg_6h" -> ((s, dir) =>
-      Decimation.reAggregate(Decimation.decimate(marked(s, dir), P1H), P1H, P6H)
-        .select(col("channel"), col("win_start"), r6("mean"), r6("std"),
-          col("min_value"), col("max_value"), r6("covered_fraction"),
-          col("n_samples"))
+      Decimation.reAggregateExact(
+        Decimation.decimate(marked(s, dir), P1H), P1H, P6H)
         .orderBy("channel", "win_start")),
 
     "arch_asof_lookup" -> ((s, dir) => {

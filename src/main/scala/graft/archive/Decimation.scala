@@ -312,6 +312,64 @@ object Decimation {
         sum(col("n_samples")).as("n_samples"))
   }
 
+  /** Engine-exact variant of [[reAggregate]] for oracle gating: fine
+    * inputs are quantized to the 6dp grid (the precision the
+    * `arch_decimate_1h` gate already proves identical across engines),
+    * and the two output columns whose rounding can land on exact
+    * decimal ties — mean and covered_fraction — are computed with
+    * integer half-up division, so ANY engine produces bit-identical
+    * doubles. std goes through the usual double path: sqrt outputs are
+    * never systematically at a 6dp tie. Semantics are reAggregate's;
+    * outputs are pre-rounded to 6dp. Production cascades use
+    * [[reAggregate]] (full precision); this exists because a
+    * full-precision merge amplifies library-level half-ULP differences
+    * between engines into 6dp digit flips at the comparison edge.
+    */
+  def reAggregateExact(decimated: DataFrame, sourcePeriodNanos: Long,
+                       targetPeriodNanos: Long): DataFrame = {
+    require(targetPeriodNanos % sourcePeriodNanos == 0,
+      s"source period $sourcePeriodNanos must divide target $targetPeriodNanos")
+    val k = targetPeriodNanos / sourcePeriodNanos
+    val micro = (c: Column) => round(round(c, 6) * lit(1e6)).cast("long")
+    // exact integer division for non-negative operands (the double
+    // division is of an exact multiple, so no rounding can occur)
+    val intDiv = (a: Column, b: Column) => ((a - pmod(a, b)) / b).cast("long")
+    // round-half-away-from-zero of n/d as an integer, d > 0
+    val halfUp = (n: Column, d: Column) =>
+      when(n >= 0, intDiv(n * 2 + d, d * 2))
+        .otherwise(-intDiv(-(n * 2) + d, d * 2))
+    val dec20 = (c: Column) => c.cast("decimal(20,0)")
+    val q = decimated.select(col("channel"), col("win_start"),
+      micro(col("mean")).as("m6"), micro(col("std")).as("s6"),
+      micro(col("covered_fraction")).as("cf6"),
+      col("min_value"), col("max_value"), col("n_samples"))
+    val agg = q.groupBy(col("channel"),
+        Samples.windowStart(col("win_start"), targetPeriodNanos).as("win_start"))
+      .agg(
+        sum(col("cf6") * col("m6")).as("num_m"),
+        sum(col("cf6")).as("den"),
+        // cf6·(s6²+m6²) exceeds 2^63 — exact via decimal
+        sum(dec20(col("cf6")) *
+          dec20(col("s6") * col("s6") + col("m6") * col("m6"))).as("num_v"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"),
+        sum(col("n_samples")).as("n_samples"))
+    val md = col("num_m").cast("double") / col("den").cast("double") / lit(1e6)
+    val varr = col("num_v").cast("double") /
+      (col("den").cast("double") * lit(1e12)) - md * md
+    agg.select(
+      col("channel"), col("win_start"),
+      when(col("den") === 0, lit(null).cast("double"))
+        .otherwise(halfUp(col("num_m"), col("den")).cast("double") / lit(1e6))
+        .as("mean"),
+      when(col("den") === 0, lit(null).cast("double"))
+        .otherwise(round(when(varr < lit(1e-9), lit(0.0)).otherwise(sqrt(varr)), 6))
+        .as("std"),
+      col("min_value"), col("max_value"),
+      (halfUp(col("den"), lit(k)).cast("double") / lit(1e6)).as("covered_fraction"),
+      col("n_samples"))
+  }
+
   /** [[reAggregate]] with the flush-on-crossing rule applied at the
     * coarse level: a coarse window is emitted only when a fine window
     * at-or-after its end exists (the same gate the live cascade uses,

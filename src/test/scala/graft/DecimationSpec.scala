@@ -94,6 +94,24 @@ class DecimationSpec extends AnyFunSuite {
     }
   }
 
+  test("reAggregateExact agrees with reAggregate at the 6dp gate precision") {
+    val rows = (0L until 63L).map(t => t -> (if (t % 17 == 0) None
+      else Some(math.sin(t.toDouble) * 10 + 50)))
+    val samples = frame(rows)
+    val fine = Decimation.decimate(samples, P10)
+    val exact = decMap(Decimation.reAggregateExact(fine, P10, 3 * P10))
+    val plain = decMap(Decimation.reAggregate(fine, P10, 3 * P10))
+    assert(exact.keySet == plain.keySet)
+    exact.keySet.foreach { k =>
+      // exact outputs are pre-rounded to 6dp; inputs were quantized to
+      // the same grid, so agreement is within one 6dp quantum
+      assert(math.abs(exact(k)._1 - plain(k)._1) < 2e-6, s"mean at $k")
+      assert(math.abs(exact(k)._2 - plain(k)._2) < 2e-6, s"std at $k")
+      assert(math.abs(exact(k)._3 - plain(k)._3) < 2e-6, s"cov at $k")
+      assert(exact(k)._4 == plain(k)._4, s"n at $k")
+    }
+  }
+
   test("monotonic dedup drops out-of-order arrivals per channel") {
     val df = Seq(
       ("c", 10L, 1.0, "a", 0, 0, 0L),
