@@ -67,31 +67,43 @@ object Cascade {
   private def watermarkPath(storePath: String, levelSec: Long) =
     s"$storePath/_watermarks/level_$levelSec"
 
-  private def writeWatermarks(spark: SparkSession, storePath: String,
-                              targetSec: Long, source: DataFrame,
-                              sourceSec: Long,
-                              heldSource: Boolean = false): Unit = {
+  /** The watermark frame for `source` rows: per-channel frontier and
+    * resume point (see [[watermarkPath]] docs above).
+    */
+  private def computeWatermarks(source: DataFrame, targetSec: Long,
+                                sourceSec: Long,
+                                heldSource: Boolean): DataFrame = {
     val targetP = targetSec * Samples.NS
     val last = source.groupBy("channel")
       .agg(max(col("ts")).as("last_src_ts"))
-    val wm =
-      if (sourceSec == 0L || heldSource) {
-        val w0 = Samples.windowStart(col("last_src_ts"), targetP)
-        val held = source
-          .join(broadcast(last.select(col("channel").as("_c"),
-            col("last_src_ts"))), col("channel") === col("_c"))
-          .where(col("ts") < Samples.windowStart(col("last_src_ts"), targetP))
-          .groupBy("channel").agg(max(col("ts")).as("_held_ts"))
-        last.join(held, Seq("channel"), "left")
-          .select(col("channel"), col("last_src_ts"),
-            coalesce(col("_held_ts"), w0).as("resume_ts"))
-      } else
-        last.select(col("channel"), col("last_src_ts"),
-          (col("last_src_ts") - targetP).as("resume_ts"))
+    if (sourceSec == 0L || heldSource) {
+      val w0 = Samples.windowStart(col("last_src_ts"), targetP)
+      val held = source
+        .join(broadcast(last.select(col("channel").as("_c"),
+          col("last_src_ts"))), col("channel") === col("_c"))
+        .where(col("ts") < Samples.windowStart(col("last_src_ts"), targetP))
+        .groupBy("channel").agg(max(col("ts")).as("_held_ts"))
+      last.join(held, Seq("channel"), "left")
+        .select(col("channel"), col("last_src_ts"),
+          coalesce(col("_held_ts"), w0).as("resume_ts"))
+    } else
+      last.select(col("channel"), col("last_src_ts"),
+        (col("last_src_ts") - targetP).as("resume_ts"))
+  }
+
+  private def persistWatermarks(wm: DataFrame, storePath: String,
+                                targetSec: Long): Unit =
     wm.coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(watermarkPath(storePath, targetSec))
-  }
+
+  private def writeWatermarks(spark: SparkSession, storePath: String,
+                              targetSec: Long, source: DataFrame,
+                              sourceSec: Long,
+                              heldSource: Boolean = false): Unit =
+    persistWatermarks(
+      computeWatermarks(source, targetSec, sourceSec, heldSource),
+      storePath, targetSec)
 
   /** Write raw samples and materialize every level in `levelsSec`
     * (ascending), cascading from the best available source; persists
@@ -200,11 +212,20 @@ object Cascade {
     val clipped = ArchiveStore.read(spark, storePath, source, globalMin)
       .join(broadcast(bounds), col("channel") === col("_c"), "left")
       .where(col("resume_ts").isNull || col("ts") >= col("resume_ts"))
-    // channels with no watermark yet (first seen after the last run)
-    // need their FULL history — the global partition clip above would
-    // silently truncate them, so they get a dedicated unclipped read
-    val newChannels = clipped.where(col("resume_ts").isNull)
-      .select("channel").distinct().collect().map(_.getString(0))
+    // Channels with no watermark yet (first seen after the last run)
+    // need their FULL history. Detect them against the source level's
+    // channel set — NOT against `clipped`: a new channel whose entire
+    // history predates the global clip is absent from the clipped read,
+    // and deriving "new" from it would silently skip that history and
+    // then watermark it as processed. The channel-column distinct is a
+    // column-pruned, dictionary-backed scan (a channel-registry lookup
+    // in a deployment that maintains one).
+    val seen = wmRows.map(_.getAs[String]("channel")).toSet
+    val newChannels =
+      if (globalMin.isEmpty) Array.empty[String]
+      else ArchiveStore.read(spark, storePath, source)
+        .select("channel").distinct()
+        .collect().map(_.getString(0)).filterNot(seen)
     val src =
       if (newChannels.isEmpty || globalMin.isEmpty) clipped
       else clipped.where(col("resume_ts").isNotNull)
@@ -212,14 +233,31 @@ object Cascade {
           .where(col("channel").isin(newChannels.toSeq: _*))
           .join(broadcast(bounds), col("channel") === col("_c"), "left"))
 
-    val dec = hopFn(src.drop("_c", "last_src_ts", "resume_ts"),
-        source, targetSec)
+    val suffix = src.drop("_c", "last_src_ts", "resume_ts")
+    val dec = hopFn(suffix, source, targetSec)
       .join(broadcast(bounds), col("channel") === col("_c"), "left")
       .where(col("last_src_ts").isNull ||
         col("win_start") + targetP > col("last_src_ts"))
       .drop("_c", "last_src_ts", "resume_ts")
     ArchiveStore.write(toStore(dec), storePath, targetSec)
-    writeWatermarks(spark, storePath, targetSec,
-      ArchiveStore.read(spark, storePath, source), source, heldSource)
+
+    // New watermarks WITHOUT rescanning the full source level: the
+    // suffix starts at each present channel's old resume point, so its
+    // per-channel stats (frontier, held boundary) are complete for
+    // every channel it contains; channels with no new data keep their
+    // old row verbatim.
+    val spark2 = suffix.sparkSession
+    import scala.jdk.CollectionConverters._
+    val oldWm = spark2.createDataFrame(wmRows.toSeq.asJava, wm.schema)
+      .select(col("channel").as("_oc"), col("last_src_ts").as("_ol"),
+        col("resume_ts").as("_or"))
+    val suffixWm = computeWatermarks(suffix, targetSec, source, heldSource)
+    val merged = suffixWm
+      .join(oldWm, col("channel") === col("_oc"), "full_outer")
+      .select(
+        coalesce(col("channel"), col("_oc")).as("channel"),
+        coalesce(col("last_src_ts"), col("_ol")).as("last_src_ts"),
+        coalesce(col("resume_ts"), col("_or")).as("resume_ts"))
+    persistWatermarks(merged, storePath, targetSec)
   }
 }

@@ -135,14 +135,20 @@ class CascadeSpec extends AnyFunSuite {
     val late = Seq(
       ("latecomer", cut - 40L * 1000000000L, 1.0, "", 0, 0, 900001L),
       ("latecomer", cut + 10L * 1000000000L, 2.0, "", 0, 0, 900002L),
-      ("latecomer", cut + 700L * 1000000000L, 3.0, "", 0, 0, 900003L))
+      ("latecomer", cut + 700L * 1000000000L, 3.0, "", 0, 0, 900003L),
+      // a channel whose ENTIRE history predates every existing
+      // watermark's resume point: absent from the clipped read, it must
+      // still be detected as new (and not silently watermarked as done)
+      ("ancient", cut - 5000L * 1000000000L, 4.0, "", 0, 0, 900004L),
+      ("ancient", cut - 4000L * 1000000000L, 5.0, "", 0, 0, 900005L),
+      ("ancient", cut - 3000L * 1000000000L, 6.0, "", 0, 0, 900006L))
       .toDF("channel", "ts", "value", "str_value", "severity", "status",
         "sample_id")
       .withColumn("ts_raw", $"ts")
     val raw = events.unionByName(late).cache()
     val first = events.where($"ts" <= cut)
     val rest = Samples.monotonicDedup(raw).where($"ts" > cut ||
-      $"channel" === "latecomer")
+      $"channel".isin("latecomer", "ancient"))
 
     // incremental: build on the first 60%, append the rest, catch up
     val inc = Files.createTempDirectory("casinc").toString
