@@ -42,8 +42,11 @@ object ArchiveStore {
   /** Unified store schema per path, resolved once with mergeSchema and
     * reused by every subsequent read — a query (or a walk-back probe
     * sequence) must not pay a footer scan of every file just to learn
-    * the column set. Writes invalidate the entry (a new level can add
-    * stat columns). A catalog-backed table (Delta/Iceberg) declares
+    * the column set. Writes THROUGH THIS JVM invalidate the entry (a
+    * new level can add stat columns); the cache assumes a
+    * single-writer deployment. An external writer that adds columns
+    * must be followed by [[refreshSchema]] in every reader driver —
+    * there is no TTL. A catalog-backed table (Delta/Iceberg) declares
     * the schema outright; this cache is the raw-parquet analog.
     */
   private val schemaCache =
@@ -54,6 +57,13 @@ object ArchiveStore {
       p => spark.read.option("mergeSchema", "true").parquet(p).schema)
 
   private def invalidate(path: String): Unit = schemaCache.remove(path)
+
+  /** Drop the cached merged schema for `path` (or every path), forcing
+    * the next read to re-resolve it — the escape hatch for multi-writer
+    * deployments where another process may have added columns.
+    */
+  def refreshSchema(path: String): Unit = invalidate(path)
+  def refreshAllSchemas(): Unit = schemaCache.clear()
 
   /** S9 — append samples for one decimation level. `repartition` by
     * the partition key + channel hash spreads writers; sortWithin

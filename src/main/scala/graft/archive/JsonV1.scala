@@ -119,12 +119,17 @@ object JsonV1 {
       numericMeta(lit(0)).as("metaData"),
       lit("double").as("type"),
       doubleValues.as("value")): _*))
+    // enum arrays carry their elements in arr_num (the long-element
+    // payload family, like array_char/short/long)
+    val enumValues =
+      when(col("enum_value").isNotNull, array(col("enum_value").cast("long")))
+        .otherwise(transform(col("arr_num"), _.cast("long")))
     val enumJson = to_json(struct(common(lit(true)) ++ Seq(
       when(col("labels").isNotNull,
         struct(lit("enum").as("type"), col("labels").as("states")))
         .as("metaData"),
       lit("enum").as("type"),
-      array(col("enum_value")).as("value")): _*))
+      enumValues.as("value")): _*))
     val stringJson = to_json(struct(common(lit(true)) ++ Seq(
       lit("string").as("type"),
       when(col("str_value").isNotNull, array(col("str_value")))
@@ -236,7 +241,8 @@ object JsonV1 {
             lit("]}")))
         .when(col("vtype").isin("scalar_enum", "array_enum"),
           concat(enumMeta, lit(",\"type\":\"enum\",\"value\":["),
-            col("enum_value").cast("string"), lit("]}")))
+            when(col("enum_value").isNotNull, lstr(col("enum_value")))
+              .otherwise(longJoin(col("arr_num"))), lit("]}")))
         .when(col("vtype").isin("scalar_string", "array_string"),
           concat(lit(",\"type\":\"string\",\"value\":["), stringVals,
             lit("]}")))

@@ -86,6 +86,22 @@ class JsonV1TypedSpec extends AnyFunSuite {
         "\"type\":\"enum\",\"value\":[3]}")
   }
 
+  test("enum array serializes all elements from the long payload family") {
+    val r = TRow("c", 12L, "array_enum",
+      arr_num = Some(Seq(2.0, 0.0, 1.0)),
+      labels = Some(Seq("off", "on", "err")),
+      severity = Some(0), status = Some(0))
+    assert(json(r).head ==
+      "{\"time\":12,\"severity\":{\"level\":\"OK\",\"hasValue\":true}," +
+        "\"status\":\"NO_ALARM\",\"quality\":\"Original\"," +
+        "\"metaData\":{\"type\":\"enum\",\"states\":[\"off\",\"on\",\"err\"]}," +
+        "\"type\":\"enum\",\"value\":[2,0,1]}")
+    // the fast concat path agrees byte-for-byte
+    val fast = JsonV1.serializeTypedFast(Seq(r.copy(sample_id = 1L)).toDF())
+      .select("json").as[String].collect().head
+    assert(fast == json(r).head)
+  }
+
   test("string samples escape payloads; string arrays serialize all elements") {
     val scalar = TRow("c", 10L, "scalar_string",
       str_value = Some("say \"hi\"\\now"), severity = Some(1),
