@@ -132,6 +132,51 @@ object OracleSqlPipeline {
          |WHERE coalesce(i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i, 0)) >= 0.15
          |ORDER BY p.doc_a, p.doc_b""".stripMargin,
 
+    // duplicate clusters over the verified near-dup pair graph:
+    // transitive closure + min-label in a recursive CTE mirrors the
+    // Spark side's hash-min label propagation (both converge to
+    // comp = min doc id of the connected component)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $TOKS,
+         |$SH3,
+         |hs AS (SELECT doc_id, ${md5HashM31Sql("shingle")} AS h FROM sh),
+         |sig AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM hs GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT p.doc_a, p.doc_b, count(*) AS i
+         |  FROM pairs p
+         |  JOIN sh a ON p.doc_a = a.doc_id
+         |  JOIN sh b ON p.doc_b = b.doc_id AND a.shingle = b.shingle
+         |  GROUP BY 1, 2),
+         |vp AS (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM pairs p
+         |  LEFT JOIN inter ON p.doc_a = inter.doc_a AND p.doc_b = inter.doc_b
+         |  JOIN cnt ca ON p.doc_a = ca.doc_id
+         |  JOIN cnt cb ON p.doc_b = cb.doc_id
+         |  WHERE coalesce(i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i, 0)) >= 0.15),
+         |und AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+         |        UNION SELECT doc_b, doc_a FROM vp),
+         |nodes AS (SELECT DISTINCT src AS id FROM und),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.id),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1),
+         |sizes AS (SELECT comp, count(*) AS cluster_size FROM comp GROUP BY 1)
+         |SELECT c.id AS doc_id, c.comp, s.cluster_size,
+         |       (c.id = c.comp) AS keep
+         |FROM comp c JOIN sizes s USING (comp)
+         |ORDER BY doc_id""".stripMargin,
+
     "dedup_simhash_pairs" ->
       s"""WITH $TOKS,
          |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
@@ -171,6 +216,39 @@ object OracleSqlPipeline {
          |JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.15
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE (('0x' || substr(md5(doc_id::VARCHAR || 'strat'), 1, 15))::BIGINT
+         |       / 1152921504606846976.0) <
+         |  CASE WHEN lang = 'fr' THEN 0.2
+         |       WHEN lang = 'de' THEN 0.3
+         |       WHEN lang = 'en' THEN 0.5
+         |       ELSE 0.1 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "sample_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN u < 0.8 THEN 'train'
+         |       WHEN u < 0.9 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |        (('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 15))::BIGINT
+         |         / 1152921504606846976.0) AS u
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "pack_greedy" ->
+      s"""WITH tn AS (
+         |  SELECT doc_id, lang,
+         |    CAST((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 4) AS INT) AS shard,
+         |    CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT doc_id, lang, shard, n_tokens,
+         |  CAST(floor(COALESCE(sum(n_tokens) OVER (
+         |    PARTITION BY lang, shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS bin
+         |FROM tn ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
       s"""WITH $TOKS,

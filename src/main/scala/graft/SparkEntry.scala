@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.archive.{ArchiveReader, ChannelRegistry, Decimation, JsonV1, TypedDecimation}
 import graft.core.{Samples, Tables, TypedSamples}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import OracleSql._
 
 /** Driver contract — one entry per implemented operator from SURVEY.md
@@ -321,10 +321,37 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
         .orderBy("doc_a", "doc_b")),
 
+    // pairwise near-dups → duplicate clusters (connected components by
+    // hash-min label propagation) + canonical representative per cluster
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.verifyCandidates(docs, Dedup.minHashCandidates(docs))
+        .where(col("jaccard") >= 0.15)
+      Dedup.duplicateClusters(pairs).orderBy("doc_id")
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir), k = 3, minJaccard = 0.15)
         .select(col("doc_a"), col("doc_b"), r6("jaccard"))
         .orderBy("doc_a", "doc_b")),
+
+    // deterministic corpus sampling / splitting / packing — hash-gated,
+    // reproducible, oracle-exact (no rand() anywhere)
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(Tables.documents(s, dir),
+          Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), defaultRate = 0.1)
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")),
+
+    "sample_split" -> ((s, dir) =>
+      Sampling.hashSplit(Tables.documents(s, dir),
+          Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
+        .select(col("doc_id"), col("split")).orderBy("doc_id")),
+
+    "pack_greedy" -> ((s, dir) =>
+      Sampling.packGreedy(Tables.documents(s, dir), budgetTokens = 512L)
+        .select(col("doc_id"), col("lang"), col("shard"),
+          col("n_tokens"), col("bin"))
+        .orderBy("doc_id")),
 
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(Tables.documents(s, dir)).orderBy("doc_id")),

@@ -175,8 +175,12 @@ object JsonV1 {
     */
   def serializeTypedFast(typed: DataFrame, original: Boolean = true): DataFrame = {
     val quality = if (original) "Original" else "Interpolated"
+    // literal substring replacement (codegen'd UTF8String search), NOT
+    // regexp_replace: every pattern here is literal and the regex path
+    // pays a java.util.regex.Matcher per row per call on the wire
+    // query's hot path
     val esc = (c: Column) =>
-      regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+      replace(replace(c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\""))
     val dstr = (c: Column) => c.cast("string")
     val lstr = (c: Column) => c.cast("long").cast("string")
     // array rendering WITHOUT higher-order functions (transform is
@@ -188,7 +192,7 @@ object JsonV1 {
     val longJoin = (c: Column) =>
       concat_ws(",", c.cast("array<long>").cast("array<string>"))
     val strJoin = (c: Column) =>
-      regexp_replace(esc(concat_ws("\u0001", c)), "\u0001", "\",\"")
+      replace(esc(concat_ws("\u0001", c)), lit("\u0001"), lit("\",\""))
     val marker = col("vtype").isin("disabled", "disconnected")
     val markerText = when(col("vtype") === "disabled", "Archive_Disabled")
       .otherwise("Disconnected")

@@ -97,7 +97,14 @@ object TypedSamples {
     // payload column — an expression blow-up that measured 5× slower.
     // CollapseProject keeps the stage split because the staged
     // expressions are non-cheap and multiply referenced.
+    // The synthetic events file is a single parquet row group, so the
+    // scan is one task no matter what maxPartitionBytes says; spread
+    // the raw rows BEFORE the 20-column typed projection or the JSON
+    // parse below runs serially (and twice, when a downstream orderBy
+    // samples for its range partitioner). Generator-only concern: real
+    // ingest arrives pre-partitioned.
     val ev0 = Tables.events(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
     val k0 = get_json_object(col("props"), "$.k").cast("int")
     val sev0 = pmod(k0, lit(4)).cast("int")
     val m0 = (k0 / 4).cast("int") % 16

@@ -225,6 +225,73 @@ object Dedup {
         sh.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
 
+  /** Connected components over an undirected candidate-pair graph
+    * `(doc_a, doc_b)` — the step that turns pairwise near-dup output
+    * into duplicate CLUSTERS, the scalable Spark form of union-find
+    * over LSH pairs. Iterative hash-min label propagation: every node
+    * starts labeled with its own id, and each round takes the min of
+    * its own and its neighbours' labels — one shuffle per round,
+    * converging in O(max cluster diameter) rounds (near-dup clusters
+    * are shallow stars/cliques, so 2-4 in practice; `maxIter` bounds
+    * pathological chains). Each round's result is localCheckpoint'd so
+    * the iteration plan stays O(1) deep — at petabyte scale use a
+    * reliable checkpoint directory instead. Returns (id, comp) where
+    * `comp` is the cluster's minimum doc id.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val und = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"),
+        col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val msgs = und
+        .join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("comp"))
+        .unionByName(labels)
+      val next = msgs.groupBy("id").agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("comp", "_old"), Seq("id"))
+        .where(col("comp") =!= col("_old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    und.unpersist()
+    labels
+  }
+
+  /** Per-document cluster assignment over the near-dup pair graph:
+    * (doc_id, comp, cluster_size, keep) — `keep` marks the cluster's
+    * canonical representative (minimum doc id; comp IS that id, so the
+    * flag is a comparison, no extra pass). Documents absent from the
+    * pair graph are untouched singletons — filter the corpus with
+    * `keep = false` rows via an anti-join to materialize the deduped
+    * corpus.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val comp = connectedComponents(pairs, maxIter)
+    val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, Seq("comp"))
+      .select(col("id").as("doc_id"), col("comp"), col("cluster_size"),
+        (col("id") === col("comp")).as("keep"))
+  }
+
+  /** The deduplicated corpus: drop every non-canonical member of every
+    * near-dup cluster (broadcast anti-join — the drop set is tiny
+    * relative to the corpus).
+    */
+  def dedupedCorpus(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val drop = duplicateClusters(pairs).where(!col("keep"))
+      .select(col("doc_id"))
+    docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
+  }
+
   def ngramJaccard(docs: DataFrame, k: Int = 3,
                    minJaccard: Double = 0.15,
                    maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import Hashing._
+
+/** Corpus sampling / mixing / packing operators for training-data
+  * pipelines. All are DETERMINISTIC: membership derives from a
+  * document-id hash, never from `rand()` — so runs are reproducible,
+  * resumable jobs select identical subsets, and the DuckDB oracle can
+  * gate every operator (same md5-derived uniform on both engines).
+  * All are single-pass, shuffle-free scans except packing (one window
+  * per packing stream).
+  */
+object Sampling {
+
+  /** Uniform-in-[0,1) from the 60-bit md5 of the id: engine-portable
+    * (exact integer → IEEE double division, bit-identical anywhere).
+    * A `salt` decorrelates independent sampling decisions over the
+    * same corpus (sampling vs splitting vs sharding).
+    */
+  def hashUniform(id: Column, salt: String = ""): Column =
+    md5Hash60(concat(id.cast("string"), lit(salt))) /
+      lit(1152921504606846976.0) // 2^60
+
+  /** Per-stratum deterministic Bernoulli sampling — corpus mixing by
+    * source/language weight (the "sample the web crawl at 10%, books
+    * at 100%" step). `rates` maps stratum value → keep probability;
+    * strata absent from the map use `defaultRate`. One codegen'd
+    * filter, no shuffle, no state; at 100 TB this is a scan that
+    * prunes to the output columns.
+    */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Double],
+                       defaultRate: Double,
+                       stratumCol: String = "lang",
+                       idCol: String = "doc_id",
+                       salt: String = "strat"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.where(hashUniform(col(idCol), salt) < rate)
+  }
+
+  /** Deterministic train/validation/test assignment by hash range:
+    * `splits` is (name, cumulative upper bound) ascending, e.g.
+    * [("train", .9), ("val", .95), ("test", 1.0)]. Documents never
+    * migrate between splits when the corpus grows — membership depends
+    * only on the id hash, the property that keeps eval sets
+    * uncontaminated across dataset versions.
+    */
+  def hashSplit(docs: DataFrame, splits: Seq[(String, Double)],
+                idCol: String = "doc_id",
+                salt: String = "split"): DataFrame = {
+    val u = hashUniform(col(idCol), salt)
+    val assigned = splits.init.foldRight(lit(splits.last._1): Column) {
+      case ((name, hi), acc) => when(u < hi, lit(name)).otherwise(acc)
+    }
+    docs.withColumn("split", assigned)
+  }
+
+  /** Greedy sequence packing: concatenate each stream's documents in
+    * id order and cut into fixed token-budget bins — the
+    * "pack short documents into full training sequences" step. A
+    * document goes to bin floor(exclusive-cumulative-tokens / budget)
+    * of its stream (streaming concat-then-chunk semantics: a document
+    * may straddle its bin boundary; the trainer's loader splits it).
+    *
+    * Packing is inherently sequential per stream, so the stream is the
+    * parallelism unit: `numShards` deterministic shards per stratum
+    * keep every window partition bounded at corpus scale (the same
+    * skew treatment as decimation's chunked path — never one window
+    * over a whole language).
+    */
+  def packGreedy(docs: DataFrame, budgetTokens: Long, numShards: Int = 4,
+                 stratumCol: String = "lang", idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTokens = size(split(lower(col(textCol)), "\\s+")).cast("long")
+    val shard = pmod(md5Hash60(col(idCol).cast("string")), lit(numShards))
+      .cast("int")
+    val w = Window.partitionBy(stratumCol, "shard").orderBy(idCol)
+    docs
+      .select(col(idCol), col(stratumCol), shard.as("shard"),
+        nTokens.as("n_tokens"))
+      .withColumn("cum_excl",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", (col("cum_excl") / budgetTokens).cast("long"))
+      .drop("cum_excl")
+  }
+}

@@ -39,6 +39,70 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.count(_._1 == 3L) == 3)
   }
 
+  test("connected components cluster a chain, a clique, and leave pairs separate") {
+    // chain 1-2-3-4 (diameter 3: needs >1 propagation round), clique
+    // 10-11-12, isolated pair 20-21
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    val clusters = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("comp"), r.getAs[Long]("cluster_size"),
+          r.getAs[Boolean]("keep"))).toMap
+    assert(clusters(1L) == ((1L, 4L, true)))
+    assert(clusters(4L) == ((1L, 4L, false)))
+    assert(clusters(10L) == ((10L, 3L, true)))
+    assert(clusters(21L) == ((20L, 2L, false)))
+  }
+
+  test("deduped corpus keeps singletons and cluster representatives") {
+    val d = docs((1L, "a a", "en"), (2L, "b b", "en"), (3L, "c c", "en"),
+      (4L, "d d", "en"))
+    val pairs = Seq((1L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.dedupedCorpus(d, pairs).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 2L)) // 3,4 fold into cluster 1; 2 untouched
+  }
+
+  test("hash split is stable under corpus growth and covers all docs") {
+    import graft.pipeline.Sampling
+    val splits = Seq(("train", 0.8), ("val", 0.9), ("test", 1.0))
+    val small = docs((1L to 50L).map(i => (i, s"doc $i words", "en")): _*)
+    val big = docs((1L to 200L).map(i => (i, s"doc $i words", "en")): _*)
+    def assign(d: DataFrame) = Sampling.hashSplit(d, splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (a, b) = (assign(small), assign(big))
+    // growing the corpus never migrates an existing doc between splits
+    assert(a.forall { case (id, s) => b(id) == s })
+    assert(b.values.toSet == Set("train", "val", "test"))
+  }
+
+  test("stratified sample keeps rate-0 strata empty and rate-1 strata whole") {
+    import graft.pipeline.Sampling
+    val d = docs((1L to 40L).map(i =>
+      (i, s"text $i", if (i % 2 == 0) "en" else "de")): _*)
+    val kept = Sampling.stratifiedSample(d,
+        Map("en" -> 1.0, "de" -> 0.0), defaultRate = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (1L to 40L).filter(_ % 2 == 0).toSet)
+  }
+
+  test("greedy packing bins are contiguous per stream with exclusive-cumsum cuts") {
+    import graft.pipeline.Sampling
+    // 10 docs × 3 tokens in one stream, budget 7 → bins at cum 0,3,6|9,12|...
+    val d = docs((1L to 10L).map(i => (i, "w w w", "en")): _*)
+    val got = Sampling.packGreedy(d, budgetTokens = 7L, numShards = 1)
+      .select("doc_id", "bin").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = (1L to 10L).map(i => i -> ((i - 1) * 3 / 7)).toMap
+    assert(got == expect)
+  }
+
   test("identical docs have identical minhash signatures and est_jaccard 1") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog again", "en"),
