@@ -297,6 +297,33 @@ object OracleSqlPipeline {
     // mirror of Multimodal.attachPngPayload's analytic pixel law —
     // the Spark side round-trips these through a real PNG codec, so a
     // value match proves lossless encode→decode, not just plumbing
+    // the stub-decoder path, value-checked: the "decoder" reads the
+    // UTF-8 text bytes as the pixel buffer (documents are ASCII, so
+    // byte == code point and ascii(substring(...)) reproduces it), and
+    // the feature math is integer moment sums → identical IEEE ops
+    "mm_features" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, length(text) AS nb, text FROM documents),
+         |dims AS (
+         |  SELECT doc_id, nb,
+         |    GREATEST(1, LEAST(64, nb)) AS w,
+         |    GREATEST(1, nb // GREATEST(1, LEAST(64, nb))) AS h,
+         |    text
+         |  FROM m),
+         |px AS (
+         |  SELECT doc_id, ascii(substring(text, i + 1, 1)) AS p
+         |  FROM dims, UNNEST(range(LEAST(nb, w * h))) u(i)),
+         |st AS (
+         |  SELECT doc_id, count(*) AS n, sum(p) AS sp, sum(p * p) AS sp2
+         |  FROM px GROUP BY 1)
+         |SELECT d.doc_id, 'image/fake' AS mime, CAST(d.nb AS INT) AS n_bytes,
+         |  CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+         |  round(sp::DOUBLE / n, 6) AS mean_px,
+         |  round(sqrt(GREATEST(0, sp2::DOUBLE / n
+         |    - (sp::DOUBLE / n) * (sp::DOUBLE / n))), 6) AS std_px
+         |FROM dims d JOIN st USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
     "mm_png_features" ->
       s"""WITH d AS (
          |  SELECT doc_id, 8 + (doc_id % 9) AS w, 8 + ((doc_id * 7) % 9) AS h

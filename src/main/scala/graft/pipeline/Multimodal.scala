@@ -187,8 +187,14 @@ object Multimodal {
       rows.map { r =>
         val (w, h, px) = MediaDecoder.decode(r.payload)
         val n = math.max(1, px.length)
-        val mean = px.sum.toDouble / n
-        val variance = px.map(p => (p - mean) * (p - mean)).sum / n
+        // integer moment sums (exact), variance via Σp²/n − mean²:
+        // the same value as the two-pass form, but computable by any
+        // engine from the same integers with identical IEEE ops — this
+        // is what lets a SQL oracle value-check the decode stage
+        val sumP = px.foldLeft(0L)(_ + _)
+        val sumP2 = px.foldLeft(0L)((a, p) => a + p.toLong * p)
+        val mean = sumP.toDouble / n
+        val variance = math.max(0.0, sumP2.toDouble / n - mean * mean)
         val hist = new Array[Long](8)
         px.foreach(p => hist(p / 32) += 1)
         MediaFeatures(r.doc_id, r.mime, r.n_bytes, w, h,
