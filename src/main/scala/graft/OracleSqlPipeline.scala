@@ -132,6 +132,30 @@ object OracleSqlPipeline {
          |WHERE coalesce(i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i, 0)) >= 0.15
          |ORDER BY p.doc_a, p.doc_b""".stripMargin,
 
+    // incremental candidates ≡ all band-bucket pairs with at least one
+    // NEW (doc_id % 4 = 0) side — the set the Spark side produces as
+    // (new × index) ∪ (new × new)
+    "dedup_incremental" ->
+      s"""WITH $TOKS,
+         |$SH3,
+         |hs AS (SELECT doc_id, ${md5HashM31Sql("shingle")} AS h FROM sh),
+         |sig AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM hs GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)
+         |SELECT doc_a, doc_b,
+         |  round(($sigMatches)::DOUBLE / $NumMinHashes, 6) AS est_jaccard
+         |FROM pairs
+         |JOIN sig sa ON doc_a = sa.doc_id
+         |JOIN sig sb ON doc_b = sb.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     // duplicate clusters over the verified near-dup pair graph:
     // transitive closure + min-label in a recursive CTE mirrors the
     // Spark side's hash-min label propagation (both converge to

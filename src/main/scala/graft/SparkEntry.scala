@@ -321,6 +321,16 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
         .orderBy("doc_a", "doc_b")),
 
+    // incremental ingest-batch dedup: new docs (doc_id % 4 == 0) against
+    // the persisted band index of the already-ingested corpus
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val index = Dedup.minHashIndex(docs.where(col("doc_id") % 4 =!= 0))
+      Dedup.incrementalCandidates(index, docs.where(col("doc_id") % 4 === 0))
+        .select(col("doc_a"), col("doc_b"), r6("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // pairwise near-dups → duplicate clusters (connected components by
     // hash-min label propagation) + canonical representative per cluster
     "dedup_clusters" -> ((s, dir) => {

@@ -225,6 +225,71 @@ object Dedup {
         sh.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
 
+  /** Streaming exact dedup for continuous ingestion: content-hash
+    * dedup with bounded state — duplicates arriving within the
+    * watermark of their first copy are dropped, and state for hashes
+    * older than the watermark is evicted (Spark's
+    * `dropDuplicatesWithinWatermark`), so state size tracks the ingest
+    * window, not corpus history. The batch [[exactFast]] pass dedups
+    * across windows during compaction; this stage keeps the hot path
+    * append-only.
+    */
+  def exactStreaming(stream: DataFrame, eventTimeCol: String,
+                     watermark: String,
+                     textCol: String = "text"): DataFrame =
+    stream
+      .withColumn("text_hash", xxhash64(col(textCol)))
+      .withColumn("text_len", length(col(textCol)))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("text_hash", "text_len")
+
+  /** The persistable MinHash band index of a corpus: one row per
+    * (doc_id, band, key) with the full signature riding along — write
+    * this once, then dedup every future ingest batch against it with
+    * [[incrementalCandidates]] instead of re-banding the whole corpus.
+    */
+  def minHashIndex(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sigs = minHashSignatures(docs, k)
+    val sigArr = array((0 until NumMinHashes).map(i => col(s"s$i")): _*)
+    sigs.select(col("doc_id"), sigArr.as("sig"),
+      explode(array((0 until NumBands).map { b =>
+        val ks = (0 until RowsPerBand).map(r => col(s"s${b * RowsPerBand + r}"))
+        struct(lit(b).as("band"), concat_ws("_", ks: _*).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Incremental near-dup candidates: NEW documents against an
+    * existing band index (plus within the new batch itself), without
+    * touching the indexed corpus's text — the daily-ingest dedup shape
+    * at 100 TB. Work is proportional to the new batch: it bands only
+    * its own documents, and the index side of the equi-join prunes to
+    * matching (band, key) buckets. Output pairs are (min, max)-ordered
+    * with the LSH Jaccard estimate, exactly like
+    * [[minHashCandidates]].
+    */
+  def incrementalCandidates(index: DataFrame, newDocs: DataFrame,
+                            k: Int = 3): DataFrame = {
+    val nb = minHashIndex(newDocs, k)
+    val matches =
+      expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))")
+    val pairCols = Seq(
+      least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+      greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+      (matches.cast("double") / NumMinHashes).as("est_jaccard"))
+    val vsIndex = nb.as("a").join(index.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(pairCols: _*)
+    val withinNew = nb.as("a").join(nb.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(pairCols: _*)
+    vsIndex.unionByName(withinNew)
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   /** Connected components over an undirected candidate-pair graph
     * `(doc_a, doc_b)` — the step that turns pairwise near-dup output
     * into duplicate CLUSTERS, the scalable Spark form of union-find

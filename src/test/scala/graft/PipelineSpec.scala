@@ -39,6 +39,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.count(_._1 == 3L) == 3)
   }
 
+  test("incremental candidates find new-vs-index and within-new pairs only") {
+    val corpus = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again", "en"),
+      (2L, "an entirely different document about storage engines", "en"))
+    val index = Dedup.minHashIndex(corpus)
+    val fresh = docs(
+      (10L, "the quick brown fox jumps over the lazy dog again", "en"), // dup of 1
+      (11L, "the quick brown fox jumps over the lazy dog again", "en"), // dup of 1 & 10
+      (12L, "nothing like anything else in any corpus at all yes", "en"))
+    val got = Dedup.incrementalCandidates(index, fresh).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set((1L, 10L), (1L, 11L), (10L, 11L)))
+    assert(got.values.forall(_ == 1.0))
+  }
+
   test("connected components cluster a chain, a clique, and leave pairs separate") {
     // chain 1-2-3-4 (diameter 3: needs >1 propagation round), clique
     // 10-11-12, isolated pair 20-21

@@ -115,6 +115,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.select("bucket_date").distinct().count() == 2) // two days
   }
 
+  test("streaming exact dedup drops in-watermark duplicates with bounded state") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "event_time", "text")
+    val q = graft.pipeline.Dedup.exactStreaming(df, "event_time", "10 minutes")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    try {
+      mem.addData(Seq(
+        (1L, at(0), "alpha doc"), (2L, at(1), "beta doc"),
+        (3L, at(2), "alpha doc"))) // dup of 1 within watermark
+      q.processAllAvailable()
+      mem.addData(Seq((4L, at(5), "alpha doc"), (5L, at(6), "gamma doc")))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out").as[Long].collect().toSet
+      assert(kept == Set(1L, 2L, 5L)) // 3 and 4 dropped as duplicates
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark produce per-channel rates") {
     implicit val s: SparkSession = spark
     import s.implicits._
