@@ -364,6 +364,27 @@ object OracleSqlPipeline {
          |       CAST(min(p) AS INT) AS min_px, CAST(max(p) AS INT) AS max_px
          |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
+    "text_repetition" ->
+      s"""WITH $TOKS,
+         |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         |tc AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+         |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+         |         CAST(count(*) AS BIGINT) AS n_distinct,
+         |         CAST(max(c) AS BIGINT) AS top_c
+         |       FROM tc GROUP BY 1),
+         |big AS (SELECT doc_id, concat_ws(' ', toks[i], toks[i+1]) AS bg
+         |        FROM t, UNNEST(range(1, len(toks))) u(i)),
+         |bc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2),
+         |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bi,
+         |         CAST(count(*) AS BIGINT) AS n_bi_distinct
+         |       FROM bc GROUP BY 1)
+         |SELECT ts.doc_id, n_tok AS n_tokens,
+         |  round(1.0 - n_distinct::DOUBLE / n_tok::DOUBLE, 6) AS dup_token_frac,
+         |  round(top_c::DOUBLE / n_tok::DOUBLE, 6) AS top_token_frac,
+         |  round(1.0 - n_bi_distinct::DOUBLE / n_bi::DOUBLE, 6) AS dup_bigram_frac
+         |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+         |ORDER BY ts.doc_id""".stripMargin,
+
     "text_fingerprint" ->
       s"""WITH $TOKS
          |SELECT doc_id,

@@ -375,6 +375,9 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(Tables.documents(s, dir)).orderBy("doc_id")),
+
     "sim_bruteforce_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), 10)

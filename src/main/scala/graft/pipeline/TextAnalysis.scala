@@ -95,6 +95,40 @@ object TextAnalysis {
       size(array_distinct(t)).as("n_distinct_tokens"))
   }
 
+  /** Repetition signals — the Gopher-style "repetitious document"
+    * filters a training pipeline drops on: duplicate-token fraction,
+    * most-frequent-token fraction, and duplicate-bigram fraction. All
+    * ratios of exact integer counts (identical IEEE division in any
+    * engine). One explode + aggregation per granularity, map-side
+    * combinable; no all-pairs anything.
+    */
+  def repetition(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = toks(textCol)
+    val bi = zip_with(t, slice(t, lit(2), size(t)),
+      (a, b) => concat(a, lit(" "), b))
+    val tokStats = docs.select(col("doc_id"), explode(t).as("tk"))
+      .groupBy("doc_id", "tk").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_tok"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+    val biStats = docs.select(col("doc_id"), explode(bi).as("bg"))
+      .where(col("bg").isNotNull)
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_bi"),
+        count(lit(1)).as("n_bi_distinct"))
+    tokStats.join(biStats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_tok").as("n_tokens"),
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_tok").cast("double"), 6).as("dup_token_frac"),
+        round(col("top_c").cast("double") /
+          col("n_tok").cast("double"), 6).as("top_token_frac"),
+        round(lit(1.0) - col("n_bi_distinct").cast("double") /
+          col("n_bi").cast("double"), 6).as("dup_bigram_frac"))
+  }
+
   /** Order-sensitive document fingerprint: polynomial rolling hash of
     * the token-hash sequence in the M31 field (same hash both
     * engines). Content-defined, whitespace-normalized.

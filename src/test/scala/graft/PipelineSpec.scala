@@ -39,6 +39,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.count(_._1 == 3L) == 3)
   }
 
+  test("repetition signals quantify duplicate tokens and bigrams") {
+    val d = docs(
+      (1L, "a a a a", "en"),        // 1 distinct of 4; top=4/4; bigrams "a a" ×3 dup
+      (2L, "w x y z", "en"))        // no repetition at all
+    val got = TextAnalysis.repetition(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L) == ((4L, 0.75, 1.0, 0.666667))) // fractions pre-rounded to 6dp
+    assert(got(2L) == ((4L, 0.0, 0.25, 0.0)))
+  }
+
   test("incremental candidates find new-vs-index and within-new pairs only") {
     val corpus = docs(
       (1L, "the quick brown fox jumps over the lazy dog again", "en"),
