@@ -43,6 +43,15 @@ object GraftSession {
     // corpus tables
     core.Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
     core.Tables.embeddings(spark, sfDir).createOrReplaceTempView("embeddings")
+    // curation views (lazy): per-doc quality + repetition signals and
+    // the deterministic split assignment
+    pipeline.TextAnalysis.quality(core.Tables.documents(spark, sfDir))
+      .createOrReplaceTempView("doc_quality")
+    pipeline.TextAnalysis.repetition(core.Tables.documents(spark, sfDir))
+      .createOrReplaceTempView("doc_repetition")
+    pipeline.Sampling.hashSplit(core.Tables.documents(spark, sfDir),
+        Seq(("train", 0.9), ("val", 0.95), ("test", 1.0)))
+      .createOrReplaceTempView("doc_splits")
     // native functions
     functions.VectorExpressions.register(spark)
   }

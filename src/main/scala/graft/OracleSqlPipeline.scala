@@ -385,6 +385,95 @@ object OracleSqlPipeline {
          |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
          |ORDER BY ts.doc_id""".stripMargin,
 
+    // end-to-end curation: every stage is the same SQL as its
+    // standalone gate, chained in one statement
+    "pipeline_curate" ->
+      s"""WITH RECURSIVE $TOKS,
+         |$SH3,
+         |hs AS (SELECT doc_id, ${md5HashM31Sql("shingle")} AS h FROM sh),
+         |sig AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM hs GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT p.doc_a, p.doc_b, count(*) AS i
+         |  FROM pairs p
+         |  JOIN sh a ON p.doc_a = a.doc_id
+         |  JOIN sh b ON p.doc_b = b.doc_id AND a.shingle = b.shingle
+         |  GROUP BY 1, 2),
+         |vp AS (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM pairs p
+         |  LEFT JOIN inter ON p.doc_a = inter.doc_a AND p.doc_b = inter.doc_b
+         |  JOIN cnt ca ON p.doc_a = ca.doc_id
+         |  JOIN cnt cb ON p.doc_b = cb.doc_id
+         |  WHERE coalesce(i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i, 0)) >= 0.15),
+         |und AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+         |        UNION SELECT doc_b, doc_a FROM vp),
+         |nodes AS (SELECT DISTINCT src AS id FROM und),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.id),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1),
+         |cdrop AS (SELECT id AS doc_id FROM comp WHERE id != comp),
+         |ek AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |dq AS (SELECT t.doc_id,
+         |        length(text)::DOUBLE AS n_chars,
+         |        len(toks)::DOUBLE AS n_tokens,
+         |        (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS n_digits,
+         |        len(list_filter(toks, x -> list_contains($enList, x)))::DOUBLE AS stop_hits
+         |      FROM documents JOIN t ON documents.doc_id = t.doc_id),
+         |qs AS (SELECT doc_id,
+         |  round(least(1.0, (stop_hits / n_tokens) * 3) * 0.5
+         |    + (CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 0.3 ELSE 0.0 END)
+         |    + (CASE WHEN n_digits / n_chars < 0.2 THEN 0.2 ELSE 0.0 END), 6)
+         |    AS quality_score
+         |  FROM dq),
+         |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         |tc AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+         |rp AS (SELECT doc_id,
+         |        round(1.0 - count(*)::DOUBLE / CAST(sum(c) AS BIGINT)::DOUBLE, 6)
+         |          AS dup_token_frac
+         |      FROM tc GROUP BY doc_id),
+         |kept AS (
+         |  SELECT d.doc_id, d.lang, d.text
+         |  FROM documents d
+         |  JOIN ek ON d.doc_id = ek.doc_id
+         |  LEFT JOIN cdrop ON d.doc_id = cdrop.doc_id
+         |  JOIN qs ON d.doc_id = qs.doc_id
+         |  JOIN rp ON d.doc_id = rp.doc_id
+         |  WHERE cdrop.doc_id IS NULL
+         |    AND qs.quality_score >= 0.3 AND rp.dup_token_frac <= 0.9),
+         |samp AS (
+         |  SELECT doc_id, lang, text FROM kept
+         |  WHERE (('0x' || substr(md5(doc_id::VARCHAR || 'strat'), 1, 15))::BIGINT
+         |         / 1152921504606846976.0) <
+         |    CASE WHEN lang = 'de' THEN 0.6
+         |         WHEN lang = 'en' THEN 0.8
+         |         ELSE 0.5 END),
+         |tn AS (
+         |  SELECT doc_id, lang,
+         |    CAST((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 4) AS INT) AS shard,
+         |    CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM samp)
+         |SELECT tn.doc_id, lang, shard, n_tokens,
+         |  CAST(floor(COALESCE(sum(n_tokens) OVER (
+         |    PARTITION BY lang, shard ORDER BY tn.doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256) AS BIGINT) AS bin,
+         |  CASE WHEN (('0x' || substr(md5(tn.doc_id::VARCHAR || 'split'), 1, 15))::BIGINT
+         |            / 1152921504606846976.0) < 0.9 THEN 'train'
+         |       WHEN (('0x' || substr(md5(tn.doc_id::VARCHAR || 'split'), 1, 15))::BIGINT
+         |            / 1152921504606846976.0) < 0.95 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM tn ORDER BY tn.doc_id""".stripMargin,
+
     "text_fingerprint" ->
       s"""WITH $TOKS
          |SELECT doc_id,

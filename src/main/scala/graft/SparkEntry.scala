@@ -378,6 +378,40 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // the end-to-end curation pipeline, composed from the gated pieces:
+    // exact-dup keepers → near-dup cluster canonicals → quality +
+    // repetition filters → stratified sample → split assignment →
+    // token-budget packing. One flagship query proving the operators
+    // compose (every stage is itself oracle-gated standalone).
+    "pipeline_curate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val exactKeep = Dedup.exact(docs)
+        .select(col("keeper_id").as("doc_id"))
+      val pairs = Dedup.verifyCandidates(docs, Dedup.minHashCandidates(docs))
+        .where(col("jaccard") >= 0.15)
+      val clusterDrop = Dedup.duplicateClusters(pairs)
+        .where(!col("keep")).select("doc_id")
+      val q = TextAnalysis.quality(docs)
+        .select(col("doc_id"), col("quality_score"))
+      val rep = TextAnalysis.repetition(docs)
+        .select(col("doc_id"), col("dup_token_frac"))
+      val kept = docs
+        .join(exactKeep, Seq("doc_id"))
+        .join(broadcast(clusterDrop), Seq("doc_id"), "left_anti")
+        .join(q, Seq("doc_id")).join(rep, Seq("doc_id"))
+        .where(col("quality_score") >= 0.3 && col("dup_token_frac") <= 0.9)
+      val sampled = Sampling.stratifiedSample(kept,
+        Map("en" -> 0.8, "de" -> 0.6), defaultRate = 0.5)
+      val packed = Sampling.packGreedy(sampled, budgetTokens = 256L)
+      packed
+        .join(Sampling.hashSplit(sampled,
+            Seq(("train", 0.9), ("val", 0.95), ("test", 1.0)))
+          .select(col("doc_id"), col("split")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("shard"),
+          col("n_tokens"), col("bin"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     "sim_bruteforce_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), 10)
