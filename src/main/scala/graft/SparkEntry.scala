@@ -307,14 +307,12 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), r6("est_jaccard"))
         .orderBy("doc_a", "doc_b")),
 
-    // the production composition: LSH candidates → exact verification
-    "dedup_minhash_verified" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Dedup.verifyCandidates(docs, Dedup.minHashCandidates(docs))
-        .where(col("jaccard") >= 0.15)
+    // the production composition: LSH candidates → exact verification,
+    // one shared shingle computation
+    "dedup_minhash_verified" -> ((s, dir) =>
+      Dedup.nearDupPairs(Tables.documents(s, dir))
         .select(col("doc_a"), col("doc_b"), r6("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    }),
+        .orderBy("doc_a", "doc_b")),
 
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashCandidates(Tables.documents(s, dir), maxHamming = 6)
@@ -333,12 +331,9 @@ object SparkEntry {
 
     // pairwise near-dups → duplicate clusters (connected components by
     // hash-min label propagation) + canonical representative per cluster
-    "dedup_clusters" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val pairs = Dedup.verifyCandidates(docs, Dedup.minHashCandidates(docs))
-        .where(col("jaccard") >= 0.15)
-      Dedup.duplicateClusters(pairs).orderBy("doc_id")
-    }),
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(Dedup.nearDupPairs(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir), k = 3, minJaccard = 0.15)
@@ -387,9 +382,7 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val exactKeep = Dedup.exact(docs)
         .select(col("keeper_id").as("doc_id"))
-      val pairs = Dedup.verifyCandidates(docs, Dedup.minHashCandidates(docs))
-        .where(col("jaccard") >= 0.15)
-      val clusterDrop = Dedup.duplicateClusters(pairs)
+      val clusterDrop = Dedup.duplicateClusters(Dedup.nearDupPairs(docs))
         .where(!col("keep")).select("doc_id")
       val q = TextAnalysis.quality(docs)
         .select(col("doc_id"), col("quality_score"))

@@ -66,12 +66,18 @@ object Dedup {
     * Signature component i = min over shingles of perm_i(h(shingle)).
     * Plain partial-merge min aggregates — the 16 mins ride one shuffle.
     */
-  def minHashSignatures(docs: DataFrame, k: Int = 3): DataFrame = {
-    val withHash = shingles(docs, k).withColumn("h", md5HashM31(col("shingle")))
-    withHash.groupBy("doc_id")
+  def minHashSignatures(docs: DataFrame, k: Int = 3): DataFrame =
+    minHashSignaturesFromShingles(shingles(docs, k))
+
+  /** [[minHashSignatures]] over an existing (doc_id, shingle) frame —
+    * lets a pipeline share one cached shingle computation between
+    * signature generation and exact verification.
+    */
+  def minHashSignaturesFromShingles(sh: DataFrame): DataFrame =
+    sh.withColumn("h", md5HashM31(col("shingle")))
+      .groupBy("doc_id")
       .agg(min(perm(col("h"), 0)).as("s0"),
         (1 until NumMinHashes).map(i => min(perm(col("h"), i)).as(s"s$i")): _*)
-  }
 
   /** LSH banding: (doc_id, band, key) — docs sharing any band key are
     * near-dup candidates. The band key concatenates the band's
@@ -96,8 +102,10 @@ object Dedup {
     * measured 2.5× faster than re-joining the signature table twice
     * (two shuffles saved for 16 extra ints per exploded row).
     */
-  def minHashCandidates(docs: DataFrame, k: Int = 3): DataFrame = {
-    val sigs = minHashSignatures(docs, k)
+  def minHashCandidates(docs: DataFrame, k: Int = 3): DataFrame =
+    minHashCandidatesFromSignatures(minHashSignatures(docs, k))
+
+  private def minHashCandidatesFromSignatures(sigs: DataFrame): DataFrame = {
     val sigArr = array((0 until NumMinHashes).map(i => col(s"s$i")): _*)
     val bands = sigs.select(col("doc_id"), sigArr.as("sig"),
       explode(array((0 until NumBands).map { b =>
@@ -175,8 +183,12 @@ object Dedup {
     * shingles-per-doc.
     */
   def verifyCandidates(docs: DataFrame, pairs: DataFrame,
-                       k: Int = 3): DataFrame = {
-    val sh = shingles(docs, k).cache()
+                       k: Int = 3): DataFrame =
+    verifyCandidatesFromShingles(shingles(docs, k).cache(), pairs)
+
+  /** [[verifyCandidates]] over an existing (cached) shingle frame. */
+  def verifyCandidatesFromShingles(sh: DataFrame,
+                                   pairs: DataFrame): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs.select("doc_a", "doc_b")
       .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
@@ -215,6 +227,22 @@ object Dedup {
     * whenever no shingle exceeds the cap).
     */
   val DefaultMaxDocFreq = 1000
+
+  /** The verified near-dup pair pipeline with ONE shingle computation:
+    * the cached shingle frame feeds both signature generation (LSH
+    * candidates) and the exact-Jaccard verification — the composition
+    * [[verifyCandidates]]∘[[minHashCandidates]] would shingle the
+    * corpus twice. This is the call production pipelines (and the
+    * clustering / curation queries) should make.
+    */
+  def nearDupPairs(docs: DataFrame, k: Int = 3,
+                   minJaccard: Double = 0.15): DataFrame = {
+    val sh = shingles(docs, k).cache()
+    val cands = minHashCandidatesFromSignatures(
+      minHashSignaturesFromShingles(sh))
+    verifyCandidatesFromShingles(sh, cands)
+      .where(col("jaccard") >= minJaccard)
+  }
 
   def capDocFreq(sh: DataFrame, maxDocFreq: Option[Int]): DataFrame =
     maxDocFreq match {
@@ -311,6 +339,14 @@ object Dedup {
       .distinct().cache()
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
+    // labels only ever decrease, so Σcomp is strictly monotone until
+    // the fixed point — an aggregate compare detects convergence with
+    // one tiny scan of the checkpointed frame, no join probe. DECIMAL
+    // sum: exact and overflow-free even for 64-bit-hash ids (a long
+    // sum would overflow-throw under ANSI mode).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -318,13 +354,11 @@ object Dedup {
         .join(labels, col("dst") === col("id"))
         .select(col("src").as("id"), col("comp"))
         .unionByName(labels)
-      val next = msgs.groupBy("id").agg(min(col("comp")).as("comp"))
+      labels = msgs.groupBy("id").agg(min(col("comp")).as("comp"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("comp", "_old"), Seq("id"))
-        .where(col("comp") =!= col("_old")).limit(1).count()
-      labels = next
-      converged = changed == 0
+      val s = labelSum(labels)
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
       it += 1
     }
     und.unpersist()
