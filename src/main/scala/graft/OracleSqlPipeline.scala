@@ -483,6 +483,85 @@ object OracleSqlPipeline {
          |    (a, b) -> (a * 31 + b) % $M31) AS fingerprint
          |FROM t ORDER BY doc_id""".stripMargin,
 
+    "sim_pq_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cb AS (
+         |  SELECT u.m, vec_id::INT AS code, v[u.m*16+1 : u.m*16+16] AS cent
+         |  FROM e, UNNEST(range(4)) u(m) WHERE vec_id < 16),
+         |sub AS (
+         |  SELECT vec_id, u.m, v[u.m*16+1 : u.m*16+16] AS sub
+         |  FROM e, UNNEST(range(4)) u(m)),
+         |enc AS (
+         |  SELECT s.vec_id, s.m, cb.code,
+         |    round(list_dot_product(cent, cent)
+         |          - 2.0 * list_dot_product(sub, cent), 6) AS d2
+         |  FROM sub s JOIN cb ON s.m = cb.m),
+         |codes AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d2, code) AS rn FROM enc) WHERE rn = 1),
+         |lut AS (
+         |  SELECT p.vec_id AS probe_id, cb.m, cb.code,
+         |    list_dot_product(p.v[cb.m*16+1 : cb.m*16+16], cent) AS term
+         |  FROM e p, cb WHERE p.vec_id < 5),
+         |scored AS (
+         |  SELECT probe_id, c.vec_id,
+         |    round(CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6) AS approx_dot
+         |  FROM codes c JOIN lut ON c.m = lut.m AND c.code = lut.code
+         |  WHERE c.vec_id != lut.probe_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, approx_dot,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY approx_dot DESC, vec_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT probe_id, vec_id, approx_dot, rank
+         |FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+
+    "sim_pq_reranked" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cb AS (
+         |  SELECT u.m, vec_id::INT AS code, v[u.m*16+1 : u.m*16+16] AS cent
+         |  FROM e, UNNEST(range(4)) u(m) WHERE vec_id < 16),
+         |sub AS (
+         |  SELECT vec_id, u.m, v[u.m*16+1 : u.m*16+16] AS sub
+         |  FROM e, UNNEST(range(4)) u(m)),
+         |enc AS (
+         |  SELECT s.vec_id, s.m, cb.code,
+         |    round(list_dot_product(cent, cent)
+         |          - 2.0 * list_dot_product(sub, cent), 6) AS d2
+         |  FROM sub s JOIN cb ON s.m = cb.m),
+         |codes AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d2, code) AS rn FROM enc) WHERE rn = 1),
+         |lut AS (
+         |  SELECT p.vec_id AS probe_id, cb.m, cb.code,
+         |    list_dot_product(p.v[cb.m*16+1 : cb.m*16+16], cent) AS term
+         |  FROM e p, cb WHERE p.vec_id < 5),
+         |scored AS (
+         |  SELECT probe_id, c.vec_id,
+         |    round(CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6) AS approx_dot
+         |  FROM codes c JOIN lut ON c.m = lut.m AND c.code = lut.code
+         |  WHERE c.vec_id != lut.probe_id
+         |  GROUP BY 1, 2),
+         |short AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY approx_dot DESC, vec_id) AS rn
+         |    FROM scored) WHERE rn <= 50),
+         |exact AS (
+         |  SELECT s.probe_id, s.vec_id,
+         |    round(list_cosine_similarity(p.v, c.v), 6) AS cos_sim
+         |  FROM short s
+         |  JOIN e c ON s.vec_id = c.vec_id
+         |  JOIN e p ON s.probe_id = p.vec_id)
+         |SELECT probe_id, vec_id, cos_sim,
+         |  CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+         |FROM exact QUALIFY rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+
     "sim_bruteforce_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |p AS (SELECT * FROM e WHERE vec_id < 5),

@@ -438,6 +438,22 @@ object SparkEntry {
       Similarity.embeddingNearDup(Tables.embeddings(s, dir), minCos = 0.3)
         .orderBy("vec_a", "vec_b")),
 
+    // product quantization: 4-byte codes + ADC table-lookup scan (the
+    // memory-compression half of IVF-PQ), and the production
+    // shortlist→exact-rerank composition
+    "sim_pq_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.pqSearch(e, e.where(col("vec_id") < 5), topK = 10)
+        .orderBy("probe_id", "rank")
+    }),
+
+    "sim_pq_reranked" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.pqSearchReranked(e, e.where(col("vec_id") < 5),
+          topK = 10, shortK = 50)
+        .orderBy("probe_id", "rank")
+    }),
+
     // multimodal plumbing: no SQL-expressible oracle (binary decode);
     // driver records a rows-only check, semantics are ScalaTest'd.
     "mm_features" -> ((s, dir) => {

@@ -223,6 +223,113 @@ object Similarity {
       .where(col("rank") <= topK)
   }
 
+  // ---- product quantization (IVF-PQ's memory-compression half) ----
+
+  /** PQ geometry: 64 dims → 4 subspaces × 16 dims, 16 codes per
+    * subspace ⇒ each vector compresses to 4 bytes (64× smaller than
+    * float32) — the standard trick that fits 10⁹-vector search in
+    * memory. Codebooks here are deterministic seeds (subvectors of the
+    * first [[PqCodebookSize]] corpus vectors), the same convention as
+    * [[ivfAssign]]; swap in Lloyd-refined codebooks per subspace for
+    * production recall (the [[ivfCentroids]] machinery applies
+    * unchanged per subspace).
+    */
+  val PqSubDim = 16
+  val PqNumSub = 4
+  val PqCodebookSize = 16
+
+  /** (m, code, cent) — subspace m's codebook entries. */
+  def pqCodebooks(corpus: DataFrame): DataFrame =
+    corpus.where(col("vec_id") < PqCodebookSize)
+      .select(col("vec_id").cast("int").as("code"),
+        asDouble(col("embedding")).as("v"))
+      .select(col("code"), explode(array((0 until PqNumSub).map(m =>
+        struct(lit(m).as("m"),
+          slice(col("v"), m * PqSubDim + 1, PqSubDim).as("cent"))): _*))
+        .as("mc"))
+      .select(col("mc.m").as("m"), col("code"), col("mc.cent").as("cent"))
+
+  /** Encode each vector as [[PqNumSub]] codebook indices: per
+    * subspace, the L2-nearest entry (via the dot identity — |c|² −
+    * 2x·c orders identically to the full distance), 6dp-rounded with
+    * code tie-break for determinism. One broadcast of the (tiny)
+    * codebooks against a single corpus scan. Output (vec_id, m, code).
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dot = graft.functions.VectorExpressions.vector_dot _
+    val sub = corpus
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), explode(array((0 until PqNumSub).map(m =>
+        struct(lit(m).as("m"),
+          slice(col("v"), m * PqSubDim + 1, PqSubDim).as("sub"))): _*))
+        .as("ms"))
+      .select(col("vec_id"), col("ms.m").as("m"), col("ms.sub").as("sub"))
+    val scored = sub.join(broadcast(codebooks), Seq("m"))
+      .select(col("vec_id"), col("m"), col("code"),
+        round(dot(col("cent"), col("cent")) -
+          lit(2.0) * dot(col("sub"), col("cent")), 6).as("d2"))
+    val w = Window.partitionBy("vec_id", "m")
+      .orderBy(col("d2"), col("code"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k: the probe builds a per-subspace
+    * lookup table of exact dot products against the codebook (k·M tiny
+    * dots), and every corpus vector's approximate score is the SUM of
+    * M table lookups — no per-pair vector math at all. That is the
+    * search shape that scans 10⁹ codes at memory bandwidth. The M
+    * addends route through DECIMAL ([[graft.archive.Decimation
+    * .exactSum]]) so partial-aggregation order cannot perturb ranking.
+    */
+  def pqSearch(corpus: DataFrame, probes: DataFrame, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dot = graft.functions.VectorExpressions.vector_dot _
+    val cb = pqCodebooks(corpus)
+    val codes = pqEncode(corpus, cb)
+    val lut = probes
+      .select(col("vec_id").as("probe_id"),
+        asDouble(col("embedding")).as("pv"))
+      .crossJoin(broadcast(cb))
+      .select(col("probe_id"), col("m"), col("code"),
+        dot(slice(col("pv"), col("m") * PqSubDim + 1, lit(PqSubDim)),
+          col("cent")).as("term"))
+    val scored = codes.join(broadcast(lut), Seq("m", "code"))
+      .where(col("probe_id") =!= col("vec_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(round(graft.archive.Decimation.exactSum(col("term")), 6)
+        .as("approx_dot"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+  }
+
+  /** The production composition: ADC shortlist → exact cosine rerank.
+    * The shortlist bounds exact vector math to `shortK` candidates per
+    * probe; ranking is then true cosine. This is how PQ systems trade
+    * a small recall loss for a 64× memory reduction while keeping
+    * exact final ordering.
+    */
+  def pqSearchReranked(corpus: DataFrame, probes: DataFrame, topK: Int,
+                       shortK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shortlist = pqSearch(corpus, probes, shortK)
+      .select(col("probe_id"), col("vec_id"))
+    val exact = shortlist
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_emb"))), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(asDouble(col("probe_emb")), asDouble(col("embedding"))), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+  }
+
   /** Embedding-cosine near-dup: candidate pairs from shared LSH
     * buckets in ANY of `numTables` tables (OR-of-tables), kept when
     * exact cosine clears `minCos`. Same never-all-pairs shape as the

@@ -94,6 +94,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 2L)) // 3,4 fold into cluster 1; 2 untouched
   }
 
+  test("PQ codes compress to 4 subspace indices; reranked search recalls the exact top-k") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = Similarity.pqCodebooks(e)
+    assert(cb.count() == Similarity.PqNumSub * Similarity.PqCodebookSize)
+    val codes = Similarity.pqEncode(e, cb)
+    val n = e.count()
+    assert(codes.count() == n * Similarity.PqNumSub) // one code per subspace
+    // recall@10 of the ADC-shortlist + exact-rerank path vs brute force
+    val probes = e.where(org.apache.spark.sql.functions.col("vec_id") < 5)
+    def keys(df: org.apache.spark.sql.DataFrame) = df
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = keys(Similarity.bruteForceTopK(e, probes, 10))
+    val pq = keys(Similarity.pqSearchReranked(e, probes, topK = 10, shortK = 50))
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@10 = $recall") // deterministic corpus; seed codebooks
+  }
+
   test("hash split is stable under corpus growth and covers all docs") {
     import graft.pipeline.Sampling
     val splits = Seq(("train", 0.8), ("val", 0.9), ("test", 1.0))
