@@ -183,6 +183,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connected components equal brute-force union-find on random graphs") {
+    val graphGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(2, 30)
+      m <- Gen.choose(1, 40)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1) if a != b
+      } yield (a, b))
+    } yield es
+    val graphs = (0 until 6).flatMap(i =>
+      graphGen.apply(Gen.Parameters.default, Seed(1234L + i)))
+    for (edges <- graphs) {
+      // brute-force union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // canonical label = min member id per component
+      val expected = nodes.groupBy(find).flatMap { case (_, members) =>
+        val label = members.min
+        members.map(_ -> label)
+      }.toMap
+      val got = graft.pipeline.Dedup.connectedComponents(
+          edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"edges=$edges")
+    }
+  }
+
   test("decimate and decimateSorted agree on random layouts") {
     for (layout <- layouts(6, seed = 42)) {
       val df = frame(layout)
