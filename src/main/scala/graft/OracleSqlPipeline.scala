@@ -251,6 +251,15 @@ object OracleSqlPipeline {
          |       ELSE 0.1 END
          |ORDER BY doc_id""".stripMargin,
 
+    "sample_topn" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY
+         |      (('0x' || substr(md5(doc_id::VARCHAR || 'topn'), 1, 15))::BIGINT
+         |       / 1152921504606846976.0), doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 40 ORDER BY doc_id""".stripMargin,
+
     "sample_split" ->
       s"""SELECT doc_id,
          |  CASE WHEN u < 0.8 THEN 'train'

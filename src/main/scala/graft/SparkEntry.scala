@@ -347,6 +347,10 @@ object SparkEntry {
           Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), defaultRate = 0.1)
         .select(col("doc_id"), col("lang")).orderBy("doc_id")),
 
+    "sample_topn" -> ((s, dir) =>
+      Sampling.topNPerStratum(Tables.documents(s, dir), n = 40)
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")),
+
     "sample_split" -> ((s, dir) =>
       Sampling.hashSplit(Tables.documents(s, dir),
           Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))

@@ -59,6 +59,25 @@ object Sampling {
     docs.withColumn("split", assigned)
   }
 
+  /** Exact-count-per-stratum sampling: the `n` documents with the
+    * smallest id-hash per stratum — "exactly 10k docs per language",
+    * deterministic and stable (a doc enters/leaves the sample only if
+    * corpus membership near the hash threshold changes). One window
+    * per stratum; for strata too large for one task, pre-filter with
+    * [[stratifiedSample]] at a rate that overshoots `n` slightly, then
+    * rank the survivors.
+    */
+  def topNPerStratum(docs: DataFrame, n: Int,
+                     stratumCol: String = "lang",
+                     idCol: String = "doc_id",
+                     salt: String = "topn"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(hashUniform(col(idCol), salt), col(idCol))
+    docs.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= n).drop("_rn")
+  }
+
   /** Greedy sequence packing: concatenate each stream's documents in
     * id order and cut into fixed token-budget bins — the
     * "pack short documents into full training sequences" step. A

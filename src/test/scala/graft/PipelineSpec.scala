@@ -136,6 +136,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == (1L to 40L).filter(_ % 2 == 0).toSet)
   }
 
+  test("topN per stratum takes exactly the n smallest-hash docs, deterministically") {
+    import graft.pipeline.Sampling
+    val d = docs((1L to 30L).map(i =>
+      (i, s"text $i", if (i % 2 == 0) "en" else "de")): _*)
+    val picked = Sampling.topNPerStratum(d, 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(picked.size == 10) // 5 per stratum × 2 strata
+    // reference: the 5 smallest hashUniform values per stratum
+    val expected = d.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("lang"),
+        Sampling.hashUniform(
+          org.apache.spark.sql.functions.col("doc_id"), "topn").as("u"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._2).values
+      .flatMap(_.sortBy(x => (x._3, x._1)).take(5).map(_._1)).toSet
+    assert(picked == expected)
+    // and a second run picks the identical set (pure hash function)
+    assert(Sampling.topNPerStratum(d, 5).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == picked)
+  }
+
   test("greedy packing bins are contiguous per stream with exclusive-cumsum cuts") {
     import graft.pipeline.Sampling
     // 10 docs × 3 tokens in one stream, budget 7 → bins at cum 0,3,6|9,12|...
