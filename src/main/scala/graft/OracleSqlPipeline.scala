@@ -527,6 +527,42 @@ object OracleSqlPipeline {
          |SELECT probe_id, vec_id, approx_dot, rank
          |FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
 
+    "sim_pq_refined" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cb AS (
+         |  SELECT u.m, vec_id::INT AS code, v[u.m*16+1 : u.m*16+16] AS cent
+         |  FROM e, UNNEST(range(4)) u(m) WHERE vec_id < 16),
+         |sub AS (
+         |  SELECT vec_id, u.m, v[u.m*16+1 : u.m*16+16] AS sub
+         |  FROM e, UNNEST(range(4)) u(m)),
+         |enc AS (
+         |  SELECT s.vec_id, s.m, cb.code,
+         |    round(list_dot_product(cent, cent)
+         |          - 2.0 * list_dot_product(sub, cent), 6) AS d2
+         |  FROM sub s JOIN cb ON s.m = cb.m),
+         |codes AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d2, code) AS rn FROM enc) WHERE rn = 1),
+         |dims AS (
+         |  SELECT c.m, c.code, g.pos, s.sub[g.pos + 1] AS val
+         |  FROM codes c JOIN sub s ON c.vec_id = s.vec_id AND c.m = s.m,
+         |       UNNEST(generate_series(0, 15)) g(pos)),
+         |means AS (
+         |  SELECT m, code, pos,
+         |    CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS v
+         |  FROM dims GROUP BY 1, 2, 3),
+         |refined AS (
+         |  SELECT m, code, list(v ORDER BY pos) AS cent2
+         |  FROM means GROUP BY 1, 2)
+         |SELECT CAST(cb.m AS INT) AS m, cb.code AS code,
+         |  '[' || array_to_string(
+         |    list_transform(COALESCE(refined.cent2, cb.cent),
+         |      x -> CAST(CAST(round(x, 6) AS DECIMAL(18,6)) AS VARCHAR)),
+         |    ',') || ']' AS cent_str
+         |FROM cb LEFT JOIN refined ON cb.m = refined.m AND cb.code = refined.code
+         |ORDER BY m, code""".stripMargin,
+
     "sim_pq_reranked" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |cb AS (

@@ -451,6 +451,14 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // one Lloyd iteration of per-subspace codebook training, gated on
+    // the centroid VALUES (stringified like sim_ivf_centroids)
+    "sim_pq_refined" -> ((s, dir) =>
+      Similarity.pqCodebooksRefined(Tables.embeddings(s, dir), iters = 1)
+        .select(col("m"), col("code"),
+          TypedSamples.numArrayToString(col("cent")).as("cent_str"))
+        .orderBy("m", "code")),
+
     "sim_pq_reranked" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.pqSearchReranked(e, e.where(col("vec_id") < 5),

@@ -249,6 +249,16 @@ object Similarity {
         .as("mc"))
       .select(col("mc.m").as("m"), col("code"), col("mc.cent").as("cent"))
 
+  /** (vec_id, m, sub) — each vector's [[PqNumSub]] subvectors. */
+  private def subvectors(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), explode(array((0 until PqNumSub).map(m =>
+        struct(lit(m).as("m"),
+          slice(col("v"), m * PqSubDim + 1, PqSubDim).as("sub"))): _*))
+        .as("ms"))
+      .select(col("vec_id"), col("ms.m").as("m"), col("ms.sub").as("sub"))
+
   /** Encode each vector as [[PqNumSub]] codebook indices: per
     * subspace, the L2-nearest entry (via the dot identity — |c|² −
     * 2x·c orders identically to the full distance), 6dp-rounded with
@@ -258,14 +268,7 @@ object Similarity {
   def pqEncode(corpus: DataFrame, codebooks: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dot = graft.functions.VectorExpressions.vector_dot _
-    val sub = corpus
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .select(col("vec_id"), explode(array((0 until PqNumSub).map(m =>
-        struct(lit(m).as("m"),
-          slice(col("v"), m * PqSubDim + 1, PqSubDim).as("sub"))): _*))
-        .as("ms"))
-      .select(col("vec_id"), col("ms.m").as("m"), col("ms.sub").as("sub"))
-    val scored = sub.join(broadcast(codebooks), Seq("m"))
+    val scored = subvectors(corpus).join(broadcast(codebooks), Seq("m"))
       .select(col("vec_id"), col("m"), col("code"),
         round(dot(col("cent"), col("cent")) -
           lit(2.0) * dot(col("sub"), col("cent")), 6).as("d2"))
@@ -273,6 +276,36 @@ object Similarity {
       .orderBy(col("d2"), col("code"))
     scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select(col("vec_id"), col("m"), col("code"))
+  }
+
+  /** Lloyd refinement of the PQ codebooks, per subspace: each
+    * iteration re-encodes the corpus against the current codebooks
+    * (the assignment step) and replaces every codebook entry with the
+    * element-wise mean of its assigned subvectors (decimal-routed —
+    * order-independent); entries that attract no vectors keep their
+    * previous centroid. Same training shape as [[ivfCentroids]], M
+    * codebooks at once: one corpus scan + one k·M·subDim-sized
+    * aggregate per iteration.
+    */
+  def pqCodebooksRefined(corpus: DataFrame, iters: Int = 1): DataFrame = {
+    var cb = pqCodebooks(corpus)
+    val sub = subvectors(corpus)
+    for (_ <- 1 to iters) {
+      val codes = pqEncode(corpus, cb)
+      val means = codes.join(sub, Seq("vec_id", "m"))
+        .select(col("m"), col("code"),
+          posexplode(col("sub")).as(Seq("pos", "v")))
+        .groupBy("m", "code", "pos")
+        .agg((graft.archive.Decimation.exactSum(col("v")) / count(lit(1)))
+          .as("v"))
+        .groupBy("m", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          x => x.getField("v")).as("cent2"))
+      cb = cb.join(means, Seq("m", "code"), "left")
+        .select(col("m"), col("code"),
+          coalesce(col("cent2"), col("cent")).as("cent"))
+    }
+    cb
   }
 
   /** Asymmetric-distance (ADC) top-k: the probe builds a per-subspace

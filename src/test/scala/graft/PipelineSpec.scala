@@ -112,6 +112,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@10 = $recall") // deterministic corpus; seed codebooks
   }
 
+  test("Lloyd-refined PQ codebooks reduce quantization distortion") {
+    import org.apache.spark.sql.functions.{avg, col}
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // d2 = |c|^2 - 2 x.c differs from true L2 by the per-subvector
+    // constant |x|^2, so comparing mean d2 across codebooks compares
+    // true distortion
+    def distortion(cb: org.apache.spark.sql.DataFrame): Double = {
+      val dot = graft.functions.VectorExpressions.vector_dot _
+      // re-derive the assignment's winning d2 per (vec, m)
+      Similarity.pqEncode(e, cb)
+        .join(cb, Seq("m", "code"))
+        .join(e.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v")), Seq("vec_id"))
+        .select((dot(col("cent"), col("cent")) -
+          org.apache.spark.sql.functions.lit(2.0) *
+            dot(org.apache.spark.sql.functions.slice(col("v"),
+              col("m") * Similarity.PqSubDim + 1,
+              org.apache.spark.sql.functions.lit(Similarity.PqSubDim)),
+              col("cent"))).as("d2"))
+        .agg(avg("d2")).head.getDouble(0)
+    }
+    val seed = distortion(Similarity.pqCodebooks(e))
+    val refined = distortion(Similarity.pqCodebooksRefined(e, iters = 1))
+    assert(refined <= seed + 1e-9, s"refined $refined vs seed $seed")
+  }
+
   test("hash split is stable under corpus growth and covers all docs") {
     import graft.pipeline.Sampling
     val splits = Seq(("train", 0.8), ("val", 0.9), ("test", 1.0))
