@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.archive.{ArchiveReader, ChannelRegistry, Decimation, JsonV1, TypedDecimation}
+import graft.archive.{ArchiveReader, ChannelRegistry, Decimation, JsonV1, ManifestStore, TypedDecimation}
 import graft.core.{Samples, Tables, TypedSamples}
 import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import OracleSql._
@@ -104,6 +104,19 @@ object SparkEntry {
       ArchiveReader.rangeScan(raw(s, dir), LO, HI)
         .select(coreCols: _*)
         .orderBy(col("channel"), col("ts"), col("sample_id"))),
+
+    // The same range scan served through the manifest-committed store:
+    // commit raw samples into a transaction-logged table, read back the
+    // clip — gates the commit/stats/prune/read path end-to-end against
+    // the arch_range_scan oracle (identical output bytes required).
+    "arch_manifest_scan" -> ((s, dir) => {
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-mstore").toString
+      ManifestStore.commit(raw(s, dir), store, levelSec = 0)
+      ManifestStore.read(s, store, 0, Some(LO), Some(HI))
+        .select(coreCols: _*)
+        .orderBy(col("channel"), col("ts"), col("sample_id"))
+    }),
 
     "arch_boundary_before" -> ((s, dir) =>
       ArchiveReader.boundaryBefore(raw(s, dir), TB)
@@ -494,7 +507,11 @@ object SparkEntry {
   )
 
   /** DuckDB equivalents (driver correctness gate). */
-  def oracleSql: Map[String, String] =
-    OracleSql.all ++ OracleSqlPipeline.all ++ OracleSqlTyped.all ++
+  def oracleSql: Map[String, String] = {
+    val base = OracleSql.all ++ OracleSqlPipeline.all ++ OracleSqlTyped.all ++
       OracleSqlJson.all
+    // the manifest store must serve the exact bytes the raw scan serves —
+    // same oracle, different storage path
+    base + ("arch_manifest_scan" -> base("arch_range_scan"))
+  }
 }

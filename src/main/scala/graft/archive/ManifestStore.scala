@@ -1,0 +1,367 @@
+package graft.archive
+
+import scala.collection.mutable.ArrayBuffer
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Manifest-committed sample store — the transaction-log layout the
+  * plain-parquet [[ArchiveStore]] approximates with directory renames,
+  * made explicit (the same protocol Delta Lake / Iceberg use, reduced
+  * to what an archive store needs):
+  *
+  *  - every write is a COMMIT: data files land under `data/` with
+  *    unique names, then a new manifest version
+  *    (`_manifests/v{N}.json`) listing the complete live file set is
+  *    created with an exclusive-create — readers either see the old
+  *    version or the new one, never a half-written directory;
+  *  - the manifest carries the table schema and per-file stats
+  *    (level, bucket day, min/max ts, row count), so a reader plans a
+  *    time-range query from ONE small JSON file — no recursive
+  *    directory listing, no per-file footer reads. At 100 TB / millions
+  *    of files this replaces an O(files) object-store LIST per query
+  *    with an O(1) read, and the (level, ts) file pruning happens
+  *    driver-side before any task launches;
+  *  - compaction and retention are manifest swaps: the new version
+  *    stops referencing the replaced/expired files, concurrent readers
+  *    holding the old version keep reading the old files, and physical
+  *    deletion is deferred to an explicit [[vacuum]] — there is no
+  *    moment where live data is unreadable (the rename-swap gap
+  *    `ArchiveStore.compact` documents);
+  *  - commits are optimistic: on version collision the loser re-reads
+  *    the latest manifest and re-applies its delta (appends always
+  *    merge; compaction aborts if a replaced file vanished);
+  *  - old versions stay readable ([[readVersion]]) until vacuumed —
+  *    snapshot isolation and time travel for free.
+  *
+  * The exclusive-create is atomic on HDFS and local filesystems; on
+  * S3-class stores it needs a conditional PUT / external lock, the same
+  * caveat every log-structured table format carries.
+  *
+  * Data files carry only data columns; `level` and `bucket_date` are
+  * manifest metadata (partition values never pay per-row storage), and
+  * the read path re-derives them so the frame stays drop-in compatible
+  * with [[ArchiveStore.read]] consumers.
+  */
+object ManifestStore {
+
+  case class FileEntry(path: String, levelSec: Long, bucketDate: String,
+                       minTs: Long, maxTs: Long, rows: Long)
+
+  case class Manifest(version: Long, schemaDdl: String,
+                      files: Seq[FileEntry]) {
+    def schema: StructType = StructType.fromDDL(schemaDdl)
+  }
+
+  private val mapper = new ObjectMapper()
+
+  private def manifestDir(path: String) = s"$path/_manifests"
+  private def versionFile(path: String, v: Long) =
+    new Path(manifestDir(path), f"v$v%012d.json")
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---- manifest serialization ----
+
+  private def toJson(m: Manifest): Array[Byte] = {
+    val root: ObjectNode = mapper.createObjectNode()
+    root.put("version", m.version)
+    root.put("schema_ddl", m.schemaDdl)
+    val arr: ArrayNode = root.putArray("files")
+    m.files.foreach { f =>
+      val n = arr.addObject()
+      n.put("path", f.path)
+      n.put("level", f.levelSec)
+      n.put("bucket_date", f.bucketDate)
+      n.put("min_ts", f.minTs)
+      n.put("max_ts", f.maxTs)
+      n.put("rows", f.rows)
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
+  }
+
+  private def fromJson(bytes: Array[Byte]): Manifest = {
+    val root = mapper.readTree(bytes)
+    val files = ArrayBuffer.empty[FileEntry]
+    val it = root.get("files").elements()
+    while (it.hasNext) {
+      val n: JsonNode = it.next()
+      files += FileEntry(n.get("path").asText(), n.get("level").asLong(),
+        n.get("bucket_date").asText(), n.get("min_ts").asLong(),
+        n.get("max_ts").asLong(), n.get("rows").asLong())
+    }
+    Manifest(root.get("version").asLong(), root.get("schema_ddl").asText(),
+      files.toSeq)
+  }
+
+  /** The latest committed manifest, or None for an empty/new store.
+    * One LIST of the (small) manifest directory + one file read.
+    */
+  def latestManifest(spark: SparkSession, path: String): Option[Manifest] = {
+    val f = fs(spark, path)
+    val dir = new Path(manifestDir(path))
+    if (!f.exists(dir)) return None
+    val versions = f.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+    if (versions.isEmpty) None
+    else Some(readManifest(spark, path, versions.max))
+  }
+
+  def readManifest(spark: SparkSession, path: String, version: Long): Manifest = {
+    val f = fs(spark, path)
+    val in = f.open(versionFile(path, version))
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      fromJson(out.toByteArray)
+    } finally in.close()
+  }
+
+  /** Exclusive-create of one manifest version: true iff this writer
+    * won the version. */
+  private def writeExclusive(spark: SparkSession, path: String,
+                             m: Manifest): Boolean = {
+    val f = fs(spark, path)
+    f.mkdirs(new Path(manifestDir(path)))
+    val target = versionFile(path, m.version)
+    if (f.exists(target)) return false
+    try {
+      val out = f.create(target, /* overwrite = */ false)
+      try out.write(toJson(m)) finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+  }
+
+  /** Optimistic-retry commit: apply `update` to the latest manifest and
+    * try to claim the next version; on collision, re-read and re-apply.
+    * `update` must be idempotent against a refreshed base (append
+    * merges; compact re-checks its victims).
+    */
+  private def commitLoop(spark: SparkSession, path: String)
+                        (update: Manifest => Manifest): Manifest = {
+    var attempts = 0
+    while (attempts < 50) {
+      val cur = latestManifest(spark, path).getOrElse(Manifest(0L, "", Nil))
+      val next = update(cur).copy(version = cur.version + 1)
+      if (writeExclusive(spark, path, next)) return next
+      attempts += 1
+    }
+    throw new java.io.IOException(
+      s"manifest commit to $path lost ${attempts} races — giving up")
+  }
+
+  /** Union of two schemas by field name (old order first, new fields
+    * appended) — how a decimated level's stat columns join a store that
+    * so far held only raw columns. A same-name type conflict is a
+    * corrupt store and fails loudly.
+    */
+  private def mergeSchema(oldDdl: String, newSchema: StructType): StructType = {
+    if (oldDdl.isEmpty) return newSchema
+    val old = StructType.fromDDL(oldDdl)
+    val byName = old.fields.map(f => f.name -> f).toMap
+    newSchema.fields.foreach { f =>
+      byName.get(f.name).foreach { o =>
+        require(o.dataType == f.dataType,
+          s"schema conflict on '${f.name}': ${o.dataType} vs ${f.dataType}")
+      }
+    }
+    StructType(old.fields ++ newSchema.fields.filterNot(f => byName.contains(f.name)))
+  }
+
+  private def withBucketDate(samples: DataFrame): DataFrame =
+    samples.withColumn("bucket_date",
+      to_date(timestamp_micros((col("ts") / 1000L).cast("long"))))
+
+  /** Stats + entry list for freshly staged files: ONE distributed scan
+    * of only the new files (grouped by the hidden `_metadata.file_path`),
+    * collected to the driver — file-count-sized, not row-count-sized.
+    */
+  private def statsFor(spark: SparkSession, staged: String,
+                       levelFallback: Long): (StructType, Seq[FileEntry]) = {
+    val df = spark.read.parquet(staged)
+    val hasPartCols = df.columns.contains("level")
+    val dataSchema = StructType(df.schema.fields
+      .filterNot(f => f.name == "level" || f.name == "bucket_date"))
+    val keyed =
+      if (hasPartCols)
+        // partition-value inference types `level=0` as int — pin long
+        df.select(col("_metadata.file_path").as("fp"),
+          col("level").cast("long").as("level"),
+          col("bucket_date").cast("string").as("bd"), col("ts"))
+      else
+        df.select(col("_metadata.file_path").as("fp"),
+          lit(levelFallback).as("level"),
+          to_date(timestamp_micros((col("ts") / 1000L).cast("long")))
+            .cast("string").as("bd"),
+          col("ts"))
+    val entries = keyed
+      .groupBy("fp", "level", "bd")
+      .agg(min("ts").as("mn"), max("ts").as("mx"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => FileEntry(r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq
+    (dataSchema, entries)
+  }
+
+  /** S9 as a transaction: append one level's samples and commit a new
+    * manifest version. Returns the committed version. Layout matches
+    * [[ArchiveStore.write]] (day × channel clustering, (channel, ts)
+    * sort for row-group locality); `partitionBy` keeps each staged file
+    * day-pure so retention never strands a straddling file.
+    */
+  def commit(samples: DataFrame, path: String, levelSec: Long): Long = {
+    val spark = samples.sparkSession
+    val staged = s"$path/data/commit-${java.util.UUID.randomUUID().toString.take(12)}"
+    withBucketDate(samples)
+      .withColumn("level", lit(levelSec))
+      .repartition(col("bucket_date"), col("channel"))
+      .sortWithinPartitions("channel", "ts")
+      .write.partitionBy("level", "bucket_date").parquet(staged)
+    val (dataSchema, entries) = statsFor(spark, staged, levelSec)
+    commitLoop(spark, path) { cur =>
+      cur.copy(schemaDdl = mergeSchema(cur.schemaDdl, dataSchema).toDDL,
+        files = cur.files ++ entries)
+    }.version
+  }
+
+  private def emptyFrame(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  /** Read one level clipped to [loNs, hiNs] at a given manifest — file
+    * pruning happens HERE, driver-side, from manifest stats (level
+    * match + ts-range overlap); the residual ts predicate still reaches
+    * parquet row-group stats inside each surviving file. `level` and
+    * `bucket_date` are re-derived so consumers of
+    * [[ArchiveStore.read]]'s shape work unchanged.
+    */
+  def readVersion(spark: SparkSession, path: String, version: Long,
+                  levelSec: Long, loNs: Option[Long] = None,
+                  hiNs: Option[Long] = None): DataFrame = {
+    readManifestFrame(spark, readManifest(spark, path, version),
+      levelSec, loNs, hiNs)
+  }
+
+  def read(spark: SparkSession, path: String, levelSec: Long,
+           loNs: Option[Long] = None, hiNs: Option[Long] = None): DataFrame = {
+    val m = latestManifest(spark, path)
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no committed manifest under $path"))
+    readManifestFrame(spark, m, levelSec, loNs, hiNs)
+  }
+
+  private def readManifestFrame(spark: SparkSession, m: Manifest,
+                                levelSec: Long, loNs: Option[Long],
+                                hiNs: Option[Long]): DataFrame = {
+    val schema = m.schema
+    val live = m.files.filter(f => f.levelSec == levelSec &&
+      loNs.forall(lo => f.maxTs >= lo) && hiNs.forall(hi => f.minTs <= hi))
+    val base =
+      if (live.isEmpty) emptyFrame(spark, schema)
+      else spark.read.schema(schema).parquet(live.map(_.path): _*)
+    var df = base
+      .withColumn("level", lit(levelSec))
+      .withColumn("bucket_date",
+        to_date(timestamp_micros((col("ts") / 1000L).cast("long"))))
+    loNs.foreach(lo => df = df.where(col("ts") >= lo))
+    hiNs.foreach(hi => df = df.where(col("ts") <= hi))
+    df
+  }
+
+  /** Atomic compaction of one (level, day): rewrite its files into
+    * `targetFiles` right-sized ones and commit a manifest that swaps
+    * them in. Readers of the previous version are untouched; a
+    * concurrent commit that removed a victim aborts the swap
+    * (retention racing compaction — the retention wins).
+    */
+  def compact(spark: SparkSession, path: String, levelSec: Long,
+              date: String, targetFiles: Int = 1): Unit = {
+    val m = latestManifest(spark, path)
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no committed manifest under $path"))
+    val victims = m.files.filter(f => f.levelSec == levelSec && f.bucketDate == date)
+    if (victims.isEmpty) return
+    val victimPaths = victims.map(_.path).toSet
+    val staged = s"$path/data/compact-${java.util.UUID.randomUUID().toString.take(12)}"
+    spark.read.schema(m.schema).parquet(victims.map(_.path): _*)
+      .repartition(targetFiles)
+      .sortWithinPartitions("channel", "ts")
+      .write.parquet(staged)
+    val (_, entries) = statsFor(spark, staged, levelSec)
+    // staged files carry no partition dirs — pin the victims' identity
+    val swapped = entries.map(_.copy(levelSec = levelSec, bucketDate = date))
+    commitLoop(spark, path) { cur =>
+      require(victimPaths.subsetOf(cur.files.map(_.path).toSet),
+        s"compact $levelSec/$date: a victim file left the manifest mid-swap")
+      cur.copy(files = cur.files.filterNot(f => victimPaths.contains(f.path))
+        ++ swapped)
+    }
+  }
+
+  /** ST9 — retention as a pure manifest operation: compute the horizon
+    * from manifest stats (max ts of the level — NO data scan, unlike
+    * the raw-parquet store which must aggregate the level to find its
+    * latest sample), drop entries whose day END is older, commit.
+    * Physical bytes survive until [[vacuum]]. Returns dropped paths.
+    * Horizon rule matches the reference: delete only when bucket end <
+    * latest − retention (ArchivedChannelDecimationLevel.java:1226-1229).
+    */
+  def applyRetention(spark: SparkSession, path: String, levelSec: Long,
+                     retentionNs: Long): Seq[String] = {
+    if (retentionNs == 0) return Nil
+    val m = latestManifest(spark, path)
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no committed manifest under $path"))
+    val level = m.files.filter(_.levelSec == levelSec)
+    if (level.isEmpty) return Nil
+    val horizon = level.map(_.maxTs).max - retentionNs
+    val dayNs = 86400L * graft.core.Samples.NS
+    val expired = level.filter { f =>
+      val dayStartNs = java.time.LocalDate.parse(f.bucketDate).toEpochDay * dayNs
+      dayStartNs + dayNs - 1 < horizon
+    }
+    if (expired.isEmpty) return Nil
+    val gone = expired.map(_.path).toSet
+    commitLoop(spark, path) { cur =>
+      cur.copy(files = cur.files.filterNot(f => gone.contains(f.path)))
+    }
+    expired.map(_.path)
+  }
+
+  /** Physically delete data files no longer referenced by the LATEST
+    * manifest (compacted-away, expired, or orphaned by a failed stage)
+    * whose modification time is older than `graceMs` — the grace window
+    * covers in-flight commits whose manifest hasn't landed yet and
+    * readers still draining an old snapshot. Time travel to vacuumed
+    * versions is gone afterwards, exactly like any table format.
+    * Returns deleted paths.
+    */
+  def vacuum(spark: SparkSession, path: String, graceMs: Long = 0L): Seq[String] = {
+    val m = latestManifest(spark, path)
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no committed manifest under $path"))
+    val f = fs(spark, path)
+    val dataDir = new Path(s"$path/data")
+    if (!f.exists(dataDir)) return Nil
+    def norm(p: String): String = new Path(p).toUri.getPath
+    val live = m.files.map(e => norm(e.path)).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    val deleted = ArrayBuffer.empty[String]
+    val it = f.listFiles(dataDir, /* recursive = */ true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      if (!live.contains(norm(p.toString)) && st.getModificationTime <= cutoff) {
+        f.delete(p, false)
+        deleted += p.toString
+      }
+    }
+    deleted.toSeq
+  }
+}

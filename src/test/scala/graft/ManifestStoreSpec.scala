@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.archive.ManifestStore
+
+class ManifestStoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  private val NS = 1000000000L
+  private val DAY = 86400L * NS
+  // 2024-01-01T00:00:00Z
+  private val T0 = 1704067200L * NS
+
+  private def samples(rows: (String, Long, Double)*): DataFrame =
+    rows.zipWithIndex.map { case ((c, t, v), i) =>
+      (c, t, v, "", 0, 0, i.toLong)
+    }.toDF("channel", "ts", "value", "str_value", "severity", "status", "sample_id")
+
+  test("commit → read round-trip; manifest prunes files driver-side") {
+    val dir = Files.createTempDirectory("mstore").toString
+    val v1 = ManifestStore.commit(samples(
+      ("c", T0 + 1 * NS, 1.0), ("c", T0 + DAY + 2 * NS, 2.0),
+      ("c", T0 + 2 * DAY + 3 * NS, 3.0), ("d", T0 + 10 * NS, 4.0)),
+      dir, levelSec = 0)
+    assert(v1 == 1L)
+
+    val all = ManifestStore.read(spark, dir, 0)
+    assert(all.count() == 4)
+    assert(all.columns.contains("level") && all.columns.contains("bucket_date"))
+
+    // day-2 clip: only the day-2 file survives manifest pruning — the
+    // scan's input is ONE file, proving pruning happened before Spark
+    // ever listed the directory.
+    val day2 = ManifestStore.read(spark, dir, 0,
+      loNs = Some(T0 + DAY), hiNs = Some(T0 + 2 * DAY - 1))
+    assert(day2.select("value").collect().map(_.getDouble(0)).toSeq == Seq(2.0))
+    assert(day2.inputFiles.length == 1)
+  }
+
+  test("append commits merge file sets and bump the version") {
+    val dir = Files.createTempDirectory("mstore").toString
+    ManifestStore.commit(samples(("c", T0 + 1 * NS, 1.0)), dir, 0)
+    val v2 = ManifestStore.commit(samples(("c", T0 + 2 * NS, 2.0)), dir, 0)
+    assert(v2 == 2L)
+    val got = ManifestStore.read(spark, dir, 0)
+      .select("value").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(got == Seq(1.0, 2.0))
+    assert(ManifestStore.latestManifest(spark, dir).get.files.size == 2)
+  }
+
+  test("schema union across levels: decimated stat columns read as null on raw files") {
+    val dir = Files.createTempDirectory("mstore").toString
+    ManifestStore.commit(samples(("c", T0 + 1 * NS, 1.0)), dir, 0)
+    val dec = Seq(("c", T0, 1.5, 0.1, 1.0, 2.0))
+      .toDF("channel", "ts", "mean", "std", "min_value", "max_value")
+    ManifestStore.commit(dec, dir, levelSec = 3600)
+
+    val raw = ManifestStore.read(spark, dir, 0)
+    assert(raw.columns.contains("mean"))
+    assert(raw.select("mean").head.isNullAt(0)) // raw files lack the column
+    assert(raw.select("value").head.getDouble(0) == 1.0)
+
+    val coarse = ManifestStore.read(spark, dir, 3600)
+    assert(coarse.select("mean").head.getDouble(0) == 1.5)
+    assert(coarse.select("value").head.isNullAt(0))
+  }
+
+  test("level isolation: each level reads only its own files") {
+    val dir = Files.createTempDirectory("mstore").toString
+    ManifestStore.commit(samples(("c", T0 + 1 * NS, 1.0),
+      ("c", T0 + 2 * NS, 2.0)), dir, 0)
+    ManifestStore.commit(samples(("c", T0 + 1 * NS, 9.0)), dir, 60)
+    assert(ManifestStore.read(spark, dir, 0).count() == 2)
+    assert(ManifestStore.read(spark, dir, 60).count() == 1)
+  }
+
+  test("compact swaps files atomically; the old snapshot stays readable") {
+    val dir = Files.createTempDirectory("mstore").toString
+    ManifestStore.commit(samples(("c", T0 + 1 * NS, 1.0)), dir, 0)
+    ManifestStore.commit(samples(("c", T0 + 2 * NS, 2.0)), dir, 0)
+    ManifestStore.commit(samples(("c", T0 + 3 * NS, 3.0)), dir, 0)
+    val before = ManifestStore.latestManifest(spark, dir).get
+    assert(before.files.size == 3)
+
+    ManifestStore.compact(spark, dir, 0, "2024-01-01")
+    val after = ManifestStore.latestManifest(spark, dir).get
+    assert(after.version == before.version + 1)
+    assert(after.files.size == 1)
+    val got = ManifestStore.read(spark, dir, 0)
+      .select("value").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(got == Seq(1.0, 2.0, 3.0))
+
+    // time travel: the pre-compaction snapshot still reads its 3 files
+    val old = ManifestStore.readVersion(spark, dir, before.version, 0)
+    assert(old.inputFiles.length == 3)
+    assert(old.count() == 3)
+  }
+
+  test("retention drops expired days from the manifest without a data scan; vacuum deletes bytes") {
+    val dir = Files.createTempDirectory("mstore").toString
+    ManifestStore.commit(samples(
+      ("c", T0 + 1 * NS, 1.0),
+      ("c", T0 + 5 * DAY, 2.0),
+      ("c", T0 + 10 * DAY, 3.0)), dir, 0)
+
+    val dropped = ManifestStore.applyRetention(spark, dir, 0, 7 * DAY)
+    assert(dropped.size == 1 && dropped.head.contains("bucket_date=2024-01-01"))
+    val left = ManifestStore.read(spark, dir, 0)
+      .select("value").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(left == Seq(2.0, 3.0))
+
+    // bytes still on disk (old snapshot readable), then vacuum removes them
+    val deleted = ManifestStore.vacuum(spark, dir)
+    assert(deleted.exists(_.contains("bucket_date=2024-01-01")))
+    assert(ManifestStore.read(spark, dir, 0).count() == 2)
+  }
+
+  test("a lost commit race retries and lands on the next version") {
+    val dir = Files.createTempDirectory("mstore").toString
+    ManifestStore.commit(samples(("c", T0 + 1 * NS, 1.0)), dir, 0)
+    // squat on v2 with a copy of v1 — as if another writer committed
+    // between this writer's read and its write
+    val m1 = ManifestStore.latestManifest(spark, dir).get
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val v1 = new org.apache.hadoop.fs.Path(s"$dir/_manifests/v${"%012d".format(1)}.json")
+    val v2 = new org.apache.hadoop.fs.Path(s"$dir/_manifests/v${"%012d".format(2)}.json")
+    org.apache.hadoop.fs.FileUtil.copy(fs, v1, fs, v2, false,
+      spark.sparkContext.hadoopConfiguration)
+    // overwrite the squatter's version field so it parses as v2
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_manifests/v${"%012d".format(2)}.json")))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_manifests/v${"%012d".format(2)}.json"),
+      raw.replace("\"version\" : 1", "\"version\" : 2").getBytes)
+    // the edit bypassed the Hadoop local FS — drop its stale checksum
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/_manifests/.v${"%012d".format(2)}.json.crc"), false)
+
+    val v = ManifestStore.commit(samples(("c", T0 + 2 * NS, 2.0)), dir, 0)
+    assert(v == 3L) // lost v2, retried, won v3
+    // both the squatter's files (= v1's) and the new commit are live
+    assert(ManifestStore.read(spark, dir, 0).count() == 2)
+    assert(m1.files.size == 1)
+  }
+
+  test("empty clip returns an empty frame with the full schema") {
+    val dir = Files.createTempDirectory("mstore").toString
+    ManifestStore.commit(samples(("c", T0 + 1 * NS, 1.0)), dir, 0)
+    val none = ManifestStore.read(spark, dir, 0,
+      loNs = Some(T0 + 100 * DAY), hiNs = Some(T0 + 101 * DAY))
+    assert(none.count() == 0)
+    assert(none.columns.contains("value") && none.columns.contains("level"))
+  }
+}
