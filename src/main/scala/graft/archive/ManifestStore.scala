@@ -52,8 +52,13 @@ object ManifestStore {
   case class FileEntry(path: String, levelSec: Long, bucketDate: String,
                        minTs: Long, maxTs: Long, rows: Long)
 
+  /** `txns` records the highest applied batch id per idempotent writer
+    * (streaming sinks) — micro-batches commit in order, so one long per
+    * writer id is enough to make a replayed `foreachBatch` a no-op.
+    */
   case class Manifest(version: Long, schemaDdl: String,
-                      files: Seq[FileEntry]) {
+                      files: Seq[FileEntry],
+                      txns: Map[String, Long] = Map.empty) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
   }
 
@@ -72,6 +77,8 @@ object ManifestStore {
     val root: ObjectNode = mapper.createObjectNode()
     root.put("version", m.version)
     root.put("schema_ddl", m.schemaDdl)
+    val txns: ObjectNode = root.putObject("txns")
+    m.txns.foreach { case (k, v) => txns.put(k, v) }
     val arr: ArrayNode = root.putArray("files")
     m.files.foreach { f =>
       val n = arr.addObject()
@@ -95,8 +102,17 @@ object ManifestStore {
         n.get("bucket_date").asText(), n.get("min_ts").asLong(),
         n.get("max_ts").asLong(), n.get("rows").asLong())
     }
+    val txns = scala.collection.mutable.Map.empty[String, Long]
+    val tn = root.get("txns")
+    if (tn != null) {
+      val fields = tn.fields()
+      while (fields.hasNext) {
+        val e = fields.next()
+        txns += e.getKey -> e.getValue.asLong()
+      }
+    }
     Manifest(root.get("version").asLong(), root.get("schema_ddl").asText(),
-      files.toSeq)
+      files.toSeq, txns.toMap)
   }
 
   /** The latest committed manifest, or None for an empty/new store.
@@ -216,7 +232,29 @@ object ManifestStore {
     * sort for row-group locality); `partitionBy` keeps each staged file
     * day-pure so retention never strands a straddling file.
     */
-  def commit(samples: DataFrame, path: String, levelSec: Long): Long = {
+  def commit(samples: DataFrame, path: String, levelSec: Long): Long =
+    commitTxn(samples, path, levelSec, None)
+
+  /** Idempotent commit for replayable writers (streaming micro-batches):
+    * the manifest remembers the highest `batchId` applied per
+    * `writerId`, so a replay of an already-committed batch is a no-op —
+    * exactly-once table contents over `foreachBatch`'s at-least-once
+    * side-effect contract. Batches must commit in ascending id order
+    * per writer (which structured streaming guarantees).
+    */
+  def commitIdempotent(samples: DataFrame, path: String, levelSec: Long,
+                       writerId: String, batchId: Long): Long = {
+    val spark = samples.sparkSession
+    latestManifest(spark, path) match {
+      case Some(m) if m.txns.get(writerId).exists(_ >= batchId) =>
+        return m.version // replay of an applied batch: no-op, no staging
+      case _ =>
+    }
+    commitTxn(samples, path, levelSec, Some(writerId -> batchId))
+  }
+
+  private def commitTxn(samples: DataFrame, path: String, levelSec: Long,
+                        txn: Option[(String, Long)]): Long = {
     val spark = samples.sparkSession
     val staged = s"$path/data/commit-${java.util.UUID.randomUUID().toString.take(12)}"
     withBucketDate(samples)
@@ -226,8 +264,15 @@ object ManifestStore {
       .write.partitionBy("level", "bucket_date").parquet(staged)
     val (dataSchema, entries) = statsFor(spark, staged, levelSec)
     commitLoop(spark, path) { cur =>
+      txn.foreach { case (id, b) =>
+        if (cur.txns.get(id).exists(_ >= b))
+          // raced with a concurrent replay that won: surface the applied
+          // state (staged files become vacuum-able orphans)
+          return cur.version
+      }
       cur.copy(schemaDdl = mergeSchema(cur.schemaDdl, dataSchema).toDDL,
-        files = cur.files ++ entries)
+        files = cur.files ++ entries,
+        txns = txn.fold(cur.txns) { case (id, b) => cur.txns + (id -> b) })
     }.version
   }
 

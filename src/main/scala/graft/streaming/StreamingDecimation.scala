@@ -205,6 +205,27 @@ object StreamingDecimation {
       .outputMode("append")
       .start()
 
+  /** Streaming ingest into the manifest-committed store: each
+    * micro-batch is ONE atomic manifest commit, so any reader — not
+    * just Spark streaming-aware ones honoring a `_spark_metadata` log —
+    * sees whole batches or nothing. Replayed batches (foreachBatch is
+    * at-least-once) are no-ops via the manifest's per-writer txn
+    * watermark, so table contents stay exactly-once; the writer
+    * identity is the checkpoint dir, which is what survives restarts.
+    */
+  def writeRawStreamManifest(samples: DataFrame, storePath: String,
+                             checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    samples.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.archive.ManifestStore.commitIdempotent(
+          batch.toDF(), storePath, levelSec = 0L,
+          writerId = s"stream:$checkpointDir", batchId = batchId)
+        ()
+      }
+      .start()
+
   /** ST1/ST3 — ingest shaping: event-time column, watermark, and the
     * windowed pre-aggregation a monitoring sink consumes. (The raw
     * append path writes `samples` to ArchiveStore unchanged.)

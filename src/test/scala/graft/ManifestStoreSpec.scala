@@ -150,6 +150,28 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(m1.files.size == 1)
   }
 
+  test("idempotent commit: a replayed batch id is a no-op") {
+    val dir = Files.createTempDirectory("mstore").toString
+    ManifestStore.commitIdempotent(samples(("c", T0 + 1 * NS, 1.0)),
+      dir, 0, "w1", batchId = 0)
+    ManifestStore.commitIdempotent(samples(("c", T0 + 2 * NS, 2.0)),
+      dir, 0, "w1", batchId = 1)
+    val v = ManifestStore.latestManifest(spark, dir).get.version
+    // replay batch 1 with (possibly different) data — must change nothing
+    ManifestStore.commitIdempotent(samples(("c", T0 + 3 * NS, 99.0)),
+      dir, 0, "w1", batchId = 1)
+    val m = ManifestStore.latestManifest(spark, dir).get
+    assert(m.version == v)
+    assert(m.txns == Map("w1" -> 1L))
+    val got = ManifestStore.read(spark, dir, 0)
+      .select("value").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(got == Seq(1.0, 2.0))
+    // a different writer's batch 1 is independent
+    ManifestStore.commitIdempotent(samples(("c", T0 + 4 * NS, 4.0)),
+      dir, 0, "w2", batchId = 1)
+    assert(ManifestStore.read(spark, dir, 0).count() == 3)
+  }
+
   test("empty clip returns an empty frame with the full schema") {
     val dir = Files.createTempDirectory("mstore").toString
     ManifestStore.commit(samples(("c", T0 + 1 * NS, 1.0)), dir, 0)

@@ -115,6 +115,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.select("bucket_date").distinct().count() == 2) // two days
   }
 
+  test("streaming ingest into the manifest store: one atomic commit per micro-batch") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream_mstore").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_m").toString
+    val mem = MemoryStream[InSample]
+    val base = 1704067200L * S // 2024-01-01
+    val q = StreamingDecimation.writeRawStreamManifest(
+      mem.toDS().toDF().select(
+        $"channel", $"ts", $"value".cast("double").as("value"), $"seq".as("sample_id")),
+      dir, ckpt)
+    try {
+      mem.addData(Seq(
+        InSample("c", base + S, Some(1.0), 0),
+        InSample("d", base + 2 * S, Some(2.0), 1)))
+      q.processAllAvailable()
+      mem.addData(Seq(InSample("c", base + 3 * S, Some(3.0), 2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val m = graft.archive.ManifestStore.latestManifest(spark, dir).get
+    assert(m.txns == Map(s"stream:$ckpt" -> 1L)) // two batches: 0 and 1
+    val back = graft.archive.ManifestStore.read(spark, dir, 0)
+    assert(back.count() == 3)
+    assert(back.select("value").collect().map(_.getDouble(0)).sorted.toSeq
+      == Seq(1.0, 2.0, 3.0))
+  }
+
   test("streaming exact dedup drops in-watermark duplicates with bounded state") {
     implicit val s: SparkSession = spark
     import s.implicits._
