@@ -110,13 +110,14 @@ object Cascade {
     * the per-channel resume watermark per level for [[catchUp]].
     */
   def materialize(spark: SparkSession, storePath: String,
-                  raw: DataFrame, levelsSec: Seq[Long]): Unit = {
-    ArchiveStore.write(Samples.monotonicDedup(raw), storePath, 0)
+                  raw: DataFrame, levelsSec: Seq[Long],
+                  backend: StoreBackend = ArchiveBackend): Unit = {
+    backend.write(Samples.monotonicDedup(raw), storePath, 0)
     var done = List(0L)
     for (target <- levelsSec.sorted) {
       val source = Decimation.selectSourcePeriod(target, done)
-      val src = ArchiveStore.read(spark, storePath, source)
-      ArchiveStore.write(asStoreRows(hop(src, source, target)),
+      val src = backend.read(spark, storePath, source)
+      backend.write(asStoreRows(hop(src, source, target)),
         storePath, target)
       writeWatermarks(spark, storePath, target, src, source)
       done ::= target
@@ -133,13 +134,14 @@ object Cascade {
     * stream applies.
     */
   def materializeTyped(spark: SparkSession, storePath: String,
-                       typedRaw: DataFrame, levelsSec: Seq[Long]): Unit = {
-    ArchiveStore.write(Samples.monotonicDedup(typedRaw), storePath, 0)
+                       typedRaw: DataFrame, levelsSec: Seq[Long],
+                       backend: StoreBackend = ArchiveBackend): Unit = {
+    backend.write(Samples.monotonicDedup(typedRaw), storePath, 0)
     var done = List(0L)
     for (target <- levelsSec.sorted) {
       val source = Decimation.selectSourcePeriod(target, done)
-      val src = ArchiveStore.read(spark, storePath, source)
-      ArchiveStore.write(asTypedStoreRows(typedHop(src, source, target)),
+      val src = backend.read(spark, storePath, source)
+      backend.write(asTypedStoreRows(typedHop(src, source, target)),
         storePath, target)
       // typed samples hold-last-value at EVERY level (the fine
       // aggregated sample is held until the next fine sample), so the
@@ -168,18 +170,19 @@ object Cascade {
     * the reference's no-decimated-sample-yet path
     * (ArchivedChannelDecimatedSamplesDecimationLevel.java:396-401).
     */
-  def catchUp(spark: SparkSession, storePath: String,
-              targetSec: Long): Unit =
-    catchUpImpl(spark, storePath, targetSec, hop, asStoreRows)
+  def catchUp(spark: SparkSession, storePath: String, targetSec: Long,
+              backend: StoreBackend = ArchiveBackend): Unit =
+    catchUpImpl(spark, storePath, targetSec, hop, asStoreRows,
+      backend = backend)
 
   /** [[catchUp]] for typed-union stores built by [[materializeTyped]]:
     * identical watermark machinery (the resume math is ts-based and
     * type-agnostic), typed dispatch in the hop.
     */
-  def catchUpTyped(spark: SparkSession, storePath: String,
-                   targetSec: Long): Unit =
+  def catchUpTyped(spark: SparkSession, storePath: String, targetSec: Long,
+                   backend: StoreBackend = ArchiveBackend): Unit =
     catchUpImpl(spark, storePath, targetSec, typedHop, asTypedStoreRows,
-      heldSource = true)
+      heldSource = true, backend = backend)
 
   private def typedHop(source: DataFrame, sourceSec: Long,
                        targetSec: Long): DataFrame =
@@ -194,10 +197,9 @@ object Cascade {
                           targetSec: Long,
                           hopFn: (DataFrame, Long, Long) => DataFrame,
                           toStore: DataFrame => DataFrame,
-                          heldSource: Boolean = false): Unit = {
-    val levels = spark.read.option("mergeSchema", "true").parquet(storePath)
-      .select(col("level").cast("long")).distinct()
-      .collect().map(_.getLong(0)).filter(_ != targetSec).toSeq
+                          heldSource: Boolean = false,
+                          backend: StoreBackend = ArchiveBackend): Unit = {
+    val levels = backend.levels(spark, storePath).filter(_ != targetSec)
     val source = Decimation.selectSourcePeriod(targetSec, levels)
     val targetP = targetSec * Samples.NS
 
@@ -209,7 +211,7 @@ object Cascade {
     val bounds = wm.select(col("channel").as("_c"),
       col("last_src_ts"), col("resume_ts"))
 
-    val clipped = ArchiveStore.read(spark, storePath, source, globalMin)
+    val clipped = backend.read(spark, storePath, source, globalMin)
       .join(broadcast(bounds), col("channel") === col("_c"), "left")
       .where(col("resume_ts").isNull || col("ts") >= col("resume_ts"))
     // Channels with no watermark yet (first seen after the last run)
@@ -223,13 +225,13 @@ object Cascade {
     val seen = wmRows.map(_.getAs[String]("channel")).toSet
     val newChannels =
       if (globalMin.isEmpty) Array.empty[String]
-      else ArchiveStore.read(spark, storePath, source)
+      else backend.read(spark, storePath, source)
         .select("channel").distinct()
         .collect().map(_.getString(0)).filterNot(seen)
     val src =
       if (newChannels.isEmpty || globalMin.isEmpty) clipped
       else clipped.where(col("resume_ts").isNotNull)
-        .unionByName(ArchiveStore.read(spark, storePath, source)
+        .unionByName(backend.read(spark, storePath, source)
           .where(col("channel").isin(newChannels.toSeq: _*))
           .join(broadcast(bounds), col("channel") === col("_c"), "left"))
 
@@ -239,7 +241,7 @@ object Cascade {
       .where(col("last_src_ts").isNull ||
         col("win_start") + targetP > col("last_src_ts"))
       .drop("_c", "last_src_ts", "resume_ts")
-    ArchiveStore.write(toStore(dec), storePath, targetSec)
+    backend.write(toStore(dec), storePath, targetSec)
 
     // New watermarks WITHOUT rescanning the full source level: the
     // suffix starts at each present channel's old resume point, so its

@@ -197,15 +197,19 @@ object ManifestStore {
   /** Stats + entry list for freshly staged files: ONE distributed scan
     * of only the new files (grouped by the hidden `_metadata.file_path`),
     * collected to the driver — file-count-sized, not row-count-sized.
+    * An empty stage (e.g. an empty micro-batch) yields no entries.
     */
   private def statsFor(spark: SparkSession, staged: String,
-                       levelFallback: Long): (StructType, Seq[FileEntry]) = {
+                       levelFallback: Long): Seq[FileEntry] = {
+    val f = fs(spark, staged)
+    val it = f.listFiles(new Path(staged), true)
+    var any = false
+    while (!any && it.hasNext)
+      any = it.next().getPath.getName.endsWith(".parquet")
+    if (!any) return Nil
     val df = spark.read.parquet(staged)
-    val hasPartCols = df.columns.contains("level")
-    val dataSchema = StructType(df.schema.fields
-      .filterNot(f => f.name == "level" || f.name == "bucket_date"))
     val keyed =
-      if (hasPartCols)
+      if (df.columns.contains("level"))
         // partition-value inference types `level=0` as int — pin long
         df.select(col("_metadata.file_path").as("fp"),
           col("level").cast("long").as("level"),
@@ -216,14 +220,13 @@ object ManifestStore {
           to_date(timestamp_micros((col("ts") / 1000L).cast("long")))
             .cast("string").as("bd"),
           col("ts"))
-    val entries = keyed
+    keyed
       .groupBy("fp", "level", "bd")
       .agg(min("ts").as("mn"), max("ts").as("mx"), count(lit(1)).as("n"))
       .collect()
       .map(r => FileEntry(r.getString(0), r.getLong(1), r.getString(2),
         r.getLong(3), r.getLong(4), r.getLong(5)))
       .toSeq
-    (dataSchema, entries)
   }
 
   /** S9 as a transaction: append one level's samples and commit a new
@@ -262,7 +265,11 @@ object ManifestStore {
       .repartition(col("bucket_date"), col("channel"))
       .sortWithinPartitions("channel", "ts")
       .write.partitionBy("level", "bucket_date").parquet(staged)
-    val (dataSchema, entries) = statsFor(spark, staged, levelSec)
+    // partitionBy strips level/bucket_date, so the files' schema IS the
+    // input frame's — no footer read needed to learn it
+    val dataSchema = StructType(samples.schema.fields
+      .filterNot(f => f.name == "level" || f.name == "bucket_date"))
+    val entries = statsFor(spark, staged, levelSec)
     commitLoop(spark, path) { cur =>
       txn.foreach { case (id, b) =>
         if (cur.txns.get(id).exists(_ >= b))
@@ -338,7 +345,7 @@ object ManifestStore {
       .repartition(targetFiles)
       .sortWithinPartitions("channel", "ts")
       .write.parquet(staged)
-    val (_, entries) = statsFor(spark, staged, levelSec)
+    val entries = statsFor(spark, staged, levelSec)
     // staged files carry no partition dirs — pin the victims' identity
     val swapped = entries.map(_.copy(levelSec = levelSec, bucketDate = date))
     commitLoop(spark, path) { cur =>

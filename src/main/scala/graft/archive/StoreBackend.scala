@@ -1,0 +1,49 @@
+package graft.archive
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pluggable persistence for the decimation cascade: the
+  * directory-listing [[ArchiveStore]] and the transaction-logged
+  * [[ManifestStore]] expose one (write, read, levels) surface, so
+  * [[Cascade]] and its incremental catch-up are storage-agnostic — a
+  * deployment can switch to manifest-committed levels (atomic
+  * visibility per cascade hop, manifest-side file pruning) without
+  * touching the decimation math.
+  */
+trait StoreBackend {
+  def write(samples: DataFrame, path: String, levelSec: Long): Unit
+  def read(spark: SparkSession, path: String, levelSec: Long,
+           loNs: Option[Long] = None, hiNs: Option[Long] = None): DataFrame
+  /** Distinct decimation levels present (period seconds; 0 = raw). */
+  def levels(spark: SparkSession, path: String): Seq[Long]
+}
+
+/** Raw-parquet store: levels come from a mergeSchema directory read. */
+object ArchiveBackend extends StoreBackend {
+  def write(samples: DataFrame, path: String, levelSec: Long): Unit =
+    ArchiveStore.write(samples, path, levelSec)
+  def read(spark: SparkSession, path: String, levelSec: Long,
+           loNs: Option[Long], hiNs: Option[Long]): DataFrame =
+    ArchiveStore.read(spark, path, levelSec, loNs, hiNs)
+  def levels(spark: SparkSession, path: String): Seq[Long] =
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .select(col("level").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+}
+
+/** Manifest-committed store: every cascade hop is one atomic commit,
+  * and the level listing is pure manifest metadata — no file I/O.
+  */
+object ManifestBackend extends StoreBackend {
+  def write(samples: DataFrame, path: String, levelSec: Long): Unit = {
+    ManifestStore.commit(samples, path, levelSec); ()
+  }
+  def read(spark: SparkSession, path: String, levelSec: Long,
+           loNs: Option[Long], hiNs: Option[Long]): DataFrame =
+    ManifestStore.read(spark, path, levelSec, loNs, hiNs)
+  def levels(spark: SparkSession, path: String): Seq[Long] =
+    ManifestStore.latestManifest(spark, path)
+      .map(_.files.map(_.levelSec).distinct.sorted)
+      .getOrElse(Nil)
+}

@@ -176,4 +176,44 @@ class CascadeSpec extends AnyFunSuite {
         assert(a(k) == b(k), s"level $l at $k: ${a(k)} vs ${b(k)}")
     }
   }
+
+  test("cascade over the manifest backend equals the archive backend, incl. catch-up") {
+    import spark.implicits._
+    import graft.archive.{ManifestBackend, ManifestStore}
+    val events = Samples.fromEvents(spark, "/root/testdata/sf0.001")
+    val cut = events.agg(org.apache.spark.sql.functions.expr(
+      "percentile(ts, 0.6)")).head.getDouble(0).toLong
+    val first = events.where($"ts" <= cut)
+    val rest = Samples.monotonicDedup(events).where($"ts" > cut)
+
+    // manifest-backed incremental: build on 60%, append, catch up —
+    // every hop is one atomic manifest version
+    val inc = Files.createTempDirectory("casminc").toString
+    Cascade.materialize(spark, inc, first, Seq(30L, 300L), ManifestBackend)
+    val vAfterBuild = ManifestStore.latestManifest(spark, inc).get.version
+    assert(vAfterBuild == 3L) // raw + two levels, one commit each
+    ManifestStore.commit(rest, inc, 0)
+    Cascade.catchUp(spark, inc, 30L, ManifestBackend)
+    Cascade.catchUp(spark, inc, 300L, ManifestBackend)
+    assert(ManifestStore.latestManifest(spark, inc).get.version == 6L)
+
+    // archive-backed from-scratch on everything
+    val full = Files.createTempDirectory("casmfull").toString
+    Cascade.materialize(spark, full, events, Seq(30L, 300L))
+
+    for (l <- Seq(30L, 300L)) {
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getLong(1)) ->
+          (math.round(r.getDouble(2) * 1e9),
+            math.round(r.getDouble(3) * 1e9), r.getLong(4))
+      val cols = Seq("channel", "ts", "mean", "covered_fraction", "n_samples")
+      val a = ManifestStore.read(spark, inc, l)
+        .selectExpr(cols: _*).collect().map(key).toMap
+      val b = ArchiveStore.read(spark, full, l)
+        .selectExpr(cols: _*).collect().map(key).toMap
+      assert(a.keySet == b.keySet, s"level $l window sets differ")
+      for (k <- a.keySet)
+        assert(a(k) == b(k), s"level $l at $k: ${a(k)} vs ${b(k)}")
+    }
+  }
 }
