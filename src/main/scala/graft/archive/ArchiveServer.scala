@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
 
 /** The serving edge — the reference's archive-access read path
   * (SURVEY.md §3.1, Api10Controller + ArchiveAccessServiceImpl)
-  * as one function over an [[ArchiveStore]]:
+  * as one function over a pluggable [[StoreBackend]] (directory-listing
+  * [[ArchiveStore]] by default, manifest-committed [[ManifestStore]]
+  * via [[ManifestBackend]]):
   *
   *  1. discover the channel's available decimation levels and each
   *     level's earliest sample (the retention state) from store
@@ -28,13 +30,11 @@ object ArchiveServer {
 
   /** Step 1 — per-level availability for one channel. */
   def levelStates(spark: SparkSession, storePath: String,
-                  channel: String): Seq[LevelState] = {
-    // partition-column values are inferred as Int on read-back
-    val levels = spark.read.option("mergeSchema", "true").parquet(storePath)
-      .select(col("level").cast("long")).distinct()
-      .collect().map(_.getLong(0)).sorted
+                  channel: String,
+                  backend: StoreBackend = ArchiveBackend): Seq[LevelState] = {
+    val levels = backend.levels(spark, storePath).sorted
     levels.flatMap { l =>
-      val first = ArchiveStore.read(spark, storePath, l)
+      val first = backend.read(spark, storePath, l)
         .where(col("channel") === channel)
         .agg(min("ts")).head
       if (first.isNullAt(0)) None else Some(LevelState(l, first.getLong(0)))
@@ -58,13 +58,14 @@ object ArchiveServer {
     */
   def boundaryProbe(spark: SparkSession, storePath: String, levelSec: Long,
                     channel: String, tNs: Long, forward: Boolean,
-                    maxSpanNs: Long = 3650L * 86400L * 1000000000L)
+                    maxSpanNs: Long = 3650L * 86400L * 1000000000L,
+                    backend: StoreBackend = ArchiveBackend)
       : Option[DataFrame] = {
     var span = DayNs
     while (span <= maxSpanNs) {
       val (lo, hi) =
         if (forward) (tNs, tNs + span) else (math.max(tNs - span, 0L), tNs)
-      val probe = ArchiveStore.read(spark, storePath, levelSec,
+      val probe = backend.read(spark, storePath, levelSec,
           Some(lo), Some(hi))
         .where(col("channel") === channel)
         .orderBy(if (forward) col("ts").asc else col("ts").desc)
@@ -80,9 +81,9 @@ object ArchiveServer {
     * value, level), time-ascending.
     */
   def querySamples(spark: SparkSession, storePath: String, channel: String,
-                   startNs: Long, endNs: Long,
-                   count: Option[Long]): DataFrame = {
-    val states = levelStates(spark, storePath, channel)
+                   startNs: Long, endNs: Long, count: Option[Long],
+                   backend: StoreBackend = ArchiveBackend): DataFrame = {
+    val states = levelStates(spark, storePath, channel, backend)
     require(states.nonEmpty, s"unknown channel $channel")
     val chosen = ResolutionPlanner.selectLevel(
       states.map(_.periodSec), startNs, endNs, count)
@@ -96,7 +97,7 @@ object ArchiveServer {
       // The widened boundaries come from the walk-back probe, so every
       // read stays day-partition-clipped — no unclipped history scan.
       val widen = period == chosen && count.isEmpty
-      val base = ArchiveStore.read(spark, storePath, period,
+      val base = backend.read(spark, storePath, period,
           Some(from), Some(to))
         .where(col("channel") === channel)
       val valueCol = if (period == 0L) col("value") else col("mean")
@@ -105,9 +106,9 @@ object ArchiveServer {
       if (widen) {
         val inner = base.where(col("ts") > from && col("ts") < to)
         val lower = boundaryProbe(spark, storePath, period, channel,
-          from, forward = false)
+          from, forward = false, backend = backend)
         val upper = boundaryProbe(spark, storePath, period, channel,
-          to, forward = true)
+          to, forward = true, backend = backend)
         (Seq(inner) ++ lower ++ upper).map(project)
       } else
         Seq(project(base.where(col("ts").between(from, to))))
@@ -123,9 +124,10 @@ object ArchiveServer {
     * JSON v1 objects (what an HTTP layer would stream).
     */
   def serveJson(spark: SparkSession, storePath: String, channel: String,
-                startNs: Long, endNs: Long,
-                count: Option[Long]): Iterator[String] = {
-    val df = querySamples(spark, storePath, channel, startNs, endNs, count)
+                startNs: Long, endNs: Long, count: Option[Long],
+                backend: StoreBackend = ArchiveBackend): Iterator[String] = {
+    val df = querySamples(spark, storePath, channel, startNs, endNs, count,
+      backend)
       .withColumn("severity", lit(0)).withColumn("status", lit(0))
     JsonV1.serializeRaw(df).select("json").toLocalIterator()
       .asScala.map(_.getString(0))
@@ -140,15 +142,16 @@ object ArchiveServer {
     */
   def serveJsonTyped(spark: SparkSession, storePath: String,
                      channel: String, startNs: Long, endNs: Long,
-                     levelSec: Long = 0L): Iterator[String] = {
-    val base = ArchiveStore.read(spark, storePath, levelSec,
+                     levelSec: Long = 0L,
+                     backend: StoreBackend = ArchiveBackend): Iterator[String] = {
+    val base = backend.read(spark, storePath, levelSec,
         Some(startNs), Some(endNs))
       .where(col("channel") === channel)
     val inner = base.where(col("ts") > startNs && col("ts") < endNs)
     val lower = boundaryProbe(spark, storePath, levelSec, channel,
-      startNs, forward = false)
+      startNs, forward = false, backend = backend)
     val upper = boundaryProbe(spark, storePath, levelSec, channel,
-      endNs, forward = true)
+      endNs, forward = true, backend = backend)
     val widened = (Seq(inner) ++ lower ++ upper)
       .reduce(_ unionByName _)
       .dropDuplicates("channel", "ts")

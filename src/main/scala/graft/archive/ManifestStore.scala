@@ -50,7 +50,8 @@ import org.apache.spark.sql.types.StructType
 object ManifestStore {
 
   case class FileEntry(path: String, levelSec: Long, bucketDate: String,
-                       minTs: Long, maxTs: Long, rows: Long)
+                       minTs: Long, maxTs: Long, rows: Long,
+                       bytes: Long = 0L)
 
   /** `txns` records the highest applied batch id per idempotent writer
     * (streaming sinks) — micro-batches commit in order, so one long per
@@ -88,6 +89,7 @@ object ManifestStore {
       n.put("min_ts", f.minTs)
       n.put("max_ts", f.maxTs)
       n.put("rows", f.rows)
+      n.put("bytes", f.bytes)
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
   }
@@ -100,7 +102,8 @@ object ManifestStore {
       val n: JsonNode = it.next()
       files += FileEntry(n.get("path").asText(), n.get("level").asLong(),
         n.get("bucket_date").asText(), n.get("min_ts").asLong(),
-        n.get("max_ts").asLong(), n.get("rows").asLong())
+        n.get("max_ts").asLong(), n.get("rows").asLong(),
+        if (n.has("bytes")) n.get("bytes").asLong() else 0L)
     }
     val txns = scala.collection.mutable.Map.empty[String, Long]
     val tn = root.get("txns")
@@ -202,11 +205,16 @@ object ManifestStore {
   private def statsFor(spark: SparkSession, staged: String,
                        levelFallback: Long): Seq[FileEntry] = {
     val f = fs(spark, staged)
+    // one driver-side listing of the staged dir: existence check +
+    // per-file byte sizes (keyed by scheme-less path)
+    val sizes = scala.collection.mutable.Map.empty[String, Long]
     val it = f.listFiles(new Path(staged), true)
-    var any = false
-    while (!any && it.hasNext)
-      any = it.next().getPath.getName.endsWith(".parquet")
-    if (!any) return Nil
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet"))
+        sizes += st.getPath.toUri.getPath -> st.getLen
+    }
+    if (sizes.isEmpty) return Nil
     val df = spark.read.parquet(staged)
     val keyed =
       if (df.columns.contains("level"))
@@ -225,7 +233,8 @@ object ManifestStore {
       .agg(min("ts").as("mn"), max("ts").as("mx"), count(lit(1)).as("n"))
       .collect()
       .map(r => FileEntry(r.getString(0), r.getLong(1), r.getString(2),
-        r.getLong(3), r.getLong(4), r.getLong(5)))
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        sizes.getOrElse(new Path(r.getString(0)).toUri.getPath, 0L)))
       .toSeq
   }
 
@@ -354,6 +363,32 @@ object ManifestStore {
       cur.copy(files = cur.files.filterNot(f => victimPaths.contains(f.path))
         ++ swapped)
     }
+  }
+
+  /** One (level, day)'s compaction urgency, from manifest stats. */
+  case class CompactionCandidate(levelSec: Long, bucketDate: String,
+                                 files: Int, bytes: Long, rows: Long)
+
+  /** Compaction planning with ZERO file I/O: (level, day) groups with
+    * more than one file where files average under `smallBytes` — the
+    * small-file debt a background compactor should pay down first
+    * (most-fragmented first). This is the query the reference answers
+    * with its bucket-size accounting (96 MB rollover); here it is a
+    * fold over manifest entries, at any store size.
+    */
+  def compactionCandidates(spark: SparkSession, path: String,
+                           smallBytes: Long = 32L * 1024 * 1024)
+      : Seq[CompactionCandidate] = {
+    val m = latestManifest(spark, path)
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no committed manifest under $path"))
+    m.files.groupBy(f => (f.levelSec, f.bucketDate)).toSeq
+      .map { case ((l, d), fs) =>
+        CompactionCandidate(l, d, fs.size, fs.map(_.bytes).sum,
+          fs.map(_.rows).sum)
+      }
+      .filter(c => c.files > 1 && c.bytes / c.files < smallBytes)
+      .sortBy(c => -c.files)
   }
 
   /** ST9 — retention as a pure manifest operation: compute the horizon

@@ -68,6 +68,26 @@ class ArchiveServerSpec extends AnyFunSuite {
     assert(it.hasNext)
   }
 
+  test("serving from a manifest-backed store produces identical JSON") {
+    import graft.archive.ManifestBackend
+    val mdir = Files.createTempDirectory("serve_m").toString
+    val raw = Samples.fromEvents(spark, "/root/testdata/sf0.001")
+    Cascade.materialize(spark, mdir, raw, Seq(3600L, 21600L),
+      ManifestBackend)
+    val lo = T0 + 10L * 86400L * NS
+    val hi = lo + 86400L * NS
+    val viaManifest = ArchiveServer.serveJson(spark, mdir, "click", lo, hi,
+      None, backend = ManifestBackend).toSeq
+    val viaArchive = ArchiveServer.serveJson(spark, store, "click", lo, hi,
+      None).toSeq
+    assert(viaManifest == viaArchive)
+    // the counted (decimated-level) path too
+    val dm = ArchiveServer.querySamples(spark, mdir, "click", T0, T30,
+      Some(120), backend = ManifestBackend)
+    assert(dm.select("level").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(21600L))
+  }
+
   test("unknown channel fails fast") {
     intercept[IllegalArgumentException] {
       ArchiveServer.querySamples(spark, store, "nope", T0, T30, None)

@@ -150,6 +150,19 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(m1.files.size == 1)
   }
 
+  test("compaction candidates come from manifest stats and clear after compact") {
+    val dir = Files.createTempDirectory("mstore").toString
+    ManifestStore.commit(samples(("c", T0 + 1 * NS, 1.0)), dir, 0)
+    ManifestStore.commit(samples(("c", T0 + 2 * NS, 2.0)), dir, 0)
+    ManifestStore.commit(samples(("c", T0 + DAY, 3.0)), dir, 0) // other day, 1 file
+    val cands = ManifestStore.compactionCandidates(spark, dir)
+    assert(cands.map(c => (c.levelSec, c.bucketDate, c.files)) ==
+      Seq((0L, "2024-01-01", 2)))
+    assert(cands.head.bytes > 0 && cands.head.rows == 2)
+    ManifestStore.compact(spark, dir, 0, "2024-01-01")
+    assert(ManifestStore.compactionCandidates(spark, dir).isEmpty)
+  }
+
   test("idempotent commit: a replayed batch id is a no-op") {
     val dir = Files.createTempDirectory("mstore").toString
     ManifestStore.commitIdempotent(samples(("c", T0 + 1 * NS, 1.0)),
