@@ -53,6 +53,12 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
+      // queries cache intermediates (shingle frames, LSH tables) and
+      // never unpersist — across ~60 queries the accumulated blocks
+      // fill storage memory and evict each other, so late heavy queries
+      // measure eviction+recompute, not the plan (observed 6× on the
+      // clustering query). Each query starts with a clean cache.
+      spark.catalog.clearCache()
       (name, times.min)
     }
     val wallSec = (System.nanoTime() - wall0) / 1e9

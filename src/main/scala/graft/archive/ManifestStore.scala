@@ -265,14 +265,20 @@ object ManifestStore {
     commitTxn(samples, path, levelSec, Some(writerId -> batchId))
   }
 
+  /** In-file clustering key: channel name, or the permanent data id for
+    * rename-stable id-keyed frames ([[commitById]]). */
+  private def clusterCol(df: DataFrame) =
+    if (df.columns.contains("channel")) col("channel")
+    else col("channel_data_id")
+
   private def commitTxn(samples: DataFrame, path: String, levelSec: Long,
                         txn: Option[(String, Long)]): Long = {
     val spark = samples.sparkSession
     val staged = s"$path/data/commit-${java.util.UUID.randomUUID().toString.take(12)}"
     withBucketDate(samples)
       .withColumn("level", lit(levelSec))
-      .repartition(col("bucket_date"), col("channel"))
-      .sortWithinPartitions("channel", "ts")
+      .repartition(col("bucket_date"), clusterCol(samples))
+      .sortWithinPartitions(clusterCol(samples), col("ts"))
       .write.partitionBy("level", "bucket_date").parquet(staged)
     // partitionBy strips level/bucket_date, so the files' schema IS the
     // input frame's — no footer read needed to learn it
@@ -290,6 +296,29 @@ object ManifestStore {
         files = cur.files ++ entries,
         txns = txn.fold(cur.txns) { case (id, b) => cur.txns + (id -> b) })
     }.version
+  }
+
+  /** Rename-stable commit: the persisted layout is keyed by the
+    * permanent `channel_data_id` (the name column is dropped), so a
+    * channel rename never touches data files — the manifest-store
+    * analog of [[ArchiveStore.writeById]]. Resolve names on input with
+    * [[ChannelRegistry.resolveToId]]; re-attach them at read time with
+    * [[readById]].
+    */
+  def commitById(samples: DataFrame, path: String, levelSec: Long): Long =
+    commit(samples.drop("channel"), path, levelSec)
+
+  /** Read an id-keyed level and serve it under the CURRENT channel
+    * names via a broadcast join of the (tiny) configuration set. */
+  def readById(spark: SparkSession, path: String,
+               configs: Seq[ChannelConfig], levelSec: Long,
+               loNs: Option[Long] = None, hiNs: Option[Long] = None)
+      : DataFrame = {
+    import spark.implicits._
+    val names = configs.map(c => (c.channelDataId, c.name))
+      .toDF("channel_data_id", "channel")
+    read(spark, path, levelSec, loNs, hiNs)
+      .join(broadcast(names), Seq("channel_data_id"))
   }
 
   private def emptyFrame(spark: SparkSession, schema: StructType): DataFrame =
@@ -350,9 +379,10 @@ object ManifestStore {
     if (victims.isEmpty) return
     val victimPaths = victims.map(_.path).toSet
     val staged = s"$path/data/compact-${java.util.UUID.randomUUID().toString.take(12)}"
-    spark.read.schema(m.schema).parquet(victims.map(_.path): _*)
+    val victimFrame = spark.read.schema(m.schema).parquet(victims.map(_.path): _*)
+    victimFrame
       .repartition(targetFiles)
-      .sortWithinPartitions("channel", "ts")
+      .sortWithinPartitions(clusterCol(victimFrame), col("ts"))
       .write.parquet(staged)
     val entries = statsFor(spark, staged, levelSec)
     // staged files carry no partition dirs — pin the victims' identity

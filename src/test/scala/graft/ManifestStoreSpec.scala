@@ -185,6 +185,27 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(ManifestStore.read(spark, dir, 0).count() == 3)
   }
 
+  test("id-keyed commit serves renamed channels without rewriting data") {
+    import graft.archive.{ChannelConfig, ChannelRegistry}
+    val dir = Files.createTempDirectory("mstore").toString
+    val raw = Seq(("pv:old", T0 + 1000L, 1.5, 1L))
+      .toDF("channel", "ts", "value", "sample_id")
+    val before = Seq(ChannelConfig("pv:old", "d-123", "ca", enabled = true,
+      Map(), Map()))
+    ManifestStore.commitById(
+      ChannelRegistry.resolveToId(raw, before), dir, 0L)
+    val v = ManifestStore.latestManifest(spark, dir).get.version
+
+    val after = Seq(ChannelConfig("pv:new", "d-123", "ca", enabled = true,
+      Map(), Map()))
+    val got = ManifestStore.readById(spark, dir, after, 0L)
+      .select("channel", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == Seq(("pv:new", 1.5)))
+    // rename touched no data: same manifest version, no new files
+    assert(ManifestStore.latestManifest(spark, dir).get.version == v)
+  }
+
   test("empty clip returns an empty frame with the full schema") {
     val dir = Files.createTempDirectory("mstore").toString
     ManifestStore.commit(samples(("c", T0 + 1 * NS, 1.0)), dir, 0)
