@@ -42,6 +42,14 @@ import org.apache.spark.sql.types.StructType
   * S3-class stores it needs a conditional PUT / external lock, the same
   * caveat every log-structured table format carries.
   *
+  * Each version rewrites the complete live file list, so manifest size
+  * scales with live file count — right-sized files via [[compact]]
+  * keep that in the 10⁴–10⁵ range even at 100 TB (100 TB / 256 MB ≈
+  * 400k entries ≈ tens of MB of JSON; beyond that a production table
+  * format splits the log into delta segments + periodic checkpoints —
+  * the protocol here is deliberately the single-checkpoint special
+  * case of that design).
+  *
   * Data files carry only data columns; `level` and `bucket_date` are
   * manifest metadata (partition values never pay per-row storage), and
   * the read path re-derives them so the frame stays drop-in compatible

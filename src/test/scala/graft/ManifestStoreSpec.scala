@@ -214,4 +214,67 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(none.count() == 0)
     assert(none.columns.contains("value") && none.columns.contains("level"))
   }
+
+  test("property: random append/compact/retention/vacuum sequences match an in-memory model") {
+    val rnd = new scala.util.Random(20260813L)
+    val dir = Files.createTempDirectory("mstore_prop").toString
+    // model: per level, the set of (channel, ts, value) rows live
+    val model = scala.collection.mutable.Map.empty[Long,
+      scala.collection.mutable.Set[(String, Long, Double)]]
+    var nextV = 1.0
+
+    def modelRows(level: Long) =
+      model.getOrElse(level, scala.collection.mutable.Set.empty)
+
+    def checkAll(): Unit =
+      for (l <- model.keys) {
+        val got = ManifestStore.read(spark, dir, l)
+          .select("channel", "ts", "value").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(got == modelRows(l).toSet, s"level $l diverged from model")
+      }
+
+    for (step <- 1 to 18) {
+      rnd.nextInt(4) match {
+        case 0 | 1 => // append 1-4 rows at a random level/day
+          val level = Seq(0L, 60L)(rnd.nextInt(2))
+          val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
+            val ch = s"c${rnd.nextInt(3)}"
+            val ts = T0 + rnd.nextInt(5) * DAY + rnd.nextInt(1000) * NS
+            nextV += 1
+            (ch, ts, nextV)
+          }
+          ManifestStore.commit(samples(rows: _*), dir, level)
+          model.getOrElseUpdate(level,
+            scala.collection.mutable.Set.empty) ++= rows
+        case 2 if model.nonEmpty => // compact a random (level, day)
+          val level = model.keys.toSeq(rnd.nextInt(model.size))
+          val m = ManifestStore.latestManifest(spark, dir).get
+          val days = m.files.filter(_.levelSec == level).map(_.bucketDate)
+          if (days.nonEmpty)
+            ManifestStore.compact(spark, dir, level,
+              days(rnd.nextInt(days.size)), targetFiles = 1)
+        case 3 if model.nonEmpty => // retention at a random level
+          val level = model.keys.toSeq(rnd.nextInt(model.size))
+          val rows = modelRows(level)
+          if (rows.nonEmpty) {
+            val retention = (1 + rnd.nextInt(5)) * DAY
+            val horizon = rows.map(_._2).max - retention
+            ManifestStore.applyRetention(spark, dir, level, retention)
+            // model: drop rows in days whose END predates the horizon
+            val dead = rows.filter { case (_, ts, _) =>
+              val dayStart = ts - (ts % DAY)
+              dayStart + DAY - 1 < horizon
+            }
+            rows --= dead
+          }
+        case _ => // nothing this step (e.g. compact with no levels yet)
+      }
+      if (rnd.nextInt(3) == 0) ManifestStore.vacuum(spark, dir)
+      checkAll()
+    }
+    // vacuum must never delete live data
+    ManifestStore.vacuum(spark, dir)
+    checkAll()
+  }
 }
