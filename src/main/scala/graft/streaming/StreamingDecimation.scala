@@ -214,13 +214,14 @@ object StreamingDecimation {
     * identity is the checkpoint dir, which is what survives restarts.
     */
   def writeRawStreamManifest(samples: DataFrame, storePath: String,
-                             checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+                             checkpointDir: String, levelSec: Long = 0L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     samples.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.archive.ManifestStore.commitIdempotent(
-          batch.toDF(), storePath, levelSec = 0L,
+          batch.toDF(), storePath, levelSec,
           writerId = s"stream:$checkpointDir", batchId = batchId)
         ()
       }
