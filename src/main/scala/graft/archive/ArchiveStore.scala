@@ -34,10 +34,16 @@ import graft.core.Samples
   */
 object ArchiveStore {
 
+  /** THE day-bucketing contract of every store layout: canonical ns ts
+    * → UTC day. One definition — the manifest store, the streaming sink,
+    * and retention all derive days from this exact expression.
+    */
+  private[archive] def bucketDateCol(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    to_date(timestamp_micros((ts / 1000L).cast("long")))
+
   /** Derive the partition column from the canonical ts (ns). */
   private def withBucketDate(samples: DataFrame): DataFrame =
-    samples.withColumn("bucket_date",
-      to_date(timestamp_micros((col("ts") / 1000L).cast("long"))))
+    samples.withColumn("bucket_date", bucketDateCol(col("ts")))
 
   /** Unified store schema per path, resolved once with mergeSchema and
     * reused by every subsequent read — a query (or a walk-back probe
@@ -113,11 +119,9 @@ object ArchiveStore {
                configs: Seq[ChannelConfig], levelSec: Long,
                loNs: Option[Long] = None, hiNs: Option[Long] = None)
       : DataFrame = {
-    import spark.implicits._
-    val names = configs.map(c => (c.channelDataId, c.name))
-      .toDF("channel_data_id", "channel")
     read(spark, path, levelSec, loNs, hiNs)
-      .join(broadcast(names), Seq("channel_data_id"))
+      .join(broadcast(ChannelRegistry.nameFrame(spark, configs)),
+        Seq("channel_data_id"))
   }
 
   /** Read one level, optionally clipped to [loNs, hiNs] — the time

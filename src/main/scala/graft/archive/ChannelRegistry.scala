@@ -29,6 +29,16 @@ object ChannelRegistry {
     * (ChannelInformationCacheImpl); here the config set is a broadcast
     * join — per-channel metadata is tiny at any corpus scale.
     */
+  /** The (channel_data_id → current name) mapping as a broadcastable
+    * frame — the one resolution both stores' `readById` join against.
+    */
+  private[archive] def nameFrame(spark: org.apache.spark.sql.SparkSession,
+                                 configs: Seq[ChannelConfig]): DataFrame = {
+    import spark.implicits._
+    configs.map(c => (c.channelDataId, c.name))
+      .toDF("channel_data_id", "channel")
+  }
+
   def withConfigs(samples: DataFrame,
                   configs: Seq[ChannelConfig]): DataFrame = {
     val spark = samples.sparkSession

@@ -38,9 +38,12 @@ import org.apache.spark.sql.types.StructType
   *  - old versions stay readable ([[readVersion]]) until vacuumed —
   *    snapshot isolation and time travel for free.
   *
-  * The exclusive-create is atomic on HDFS and local filesystems; on
-  * S3-class stores it needs a conditional PUT / external lock, the same
-  * caveat every log-structured table format carries.
+  * Versions are published by writing to a temp file and renaming into
+  * place, so a visible manifest is always complete (rename is atomic on
+  * POSIX and HDFS). Version exclusivity is atomic on HDFS; the local FS
+  * has a µs check-then-rename window, and S3-class stores need a
+  * conditional PUT / external lock — the caveat every log-structured
+  * table format carries.
   *
   * Each version rewrites the complete live file list, so manifest size
   * scales with live file count — right-sized files via [[compact]]
@@ -79,6 +82,20 @@ object ManifestStore {
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Entry paths are stored RELATIVE to the table root so the store can
+    * be copied/moved/re-addressed wholesale (DistCp, bucket migration)
+    * without rewriting the log; absolute legacy entries pass through.
+    */
+  private def resolveEntry(root: String, p: String): String =
+    if (p.startsWith("/") || p.contains(":/")) p else s"$root/$p"
+
+  private def relativize(f: FileSystem, root: String, uriPath: String): String = {
+    val rp = f.makeQualified(new Path(root)).toUri.getPath
+    val prefix = if (rp.endsWith("/")) rp else rp + "/"
+    val pp = new Path(uriPath).toUri.getPath
+    if (pp.startsWith(prefix)) pp.stripPrefix(prefix) else pp
+  }
 
   // ---- manifest serialization ----
 
@@ -126,18 +143,37 @@ object ManifestStore {
       files.toSeq, txns.toMap)
   }
 
+  /** All committed version numbers, ascending. Foreign files in the
+    * manifest dir (backups, editor copies) are ignored, not fatal. */
+  private def listVersions(f: FileSystem, path: String): Seq[Long] = {
+    val dir = new Path(manifestDir(path))
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).map(_.getPath.getName).toSeq
+      .flatMap { n =>
+        if (n.startsWith("v") && n.endsWith(".json"))
+          n.stripPrefix("v").stripSuffix(".json").toLongOption
+        else None
+      }.sorted
+  }
+
   /** The latest committed manifest, or None for an empty/new store.
     * One LIST of the (small) manifest directory + one file read.
+    * A trailing version that fails to parse (external interference —
+    * the publish rename itself is atomic) is skipped with a warning
+    * rather than bricking every read.
     */
   def latestManifest(spark: SparkSession, path: String): Option[Manifest] = {
     val f = fs(spark, path)
-    val dir = new Path(manifestDir(path))
-    if (!f.exists(dir)) return None
-    val versions = f.listStatus(dir).map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
-    if (versions.isEmpty) None
-    else Some(readManifest(spark, path, versions.max))
+    val versions = listVersions(f, path)
+    if (versions.isEmpty) return None
+    versions.reverseIterator
+      .map(v => v -> scala.util.Try(readManifest(spark, path, v)))
+      .collectFirst {
+        case (_, scala.util.Success(m)) => m
+        case (v, scala.util.Failure(e)) if v == versions.min =>
+          throw new java.io.IOException(
+            s"no readable manifest under $path (last error on v$v)", e)
+      }
   }
 
   def readManifest(spark: SparkSession, path: String, version: Long): Manifest = {
@@ -150,32 +186,47 @@ object ManifestStore {
     } finally in.close()
   }
 
-  /** Exclusive-create of one manifest version: true iff this writer
-    * won the version. */
+  /** Publish one manifest version: write the full content to a hidden
+    * temp file, then rename into place — readers NEVER observe a
+    * half-written version (rename is atomic on POSIX and HDFS). Returns
+    * true iff this writer won the version; real write failures
+    * (disk-full, permissions) propagate instead of masquerading as
+    * lost races. Exclusivity: HDFS rename refuses an existing target;
+    * the local FS has a µs-scale check-then-rename window (last writer
+    * wins); S3-class stores need a conditional PUT — the standard
+    * log-structured-table caveat.
+    */
   private def writeExclusive(spark: SparkSession, path: String,
                              m: Manifest): Boolean = {
     val f = fs(spark, path)
     f.mkdirs(new Path(manifestDir(path)))
     val target = versionFile(path, m.version)
     if (f.exists(target)) return false
-    try {
-      val out = f.create(target, /* overwrite = */ false)
-      try out.write(toJson(m)) finally out.close()
-      true
-    } catch { case _: java.io.IOException => false }
+    val tmp = new Path(manifestDir(path),
+      s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+    val out = f.create(tmp, /* overwrite = */ false)
+    try out.write(toJson(m)) finally out.close()
+    if (f.exists(target) || !f.rename(tmp, target)) {
+      f.delete(tmp, false)
+      false
+    } else true
   }
 
   /** Optimistic-retry commit: apply `update` to the latest manifest and
     * try to claim the next version; on collision, re-read and re-apply.
     * `update` must be idempotent against a refreshed base (append
-    * merges; compact re-checks its victims).
+    * merges; compact re-checks its victims). The next version number
+    * skips over any unreadable squatter so a corrupt file can never
+    * wedge the log.
     */
   private def commitLoop(spark: SparkSession, path: String)
                         (update: Manifest => Manifest): Manifest = {
+    val f = fs(spark, path)
     var attempts = 0
     while (attempts < 50) {
       val cur = latestManifest(spark, path).getOrElse(Manifest(0L, "", Nil))
-      val next = update(cur).copy(version = cur.version + 1)
+      val top = listVersions(f, path).lastOption.getOrElse(0L)
+      val next = update(cur).copy(version = math.max(cur.version, top) + 1)
       if (writeExclusive(spark, path, next)) return next
       attempts += 1
     }
@@ -202,15 +253,14 @@ object ManifestStore {
   }
 
   private def withBucketDate(samples: DataFrame): DataFrame =
-    samples.withColumn("bucket_date",
-      to_date(timestamp_micros((col("ts") / 1000L).cast("long"))))
+    samples.withColumn("bucket_date", ArchiveStore.bucketDateCol(col("ts")))
 
   /** Stats + entry list for freshly staged files: ONE distributed scan
     * of only the new files (grouped by the hidden `_metadata.file_path`),
     * collected to the driver — file-count-sized, not row-count-sized.
     * An empty stage (e.g. an empty micro-batch) yields no entries.
     */
-  private def statsFor(spark: SparkSession, staged: String,
+  private def statsFor(spark: SparkSession, root: String, staged: String,
                        levelFallback: Long): Seq[FileEntry] = {
     val f = fs(spark, staged)
     // one driver-side listing of the staged dir: existence check +
@@ -233,14 +283,14 @@ object ManifestStore {
       else
         df.select(col("_metadata.file_path").as("fp"),
           lit(levelFallback).as("level"),
-          to_date(timestamp_micros((col("ts") / 1000L).cast("long")))
-            .cast("string").as("bd"),
+          ArchiveStore.bucketDateCol(col("ts")).cast("string").as("bd"),
           col("ts"))
     keyed
       .groupBy("fp", "level", "bd")
       .agg(min("ts").as("mn"), max("ts").as("mx"), count(lit(1)).as("n"))
       .collect()
-      .map(r => FileEntry(r.getString(0), r.getLong(1), r.getString(2),
+      .map(r => FileEntry(relativize(f, root, r.getString(0)),
+        r.getLong(1), r.getString(2),
         r.getLong(3), r.getLong(4), r.getLong(5),
         sizes.getOrElse(new Path(r.getString(0)).toUri.getPath, 0L)))
       .toSeq
@@ -292,7 +342,7 @@ object ManifestStore {
     // input frame's — no footer read needed to learn it
     val dataSchema = StructType(samples.schema.fields
       .filterNot(f => f.name == "level" || f.name == "bucket_date"))
-    val entries = statsFor(spark, staged, levelSec)
+    val entries = statsFor(spark, path, staged, levelSec)
     commitLoop(spark, path) { cur =>
       txn.foreach { case (id, b) =>
         if (cur.txns.get(id).exists(_ >= b))
@@ -321,13 +371,10 @@ object ManifestStore {
   def readById(spark: SparkSession, path: String,
                configs: Seq[ChannelConfig], levelSec: Long,
                loNs: Option[Long] = None, hiNs: Option[Long] = None)
-      : DataFrame = {
-    import spark.implicits._
-    val names = configs.map(c => (c.channelDataId, c.name))
-      .toDF("channel_data_id", "channel")
+      : DataFrame =
     read(spark, path, levelSec, loNs, hiNs)
-      .join(broadcast(names), Seq("channel_data_id"))
-  }
+      .join(broadcast(ChannelRegistry.nameFrame(spark, configs)),
+        Seq("channel_data_id"))
 
   private def emptyFrame(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -342,7 +389,7 @@ object ManifestStore {
   def readVersion(spark: SparkSession, path: String, version: Long,
                   levelSec: Long, loNs: Option[Long] = None,
                   hiNs: Option[Long] = None): DataFrame = {
-    readManifestFrame(spark, readManifest(spark, path, version),
+    readManifestFrame(spark, path, readManifest(spark, path, version),
       levelSec, loNs, hiNs)
   }
 
@@ -351,10 +398,11 @@ object ManifestStore {
     val m = latestManifest(spark, path)
       .getOrElse(throw new java.io.FileNotFoundException(
         s"no committed manifest under $path"))
-    readManifestFrame(spark, m, levelSec, loNs, hiNs)
+    readManifestFrame(spark, path, m, levelSec, loNs, hiNs)
   }
 
-  private def readManifestFrame(spark: SparkSession, m: Manifest,
+  private def readManifestFrame(spark: SparkSession, path: String,
+                                m: Manifest,
                                 levelSec: Long, loNs: Option[Long],
                                 hiNs: Option[Long]): DataFrame = {
     val schema = m.schema
@@ -362,11 +410,11 @@ object ManifestStore {
       loNs.forall(lo => f.maxTs >= lo) && hiNs.forall(hi => f.minTs <= hi))
     val base =
       if (live.isEmpty) emptyFrame(spark, schema)
-      else spark.read.schema(schema).parquet(live.map(_.path): _*)
+      else spark.read.schema(schema)
+        .parquet(live.map(e => resolveEntry(path, e.path)): _*)
     var df = base
       .withColumn("level", lit(levelSec))
-      .withColumn("bucket_date",
-        to_date(timestamp_micros((col("ts") / 1000L).cast("long"))))
+      .withColumn("bucket_date", ArchiveStore.bucketDateCol(col("ts")))
     loNs.foreach(lo => df = df.where(col("ts") >= lo))
     hiNs.foreach(hi => df = df.where(col("ts") <= hi))
     df
@@ -387,12 +435,13 @@ object ManifestStore {
     if (victims.isEmpty) return
     val victimPaths = victims.map(_.path).toSet
     val staged = s"$path/data/compact-${java.util.UUID.randomUUID().toString.take(12)}"
-    val victimFrame = spark.read.schema(m.schema).parquet(victims.map(_.path): _*)
+    val victimFrame = spark.read.schema(m.schema)
+      .parquet(victims.map(v => resolveEntry(path, v.path)): _*)
     victimFrame
       .repartition(targetFiles)
       .sortWithinPartitions(clusterCol(victimFrame), col("ts"))
       .write.parquet(staged)
-    val entries = statsFor(spark, staged, levelSec)
+    val entries = statsFor(spark, path, staged, levelSec)
     // staged files carry no partition dirs — pin the victims' identity
     val swapped = entries.map(_.copy(levelSec = levelSec, bucketDate = date))
     commitLoop(spark, path) { cur =>
@@ -440,51 +489,73 @@ object ManifestStore {
   def applyRetention(spark: SparkSession, path: String, levelSec: Long,
                      retentionNs: Long): Seq[String] = {
     if (retentionNs == 0) return Nil
-    val m = latestManifest(spark, path)
-      .getOrElse(throw new java.io.FileNotFoundException(
-        s"no committed manifest under $path"))
-    val level = m.files.filter(_.levelSec == levelSec)
-    if (level.isEmpty) return Nil
-    val horizon = level.map(_.maxTs).max - retentionNs
+    if (latestManifest(spark, path).isEmpty)
+      throw new java.io.FileNotFoundException(
+        s"no committed manifest under $path")
     val dayNs = 86400L * graft.core.Samples.NS
-    val expired = level.filter { f =>
-      val dayStartNs = java.time.LocalDate.parse(f.bucketDate).toEpochDay * dayNs
-      dayStartNs + dayNs - 1 < horizon
-    }
-    if (expired.isEmpty) return Nil
-    val gone = expired.map(_.path).toSet
+    // the expired set is recomputed against the REFRESHED manifest on
+    // every retry, so a compact landing mid-retention (swapping victims
+    // for a fresh same-day file) cannot make this report files dropped
+    // while their rows live on in the replacement
+    var dropped: Seq[FileEntry] = Nil
     commitLoop(spark, path) { cur =>
+      val level = cur.files.filter(_.levelSec == levelSec)
+      if (level.isEmpty) { dropped = Nil; return Nil }
+      val horizon = level.map(_.maxTs).max - retentionNs
+      dropped = level.filter { f =>
+        val dayStartNs =
+          java.time.LocalDate.parse(f.bucketDate).toEpochDay * dayNs
+        dayStartNs + dayNs - 1 < horizon
+      }
+      if (dropped.isEmpty) return Nil
+      val gone = dropped.map(_.path).toSet
       cur.copy(files = cur.files.filterNot(f => gone.contains(f.path)))
     }
-    expired.map(_.path)
+    dropped.map(_.path)
   }
 
   /** Physically delete data files no longer referenced by the LATEST
     * manifest (compacted-away, expired, or orphaned by a failed stage)
-    * whose modification time is older than `graceMs` — the grace window
-    * covers in-flight commits whose manifest hasn't landed yet and
-    * readers still draining an old snapshot. Time travel to vacuumed
-    * versions is gone afterwards, exactly like any table format.
-    * Returns deleted paths.
+    * whose modification time is older than `graceMs`, and manifest
+    * versions older than the latest past the same grace. The grace
+    * window (default 24 h, like production table formats) protects
+    * in-flight commits whose manifest hasn't landed yet and readers
+    * still draining an old snapshot — pass 0 only when no concurrent
+    * writer/reader can exist. Time travel to vacuumed versions is gone
+    * afterwards. Returns deleted data-file paths.
     */
-  def vacuum(spark: SparkSession, path: String, graceMs: Long = 0L): Seq[String] = {
+  def vacuum(spark: SparkSession, path: String,
+             graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val m = latestManifest(spark, path)
       .getOrElse(throw new java.io.FileNotFoundException(
         s"no committed manifest under $path"))
     val f = fs(spark, path)
-    val dataDir = new Path(s"$path/data")
-    if (!f.exists(dataDir)) return Nil
-    def norm(p: String): String = new Path(p).toUri.getPath
-    val live = m.files.map(e => norm(e.path)).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     val deleted = ArrayBuffer.empty[String]
-    val it = f.listFiles(dataDir, /* recursive = */ true)
-    while (it.hasNext) {
-      val st = it.next()
-      val p = st.getPath
-      if (!live.contains(norm(p.toString)) && st.getModificationTime <= cutoff) {
-        f.delete(p, false)
-        deleted += p.toString
+    val dataDir = new Path(s"$path/data")
+    if (f.exists(dataDir)) {
+      def norm(p: String): String = new Path(p).toUri.getPath
+      val live = m.files.map(e => norm(resolveEntry(path, e.path))).toSet
+      val it = f.listFiles(dataDir, /* recursive = */ true)
+      while (it.hasNext) {
+        val st = it.next()
+        val p = st.getPath
+        if (!live.contains(norm(p.toString)) &&
+            st.getModificationTime <= cutoff) {
+          f.delete(p, false)
+          deleted += p.toString
+        }
+      }
+    }
+    // a streaming sink commits one version per micro-batch — without
+    // this the manifest dir LIST (paid on every read) grows forever
+    val dir = new Path(manifestDir(path))
+    if (f.exists(dir)) {
+      f.listStatus(dir).foreach { st =>
+        val v = st.getPath.getName.stripPrefix("v").stripSuffix(".json")
+          .toLongOption
+        if (v.exists(_ < m.version) && st.getModificationTime <= cutoff)
+          f.delete(st.getPath, false)
       }
     }
     deleted.toSeq

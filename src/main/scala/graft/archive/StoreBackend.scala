@@ -19,17 +19,25 @@ trait StoreBackend {
   def levels(spark: SparkSession, path: String): Seq[Long]
 }
 
-/** Raw-parquet store: levels come from a mergeSchema directory read. */
+/** Raw-parquet store: levels come from one driver-side listing of the
+  * `level=` partition directories — the values are encoded in the first
+  * path component, so a full mergeSchema scan (every footer in the
+  * store) just to learn ~5 longs would be pure waste at scale.
+  */
 object ArchiveBackend extends StoreBackend {
   def write(samples: DataFrame, path: String, levelSec: Long): Unit =
     ArchiveStore.write(samples, path, levelSec)
   def read(spark: SparkSession, path: String, levelSec: Long,
            loNs: Option[Long], hiNs: Option[Long]): DataFrame =
     ArchiveStore.read(spark, path, levelSec, loNs, hiNs)
-  def levels(spark: SparkSession, path: String): Seq[Long] =
-    spark.read.option("mergeSchema", "true").parquet(path)
-      .select(col("level").cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+  def levels(spark: SparkSession, path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.listStatus(p).map(_.getPath.getName).toSeq
+      .filter(_.startsWith("level="))
+      .flatMap(_.stripPrefix("level=").toLongOption)
+      .sorted
+  }
 }
 
 /** Manifest-committed store: every cascade hop is one atomic commit,

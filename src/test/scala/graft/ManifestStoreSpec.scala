@@ -116,7 +116,7 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(left == Seq(2.0, 3.0))
 
     // bytes still on disk (old snapshot readable), then vacuum removes them
-    val deleted = ManifestStore.vacuum(spark, dir)
+    val deleted = ManifestStore.vacuum(spark, dir, graceMs = 0)
     assert(deleted.exists(_.contains("bucket_date=2024-01-01")))
     assert(ManifestStore.read(spark, dir, 0).count() == 2)
   }
@@ -161,6 +161,27 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(cands.head.bytes > 0 && cands.head.rows == 2)
     ManifestStore.compact(spark, dir, 0, "2024-01-01")
     assert(ManifestStore.compactionCandidates(spark, dir).isEmpty)
+  }
+
+  test("the store is relocatable: copy the directory, read from the new root") {
+    val dir = Files.createTempDirectory("mstore_src").toString
+    ManifestStore.commit(samples(("c", T0 + 1 * NS, 1.0),
+      ("c", T0 + DAY, 2.0)), dir, 0)
+    val moved = Files.createTempDirectory("mstore_dst").toString + "/copy"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(dir), fs,
+      new org.apache.hadoop.fs.Path(moved), false,
+      spark.sparkContext.hadoopConfiguration)
+    val got = ManifestStore.read(spark, moved, 0)
+      .select("value").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(got == Seq(1.0, 2.0))
+    // vacuum on the copy keeps every live data file (only write markers
+    // like _SUCCESS are unreferenced)
+    assert(!ManifestStore.vacuum(spark, moved, graceMs = 0)
+      .exists(_.endsWith(".parquet")))
+    assert(ManifestStore.read(spark, moved, 0).count() == 2)
   }
 
   test("idempotent commit: a replayed batch id is a no-op") {
@@ -270,11 +291,11 @@ class ManifestStoreSpec extends AnyFunSuite {
           }
         case _ => // nothing this step (e.g. compact with no levels yet)
       }
-      if (rnd.nextInt(3) == 0) ManifestStore.vacuum(spark, dir)
+      if (rnd.nextInt(3) == 0) ManifestStore.vacuum(spark, dir, graceMs = 0)
       checkAll()
     }
     // vacuum must never delete live data
-    ManifestStore.vacuum(spark, dir)
+    ManifestStore.vacuum(spark, dir, graceMs = 0)
     checkAll()
   }
 }
