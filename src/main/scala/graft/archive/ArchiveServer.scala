@@ -34,7 +34,7 @@ object ArchiveServer {
                   backend: StoreBackend = ArchiveBackend): Seq[LevelState] = {
     val levels = backend.levels(spark, storePath).sorted
     levels.flatMap { l =>
-      val first = backend.read(spark, storePath, l)
+      val first = backend.read(spark, storePath, l, channel = Some(channel))
         .where(col("channel") === channel)
         .agg(min("ts")).head
       if (first.isNullAt(0)) None else Some(LevelState(l, first.getLong(0)))
@@ -66,7 +66,7 @@ object ArchiveServer {
       val (lo, hi) =
         if (forward) (tNs, tNs + span) else (math.max(tNs - span, 0L), tNs)
       val probe = backend.read(spark, storePath, levelSec,
-          Some(lo), Some(hi))
+          Some(lo), Some(hi), Some(channel))
         .where(col("channel") === channel)
         .orderBy(if (forward) col("ts").asc else col("ts").desc)
         .limit(1)
@@ -98,7 +98,7 @@ object ArchiveServer {
       // read stays day-partition-clipped — no unclipped history scan.
       val widen = period == chosen && count.isEmpty
       val base = backend.read(spark, storePath, period,
-          Some(from), Some(to))
+          Some(from), Some(to), Some(channel))
         .where(col("channel") === channel)
       val valueCol = if (period == 0L) col("value") else col("mean")
       val project = (df: DataFrame) => df.select(col("channel"), col("ts"),
@@ -145,7 +145,7 @@ object ArchiveServer {
                      levelSec: Long = 0L,
                      backend: StoreBackend = ArchiveBackend): Iterator[String] = {
     val base = backend.read(spark, storePath, levelSec,
-        Some(startNs), Some(endNs))
+        Some(startNs), Some(endNs), Some(channel))
       .where(col("channel") === channel)
     val inner = base.where(col("ts") > startNs && col("ts") < endNs)
     val lower = boundaryProbe(spark, storePath, levelSec, channel,

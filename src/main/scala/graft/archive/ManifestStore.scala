@@ -60,9 +60,17 @@ import org.apache.spark.sql.types.StructType
   */
 object ManifestStore {
 
+  /** `chMin`/`chMax`: the file's clustering-key range (channel name,
+    * or channel_data_id for id-keyed stores) — files are written sorted
+    * by that key, so the range is tight and a single-channel read can
+    * prune files driver-side, exactly like the reference's per-channel
+    * bucket index. None on manifests written before the field existed.
+    */
   case class FileEntry(path: String, levelSec: Long, bucketDate: String,
                        minTs: Long, maxTs: Long, rows: Long,
-                       bytes: Long = 0L)
+                       bytes: Long = 0L,
+                       chMin: Option[String] = None,
+                       chMax: Option[String] = None)
 
   /** `txns` records the highest applied batch id per idempotent writer
     * (streaming sinks) — micro-batches commit in order, so one long per
@@ -115,6 +123,8 @@ object ManifestStore {
       n.put("max_ts", f.maxTs)
       n.put("rows", f.rows)
       n.put("bytes", f.bytes)
+      f.chMin.foreach(v => n.put("ch_min", v))
+      f.chMax.foreach(v => n.put("ch_max", v))
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
   }
@@ -128,7 +138,9 @@ object ManifestStore {
       files += FileEntry(n.get("path").asText(), n.get("level").asLong(),
         n.get("bucket_date").asText(), n.get("min_ts").asLong(),
         n.get("max_ts").asLong(), n.get("rows").asLong(),
-        if (n.has("bytes")) n.get("bytes").asLong() else 0L)
+        if (n.has("bytes")) n.get("bytes").asLong() else 0L,
+        if (n.has("ch_min")) Some(n.get("ch_min").asText()) else None,
+        if (n.has("ch_max")) Some(n.get("ch_max").asText()) else None)
     }
     val txns = scala.collection.mutable.Map.empty[String, Long]
     val tn = root.get("txns")
@@ -274,25 +286,29 @@ object ManifestStore {
     }
     if (sizes.isEmpty) return Nil
     val df = spark.read.parquet(staged)
+    val ch = clusterCol(df).cast("string")
     val keyed =
       if (df.columns.contains("level"))
         // partition-value inference types `level=0` as int — pin long
         df.select(col("_metadata.file_path").as("fp"),
           col("level").cast("long").as("level"),
-          col("bucket_date").cast("string").as("bd"), col("ts"))
+          col("bucket_date").cast("string").as("bd"), col("ts"),
+          ch.as("ck"))
       else
         df.select(col("_metadata.file_path").as("fp"),
           lit(levelFallback).as("level"),
           ArchiveStore.bucketDateCol(col("ts")).cast("string").as("bd"),
-          col("ts"))
+          col("ts"), ch.as("ck"))
     keyed
       .groupBy("fp", "level", "bd")
-      .agg(min("ts").as("mn"), max("ts").as("mx"), count(lit(1)).as("n"))
+      .agg(min("ts").as("mn"), max("ts").as("mx"), count(lit(1)).as("n"),
+        min("ck").as("cmn"), max("ck").as("cmx"))
       .collect()
       .map(r => FileEntry(relativize(f, root, r.getString(0)),
         r.getLong(1), r.getString(2),
         r.getLong(3), r.getLong(4), r.getLong(5),
-        sizes.getOrElse(new Path(r.getString(0)).toUri.getPath, 0L)))
+        sizes.getOrElse(new Path(r.getString(0)).toUri.getPath, 0L),
+        Option(r.getString(6)), Option(r.getString(7))))
       .toSeq
   }
 
@@ -390,24 +406,30 @@ object ManifestStore {
                   levelSec: Long, loNs: Option[Long] = None,
                   hiNs: Option[Long] = None): DataFrame = {
     readManifestFrame(spark, path, readManifest(spark, path, version),
-      levelSec, loNs, hiNs)
+      levelSec, loNs, hiNs, None)
   }
 
   def read(spark: SparkSession, path: String, levelSec: Long,
-           loNs: Option[Long] = None, hiNs: Option[Long] = None): DataFrame = {
+           loNs: Option[Long] = None, hiNs: Option[Long] = None,
+           channel: Option[String] = None): DataFrame = {
     val m = latestManifest(spark, path)
       .getOrElse(throw new java.io.FileNotFoundException(
         s"no committed manifest under $path"))
-    readManifestFrame(spark, path, m, levelSec, loNs, hiNs)
+    readManifestFrame(spark, path, m, levelSec, loNs, hiNs, channel)
   }
 
   private def readManifestFrame(spark: SparkSession, path: String,
                                 m: Manifest,
                                 levelSec: Long, loNs: Option[Long],
-                                hiNs: Option[Long]): DataFrame = {
+                                hiNs: Option[Long],
+                                channel: Option[String]): DataFrame = {
     val schema = m.schema
     val live = m.files.filter(f => f.levelSec == levelSec &&
-      loNs.forall(lo => f.maxTs >= lo) && hiNs.forall(hi => f.minTs <= hi))
+      loNs.forall(lo => f.maxTs >= lo) && hiNs.forall(hi => f.minTs <= hi) &&
+      // clustering-key range prune: a file whose [chMin, chMax] cannot
+      // contain the requested channel is skipped without being opened —
+      // legacy entries without the stats are conservatively kept
+      channel.forall(c => f.chMin.forall(_ <= c) && f.chMax.forall(_ >= c)))
     val base =
       if (live.isEmpty) emptyFrame(spark, schema)
       else spark.read.schema(schema)

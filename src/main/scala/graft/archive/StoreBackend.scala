@@ -13,8 +13,14 @@ import org.apache.spark.sql.functions._
   */
 trait StoreBackend {
   def write(samples: DataFrame, path: String, levelSec: Long): Unit
+  /** `channel` is a pruning HINT: a backend may use it to skip whole
+    * files that cannot contain the channel (manifest clustering-key
+    * ranges), but rows of other channels may still come back — callers
+    * filter, exactly as without the hint.
+    */
   def read(spark: SparkSession, path: String, levelSec: Long,
-           loNs: Option[Long] = None, hiNs: Option[Long] = None): DataFrame
+           loNs: Option[Long] = None, hiNs: Option[Long] = None,
+           channel: Option[String] = None): DataFrame
   /** Distinct decimation levels present (period seconds; 0 = raw). */
   def levels(spark: SparkSession, path: String): Seq[Long]
 }
@@ -28,7 +34,10 @@ object ArchiveBackend extends StoreBackend {
   def write(samples: DataFrame, path: String, levelSec: Long): Unit =
     ArchiveStore.write(samples, path, levelSec)
   def read(spark: SparkSession, path: String, levelSec: Long,
-           loNs: Option[Long], hiNs: Option[Long]): DataFrame =
+           loNs: Option[Long], hiNs: Option[Long],
+           channel: Option[String]): DataFrame =
+    // no per-file channel stats in the raw layout — parquet row-group
+    // stats on the sorted channel column do the in-file skipping
     ArchiveStore.read(spark, path, levelSec, loNs, hiNs)
   def levels(spark: SparkSession, path: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -48,8 +57,9 @@ object ManifestBackend extends StoreBackend {
     ManifestStore.commit(samples, path, levelSec); ()
   }
   def read(spark: SparkSession, path: String, levelSec: Long,
-           loNs: Option[Long], hiNs: Option[Long]): DataFrame =
-    ManifestStore.read(spark, path, levelSec, loNs, hiNs)
+           loNs: Option[Long], hiNs: Option[Long],
+           channel: Option[String]): DataFrame =
+    ManifestStore.read(spark, path, levelSec, loNs, hiNs, channel)
   def levels(spark: SparkSession, path: String): Seq[Long] =
     ManifestStore.latestManifest(spark, path)
       .map(_.files.map(_.levelSec).distinct.sorted)

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.archive.ManifestStore
@@ -161,6 +162,25 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(cands.head.bytes > 0 && cands.head.rows == 2)
     ManifestStore.compact(spark, dir, 0, "2024-01-01")
     assert(ManifestStore.compactionCandidates(spark, dir).isEmpty)
+  }
+
+  test("channel-range stats prune files for single-channel reads") {
+    val dir = Files.createTempDirectory("mstore").toString
+    // two commits → two files for the same day, disjoint channel ranges
+    ManifestStore.commit(samples(("alpha", T0 + 1 * NS, 1.0),
+      ("beta", T0 + 2 * NS, 2.0)), dir, 0)
+    ManifestStore.commit(samples(("zeta", T0 + 3 * NS, 3.0)), dir, 0)
+    val m = ManifestStore.latestManifest(spark, dir).get
+    assert(m.files.forall(f => f.chMin.isDefined && f.chMax.isDefined))
+
+    val pruned = ManifestStore.read(spark, dir, 0, channel = Some("zeta"))
+    assert(pruned.inputFiles.length == 1)
+    assert(pruned.where(col("channel") === "zeta").count() == 1)
+    // a channel outside every range reads zero files
+    assert(ManifestStore.read(spark, dir, 0, channel = Some("nu"))
+      .inputFiles.isEmpty)
+    // no hint → all files
+    assert(ManifestStore.read(spark, dir, 0).inputFiles.length == 2)
   }
 
   test("the store is relocatable: copy the directory, read from the new root") {
