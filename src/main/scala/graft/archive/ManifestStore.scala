@@ -351,7 +351,11 @@ object ManifestStore {
     val staged = s"$path/data/commit-${java.util.UUID.randomUUID().toString.take(12)}"
     withBucketDate(samples)
       .withColumn("level", lit(levelSec))
-      .repartition(col("bucket_date"), clusterCol(samples))
+      // RANGE partitioning, not hash: each output file then covers a
+      // contiguous (day, clustering-key) range, so the manifest's
+      // per-file key ranges are tight and disjoint — hash scattering
+      // would give every file the full key range and nothing to prune
+      .repartitionByRange(col("bucket_date"), clusterCol(samples))
       .sortWithinPartitions(clusterCol(samples), col("ts"))
       .write.partitionBy("level", "bucket_date").parquet(staged)
     // partitionBy strips level/bucket_date, so the files' schema IS the
