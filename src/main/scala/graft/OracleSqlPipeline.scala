@@ -76,6 +76,45 @@ object OracleSqlPipeline {
 
   private val enList = inList(TextAnalysis.Stopwords.head._2)
 
+  /** The full verified-near-dup → connected-components pipeline through
+    * the `comp` CTE (id → min-id component) — shared by the clustering
+    * and leakage-safe-split oracles so both gate the identical graph.
+    */
+  private lazy val CLUSTER_COMP = s"""$TOKS,
+$SH3,
+hs AS (SELECT doc_id, ${md5HashM31Sql("shingle")} AS h FROM sh),
+sig AS (SELECT doc_id,
+    $sigCols
+  FROM hs GROUP BY doc_id),
+bands AS (
+  $bandSelects),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM pairs p
+  JOIN sh a ON p.doc_a = a.doc_id
+  JOIN sh b ON p.doc_b = b.doc_id AND a.shingle = b.shingle
+  GROUP BY 1, 2),
+vp AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  LEFT JOIN inter ON p.doc_a = inter.doc_a AND p.doc_b = inter.doc_b
+  JOIN cnt ca ON p.doc_a = ca.doc_id
+  JOIN cnt cb ON p.doc_b = cb.doc_id
+  WHERE coalesce(i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i, 0)) >= 0.15),
+und AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+        UNION SELECT doc_b, doc_a FROM vp),
+nodes AS (SELECT DISTINCT src AS id FROM und),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.id),
+comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
+
   val all: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
@@ -161,45 +200,39 @@ object OracleSqlPipeline {
     // Spark side's hash-min label propagation (both converge to
     // comp = min doc id of the connected component)
     "dedup_clusters" ->
-      s"""WITH RECURSIVE $TOKS,
-         |$SH3,
-         |hs AS (SELECT doc_id, ${md5HashM31Sql("shingle")} AS h FROM sh),
-         |sig AS (SELECT doc_id,
-         |    $sigCols
-         |  FROM hs GROUP BY doc_id),
-         |bands AS (
-         |  $bandSelects),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |inter AS (
-         |  SELECT p.doc_a, p.doc_b, count(*) AS i
-         |  FROM pairs p
-         |  JOIN sh a ON p.doc_a = a.doc_id
-         |  JOIN sh b ON p.doc_b = b.doc_id AND a.shingle = b.shingle
-         |  GROUP BY 1, 2),
-         |vp AS (
-         |  SELECT p.doc_a, p.doc_b
-         |  FROM pairs p
-         |  LEFT JOIN inter ON p.doc_a = inter.doc_a AND p.doc_b = inter.doc_b
-         |  JOIN cnt ca ON p.doc_a = ca.doc_id
-         |  JOIN cnt cb ON p.doc_b = cb.doc_id
-         |  WHERE coalesce(i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i, 0)) >= 0.15),
-         |und AS (SELECT doc_a AS src, doc_b AS dst FROM vp
-         |        UNION SELECT doc_b, doc_a FROM vp),
-         |nodes AS (SELECT DISTINCT src AS id FROM und),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.id),
-         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1),
+      s"""WITH RECURSIVE $CLUSTER_COMP,
          |sizes AS (SELECT comp, count(*) AS cluster_size FROM comp GROUP BY 1)
          |SELECT c.id AS doc_id, c.comp, s.cluster_size,
          |       (c.id = c.comp) AS keep
          |FROM comp c JOIN sizes s USING (comp)
          |ORDER BY doc_id""".stripMargin,
+
+    // leakage-safe split: the SAME verified near-dup components, every
+    // cluster hash-assigned atomically via its canonical (min-id)
+    // representative; singletons hash on their own id = sample_split
+    "sample_split_safe" ->
+      s"""WITH RECURSIVE $CLUSTER_COMP
+         |SELECT doc_id,
+         |  CASE WHEN u < 0.8 THEN 'train'
+         |       WHEN u < 0.9 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT d.doc_id,
+         |        (('0x' || substr(md5(coalesce(c.comp, d.doc_id)::VARCHAR || 'split'), 1, 15))::BIGINT
+         |         / 1152921504606846976.0) AS u
+         |      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // decontamination: corpus docs sharing any 3-token shingle with the
+    // (doc_id % 11 = 0) eval subset — eval shingles are the broadcast
+    // side on the Spark plan, a plain semi-join-and-count here
+    "dedup_decontaminate" ->
+      s"""WITH $TOKS,
+         |$SH3,
+         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 11 = 0)
+         |SELECT s.doc_id, count(*) AS eval_ngram_hits
+         |FROM sh s JOIN ev USING (shingle)
+         |WHERE s.doc_id % 11 <> 0
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash_pairs" ->
       s"""WITH $TOKS,

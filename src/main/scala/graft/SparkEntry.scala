@@ -348,6 +348,25 @@ object SparkEntry {
       Dedup.duplicateClusters(Dedup.nearDupPairs(Tables.documents(s, dir)))
         .orderBy("doc_id")),
 
+    // GPT-3-style benchmark decontamination: training docs sharing any
+    // 5-gram with the (deterministic) eval subset
+    "dedup_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminate(
+        docs.where(col("doc_id") % 11 =!= 0),
+        docs.where(col("doc_id") % 11 === 0), k = 3)
+        .orderBy("doc_id")
+    }),
+
+    // near-dup clusters assigned to train/val/test atomically — no
+    // near-duplicate pair may straddle the train/eval boundary
+    "sample_split_safe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Sampling.leakageSafeSplit(docs, Dedup.nearDupPairs(docs),
+          Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
+        .select(col("doc_id"), col("split")).orderBy("doc_id")
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir), k = 3, minJaccard = 0.15)
         .select(col("doc_a"), col("doc_b"), r6("jaccard"))

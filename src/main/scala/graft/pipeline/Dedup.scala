@@ -391,6 +391,24 @@ object Dedup {
     docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
   }
 
+  /** Benchmark decontamination: flag every corpus document sharing at
+    * least one k-token shingle with the eval set — the n-gram-overlap
+    * contamination check every serious training pipeline runs before
+    * reporting benchmark numbers. The eval shingle set is tiny relative
+    * to the corpus, so it broadcasts into the corpus shingle pass: one
+    * scan, no corpus shuffle, linear at any corpus size. Returns
+    * (doc_id, eval_ngram_hits) for contaminated documents only;
+    * anti-join the corpus against it to materialize the clean set.
+    */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame,
+                    k: Int = 5): DataFrame = {
+    val evalShingles = shingles(evalDocs, k)
+      .select(col("shingle")).distinct()
+    shingles(docs, k)
+      .join(broadcast(evalShingles), Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("eval_ngram_hits"))
+  }
+
   def ngramJaccard(docs: DataFrame, k: Int = 3,
                    minJaccard: Double = 0.15,
                    maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {

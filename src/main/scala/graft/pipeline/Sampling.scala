@@ -59,6 +59,27 @@ object Sampling {
     docs.withColumn("split", assigned)
   }
 
+  /** Leakage-safe split: a plain hash split can put two NEAR-DUPLICATE
+    * documents on opposite sides of the train/eval boundary — the eval
+    * set then scores memorization. Here every near-dup cluster (from
+    * the LSH pair graph, [[Dedup.connectedComponents]]) hashes on its
+    * canonical representative, so the whole cluster lands in one split
+    * atomically; documents absent from the pair graph hash on their own
+    * id exactly like [[hashSplit]]. The component frame is pair-graph-
+    * sized (tiny next to the corpus) and broadcasts.
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       splits: Seq[(String, Double)],
+                       idCol: String = "doc_id",
+                       salt: String = "split"): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs)
+      .select(col("id").as(idCol), col("comp"))
+    val keyed = docs.join(broadcast(comp), Seq(idCol), "left")
+      .withColumn("_split_key", coalesce(col("comp"), col(idCol)))
+    hashSplit(keyed, splits, "_split_key", salt)
+      .drop("_split_key", "comp")
+  }
+
   /** Exact-count-per-stratum sampling: the `n` documents with the
     * smallest id-hash per stratum — "exactly 10k docs per language",
     * deterministic and stable (a doc enters/leaves the sample only if

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 class PipelineSpec extends AnyFunSuite {
 
@@ -364,5 +364,41 @@ class PipelineSpec extends AnyFunSuite {
     // "abc" → bytes 97,98,99 → mean 98
     assert(feats(2L).mean_px == 98.0)
     assert(feats(2L).histogram.sum == 3)
+  }
+
+  test("decontaminate flags docs sharing an n-gram with the eval set") {
+    val corpus = docs(
+      (1L, "the quick brown fox jumps", "en"),   // shares "the quick brown"
+      (2L, "completely different words here", "en"),
+      (3L, "quick brown fox again here", "en"))  // shares "quick brown fox"
+    val eval = docs((100L, "the quick brown fox", "en"))
+    val got = Dedup.decontaminate(corpus, eval, k = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("eval_ngram_hits"))
+      .toMap
+    // doc 1 shares "the quick brown", "quick brown fox"; doc 3 shares
+    // "quick brown fox"; doc 2 is clean
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("leakage-safe split keeps every near-dup cluster in one split") {
+    import org.apache.spark.sql.functions._
+    val d = (1L to 200L).map(i => (i, s"text $i", "en"))
+      .toDF("doc_id", "text", "lang")
+    // clusters: {1,2,3} and {10,11}; rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val split = Sampling.leakageSafeSplit(d, pairs,
+      Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
+    val byDoc = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Set(byDoc(1L), byDoc(2L), byDoc(3L)).size == 1)
+    assert(byDoc(10L) == byDoc(11L))
+    // singletons agree with the plain hash split (same key, same salt)
+    val plain = Sampling.hashSplit(d.where(col("doc_id") > 20),
+      Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(plain.forall { case (k, v) => byDoc(k) == v })
+    // and all three splits are actually populated
+    assert(byDoc.values.toSet == Set("train", "val", "test"))
   }
 }
