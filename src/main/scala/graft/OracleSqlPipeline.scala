@@ -222,6 +222,28 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
          |ORDER BY doc_id""".stripMargin,
 
+    // PII scrubbing over deterministically salted text: counts on the
+    // original, replacements email -> ip -> phone, result hashed (the
+    // regex subset used has identical RE2/Java semantics)
+    "text_redact_pii" -> {
+      import graft.pipeline.TextAnalysis.{EmailRe, Ipv4Re, PhoneRe}
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    text || ' contact u' || doc_id || '@example.com at 10.0.' ||
+         |    (doc_id % 256) || '.7 or 555-867-' ||
+         |    format('{:04d}', doc_id % 10000) AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS email_count,
+         |  CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS INT) AS ip_count,
+         |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INT) AS phone_count,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$EmailRe', '[EMAIL]', 'g'),
+         |    '$Ipv4Re', '[IP]', 'g'),
+         |    '$PhoneRe', '[PHONE]', 'g')) AS clean_md5
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+
     // decontamination: corpus docs sharing any 3-token shingle with the
     // (doc_id % 11 = 0) eval subset — eval shingles are the broadcast
     // side on the Spark plan, a plain semi-join-and-count here

@@ -348,6 +348,21 @@ object SparkEntry {
       Dedup.duplicateClusters(Dedup.nearDupPairs(Tables.documents(s, dir)))
         .orderBy("doc_id")),
 
+    // PII scrubbing, gated on synthesized-but-deterministic PII: both
+    // engines build the same salted text, redact, and hash the result
+    "text_redact_pii" -> ((s, dir) => {
+      val salted = Tables.documents(s, dir).withColumn("text",
+        concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@example.com at 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7 or 555-867-"),
+          format_string("%04d", col("doc_id") % 10000)))
+      TextAnalysis.redactPii(salted)
+        .select(col("doc_id"), col("email_count"), col("ip_count"),
+          col("phone_count"), md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // GPT-3-style benchmark decontamination: training docs sharing any
     // 5-gram with the (deterministic) eval subset
     "dedup_decontaminate" -> ((s, dir) => {

@@ -139,4 +139,33 @@ object TextAnalysis {
       aggregate(hashes, lit(0L), (acc, x) => (acc * 31 + x) % lit(M31))
         .as("fingerprint"))
   }
+
+  /** PII patterns shared with the oracle SQL (simple RE2 ∩ Java-regex
+    * subset: char classes, bounded repeats, word boundaries — identical
+    * semantics in both engines). Deliberately precision-leaning: a
+    * curation pass prefers missing an exotic format to mangling prose.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** PII scrubbing — the redaction pass a released training corpus
+    * runs: emails, IPv4 addresses, and phone-shaped numbers replaced by
+    * typed placeholders, with per-document match counts (counted on the
+    * ORIGINAL text; replacements apply email → ip → phone so an
+    * earlier placeholder can never feed a later pattern). Pure per-row
+    * codegen'd regex work: no shuffle, no state, linear at any scale.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.withColumn("email_count", regexp_count(t, lit(EmailRe)))
+      .withColumn("ip_count", regexp_count(t, lit(Ipv4Re)))
+      .withColumn("phone_count", regexp_count(t, lit(PhoneRe)))
+      .withColumn("clean_text",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "[EMAIL]"),
+            Ipv4Re, "[IP]"),
+          PhoneRe, "[PHONE]"))
+  }
 }

@@ -401,4 +401,20 @@ class PipelineSpec extends AnyFunSuite {
     // and all three splits are actually populated
     assert(byDoc.values.toSet == Set("train", "val", "test"))
   }
+
+  test("PII redaction replaces emails, IPs, and phones with placeholders") {
+    val d = docs(
+      (1L, "mail a.user+x@sub.example.org now", "en"),
+      (2L, "server 192.168.0.1 and backup 10.0.0.2", "en"),
+      (3L, "call 555-123-4567 or 555.987.6543", "en"),
+      (4L, "nothing sensitive here v1.2 and 1.5x", "en"))
+    val got = TextAnalysis.redactPii(d)
+      .select("doc_id", "email_count", "ip_count", "phone_count", "clean_text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(got(1L) == ((1, 0, 0, "mail [EMAIL] now")))
+    assert(got(2L) == ((0, 2, 0, "server [IP] and backup [IP]")))
+    assert(got(3L) == ((0, 0, 2, "call [PHONE] or [PHONE]")))
+    assert(got(4L) == ((0, 0, 0, "nothing sensitive here v1.2 and 1.5x")))
+  }
 }
