@@ -232,4 +232,28 @@ class PropertySpec extends AnyFunSuite {
         norm(Decimation.decimateSorted(df, 10 * S)), s"$layout")
     }
   }
+
+  test("leakage-safe split: no pair graph edge ever straddles a split boundary") {
+    val graphGen: Gen[List[(Long, Long)]] = for {
+      m <- Gen.choose(1, 30)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, 99L)
+        b <- Gen.choose(0L, 99L) if a != b
+      } yield (a, b))
+    } yield es
+    val graphs = (0 until 4).flatMap(i =>
+      graphGen.apply(Gen.Parameters.default, Seed(777L + i)))
+    val docs = (0L to 99L).map(i => (i, s"d$i", "en"))
+      .toDF("doc_id", "text", "lang")
+    for (edges <- graphs) {
+      val split = graft.pipeline.Sampling.leakageSafeSplit(
+          docs, edges.toDF("doc_a", "doc_b"),
+          Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      for ((a, b) <- edges)
+        assert(split(a) == split(b),
+          s"edge ($a,$b) straddles ${split(a)}/${split(b)}; edges=$edges")
+    }
+  }
 }

@@ -143,6 +143,36 @@ class StreamingSpec extends AnyFunSuite {
       == Seq(1.0, 2.0, 3.0))
   }
 
+  test("streaming decimation commits coarse windows into a manifest level") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream_mlevel").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_ml").toString
+    val mem = MemoryStream[InSample]
+    val base = 1704067200L * S
+    // decimated 10 s windows, committed at level 10 — win_start becomes
+    // the level's canonical ts
+    val dec = StreamingDecimation.decimateStream(mem.toDS(), P10)
+      .toDF().withColumnRenamed("win_start", "ts")
+    val q = StreamingDecimation.writeRawStreamManifest(dec, dir, ckpt,
+      levelSec = 10L)
+    try {
+      mem.addData(Seq(
+        InSample("c", base + 1 * S, Some(2.0), 0),
+        InSample("c", base + 11 * S, Some(4.0), 1),
+        InSample("c", base + 25 * S, Some(6.0), 2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = graft.archive.ManifestStore.read(spark, dir, 10L)
+    // first window [base, base+10) flushed by the base+11 sample; the
+    // second flushed by base+25; the open third window is not emitted
+    assert(back.count() == 2)
+    // hold-last-value: window 2 holds 2.0 for 1 s then 4.0 for 9 s
+    assert(back.select("mean").collect().map(_.getDouble(0)).sorted.toSeq
+      == Seq(2.0, 3.8))
+  }
+
   test("streaming exact dedup drops in-watermark duplicates with bounded state") {
     implicit val s: SparkSession = spark
     import s.implicits._
