@@ -241,7 +241,20 @@ object Cascade {
       .where(col("last_src_ts").isNull ||
         col("win_start") + targetP > col("last_src_ts"))
       .drop("_c", "last_src_ts", "resume_ts")
-    backend.write(toStore(dec), storePath, targetSec)
+    // The write is token-deduplicated on a hash of the PRE-RUN watermark
+    // state: a re-run after a crash between this write and the watermark
+    // persist below recomputes the identical token and the transactional
+    // backend skips the duplicate append — the catch-up hop is then
+    // exactly-once end to end (the plain-parquet backend has no txn
+    // metadata and keeps its documented at-least-once behavior).
+    val token = wmRows.map(r => (r.getAs[String]("channel"),
+        r.getAs[Long]("last_src_ts"), r.getAs[Long]("resume_ts")))
+      .sortBy(_._1)
+      .foldLeft(17L) { case (acc, (c, l, rts)) =>
+        ((acc * 31 + c.hashCode) * 31 + l) * 31 + rts
+      }
+    backend.writeTxn(toStore(dec), storePath, targetSec,
+      writerId = s"catchup:$targetSec", token = token)
 
     // New watermarks WITHOUT rescanning the full source level: the
     // suffix starts at each present channel's old resume point, so its

@@ -72,9 +72,10 @@ object ManifestStore {
                        chMin: Option[String] = None,
                        chMax: Option[String] = None)
 
-  /** `txns` records the highest applied batch id per idempotent writer
-    * (streaming sinks) — micro-batches commit in order, so one long per
-    * writer id is enough to make a replayed `foreachBatch` a no-op.
+  /** `txns` records one long per idempotent writer: the highest applied
+    * batch id for in-order streaming sinks ([[commitIdempotent]]), or
+    * the last applied input-state token for re-runnable jobs
+    * ([[commitIfChanged]]) — either way a replay is a no-op.
     */
   case class Manifest(version: Long, schemaDdl: String,
                       files: Seq[FileEntry],
@@ -339,6 +340,26 @@ object ManifestStore {
     commitTxn(samples, path, levelSec, Some(writerId -> batchId))
   }
 
+  /** Token-deduplicated commit for serial re-runnable jobs (the cascade
+    * catch-up): the manifest stores the last applied `token` per
+    * `writerId`, and a commit whose token EQUALS the stored one is a
+    * no-op. Unlike [[commitIdempotent]]'s ascending batch ids, tokens
+    * are arbitrary (a hash of the job's input state): a re-run after a
+    * crash recomputes the same token and skips; any genuinely new input
+    * state yields a different token and commits.
+    */
+  def commitIfChanged(samples: DataFrame, path: String, levelSec: Long,
+                      writerId: String, token: Long): Long = {
+    val spark = samples.sparkSession
+    latestManifest(spark, path) match {
+      case Some(m) if m.txns.get(writerId).contains(token) =>
+        return m.version // same input state already applied
+      case _ =>
+    }
+    commitTxn(samples, path, levelSec, Some(writerId -> token),
+      skipIfEqual = true)
+  }
+
   /** In-file clustering key: channel name, or the permanent data id for
     * rename-stable id-keyed frames ([[commitById]]). */
   private def clusterCol(df: DataFrame) =
@@ -346,7 +367,8 @@ object ManifestStore {
     else col("channel_data_id")
 
   private def commitTxn(samples: DataFrame, path: String, levelSec: Long,
-                        txn: Option[(String, Long)]): Long = {
+                        txn: Option[(String, Long)],
+                        skipIfEqual: Boolean = false): Long = {
     val spark = samples.sparkSession
     val staged = s"$path/data/commit-${java.util.UUID.randomUUID().toString.take(12)}"
     withBucketDate(samples)
@@ -365,7 +387,10 @@ object ManifestStore {
     val entries = statsFor(spark, path, staged, levelSec)
     commitLoop(spark, path) { cur =>
       txn.foreach { case (id, b) =>
-        if (cur.txns.get(id).exists(_ >= b))
+        val applied =
+          if (skipIfEqual) cur.txns.get(id).contains(b)
+          else cur.txns.get(id).exists(_ >= b)
+        if (applied)
           // raced with a concurrent replay that won: surface the applied
           // state (staged files become vacuum-able orphans)
           return cur.version

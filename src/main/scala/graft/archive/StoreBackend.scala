@@ -23,6 +23,16 @@ trait StoreBackend {
            channel: Option[String] = None): DataFrame
   /** Distinct decimation levels present (period seconds; 0 = raw). */
   def levels(spark: SparkSession, path: String): Seq[Long]
+  /** Token-deduplicated write for re-runnable jobs: a backend with
+    * transactional metadata skips the write when `token` equals the
+    * last applied one for `writerId` (crash-safe re-runs); the plain
+    * store has nowhere to record tokens and just writes — its catch-up
+    * re-run after a mid-job crash can duplicate windows, which is
+    * exactly the gap the manifest backend closes.
+    */
+  def writeTxn(samples: DataFrame, path: String, levelSec: Long,
+               writerId: String, token: Long): Unit =
+    write(samples, path, levelSec)
 }
 
 /** Raw-parquet store: levels come from one driver-side listing of the
@@ -64,4 +74,9 @@ object ManifestBackend extends StoreBackend {
     ManifestStore.latestManifest(spark, path)
       .map(_.files.map(_.levelSec).distinct.sorted)
       .getOrElse(Nil)
+  override def writeTxn(samples: DataFrame, path: String, levelSec: Long,
+                        writerId: String, token: Long): Unit = {
+    ManifestStore.commitIfChanged(samples, path, levelSec, writerId, token)
+    ()
+  }
 }

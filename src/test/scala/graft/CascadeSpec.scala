@@ -177,6 +177,52 @@ class CascadeSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest catch-up is exactly-once across a crash before the watermark persist") {
+    import spark.implicits._
+    import graft.archive.{ManifestBackend, ManifestStore}
+    val events = Samples.fromEvents(spark, "/root/testdata/sf0.001")
+    val cut = events.agg(org.apache.spark.sql.functions.expr(
+      "percentile(ts, 0.6)")).head.getDouble(0).toLong
+    val store = Files.createTempDirectory("casm_crash").toString
+    Cascade.materialize(spark, store, events.where($"ts" <= cut),
+      Seq(30L), ManifestBackend)
+    ManifestStore.commit(
+      Samples.monotonicDedup(events).where($"ts" > cut), store, 0)
+
+    // snapshot the watermark state, run catch-up, then restore the
+    // snapshot — the exact on-disk state of a crash that hit AFTER the
+    // decimated-data commit but BEFORE the watermark persist
+    val wmDir = s"$store/_watermarks"
+    val saved = Files.createTempDirectory("wm_saved").toString + "/wm"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(wmDir), fs,
+      new org.apache.hadoop.fs.Path(saved), false, conf)
+    Cascade.catchUp(spark, store, 30L, ManifestBackend)
+    val n1 = ManifestStore.read(spark, store, 30L).count()
+
+    fs.delete(new org.apache.hadoop.fs.Path(wmDir), true)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(saved), fs,
+      new org.apache.hadoop.fs.Path(wmDir), false, conf)
+    // the "re-run after crash": same pre-run watermark state → same
+    // token → the duplicate append is skipped
+    Cascade.catchUp(spark, store, 30L, ManifestBackend)
+    assert(ManifestStore.read(spark, store, 30L).count() == n1)
+    // and content still equals a from-scratch build
+    val full = Files.createTempDirectory("casm_full2").toString
+    Cascade.materialize(spark, full, events, Seq(30L))
+    val a = ManifestStore.read(spark, store, 30L)
+      .select("channel", "ts", "n_samples").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val b = ArchiveStore.read(spark, full, 30L)
+      .select("channel", "ts", "n_samples").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+
   test("cascade over the manifest backend equals the archive backend, incl. catch-up") {
     import spark.implicits._
     import graft.archive.{ManifestBackend, ManifestStore}
