@@ -45,7 +45,16 @@ object Dedup {
     * `distinct` turns it into the set representation the Jaccard /
     * MinHash math needs.
     */
-  def shingles(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+  def shingles(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
+    rawShingles(docs, k, textCol).distinct()
+
+  /** [[shingles]] WITHOUT the distinct — shuffle-free. For consumers
+    * that aggregate anyway (e.g. [[decontaminate]]'s countDistinct on
+    * the post-join subset), deduplicating the full corpus first is a
+    * corpus-wide shuffle bought for nothing.
+    */
+  def rawShingles(docs: DataFrame, k: Int,
+                  textCol: String = "text"): DataFrame = {
     // zip_with + slice instead of transform(sequence, i -> element_at):
     // ~20× faster (element_at-by-index inside a higher-order lambda is
     // interpreted per element; zip_with streams both arrays). The
@@ -59,7 +68,6 @@ object Dedup {
     }
     docs.select(col("doc_id"), explode(sh).as("shingle"))
       .where(col("shingle").isNotNull)
-      .distinct()
   }
 
   /** MinHash signatures: one row per doc with columns s0..s{n-1}.
@@ -402,11 +410,16 @@ object Dedup {
     */
   def decontaminate(docs: DataFrame, evalDocs: DataFrame,
                     k: Int = 5): DataFrame = {
-    val evalShingles = shingles(evalDocs, k)
+    val evalShingles = rawShingles(evalDocs, k)
       .select(col("shingle")).distinct()
-    shingles(docs, k)
+    // corpus side stays shuffle-free: the broadcast join prunes to
+    // matching rows first, and the distinct-shingle count aggregates
+    // that (tiny) subset — deduplicating the whole corpus upfront
+    // would shuffle every shingle once for the same answer
+    rawShingles(docs, k)
       .join(broadcast(evalShingles), Seq("shingle"))
-      .groupBy("doc_id").agg(count(lit(1)).as("eval_ngram_hits"))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("shingle")).as("eval_ngram_hits"))
   }
 
   def ngramJaccard(docs: DataFrame, k: Int = 3,
