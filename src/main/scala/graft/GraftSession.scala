@@ -55,4 +55,21 @@ object GraftSession {
     // native functions
     functions.VectorExpressions.register(spark)
   }
+
+  /** Register a manifest-committed store's levels as SQL views —
+    * `{name}_raw` for level 0 and `{name}_l{sec}` per decimated level.
+    * Views are lazy: manifest-side file pruning applies when a query's
+    * predicates reach the underlying read, and nothing materializes
+    * until queried.
+    */
+  def registerManifestStore(spark: SparkSession, path: String,
+                            name: String): Unit =
+    archive.ManifestStore.latestManifest(spark, path)
+      .map(_.files.map(_.levelSec).distinct.sorted)
+      .getOrElse(Nil)
+      .foreach { l =>
+        val view = if (l == 0L) s"${name}_raw" else s"${name}_l$l"
+        archive.ManifestStore.read(spark, path, l)
+          .createOrReplaceTempView(view)
+      }
 }

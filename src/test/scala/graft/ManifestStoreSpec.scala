@@ -256,6 +256,17 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(none.columns.contains("value") && none.columns.contains("level"))
   }
 
+  test("registerManifestStore exposes levels as SQL views") {
+    val dir = Files.createTempDirectory("mstore_sql").toString
+    ManifestStore.commit(samples(("c", T0 + 1 * NS, 1.0),
+      ("c", T0 + 2 * NS, 2.0)), dir, 0)
+    ManifestStore.commit(
+      Seq(("c", T0, 1.5)).toDF("channel", "ts", "mean"), dir, 3600)
+    GraftSession.registerManifestStore(spark, dir, "arch")
+    assert(spark.sql("SELECT count(*) FROM arch_raw").head.getLong(0) == 2)
+    assert(spark.sql("SELECT mean FROM arch_l3600").head.getDouble(0) == 1.5)
+  }
+
   test("property: random append/compact/retention/vacuum sequences match an in-memory model") {
     val rnd = new scala.util.Random(20260813L)
     val dir = Files.createTempDirectory("mstore_prop").toString
