@@ -222,6 +222,20 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
          |ORDER BY doc_id""".stripMargin,
 
+    // per-language data-card stats; quantile_cont uses the same linear
+    // interpolation as Spark's exact percentile
+    "corpus_stats" ->
+      s"""WITH n AS (
+         |  SELECT lang,
+         |    CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+         |  round(avg(n_tokens), 6) AS mean_tokens,
+         |  round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+         |  round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
+         |  round(quantile_cont(n_tokens, 0.99), 6) AS p99_tokens
+         |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
+
     // PII scrubbing over deterministically salted text: counts on the
     // original, replacements email -> ip -> phone, result hashed (the
     // regex subset used has identical RE2/Java semantics)

@@ -140,6 +140,27 @@ object TextAnalysis {
         .as("fingerprint"))
   }
 
+  /** Corpus statistics — the per-stratum "data card" numbers a released
+    * dataset publishes: document counts, token totals, and exact token-
+    * count percentiles per language. One map-side-combinable pass for
+    * the sums; the percentiles sort within each (small) stratum group —
+    * for strata too large for exact percentiles at 100 TB, swap in
+    * `percentile_approx` and accept the documented error bound.
+    */
+  def corpusStats(docs: DataFrame, textCol: String = "text",
+                  stratumCol: String = "lang"): DataFrame = {
+    val nTokens = size(split(lower(col(textCol)), "\\s+")).cast("long")
+    docs.select(col(stratumCol), nTokens.as("n_tokens"))
+      .groupBy(stratumCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("n_tokens")), 6).as("mean_tokens"),
+        expr("percentile(n_tokens, 0.5)").as("p50_tokens"),
+        expr("percentile(n_tokens, 0.9)").as("p90_tokens"),
+        expr("percentile(n_tokens, 0.99)").as("p99_tokens"))
+  }
+
   /** PII patterns shared with the oracle SQL (simple RE2 ∩ Java-regex
     * subset: char classes, bounded repeats, word boundaries — identical
     * semantics in both engines). Deliberately precision-leaning: a
