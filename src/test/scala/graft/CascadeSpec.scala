@@ -95,6 +95,38 @@ class CascadeSpec extends AnyFunSuite {
     assert(checked > 20, s"only $checked windows compared")
   }
 
+  test("typed cascade and typed JSON serving agree across both backends") {
+    import graft.archive.{ArchiveServer, ManifestBackend, ManifestStore}
+    val typed = graft.core.TypedSamples.fromEvents(spark, "/root/testdata/sf0.001")
+    val a = Files.createTempDirectory("tcas_a").toString
+    val m = Files.createTempDirectory("tcas_m").toString
+    Cascade.materializeTyped(spark, a, typed, Seq(3600L))
+    Cascade.materializeTyped(spark, m, typed, Seq(3600L), ManifestBackend)
+
+    for (l <- Seq(0L, 3600L)) {
+      def dump(df: org.apache.spark.sql.DataFrame) =
+        df.select("channel", "ts", "vtype").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(dump(ManifestStore.read(spark, m, l)) ==
+        dump(ArchiveStore.read(spark, a, l)), s"level $l differs")
+    }
+
+    // the typed JSON wire output is byte-identical from either store
+    val chan = ManifestStore.read(spark, m, 0)
+      .select("channel").head.getString(0)
+    val (lo, hi) = {
+      val r = ManifestStore.read(spark, m, 0)
+        .where(org.apache.spark.sql.functions.col("channel") === chan)
+        .agg(org.apache.spark.sql.functions.min("ts"),
+          org.apache.spark.sql.functions.max("ts")).head
+      (r.getLong(0) + 1, r.getLong(1))
+    }
+    val viaM = ArchiveServer.serveJsonTyped(spark, m, chan, lo, hi,
+      backend = ManifestBackend).toSeq
+    val viaA = ArchiveServer.serveJsonTyped(spark, a, chan, lo, hi).toSeq
+    assert(viaM.nonEmpty && viaM == viaA)
+  }
+
   test("typed incremental catch-up equals a from-scratch typed materialize") {
     import spark.implicits._
     val typed = graft.core.TypedSamples
