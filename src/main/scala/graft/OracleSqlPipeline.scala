@@ -781,6 +781,44 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3
          |ORDER BY vec_a, vec_b""".stripMargin,
 
+    // cluster centroids over the 0.3-cosine near-dup graph: recursive
+    // components + per-dimension DECIMAL-routed means; arrays
+    // stringified exactly like the Spark side (round6 -> DECIMAL(18,6))
+    "sim_cluster_centroids" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |$bucketedCte,
+         |ep AS (
+         |  SELECT vec_a, vec_b FROM (
+         |    SELECT DISTINCT a.vec_id AS vec_a, bb.vec_id AS vec_b
+         |    FROM b a JOIN b bb
+         |      ON a.tbl = bb.tbl AND a.bucket = bb.bucket
+         |     AND a.vec_id < bb.vec_id) c
+         |  JOIN e ea ON c.vec_a = ea.vec_id
+         |  JOIN e eb ON c.vec_b = eb.vec_id
+         |  WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3),
+         |und AS (SELECT vec_a AS src, vec_b AS dst FROM ep
+         |        UNION SELECT vec_b, vec_a FROM ep),
+         |nodes AS (SELECT DISTINCT src AS id FROM und),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.id),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1),
+         |k AS (SELECT e.vec_id, coalesce(c.comp, e.vec_id) AS comp, e.v
+         |      FROM e LEFT JOIN comp c ON e.vec_id = c.id),
+         |mem AS (SELECT comp, count(*) AS n_members FROM k GROUP BY 1),
+         |dims AS (SELECT comp, g.pos AS pos, v[g.pos + 1] AS val
+         |         FROM k, UNNEST(generate_series(0, len(v) - 1)) g(pos)),
+         |agg AS (SELECT comp, pos,
+         |          CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
+         |        FROM dims GROUP BY 1, 2),
+         |cent AS (SELECT comp,
+         |           '[' || string_agg(CAST(CAST(round(m, 6) AS DECIMAL(18,6)) AS VARCHAR),
+         |                             ',' ORDER BY pos) || ']' AS centroid
+         |         FROM agg GROUP BY comp)
+         |SELECT c.comp, mem.n_members, c.centroid
+         |FROM cent c JOIN mem USING (comp) ORDER BY comp""".stripMargin,
+
     "sim_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |$bucketedCte,

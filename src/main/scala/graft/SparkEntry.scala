@@ -498,6 +498,17 @@ object SparkEntry {
       Similarity.embeddingNearDup(Tables.embeddings(s, dir), minCos = 0.3)
         .orderBy("vec_a", "vec_b")),
 
+    // representative (mean) embedding per near-dup cluster — the vector
+    // a deduplicated index serves; arrays stringified for the oracle
+    "sim_cluster_centroids" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.clusterCentroids(emb,
+          Similarity.embeddingNearDup(emb, minCos = 0.3))
+        .select(col("comp"), col("n_members"),
+          TypedSamples.numArrayToString(col("centroid")).as("centroid"))
+        .orderBy("comp")
+    }),
+
     // product quantization: 4-byte codes + ADC table-lookup scan (the
     // memory-compression half of IVF-PQ), and the production
     // shortlist→exact-rerank composition

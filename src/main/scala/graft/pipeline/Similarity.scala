@@ -386,6 +386,38 @@ object Similarity {
       .where(col("cos_sim") >= minCos)
   }
 
+  /** Per-cluster mean embedding over a near-dup pair graph — the
+    * representative vector a deduplicated index serves. Element-wise
+    * mean via posexplode → (cluster, dimension) partial aggregation:
+    * combiner-friendly, one shuffle keyed by (comp, pos), and no
+    * vector is ever materialized whole on any single node beyond its
+    * own row. Vectors absent from the pair graph are their own
+    * (singleton) centroid.
+    */
+  def clusterCentroids(corpus: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = Dedup.connectedComponents(
+        pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("id").as("vec_id"), col("comp"))
+    val keyed = corpus
+      .join(broadcast(comp), Seq("vec_id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("vec_id")))
+    val members = keyed.groupBy("comp")
+      .agg(count(lit(1)).as("n_members"))
+    keyed
+      .select(col("comp"), posexplode(asDouble(col("embedding")))
+        .as(Seq("pos", "v")))
+      .groupBy("comp", "pos")
+      // DECIMAL-routed sum: partial-aggregation order can never flip a
+      // 6dp digit of the mean against another engine
+      .agg(sum(col("v").cast("decimal(38,12)")).cast("double").as("s"),
+        count(lit(1)).as("n"))
+      .groupBy("comp")
+      .agg(transform(array_sort(collect_list(struct(col("pos"),
+          (col("s") / col("n")).as("m")))), e => e.getField("m"))
+        .as("centroid"))
+      .join(members, Seq("comp"))
+  }
+
   /** Multi-table ANN: per vector, its best candidate neighbour (by
     * rounded cosine, vec_id tie-break) across every table it shares a
     * bucket with, plus its candidate count (0 rows stay present with
