@@ -13,7 +13,9 @@ object OracleSqlPipeline {
   /** doc_id + whitespace tokens (same regex split as the Spark side). */
   private val TOKS =
     """t AS (
-      |  SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS toks
+      |  SELECT doc_id, lang,
+      |         list_filter(string_split_regex(lower(text), '\s+'),
+      |                     x -> x <> '') AS toks
       |  FROM documents)""".stripMargin
 
   /** Distinct 3-token shingles per doc. */
@@ -227,7 +229,7 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
     "corpus_stats" ->
       s"""WITH n AS (
          |  SELECT lang,
-         |    CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens
+         |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
          |  FROM documents)
          |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
          |  round(avg(n_tokens), 6) AS mean_tokens,
@@ -344,7 +346,7 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
       s"""WITH tn AS (
          |  SELECT doc_id, lang,
          |    CAST((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 4) AS INT) AS shard,
-         |    CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens
+         |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
          |  FROM documents)
          |SELECT doc_id, lang, shard, n_tokens,
          |  CAST(floor(COALESCE(sum(n_tokens) OVER (
@@ -376,13 +378,13 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |SELECT doc_id,
          |  CAST(n_chars AS BIGINT) AS n_chars,
          |  CAST(n_tokens AS INT) AS n_tokens,
-         |  round(n_nonspace / n_tokens, 6) AS avg_token_len,
-         |  round(stop_hits / n_tokens, 6) AS stopword_ratio,
+         |  round(n_nonspace / greatest(n_tokens, 1), 6) AS avg_token_len,
+         |  round(stop_hits / greatest(n_tokens, 1), 6) AS stopword_ratio,
          |  CAST(n_digits AS BIGINT) AS n_digits,
          |  CAST(n_punct AS BIGINT) AS n_punct,
-         |  round(least(1.0, (stop_hits / n_tokens) * 3) * 0.5
+         |  round(least(1.0, (stop_hits / greatest(n_tokens, 1)) * 3) * 0.5
          |    + (CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 0.3 ELSE 0.0 END)
-         |    + (CASE WHEN n_digits / n_chars < 0.2 THEN 0.2 ELSE 0.0 END), 6)
+         |    + (CASE WHEN n_digits / greatest(n_chars, 1) < 0.2 THEN 0.2 ELSE 0.0 END), 6)
          |    AS quality_score
          |FROM d ORDER BY doc_id""".stripMargin,
 
@@ -539,7 +541,7 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |tn AS (
          |  SELECT doc_id, lang,
          |    CAST((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 4) AS INT) AS shard,
-         |    CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens
+         |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
          |  FROM samp)
          |SELECT tn.doc_id, lang, shard, n_tokens,
          |  CAST(floor(COALESCE(sum(n_tokens) OVER (
@@ -565,7 +567,8 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |cb AS (
          |  SELECT u.m, vec_id::INT AS code, v[u.m*16+1 : u.m*16+16] AS cent
-         |  FROM e, UNNEST(range(4)) u(m) WHERE vec_id < 16),
+         |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS vec_id, v
+         |        FROM e ORDER BY vec_id LIMIT 16) e16, UNNEST(range(4)) u(m)),
          |sub AS (
          |  SELECT vec_id, u.m, v[u.m*16+1 : u.m*16+16] AS sub
          |  FROM e, UNNEST(range(4)) u(m)),
@@ -600,7 +603,8 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |cb AS (
          |  SELECT u.m, vec_id::INT AS code, v[u.m*16+1 : u.m*16+16] AS cent
-         |  FROM e, UNNEST(range(4)) u(m) WHERE vec_id < 16),
+         |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS vec_id, v
+         |        FROM e ORDER BY vec_id LIMIT 16) e16, UNNEST(range(4)) u(m)),
          |sub AS (
          |  SELECT vec_id, u.m, v[u.m*16+1 : u.m*16+16] AS sub
          |  FROM e, UNNEST(range(4)) u(m)),
@@ -636,7 +640,8 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |cb AS (
          |  SELECT u.m, vec_id::INT AS code, v[u.m*16+1 : u.m*16+16] AS cent
-         |  FROM e, UNNEST(range(4)) u(m) WHERE vec_id < 16),
+         |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS vec_id, v
+         |        FROM e ORDER BY vec_id LIMIT 16) e16, UNNEST(range(4)) u(m)),
          |sub AS (
          |  SELECT vec_id, u.m, v[u.m*16+1 : u.m*16+16] AS sub
          |  FROM e, UNNEST(range(4)) u(m)),
@@ -693,7 +698,7 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
 
     "sim_ivf_assign" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |seeds AS (SELECT vec_id AS cluster, v AS sv FROM e WHERE vec_id < 8),
+         |seeds AS (SELECT vec_id AS cluster, v AS sv FROM e ORDER BY vec_id LIMIT 8),
          |scored AS (
          |  SELECT e.vec_id, seeds.cluster,
          |         round(list_cosine_similarity(e.v, seeds.sv), 6) AS cos_to_centroid
@@ -708,7 +713,7 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
 
     "sim_ivf_centroids" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |seeds AS (SELECT vec_id AS cluster, v AS sv FROM e WHERE vec_id < 8),
+         |seeds AS (SELECT vec_id AS cluster, v AS sv FROM e ORDER BY vec_id LIMIT 8),
          |assigned AS (
          |  SELECT vec_id, cluster FROM (
          |    SELECT e.vec_id, seeds.cluster,
@@ -735,7 +740,7 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
 
     "sim_ivf_search" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |seeds AS (SELECT vec_id AS cluster, v AS sv FROM e WHERE vec_id < 8),
+         |seeds AS (SELECT vec_id AS cluster, v AS sv FROM e ORDER BY vec_id LIMIT 8),
          |assigned AS (
          |  SELECT vec_id, cluster FROM (
          |    SELECT e.vec_id, seeds.cluster,

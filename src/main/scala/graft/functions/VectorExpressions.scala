@@ -73,8 +73,12 @@ object VectorExpressions {
     * fold formulation in Similarity.cosine).
     */
   def vector_cosine(a: Column, b: Column): Column = {
-    import org.apache.spark.sql.functions.sqrt
-    vector_dot(a, b) / (sqrt(vector_dot(a, a)) * sqrt(vector_dot(b, b)))
+    import org.apache.spark.sql.functions.{lit, sqrt, when}
+    // an all-zero vector (missing/padded embedding) has norm 0 — define
+    // its similarity as 0 instead of letting ANSI mode throw on 0/0
+    // (one bad row must not kill a corpus-wide ANN job)
+    val denom = sqrt(vector_dot(a, a)) * sqrt(vector_dot(b, b))
+    when(denom === 0.0, lit(0.0)).otherwise(vector_dot(a, b) / denom)
   }
 
   /** Register `vector_dot` for SQL use on an existing session. */

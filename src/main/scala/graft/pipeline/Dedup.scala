@@ -36,8 +36,16 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper_id"),
         count(lit(1)).as("n_copies"))
 
-  /** Whitespace tokens, lowercased. */
-  def tokens(textCol: String): Column = split(lower(col(textCol)), "\\s+")
+  /** Whitespace tokens, lowercased — THE corpus tokenizer (quality,
+    * shingles, packing budgets, and data-card stats all count with this
+    * one expression). `split` keeps leading/trailing empty strings
+    * ("\u0020a b " → ["", "a", "b", ""]), which would inflate every
+    * token statistic and corrupt repetition fractions; `array_remove`
+    * drops them, and an empty/whitespace-only document tokenizes to []
+    * rather than [""].
+    */
+  def tokens(textCol: String): Column =
+    array_remove(split(lower(col(textCol)), "\\s+"), "")
 
   /** Distinct k-token shingles per document: (doc_id, shingle).
     * The shingle array is built positionally (`transform` over an index

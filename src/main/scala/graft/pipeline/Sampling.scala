@@ -116,7 +116,7 @@ object Sampling {
                  stratumCol: String = "lang", idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nTokens = size(split(lower(col(textCol)), "\\s+")).cast("long")
+    val nTokens = size(Dedup.tokens(textCol)).cast("long")
     val shard = pmod(md5Hash60(col(idCol).cast("string")), lit(numShards))
       .cast("int")
     val w = Window.partitionBy(stratumCol, "shard").orderBy(idCol)

@@ -125,9 +125,16 @@ object Similarity {
     * coarse-quantizer shape of an IVF index build; a probe search then
     * touches only its cluster's inverted list instead of the corpus.
     */
+  /** Deterministic seed set: the `k` smallest vec_ids — NOT
+    * `vec_id < k`, which silently yields an empty (and therefore
+    * empty-result) index whenever ids are hashes or non-zero-based.
+    */
+  private def seedSet(corpus: DataFrame, k: Int): DataFrame =
+    corpus.orderBy("vec_id").limit(k)
+
   def ivfAssign(corpus: DataFrame, k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val seeds = corpus.where(col("vec_id") < k)
+    val seeds = seedSet(corpus, k)
       .select(col("vec_id").as("cluster"), col("embedding").as("seed_emb"))
     val scored = corpus.crossJoin(broadcast(seeds))
       .select(col("vec_id"), col("cluster"),
@@ -152,7 +159,7 @@ object Similarity {
   def ivfCentroids(corpus: DataFrame, k: Int = 8,
                    iters: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    var centroids = corpus.where(col("vec_id") < k)
+    var centroids = seedSet(corpus, k)
       .select(col("vec_id").as("cluster"),
         asDouble(col("embedding")).as("centroid"))
     for (_ <- 1 to iters) {
@@ -165,7 +172,7 @@ object Similarity {
         .orderBy(col("cos").desc, col("cluster"))
       val assigned = scored.withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
-      centroids = assigned
+      val recomputed = assigned
         .select(col("cluster"),
           posexplode(asDouble(col("embedding"))).as(Seq("pos", "v")))
         .groupBy("cluster", "pos")
@@ -175,6 +182,15 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
           x => x.getField("v")).as("centroid"),
           max(col("n")).as("n_assigned"))
+      // a cluster that attracted no members this iteration KEEPS its
+      // previous centroid instead of silently vanishing (k would
+      // otherwise shrink permanently — same rule as pqCodebooksRefined)
+      centroids = centroids
+        .select(col("cluster"), col("centroid").as("_prev"))
+        .join(recomputed, Seq("cluster"), "left")
+        .select(col("cluster"),
+          coalesce(col("centroid"), col("_prev")).as("centroid"),
+          coalesce(col("n_assigned"), lit(0L)).as("n_assigned"))
     }
     centroids
   }
@@ -192,7 +208,7 @@ object Similarity {
   def ivfSearch(corpus: DataFrame, probes: DataFrame, topK: Int,
                 k: Int = 8, nProbe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val seeds = corpus.where(col("vec_id") < k)
+    val seeds = seedSet(corpus, k)
       .select(col("vec_id").as("cluster"), col("embedding").as("seed_emb"))
     // probe → its nProbe nearest clusters
     val probeClusters = {
@@ -240,9 +256,14 @@ object Similarity {
 
   /** (m, code, cent) — subspace m's codebook entries. */
   def pqCodebooks(corpus: DataFrame): DataFrame =
-    corpus.where(col("vec_id") < PqCodebookSize)
-      .select(col("vec_id").cast("int").as("code"),
-        asDouble(col("embedding")).as("v"))
+    // codes are the RANKS of the training vectors (0..size-1), not raw
+    // vec_ids — hash or non-zero-based ids would otherwise truncate
+    // into colliding int codes
+    seedSet(corpus, PqCodebookSize)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("code", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
+        .cast("int"))
       .select(col("code"), explode(array((0 until PqNumSub).map(m =>
         struct(lit(m).as("m"),
           slice(col("v"), m * PqSubDim + 1, PqSubDim).as("cent"))): _*))
@@ -409,7 +430,7 @@ object Similarity {
       .groupBy("comp", "pos")
       // DECIMAL-routed sum: partial-aggregation order can never flip a
       // 6dp digit of the mean against another engine
-      .agg(sum(col("v").cast("decimal(38,12)")).cast("double").as("s"),
+      .agg(graft.archive.Decimation.exactSum(col("v")).as("s"),
         count(lit(1)).as("n"))
       .groupBy("comp")
       .agg(transform(array_sort(collect_list(struct(col("pos"),

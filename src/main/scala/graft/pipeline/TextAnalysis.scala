@@ -27,7 +27,7 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "des", "et", "est", "une", "que", "pour",
       "dans", "qui", "sur", "pas", "au", "ce", "il", "du"))
 
-  private def toks(textCol: String): Column = split(lower(col(textCol)), "\\s+")
+  private def toks(textCol: String): Column = Dedup.tokens(textCol)
 
   private def hits(t: Column, words: Seq[String]): Column =
     size(filter(t, x => x.isin(words.map(lit): _*)))
@@ -65,16 +65,22 @@ object TextAnalysis {
       length(regexp_replace(col(textCol), "[0-9]", ""))
     val nPunct = length(col(textCol)) -
       length(regexp_replace(col(textCol), "[.,;:!?'\"()\\[\\]{}-]", ""))
-    val stopHits = hits(t, Stopwords.head._2).cast("double")
-    val stopRatio = stopHits / nTok
+    // greatest(_, 1) guards the empty/whitespace-only document: under
+    // Spark 4's default ANSI mode a 0/0 double division THROWS and one
+    // empty doc would kill the whole scan; with the guard every ratio
+    // is 0 for empty docs (and unchanged otherwise)
+    val nTok0 = greatest(nTok, lit(1.0))
+    val nChars0 = greatest(nChars, lit(1.0))
+    val stopHits = hits(t, Stopwords.toMap.apply("en")).cast("double")
+    val stopRatio = stopHits / nTok0
     val score =
       least(lit(1.0), stopRatio * 3) * 0.5 +
         when(nTok.between(20, 80), 0.3).otherwise(0.0) +
-        when(nDigit / nChars < 0.2, 0.2).otherwise(0.0)
+        when(nDigit / nChars0 < 0.2, 0.2).otherwise(0.0)
     docs.select(col("doc_id"),
       nChars.cast("long").as("n_chars"),
       size(t).as("n_tokens"),
-      round(nNonSpace / nTok, 6).as("avg_token_len"),
+      round(nNonSpace / nTok0, 6).as("avg_token_len"),
       round(stopRatio, 6).as("stopword_ratio"),
       nDigit.cast("long").as("n_digits"),
       nPunct.cast("long").as("n_punct"),
@@ -149,7 +155,7 @@ object TextAnalysis {
     */
   def corpusStats(docs: DataFrame, textCol: String = "text",
                   stratumCol: String = "lang"): DataFrame = {
-    val nTokens = size(split(lower(col(textCol)), "\\s+")).cast("long")
+    val nTokens = size(Dedup.tokens(textCol)).cast("long")
     docs.select(col(stratumCol), nTokens.as("n_tokens"))
       .groupBy(stratumCol)
       .agg(

@@ -417,4 +417,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3L) == ((0, 0, 2, "call [PHONE] or [PHONE]")))
     assert(got(4L) == ((0, 0, 0, "nothing sensitive here v1.2 and 1.5x")))
   }
+
+  test("empty and whitespace-only documents do not crash quality/stats under ANSI") {
+    val d = docs((1L, "", "en"), (2L, "   ", "en"), (3L, "  a b  ", "en"))
+    val q = TextAnalysis.quality(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_tokens")).toMap
+    assert(q == Map(1L -> 0, 2L -> 0, 3L -> 2)) // no phantom "" tokens
+    val cs = TextAnalysis.corpusStats(d).collect()
+    assert(cs.head.getAs[Long]("total_tokens") == 2L)
+    // zero-norm embeddings must not throw in cosine paths
+    import spark.implicits._
+    val e = Seq((0L, Array.fill(64)(0.0f), 0), (1L, Array.fill(64)(0.1f), 0),
+        (2L, Array.fill(64)(0.2f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteForceTopK(e, e.where($"vec_id" === 0L), k = 2)
+      .collect()
+    assert(top.length == 2) // zero-norm probe scores 0 against everyone
+  }
 }
