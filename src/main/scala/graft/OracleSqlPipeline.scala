@@ -289,7 +289,7 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          |FROM blocks a JOIN blocks b
          |  ON a.blk = b.blk AND a.v = b.v AND a.doc_id < b.doc_id
-         |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) <= 6
+         |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_ngram_jaccard" ->

@@ -328,7 +328,7 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")),
 
     "dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simHashCandidates(Tables.documents(s, dir), maxHamming = 6)
+      Dedup.simHashCandidates(Tables.documents(s, dir), maxHamming = 3)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
         .orderBy("doc_a", "doc_b")),
 

@@ -121,15 +121,22 @@ object Dedup {
   def minHashCandidates(docs: DataFrame, k: Int = 3): DataFrame =
     minHashCandidatesFromSignatures(minHashSignatures(docs, k))
 
-  private def minHashCandidatesFromSignatures(sigs: DataFrame): DataFrame = {
+  /** (doc_id, sig, band, key): the banding frame both the in-corpus
+    * candidate join and the persisted index build on — one definition
+    * of the band-key format. */
+  private def sigBands(sigs: DataFrame): DataFrame = {
     val sigArr = array((0 until NumMinHashes).map(i => col(s"s$i")): _*)
-    val bands = sigs.select(col("doc_id"), sigArr.as("sig"),
+    sigs.select(col("doc_id"), sigArr.as("sig"),
       explode(array((0 until NumBands).map { b =>
         val ks = (0 until RowsPerBand).map(r => col(s"s${b * RowsPerBand + r}"))
         struct(lit(b).as("band"), concat_ws("_", ks: _*).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("sig"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  private def minHashCandidatesFromSignatures(sigs: DataFrame): DataFrame = {
+    val bands = sigBands(sigs)
     val matches =
       expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))")
     bands.as("a").join(bands.as("b"),
@@ -174,7 +181,7 @@ object Dedup {
     * share a block — pigeonhole); the exact Hamming distance filters
     * them. Block join keeps this linear-ish, never all-pairs.
     */
-  def simHashCandidates(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+  def simHashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sh = simHash(docs).cache()
     val blocks = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
@@ -211,13 +218,18 @@ object Dedup {
       .join(sh.as("b"), col("doc_b") === col("b.doc_id") &&
         col("a.shingle") === col("b.shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    // LEFT joins: a candidate doc too short to have any k-shingle (a
+    // SimHash pair can involve a 1-token doc) must surface as
+    // jaccard 0, not silently vanish from the verification output
     pairs.select("doc_a", "doc_b")
       .join(inter, Seq("doc_a", "doc_b"), "left")
-      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"), "left")
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"), "left")
       .select(col("doc_a"), col("doc_b"),
         (coalesce(col("inter"), lit(0L)).cast("double") /
-          (col("ca.n") + col("cb.n") - coalesce(col("inter"), lit(0L))))
+          greatest(coalesce(col("ca.n"), lit(0L)) +
+            coalesce(col("cb.n"), lit(0L)) -
+            coalesce(col("inter"), lit(0L)), lit(1L)))
           .as("jaccard"))
   }
 
@@ -292,17 +304,8 @@ object Dedup {
     * this once, then dedup every future ingest batch against it with
     * [[incrementalCandidates]] instead of re-banding the whole corpus.
     */
-  def minHashIndex(docs: DataFrame, k: Int = 3): DataFrame = {
-    val sigs = minHashSignatures(docs, k)
-    val sigArr = array((0 until NumMinHashes).map(i => col(s"s$i")): _*)
-    sigs.select(col("doc_id"), sigArr.as("sig"),
-      explode(array((0 until NumBands).map { b =>
-        val ks = (0 until RowsPerBand).map(r => col(s"s${b * RowsPerBand + r}"))
-        struct(lit(b).as("band"), concat_ws("_", ks: _*).as("key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("sig"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-  }
+  def minHashIndex(docs: DataFrame, k: Int = 3): DataFrame =
+    sigBands(minHashSignatures(docs, k))
 
   /** Incremental near-dup candidates: NEW documents against an
     * existing band index (plus within the new batch itself), without
@@ -355,6 +358,7 @@ object Dedup {
       .distinct().cache()
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
+      .localCheckpoint()
     // labels only ever decrease, so Σcomp is strictly monotone until
     // the fixed point — an aggregate compare detects convergence with
     // one tiny scan of the checkpointed frame, no join probe. DECIMAL
@@ -362,15 +366,33 @@ object Dedup {
     // sum would overflow-throw under ANSI mode).
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum: java.math.BigDecimal = null
-    var converged = false
+    var prevSum: java.math.BigDecimal = labelSum(labels)
+    // an empty pair graph is already converged — without this, a clean
+    // corpus would burn every iteration's jobs doing nothing
+    var converged = prevSum == null
     var it = 0
     while (!converged && it < maxIter) {
       val msgs = und
         .join(labels, col("dst") === col("id"))
         .select(col("src").as("id"), col("comp"))
         .unionByName(labels)
-      labels = msgs.groupBy("id").agg(min(col("comp")).as("comp"))
+      // checkpoint BEFORE the self-join: a self-join on the fresh
+      // aggregation's lineage trips Catalyst attribute resolution, and
+      // the materialization also keeps the per-round plan O(1) deep
+      val propagated = msgs.groupBy("id").agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      // pointer jumping: relabel through the current label OF the label
+      // (comp is itself a node id), halving chain depth every round —
+      // convergence in O(log diameter) instead of O(diameter), which is
+      // what keeps a sprawling low-threshold similarity graph (or an
+      // adversarial path) inside maxIter
+      val parents = propagated
+        .select(col("id").as("_pid"), col("comp").as("_pcomp"))
+      labels = propagated
+        .join(parents, col("comp") === col("_pid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("_pcomp"), col("comp")))
+            .as("comp"))
         .localCheckpoint()
       val s = labelSum(labels)
       converged = prevSum != null && s.compareTo(prevSum) == 0
@@ -404,7 +426,11 @@ object Dedup {
   def dedupedCorpus(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val drop = duplicateClusters(pairs).where(!col("keep"))
       .select(col("doc_id"))
-    docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
+    // no broadcast hint: the drop set is every non-canonical duplicate,
+    // which on a high-dup-rate corpus is NOT small — AQE broadcasts it
+    // when it actually is, and falls back to a shuffled anti-join when
+    // a forced broadcast would blow the executor/driver limits
+    docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
   /** Benchmark decontamination: flag every corpus document sharing at

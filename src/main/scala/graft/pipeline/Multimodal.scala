@@ -71,9 +71,20 @@ object Multimodal {
       bos.toByteArray
     }
 
-    def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
+    /** None when no registered reader recognizes the bytes —
+      * ImageIO.read returns null (it does not throw) on corrupt or
+      * foreign payloads, and one bad row must not NPE a corpus scan.
+      */
+    def decodeOpt(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))).map(decodeImage)
+
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) =
+      decodeOpt(bytes).getOrElse(
+        throw new IllegalArgumentException("undecodable image payload"))
+
+    private def decodeImage(img: java.awt.image.BufferedImage)
+        : (Int, Int, Array[Int]) = {
       val (w, h) = (img.getWidth, img.getHeight)
       val raster = img.getRaster
       val px = new Array[Int](w * h)
@@ -99,11 +110,14 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { id =>
-        val w = (8 + id % 9).toInt
-        val h = (8 + (id * 7) % 9).toInt
+        // floorMod: Scala % keeps the dividend's sign, so a negative
+        // (hash-derived) id would yield a 0-width image or a negative
+        // pixel law that no longer round-trips
+        val w = (8 + java.lang.Math.floorMod(id, 9L)).toInt
+        val h = (8 + java.lang.Math.floorMod(id * 7, 9L)).toInt
         val px = Array.tabulate(w * h) { i =>
           val (x, y) = (i % w, i / w)
-          ((id * 31 + x * 7 + y * 13) % 256).toInt
+          java.lang.Math.floorMod(id * 31 + x * 7 + y * 13, 256L).toInt
         }
         val bytes = PngCodec.encode(w, h, px)
         MediaRow(id, "image/png", bytes.length, bytes)
@@ -124,8 +138,13 @@ object Multimodal {
   def sampleFrames(media: DataFrame, frameBytes: Int, everyN: Int)
                   (implicit spark: SparkSession): Dataset[Frame] = {
     import spark.implicits._
+    require(frameBytes > 0, s"frameBytes must be positive: $frameBytes")
+    require(everyN > 0, s"everyN must be positive: $everyN")
     media.as[MediaRow].flatMap { r =>
-      val total = math.max(1, r.payload.length / math.max(1, frameBytes))
+      // ceil: the trailing partial frame is ALWAYS a frame (the old
+      // floor silently dropped the tail except for sub-frame payloads)
+      val total = math.max(1,
+        (r.payload.length + frameBytes - 1) / frameBytes)
       (0 until total by everyN).map { i =>
         val from = i * frameBytes
         val until = math.min(r.payload.length, from + frameBytes)
@@ -167,10 +186,13 @@ object Multimodal {
                           (implicit spark: SparkSession): Dataset[ImageFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      rows.map { r =>
-        val (w, h, px) = PngCodec.decode(r.payload)
-        ImageFeatures(r.doc_id, r.mime, w, h,
-          px.sum.toDouble / (w * h), px.min, px.max)
+      // undecodable payloads are dropped, not fatal; pixel sum is Long
+      // (a 17MP image overflows an Int sum into a silent negative mean)
+      rows.flatMap { r =>
+        PngCodec.decodeOpt(r.payload).map { case (w, h, px) =>
+          ImageFeatures(r.doc_id, r.mime, w, h,
+            px.foldLeft(0L)(_ + _).toDouble / (w * h), px.min, px.max)
+        }
       }
     }
   }
