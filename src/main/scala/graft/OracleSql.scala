@@ -388,18 +388,18 @@ object OracleSql {
          |    AND LEAST(next_ts, u.win + $P1H) > GREATEST(ts, u.win)),
          |lvl1 AS (
          |  SELECT channel, win, vtype,
-         |    sum((hi - lo)::DOUBLE) AS cov,
-         |    sum((hi - lo) * value) /
-         |      sum(CASE WHEN value IS NOT NULL THEN hi - lo ELSE 0 END) AS mean,
-         |    CASE WHEN (sum((hi - lo) * value * value) /
-         |        sum(CASE WHEN value IS NOT NULL THEN hi - lo ELSE 0 END)
-         |      - (sum((hi - lo) * value) /
-         |         sum(CASE WHEN value IS NOT NULL THEN hi - lo ELSE 0 END)) ^ 2) < 1e-9
+         |    CAST(sum(CAST(hi - lo AS DECIMAL(38,12))) AS DOUBLE) AS cov,
+         |    CAST(sum(CAST((hi - lo) * value AS DECIMAL(38,12))) AS DOUBLE) /
+         |      CAST(sum(CAST(CASE WHEN value IS NOT NULL THEN hi - lo ELSE 0 END AS DECIMAL(38,12))) AS DOUBLE) AS mean,
+         |    CASE WHEN (CAST(sum(CAST((hi - lo) * value * value AS DECIMAL(38,12))) AS DOUBLE) /
+         |        CAST(sum(CAST(CASE WHEN value IS NOT NULL THEN hi - lo ELSE 0 END AS DECIMAL(38,12))) AS DOUBLE)
+         |      - (CAST(sum(CAST((hi - lo) * value AS DECIMAL(38,12))) AS DOUBLE) /
+         |         CAST(sum(CAST(CASE WHEN value IS NOT NULL THEN hi - lo ELSE 0 END AS DECIMAL(38,12))) AS DOUBLE)) ^ 2) < 1e-9
          |      THEN 0.0
-         |      ELSE sqrt(sum((hi - lo) * value * value) /
-         |        sum(CASE WHEN value IS NOT NULL THEN hi - lo ELSE 0 END)
-         |      - (sum((hi - lo) * value) /
-         |         sum(CASE WHEN value IS NOT NULL THEN hi - lo ELSE 0 END)) ^ 2) END AS std,
+         |      ELSE sqrt(CAST(sum(CAST((hi - lo) * value * value AS DECIMAL(38,12))) AS DOUBLE) /
+         |        CAST(sum(CAST(CASE WHEN value IS NOT NULL THEN hi - lo ELSE 0 END AS DECIMAL(38,12))) AS DOUBLE)
+         |      - (CAST(sum(CAST((hi - lo) * value AS DECIMAL(38,12))) AS DOUBLE) /
+         |         CAST(sum(CAST(CASE WHEN value IS NOT NULL THEN hi - lo ELSE 0 END AS DECIMAL(38,12))) AS DOUBLE)) ^ 2) END AS std,
          |    min(lo) AS first_lo,
          |    arg_min(str_value, lo) AS first_str
          |  FROM sl GROUP BY 1, 2, 3),

@@ -84,15 +84,27 @@ object ArchiveReader {
     * (a sample exactly at the bound *is* its own boundary sample).
     * Time-ascending output.
     */
+  /** Input contract: a monotonic-deduped frame (one sample per
+    * (channel, ts) — [[graft.core.Samples.monotonicDedup]]); with
+    * duplicate canonical timestamps the final per-(channel, ts) dedup
+    * would keep an arbitrary one. Row ORDER of the result is
+    * unspecified (union + dedup shuffle) — callers that serve
+    * time-ascending output add their own orderBy, like the reference's
+    * serving edge sorts before serialization.
+    */
   def getSamples(samples: DataFrame, lo: Long, loMode: LimitMode,
                  hi: Long, hiMode: LimitMode): DataFrame = {
     require(lo <= hi, s"lo $lo must be <= hi $hi")
     val lower = loMode match {
-      case Exact => rangeScan(samples, lo, hi).where(col("ts") <= lo)
+      // "the sample exactly at the bound" — a point lookup, not a
+      // range scan filtered back down
+      case Exact => pushdownHint(samples, Some(lo), Some(lo))
+        .where(col("ts") === lo)
       case AtOrWidened => boundaryBefore(samples, lo)
     }
     val upper = hiMode match {
-      case Exact => rangeScan(samples, lo, hi).where(col("ts") >= hi)
+      case Exact => pushdownHint(samples, Some(hi), Some(hi))
+        .where(col("ts") === hi)
       case AtOrWidened => boundaryAfter(samples, hi)
     }
     val inner = pushdownHint(samples, Some(lo), Some(hi))
@@ -151,11 +163,19 @@ object ArchiveReader {
     // exactly at the probe time is visible to it (at-or-before).
     val w = Window.partitionBy("channel").orderBy(col("ts"), col("is_probe"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // hold the last SAMPLE ROW (a non-null struct even when its value
+    // is null): a marker sample (disconnected/disabled, value = null)
+    // must be held like any other — last(value, ignoreNulls) would skip
+    // it and report the stale pre-marker value during an outage
+    val held = last(
+      when(col("is_probe") === 0, struct(col("value"), col("sample_ts"))),
+      ignoreNulls = true).over(w)
     data.unionByName(probes)
-      .withColumn("held_value", last(col("value"), ignoreNulls = true).over(w))
-      .withColumn("held_ts", last(col("sample_ts"), ignoreNulls = true).over(w))
+      .withColumn("_held", held)
       .where(col("is_probe") === 1)
-      .select(col("channel"), col("ts").as("g"), col("held_value"), col("held_ts"))
+      .select(col("channel"), col("ts").as("g"),
+        col("_held.value").as("held_value"),
+        col("_held.sample_ts").as("held_ts"))
   }
 
   /** U1 — retention-aware multi-resolution union: serve recent time

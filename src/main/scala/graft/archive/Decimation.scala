@@ -238,13 +238,15 @@ object Decimation {
     * window functions — no per-row state.
     */
   def decimateTyped(samples: DataFrame, periodNanos: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sl = slices(samples, periodNanos)
-    val wCov = sum(when(col("value").isNotNull, col("weight")).otherwise(lit(0.0)))
-    val m = sum(col("weight") * col("value")) / wCov
-    val variance = sum(col("weight") * col("value") * col("value")) / wCov - m * m
+    // decimal-routed sums like every other gated aggregation — plain
+    // double sums are partial-merge-order-dependent and flake at the
+    // 6dp rounding edge
+    val wCov = exactSum(when(col("value").isNotNull, col("weight")).otherwise(lit(0.0)))
+    val m = exactSum(col("weight") * col("value")) / wCov
+    val variance = exactSum(col("weight") * col("value") * col("value")) / wCov - m * m
     val lvl1 = sl.groupBy("channel", "win", "vtype").agg(
-      sum(col("weight")).as("cov"),
+      exactSum(col("weight")).as("cov"),
       m.as("mean"),
       when(variance < lit(1e-9), lit(0.0)).otherwise(sqrt(variance)).as("std"),
       min(col("lo")).as("first_lo"),
@@ -331,13 +333,20 @@ object Decimation {
       s"source period $sourcePeriodNanos must divide target $targetPeriodNanos")
     val k = targetPeriodNanos / sourcePeriodNanos
     val micro = (c: Column) => round(round(c, 6) * lit(1e6)).cast("long")
-    // exact integer division for non-negative operands (the double
-    // division is of an exact multiple, so no rounding can occur)
-    val intDiv = (a: Column, b: Column) => ((a - pmod(a, b)) / b).cast("long")
+    // exact integer division for non-negative operands, in DECIMAL:
+    // the (a - pmod(a,b)) difference is an exact multiple of b, and
+    // decimal arithmetic keeps it exact at ANY magnitude — the earlier
+    // long→double formulation silently lost ulps past 2^53 (|mean|
+    // ≳ 750 at k=6), the exact failure mode this function exists to
+    // prevent
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    val intDiv = (a: Column, b: Column) => (a - pmod(a, b)) / b
     // round-half-away-from-zero of n/d as an integer, d > 0
-    val halfUp = (n: Column, d: Column) =>
-      when(n >= 0, intDiv(n * 2 + d, d * 2))
-        .otherwise(-intDiv(-(n * 2) + d, d * 2))
+    val halfUp = (n: Column, d: Column) => {
+      val (nd, dd) = (dec38(n), dec38(d))
+      when(nd >= 0, intDiv(nd * 2 + dd, dd * 2))
+        .otherwise(-intDiv(-(nd * 2) + dd, dd * 2))
+    }
     val dec20 = (c: Column) => c.cast("decimal(20,0)")
     val q = decimated.select(col("channel"), col("win_start"),
       micro(col("mean")).as("m6"), micro(col("std")).as("s6"),
@@ -346,7 +355,7 @@ object Decimation {
     val agg = q.groupBy(col("channel"),
         Samples.windowStart(col("win_start"), targetPeriodNanos).as("win_start"))
       .agg(
-        sum(col("cf6") * col("m6")).as("num_m"),
+        sum(dec20(col("cf6")) * dec20(col("m6"))).as("num_m"),
         sum(col("cf6")).as("den"),
         // cf6·(s6²+m6²) exceeds 2^63 — exact via decimal
         sum(dec20(col("cf6")) *

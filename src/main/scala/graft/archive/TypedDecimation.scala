@@ -217,8 +217,13 @@ object TypedDecimation {
         when(col("chosen") === tag, lit(TypedSamples.aggregatedTag(tag)))
           .otherwise(acc)
       }
-    val mean = col("t.sum_wx") / col("t.covered_ns")
-    val variance = col("t.sum_wx2") / col("t.covered_ns") - mean * mean
+    // a zero-covered window chosen via the first-type fallback would
+    // 0/0 — which THROWS under ANSI mode; the one-pass core's Java
+    // division yields NaN, so NaN is the aligned value here
+    val safeCov = when(col("t.covered_ns") > 0, col("t.covered_ns"))
+    val mean = coalesce(col("t.sum_wx") / safeCov, lit(Double.NaN))
+    val variance = coalesce(
+      col("t.sum_wx2") / safeCov - mean * mean, lit(Double.NaN))
 
     out.select(
       col("channel"), col("win_start"),

@@ -68,6 +68,24 @@ class ArchiveReaderSpec extends AnyFunSuite {
     assert(r == Map(5L -> None, 10L -> Some(1.0), 15L -> Some(1.0), 25L -> Some(2.0)))
   }
 
+  test("as-of lookup holds a marker sample, not the stale pre-marker value") {
+    // sample 5.0 at ts 10, then a MARKER (disconnected, value null) at 20
+    val marked = Seq(
+      ("c", 10L, Some(5.0), "", 3, 0, 0L),
+      ("c", 20L, None, "", 3, 0, 1L))
+      .toDF("channel", "ts", "value", "str_value", "severity", "status", "sample_id")
+    val grid = Seq(("c", 15L), ("c", 30L)).toDF("channel", "g")
+    val r = ArchiveReader.asOfLookup(marked, grid).collect()
+      .map(x => x.getAs[Long]("g") ->
+        ((if (x.isNullAt(x.fieldIndex("held_value"))) None
+          else Some(x.getAs[Double]("held_value"))),
+          x.getAs[Long]("held_ts"))).toMap
+    assert(r(15L) == ((Some(5.0), 10L)))
+    // after the marker: the held state IS the marker (disconnected),
+    // with the marker's own timestamp
+    assert(r(30L) == ((None, 20L)))
+  }
+
   test("reverse top-k returns the newest k per channel") {
     val r = ArchiveReader.reverseTopK(df, 1)
     assert(ts(r, "c") == Seq(20L))
