@@ -800,7 +800,7 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |     AND a.vec_id < bb.vec_id) c
          |  JOIN e ea ON c.vec_a = ea.vec_id
          |  JOIN e eb ON c.vec_b = eb.vec_id
-         |  WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3),
+         |  WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.5),
          |und AS (SELECT vec_a AS src, vec_b AS dst FROM ep
          |        UNION SELECT vec_b, vec_a FROM ep),
          |nodes AS (SELECT DISTINCT src AS id FROM und),

@@ -502,8 +502,12 @@ object SparkEntry {
     // a deduplicated index serves; arrays stringified for the oracle
     "sim_cluster_centroids" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      // 0.5: centroids are for TIGHT near-dup clusters — at 0.3 the
+      // similarity graph percolates into giant sprawling components
+      // whose mean vector represents nothing (and whose diameter makes
+      // both engines crawl)
       Similarity.clusterCentroids(emb,
-          Similarity.embeddingNearDup(emb, minCos = 0.3))
+          Similarity.embeddingNearDup(emb, minCos = 0.5))
         .select(col("comp"), col("n_members"),
           TypedSamples.numArrayToString(col("centroid")).as("centroid"))
         .orderBy("comp")

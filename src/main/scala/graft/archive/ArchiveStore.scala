@@ -34,12 +34,22 @@ import graft.core.Samples
   */
 object ArchiveStore {
 
+  /** ns → µs with EXACT arithmetic: `ts / 1000L` on a Column is double
+    * division, which rounds by up to 128 ns near 2^60 — enough to push
+    * the last nanoseconds of a day into the NEXT day's bucket while the
+    * reader prunes with exact integer math, silently losing the row.
+    * The subtract-remainder form divides an exact multiple (≤ ~1.8e15,
+    * well inside double's 2^53 exact range until year ~2255).
+    */
+  private[graft] def microsCol(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ((ts - pmod(ts, lit(1000L))) / lit(1000L)).cast("long")
+
   /** THE day-bucketing contract of every store layout: canonical ns ts
     * → UTC day. One definition — the manifest store, the streaming sink,
     * and retention all derive days from this exact expression.
     */
-  private[archive] def bucketDateCol(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    to_date(timestamp_micros((ts / 1000L).cast("long")))
+  private[graft] def bucketDateCol(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    to_date(timestamp_micros(microsCol(ts)))
 
   /** Derive the partition column from the canonical ts (ns). */
   private def withBucketDate(samples: DataFrame): DataFrame =

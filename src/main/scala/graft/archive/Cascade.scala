@@ -91,11 +91,46 @@ object Cascade {
         (col("last_src_ts") - targetP).as("resume_ts"))
   }
 
+  /** Crash-safe watermark persist: write to a temp dir, then a
+    * two-rename swap (live→trash, tmp→live, drop trash) — a torn
+    * parquet overwrite would otherwise leave the level with no (or
+    * partial) watermarks, after which every channel reads as "new" and
+    * the next catch-up re-appends full history. [[readWatermarks]]
+    * recovers the trash copy if a crash hit between the renames.
+    */
   private def persistWatermarks(wm: DataFrame, storePath: String,
-                                targetSec: Long): Unit =
+                                targetSec: Long): Unit = {
+    val live = watermarkPath(storePath, targetSec)
+    val tmp = live + "._tmp"
+    val trash = live + "._trash"
     wm.coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(watermarkPath(storePath, targetSec))
+      .parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(live).getFileSystem(
+      wm.sparkSession.sparkContext.hadoopConfiguration)
+    def P(p: String) = new org.apache.hadoop.fs.Path(p)
+    fs.delete(P(trash), true)
+    if (fs.exists(P(live)) && !fs.rename(P(live), P(trash)))
+      throw new java.io.IOException(s"cannot move $live aside")
+    if (!fs.rename(P(tmp), P(live))) {
+      fs.rename(P(trash), P(live))
+      throw new java.io.IOException(s"cannot promote $tmp")
+    }
+    fs.delete(P(trash), true)
+  }
+
+  private def readWatermarks(spark: SparkSession,
+                             storePath: String, targetSec: Long): DataFrame = {
+    val live = watermarkPath(storePath, targetSec)
+    val trash = live + "._trash"
+    val fs = new org.apache.hadoop.fs.Path(live).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def P(p: String) = new org.apache.hadoop.fs.Path(p)
+    // crash between the two renames: the old state is intact in trash
+    if (!fs.exists(P(live)) && fs.exists(P(trash)))
+      fs.rename(P(trash), P(live))
+    spark.read.parquet(live)
+  }
 
   private def writeWatermarks(spark: SparkSession, storePath: String,
                               targetSec: Long, source: DataFrame,
@@ -203,7 +238,7 @@ object Cascade {
     val source = Decimation.selectSourcePeriod(targetSec, levels)
     val targetP = targetSec * Samples.NS
 
-    val wm = spark.read.parquet(watermarkPath(storePath, targetSec))
+    val wm = readWatermarks(spark, storePath, targetSec)
     val wmRows = wm.collect()
     val globalMin =
       if (wmRows.isEmpty) None
@@ -235,44 +270,60 @@ object Cascade {
           .where(col("channel").isin(newChannels.toSeq: _*))
           .join(broadcast(bounds), col("channel") === col("_c"), "left"))
 
-    val suffix = src.drop("_c", "last_src_ts", "resume_ts")
+    // a raw suffix may contain undeduplicated streaming appends (the
+    // continuous sink writes arrival order): both the hop AND the
+    // held-boundary watermark must see the F6-deduplicated view, or an
+    // out-of-order late arrival pulls resume_ts past the true held
+    // sample and the frontier window loses its hold coverage
+    val suffixRaw = src.drop("_c", "last_src_ts", "resume_ts")
+    val suffix =
+      if (source == 0L) Samples.monotonicDedup(suffixRaw) else suffixRaw
     val dec = hopFn(suffix, source, targetSec)
       .join(broadcast(bounds), col("channel") === col("_c"), "left")
       .where(col("last_src_ts").isNull ||
         col("win_start") + targetP > col("last_src_ts"))
       .drop("_c", "last_src_ts", "resume_ts")
-    // The write is token-deduplicated on a hash of the PRE-RUN watermark
-    // state: a re-run after a crash between this write and the watermark
-    // persist below recomputes the identical token and the transactional
-    // backend skips the duplicate append — the catch-up hop is then
-    // exactly-once end to end (the plain-parquet backend has no txn
-    // metadata and keeps its documented at-least-once behavior).
-    val token = wmRows.map(r => (r.getAs[String]("channel"),
-        r.getAs[Long]("last_src_ts"), r.getAs[Long]("resume_ts")))
-      .sortBy(_._1)
-      .foldLeft(17L) { case (acc, (c, l, rts)) =>
-        ((acc * 31 + c.hashCode) * 31 + l) * 31 + rts
-      }
-    backend.writeTxn(toStore(dec), storePath, targetSec,
-      writerId = s"catchup:$targetSec", token = token)
 
     // New watermarks WITHOUT rescanning the full source level: the
     // suffix starts at each present channel's old resume point, so its
     // per-channel stats (frontier, held boundary) are complete for
     // every channel it contains; channels with no new data keep their
-    // old row verbatim.
+    // old row verbatim. Collected BEFORE the write: the commit token
+    // hashes this POST-run state, so an idle run records exactly the
+    // token it would compute again (skipping is correct — nothing to
+    // write), while any run that saw new data produces a different
+    // state and a different token. Hashing the PRE-run state instead
+    // would let an idle run poison the token: the next run WITH data
+    // recomputes the idle run's token, skips its append, yet advances
+    // the watermark — permanent silent loss.
     val spark2 = suffix.sparkSession
     import scala.jdk.CollectionConverters._
     val oldWm = spark2.createDataFrame(wmRows.toSeq.asJava, wm.schema)
       .select(col("channel").as("_oc"), col("last_src_ts").as("_ol"),
         col("resume_ts").as("_or"))
     val suffixWm = computeWatermarks(suffix, targetSec, source, heldSource)
-    val merged = suffixWm
+    val mergedRows = suffixWm
       .join(oldWm, col("channel") === col("_oc"), "full_outer")
       .select(
         coalesce(col("channel"), col("_oc")).as("channel"),
         coalesce(col("last_src_ts"), col("_ol")).as("last_src_ts"),
         coalesce(col("resume_ts"), col("_or")).as("resume_ts"))
-    persistWatermarks(merged, storePath, targetSec)
+      .collect()
+    val token = mergedRows.map(r => (r.getAs[String]("channel"),
+        r.getAs[Long]("last_src_ts"), r.getAs[Long]("resume_ts")))
+      .sortBy(_._1)
+      .foldLeft(17L) { case (acc, (c, l, rts)) =>
+        ((acc * 31 + c.hashCode) * 31 + l) * 31 + rts
+      }
+    // exactly-once on a transactional backend: a crash-replay between
+    // this write and the watermark persist recomputes the identical
+    // post-run state and token, and the duplicate append is skipped
+    // (the plain-parquet backend has no txn metadata and keeps its
+    // documented at-least-once behavior)
+    backend.writeTxn(toStore(dec), storePath, targetSec,
+      writerId = s"catchup:$targetSec", token = token)
+    persistWatermarks(
+      spark2.createDataFrame(mergedRows.toSeq.asJava, wm.schema),
+      storePath, targetSec)
   }
 }

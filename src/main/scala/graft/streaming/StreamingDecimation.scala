@@ -29,8 +29,11 @@ object StreamingDecimation {
     * the F6 monotonicity rule drops by *arrival* order, not timestamp
     * order, so the intra-batch order must be the source's.
     */
+  // seq has NO default: the arrival-order sort is what implements the
+  // reference's in-order drop rule (ST5) inside a micro-batch — an
+  // all-zero seq would silently fall back to shuffle order
   case class InSample(channel: String, ts: Long, value: Option[Double],
-                      seq: Long = 0L)
+                      seq: Long)
 
   case class AggOut(channel: String, win_start: Long, mean: Option[Double],
                     std: Option[Double], min_value: Option[Double],
@@ -81,7 +84,7 @@ object StreamingDecimation {
   /** Typed streaming input: the full 21-type payload union. */
   case class TypedIn(channel: String, ts: Long,
                      v: graft.archive.TypedDecimatorCore.TValue,
-                     seq: Long = 0L)
+                     seq: Long)
 
   /** ST2 over the full 21-type value union: the same keyed-state shape
     * as [[decimateStream]], running the
@@ -192,9 +195,12 @@ object StreamingDecimation {
   def writeRawStream(samples: DataFrame, storePath: String,
                      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     samples
-      .withColumn("event_time", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("event_time",
+        timestamp_micros(graft.archive.ArchiveStore.microsCol(col("ts"))))
       .withWatermark("event_time", WatermarkDelay)
-      .withColumn("bucket_date", to_date(col("event_time")))
+      // the one shared day-bucketing contract (exact integer µs)
+      .withColumn("bucket_date",
+        graft.archive.ArchiveStore.bucketDateCol(col("ts")))
       .drop("event_time")
       .withColumn("level", lit(0L))
       .writeStream
@@ -233,7 +239,8 @@ object StreamingDecimation {
     */
   def windowedCounts(stream: DataFrame, window: String = "1 minute"): DataFrame =
     stream
-      .withColumn("event_time", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("event_time",
+        timestamp_micros(graft.archive.ArchiveStore.microsCol(col("ts"))))
       .withWatermark("event_time", WatermarkDelay)
       .groupBy(col("channel"), org.apache.spark.sql.functions.window(
         col("event_time"), window))

@@ -255,6 +255,30 @@ class CascadeSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("an idle catch-up run does not poison the dedup token (data after idle lands)") {
+    import spark.implicits._
+    import graft.archive.{ManifestBackend, ManifestStore}
+    val events = Samples.fromEvents(spark, "/root/testdata/sf0.001")
+    val cut = events.agg(org.apache.spark.sql.functions.expr(
+      "percentile(ts, 0.6)")).head.getDouble(0).toLong
+    val store = Files.createTempDirectory("casm_idle").toString
+    Cascade.materialize(spark, store, events.where($"ts" <= cut),
+      Seq(30L), ManifestBackend)
+    // IDLE catch-up: no new source data
+    Cascade.catchUp(spark, store, 30L, ManifestBackend)
+    val nIdle = ManifestStore.read(spark, store, 30L).count()
+    // now real data arrives and must not be skipped by a stale token
+    ManifestStore.commit(
+      Samples.monotonicDedup(events).where($"ts" > cut), store, 0)
+    Cascade.catchUp(spark, store, 30L, ManifestBackend)
+    val after = ManifestStore.read(spark, store, 30L).count()
+    assert(after > nIdle, s"catch-up after idle run appended nothing ($after)")
+    // and equals a from-scratch build
+    val full = Files.createTempDirectory("casm_idle_full").toString
+    Cascade.materialize(spark, full, events, Seq(30L))
+    assert(after == ArchiveStore.read(spark, full, 30L).count())
+  }
+
   test("cascade over the manifest backend equals the archive backend, incl. catch-up") {
     import spark.implicits._
     import graft.archive.{ManifestBackend, ManifestStore}

@@ -67,12 +67,12 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming decimation equals batch decimation, across micro-batches") {
     val samples = Seq(
-      InSample("c", 5 * S, Some(1.0)),
-      InSample("c", 12 * S, Some(3.0)),
-      InSample("c", 25 * S, Some(5.0)),
-      InSample("d", 3 * S, Some(10.0)),
-      InSample("c", 41 * S, Some(2.0)),
-      InSample("d", 44 * S, Some(20.0)))
+      InSample("c", 5 * S, Some(1.0), 0),
+      InSample("c", 12 * S, Some(3.0), 0),
+      InSample("c", 25 * S, Some(5.0), 0),
+      InSample("d", 3 * S, Some(10.0), 0),
+      InSample("c", 41 * S, Some(2.0), 0),
+      InSample("d", 44 * S, Some(20.0), 0))
     // split mid-window and mid-gap to exercise state carry-over
     val all = withSeq(samples)
     val batches = Seq(all.take(2), all.slice(2, 4), all.drop(4))
@@ -81,11 +81,11 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming handles gaps, markers, and out-of-order drops like batch") {
     val samples = Seq(
-      InSample("c", 2 * S, Some(4.0)),
-      InSample("c", 1 * S, Some(99.0)), // out of order: dropped (F6)
-      InSample("c", 8 * S, None),       // marker: breaks the hold
-      InSample("c", 37 * S, Some(6.0)), // long gap over empty windows
-      InSample("c", 55 * S, Some(8.0)))
+      InSample("c", 2 * S, Some(4.0), 0),
+      InSample("c", 1 * S, Some(99.0), 0), // out of order: dropped (F6)
+      InSample("c", 8 * S, None, 0),       // marker: breaks the hold
+      InSample("c", 37 * S, Some(6.0), 0), // long gap over empty windows
+      InSample("c", 55 * S, Some(8.0), 0))
     val all = withSeq(samples)
     val batches = Seq(all.take(3), all.drop(3))
     assertSame(runStream(batches, P10), runBatch(samples, P10))
@@ -210,14 +210,14 @@ class StreamingSpec extends AnyFunSuite {
     try {
       val base = 1700000000L * S
       mem.addData(Seq(
-        InSample("c", base, Some(1.0)),
-        InSample("c", base + 10 * S, Some(2.0)),
-        InSample("d", base + 20 * S, Some(3.0))))
+        InSample("c", base, Some(1.0), 0),
+        InSample("c", base + 10 * S, Some(2.0), 1),
+        InSample("d", base + 20 * S, Some(3.0), 2)))
       q.processAllAvailable()
       // advance event time beyond watermark so the first window closes
-      mem.addData(Seq(InSample("c", base + 200 * S, Some(4.0))))
+      mem.addData(Seq(InSample("c", base + 200 * S, Some(4.0), 3)))
       q.processAllAvailable()
-      mem.addData(Seq(InSample("c", base + 400 * S, Some(5.0))))
+      mem.addData(Seq(InSample("c", base + 400 * S, Some(5.0), 4)))
       q.processAllAvailable()
       val rows = spark.table("wc_out").collect()
       assert(rows.exists(r => r.getAs[String]("channel") == "c" &&

@@ -116,36 +116,36 @@ class TypedStreamingSpec extends AnyFunSuite {
 
   test("typed streaming decimation equals the batch dispatch across micro-batches") {
     val samples = Seq(
-      TypedIn("c", 99 * S, TValue("disconnected")),
+      TypedIn("c", 99 * S, TValue("disconnected"), 0L),
       TypedIn("c", 110 * S, TValue("scalar_double", value = Some(50.0),
-        severity = Some(0), status = Some(0))),
+        severity = Some(0), status = Some(0)), 0L),
       TypedIn("c", 120 * S, TValue("scalar_long", value = Some(42.0),
-        severity = Some(2), status = Some(3))),
+        severity = Some(2), status = Some(3)), 0L),
       TypedIn("c", 150 * S, TValue("scalar_double", value = Some(20.0),
-        severity = Some(1), status = Some(4))),
-      TypedIn("c", 170 * S, TValue("disconnected")),
+        severity = Some(1), status = Some(4)), 0L),
+      TypedIn("c", 170 * S, TValue("disconnected"), 0L),
       // window 2: enum + string mix → pick-first
       TypedIn("c", 230 * S, TValue("scalar_enum", enumValue = Some(2),
         labels = Some(Seq("Yes", "No", "Maybe")), severity = Some(0),
-        status = Some(0))),
+        status = Some(0)), 0L),
       TypedIn("c", 250 * S, TValue("scalar_string",
-        strValue = Some("Cassandra"), severity = Some(0), status = Some(0))),
+        strValue = Some("Cassandra"), severity = Some(0), status = Some(0)), 0L),
       // window 3: aggregated inputs with covered-fraction weights
       TypedIn("c", 310 * S, TValue("aggregated_scalar_short",
         aggMean = Some(40.0), aggStd = Some(5.0), aggMin = Some(-17.0),
         aggMax = Some(66.0), aggCov = Some(0.5), severity = Some(0),
-        status = Some(0))),
+        status = Some(0)), 0L),
       TypedIn("c", 360 * S, TValue("aggregated_scalar_short",
         aggMean = Some(20.0), aggStd = Some(3.0), aggMin = Some(5.0),
         aggMax = Some(95.0), aggCov = Some(1.0), severity = Some(1),
-        status = Some(6))),
+        status = Some(6)), 0L),
       // terminal sample flushes everything before it
       TypedIn("c", 460 * S, TValue("scalar_double", value = Some(1.0),
-        severity = Some(0), status = Some(0))),
+        severity = Some(0), status = Some(0)), 0L),
       // second channel, marker-only window
-      TypedIn("d", 105 * S, TValue("disabled")),
+      TypedIn("d", 105 * S, TValue("disabled"), 0L),
       TypedIn("d", 260 * S, TValue("scalar_double", value = Some(7.0),
-        severity = Some(0), status = Some(0))))
+        severity = Some(0), status = Some(0)), 0L))
       .zipWithIndex.map { case (s, i) => s.copy(seq = i + 1L) }
 
     val batches = Seq(samples.take(3), samples.slice(3, 7), samples.drop(7))
