@@ -261,9 +261,9 @@ object OracleSql {
       s"""${decPrelude(P1H)},
          |q AS (
          |  SELECT channel, win_start,
-         |    CAST(round(round(mean, 6) * 1000000.0) AS BIGINT) AS m6,
-         |    CAST(round(round(std, 6) * 1000000.0) AS BIGINT) AS s6,
-         |    CAST(round(round(covered_fraction, 6) * 1000000.0) AS BIGINT) AS cf6,
+         |    CAST(round(mean * 1000000.0) AS BIGINT) AS m6,
+         |    CAST(round(std * 1000000.0) AS BIGINT) AS s6,
+         |    CAST(round(covered_fraction * 1000000.0) AS BIGINT) AS cf6,
          |    min_value, max_value, n_samples
          |  FROM dec),
          |re AS (
@@ -279,13 +279,13 @@ object OracleSql {
          |       WHEN num_m >= 0 THEN CAST((num_m * 2 + den) // (den * 2) AS DOUBLE) / 1000000.0
          |       ELSE -CAST((-(num_m * 2) + den) // (den * 2) AS DOUBLE) / 1000000.0 END AS mean,
          |  CASE WHEN den = 0 THEN NULL ELSE
-         |    round(CASE WHEN (CAST(num_v AS DOUBLE) / (CAST(den AS DOUBLE) * 1000000000000.0)
+         |    CAST(round((CASE WHEN (CAST(num_v AS DOUBLE) / (CAST(den AS DOUBLE) * 1000000000000.0)
          |                     - (CAST(num_m AS DOUBLE) / CAST(den AS DOUBLE) / 1000000.0)
          |                     * (CAST(num_m AS DOUBLE) / CAST(den AS DOUBLE) / 1000000.0)) < 1e-9
          |          THEN 0.0
          |          ELSE sqrt(CAST(num_v AS DOUBLE) / (CAST(den AS DOUBLE) * 1000000000000.0)
          |                     - (CAST(num_m AS DOUBLE) / CAST(den AS DOUBLE) / 1000000.0)
-         |                     * (CAST(num_m AS DOUBLE) / CAST(den AS DOUBLE) / 1000000.0)) END, 6) END AS std,
+         |                     * (CAST(num_m AS DOUBLE) / CAST(den AS DOUBLE) / 1000000.0)) END) * 1000000.0) AS BIGINT) / 1000000.0 END AS std,
          |  min_value, max_value,
          |  CAST((den * 2 + 6) // 12 AS DOUBLE) / 1000000.0 AS covered_fraction,
          |  n_samples

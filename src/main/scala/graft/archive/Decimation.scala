@@ -320,8 +320,11 @@ object Decimation {
     * and the two output columns whose rounding can land on exact
     * decimal ties — mean and covered_fraction — are computed with
     * integer half-up division, so ANY engine produces bit-identical
-    * doubles. std goes through the usual double path: sqrt outputs are
-    * never systematically at a 6dp tie. Semantics are reAggregate's;
+    * doubles. std is IEEE-double sqrt on the same integers, rounded to
+    * 6dp by multiply→scale-0-round→divide so the rounding itself is
+    * also the identical op sequence on every engine (plain
+    * `round(x, 6)` scales differently per engine and can flip a digit
+    * within one ULP of a 6dp tie). Semantics are reAggregate's;
     * outputs are pre-rounded to 6dp. Production cascades use
     * [[reAggregate]] (full precision); this exists because a
     * full-precision merge amplifies library-level half-ULP differences
@@ -332,7 +335,12 @@ object Decimation {
     require(targetPeriodNanos % sourcePeriodNanos == 0,
       s"source period $sourcePeriodNanos must divide target $targetPeriodNanos")
     val k = targetPeriodNanos / sourcePeriodNanos
-    val micro = (c: Column) => round(round(c, 6) * lit(1e6)).cast("long")
+    // single-step quantization: multiply → scale-0 round is the same
+    // IEEE sequence on every engine; an inner round(c, 6) would
+    // reintroduce the per-engine fractional-rounding difference at
+    // 6dp ties (which the merge's grid-aligned rationals hit
+    // systematically, not at random)
+    val micro = (c: Column) => round(c * lit(1e6)).cast("long")
     // exact integer division for non-negative operands, in DECIMAL:
     // the (a - pmod(a,b)) difference is an exact multiple of b, and
     // decimal arithmetic keeps it exact at ANY magnitude — the earlier
@@ -371,8 +379,18 @@ object Decimation {
       when(col("den") === 0, lit(null).cast("double"))
         .otherwise(halfUp(col("num_m"), col("den")).cast("double") / lit(1e6))
         .as("mean"),
+      // std is rounded by multiply→round(scale 0)→divide rather than
+      // round(x, 6): engines implement fractional rounding differently
+      // (Spark rounds the exact decimal expansion via BigDecimal;
+      // DuckDB scales by 1e6 in IEEE double first), so within one ULP
+      // of a 6dp tie round(x, 6) can disagree across engines. The
+      // scaled sequence below is the same IEEE ops on every engine,
+      // and scale-0 rounding of identical doubles always agrees
+      // (both round ties away from zero).
       when(col("den") === 0, lit(null).cast("double"))
-        .otherwise(round(when(varr < lit(1e-9), lit(0.0)).otherwise(sqrt(varr)), 6))
+        .otherwise(
+          round(when(varr < lit(1e-9), lit(0.0)).otherwise(sqrt(varr)) *
+            lit(1e6)).cast("long").cast("double") / lit(1e6))
         .as("std"),
       col("min_value"), col("max_value"),
       (halfUp(col("den"), lit(k)).cast("double") / lit(1e6)).as("covered_fraction"),
