@@ -263,6 +263,65 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
     // decontamination: corpus docs sharing any 3-token shingle with the
     // (doc_id % 11 = 0) eval subset — eval shingles are the broadcast
     // side on the Spark plan, a plain semi-join-and-count here
+    // mirror of TextAnalysis.bpePairCounts at topK 30: adjacent char
+    // pairs per token occurrence, deterministic (cnt desc, pair asc)
+    "text_bpe_pairs" ->
+      s"""WITH $TOKS,
+         |w AS (SELECT unnest(toks) AS tok FROM t),
+         |p AS (SELECT substring(tok, i, 2) AS pair
+         |      FROM w, UNNEST(range(1, length(tok))) u(i)
+         |      WHERE length(tok) >= 2)
+         |SELECT pair, count(*) AS n_occurrences FROM p GROUP BY pair
+         |ORDER BY n_occurrences DESC, pair ASC LIMIT 30""".stripMargin,
+
+    // mirror of TextAnalysis.unigramScore at vocabSize 20: corpus
+    // token counts, top-V membership by (cnt desc, tok asc), per-doc
+    // mean corpus count and OOV fraction as exact-integer ratios
+    "text_unigram_score" ->
+      s"""WITH $TOKS,
+         |occ AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |counts AS (SELECT tok, count(*) AS cnt FROM occ GROUP BY tok),
+         |vocab AS (SELECT tok, TRUE AS in_vocab FROM counts
+         |          ORDER BY cnt DESC, tok ASC LIMIT 20)
+         |SELECT o.doc_id, count(*) AS n_tokens,
+         |  round(sum(c.cnt)::DOUBLE / count(*), 6) AS avg_token_count,
+         |  round(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*), 6) AS oov_frac
+         |FROM occ o JOIN counts c USING (tok) LEFT JOIN vocab v USING (tok)
+         |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin,
+
+    // mirror of Dedup.segmentDedup: non-overlapping 8-token windows,
+    // repeated segments keep only the min-(doc_id, idx) occurrence,
+    // the sub-k tail never dedups; struct min gives the same
+    // field-lexicographic keeper as Spark's min(struct(...))
+    "dedup_segments" ->
+      s"""WITH $TOKS,
+         |tt AS (SELECT doc_id, toks, len(toks) AS n, len(toks) // 8 AS n_full
+         |       FROM t WHERE len(toks) > 0),
+         |seg AS (
+         |  SELECT doc_id, i AS idx,
+         |         array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' ') AS seg,
+         |         TRUE AS is_full
+         |  FROM tt, UNNEST(range(n_full)) u(i)
+         |  UNION ALL
+         |  SELECT doc_id, n_full AS idx,
+         |         array_to_string(toks[n_full * 8 + 1 : n], ' ') AS seg, FALSE
+         |  FROM tt WHERE n % 8 > 0),
+         |rep AS (
+         |  SELECT seg, min(struct_pack(d := doc_id, i := idx)) AS keeper
+         |  FROM seg WHERE is_full GROUP BY seg HAVING count(*) >= 2),
+         |j AS (
+         |  SELECT s.doc_id, s.idx, s.seg,
+         |    (rep.seg IS NULL
+         |      OR (s.doc_id = struct_extract(rep.keeper, 'd')
+         |          AND s.idx = struct_extract(rep.keeper, 'i'))) AS keep
+         |  FROM seg s LEFT JOIN rep ON s.is_full AND s.seg = rep.seg)
+         |SELECT doc_id,
+         |  COALESCE(string_agg(seg, ' ' ORDER BY idx) FILTER (WHERE keep), '')
+         |    AS text,
+         |  CAST(count(*) FILTER (WHERE NOT keep) AS INT) AS n_removed
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "dedup_decontaminate" ->
       s"""WITH $TOKS,
          |$SH3,
@@ -427,6 +486,28 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |    - (sp::DOUBLE / n) * (sp::DOUBLE / n))), 6) AS std_px
          |FROM dims d JOIN st USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // mirror of Multimodal.attachWavPayload's analytic sample law —
+    // the Spark side round-trips these through a real WAV/PCM16 codec
+    // (javax.sound.sampled), so a value match proves lossless
+    // encode→decode; zero crossings recompute sample i−1 in closed
+    // form rather than via a window function
+    "mm_audio_features" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, 256 + (doc_id % 257) AS n FROM documents),
+         |s AS (
+         |  SELECT doc_id, n,
+         |    ((doc_id * 31 + i * 7919) % 4096) - 2048 AS s,
+         |    CASE WHEN i > 0
+         |      THEN ((doc_id * 31 + (i - 1) * 7919) % 4096) - 2048 END AS prev
+         |  FROM d, UNNEST(range(n)) u(i))
+         |SELECT doc_id, 'audio/wav' AS mime, 8000 AS sample_rate,
+         |  CAST(n AS INT) AS n_samples,
+         |  round(sqrt(sum(s * s)::DOUBLE / n), 6) AS rms,
+         |  CAST(count(*) FILTER (WHERE prev IS NOT NULL
+         |    AND ((prev < 0) <> (s < 0))) AS INT) AS zero_crossings,
+         |  CAST(max(abs(s)) AS INT) AS peak
+         |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
 
     "mm_png_features" ->
       s"""WITH d AS (

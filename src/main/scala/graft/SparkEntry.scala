@@ -374,6 +374,22 @@ object SparkEntry {
 
     // GPT-3-style benchmark decontamination: training docs sharing any
     // 5-gram with the (deterministic) eval subset
+    // BPE tokenizer-training pair statistics: top adjacent char pairs
+    "text_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(Tables.documents(s, dir), topK = 30)),
+
+    // unigram corpus-frequency scoring (LM-filter plumbing): small
+    // vocabSize so the OOV fraction is non-trivial on the test corpus
+    "text_unigram_score" -> ((s, dir) =>
+      TextAnalysis.unigramScore(Tables.documents(s, dir), vocabSize = 20)
+        .orderBy("doc_id")),
+
+    // C4-style repeated-segment removal: k-token windows, keep the
+    // globally-first occurrence of any repeated segment
+    "dedup_segments" -> ((s, dir) =>
+      Dedup.segmentDedup(Tables.documents(s, dir), k = 8, minOcc = 2)
+        .orderBy("doc_id")),
+
     "dedup_decontaminate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.decontaminate(
@@ -546,6 +562,21 @@ object SparkEntry {
         .select(col("doc_id"), col("mime"), col("n_bytes"), col("width"),
           col("height"), round(col("mean_px"), 6).as("mean_px"),
           round(col("std_px"), 6).as("std_px"))
+        .orderBy("doc_id")
+    }),
+
+    // value-checked audio path: REAL WAV/PCM16 encode→decode
+    // (javax.sound.sampled) over analytic waveforms whose statistics
+    // the oracle computes in closed form — the gate verifies the codec
+    // round-trip, not just plumbing.
+    "mm_audio_features" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.extractAudioFeatures(
+          Multimodal.attachWavPayload(Tables.documents(s, dir)))
+        .toDF()
+        .select(col("doc_id"), col("mime"), col("sample_rate"),
+          col("n_samples"), round(col("rms"), 6).as("rms"),
+          col("zero_crossings"), col("peak"))
         .orderBy("doc_id")
     }),
 

@@ -456,6 +456,73 @@ object Dedup {
       .agg(count_distinct(col("shingle")).as("eval_ngram_hits"))
   }
 
+  /** C4-style repeated-segment removal, generalized: partition each
+    * document into non-overlapping `k`-token segments, count each
+    * segment's exact occurrences across the corpus, and drop every
+    * occurrence except the globally first (smallest (doc_id, idx)) of
+    * any segment occurring at least `minOcc` times — C4 deduplicates
+    * repeated lines this way, and span-level dedup (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better")
+    * removes repeated ≥k-token spans; fixed windows keep it to one
+    * aggregation instead of a suffix array. The trailing partial
+    * segment (< k tokens) is never a dedup candidate and is always
+    * kept, so short boilerplate tails can't be mass-deleted by the
+    * window phase.
+    *
+    * Plan shape at 100 TB: one map-side-combinable groupBy(segment)
+    * for (count, first-occurrence), filtered to repeated segments
+    * BEFORE the join back — on a natural corpus the repeated subset is
+    * orders of magnitude smaller than the corpus, so AQE turns the
+    * join into a broadcast; the reassembly groupBy(doc_id) shuffles
+    * kept segments once.
+    *
+    * Returns (doc_id, text, n_removed) with `text` rebuilt from the
+    * kept segments in order.
+    */
+  def segmentDedup(docs: DataFrame, k: Int = 8, minOcc: Int = 2,
+                   textCol: String = "text"): DataFrame = {
+    require(k > 0, s"segment length must be positive: $k")
+    require(minOcc >= 2, s"minOcc below 2 would drop unique text: $minOcc")
+    val toks = docs.select(col("doc_id"), tokens(textCol).as("toks"))
+      .where(size(col("toks")) > 0)
+    // full k-token segments at idx 0..n/k-1, plus the always-kept tail
+    val segs = toks.select(col("doc_id"),
+        (size(col("toks")) / k).cast("int").as("n_full"), col("toks"))
+      .select(col("doc_id"), posexplode(concat(
+        // sequence(0, -1) yields [0, -1] (Spark infers step -1), so a
+        // sub-k-token doc must short-circuit to an empty segment list
+        when(col("n_full") > 0,
+          transform(sequence(lit(0), col("n_full") - 1),
+            i => struct(
+              concat_ws(" ", slice(col("toks"), i * k + 1, lit(k))).as("seg"),
+              lit(true).as("is_full"))))
+          .otherwise(array().cast("array<struct<seg:string,is_full:boolean>>")),
+        when(size(col("toks")) % k > 0, array(struct(
+            concat_ws(" ", slice(col("toks"), col("n_full") * k + 1, lit(k)))
+              .as("seg"),
+            lit(false).as("is_full"))))
+          .otherwise(array().cast("array<struct<seg:string,is_full:boolean>>")))))
+      .select(col("doc_id"), col("pos").as("idx"),
+        col("col.seg").as("seg"), col("col.is_full").as("is_full"))
+    val repeated = segs.where(col("is_full"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("idx"))).as("keeper"))
+      .where(col("occ") >= minOcc)
+      .select(col("seg").as("_seg"), col("keeper"))
+    segs.join(repeated, col("is_full") && col("seg") === col("_seg"), "left")
+      .withColumn("keep", col("_seg").isNull ||
+        (col("doc_id") === col("keeper.doc_id") &&
+          col("idx") === col("keeper.idx")))
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", transform(
+          sort_array(collect_list(when(col("keep"),
+            struct(col("idx"), col("seg"))))),
+          s => s.getField("seg"))).as(textCol),
+        sum(when(!col("keep"), 1).otherwise(0)).cast("int").as("n_removed"))
+  }
+
   def ngramJaccard(docs: DataFrame, k: Int = 3,
                    minJaccard: Double = 0.15,
                    maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {

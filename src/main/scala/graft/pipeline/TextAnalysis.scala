@@ -167,6 +167,68 @@ object TextAnalysis {
         expr("percentile(n_tokens, 0.99)").as("p99_tokens"))
   }
 
+  /** Unigram corpus-frequency scoring — the LM-filter plumbing
+    * (CCNet-style) with the corpus itself as the language model: build
+    * corpus-wide token counts and a top-`vocabSize` vocabulary
+    * (count desc, token asc tiebreak), then score each document by
+    *   - `avg_token_count`: mean corpus count of its tokens (junk /
+    *     OCR-garbage documents are rare-token-heavy and score low),
+    *   - `oov_frac`: fraction of its tokens outside the vocabulary.
+    * Every quantity is a ratio of exact integers, so the score is
+    * engine-deterministic (no log/exp, whose libm implementations
+    * differ across engines).
+    *
+    * Plan shape at 100 TB: token counts are one map-side-combinable
+    * aggregation; the count table is vocabulary-sized (≪ corpus —
+    * Heaps' law), so the score join is a broadcast-or-hash join on
+    * token that AQE sizes, never a corpus self-join; the per-doc
+    * regroup shuffles one row per token occurrence.
+    */
+  def unigramScore(docs: DataFrame, vocabSize: Int = 1000,
+                   textCol: String = "text"): DataFrame = {
+    val occ = docs.select(col("doc_id"), explode(toks(textCol)).as("tok"))
+    val counts = occ.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // deterministic top-V: (cnt desc, tok asc) through orderBy+limit —
+    // Spark plans TakeOrderedAndProject (distributed partial top-k per
+    // partition, k-merge on the driver), never a one-task global sort
+    // of the count table
+    val vocab = counts.orderBy(col("cnt").desc, col("tok").asc)
+      .limit(vocabSize)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    occ.join(counts, Seq("tok"))
+      .join(vocab, Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        // explicit Σcnt / n (both exact integers) rather than avg():
+        // engines may implement integer AVG with incremental double
+        // accumulation, which is summation-order-dependent
+        round(sum(col("cnt")).cast("double") / count(lit(1)), 6)
+          .as("avg_token_count"),
+        round(sum(when(col("in_vocab").isNull, 1).otherwise(0))
+          .cast("double") / count(lit(1)), 6).as("oov_frac"))
+  }
+
+  /** BPE pair statistics — the inner loop of tokenizer training: count
+    * adjacent character pairs inside each token occurrence across the
+    * corpus and return the top `topK` by (count desc, pair asc). One
+    * map-side-combinable aggregation over a tiny key space
+    * (|charset|²) plus a distributed TakeOrdered — the corpus is read
+    * once, nothing corpus-sized ever shuffles, which is what makes
+    * iterated merges affordable at 100 TB (each round is another
+    * linear scan, not a join).
+    */
+  def bpePairCounts(docs: DataFrame, topK: Int = 30,
+                    textCol: String = "text"): DataFrame =
+    docs.select(explode(toks(textCol)).as("tok"))
+      .where(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair").asc)
+      .limit(topK)
+
   /** PII patterns shared with the oracle SQL (simple RE2 ∩ Java-regex
     * subset: char classes, bounded repeats, word boundaries — identical
     * semantics in both engines). Deliberately precision-leaning: a

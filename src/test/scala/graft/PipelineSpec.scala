@@ -338,6 +338,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(w == 12 && h == 5 && back.toSeq == px.toSeq)
   }
 
+  test("WAV codec round-trips PCM16 losslessly through real javax.sound bytes") {
+    val pcm = Array.tabulate(300)(i => (((i * 7919) % 4096) - 2048).toShort)
+    val bytes = Multimodal.WavCodec.encode(pcm, 8000)
+    // a genuine RIFF/WAVE stream, not a fake: magic bytes
+    assert(new String(bytes.take(4)) == "RIFF" &&
+      new String(bytes.slice(8, 12)) == "WAVE")
+    val (rate, back) = Multimodal.WavCodec.decodeOpt(bytes).get
+    assert(rate == 8000 && back.toSeq == pcm.toSeq)
+    // corrupt payloads are None, never a throw
+    assert(Multimodal.WavCodec.decodeOpt("not audio".getBytes).isEmpty)
+    assert(Multimodal.WavCodec.decodeOpt(bytes.take(10)).isEmpty)
+  }
+
+  test("audio features match hand-computed stats on a known waveform") {
+    implicit val s: SparkSession = spark
+    val d = docs((3L, "x", "en"))
+    val f = Multimodal.extractAudioFeatures(Multimodal.attachWavPayload(d))
+      .collect().head
+    // law: n = 256 + 3%257 = 259; s(i) = ((93 + 7919 i) mod 4096) - 2048
+    val pcm = Array.tabulate(259)(i =>
+      (java.lang.Math.floorMod(3L * 31 + i.toLong * 7919, 4096L) - 2048).toInt)
+    assert(f.n_samples == 259 && f.sample_rate == 8000)
+    assert(f.peak == pcm.map(math.abs).max)
+    val zc = (1 until pcm.length).count(i => (pcm(i - 1) < 0) != (pcm(i) < 0))
+    assert(f.zero_crossings == zc)
+    val rms = math.sqrt(pcm.map(v => v.toLong * v).sum.toDouble / 259)
+    assert(math.abs(f.rms - rms) < 1e-12)
+  }
+
   test("frame sampling explodes payloads into every-Nth fixed-size frames") {
     implicit val s: SparkSession = spark
     val d = docs((1L, "0123456789abcdef", "en")) // 16 bytes → 4 frames of 4
@@ -364,6 +393,40 @@ class PipelineSpec extends AnyFunSuite {
     // "abc" → bytes 97,98,99 → mean 98
     assert(feats(2L).mean_px == 98.0)
     assert(feats(2L).histogram.sum == 3)
+  }
+
+  test("unigram score ranks rare-token documents low") {
+    val d = docs((1L, "a a a a", "en"), (2L, "a a rare1 rare2", "en"))
+    val out = TextAnalysis.unigramScore(d, vocabSize = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    // corpus counts: a=6, rare1=1, rare2=1; vocab(1) = {a}
+    assert(out(1L) == ((6.0, 0.0)))
+    assert(out(2L) == ((3.5, 0.5)))
+  }
+
+  test("bpe pair counts rank adjacent character pairs deterministically") {
+    val d = docs((1L, "aab aab", "en"), (2L, "ab", "en"))
+    val out = TextAnalysis.bpePairCounts(d, topK = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("ab", 3L), ("aa", 2L)))
+  }
+
+  test("segment dedup keeps the globally first occurrence of repeated segments") {
+    val d = docs(
+      (1L, "a b c d e f g h", "en"),   // segs: "a b c d", "e f g h"
+      (2L, "e f g h x1 x2", "en"),     // seg "e f g h" repeats; tail "x1 x2"
+      (3L, "p p p p p p p p p", "en")) // within-doc repeat + tail "p"
+    val out = Dedup.segmentDedup(d, k = 4, minOcc = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    // keeper of "e f g h" is (1, 1) < (2, 0): doc 1 keeps, doc 2 loses
+    assert(out(1L) == (("a b c d e f g h", 0)))
+    assert(out(2L) == (("x1 x2", 1)))
+    // within-doc repeat: idx 0 kept, idx 1 dropped, sub-k tail always kept
+    assert(out(3L) == (("p p p p p", 1)))
+    // sub-k documents pass through untouched
+    val tiny = Dedup.segmentDedup(docs((9L, "a b", "en"), (10L, "a b", "en")),
+      k = 4, minOcc = 2).collect()
+    assert(tiny.forall(_.getInt(2) == 0))
   }
 
   test("decontaminate flags docs sharing an n-gram with the eval set") {
