@@ -52,6 +52,10 @@ object GraftSession {
     pipeline.Sampling.hashSplit(core.Tables.documents(spark, sfDir),
         Seq(("train", 0.9), ("val", 0.95), ("test", 1.0)))
       .createOrReplaceTempView("doc_splits")
+    pipeline.TextAnalysis.unigramScore(core.Tables.documents(spark, sfDir))
+      .createOrReplaceTempView("doc_unigram_score")
+    pipeline.Dedup.segmentDedup(core.Tables.documents(spark, sfDir))
+      .createOrReplaceTempView("doc_segment_deduped")
     // native functions
     functions.VectorExpressions.register(spark)
   }

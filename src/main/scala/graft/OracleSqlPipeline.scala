@@ -603,6 +603,14 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |        round(1.0 - count(*)::DOUBLE / CAST(sum(c) AS BIGINT)::DOUBLE, 6)
          |          AS dup_token_frac
          |      FROM tc GROUP BY doc_id),
+         |ucnt AS (SELECT tk AS tok, count(*) AS cnt FROM tok GROUP BY tk),
+         |uvoc AS (SELECT tok, TRUE AS in_vocab FROM ucnt
+         |         ORDER BY cnt DESC, tok ASC LIMIT 20),
+         |us AS (SELECT o.tok_doc AS doc_id,
+         |        round(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)::DOUBLE
+         |          / count(*), 6) AS oov_frac
+         |      FROM (SELECT doc_id AS tok_doc, tk AS tok FROM tok) o
+         |      LEFT JOIN uvoc v USING (tok) GROUP BY o.tok_doc),
          |kept AS (
          |  SELECT d.doc_id, d.lang, d.text
          |  FROM documents d
@@ -610,8 +618,10 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |  LEFT JOIN cdrop ON d.doc_id = cdrop.doc_id
          |  JOIN qs ON d.doc_id = qs.doc_id
          |  JOIN rp ON d.doc_id = rp.doc_id
+         |  JOIN us ON d.doc_id = us.doc_id
          |  WHERE cdrop.doc_id IS NULL
-         |    AND qs.quality_score >= 0.3 AND rp.dup_token_frac <= 0.9),
+         |    AND qs.quality_score >= 0.3 AND rp.dup_token_frac <= 0.9
+         |    AND us.oov_frac <= 0.42),
          |samp AS (
          |  SELECT doc_id, lang, text FROM kept
          |  WHERE (('0x' || substr(md5(doc_id::VARCHAR || 'strat'), 1, 15))::BIGINT

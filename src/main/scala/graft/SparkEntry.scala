@@ -464,11 +464,15 @@ object SparkEntry {
         .select(col("doc_id"), col("quality_score"))
       val rep = TextAnalysis.repetition(docs)
         .select(col("doc_id"), col("dup_token_frac"))
+      val ug = TextAnalysis.unigramScore(docs, vocabSize = 20)
+        .select(col("doc_id"), col("oov_frac"))
       val kept = docs
         .join(exactKeep, Seq("doc_id"))
         .join(broadcast(clusterDrop), Seq("doc_id"), "left_anti")
         .join(q, Seq("doc_id")).join(rep, Seq("doc_id"))
-        .where(col("quality_score") >= 0.3 && col("dup_token_frac") <= 0.9)
+        .join(ug, Seq("doc_id"))
+        .where(col("quality_score") >= 0.3 && col("dup_token_frac") <= 0.9 &&
+          col("oov_frac") <= 0.42)
       val sampled = Sampling.stratifiedSample(kept,
         Map("en" -> 0.8, "de" -> 0.6), defaultRate = 0.5)
       val packed = Sampling.packGreedy(sampled, budgetTokens = 256L)
