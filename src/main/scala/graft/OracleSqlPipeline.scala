@@ -487,6 +487,30 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |FROM dims d JOIN st USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 
+    // mirror of Multimodal.attachClipPayload's analytic per-frame
+    // pixel law at everyN=2 — the Spark side round-trips each sampled
+    // frame through a real PNG codec inside a seekable clip container
+    "mm_clip_frames" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, 8 + (doc_id % 9) AS w, 8 + ((doc_id * 7) % 9) AS h,
+         |         2 + (doc_id % 4) AS nf
+         |  FROM documents),
+         |fr AS (
+         |  SELECT doc_id, w, h, nf, f.f
+         |  FROM d, UNNEST(range(nf)) f(f) WHERE f.f % 2 = 0),
+         |px AS (
+         |  SELECT doc_id, w, h, nf, f,
+         |         ((doc_id * 31 + f * 17 + x.x * 7 + y.y * 13) % 256) AS p
+         |  FROM fr,
+         |       UNNEST(generate_series(0, w - 1)) x(x),
+         |       UNNEST(generate_series(0, h - 1)) y(y))
+         |SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(nf AS INT) AS n_frames,
+         |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |       round(avg(p), 6) AS mean_px,
+         |       CAST(min(p) AS INT) AS min_px, CAST(max(p) AS INT) AS max_px
+         |FROM px GROUP BY doc_id, f, nf, w, h
+         |ORDER BY doc_id, frame_idx""".stripMargin,
+
     // mirror of Multimodal.attachWavPayload's analytic sample law —
     // the Spark side round-trips these through a real WAV/PCM16 codec
     // (javax.sound.sampled), so a value match proves lossless

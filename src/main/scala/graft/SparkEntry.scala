@@ -569,6 +569,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // value-checked video path: seekable clip container of REAL PNG
+    // frames; only every 2nd frame is decoded (container-index seek),
+    // per-frame stats against the closed-form pixel law
+    "mm_clip_frames" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.extractClipFrameFeatures(
+          Multimodal.attachClipPayload(Tables.documents(s, dir)), everyN = 2)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+          col("width"), col("height"), round(col("mean_px"), 6).as("mean_px"),
+          col("min_px"), col("max_px"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // value-checked audio path: REAL WAV/PCM16 encode→decode
     // (javax.sound.sampled) over analytic waveforms whose statistics
     // the oracle computes in closed form — the gate verifies the codec

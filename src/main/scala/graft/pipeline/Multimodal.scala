@@ -240,6 +240,94 @@ object Multimodal {
     }
   }
 
+  /** Minimal seekable clip container: [4-byte big-endian length][frame
+    * bytes] repeated — the property that matters for video pipelines
+    * is SEEKABILITY: frame byte ranges are recoverable without
+    * decoding, so a sampling pass decodes only the frames it keeps.
+    * Real video containers (MP4/MKV) carry the same information in an
+    * index box; this is that shape reduced to its essence.
+    */
+  object ClipCodec {
+    def encode(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(bos)
+      frames.foreach { f => dos.writeInt(f.length); dos.write(f) }
+      bos.toByteArray
+    }
+
+    /** (offset, length) of each frame, parsed from the prefixes alone.
+      * A torn/corrupt tail stops the walk — partial frames are
+      * dropped, never thrown on (one bad payload must not kill a
+      * corpus scan).
+      */
+    def frameOffsets(bytes: Array[Byte]): IndexedSeq[(Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      var p = 0
+      var ok = true
+      while (ok && p + 4 <= bytes.length) {
+        val len = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+          ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+        if (len < 0 || p + 4 + len > bytes.length) ok = false
+        else { out += ((p + 4, len)); p += 4 + len }
+      }
+      out.toIndexedSeq
+    }
+  }
+
+  /** Deterministic analytic test clips: `2 + doc_id mod 4` frames of
+    * REAL PNG bytes, frame f's pixel law mixing the frame index in —
+    * pixel(x, y) = (doc_id·31 + f·17 + x·7 + y·13) mod 256 over the
+    * same doc_id-derived geometry as [[attachPngPayload]]. Closed-form
+    * law + lossless codec ⇒ the sampled-decode pipeline is
+    * value-checkable end to end.
+    */
+  def attachClipPayload(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (8 + java.lang.Math.floorMod(id, 9L)).toInt
+        val h = (8 + java.lang.Math.floorMod(id * 7, 9L)).toInt
+        val nFrames = (2 + java.lang.Math.floorMod(id, 4L)).toInt
+        val frames = (0 until nFrames).map { f =>
+          PngCodec.encode(w, h, Array.tabulate(w * h) { i =>
+            val (x, y) = (i % w, i / w)
+            java.lang.Math.floorMod(id * 31 + f * 17 + x * 7 + y * 13, 256L).toInt
+          })
+        }
+        val bytes = ClipCodec.encode(frames)
+        MediaRow(id, "video/x-clip", bytes.length, bytes)
+      }
+    }.toDF()
+  }
+
+  /** Per-frame features over every `everyN`-th frame of a clip. The
+    * container index is parsed first and ONLY sampled frames are
+    * PNG-decoded — at 100 TB the decode is the cost, and a seekable
+    * container turns an every-8th-frame pass into 1/8th the decode
+    * work, not just 1/8th the output.
+    */
+  case class ClipFrameFeatures(doc_id: Long, frame_idx: Int, n_frames: Int,
+                               width: Int, height: Int, mean_px: Double,
+                               min_px: Int, max_px: Int)
+
+  def extractClipFrameFeatures(media: DataFrame, everyN: Int = 1)
+      (implicit spark: SparkSession): Dataset[ClipFrameFeatures] = {
+    import spark.implicits._
+    require(everyN > 0, s"everyN must be positive: $everyN")
+    media.as[MediaRow].flatMap { r =>
+      val offsets = ClipCodec.frameOffsets(r.payload)
+      (offsets.indices by everyN).iterator.flatMap { f =>
+        val (off, len) = offsets(f)
+        PngCodec.decodeOpt(
+          java.util.Arrays.copyOfRange(r.payload, off, off + len))
+          .map { case (w, h, px) =>
+            ClipFrameFeatures(r.doc_id, f, offsets.length, w, h,
+              px.foldLeft(0L)(_ + _).toDouble / (w * h), px.min, px.max)
+          }
+      }
+    }
+  }
+
   /** One sampled frame of a (fake) video payload. */
   case class Frame(doc_id: Long, frame_idx: Int, n_frames: Int,
                    frame: Array[Byte])

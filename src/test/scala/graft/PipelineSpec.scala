@@ -367,6 +367,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(f.rms - rms) < 1e-12)
   }
 
+  test("clip container seeks frames without decoding; sampling decodes every Nth") {
+    implicit val s: SparkSession = spark
+    val f0 = Multimodal.PngCodec.encode(4, 3, Array.tabulate(12)(i => i * 10))
+    val f1 = Multimodal.PngCodec.encode(4, 3, Array.tabulate(12)(i => 255 - i))
+    val clip = Multimodal.ClipCodec.encode(Seq(f0, f1))
+    val offs = Multimodal.ClipCodec.frameOffsets(clip)
+    assert(offs.map(_._2) == Seq(f0.length, f1.length))
+    // torn tail: a truncated third frame is dropped, leading frames kept
+    val torn = clip ++ Array[Byte](0, 0, 0, 99, 1, 2)
+    assert(Multimodal.ClipCodec.frameOffsets(torn).size == 2)
+    // doc 5: nf = 2 + 5 % 4 = 3 frames; everyN=2 samples frames 0 and 2
+    val feats = Multimodal.extractClipFrameFeatures(
+      Multimodal.attachClipPayload(docs((5L, "x", "en"))), everyN = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(feats.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(feats.forall(f => f.n_frames == 3 && f.width == 13 && f.height == 16))
+    // frame 2 pixel law check at (0,0): (5*31 + 2*17) mod 256
+    val expected00 = java.lang.Math.floorMod(5L * 31 + 2 * 17, 256L).toInt
+    val law = (x: Int, y: Int) =>
+      java.lang.Math.floorMod(5L * 31 + 2 * 17 + x * 7 + y * 13, 256L).toInt
+    val px = for (y <- 0 until 16; x <- 0 until 13) yield law(x, y)
+    val f2 = feats.find(_.frame_idx == 2).get
+    assert(px.head == expected00)
+    assert(f2.min_px == px.min && f2.max_px == px.max)
+    assert(math.abs(f2.mean_px - px.map(_.toLong).sum.toDouble / px.size) < 1e-12)
+  }
+
   test("frame sampling explodes payloads into every-Nth fixed-size frames") {
     implicit val s: SparkSession = spark
     val d = docs((1L, "0123456789abcdef", "en")) // 16 bytes → 4 frames of 4
