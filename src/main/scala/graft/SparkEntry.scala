@@ -372,8 +372,6 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // GPT-3-style benchmark decontamination: training docs sharing any
-    // 5-gram with the (deterministic) eval subset
     // BPE tokenizer-training pair statistics: top adjacent char pairs
     "text_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(Tables.documents(s, dir), topK = 30)),
@@ -390,6 +388,8 @@ object SparkEntry {
       Dedup.segmentDedup(Tables.documents(s, dir), k = 8, minOcc = 2)
         .orderBy("doc_id")),
 
+    // GPT-3-style benchmark decontamination: training docs sharing any
+    // 5-gram with the (deterministic) eval subset
     "dedup_decontaminate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.decontaminate(

@@ -267,7 +267,9 @@ object Multimodal {
       while (ok && p + 4 <= bytes.length) {
         val len = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
           ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
-        if (len < 0 || p + 4 + len > bytes.length) ok = false
+        // bounds check in Long: a hostile length prefix near Int.MaxValue
+        // would wrap p + 4 + len negative and slip past an Int compare
+        if (len < 0 || p.toLong + 4 + len > bytes.length) ok = false
         else { out += ((p + 4, len)); p += 4 + len }
       }
       out.toIndexedSeq

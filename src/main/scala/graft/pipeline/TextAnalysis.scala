@@ -195,18 +195,24 @@ object TextAnalysis {
     val vocab = counts.orderBy(col("cnt").desc, col("tok").asc)
       .limit(vocabSize)
       .select(col("tok"), lit(true).as("in_vocab"))
-    occ.join(counts, Seq("tok"))
-      .join(vocab, Seq("tok"), "left")
+    // fold the vocab flag into the (vocabulary-sized) count table first:
+    // one corpus-scale join instead of two passes over every occurrence
+    val countsFlagged = counts.join(vocab, Seq("tok"), "left")
+    // rounding via multiply → scale-0 round → divide: the identical
+    // IEEE sequence on Spark and DuckDB (see Decimation.reAggregateExact)
+    val r6 = (c: Column) =>
+      round(c * lit(1e6)).cast("long").cast("double") / lit(1e6)
+    occ.join(countsFlagged, Seq("tok"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
         // explicit Σcnt / n (both exact integers) rather than avg():
         // engines may implement integer AVG with incremental double
         // accumulation, which is summation-order-dependent
-        round(sum(col("cnt")).cast("double") / count(lit(1)), 6)
+        r6(sum(col("cnt")).cast("double") / count(lit(1)))
           .as("avg_token_count"),
-        round(sum(when(col("in_vocab").isNull, 1).otherwise(0))
-          .cast("double") / count(lit(1)), 6).as("oov_frac"))
+        r6(sum(when(col("in_vocab").isNull, 1).otherwise(0))
+          .cast("double") / count(lit(1))).as("oov_frac"))
   }
 
   /** BPE pair statistics — the inner loop of tokenizer training: count

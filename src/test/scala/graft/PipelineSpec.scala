@@ -377,6 +377,10 @@ class PipelineSpec extends AnyFunSuite {
     // torn tail: a truncated third frame is dropped, leading frames kept
     val torn = clip ++ Array[Byte](0, 0, 0, 99, 1, 2)
     assert(Multimodal.ClipCodec.frameOffsets(torn).size == 2)
+    // hostile length prefix near Int.MaxValue must not wrap the bounds
+    // check (p + 4 + len overflows Int) and crash the scan
+    val hostile = clip ++ Array[Byte](0x7f, 0xff.toByte, 0xff.toByte, 0xfc.toByte, 1, 2)
+    assert(Multimodal.ClipCodec.frameOffsets(hostile).size == 2)
     // doc 5: nf = 2 + 5 % 4 = 3 frames; everyN=2 samples frames 0 and 2
     val feats = Multimodal.extractClipFrameFeatures(
       Multimodal.attachClipPayload(docs((5L, "x", "en"))), everyN = 2)
