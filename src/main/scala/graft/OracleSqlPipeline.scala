@@ -811,6 +811,35 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |SELECT probe_id, vec_id, cos_sim, rank
          |FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
 
+    // mirror of Similarity.int8TopK: per-vector symmetric int8
+    // quantization, exact integer dot, rescale by the two scales,
+    // multiply→scale-0-round→divide 6dp rounding (identical IEEE
+    // sequence to the Spark side)
+    "sim_int8_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (SELECT vec_id, v,
+         |        CASE WHEN m = 0 THEN 1.0 ELSE m / 127 END AS scale
+         |      FROM (SELECT vec_id, v,
+         |              list_max(list_transform(v, x -> abs(x))) AS m
+         |            FROM e)),
+         |q AS (SELECT vec_id, scale,
+         |        list_transform(v, x -> CAST(round(x / scale) AS INT)) AS qv
+         |      FROM s),
+         |p AS (SELECT vec_id AS probe_id, scale AS pscale, qv AS pqv
+         |      FROM q WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT p.probe_id, c.vec_id,
+         |    CAST(round(list_dot_product(c.qv, p.pqv) * c.scale * p.pscale
+         |      * 1000000.0) AS BIGINT) / 1000000.0 AS int8_score
+         |  FROM q c JOIN p ON c.vec_id != p.probe_id),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, int8_score,
+         |         CAST(row_number() OVER (PARTITION BY probe_id
+         |           ORDER BY int8_score DESC, vec_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT probe_id, vec_id, int8_score, rank
+         |FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+
     "sim_ivf_assign" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |seeds AS (SELECT vec_id AS cluster, v AS sv FROM e ORDER BY vec_id LIMIT 8),

@@ -492,6 +492,15 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // int8-quantized brute-force: integer dot products rescaled by the
+    // per-vector scales — 4x the memory bandwidth of the double scan
+    "sim_int8_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.int8TopK(e, e.where(col("vec_id") < 5), 10)
+        .select(col("probe_id"), col("vec_id"), col("int8_score"), col("rank"))
+        .orderBy("probe_id", "rank")
+    }),
+
     "sim_ann_lsh" -> ((s, dir) =>
       Similarity.lshNearest(Tables.embeddings(s, dir))
         .orderBy("vec_id")),

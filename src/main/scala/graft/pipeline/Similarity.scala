@@ -95,6 +95,52 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Symmetric per-vector int8 quantization: scale = max|v| / 127,
+    * q_i = round(v_i / scale) ∈ [−127, 127] — the standard 4×
+    * memory/bandwidth cut for embedding search at scale (a 10⁹-vector
+    * corpus drops from 256 GB to 64 GB of vector bytes at Dim=64).
+    * Everything downstream of the quantization is integer-exact, so
+    * the search is engine-deterministic. An all-zero vector gets
+    * scale 1 (its quantized form is all zeros either way) rather than
+    * a 0/0 NaN.
+    */
+  def quantizeInt8(vecs: DataFrame): DataFrame = {
+    val v = asDouble(col("embedding"))
+    val maxabs = array_max(transform(v, x => abs(x)))
+    val scale = when(maxabs === 0, lit(1.0)).otherwise(maxabs / 127)
+    vecs.select(col("vec_id"),
+      transform(v, x => round(x / scale).cast("int")).as("q"),
+      scale.as("scale"))
+  }
+
+  /** Brute-force top-k over int8-quantized vectors: the integer dot
+    * product (exact — |q·q| ≤ 127²·Dim ≪ 2⁵³) rescaled by the two
+    * per-vector scales approximates the raw dot product; ranking is on
+    * the 6dp-rounded score with vec_id tie-break. Same broadcast-probe
+    * shape as [[bruteForceTopK]] at a quarter of the memory traffic —
+    * the production pattern is quantized scan → exact rerank of the
+    * shortlist (compose with [[bruteForceTopK]] over the survivors).
+    */
+  def int8TopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qc = quantizeInt8(corpus)
+    val qp = quantizeInt8(probes).select(col("vec_id").as("probe_id"),
+      col("q").as("pq"), col("scale").as("pscale"))
+    val score = graft.functions.VectorExpressions.vector_dot(
+        col("q").cast("array<double>"), col("pq").cast("array<double>")) *
+      col("scale") * col("pscale")
+    // multiply → scale-0 round → divide: identical IEEE sequence on
+    // every engine (see Decimation.reAggregateExact)
+    val joined = qc.join(broadcast(qp), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (round(score * lit(1e6)).cast("long").cast("double") / lit(1e6))
+          .as("int8_score"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("int8_score").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** LSH bucket id in table `table`: bit p set iff plane p's dot
     * product is >= 0.
     */

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, size, split, sum, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
@@ -329,6 +330,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(one.groupBy("probe_id").count().collect().forall(_.getLong(1) <= 5))
   }
 
+  test("int8 quantization bounds error by scale/2 and finds the exact nearest neighbor") {
+    implicit val s: SparkSession = spark
+    val e = Seq(
+      (0L, Array.fill(4)(0.0f)),                      // zero vector
+      (1L, Array(1.0f, 0.5f, -0.25f, 0.125f)),
+      (2L, Array(0.9f, 0.55f, -0.2f, 0.1f)),          // near vec 1
+      (3L, Array(-1.0f, 2.0f, 3.0f, -4.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(e).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getDouble(2)))).toMap
+    assert(q(0L)._1.forall(_ == 0) && q(0L)._2 == 1.0)          // zero vec: scale 1
+    assert(q.values.forall(_._1.forall(v => v >= -127 && v <= 127)))
+    assert(q(3L)._1 == Seq(-32, 64, 95, -127))                  // scale 4/127
+    // dequantization error per element ≤ scale/2
+    val (qv, sc) = q(1L)
+    val orig = Seq(1.0, 0.5, -0.25, 0.125)
+    assert(qv.zip(orig).forall { case (qi, vi) => math.abs(qi * sc - vi) <= sc / 2 + 1e-12 })
+    // quantized search agrees with exact search on the clear nearest neighbor
+    val top = Similarity.int8TopK(e, e.where($"vec_id" === 1), k = 1).collect().head
+    assert(top.getAs[Long]("vec_id") == 2L)
+  }
+
   test("PNG codec round-trips pixels losslessly through real imageio bytes") {
     val px = Array.tabulate(12 * 5)(i => (i * 37) % 256)
     val bytes = Multimodal.PngCodec.encode(12, 5, px)
@@ -458,6 +481,23 @@ class PipelineSpec extends AnyFunSuite {
     val tiny = Dedup.segmentDedup(docs((9L, "a b", "en"), (10L, "a b", "en")),
       k = 4, minOcc = 2).collect()
     assert(tiny.forall(_.getInt(2) == 0))
+  }
+
+  test("segment dedup conserves tokens: in = out + k * removed, on a generated corpus") {
+    // 200 docs over a 7-word vocab → massive segment collisions
+    val d = docs((0L until 200L).map { id =>
+      val words = (0 until 24).map(i => s"w${(id * 13 + i * 7) % 7}")
+      (id, words.mkString(" "), "en")
+    }: _*)
+    val inTokens = d.select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    val out = Dedup.segmentDedup(d, k = 8, minOcc = 2)
+      .select(
+        sum(when(col("text") === "", 0)
+          .otherwise(size(split(col("text"), " ")))).as("out_toks"),
+        sum(col("n_removed")).as("removed"))
+      .head
+    assert(out.getLong(0) + 8L * out.getLong(1) == inTokens)
+    assert(out.getLong(1) > 0) // the collisions actually exercised the path
   }
 
   test("decontaminate flags docs sharing an n-gram with the eval set") {
