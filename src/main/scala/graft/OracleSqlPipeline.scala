@@ -390,6 +390,22 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |  FROM documents)
          |WHERE rn <= 40 ORDER BY doc_id""".stripMargin,
 
+    // mirror of Sampling.temperatureMix at nTarget 300: sqrt-weighted
+    // quotas in exact integer arithmetic (floor∘sqrt of an integer is
+    // engine-deterministic; halfUp division via (2a+b)//(2b)), then
+    // the same salted-hash rank selection as sample_topn
+    "sample_mixture" ->
+      s"""WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         |w AS (SELECT lang, CAST(floor(sqrt(n_docs)) AS BIGINT) AS w FROM n),
+         |t AS (SELECT sum(w) AS tot FROM w),
+         |q AS (SELECT lang, (300 * w * 2 + tot) // (tot * 2) AS quota FROM w, t),
+         |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY
+         |        (('0x' || substr(md5(doc_id::VARCHAR || 'mix'), 1, 15))::BIGINT
+         |         / 1152921504606846976.0), doc_id) AS rn
+         |      FROM documents)
+         |SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
+         |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
+
     "sample_split" ->
       s"""SELECT doc_id,
          |  CASE WHEN u < 0.8 THEN 'train'

@@ -372,6 +372,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // temperature mixing (tau = 0.5): sqrt-weighted per-language
+    // quotas, exact-count deterministic selection
+    "sample_mixture" -> ((s, dir) =>
+      Sampling.temperatureMix(Tables.documents(s, dir), nTarget = 300)
+        .orderBy("doc_id")),
+
     // BPE tokenizer-training pair statistics: top adjacent char pairs
     "text_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(Tables.documents(s, dir), topK = 30)),

@@ -99,6 +99,47 @@ object Sampling {
       .where(col("_rn") <= n).drop("_rn")
   }
 
+  /** Temperature-weighted mixture sampling (τ = 0.5): per-stratum
+    * quotas proportional to √n_s — the Pile/ROOTS-style "flatten the
+    * source distribution" mix that up-weights small sources without
+    * letting the biggest source dominate. Engine-deterministic by
+    * construction: weight_s = floor(sqrt(n_s)) (IEEE sqrt is
+    * correctly rounded, floor of it is exact on any engine — this is
+    * why τ is 0.5 and not an arbitrary libm `pow` exponent),
+    * quota_s = halfUp(nTarget·w_s / Σw) in exact integer arithmetic,
+    * and membership is the same deterministic id-hash rank as
+    * [[topNPerStratum]] — no rand() anywhere.
+    *
+    * The per-stratum rank window serializes each stratum at selection
+    * time; for corpus-scale strata use the packGreedy sharding trick
+    * (rank within deterministic shards, quota split across shards) —
+    * the quota math is unchanged.
+    */
+  def temperatureMix(docs: DataFrame, nTarget: Long,
+                     stratumCol: String = "lang",
+                     idCol: String = "doc_id",
+                     salt: String = "mix"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weights = docs.groupBy(stratumCol)
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs"))).cast("long"))
+    val tot = weights.agg(sum(col("w")).as("tot"))
+    // halfUp(a / b) for non-negative longs: (2a + b) intdiv 2b — the
+    // difference is an exact multiple, so the double division is exact
+    val a = lit(nTarget) * col("w") * 2 + col("tot")
+    val b = col("tot") * 2
+    val quotas = weights.crossJoin(broadcast(tot))
+      .withColumn("quota", ((a - pmod(a, b)) / b).cast("long"))
+      .select(col(stratumCol), col("quota"))
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(hashUniform(col(idCol), salt), col(idCol))
+    docs.select(col(idCol), col(stratumCol))
+      .withColumn("_rn", row_number().over(w))
+      .join(broadcast(quotas), Seq(stratumCol))
+      .where(col("_rn") <= col("quota"))
+      .select(col(idCol), col(stratumCol))
+  }
+
   /** Greedy sequence packing: concatenate each stream's documents in
     * id order and cut into fixed token-budget bins — the
     * "pack short documents into full training sequences" step. A

@@ -449,6 +449,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(feats(2L).histogram.sum == 3)
   }
 
+  test("temperature mix fills sqrt-weighted quotas exactly and deterministically") {
+    val rows = (0L until 64L).map(i => (i, s"doc $i", "en")) ++
+      (100L until 116L).map(i => (i, s"doc $i", "de")) ++
+      (200L until 204L).map(i => (i, s"doc $i", "fr"))
+    val d = docs(rows: _*)
+    // weights: floor(sqrt(64,16,4)) = 8,4,2; tot 14; nTarget 14 → quotas 8,4,2
+    val got = Sampling.temperatureMix(d, nTarget = 14).collect()
+    val byLang = got.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byLang == Map("en" -> 8, "de" -> 4, "fr" -> 2))
+    val again = Sampling.temperatureMix(d, nTarget = 14).collect()
+    assert(got.map(_.getLong(0)).sorted.toSeq == again.map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("unigram score ranks rare-token documents low") {
     val d = docs((1L, "a a a a", "en"), (2L, "a a rare1 rare2", "en"))
     val out = TextAnalysis.unigramScore(d, vocabSize = 1).collect()
