@@ -197,6 +197,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateless curation ops run unchanged on a stream and equal batch") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, "contact me at alice@example.com or 192.168.0.1", "en"),
+      (3L, "word word word word word word word word", "en"))
+    val mkDf = (df: org.apache.spark.sql.DataFrame) => df
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length($"text").cast("long"))
+    // quality scoring + PII redaction are per-row codegen'd expressions
+    // with no aggregation or state — the SAME operator call compiles
+    // onto a streaming plan (this is what per-row curation at ingest
+    // time looks like: filter/redact before anything lands)
+    val mem = MemoryStream[(Long, String, String)]
+    val streamDf = mkDf(mem.toDF().toDF("doc_id", "text", "lang"))
+    val q1 = graft.pipeline.TextAnalysis.quality(streamDf)
+      .select($"doc_id", $"quality_score")
+      .writeStream.format("memory").queryName("quality_stream")
+      .outputMode("append").start()
+    val q2 = graft.pipeline.TextAnalysis.redactPii(streamDf)
+      .select($"doc_id", $"email_count", $"ip_count", $"clean_text")
+      .writeStream.format("memory").queryName("redact_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val batchDf = mkDf(rows.toDF("doc_id", "text", "lang"))
+      val asMap = (rs: Array[org.apache.spark.sql.Row]) =>
+        rs.map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      assert(asMap(spark.table("quality_stream").collect()) ==
+        asMap(graft.pipeline.TextAnalysis.quality(batchDf)
+          .select($"doc_id", $"quality_score").collect()))
+      val streamed = asMap(spark.table("redact_stream").collect())
+      assert(streamed ==
+        asMap(graft.pipeline.TextAnalysis.redactPii(batchDf)
+          .select($"doc_id", $"email_count", $"ip_count", $"clean_text")
+          .collect()))
+      assert(streamed(2L)(2).asInstanceOf[String].contains("[EMAIL]"))
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("windowed counts with watermark produce per-channel rates") {
     implicit val s: SparkSession = spark
     import s.implicits._
