@@ -529,6 +529,18 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // the persisted-index serving path must return byte-identical
+    // results to the per-query build (same oracle as sim_ivf_search)
+    "sim_ivf_persisted" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-ivfidx").toString
+      Similarity.ivfBuildIndex(e, idx, k = 8)
+      Similarity.ivfSearchIndexed(s, idx, e.where(col("vec_id") < 5),
+          topK = 10, nProbe = 2)
+        .orderBy("probe_id", "rank")
+    }),
+
     "dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingNearDup(Tables.embeddings(s, dir), minCos = 0.3)
         .orderBy("vec_a", "vec_b")),
@@ -634,6 +646,9 @@ object SparkEntry {
       OracleSqlJson.all
     // the manifest store must serve the exact bytes the raw scan serves —
     // same oracle, different storage path
-    base + ("arch_manifest_scan" -> base("arch_range_scan"))
+    base + ("arch_manifest_scan" -> base("arch_range_scan")) +
+      // the persisted IVF index must serve exactly what the per-query
+      // build serves — same oracle, different storage path
+      ("sim_ivf_persisted" -> base("sim_ivf_search"))
   }
 }

@@ -285,6 +285,64 @@ object Similarity {
       .where(col("rank") <= topK)
   }
 
+  /** Persisted IVF index: centroids + cluster-partitioned inverted
+    * lists written once, probed many times — the serving-time shape
+    * (building the index per query, as [[ivfSearch]] does, is the
+    * benchmark convenience, not the production deployment). The
+    * postings table is `partitionBy(cluster)`, so a probe touching
+    * `nProbe` lists reads exactly those directory partitions — at
+    * 10⁹ vectors a 2-of-64-list probe scans ~3% of the corpus bytes.
+    */
+  def ivfBuildIndex(corpus: DataFrame, path: String, k: Int = 8): Unit = {
+    seedSet(corpus, k)
+      .select(col("vec_id").as("cluster"), col("embedding").as("seed_emb"))
+      .write.mode("overwrite").parquet(path + "/centroids")
+    ivfAssign(corpus, k)
+      .select(col("vec_id"), col("cluster"))
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(path + "/postings")
+  }
+
+  /** Probe a persisted IVF index — [[ivfSearch]] semantics without
+    * recomputing the assignment. The probed cluster ids are collected
+    * (≤ |probes|·nProbe values, driver-side metadata scale) and pushed
+    * as a partition-pruning filter on the postings read.
+    */
+  def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                       path: String, probes: DataFrame, topK: Int,
+                       nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seeds = spark.read.parquet(path + "/centroids")
+    // hive partition columns read back as Int — restore the key type
+    val postings = spark.read.parquet(path + "/postings")
+      .withColumn("cluster", col("cluster").cast("long"))
+    val scored = probes.crossJoin(broadcast(seeds))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        col("cluster"),
+        round(cosine(asDouble(col("embedding")), asDouble(col("seed_emb"))), 6)
+          .as("cos_to_centroid"))
+    val w0 = Window.partitionBy("probe_id")
+      .orderBy(col("cos_to_centroid").desc, col("cluster"))
+    val probeClusters = scored.withColumn("rn", row_number().over(w0))
+      .where(col("rn") <= nProbe)
+      .select(col("probe_id"), col("probe_emb"), col("cluster"))
+    val wanted = probeClusters.select("cluster").distinct()
+      .collect().map(_.getLong(0))
+    val cand = probeClusters
+      .join(postings.where(col("cluster").isin(wanted.toSeq: _*)),
+        Seq("cluster"))
+      .where(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(asDouble(col("probe_emb")), asDouble(col("embedding"))), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+  }
+
   // ---- product quantization (IVF-PQ's memory-compression half) ----
 
   /** PQ geometry: 64 dims → 4 subspaces × 16 dims, 16 codes per

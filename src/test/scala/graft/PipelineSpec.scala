@@ -330,6 +330,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(one.groupBy("probe_id").count().collect().forall(_.getLong(1) <= 5))
   }
 
+  test("persisted IVF index serves identical results from cluster-partitioned lists") {
+    implicit val s: SparkSession = spark
+    val e = (0L until 40L).map(i =>
+        (i, Array.tabulate(8)(d => math.sin(i * 3.7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.ivfBuildIndex(e, idx, k = 4)
+    // the on-disk layout is one directory per inverted list
+    val parts = new java.io.File(idx + "/postings").listFiles()
+      .filter(_.getName.startsWith("cluster=")).map(_.getName).sorted
+    assert(parts.nonEmpty && parts.forall(_.matches("cluster=\\d+")))
+    val probes = e.where($"vec_id" < 3)
+    val served = Similarity.ivfSearchIndexed(spark, idx, probes, topK = 5,
+        nProbe = 2)
+      .select("probe_id", "vec_id", "cos_sim", "rank").collect()
+      .map(_.toSeq).toSet
+    val direct = Similarity.ivfSearch(e, probes, topK = 5, k = 4, nProbe = 2)
+      .select("probe_id", "vec_id", "cos_sim", "rank").collect()
+      .map(_.toSeq).toSet
+    assert(served == direct && served.nonEmpty)
+  }
+
   test("int8 quantization bounds error by scale/2 and finds the exact nearest neighbor") {
     implicit val s: SparkSession = spark
     val e = Seq(
