@@ -274,6 +274,30 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |SELECT pair, count(*) AS n_occurrences FROM p GROUP BY pair
          |ORDER BY n_occurrences DESC, pair ASC LIMIT 30""".stripMargin,
 
+    // mirror of TextAnalysis.bpeApplyTopMerge: top pair by
+    // (count desc, pair asc), literal space-collapse replace — each
+    // application removes exactly one character
+    "text_bpe_merged" ->
+      s"""WITH $TOKS,
+         |w AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |pc AS (SELECT substring(tok, i, 2) AS pair, count(*) AS c
+         |       FROM w, UNNEST(range(1, length(tok))) u(i)
+         |       WHERE length(tok) >= 2
+         |       GROUP BY pair ORDER BY c DESC, pair ASC LIMIT 1),
+         |m AS (SELECT substring(pair, 1, 1) || ' ' || substring(pair, 2, 1)
+         |        AS pat, pair AS rep FROM pc),
+         |sp AS (SELECT doc_id, tok,
+         |         array_to_string(list_transform(range(1, length(tok) + 1),
+         |           i -> substring(tok, i, 1)), ' ') AS spaced
+         |       FROM w),
+         |x AS (SELECT doc_id, length(tok) AS ub,
+         |        length(spaced) - length(replace(spaced, pat, rep)) AS merges
+         |      FROM sp, m)
+         |SELECT doc_id, sum(ub) AS n_units_before,
+         |  sum(ub) - sum(merges) AS n_units_after,
+         |  sum(merges) AS n_merges_applied
+         |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // mirror of TextAnalysis.unigramScore at vocabSize 20: corpus
     // token counts, top-V membership by (cnt desc, tok asc), per-doc
     // mean corpus count and OOV fraction as exact-integer ratios

@@ -382,6 +382,12 @@ object SparkEntry {
     "text_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(Tables.documents(s, dir), topK = 30)),
 
+    // one BPE training round applied: merge the corpus's top pair
+    // everywhere, report per-doc symbol compression
+    "text_bpe_merged" -> ((s, dir) =>
+      TextAnalysis.bpeApplyTopMerge(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
     // unigram corpus-frequency scoring (LM-filter plumbing): small
     // vocabSize so the OOV fraction is non-trivial on the test corpus
     "text_unigram_score" -> ((s, dir) =>

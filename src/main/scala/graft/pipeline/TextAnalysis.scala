@@ -235,6 +235,40 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("pair").asc)
       .limit(topK)
 
+  /** One BPE training round, applied: take the corpus's top adjacent
+    * pair (from [[bpePairCounts]], (count desc, pair asc) tiebreak) and
+    * merge every occurrence in every token, reporting per-document
+    * symbol counts before/after. Words are modeled as space-joined
+    * character sequences; a literal (non-regex) `replace` of "x y" with
+    * "xy" performs exactly BPE's leftmost non-overlapping merge pass,
+    * and each application removes one separator, so
+    * `n_merges = len(before) − len(after)` in characters / 1 per
+    * merge. Everything is expression-level (the top pair rides a
+    * 1-row broadcast cross join) — one corpus scan per merge round,
+    * which is why iterated BPE training is affordable at scale.
+    */
+  def bpeApplyTopMerge(docs: DataFrame,
+                       textCol: String = "text"): DataFrame = {
+    val top = bpePairCounts(docs, topK = 1, textCol)
+      .select(concat(substring(col("pair"), 1, 1), lit(" "),
+          substring(col("pair"), 2, 1)).as("_pat"),
+        col("pair").as("_rep"))
+    // spaced: "abc" → "a b c"; each literal merge of "x y" → "xy"
+    // removes exactly one character, so merges = len(spaced) − len(merged)
+    val spaced = "concat_ws(' ', transform(sequence(1, length(tok)), " +
+      "i -> substring(tok, i, 1)))"
+    docs.select(col("doc_id"), explode(toks(textCol)).as("tok"))
+      .crossJoin(broadcast(top))
+      .select(col("doc_id"),
+        length(col("tok")).cast("long").as("units_before"),
+        (length(expr(spaced)) - length(expr(s"replace($spaced, _pat, _rep)")))
+          .cast("long").as("merges"))
+      .groupBy("doc_id")
+      .agg(sum(col("units_before")).as("n_units_before"),
+        (sum(col("units_before")) - sum(col("merges"))).as("n_units_after"),
+        sum(col("merges")).as("n_merges_applied"))
+  }
+
   /** PII patterns shared with the oracle SQL (simple RE2 ∩ Java-regex
     * subset: char classes, bounded repeats, word boundaries — identical
     * semantics in both engines). Deliberately precision-leaning: a

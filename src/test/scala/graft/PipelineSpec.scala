@@ -500,6 +500,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("ab", 3L), ("aa", 2L)))
   }
 
+  test("bpe top-merge application matches hand-computed compression") {
+    // pairs: "aa" in aab(1) aaa(2: overlapping aa,aa) ab(0) → "aa":3; "ab":2
+    val d = docs((1L, "aab aaa", "en"), (2L, "ab", "en"))
+    val out = TextAnalysis.bpeApplyTopMerge(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // top merge "a a": aab "a a b"→"aa b" (1 merge); aaa "a a a"→"aa a"
+    // (leftmost non-overlapping: 1 merge); ab untouched
+    assert(out(1L) == ((6L, 4L, 2L)))
+    assert(out(2L) == ((2L, 2L, 0L)))
+  }
+
   test("segment dedup keeps the globally first occurrence of repeated segments") {
     val d = docs(
       (1L, "a b c d e f g h", "en"),   // segs: "a b c d", "e f g h"
