@@ -284,8 +284,12 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |       FROM w, UNNEST(range(1, length(tok))) u(i)
          |       WHERE length(tok) >= 2
          |       GROUP BY pair ORDER BY c DESC, pair ASC LIMIT 1),
-         |m AS (SELECT substring(pair, 1, 1) || ' ' || substring(pair, 2, 1)
-         |        AS pat, pair AS rep FROM pc),
+         |m AS (SELECT pat, rep FROM (
+         |        SELECT substring(pair, 1, 1) || ' ' || substring(pair, 2, 1)
+         |          AS pat, pair AS rep, 0 AS prio FROM pc
+         |        UNION ALL
+         |        SELECT chr(0) || ' ' || chr(0), chr(0) || chr(0), 1)
+         |      ORDER BY prio LIMIT 1),
          |sp AS (SELECT doc_id, tok,
          |         array_to_string(list_transform(range(1, length(tok) + 1),
          |           i -> substring(tok, i, 1)), ' ') AS spaced
@@ -422,7 +426,9 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
       s"""WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
          |w AS (SELECT lang, CAST(floor(sqrt(n_docs)) AS BIGINT) AS w FROM n),
          |t AS (SELECT sum(w) AS tot FROM w),
-         |q AS (SELECT lang, (300 * w * 2 + tot) // (tot * 2) AS quota FROM w, t),
+         |q AS (SELECT w.lang,
+         |        LEAST((300 * w * 2 + tot) // (tot * 2), n.n_docs) AS quota
+         |      FROM w, t, n WHERE w.lang = n.lang),
          |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY
          |        (('0x' || substr(md5(doc_id::VARCHAR || 'mix'), 1, 15))::BIGINT
          |         / 1152921504606846976.0), doc_id) AS rn

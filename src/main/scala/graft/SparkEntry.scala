@@ -539,8 +539,10 @@ object SparkEntry {
     // results to the per-query build (same oracle as sim_ivf_search)
     "sim_ivf_persisted" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft-ivfidx").toString
+      // fixed path + overwrite mode: repeated verify/bench runs reuse
+      // one index directory instead of accumulating temp copies
+      val idx = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-ivfidx-gate").toString
       Similarity.ivfBuildIndex(e, idx, k = 8)
       Similarity.ivfSearchIndexed(s, idx, e.where(col("vec_id") < 5),
           topK = 10, nProbe = 2)

@@ -106,9 +106,11 @@ object Sampling {
     * construction: weight_s = floor(sqrt(n_s)) (IEEE sqrt is
     * correctly rounded, floor of it is exact on any engine — this is
     * why τ is 0.5 and not an arbitrary libm `pow` exponent),
-    * quota_s = halfUp(nTarget·w_s / Σw) in exact integer arithmetic,
-    * and membership is the same deterministic id-hash rank as
-    * [[topNPerStratum]] — no rand() anywhere.
+    * quota_s = halfUp(nTarget·w_s / Σw) in exact integer arithmetic
+    * (capped at the stratum size — the sample undershoots nTarget
+    * rather than silently re-weighting), and membership is the same
+    * deterministic id-hash rank as [[topNPerStratum]] — no rand()
+    * anywhere.
     *
     * The per-stratum rank window serializes each stratum at selection
     * time; for corpus-scale strata use the packGreedy sharding trick
@@ -124,12 +126,22 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w", floor(sqrt(col("n_docs"))).cast("long"))
     val tot = weights.agg(sum(col("w")).as("tot"))
-    // halfUp(a / b) for non-negative longs: (2a + b) intdiv 2b — the
-    // difference is an exact multiple, so the double division is exact
-    val a = lit(nTarget) * col("w") * 2 + col("tot")
-    val b = col("tot") * 2
+    // halfUp(a / b) for non-negative integers, in DECIMAL: the
+    // (a − pmod) difference is an exact multiple of b, and decimal
+    // arithmetic keeps the quotient exact at ANY magnitude — a long
+    // `/` promotes to double and silently loses ulps past 2^53
+    // (same rule as Decimation.reAggregateExact's intDiv)
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    val a = dec38(lit(nTarget) * col("w") * 2 + col("tot"))
+    val b = dec38(col("tot") * 2)
+    // a quota larger than the stratum is capped at the stratum size:
+    // the sample then undershoots nTarget rather than silently
+    // re-weighting (redistribution would need a second pass over the
+    // quota table; callers that need exact totals can rerun with the
+    // undershoot added to nTarget)
     val quotas = weights.crossJoin(broadcast(tot))
-      .withColumn("quota", ((a - pmod(a, b)) / b).cast("long"))
+      .withColumn("quota",
+        least(((a - pmod(a, b)) / b).cast("long"), col("n_docs")))
       .select(col(stratumCol), col("quota"))
     val w = Window.partitionBy(stratumCol)
       .orderBy(hashUniform(col(idCol), salt), col(idCol))

@@ -107,10 +107,22 @@ object Similarity {
   def quantizeInt8(vecs: DataFrame): DataFrame = {
     val v = asDouble(col("embedding"))
     val maxabs = array_max(transform(v, x => abs(x)))
-    val scale = when(maxabs === 0, lit(1.0)).otherwise(maxabs / 127)
-    vecs.select(col("vec_id"),
-      transform(v, x => round(x / scale).cast("int")).as("q"),
-      scale.as("scale"))
+    // two-step projection: an expression referenced inside a
+    // higher-order-function lambda is re-evaluated PER ELEMENT (no
+    // subexpression elimination there), so staging scale first keeps
+    // quantization O(Dim), not O(Dim²). The guard also covers
+    // non-finite vectors: NaN/±Inf elements (upstream 0/0
+    // normalizations) fail `maxabs > 0 AND < Inf`, land on scale 1,
+    // and quantize element-wise to 0 — one junk row must not ANSI-
+    // crash a corpus scan.
+    val staged = vecs.select(col("vec_id"), v.as("_v"),
+      when(maxabs > 0 && maxabs < Double.PositiveInfinity, maxabs / 127)
+        .otherwise(lit(1.0)).as("scale"))
+    staged.select(col("vec_id"),
+      transform(col("_v"), x =>
+        when(isnan(x) || abs(x) === Double.PositiveInfinity, lit(0))
+          .otherwise(round(x / col("scale")).cast("int"))).as("q"),
+      col("scale"))
   }
 
   /** Brute-force top-k over int8-quantized vectors: the integer dot
@@ -251,23 +263,32 @@ object Similarity {
     * over brute force with the same top-k ranking semantics on the
     * reduced candidate set.
     */
+  /** Each probe's `nProbe` nearest centroids: (probe_id, probe_emb,
+    * cluster) — shared by the per-query and persisted-index search
+    * paths so their selection (and tie-break) semantics can never
+    * diverge.
+    */
+  private def nearestClusters(probes: DataFrame, seeds: DataFrame,
+                              nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = probes.crossJoin(broadcast(seeds))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        col("cluster"),
+        round(cosine(asDouble(col("embedding")), asDouble(col("seed_emb"))), 6)
+          .as("cos_to_centroid"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos_to_centroid").desc, col("cluster"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= nProbe)
+      .select(col("probe_id"), col("probe_emb"), col("cluster"))
+  }
+
   def ivfSearch(corpus: DataFrame, probes: DataFrame, topK: Int,
                 k: Int = 8, nProbe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val seeds = seedSet(corpus, k)
       .select(col("vec_id").as("cluster"), col("embedding").as("seed_emb"))
     // probe → its nProbe nearest clusters
-    val probeClusters = {
-      val scored = probes.crossJoin(broadcast(seeds))
-        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
-          col("cluster"),
-          round(cosine(asDouble(col("embedding")), asDouble(col("seed_emb"))), 6)
-            .as("cos_to_centroid"))
-      val w = Window.partitionBy("probe_id")
-        .orderBy(col("cos_to_centroid").desc, col("cluster"))
-      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= nProbe)
-        .select(col("probe_id"), col("probe_emb"), col("cluster"))
-    }
+    val probeClusters = nearestClusters(probes, seeds, nProbe)
     // corpus member → its cluster (the inverted-list assignment)
     val assigned = ivfAssign(corpus, k)
       .select(col("vec_id"), col("cluster"))
@@ -318,16 +339,11 @@ object Similarity {
     // hive partition columns read back as Int — restore the key type
     val postings = spark.read.parquet(path + "/postings")
       .withColumn("cluster", col("cluster").cast("long"))
-    val scored = probes.crossJoin(broadcast(seeds))
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
-        col("cluster"),
-        round(cosine(asDouble(col("embedding")), asDouble(col("seed_emb"))), 6)
-          .as("cos_to_centroid"))
-    val w0 = Window.partitionBy("probe_id")
-      .orderBy(col("cos_to_centroid").desc, col("cluster"))
-    val probeClusters = scored.withColumn("rn", row_number().over(w0))
-      .where(col("rn") <= nProbe)
-      .select(col("probe_id"), col("probe_emb"), col("cluster"))
+    // localCheckpoint: the frame feeds BOTH the wanted-cluster collect
+    // and the candidate join — without materialization the probe scan,
+    // centroid cross join, and rank window would execute twice
+    val probeClusters = nearestClusters(probes, seeds, nProbe)
+      .localCheckpoint()
     val wanted = probeClusters.select("cluster").distinct()
       .collect().map(_.getLong(0))
     val cand = probeClusters

@@ -249,10 +249,21 @@ object TextAnalysis {
     */
   def bpeApplyTopMerge(docs: DataFrame,
                        textCol: String = "text"): DataFrame = {
+    // a corpus with no length-2 token has no pairs — an EMPTY top frame
+    // would annihilate the cross join and silently drop every document,
+    // so a never-matching sentinel pattern (NUL cannot appear in a
+    // token) guarantees exactly one merge row; orderBy(_prio) prefers
+    // the real pair when one exists
+    val sentinel = docs.sparkSession.range(1)
+      .select(lit("\u0000 \u0000").as("_pat"),
+        lit("\u0000\u0000").as("_rep"), lit(1).as("_prio"))
     val top = bpePairCounts(docs, topK = 1, textCol)
       .select(concat(substring(col("pair"), 1, 1), lit(" "),
           substring(col("pair"), 2, 1)).as("_pat"),
-        col("pair").as("_rep"))
+        col("pair").as("_rep"), lit(0).as("_prio"))
+      .unionByName(sentinel)
+      .orderBy(col("_prio")).limit(1)
+      .drop("_prio")
     // spaced: "abc" → "a b c"; each literal merge of "x y" → "xy"
     // removes exactly one character, so merges = len(spaced) − len(merged)
     val spaced = "concat_ws(' ', transform(sequence(1, length(tok)), " +

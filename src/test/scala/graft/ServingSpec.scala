@@ -60,6 +60,14 @@ class ServingSpec extends AnyFunSuite {
         |WHERE vtype LIKE 'aggregated%' AND mean IS NOT NULL""".stripMargin)
       .head.getLong(0)
     assert(tdec > 0)
+    // curation views are SQL-reachable (lazy — first touch plans them)
+    val oov = spark.sql(
+      "SELECT count(*) FROM doc_unigram_score WHERE oov_frac >= 0")
+      .head.getLong(0)
+    assert(oov > 0)
+    val seg = spark.sql(
+      "SELECT sum(n_removed) FROM doc_segment_deduped").head.getLong(0)
+    assert(seg >= 0)
   }
 
   test("name→dataId resolution via broadcast config join survives renames") {
