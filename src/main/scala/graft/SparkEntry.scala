@@ -549,6 +549,22 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // index built on the first 400 vectors, last batch appended
+    // incrementally — must serve exactly what a full per-query build
+    // serves (seeds are the 8 smallest vec_ids either way)
+    "sim_ivf_incremental" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      // fixed path is safe across re-runs: ivfBuildIndex's overwrite
+      // wipes the postings table before the single append lands
+      val idx = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-ivfidx-incr").toString
+      Similarity.ivfBuildIndex(e.where(col("vec_id") < 400), idx, k = 8)
+      Similarity.ivfIndexAppend(s, idx, e.where(col("vec_id") >= 400))
+      Similarity.ivfSearchIndexed(s, idx, e.where(col("vec_id") < 5),
+          topK = 10, nProbe = 2)
+        .orderBy("probe_id", "rank")
+    }),
+
     "dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingNearDup(Tables.embeddings(s, dir), minCos = 0.3)
         .orderBy("vec_a", "vec_b")),
@@ -657,6 +673,8 @@ object SparkEntry {
     base + ("arch_manifest_scan" -> base("arch_range_scan")) +
       // the persisted IVF index must serve exactly what the per-query
       // build serves — same oracle, different storage path
-      ("sim_ivf_persisted" -> base("sim_ivf_search"))
+      ("sim_ivf_persisted" -> base("sim_ivf_search")) +
+      // build-on-prefix + incremental append must equal the full build
+      ("sim_ivf_incremental" -> base("sim_ivf_search"))
   }
 }

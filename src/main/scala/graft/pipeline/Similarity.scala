@@ -331,6 +331,25 @@ object Similarity {
     * (≤ |probes|·nProbe values, driver-side metadata scale) and pushed
     * as a partition-pruning filter on the postings read.
     */
+  /** Incremental index growth: assign a new batch of vectors to the
+    * EXISTING centroids and append to the cluster-partitioned postings
+    * — work proportional to the batch (one broadcast-centroid scan +
+    * one partitioned append), never a rebuild. The ANN analog of
+    * [[Dedup.incrementalCandidates]]'s daily-ingest shape. Centroids
+    * drift as the corpus grows; rebuild with [[ivfBuildIndex]] (or
+    * re-train via [[ivfCentroids]]) when recall degrades.
+    */
+  def ivfIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                     path: String, newVecs: DataFrame): Unit = {
+    val seeds = spark.read.parquet(path + "/centroids")
+    nearestClusters(newVecs, seeds, nProbe = 1)
+      .select(col("probe_id").as("vec_id"),
+        col("probe_emb").as("embedding"), col("cluster"))
+      .repartition(col("cluster"))
+      .write.mode("append").partitionBy("cluster")
+      .parquet(path + "/postings")
+  }
+
   def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession,
                        path: String, probes: DataFrame, topK: Int,
                        nProbe: Int = 2): DataFrame = {

@@ -352,6 +352,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(served == direct && served.nonEmpty)
   }
 
+  test("incremental IVF append serves identically to a full rebuild") {
+    implicit val s: SparkSession = spark
+    val e = (0L until 60L).map(i =>
+        (i, Array.tabulate(8)(d => math.cos(i * 2.3 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val idxFull = java.nio.file.Files.createTempDirectory("ivffull").toString
+    val idxIncr = java.nio.file.Files.createTempDirectory("ivfincr").toString
+    Similarity.ivfBuildIndex(e, idxFull, k = 4)
+    Similarity.ivfBuildIndex(e.where($"vec_id" < 45), idxIncr, k = 4)
+    Similarity.ivfIndexAppend(spark, idxIncr, e.where($"vec_id" >= 45))
+    val probes = e.where($"vec_id" < 2)
+    val full = Similarity.ivfSearchIndexed(spark, idxFull, probes, 5, 2)
+      .select("probe_id", "vec_id", "cos_sim", "rank").collect().map(_.toSeq).toSet
+    val incr = Similarity.ivfSearchIndexed(spark, idxIncr, probes, 5, 2)
+      .select("probe_id", "vec_id", "cos_sim", "rank").collect().map(_.toSeq).toSet
+    assert(full == incr && full.nonEmpty)
+    // an appended vector is actually findable
+    assert(Similarity.ivfSearchIndexed(spark, idxIncr, probes, 60, 4)
+      .where($"vec_id" >= 45).count() > 0)
+  }
+
   test("int8 quantization bounds error by scale/2 and finds the exact nearest neighbor") {
     implicit val s: SparkSession = spark
     val e = Seq(
