@@ -886,6 +886,43 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |SELECT probe_id, vec_id, int8_score, rank
          |FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
 
+    // mirror of Similarity.int8SearchReranked: the int8 shortlist
+    // (rank ≤ 50 by quantized score) reranked by exact cosine
+    "sim_int8_reranked" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (SELECT vec_id, v,
+         |        CASE WHEN m = 0 THEN 1.0 ELSE m / 127 END AS scale
+         |      FROM (SELECT vec_id, v,
+         |              list_max(list_transform(v, x -> abs(x))) AS m
+         |            FROM e)),
+         |q AS (SELECT vec_id, scale,
+         |        list_transform(v, x -> CAST(round(x / scale) AS INT)) AS qv
+         |      FROM s),
+         |p AS (SELECT vec_id AS probe_id, scale AS pscale, qv AS pqv
+         |      FROM q WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT p.probe_id, c.vec_id,
+         |    CAST(round(list_dot_product(c.qv, p.pqv) * c.scale * p.pscale
+         |      * 1000000.0) AS BIGINT) / 1000000.0 AS int8_score
+         |  FROM q c JOIN p ON c.vec_id != p.probe_id),
+         |short AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY int8_score DESC, vec_id) AS rn
+         |    FROM scored) WHERE rn <= 50),
+         |ex AS (
+         |  SELECT sh.probe_id, sh.vec_id,
+         |    round(list_cosine_similarity(pe.v, ce.v), 6) AS cos_sim
+         |  FROM short sh
+         |  JOIN e ce ON sh.vec_id = ce.vec_id
+         |  JOIN e pe ON sh.probe_id = pe.vec_id)
+         |SELECT probe_id, vec_id, cos_sim, rank FROM (
+         |  SELECT probe_id, vec_id, cos_sim,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+         |  FROM ex) WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+
     "sim_ivf_assign" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |seeds AS (SELECT vec_id AS cluster, v AS sv FROM e ORDER BY vec_id LIMIT 8),

@@ -513,6 +513,15 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // two-tier production search: int8 shortlist → exact rerank
+    "sim_int8_reranked" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.int8SearchReranked(e, e.where(col("vec_id") < 5),
+          topK = 10, shortK = 50)
+        .select(col("probe_id"), col("vec_id"), col("cos_sim"), col("rank"))
+        .orderBy("probe_id", "rank")
+    }),
+
     "sim_ann_lsh" -> ((s, dir) =>
       Similarity.lshNearest(Tables.embeddings(s, dir))
         .orderBy("vec_id")),

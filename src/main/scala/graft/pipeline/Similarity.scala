@@ -153,6 +153,30 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Quantized-scan-then-exact-rerank: the int8 shortlist (quarter
+    * memory bandwidth over the corpus) feeds an exact cosine rerank of
+    * `shortK` candidates per probe — the production two-tier pattern
+    * ([[int8TopK]]'s scaladoc made the promise; this is the
+    * composition). Same shape as [[pqSearchReranked]].
+    */
+  def int8SearchReranked(corpus: DataFrame, probes: DataFrame, topK: Int,
+                         shortK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shortlist = int8TopK(corpus, probes, shortK)
+      .select(col("probe_id"), col("vec_id"))
+    val exact = shortlist
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_emb"))), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(asDouble(col("probe_emb")), asDouble(col("embedding"))), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+  }
+
   /** LSH bucket id in table `table`: bit p set iff plane p's dot
     * product is >= 0.
     */

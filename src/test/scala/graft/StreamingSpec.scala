@@ -241,6 +241,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("streaming embedding ingest grows the persisted IVF index per batch") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = (0L until 30L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 1.7 + d).toFloat)))
+    val idx = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    graft.pipeline.Similarity.ivfBuildIndex(
+      base.toDF("vec_id", "embedding"), idx, k = 4)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.pipeline.Similarity.ivfIndexAppend(spark, idx, batch)
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData((30L until 40L).map(i =>
+        (i, Array.tabulate(8)(d => math.sin(i * 1.7 + d).toFloat))))
+      q.processAllAvailable()
+      mem.addData((40L until 45L).map(i =>
+        (i, Array.tabulate(8)(d => math.sin(i * 1.7 + d).toFloat))))
+      q.processAllAvailable()
+      val probes = base.take(2).toDF("vec_id", "embedding")
+      val found = graft.pipeline.Similarity
+        .ivfSearchIndexed(spark, idx, probes, topK = 45, nProbe = 4)
+        .where($"vec_id" >= 30).select("vec_id").distinct().count()
+      // both micro-batches are searchable
+      assert(found > 5)
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark produce per-channel rates") {
     implicit val s: SparkSession = spark
     import s.implicits._
