@@ -118,6 +118,38 @@ object SparkEntry {
         .orderBy(col("channel"), col("ts"), col("sample_id"))
     }),
 
+    // snapshot isolation through the gate: a later garbage commit must
+    // be invisible when reading the earlier version
+    "arch_time_travel" -> ((s, dir) => {
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-mtt").toString
+      val r = raw(s, dir)
+      val v1 = ManifestStore.commit(r, store, levelSec = 0)
+      ManifestStore.commit(
+        r.withColumn("value", col("value") + 1e9d)
+          .withColumn("sample_id", col("sample_id") + 10000000L),
+        store, levelSec = 0)
+      ManifestStore.readVersion(s, store, v1, 0, Some(LO), Some(HI))
+        .select(coreCols: _*)
+        .orderBy(col("channel"), col("ts"), col("sample_id"))
+    }),
+
+    // atomic compaction through the gate: three small commits collapsed
+    // per (level, day) must serve the exact same bytes
+    "arch_compacted_scan" -> ((s, dir) => {
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-mcomp").toString
+      val r = raw(s, dir)
+      (0 to 2).foreach(i =>
+        ManifestStore.commit(r.where(pmod(col("sample_id"), lit(3)) === i),
+          store, levelSec = 0))
+      ManifestStore.compactionCandidates(s, store).foreach(c =>
+        ManifestStore.compact(s, store, c.levelSec, c.bucketDate))
+      ManifestStore.read(s, store, 0, Some(LO), Some(HI))
+        .select(coreCols: _*)
+        .orderBy(col("channel"), col("ts"), col("sample_id"))
+    }),
+
     "arch_boundary_before" -> ((s, dir) =>
       ArchiveReader.boundaryBefore(raw(s, dir), TB)
         .select(coreCols: _*).orderBy("channel")),
@@ -684,6 +716,9 @@ object SparkEntry {
       // build serves — same oracle, different storage path
       ("sim_ivf_persisted" -> base("sim_ivf_search")) +
       // build-on-prefix + incremental append must equal the full build
-      ("sim_ivf_incremental" -> base("sim_ivf_search"))
+      ("sim_ivf_incremental" -> base("sim_ivf_search")) +
+      // snapshot isolation / atomic compaction serve the same bytes
+      ("arch_time_travel" -> base("arch_range_scan")) +
+      ("arch_compacted_scan" -> base("arch_range_scan"))
   }
 }
