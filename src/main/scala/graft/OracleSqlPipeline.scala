@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Hashing, Similarity, TextAnalysis}
+import graft.pipeline.{Hashing, Retrieval, Similarity, TextAnalysis}
 import Hashing._
 
 /** DuckDB oracles for the corpus-pipeline operators (dedup, text
@@ -301,6 +301,133 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |  sum(ub) - sum(merges) AS n_units_after,
          |  sum(merges) AS n_merges_applied
          |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mirror of TextAnalysis.bpeTrain at GateBpeRounds: the full merge
+    // loop unrolled — one pair-count + top-1 + padded literal replace
+    // per round (double-space separators make the replace an exact
+    // leftmost greedy merge; see bpeTrain's doc comment)
+    "text_bpe_vocab" -> {
+      val rounds = TextAnalysis.GateBpeRounds
+      val stages = (1 to rounds).map { i =>
+        s"""y$i AS (SELECT list_filter(string_split(sp, ' '), x -> x <> '') AS s
+           |       FROM s${i - 1}),
+           |p$i AS (SELECT pair, count(*) AS n FROM (
+           |         SELECT unnest(list_transform(range(1, len(s)),
+           |                  j -> s[j] || ' ' || s[j + 1])) AS pair
+           |         FROM y$i WHERE len(s) >= 2)
+           |       GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1),
+           |m$i AS (SELECT ' ' || split_part(pair, ' ', 1) || '  ' ||
+           |           split_part(pair, ' ', 2) || ' ' AS pat,
+           |         ' ' || replace(pair, ' ', '') || ' ' AS rep FROM p$i),
+           |s$i AS (SELECT replace(sp, m.pat, m.rep) AS sp
+           |       FROM s${i - 1}, m$i m)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to rounds).map { i =>
+        s"""SELECT CAST($i AS INT) AS round,
+           |  split_part(pair, ' ', 1) AS lhs, split_part(pair, ' ', 2) AS rhs,
+           |  replace(pair, ' ', '') AS pair, n AS n_occurrences FROM p$i"""
+          .stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH $TOKS,
+         |w AS (SELECT unnest(toks) AS tok FROM t),
+         |s0 AS (SELECT ' ' || array_to_string(
+         |         list_transform(range(1, length(tok) + 1),
+         |           i -> substring(tok, i, 1)), '  ') || ' ' AS sp
+         |       FROM w),
+         |$stages
+         |SELECT * FROM (
+         |  $union
+         |) ORDER BY round""".stripMargin
+    },
+
+    // mirror of Retrieval.bm25TopK (k1 = 1.2, b = 0.75, Lucene idf):
+    // every float input is an exact integer, the per-term expression
+    // shares one evaluation order with the Spark plan, per-doc term
+    // sums ride DECIMAL(38,12)
+    "text_bm25_topk" -> {
+      val q = Retrieval.GateQuery.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH $TOKS,
+         |d AS (SELECT doc_id, len(toks) AS dl,
+         |        list_filter(toks, x -> list_contains($q, x)) AS q
+         |      FROM t),
+         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d),
+         |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM (
+         |         SELECT doc_id, dl, unnest(q) AS tok FROM d WHERE len(q) > 0)
+         |       GROUP BY doc_id, dl, tok),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |sc AS (SELECT tf.doc_id,
+         |        CAST(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |          ((tf * 2.2) / (tf + 1.2 * (0.25 +
+         |            0.75 * CAST(dl AS DOUBLE) * n_docs / sum_dl)))
+         |          AS DECIMAL(38,12)) AS contrib
+         |      FROM tf JOIN df USING (tok), stats)
+         |SELECT doc_id, count(*) AS n_query_terms,
+         |  CAST(round(sum(contrib), 6) AS DOUBLE) AS score
+         |FROM sc GROUP BY doc_id
+         |ORDER BY sum(contrib) DESC, doc_id ASC LIMIT 25""".stripMargin
+    },
+
+    // mirror of Sampling.dsirWeights: add-one-smoothed unigram
+    // log-ratios over the joint vocabulary, target = doc_id % 11 = 0
+    "sample_dsir_weights" ->
+      s"""WITH $TOKS,
+         |occ_r AS (SELECT doc_id, unnest(toks) AS tok FROM t
+         |          WHERE doc_id % 11 <> 0),
+         |occ_t AS (SELECT doc_id, unnest(toks) AS tok FROM t
+         |          WHERE doc_id % 11 = 0),
+         |cr AS (SELECT tok, count(*) AS c_r FROM occ_r GROUP BY tok),
+         |ct AS (SELECT tok, count(*) AS c_t FROM occ_t GROUP BY tok),
+         |vocab AS (SELECT coalesce(cr.tok, ct.tok) AS tok,
+         |            coalesce(c_r, 0) AS c_r, coalesce(c_t, 0) AS c_t
+         |          FROM cr FULL OUTER JOIN ct ON cr.tok = ct.tok),
+         |tot AS (SELECT sum(c_r) AS tot_r, sum(c_t) AS tot_t,
+         |          count(*) AS v FROM vocab),
+         |wt AS (SELECT tok,
+         |        CAST(ln((c_t + 1.0) / (tot_t + v))
+         |           - ln((c_r + 1.0) / (tot_r + v))
+         |          AS DECIMAL(38,12)) AS w
+         |      FROM vocab, tot)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(round(sum(w), 6) AS DOUBLE) AS logw
+         |FROM occ_r JOIN wt USING (tok)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mirror of Sampling.dsirResample (n = 60, salt 'dsir'):
+    // Gumbel-top-k keys from the md5 uniform; the add narrows to
+    // DECIMAL(30,12) (38+38 would exceed DuckDB's width ceiling)
+    "sample_dsir_select" ->
+      s"""WITH $TOKS,
+         |occ_r AS (SELECT doc_id, unnest(toks) AS tok FROM t
+         |          WHERE doc_id % 11 <> 0),
+         |occ_t AS (SELECT doc_id, unnest(toks) AS tok FROM t
+         |          WHERE doc_id % 11 = 0),
+         |cr AS (SELECT tok, count(*) AS c_r FROM occ_r GROUP BY tok),
+         |ct AS (SELECT tok, count(*) AS c_t FROM occ_t GROUP BY tok),
+         |vocab AS (SELECT coalesce(cr.tok, ct.tok) AS tok,
+         |            coalesce(c_r, 0) AS c_r, coalesce(c_t, 0) AS c_t
+         |          FROM cr FULL OUTER JOIN ct ON cr.tok = ct.tok),
+         |tot AS (SELECT sum(c_r) AS tot_r, sum(c_t) AS tot_t,
+         |          count(*) AS v FROM vocab),
+         |wt AS (SELECT tok,
+         |        CAST(ln((c_t + 1.0) / (tot_t + v))
+         |           - ln((c_r + 1.0) / (tot_r + v))
+         |          AS DECIMAL(38,12)) AS w
+         |      FROM vocab, tot),
+         |lw AS (SELECT doc_id, count(*) AS n_tokens, sum(w) AS logw_exact
+         |       FROM occ_r JOIN wt USING (tok) GROUP BY doc_id),
+         |k AS (SELECT doc_id, n_tokens,
+         |        CAST(round(logw_exact, 6) AS DOUBLE) AS logw,
+         |        CAST(logw_exact AS DECIMAL(30,12)) +
+         |          CAST(-ln(-ln(greatest(
+         |            ('0x' || substr(md5(doc_id::VARCHAR || 'dsir'), 1, 15))::BIGINT
+         |            / 1152921504606846976.0, 1e-18)))
+         |          AS DECIMAL(30,12)) AS key_exact
+         |      FROM lw)
+         |SELECT doc_id, n_tokens, logw,
+         |  CAST(round(key_exact, 6) AS DOUBLE) AS key
+         |FROM (SELECT * FROM k
+         |      ORDER BY key_exact DESC, doc_id ASC LIMIT 60)
+         |ORDER BY doc_id""".stripMargin,
 
     // mirror of TextAnalysis.unigramScore at vocabSize 20: corpus
     // token counts, top-V membership by (cnt desc, tok asc), per-doc

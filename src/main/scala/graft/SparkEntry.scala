@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.archive.{ArchiveReader, ChannelRegistry, Decimation, JsonV1, ManifestStore, TypedDecimation}
 import graft.core.{Samples, Tables, TypedSamples}
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
 import OracleSql._
 
 /** Driver contract — one entry per implemented operator from SURVEY.md
@@ -425,6 +425,41 @@ object SparkEntry {
     "text_unigram_score" -> ((s, dir) =>
       TextAnalysis.unigramScore(Tables.documents(s, dir), vocabSize = 20)
         .orderBy("doc_id")),
+
+    // multi-round BPE vocabulary training: the full merge loop, with
+    // exact leftmost-greedy application each round (double-space trick)
+    "text_bpe_vocab" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(Tables.documents(s, dir),
+        rounds = TextAnalysis.GateBpeRounds)
+        .orderBy("round")),
+
+    // BM25 retrieval over the corpus: targeted search / contamination
+    // audit shape, decimal-routed scoring, distributed top-k
+    "text_bm25_topk" -> ((s, dir) =>
+      Retrieval.bm25TopK(Tables.documents(s, dir),
+        query = Retrieval.GateQuery, k = 25)),
+
+    // DSIR importance weighting: raw corpus scored against the
+    // (doc_id % 11 = 0) target slice — same slice convention as
+    // decontamination
+    "sample_dsir_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Sampling.dsirWeights(
+        docs.where(col("doc_id") % 11 =!= 0),
+        docs.where(col("doc_id") % 11 === 0))
+        .drop("logw_exact")
+        .orderBy("doc_id")
+    }),
+
+    // DSIR selection: Gumbel-top-k over the importance weights =
+    // deterministic sampling-without-replacement ∝ exp(logw)
+    "sample_dsir_select" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Sampling.dsirResample(
+        docs.where(col("doc_id") % 11 =!= 0),
+        docs.where(col("doc_id") % 11 === 0), n = 60)
+        .orderBy("doc_id")
+    }),
 
     // C4-style repeated-segment removal: k-token windows, keep the
     // globally-first occurrence of any repeated segment

@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval operators: BM25 scoring/top-k over the document
+  * table. The retrieval shape a training-data pipeline needs for
+  * targeted corpus search (find documents about X), contamination
+  * audits (retrieve the training docs closest to an eval prompt), and
+  * quality-biased selection.
+  *
+  * Scale shape: term statistics (df, total length) are one
+  * map-side-combinable aggregation; only occurrences of the QUERY
+  * terms (a few rows per document) survive past the first filter, so
+  * the scoring join is query-sized, never corpus-sized, and the top-k
+  * is a distributed TakeOrdered — no global sort, no corpus shuffle.
+  *
+  * Determinism: every input to the floating-point math (tf, df, N,
+  * Σdl) is an exact integer; the per-term double expression is written
+  * with one fixed evaluation order mirrored in the DuckDB oracle, and
+  * per-document summation over terms routes through DECIMAL(38,12) so
+  * aggregation order cannot flip a bit (see BASELINE.md decimal-sum
+  * note). Identical documents therefore produce bit-identical scores,
+  * and the (score desc, doc_id asc) tie-break is stable across
+  * engines.
+  */
+object Retrieval {
+
+  /** Okapi/Lucene BM25 parameters (standard defaults). */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Query bag for the driver gate — shared with the oracle SQL
+    * generator. "dup" is rare in the synthetic corpus, so the idf
+    * spread is non-trivial.
+    */
+  val GateQuery: Seq[String] = Seq("hash", "merge", "scan", "dup")
+
+  private def toks(textCol: String): Column = Dedup.tokens(textCol)
+
+  /** BM25 top-k: score every document against a bag of query terms,
+    * return the `k` best by (score desc, doc_id asc).
+    *
+    * idf(t)  = ln(1 + (N − df + 0.5)/(df + 0.5))   (Lucene BM25)
+    * tfNorm  = tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/Σdl))
+    * score d = Σ_{t ∈ q} idf(t) · tfNorm(t, d)
+    *
+    * `dl·N/Σdl` replaces `dl/avgdl` so the ratio is (int·int)/int in
+    * one fixed order. Documents matching no query term never enter the
+    * candidate frame (retrieval semantics: unranked, not score-0).
+    */
+  def bm25TopK(docs: DataFrame, query: Seq[String], k: Int,
+               textCol: String = "text"): DataFrame = {
+    // one corpus scan: per-doc length + per-(doc, query-term) tf
+    val perDoc = docs.select(col("doc_id"), toks(textCol).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        filter(col("t"), x => x.isin(query: _*)).as("qtoks"))
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = perDoc.where(size(col("qtoks")) > 0)
+      .select(col("doc_id"), col("dl"), explode(col("qtoks")).as("tok"))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    // df per query term from the same candidate frame (a term absent
+    // from every doc simply contributes no rows)
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(K1 + 1.0)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) +
+        lit(B) * col("dl").cast("double") * col("n_docs") / col("sum_dl")))
+    val contrib = (idf * tfNorm).cast("decimal(38,12)")
+    tf.join(broadcast(df), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(sum(contrib).as("score_exact"),
+        count(lit(1)).as("n_query_terms"))
+      .orderBy(col("score_exact").desc, col("doc_id").asc)
+      .limit(k)
+      // 6dp via decimal rescale: exact HALF_UP in both engines (scores
+      // are positive), no double-rounding ambiguity
+      .select(col("doc_id"), col("n_query_terms"),
+        col("score_exact").cast("decimal(38,6)").cast("double").as("score"))
+  }
+}

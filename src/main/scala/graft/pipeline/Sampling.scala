@@ -182,4 +182,83 @@ object Sampling {
       .withColumn("bin", (col("cum_excl") / budgetTokens).cast("long"))
       .drop("cum_excl")
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much its unigram distribution looks like a small
+    * target corpus. Per-token log-ratio with add-one smoothing over
+    * the joint vocabulary V:
+    *
+    *   w(tok)  = ln((c_t(tok)+1)/(C_t+|V|)) − ln((c_r(tok)+1)/(C_r+|V|))
+    *   logw(d) = Σ_{occurrences tok ∈ d} w(tok)
+    *
+    * Scale shape: both count tables are vocabulary-sized (Heaps' law,
+    * ≪ corpus), built in one map-side-combinable pass each; the
+    * per-token log-ratio is computed ONCE per vocab entry, and the
+    * corpus-side join is occurrences⋈vocab (broadcast-or-hash, AQE's
+    * choice) followed by one per-doc regroup — the same plan family as
+    * [[TextAnalysis.unigramScore]].
+    *
+    * Determinism: every ln() input is a ratio of exact integers
+    * (identical doubles on any engine), the per-token terms route
+    * through DECIMAL(38,12) before the per-doc sum, so aggregation
+    * order cannot flip a bit.
+    *
+    * Returns one row per raw doc: (doc_id, n_tokens, logw_exact
+    * DECIMAL — for downstream selection, exact ordering — and logw
+    * rounded for reporting).
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame,
+                  textCol: String = "text"): DataFrame = {
+    val occ = (d: DataFrame) =>
+      d.select(col("doc_id"), explode(Dedup.tokens(textCol)).as("tok"))
+    val rawOcc = occ(raw)
+    val cr = rawOcc.groupBy("tok").agg(count(lit(1)).as("c_r"))
+    val ct = occ(target).groupBy("tok").agg(count(lit(1)).as("c_t"))
+    // joint vocabulary with smoothing totals: full outer over the two
+    // vocab-sized tables, then corpus-level scalars via one tiny agg
+    val vocab = cr.join(ct, Seq("tok"), "full_outer")
+      .select(col("tok"), coalesce(col("c_r"), lit(0L)).as("c_r"),
+        coalesce(col("c_t"), lit(0L)).as("c_t"))
+    val totals = vocab.agg(sum(col("c_r")).as("tot_r"),
+      sum(col("c_t")).as("tot_t"), count(lit(1)).as("v"))
+    val w = log((col("c_t") + lit(1.0)) / (col("tot_t") + col("v"))) -
+      log((col("c_r") + lit(1.0)) / (col("tot_r") + col("v")))
+    val scored = vocab.crossJoin(broadcast(totals))
+      .select(col("tok"), w.cast("decimal(38,12)").as("w"))
+    rawOcc.join(scored, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("logw_exact"))
+      .withColumn("logw",
+        col("logw_exact").cast("decimal(38,6)").cast("double"))
+  }
+
+  /** DSIR selection via Gumbel-top-k (Vieira 2014): taking the `n`
+    * largest `logw + Gumbel(0,1)` keys IS sampling n documents without
+    * replacement with probability ∝ exp(logw) — the exact resampling
+    * step of DSIR, derandomized: the Gumbel noise comes from the
+    * engine-portable md5 uniform (`hashUniform`), so the "random"
+    * sample is a pure function of (corpus, target, salt) and two runs
+    * — or two engines — select identical documents. One corpus-sized
+    * TakeOrdered on top of [[dsirWeights]]; no shuffle beyond it.
+    */
+  def dsirResample(raw: DataFrame, target: DataFrame, n: Int,
+                   textCol: String = "text",
+                   salt: String = "dsir"): DataFrame = {
+    // clamping u away from 0/1 keeps -ln(-ln(u)) finite (u is a 60-bit
+    // grid point in [0,1), so only u=0 is actually reachable)
+    val u = greatest(hashUniform(col("doc_id"), salt), lit(1e-18))
+    val gumbel = -log(-log(u))
+    // the addition narrows to DECIMAL(30,12): a width-38 + width-38
+    // add would widen past DuckDB's 38-digit ceiling (where it silently
+    // degrades to DOUBLE and parity dies); |logw| ≪ 10^18 by construction
+    dsirWeights(raw, target, textCol)
+      .withColumn("key_exact",
+        col("logw_exact").cast("decimal(30,12)") +
+          gumbel.cast("decimal(30,12)"))
+      .orderBy(col("key_exact").desc, col("doc_id").asc)
+      .limit(n)
+      .select(col("doc_id"), col("n_tokens"), col("logw"),
+        col("key_exact").cast("decimal(38,6)").cast("double").as("key"))
+  }
 }

@@ -308,4 +308,80 @@ object TextAnalysis {
             Ipv4Re, "[IP]"),
           PhoneRe, "[PHONE]"))
   }
+
+  /** Multi-round BPE vocabulary training: `rounds` iterations of
+    * count-top-pair → merge-everywhere, over symbol sequences that
+    * start as characters and grow into multi-character subwords — the
+    * actual tokenizer-training loop, not just its first step
+    * ([[bpeApplyTopMerge]]). Returns the learned merge table
+    * (round, left, right, pair, n_occurrences), stopping early when no
+    * adjacent pair remains.
+    *
+    * Merge application is EXACT leftmost non-overlapping greedy BPE:
+    * symbols are joined with TWO spaces and padded with one
+    * (`" a  b  c "`), and the pattern `" a  b "` → `" ab "` leaves the
+    * neighbouring separator space intact, so a run `a a a a` merges to
+    * `aa aa` in one pass — a literal single-space join would consume
+    * the separator and under-merge runs. `replace` is a literal
+    * left-to-right scan with identical semantics in Spark
+    * (UTF8String) and DuckDB, which is what makes the whole training
+    * trace oracle-checkable.
+    *
+    * Scale shape: each round is one linear corpus scan (pair explode +
+    * map-side-combinable count over a |symbols|²-bounded key space)
+    * plus a distributed top-1 and a ONE-ROW driver collect (the merge
+    * decision is inherently sequential — this is BPE's algorithmic
+    * structure, not a Spark limitation). The evolving corpus
+    * representation is cached per round and the previous round
+    * unpersisted, so round i never replays rounds 0..i−1.
+    */
+  /** Merge rounds for the driver gate — shared with the oracle SQL
+    * generator (the oracle unrolls one WITH stage per round).
+    */
+  val GateBpeRounds = 8
+
+  def bpeTrain(docs: DataFrame, rounds: Int,
+               textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // " a  b  c " — char-spaced with double separators (see above)
+    var rep = docs
+      .select(explode(toks(textCol)).as("tok"))
+      .select(concat(lit(" "), expr(
+        "concat_ws('  ', transform(sequence(1, length(tok)), " +
+          "i -> substring(tok, i, 1)))"), lit(" ")).as("sp"))
+      .cache()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= rounds && !done) {
+      val top = rep
+        .select(filter(split(col("sp"), " "), x => x =!= "").as("s"))
+        .where(size(col("s")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(s) - 1), " +
+            "i -> concat(element_at(s, i), ' ', element_at(s, i + 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1)
+        .as[(String, Long)].collect()
+      if (top.isEmpty) done = true
+      else {
+        val (pair, n) = top.head
+        val Array(l, r) = pair.split(" ", 2)
+        merges += ((round, l, r, l + r, n))
+        val next = rep
+          .select(replace(col("sp"), lit(s" $l  $r "), lit(s" $l$r "))
+            .as("sp"))
+          .cache()
+        next.count() // materialize before dropping the parent
+        rep.unpersist()
+        rep = next
+        round += 1
+      }
+    }
+    rep.unpersist()
+    merges.result().toDF("round", "lhs", "rhs", "pair", "n_occurrences")
+  }
 }

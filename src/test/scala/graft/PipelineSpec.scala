@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, size, split, sum, when}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
 
 class PipelineSpec extends AnyFunSuite {
 
@@ -634,5 +634,56 @@ class PipelineSpec extends AnyFunSuite {
     val top = Similarity.bruteForceTopK(e, e.where($"vec_id" === 0L), k = 2)
       .collect()
     assert(top.length == 2) // zero-norm probe scores 0 against everyone
+  }
+
+  test("bpeTrain learns multi-round merges and stops when pairs run out") {
+    val d = docs((1L, "abab abab", "en"))
+    // round 1: (a,b) ×4 beats (b,a) ×2; round 2: (ab,ab) ×2;
+    // round 3: every token is one symbol → early stop
+    val got = TextAnalysis.bpeTrain(d, rounds = 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1, "a", "b", "ab", 4L), (2, "ab", "ab", "abab", 2L)))
+  }
+
+  test("bpeTrain merges runs greedily left-to-right (double-space trick)") {
+    val d = docs((1L, "aaaa", "en"))
+    // "a a a a" must merge to "aa aa" in ONE round (a single-space
+    // literal replace would under-merge to "aa a a")
+    val got = TextAnalysis.bpeTrain(d, rounds = 2).collect()
+      .map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1, "aa", 3L), (2, "aaaa", 1L)))
+  }
+
+  test("bm25 ranks the rare-term doc first and drops non-matching docs") {
+    val d = docs(
+      (1L, "x x x common", "en"),
+      (2L, "rare common", "en"),
+      (3L, "common common", "en"),
+      (4L, "nothing here", "en"))
+    val got = Retrieval.bm25TopK(d, Seq("rare", "common"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L)) // doc 4 never matches
+    assert(got.head._1 == 2L)                      // rare term dominates
+    assert(got.find(_._1 == 2L).get._2 == 2L)      // both query terms hit
+    assert(got.map(_._3).forall(_ > 0.0))
+  }
+
+  test("dsir weights favor target-like docs; resampling is a deterministic subset") {
+    val target = docs((11L, "physics physics quantum", "en"),
+      (22L, "physics theory", "en"))
+    val raw = docs(
+      (1L, "physics quantum stuff", "en"),
+      (2L, "cooking recipes stuff", "en"),
+      (3L, "physics cooking", "en"))
+    val w = Sampling.dsirWeights(raw, target).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logw")).toMap
+    assert(w(1L) > w(3L) && w(3L) > w(2L)) // more target tokens → higher
+    val sel = Sampling.dsirResample(raw, target, n = 2).collect()
+    assert(sel.length == 2)
+    assert(sel.map(_.getAs[Long]("doc_id")).toSet.subsetOf(Set(1L, 2L, 3L)))
+    // deterministic: same inputs, same selection
+    val sel2 = Sampling.dsirResample(raw, target, n = 2).collect()
+    assert(sel.map(_.getLong(0)).toSeq == sel2.map(_.getLong(0)).toSeq)
   }
 }
