@@ -28,6 +28,36 @@ object OracleSqlPipeline {
   private def inList(ws: Seq[String]): String =
     ws.map(w => s"'${w.replace("'", "''")}'").mkString("[", ", ", "]")
 
+  /** Shared WITH-prefix for the BPE oracles: token occurrences
+    * char-spaced with double separators (s0), then one
+    * pair-count/top-1/padded-replace stage per training round
+    * (p{i}/m{i}/s{i}), with (doc_id, tok) carried through so the
+    * tokenize oracle can aggregate the final representation per doc.
+    */
+  private lazy val bpeChain: String = {
+    val stages = (1 to TextAnalysis.GateBpeRounds).map { i =>
+      s"""y$i AS (SELECT list_filter(string_split(sp, ' '), x -> x <> '') AS s
+         |       FROM s${i - 1}),
+         |p$i AS (SELECT pair, count(*) AS n FROM (
+         |         SELECT unnest(list_transform(range(1, len(s)),
+         |                  j -> s[j] || ' ' || s[j + 1])) AS pair
+         |         FROM y$i WHERE len(s) >= 2)
+         |       GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1),
+         |m$i AS (SELECT ' ' || split_part(pair, ' ', 1) || '  ' ||
+         |           split_part(pair, ' ', 2) || ' ' AS pat,
+         |         ' ' || replace(pair, ' ', '') || ' ' AS rep FROM p$i),
+         |s$i AS (SELECT doc_id, tok, replace(sp, m.pat, m.rep) AS sp
+         |       FROM s${i - 1}, m$i m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $TOKS,
+       |w AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |s0 AS (SELECT doc_id, tok, ' ' || array_to_string(
+       |         list_transform(range(1, length(tok) + 1),
+       |           i -> substring(tok, i, 1)), '  ') || ' ' AS sp
+       |       FROM w),
+       |$stages""".stripMargin
+  }
+
   private val hitsCols = TextAnalysis.Stopwords.map { case (l, ws) =>
     s"CAST(len(list_filter(toks, x -> list_contains(${inList(ws)}, x))) AS INT) AS hits_$l"
   }.mkString(",\n    ")
@@ -307,37 +337,31 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
     // per round (double-space separators make the replace an exact
     // leftmost greedy merge; see bpeTrain's doc comment)
     "text_bpe_vocab" -> {
-      val rounds = TextAnalysis.GateBpeRounds
-      val stages = (1 to rounds).map { i =>
-        s"""y$i AS (SELECT list_filter(string_split(sp, ' '), x -> x <> '') AS s
-           |       FROM s${i - 1}),
-           |p$i AS (SELECT pair, count(*) AS n FROM (
-           |         SELECT unnest(list_transform(range(1, len(s)),
-           |                  j -> s[j] || ' ' || s[j + 1])) AS pair
-           |         FROM y$i WHERE len(s) >= 2)
-           |       GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1),
-           |m$i AS (SELECT ' ' || split_part(pair, ' ', 1) || '  ' ||
-           |           split_part(pair, ' ', 2) || ' ' AS pat,
-           |         ' ' || replace(pair, ' ', '') || ' ' AS rep FROM p$i),
-           |s$i AS (SELECT replace(sp, m.pat, m.rep) AS sp
-           |       FROM s${i - 1}, m$i m)""".stripMargin
-      }.mkString(",\n")
-      val union = (1 to rounds).map { i =>
+      val union = (1 to TextAnalysis.GateBpeRounds).map { i =>
         s"""SELECT CAST($i AS INT) AS round,
            |  split_part(pair, ' ', 1) AS lhs, split_part(pair, ' ', 2) AS rhs,
            |  replace(pair, ' ', '') AS pair, n AS n_occurrences FROM p$i"""
           .stripMargin
       }.mkString("\n  UNION ALL\n")
-      s"""WITH $TOKS,
-         |w AS (SELECT unnest(toks) AS tok FROM t),
-         |s0 AS (SELECT ' ' || array_to_string(
-         |         list_transform(range(1, length(tok) + 1),
-         |           i -> substring(tok, i, 1)), '  ') || ' ' AS sp
-         |       FROM w),
-         |$stages
+      s"""$bpeChain
          |SELECT * FROM (
          |  $union
          |) ORDER BY round""".stripMargin
+    },
+
+    // mirror of TextAnalysis.bpeTokenize over bpeTrain's merges: the
+    // final representation s{K} of the same chain, aggregated per doc
+    "text_bpe_tokenize" -> {
+      val k = TextAnalysis.GateBpeRounds
+      s"""$bpeChain
+         |SELECT doc_id, sum(length(tok)) AS n_chars,
+         |  sum(len(list_filter(string_split(sp, ' '), x -> x <> '')))
+         |    AS n_subwords,
+         |  count(*) AS n_tokens,
+         |  round(sum(length(tok))::DOUBLE /
+         |    sum(len(list_filter(string_split(sp, ' '), x -> x <> ''))), 6)
+         |    AS compression
+         |FROM s$k GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     // mirror of Retrieval.bm25TopK (k1 = 1.2, b = 0.75, Lucene idf):

@@ -433,6 +433,16 @@ object SparkEntry {
         rounds = TextAnalysis.GateBpeRounds)
         .orderBy("round")),
 
+    // tokenizer APPLY: replay the learned merge list corpus-wide as
+    // one chained-replace scan; per-doc subword compression stats
+    "text_bpe_tokenize" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val merges = TextAnalysis.bpeTrain(d, TextAnalysis.GateBpeRounds)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeTokenize(d, merges).orderBy("doc_id")
+    }),
+
     // BM25 retrieval over the corpus: targeted search / contamination
     // audit shape, decimal-routed scoring, distributed top-k
     "text_bm25_topk" -> ((s, dir) =>

@@ -352,36 +352,76 @@ object TextAnalysis {
           "i -> substring(tok, i, 1)))"), lit(" ")).as("sp"))
       .cache()
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var prev: Option[org.apache.spark.sql.Dataset[_]] = None
     var round = 1
     var done = false
     while (round <= rounds && !done) {
+      // zip_with over two slices stays in codegen; the
+      // transform(sequence, i -> element_at) formulation is interpreted
+      // per element and measured ~20× slower (round-1 note)
       val top = rep
         .select(filter(split(col("sp"), " "), x => x =!= "").as("s"))
         .where(size(col("s")) >= 2)
         .select(explode(expr(
-          "transform(sequence(1, size(s) - 1), " +
-            "i -> concat(element_at(s, i), ' ', element_at(s, i + 1)))"))
-          .as("pair"))
+          "zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1), " +
+            "(x, y) -> concat(x, ' ', y))")).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair").asc)
         .limit(1)
         .as[(String, Long)].collect()
+      // the pair scan just materialized `rep`'s cache, so its parent's
+      // blocks are no longer reachable — dropping them here (not after
+      // an extra count()) keeps the loop at ONE action per round
+      prev.foreach(_.unpersist())
+      prev = Some(rep)
       if (top.isEmpty) done = true
       else {
         val (pair, n) = top.head
         val Array(l, r) = pair.split(" ", 2)
         merges += ((round, l, r, l + r, n))
-        val next = rep
+        rep = rep
           .select(replace(col("sp"), lit(s" $l  $r "), lit(s" $l$r "))
             .as("sp"))
           .cache()
-        next.count() // materialize before dropping the parent
-        rep.unpersist()
-        rep = next
         round += 1
       }
     }
     rep.unpersist()
+    prev.foreach(_.unpersist())
     merges.result().toDF("round", "lhs", "rhs", "pair", "n_occurrences")
+  }
+
+  /** Apply a learned merge list ([[bpeTrain]] output, collected to the
+    * driver — it is vocabulary-sized) to the corpus: every token is
+    * char-spaced and the merges replay IN TRAINING ORDER as chained
+    * literal replaces — one codegen'd projection, ONE corpus scan no
+    * matter how many merges (this is why BPE apply is cheap at 100 TB
+    * even when training took K scans). Returns per-doc subword stats:
+    * tokenization length before/after and the compression ratio.
+    */
+  def bpeTokenize(docs: DataFrame, merges: Seq[(String, String)],
+                  textCol: String = "text"): DataFrame = {
+    val spaced = concat(lit(" "), expr(
+      "concat_ws('  ', transform(sequence(1, length(tok)), " +
+        "i -> substring(tok, i, 1)))"), lit(" "))
+    val merged = merges.foldLeft(spaced) { case (c, (l, r)) =>
+      replace(c, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    // symbols = (spaces in the padded form − 1) / 2 + ... simpler and
+    // exact: count non-empty split cells, same as training's pair base
+    val nSyms = (c: Column) => size(filter(split(c, " "), x => x =!= ""))
+    docs.select(col("doc_id"), explode(toks(textCol)).as("tok"))
+      .select(col("doc_id"),
+        length(col("tok")).cast("long").as("chars"),
+        nSyms(merged).cast("long").as("subwords"))
+      .groupBy("doc_id")
+      .agg(sum(col("chars")).as("n_chars"),
+        sum(col("subwords")).as("n_subwords"),
+        count(lit(1)).as("n_tokens"))
+      // exact-integer ratio; scaled-round sequence = DuckDB round(x,6)
+      // even on systematic ties (see unigramScore)
+      .withColumn("compression",
+        (round(col("n_chars").cast("double") / col("n_subwords") * lit(1e6))
+          .cast("long").cast("double") / lit(1e6)))
   }
 }

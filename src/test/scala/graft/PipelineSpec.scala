@@ -655,6 +655,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, "aa", 3L), (2, "aaaa", 1L)))
   }
 
+  test("bpeTokenize replays the merge list in one chained-replace scan") {
+    val d = docs((1L, "abab abab", "en"), (2L, "ab cd", "en"))
+    val merges = Seq(("a", "b"), ("ab", "ab"))
+    val got = TextAnalysis.bpeTokenize(d, merges).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_subwords"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("compression"))).toMap
+    // doc 1: 2 tokens × 4 chars → [abab], [abab] = 2 subwords, 4× compression
+    assert(got(1L) == ((8L, 2L, 2L, 4.0)))
+    // doc 2: "ab" merges once; "cd" untouched (2 subwords)
+    assert(got(2L) == ((4L, 3L, 2L, 1.333333)))
+  }
+
   test("bm25 ranks the rare-term doc first and drops non-matching docs") {
     val d = docs(
       (1L, "x x x common", "en"),
