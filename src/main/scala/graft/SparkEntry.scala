@@ -143,8 +143,8 @@ object SparkEntry {
       (0 to 2).foreach(i =>
         ManifestStore.commit(r.where(pmod(col("sample_id"), lit(3)) === i),
           store, levelSec = 0))
-      ManifestStore.compactionCandidates(s, store).foreach(c =>
-        ManifestStore.compact(s, store, c.levelSec, c.bucketDate))
+      // every fragmented day in ONE job + ONE manifest swap
+      ManifestStore.compactAll(s, store, levelSec = 0)
       ManifestStore.read(s, store, 0, Some(LO), Some(HI))
         .select(coreCols: _*)
         .orderBy(col("channel"), col("ts"), col("sample_id"))

@@ -503,6 +503,45 @@ object ManifestStore {
     }
   }
 
+  /** Batch compaction: rewrite EVERY fragmented (level, day) of one
+    * level in a single Spark job and swap them in with ONE manifest
+    * commit. The per-day [[compact]] launches a job and a commit per
+    * candidate — fine for a targeted rewrite, but a nightly compactor
+    * facing thousands of fragmented days wants one shuffle
+    * (repartition by day), one staged write (partitionBy keeps files
+    * day-pure, so the staged stats recover each file's day from its
+    * rows), and one atomic swap. Returns the candidates compacted.
+    */
+  def compactAll(spark: SparkSession, path: String, levelSec: Long,
+                 smallBytes: Long = 32L * 1024 * 1024)
+      : Seq[CompactionCandidate] = {
+    val cands = compactionCandidates(spark, path, smallBytes)
+      .filter(_.levelSec == levelSec)
+    if (cands.isEmpty) return Nil
+    val m = latestManifest(spark, path).get
+    val dates = cands.map(_.bucketDate).toSet
+    val victims = m.files.filter(f =>
+      f.levelSec == levelSec && dates.contains(f.bucketDate))
+    val victimPaths = victims.map(_.path).toSet
+    val staged =
+      s"$path/data/compact-${java.util.UUID.randomUUID().toString.take(12)}"
+    val vf = spark.read.schema(m.schema)
+      .parquet(victims.map(v => resolveEntry(path, v.path)): _*)
+    vf.withColumn("bucket_date", ArchiveStore.bucketDateCol(col("ts")))
+      .repartition(col("bucket_date"))
+      .sortWithinPartitions(clusterCol(vf), col("ts"))
+      .write.partitionBy("bucket_date").parquet(staged)
+    val entries = statsFor(spark, path, staged, levelSec)
+      .map(_.copy(levelSec = levelSec))
+    commitLoop(spark, path) { cur =>
+      require(victimPaths.subsetOf(cur.files.map(_.path).toSet),
+        s"compactAll $levelSec: a victim file left the manifest mid-swap")
+      cur.copy(files = cur.files.filterNot(f => victimPaths.contains(f.path))
+        ++ entries)
+    }
+    cands
+  }
+
   /** One (level, day)'s compaction urgency, from manifest stats. */
   case class CompactionCandidate(levelSec: Long, bucketDate: String,
                                  files: Int, bytes: Long, rows: Long)

@@ -164,6 +164,32 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(ManifestStore.compactionCandidates(spark, dir).isEmpty)
   }
 
+  test("compactAll rewrites every fragmented day in one commit; rows survive") {
+    val dir = Files.createTempDirectory("mstore").toString
+    // two fragmented days (2 files each) + one healthy day (1 file)
+    ManifestStore.commit(samples(("a", T0 + 1 * NS, 1.0),
+      ("a", T0 + DAY + 1 * NS, 3.0)), dir, 0)
+    ManifestStore.commit(samples(("b", T0 + 2 * NS, 2.0),
+      ("b", T0 + DAY + 2 * NS, 4.0)), dir, 0)
+    ManifestStore.commit(samples(("c", T0 + 2 * DAY, 5.0)), dir, 0)
+    val before = ManifestStore.read(spark, dir, 0)
+      .select("channel", "ts", "value").collect().toSet
+    val v0 = ManifestStore.latestManifest(spark, dir).get.version
+    val done = ManifestStore.compactAll(spark, dir, 0)
+    assert(done.map(_.bucketDate).toSet == Set("2024-01-01", "2024-01-02"))
+    // one version bump for the whole batch
+    assert(ManifestStore.latestManifest(spark, dir).get.version == v0 + 1)
+    assert(ManifestStore.compactionCandidates(spark, dir).isEmpty)
+    val after = ManifestStore.read(spark, dir, 0)
+      .select("channel", "ts", "value").collect().toSet
+    assert(after == before)
+    // each rewritten day is one file now; untouched day still there
+    val days = ManifestStore.read(spark, dir, 0)
+      .select(col("bucket_date").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(days == Set("2024-01-01", "2024-01-02", "2024-01-03"))
+  }
+
   test("channel-range stats prune files for single-channel reads") {
     val dir = Files.createTempDirectory("mstore").toString
     // two commits → two files for the same day, disjoint channel ranges
