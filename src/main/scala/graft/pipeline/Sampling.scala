@@ -226,7 +226,10 @@ object Sampling {
       log((col("c_r") + lit(1.0)) / (col("tot_r") + col("v")))
     val scored = vocab.crossJoin(broadcast(totals))
       .select(col("tok"), w.cast("decimal(38,12)").as("w"))
-    rawOcc.join(scored, Seq("tok"))
+    // broadcast the VOCAB-sized score table explicitly: left to its
+    // own estimates the planner was observed broadcasting the corpus
+    // occurrence side at small SF — a shape that cannot survive scale
+    rawOcc.join(broadcast(scored), Seq("tok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("logw_exact"))
       .withColumn("logw",
