@@ -28,6 +28,33 @@ object OracleSqlPipeline {
   private def inList(ws: Seq[String]): String =
     ws.map(w => s"'${w.replace("'", "''")}'").mkString("[", ", ", "]")
 
+  /** Shared WITH-prefix for the image-dHash oracles: the analytic PNG
+    * pixel law (`Multimodal.attachPngPayload`) sampled nearest-neighbor
+    * onto the 9×8 dHash grid, bits packed into four 16-bit blocks —
+    * identical integer math to `Multimodal.imageDHash` minus the codec
+    * round-trip the Spark side actually performs.
+    */
+  private lazy val dhashCte: String =
+    """WITH d AS (
+      |  SELECT doc_id, 8 + (doc_id % 9) AS w, 8 + ((doc_id * 7) % 9) AS h
+      |  FROM documents),
+      |bits AS (
+      |  SELECT doc_id, (y.y * 8 + x.x) // 16 AS blk,
+      |    CASE WHEN ((doc_id * 31 + ((x.x * w) // 9) * 7
+      |                + ((y.y * h) // 8) * 13) % 256)
+      |            > ((doc_id * 31 + (((x.x + 1) * w) // 9) * 7
+      |                + ((y.y * h) // 8) * 13) % 256)
+      |      THEN 1 << CAST((y.y * 8 + x.x) % 16 AS INT) ELSE 0 END AS v
+      |  FROM d, UNNEST(generate_series(0, 7)) x(x),
+      |       UNNEST(generate_series(0, 7)) y(y)),
+      |blk AS (SELECT doc_id, blk, sum(v) AS bv FROM bits GROUP BY 1, 2),
+      |hash AS (SELECT doc_id,
+      |  CAST(sum(CASE WHEN blk = 0 THEN bv ELSE 0 END) AS INT) AS b0,
+      |  CAST(sum(CASE WHEN blk = 1 THEN bv ELSE 0 END) AS INT) AS b1,
+      |  CAST(sum(CASE WHEN blk = 2 THEN bv ELSE 0 END) AS INT) AS b2,
+      |  CAST(sum(CASE WHEN blk = 3 THEN bv ELSE 0 END) AS INT) AS b3
+      |  FROM blk GROUP BY doc_id)""".stripMargin
+
   /** Shared WITH-prefix for the BPE oracles: token occurrences
     * char-spaced with double separators (s0), then one
     * pair-count/top-1/padded-replace stage per training round
@@ -745,6 +772,36 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |       round(avg(p), 6) AS mean_px,
          |       CAST(min(p) AS INT) AS min_px, CAST(max(p) AS INT) AS max_px
          |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // mirror of Multimodal.imageDHash: the analytic pixel law sampled
+    // onto the 9×8 dHash grid with the same integer math
+    "mm_image_dhash" ->
+      s"""$dhashCte
+         |SELECT h.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+         |  b0, b1, b2, b3
+         |FROM hash h JOIN d USING (doc_id) ORDER BY h.doc_id""".stripMargin,
+
+    // mirror of Multimodal.imageNearDupPairs at maxHamming 3:
+    // 16-bit-block candidates, exact Hamming over XORed blocks
+    "mm_image_neardup" ->
+      s"""$dhashCte,
+         |hb AS (SELECT doc_id, u.i AS blk,
+         |         CASE u.i WHEN 0 THEN b0 WHEN 1 THEN b1
+         |                  WHEN 2 THEN b2 ELSE b3 END AS bv
+         |       FROM hash, UNNEST(generate_series(0, 3)) u(i)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM hb a JOIN hb b
+         |           ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT doc_id, count(*) AS n_neardups,
+         |  CAST(min(hamming) AS INT) AS min_hamming
+         |FROM (
+         |  SELECT doc_a AS doc_id,
+         |    CAST(bit_count(xor(ha.b0, h2.b0)) + bit_count(xor(ha.b1, h2.b1))
+         |       + bit_count(xor(ha.b2, h2.b2)) + bit_count(xor(ha.b3, h2.b3))
+         |      AS INT) AS hamming
+         |  FROM cand JOIN hash ha ON doc_a = ha.doc_id
+         |            JOIN hash h2 ON doc_b = h2.doc_id)
+         |WHERE hamming <= 3 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       s"""WITH $TOKS,

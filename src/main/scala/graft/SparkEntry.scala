@@ -748,6 +748,29 @@ object SparkEntry {
           col("max_px"))
         .orderBy("doc_id")
     }),
+
+    // perceptual dHash through the REAL PNG codec — the oracle replays
+    // the analytic pixel law, so equality proves codec + hash math
+    "mm_image_dhash" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.imageDHash(
+          Multimodal.attachPngPayload(Tables.documents(s, dir)))
+        .toDF().orderBy("doc_id")
+    }),
+
+    // image near-dup detection: block equi-join + exact Hamming
+    // filter, gated as the per-doc aggregate (the analytic gradient
+    // images are deliberately low-diversity, so raw pairs are corpus²)
+    "mm_image_neardup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val h = Multimodal.imageDHash(
+        Multimodal.attachPngPayload(Tables.documents(s, dir))).toDF()
+      Multimodal.imageNearDupPairs(h)
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(count(lit(1)).as("n_neardups"),
+          min(col("hamming")).as("min_hamming"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** DuckDB equivalents (driver correctness gate). */

@@ -429,4 +429,71 @@ object Multimodal {
       }
     }
   }
+
+  case class ImageHash(doc_id: Long, width: Int, height: Int,
+                       b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** Perceptual difference hash (dHash) through the REAL codec:
+    * nearest-neighbor sample the decoded image onto a 9×8 grid,
+    * bit(x, y) = g(x, y) > g(x+1, y) — 64 bits packed into four 16-bit
+    * blocks. Nearest sampling (not area averaging) keeps the resize
+    * exact integer math — `sx = x·w/9, sy = y·h/8` — so the entire
+    * hash is value-checkable by a SQL oracle replaying the analytic
+    * pixel law, while the Spark side went through a real PNG
+    * encode→decode. Per-row work, no shuffle; the hash frame is the
+    * input to [[imageNearDupPairs]].
+    */
+  def imageDHash(media: DataFrame)
+                (implicit spark: SparkSession): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        PngCodec.decodeOpt(r.payload).map { case (w, h, px) =>
+          val blocks = new Array[Int](4)
+          var y = 0
+          while (y < 8) {
+            val sy = y * h / 8
+            var x = 0
+            while (x < 8) {
+              if (px(sy * w + x * w / 9) > px(sy * w + (x + 1) * w / 9)) {
+                val idx = y * 8 + x
+                blocks(idx / 16) |= 1 << (idx % 16)
+              }
+              x += 1
+            }
+            y += 1
+          }
+          ImageHash(r.doc_id, w, h,
+            blocks(0), blocks(1), blocks(2), blocks(3))
+        }
+      }
+    }
+  }
+
+  /** Image near-duplicate pairs from dHash blocks — the multimodal
+    * analog of [[Dedup.simHashCandidates]]: any pair within Hamming
+    * distance 3 shares at least one of the four 16-bit blocks
+    * (pigeonhole), so candidate generation is a block equi-join —
+    * never all-pairs — and the exact Hamming distance over the XORed
+    * blocks filters candidates to true near-dups. Skewed blocks
+    * (many structurally-identical images) are AQE's to split, like
+    * every other LSH join here.
+    */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val blk = hashes.select(col("doc_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("blk", "bv")))
+    val cand = blk.as("a").join(blk.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ham = (0 to 3).map(i =>
+      bit_count(col(s"ha.b$i").bitwiseXOR(col(s"hb.b$i"))))
+      .reduce(_ + _)
+    cand.join(hashes.as("ha"), col("doc_a") === col("ha.doc_id"))
+      .join(hashes.as("hb"), col("doc_b") === col("hb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
 }

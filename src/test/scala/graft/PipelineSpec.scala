@@ -636,6 +636,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(top.length == 2) // zero-norm probe scores 0 against everyone
   }
 
+  test("image dHash finds identical images and rejects inverted ones") {
+    import graft.pipeline.Multimodal
+    implicit val s: SparkSession = spark
+    val px = Array.tabulate(64)(i => (i % 8) * 7 + (i / 8) * 13)
+    val inv = px.map(255 - _)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/png", 0, Multimodal.PngCodec.encode(8, 8, px)),
+      Multimodal.MediaRow(2L, "image/png", 0, Multimodal.PngCodec.encode(8, 8, px)),
+      Multimodal.MediaRow(3L, "image/png", 0, Multimodal.PngCodec.encode(8, 8, inv)))
+    val hashes = Multimodal.imageDHash(rows.toDF()).toDF()
+    val pairs = Multimodal.imageNearDupPairs(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))   // identical → 0; inverted → far
+  }
+
   test("bpeTrain learns multi-round merges and stops when pairs run out") {
     val d = docs((1L, "abab abab", "en"))
     // round 1: (a,b) ×4 beats (b,a) ×2; round 2: (ab,ab) ×2;
