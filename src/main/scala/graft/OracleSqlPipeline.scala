@@ -28,6 +28,20 @@ object OracleSqlPipeline {
   private def inList(ws: Seq[String]): String =
     ws.map(w => s"'${w.replace("'", "''")}'").mkString("[", ", ", "]")
 
+  /** Winnowing CTE (appended after TOKS): positional 4-gram hashes →
+    * window-of-4 minima → distinct fingerprints per doc. Mirrors
+    * `Dedup.winnowFingerprints(k = 4, window = 4)`.
+    */
+  private lazy val winnowCte: String =
+    s"""tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 7),
+       |kg AS (SELECT doc_id, list_transform(range(1, len(toks) - 2), i ->
+       |         ${md5Hash60Sql("array_to_string(toks[i : i + 3], ' ')")})
+       |         AS kgs FROM tt),
+       |fp AS (SELECT DISTINCT doc_id, fp FROM (
+       |         SELECT doc_id, unnest(list_transform(range(1, len(kgs) - 2),
+       |           j -> list_min(kgs[j : j + 3]))) AS fp
+       |         FROM kg))""".stripMargin
+
   /** Shared WITH-prefix for the image-dHash oracles: the analytic PNG
     * pixel law (`Multimodal.attachPngPayload`) sampled nearest-neighbor
     * onto the 9×8 dHash grid, bits packed into four 16-bit blocks —
@@ -772,6 +786,24 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |       round(avg(p), 6) AS mean_px,
          |       CAST(min(p) AS INT) AS min_px, CAST(max(p) AS INT) AS max_px
          |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // mirror of Dedup.winnowFingerprints (k = 4, window = 4): positional
+    // 4-gram md5 hashes, sliding-window-of-4 minima, distinct per doc
+    "dedup_winnow" ->
+      s"""WITH $TOKS,
+         |$winnowCte
+         |SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS min_fp
+         |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mirror of Dedup.winnowOverlapPairs at minShared 2
+    "dedup_winnow_pairs" ->
+      s"""WITH $TOKS,
+         |$winnowCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  count(*) AS n_shared
+         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // mirror of Multimodal.imageDHash: the analytic pixel law sampled
     // onto the 9×8 dHash grid with the same integer math

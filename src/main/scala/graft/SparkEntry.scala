@@ -477,6 +477,20 @@ object SparkEntry {
       Dedup.segmentDedup(Tables.documents(s, dir), k = 8, minOcc = 2)
         .orderBy("doc_id")),
 
+    // MOSS winnowing: sparse fingerprint index with a detection floor
+    // (any shared run of k+w-1 tokens yields a shared fingerprint)
+    "dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowFingerprints(Tables.documents(s, dir))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fingerprints"), min(col("fp")).as("min_fp"))
+        .orderBy("doc_id")),
+
+    // plagiarism-style overlap: pairs sharing >= 2 winnow fingerprints
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowOverlapPairs(
+        Dedup.winnowFingerprints(Tables.documents(s, dir)), minShared = 2)
+        .orderBy("doc_a", "doc_b")),
+
     // GPT-3-style benchmark decontamination: training docs sharing any
     // 5-gram with the (deterministic) eval subset
     "dedup_decontaminate" -> ((s, dir) => {

@@ -540,4 +540,47 @@ object Dedup {
           (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS algorithm): hash every k-token gram positionally, then keep
+    * the MINIMUM hash of each sliding window of `window` consecutive
+    * gram hashes. The selection guarantee: any shared run of at least
+    * k + window − 1 tokens between two documents yields at least one
+    * SHARED fingerprint, while only ~2/(window+1) of all gram hashes
+    * are kept — a sparse index with a detection floor, where plain
+    * shingle sampling (mod-p) can miss arbitrarily long overlaps.
+    *
+    * Everything is per-row array math (grams, window minima, distinct)
+    * — no shuffle until the overlap join; the fingerprint frame is the
+    * sparse index [[winnowOverlapPairs]] self-joins. Ties inside a
+    * window keep one copy of the VALUE (array_distinct), which is the
+    * robust-winnowing variant — position-independent, so the
+    * fingerprint set is stable under document reordering edits.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, window: Int = 4,
+                         textCol: String = "text"): DataFrame = {
+    val h = (e: String) =>
+      s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS LONG)"
+    docs.select(col("doc_id"), tokens(textCol).as("toks"))
+      .where(size(col("toks")) >= k + window - 1)
+      .withColumn("kg", expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), i -> " +
+          h(s"concat_ws(' ', slice(toks, i, $k))") + ")"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, size(kg) - ${window - 1}), " +
+          s"j -> array_min(slice(kg, j, $window)))"))).as("fp"))
+  }
+
+  /** Document pairs sharing at least `minShared` winnowing
+    * fingerprints — plagiarism-style overlap detection. The join is an
+    * equi-join on the fingerprint value (never all-pairs); hot
+    * fingerprints (boilerplate) are AQE-splittable like every LSH
+    * family here.
+    */
+  def winnowOverlapPairs(fps: DataFrame, minShared: Int = 2): DataFrame =
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
 }

@@ -636,6 +636,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(top.length == 2) // zero-norm probe scores 0 against everyone
   }
 
+  test("winnowing guarantees a shared fingerprint for a 7-token shared run") {
+    // doc 1 and 2 share an 8-token run (>= k + w - 1 = 7) embedded in
+    // otherwise-different text; doc 3 shares nothing
+    val run = "q w e r t y u i"
+    val d = docs(
+      (1L, s"alpha beta $run gamma delta epsilon", "en"),
+      (2L, s"one two three four $run five six", "en"),
+      (3L, "totally unrelated words in this document here now ok fine", "en"))
+    val fps = Dedup.winnowFingerprints(d)
+    val pairs = Dedup.winnowOverlapPairs(fps, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+    // sparsity: far fewer fingerprints than 4-grams
+    val nFps = fps.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nGrams = d.select($"doc_id",
+      size(split($"text", " ")).as("n")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1) - 3)).toMap
+    assert(nFps.forall { case (id, n) => n < nGrams(id) })
+  }
+
   test("image dHash finds identical images and rejects inverted ones") {
     import graft.pipeline.Multimodal
     implicit val s: SparkSession = spark
