@@ -494,6 +494,36 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |      ORDER BY key_exact DESC, doc_id ASC LIMIT 60)
          |ORDER BY doc_id""".stripMargin,
 
+    // mirror of TextAnalysis.bigramScore (alpha = 0.4): stupid-backoff
+    // bigram LM, target = doc_id % 11 = 0 scored against the rest
+    "text_bigram_score" ->
+      s"""WITH $TOKS,
+         |tgt AS (SELECT doc_id, toks FROM t
+         |        WHERE doc_id % 11 = 0 AND len(toks) >= 2),
+         |refc AS (SELECT doc_id, toks FROM t WHERE doc_id % 11 <> 0),
+         |runi AS (SELECT tok, count(*) AS c1 FROM (
+         |           SELECT unnest(toks) AS tok FROM refc) GROUP BY tok),
+         |rtot AS (SELECT sum(c1) AS tr, count(*) AS vr FROM runi),
+         |rbi AS (SELECT u, w, count(*) AS c2 FROM (
+         |          SELECT toks[i] AS u, toks[i + 1] AS w
+         |          FROM refc, UNNEST(range(1, len(toks))) g(i)
+         |          WHERE len(toks) >= 2) GROUP BY u, w),
+         |bis AS (SELECT u, w, CAST(ln(c2::DOUBLE / c1) AS DECIMAL(38,12))
+         |          AS w_bi
+         |        FROM rbi JOIN runi ON rbi.u = runi.tok),
+         |back AS (SELECT tok AS w,
+         |           CAST(ln(0.4 * (c1 + 1) / (tr + vr)) AS DECIMAL(38,12))
+         |             AS w_back
+         |         FROM runi, rtot),
+         |occ AS (SELECT doc_id, toks[i] AS u, toks[i + 1] AS w
+         |        FROM tgt, UNNEST(range(1, len(toks))) g(i))
+         |SELECT doc_id, count(*) AS n_scored,
+         |  round(CAST(sum(coalesce(w_bi, w_back,
+         |      CAST(ln(0.4 * 1.0 / (tr + vr)) AS DECIMAL(38,12))))
+         |    AS DOUBLE) / count(*), 6) AS avg_logprob
+         |FROM occ LEFT JOIN bis USING (u, w) LEFT JOIN back USING (w), rtot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // mirror of TextAnalysis.unigramScore at vocabSize 20: corpus
     // token counts, top-V membership by (cnt desc, tok asc), per-doc
     // mean corpus count and OOV fraction as exact-integer ratios

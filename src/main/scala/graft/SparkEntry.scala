@@ -433,6 +433,16 @@ object SparkEntry {
         rounds = TextAnalysis.GateBpeRounds)
         .orderBy("round")),
 
+    // stupid-backoff bigram LM: the (doc_id % 11 = 0) slice scored
+    // against counts from the rest — unseen bigrams exercise backoff
+    "text_bigram_score" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextAnalysis.bigramScore(
+        d.where(col("doc_id") % 11 === 0),
+        d.where(col("doc_id") % 11 =!= 0))
+        .orderBy("doc_id")
+    }),
+
     // tokenizer APPLY: replay the learned merge list corpus-wide as
     // one chained-replace scan; per-doc subword compression stats
     "text_bpe_tokenize" -> ((s, dir) => {

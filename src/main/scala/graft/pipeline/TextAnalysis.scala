@@ -391,6 +391,65 @@ object TextAnalysis {
     merges.result().toDF("round", "lhs", "rhs", "pair", "n_occurrences")
   }
 
+  /** Bigram language-model scoring with stupid backoff (Brants et al.
+    * 2007, "Large Language Models in Machine Translation" — the
+    * backoff that made web-scale LMs tractable: no discounting, just
+    * α·unigram when the bigram is unseen). Documents in `docs` are
+    * scored against counts from a REFERENCE corpus `ref` — the CCNet
+    * LM-filter shape, one model corpus, another being filtered:
+    *
+    *   score(w | u) = c2(u,w)/c1(u)            if c2 > 0
+    *                = α·(c1(w)+1)/(T+V)        otherwise (add-one so
+    *                                            OOV tokens stay finite)
+    *   avg_logprob(d) = Σ ln score / n_scored   over positions 2..n
+    *
+    * Scale shape: both count tables are vocabulary-bounded and
+    * broadcast EXPLICITLY (the corpus-side frame must never be the
+    * build side); the corpus pays one scan for pair explosion and one
+    * per-doc regroup. At web scale prune the bigram table to top-M by
+    * count first — stupid backoff is designed to tolerate exactly that.
+    *
+    * Determinism: ln inputs are integer ratios in one shared
+    * parenthesization, per-pair logs are computed once in the
+    * vocab-sized tables, and the per-doc sum rides DECIMAL(38,12).
+    */
+  def bigramScore(docs: DataFrame, ref: DataFrame, alpha: Double = 0.4,
+                  textCol: String = "text"): DataFrame = {
+    val pairsOf = (d: DataFrame) =>
+      d.select(col("doc_id"), toks(textCol).as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(toks, 1, size(toks) - 1), " +
+            "slice(toks, 2, size(toks) - 1), " +
+            "(x, y) -> named_struct('u', x, 'w', y))")).as("bg"))
+        .select(col("doc_id"), col("bg.u").as("u"), col("bg.w").as("w"))
+    val uni = ref.select(explode(toks(textCol)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(sum(col("c1")).as("t"), count(lit(1)).as("v"))
+    val bi = pairsOf(ref).groupBy("u", "w").agg(count(lit(1)).as("c2"))
+    val biScored = bi.join(uni.withColumnRenamed("tok", "u"), Seq("u"))
+      .select(col("u"), col("w"),
+        log(col("c2").cast("double") / col("c1"))
+          .cast("decimal(38,12)").as("w_bi"))
+    val backoff = uni.crossJoin(tot)
+      .select(col("tok").as("w"),
+        log(lit(alpha) * (col("c1") + lit(1L)) / (col("t") + col("v")))
+          .cast("decimal(38,12)").as("w_back"))
+    val oovBack = // c1 = 0 for tokens the reference never saw
+      log(lit(alpha) * lit(1.0) / (col("t") + col("v")))
+        .cast("decimal(38,12)")
+    pairsOf(docs)
+      .join(broadcast(biScored), Seq("u", "w"), "left")
+      .join(broadcast(backoff), Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(coalesce(col("w_bi"), col("w_back"), oovBack)).as("s"))
+      .select(col("doc_id"), col("n_scored"),
+        (round(col("s").cast("double") / col("n_scored") * lit(1e6))
+          .cast("long").cast("double") / lit(1e6)).as("avg_logprob"))
+  }
+
   /** Apply a learned merge list ([[bpeTrain]] output, collected to the
     * driver — it is vocabulary-sized) to the corpus: every token is
     * char-spaced and the merges replay IN TRAINING ORDER as chained

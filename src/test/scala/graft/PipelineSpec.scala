@@ -636,6 +636,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(top.length == 2) // zero-norm probe scores 0 against everyone
   }
 
+  test("bigram LM scores seen sequences above backoff-heavy ones") {
+    val ref = docs((1L, "the cat sat on the mat", "en"),
+      (2L, "the cat ran off the mat", "en"))
+    val tgt = docs(
+      (10L, "the cat sat", "en"),     // both bigrams seen in ref
+      (11L, "mat cat zebra", "en"))   // unseen bigrams + OOV token
+    val got = TextAnalysis.bigramScore(tgt, ref).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_scored"),
+        r.getAs[Double]("avg_logprob"))).toMap
+    assert(got(10L)._1 == 2L && got(11L)._1 == 2L)
+    assert(got(10L)._2 > got(11L)._2)  // fluent > disfluent
+    // "the cat" has c2=2, c1("the")=4 → ln(0.5); "cat sat" c2=1,
+    // c1("cat")=2 → ln(0.5); mean = ln(0.5)
+    assert(math.abs(got(10L)._2 - math.log(0.5)) < 1e-6)
+  }
+
   test("winnowing guarantees a shared fingerprint for a 7-token shared run") {
     // doc 1 and 2 share an 8-token run (>= k + w - 1 = 7) embedded in
     // otherwise-different text; doc 3 shares nothing
