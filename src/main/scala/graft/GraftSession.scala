@@ -56,6 +56,14 @@ object GraftSession {
       .createOrReplaceTempView("doc_unigram_score")
     pipeline.Dedup.segmentDedup(core.Tables.documents(spark, sfDir))
       .createOrReplaceTempView("doc_segment_deduped")
+    pipeline.Dedup.winnowFingerprints(core.Tables.documents(spark, sfDir))
+      .createOrReplaceTempView("doc_winnow_fps")
+    pipeline.Sampling.dsirWeights(
+        core.Tables.documents(spark, sfDir)
+          .where(org.apache.spark.sql.functions.col("doc_id") % 11 =!= 0),
+        core.Tables.documents(spark, sfDir)
+          .where(org.apache.spark.sql.functions.col("doc_id") % 11 === 0))
+      .createOrReplaceTempView("doc_dsir_weights")
     // native functions
     functions.VectorExpressions.register(spark)
   }
