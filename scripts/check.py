@@ -34,9 +34,19 @@ for name in sorted(oracle):
     bad = None
     for c in gc:
         a, b = got[c].values, exp[c].values
+        # driver's hash compare distinguishes 47 (int) from 47.0 (float):
+        # DuckDB sum(BIGINT) returns HUGEINT -> pandas float64. Require
+        # matching numeric kinds (cost 3 rounds of red arch_reagg_6h).
+        if (a.dtype.kind in 'iu') != (b.dtype.kind in 'iu') and \
+           (a.dtype.kind in 'iuf' and b.dtype.kind in 'iuf'):
+            bad = f"col {c} dtype kind: spark={a.dtype} duck={b.dtype} " \
+                  "(CAST the oracle sum to BIGINT?)"
+            break
         if a.dtype.kind == 'f' or b.dtype.kind == 'f':
             a = a.astype(float); b = b.astype(float)
-            neq = ~((a == b) | (np.isnan(a) & np.isnan(b)))
+            # bitwise equality: -0.0 vs 0.0 hash differently driver-side
+            neq = ~((a.view(np.uint64) == b.view(np.uint64)) |
+                    (np.isnan(a) & np.isnan(b)))
         else:
             an = pd.isna(got[c].values); bn = pd.isna(exp[c].values)
             neq = ~(((got[c].values == exp[c].values) & ~an & ~bn) | (an & bn))

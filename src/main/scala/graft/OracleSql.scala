@@ -272,7 +272,7 @@ object OracleSql {
          |    sum(cf6) AS den,
          |    sum(CAST(cf6 AS HUGEINT) * (CAST(s6 AS HUGEINT) * s6 + CAST(m6 AS HUGEINT) * m6)) AS num_v,
          |    min(min_value) AS min_value, max(max_value) AS max_value,
-         |    sum(n_samples) AS n_samples
+         |    CAST(sum(n_samples) AS BIGINT) AS n_samples
          |  FROM q GROUP BY 1, 2)
          |SELECT channel, win_start,
          |  CASE WHEN den = 0 THEN NULL

@@ -296,17 +296,21 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |ORDER BY doc_id""".stripMargin,
 
     // per-language data-card stats; quantile_cont uses the same linear
-    // interpolation as Spark's exact percentile
+    // interpolation as Spark's exact percentile. All 6dp roundings use
+    // the scaled multiply→round(0)→divide sequence mirroring
+    // TextAnalysis.r6 — plain round(x, 6) diverges at 6dp ties; mean is
+    // the explicit Σ/n of exact integers, never avg().
     "corpus_stats" ->
       s"""WITH n AS (
          |  SELECT lang,
          |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
          |  FROM documents)
-         |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
-         |  round(avg(n_tokens), 6) AS mean_tokens,
-         |  round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
-         |  round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
-         |  round(quantile_cont(n_tokens, 0.99), 6) AS p99_tokens
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(CAST(round(CAST(sum(n_tokens) AS DOUBLE) / count(*) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS mean_tokens,
+         |  CAST(CAST(round(quantile_cont(n_tokens, 0.5) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS p50_tokens,
+         |  CAST(CAST(round(quantile_cont(n_tokens, 0.9) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS p90_tokens,
+         |  CAST(CAST(round(quantile_cont(n_tokens, 0.99) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS p99_tokens
          |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
 
     // PII scrubbing over deterministically salted text: counts on the
@@ -368,9 +372,9 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |x AS (SELECT doc_id, length(tok) AS ub,
          |        length(spaced) - length(replace(spaced, pat, rep)) AS merges
          |      FROM sp, m)
-         |SELECT doc_id, sum(ub) AS n_units_before,
-         |  sum(ub) - sum(merges) AS n_units_after,
-         |  sum(merges) AS n_merges_applied
+         |SELECT doc_id, CAST(sum(ub) AS BIGINT) AS n_units_before,
+         |  CAST(sum(ub) - sum(merges) AS BIGINT) AS n_units_after,
+         |  CAST(sum(merges) AS BIGINT) AS n_merges_applied
          |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // mirror of TextAnalysis.bpeTrain at GateBpeRounds: the full merge
@@ -395,13 +399,13 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
     "text_bpe_tokenize" -> {
       val k = TextAnalysis.GateBpeRounds
       s"""$bpeChain
-         |SELECT doc_id, sum(length(tok)) AS n_chars,
-         |  sum(len(list_filter(string_split(sp, ' '), x -> x <> '')))
-         |    AS n_subwords,
+         |SELECT doc_id, CAST(sum(length(tok)) AS BIGINT) AS n_chars,
+         |  CAST(sum(len(list_filter(string_split(sp, ' '), x -> x <> '')))
+         |    AS BIGINT) AS n_subwords,
          |  count(*) AS n_tokens,
-         |  round(sum(length(tok))::DOUBLE /
-         |    sum(len(list_filter(string_split(sp, ' '), x -> x <> ''))), 6)
-         |    AS compression
+         |  CAST(CAST(round(sum(length(tok))::DOUBLE /
+         |    sum(len(list_filter(string_split(sp, ' '), x -> x <> '')))
+         |    * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS compression
          |FROM s$k GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 

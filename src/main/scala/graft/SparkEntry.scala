@@ -380,13 +380,10 @@ object SparkEntry {
       Dedup.duplicateClusters(Dedup.nearDupPairs(Tables.documents(s, dir)))
         .orderBy("doc_id")),
 
-    // per-language data-card statistics with exact percentiles
+    // per-language data-card statistics with exact percentiles (already
+    // 6dp-rounded engine-deterministically inside corpusStats)
     "corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(Tables.documents(s, dir))
-        .select(col("lang"), col("n_docs"), col("total_tokens"),
-          col("mean_tokens"), round(col("p50_tokens"), 6).as("p50_tokens"),
-          round(col("p90_tokens"), 6).as("p90_tokens"),
-          round(col("p99_tokens"), 6).as("p99_tokens"))
         .orderBy("lang")),
 
     // PII scrubbing, gated on synthesized-but-deterministic PII: both

@@ -29,6 +29,14 @@ object TextAnalysis {
 
   private def toks(textCol: String): Column = Dedup.tokens(textCol)
 
+  /** 6dp rounding via multiply → scale-0 round → divide: the identical
+    * IEEE operation sequence on Spark and DuckDB. `round(x, 6)` is NOT
+    * engine-deterministic at 6dp ties (Spark goes through BigDecimal,
+    * DuckDB through scaled doubles); this sequence is.
+    */
+  private[pipeline] def r6(c: Column): Column =
+    round(c * lit(1e6)).cast("long").cast("double") / lit(1e6)
+
   private def hits(t: Column, words: Seq[String]): Column =
     size(filter(t, x => x.isin(words.map(lit): _*)))
 
@@ -161,10 +169,14 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
-        round(avg(col("n_tokens")), 6).as("mean_tokens"),
-        expr("percentile(n_tokens, 0.5)").as("p50_tokens"),
-        expr("percentile(n_tokens, 0.9)").as("p90_tokens"),
-        expr("percentile(n_tokens, 0.99)").as("p99_tokens"))
+        // explicit Σ/n of exact integers + scaled round, not round(avg, 6):
+        // avg() accumulation order and round-at-6dp-ties both diverge
+        // across engines (see r6)
+        r6(sum(col("n_tokens")).cast("double") / count(lit(1)))
+          .as("mean_tokens"),
+        r6(expr("percentile(n_tokens, 0.5)")).as("p50_tokens"),
+        r6(expr("percentile(n_tokens, 0.9)")).as("p90_tokens"),
+        r6(expr("percentile(n_tokens, 0.99)")).as("p99_tokens"))
   }
 
   /** Unigram corpus-frequency scoring — the LM-filter plumbing
@@ -198,10 +210,6 @@ object TextAnalysis {
     // fold the vocab flag into the (vocabulary-sized) count table first:
     // one corpus-scale join instead of two passes over every occurrence
     val countsFlagged = counts.join(vocab, Seq("tok"), "left")
-    // rounding via multiply → scale-0 round → divide: the identical
-    // IEEE sequence on Spark and DuckDB (see Decimation.reAggregateExact)
-    val r6 = (c: Column) =>
-      round(c * lit(1e6)).cast("long").cast("double") / lit(1e6)
     occ.join(countsFlagged, Seq("tok"))
       .groupBy("doc_id")
       .agg(
