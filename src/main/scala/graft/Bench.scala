@@ -98,7 +98,13 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extras,"sf":"$sfDir"}"""
     println(line)
-    Files.write(Paths.get("bench.json"), (line + "\n").getBytes(StandardCharsets.UTF_8))
+    // last act: the machine-readable copy — the driver's stdout capture
+    // truncates long lines, so the file is the authoritative artifact
+    // (both names: bench.json is the historical one, bench_out.json the
+    // one the round-3 review asked for)
+    Seq("bench.json", "bench_out.json").foreach { f =>
+      Files.write(Paths.get(f), (line + "\n").getBytes(StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }

@@ -848,13 +848,18 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |FROM hash h JOIN d USING (doc_id) ORDER BY h.doc_id""".stripMargin,
 
     // mirror of Multimodal.imageNearDupPairs at maxHamming 3:
-    // 16-bit-block candidates, exact Hamming over XORed blocks
+    // 16-bit-block candidates (hot values df > DefaultMaxBlockFreq
+    // dropped, mirroring the Spark-side cap), exact Hamming over
+    // XORed blocks
     "mm_image_neardup" ->
       s"""$dhashCte,
-         |hb AS (SELECT doc_id, u.i AS blk,
+         |hb0 AS (SELECT doc_id, u.i AS blk,
          |         CASE u.i WHEN 0 THEN b0 WHEN 1 THEN b1
          |                  WHEN 2 THEN b2 ELSE b3 END AS bv
          |       FROM hash, UNNEST(generate_series(0, 3)) u(i)),
+         |hot AS (SELECT blk, bv FROM hb0 GROUP BY blk, bv
+         |        HAVING count(*) > ${graft.pipeline.Multimodal.DefaultMaxBlockFreq}),
+         |hb AS (SELECT hb0.* FROM hb0 ANTI JOIN hot USING (blk, bv)),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |         FROM hb a JOIN hb b
          |           ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)

@@ -470,19 +470,45 @@ object Multimodal {
     }
   }
 
+  /** A (block, value) shared by more than this many images is treated
+    * as corpus structure (solid fills, logos, thumbnails all hash to a
+    * handful of block values), not near-dup signal — the image analog
+    * of [[Dedup.DefaultMaxDocFreq]]. Each hot value contributes O(df²)
+    * join rows, so without the cap a real corpus's boilerplate imagery
+    * turns the LSH join quadratic.
+    */
+  val DefaultMaxBlockFreq = 1000
+
   /** Image near-duplicate pairs from dHash blocks — the multimodal
     * analog of [[Dedup.simHashCandidates]]: any pair within Hamming
     * distance 3 shares at least one of the four 16-bit blocks
     * (pigeonhole), so candidate generation is a block equi-join —
     * never all-pairs — and the exact Hamming distance over the XORed
-    * blocks filters candidates to true near-dups. Skewed blocks
-    * (many structurally-identical images) are AQE's to split, like
+    * blocks filters candidates to true near-dups.
+    *
+    * Hot block values are dropped before the self-join (default cap
+    * [[DefaultMaxBlockFreq]], opt out with `None`): a value shared by
+    * thousands of images is structure, and candidate recall only
+    * suffers for pairs whose EVERY shared block is that common —
+    * which at Hamming ≤ 3 means the pair is itself boilerplate. The
+    * hot list is df > cap values only, so it stays broadcast-sized on
+    * any corpus. Residual skew below the cap is AQE's to split, like
     * every other LSH join here.
     */
-  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val blk = hashes.select(col("doc_id"),
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3,
+                        maxBlockFreq: Option[Int] = Some(DefaultMaxBlockFreq))
+      : DataFrame = {
+    val blkAll = hashes.select(col("doc_id"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
         .as(Seq("blk", "bv")))
+    val blk = maxBlockFreq match {
+      case None => blkAll
+      case Some(cap) =>
+        val hot = blkAll.groupBy("blk", "bv")
+          .agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select("blk", "bv")
+        blkAll.join(broadcast(hot), Seq("blk", "bv"), "left_anti")
+    }
     val cand = blk.as("a").join(blk.as("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -688,6 +688,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 0)))   // identical → 0; inverted → far
   }
 
+  test("image near-dup block cap bounds candidates on an identical-image corpus") {
+    import graft.pipeline.Multimodal
+    implicit val s: SparkSession = spark
+    // 40 structurally-identical images (same dHash) + one distinct pair:
+    // uncapped, the identical block values contribute O(n²) candidates;
+    // with the cap they are dropped as corpus structure, and only pairs
+    // that share a below-cap block value survive
+    val px = Array.tabulate(64)(i => (i % 8) * 7 + (i / 8) * 13)
+    val other = Array.tabulate(64)(i => ((i * 37) % 11) * 23)
+    val rows =
+      (1L to 40L).map(id =>
+        Multimodal.MediaRow(id, "image/png", 0, Multimodal.PngCodec.encode(8, 8, px))) ++
+      Seq(98L, 99L).map(id =>
+        Multimodal.MediaRow(id, "image/png", 0, Multimodal.PngCodec.encode(8, 8, other)))
+    val hashes = Multimodal.imageDHash(rows.toDF()).toDF()
+    val uncapped = Multimodal.imageNearDupPairs(hashes, maxBlockFreq = None).count()
+    assert(uncapped == 40L * 39 / 2 + 1)       // corpus² on the hot clique
+    val capped = Multimodal.imageNearDupPairs(hashes, maxBlockFreq = Some(10))
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((98L, 99L)))                      // hot clique gone, real pair kept
+  }
+
   test("bpeTrain learns multi-round merges and stops when pairs run out") {
     val d = docs((1L, "abab abab", "en"))
     // round 1: (a,b) ×4 beats (b,a) ×2; round 2: (ab,ab) ×2;
