@@ -74,7 +74,10 @@ object OracleSqlJson {
        |  ',"type":"double","value":[' || $doubleValues || ']}'
        |WHEN vtype IN ('scalar_enum', 'array_enum') THEN
        |  ${common(statusName, "true")} || $enumMeta ||
-       |  ',"type":"enum","value":[' || CAST(enum_value AS VARCHAR) || ']}'
+       |  ',"type":"enum","value":[' ||
+       |  (CASE WHEN enum_value IS NOT NULL THEN CAST(enum_value AS VARCHAR)
+       |        ELSE array_to_string(list_transform(arr_num,
+       |               x -> CAST(CAST(x AS BIGINT) AS VARCHAR)), ',') END) || ']}'
        |WHEN vtype IN ('scalar_string', 'array_string') THEN
        |  ${common(statusName, "true")} ||
        |  ',"type":"string","value":[' || $stringValues || ']}'

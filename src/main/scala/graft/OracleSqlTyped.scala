@@ -39,7 +39,8 @@ object OracleSqlTyped {
       |  SELECT *, (k % 4) AS sev, ((k // 4) % 16) AS m,
       |    CASE
       |      WHEN k % 4 = 3 THEN (CASE WHEN k % 8 = 3 THEN 'disabled' ELSE 'disconnected' END)
-      |      WHEN m <= 3 THEN 'scalar_double'
+      |      WHEN m <= 2 THEN 'scalar_double'
+      |      WHEN m = 3 THEN 'array_enum'
       |      WHEN m = 4 THEN 'scalar_float'
       |      WHEN m = 5 THEN 'scalar_long'
       |      WHEN m = 6 THEN 'scalar_short'
@@ -65,11 +66,12 @@ object OracleSqlTyped {
       |    END AS value,
       |    CASE WHEN vtype = 'scalar_string' THEN substr(props, 1, 40) END AS str_value,
       |    CASE WHEN vtype = 'scalar_enum' THEN CAST(k % 3 AS INT) END AS enum_value,
-      |    CASE WHEN vtype = 'scalar_enum' THEN ['Yes', 'No', 'Maybe'] END AS labels,
+      |    CASE WHEN vtype IN ('scalar_enum', 'array_enum') THEN ['Yes', 'No', 'Maybe'] END AS labels,
       |    CASE vtype
       |      WHEN 'array_double' THEN [v, v * 0.5, -v]
       |      WHEN 'array_long' THEN [CAST(k AS DOUBLE), CAST(k % 10 AS DOUBLE), round(v)]
       |      WHEN 'array_float' THEN [CAST(CAST(v AS REAL) AS DOUBLE), CAST(CAST(v * 0.25 AS REAL) AS DOUBLE)]
+      |      WHEN 'array_enum' THEN [CAST(k % 3 AS DOUBLE), CAST((k + 1) % 3 AS DOUBLE), CAST((k + 2) % 3 AS DOUBLE)]
       |    END AS arr_num,
       |    CASE WHEN vtype = 'array_string' THEN [channel, CAST(k AS VARCHAR)] END AS arr_str,
       |    CASE WHEN vtype LIKE 'aggregated%' THEN v END AS agg_mean,

@@ -112,7 +112,8 @@ object TypedSamples {
     val vtype0 =
       when(marker0, when(pmod(k0, lit(8)) === 3, lit("disabled"))
         .otherwise(lit("disconnected")))
-        .when(m0 <= 3, lit("scalar_double"))
+        .when(m0 <= 2, lit("scalar_double"))
+        .when(m0 === 3, lit("array_enum"))
         .when(m0 === 4, lit("scalar_float"))
         .when(m0 === 5, lit("scalar_long"))
         .when(m0 === 6, lit("scalar_short"))
@@ -150,7 +151,9 @@ object TypedSamples {
         .when(vtype === "scalar_char", charVal.cast("double"))
 
     val enumValue = when(vtype === "scalar_enum", pmod(k, lit(3)).cast("int"))
-    val labels = when(vtype === "scalar_enum",
+    // both enum families carry the state labels; the array variant's
+    // element indices ride arr_num (the long-element payload family)
+    val labels = when(vtype.isin("scalar_enum", "array_enum"),
       array(lit("Yes"), lit("No"), lit("Maybe")))
     val strValue = when(vtype === "scalar_string", substring(col("props"), 1, 40))
 
@@ -161,6 +164,10 @@ object TypedSamples {
         .when(vtype === "array_float",
           array(v.cast("float").cast("double"),
             (v * 0.25).cast("float").cast("double")))
+        .when(vtype === "array_enum",
+          array(pmod(k, lit(3)).cast("double"),
+            pmod(k + 1, lit(3)).cast("double"),
+            pmod(k + 2, lit(3)).cast("double")))
     val arrStr = when(vtype === "array_string",
       array(col("event_type"), k.cast("string")))
 
@@ -177,7 +184,10 @@ object TypedSamples {
     // numeric metadata travels with every numeric-valued tag
     // (ChannelAccessSampleValueAccess.java:119-176); precision only for
     // the float/double families; enums carry labels instead.
-    val numericTag = value.isNotNull || arrNum.isNotNull || isAggIn
+    // enums (scalar and array) carry enum metadata (labels), never the
+    // numeric block, per JsonV1SampleSerializer.java:373,451
+    val numericTag = value.isNotNull ||
+      (arrNum.isNotNull && vtype =!= "array_enum") || isAggIn
     val floatingTag = vtype.isin("scalar_double", "scalar_float",
       "array_double", "array_float", "aggregated_scalar_double")
     val lim = pmod(k, lit(50)).cast("double")
