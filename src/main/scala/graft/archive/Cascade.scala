@@ -140,14 +140,35 @@ object Cascade {
       computeWatermarks(source, targetSec, sourceSec, heldSource),
       storePath, targetSec)
 
+  /** Write-triggered retention, the reference's rule: after every
+    * successful write to a level, delete its buckets that fell past
+    * the horizon (ArchivedChannelDecimationLevel.java:602-640) — no
+    * separate scheduled job needed. `retentionSec` maps levelSec →
+    * keep-duration seconds (absent / 0 = keep forever), the shape of
+    * the registry's `decimation_level_to_retention` map
+    * ([[ChannelRegistry.levelRetention]] derives it).
+    */
+  private def retainAfterWrite(spark: SparkSession, storePath: String,
+                               levelSec: Long, retentionSec: Map[Long, Long],
+                               backend: StoreBackend): Unit =
+    retentionSec.getOrElse(levelSec, 0L) match {
+      case 0L => ()
+      case sec =>
+        backend.applyRetention(spark, storePath, levelSec,
+          sec * Samples.NS); ()
+    }
+
   /** Write raw samples and materialize every level in `levelsSec`
     * (ascending), cascading from the best available source; persists
     * the per-channel resume watermark per level for [[catchUp]].
+    * Each successful level write triggers that level's retention.
     */
   def materialize(spark: SparkSession, storePath: String,
                   raw: DataFrame, levelsSec: Seq[Long],
-                  backend: StoreBackend = ArchiveBackend): Unit = {
+                  backend: StoreBackend = ArchiveBackend,
+                  retentionSec: Map[Long, Long] = Map.empty): Unit = {
     backend.write(Samples.monotonicDedup(raw), storePath, 0)
+    retainAfterWrite(spark, storePath, 0L, retentionSec, backend)
     var done = List(0L)
     for (target <- levelsSec.sorted) {
       val source = Decimation.selectSourcePeriod(target, done)
@@ -155,6 +176,7 @@ object Cascade {
       backend.write(asStoreRows(hop(src, source, target)),
         storePath, target)
       writeWatermarks(spark, storePath, target, src, source)
+      retainAfterWrite(spark, storePath, target, retentionSec, backend)
       done ::= target
     }
   }
@@ -170,8 +192,10 @@ object Cascade {
     */
   def materializeTyped(spark: SparkSession, storePath: String,
                        typedRaw: DataFrame, levelsSec: Seq[Long],
-                       backend: StoreBackend = ArchiveBackend): Unit = {
+                       backend: StoreBackend = ArchiveBackend,
+                       retentionSec: Map[Long, Long] = Map.empty): Unit = {
     backend.write(Samples.monotonicDedup(typedRaw), storePath, 0)
+    retainAfterWrite(spark, storePath, 0L, retentionSec, backend)
     var done = List(0L)
     for (target <- levelsSec.sorted) {
       val source = Decimation.selectSourcePeriod(target, done)
@@ -183,6 +207,7 @@ object Cascade {
       // resume watermark always needs the held-boundary logic
       writeWatermarks(spark, storePath, target, src, source,
         heldSource = true)
+      retainAfterWrite(spark, storePath, target, retentionSec, backend)
       done ::= target
     }
   }
@@ -206,18 +231,20 @@ object Cascade {
     * (ArchivedChannelDecimatedSamplesDecimationLevel.java:396-401).
     */
   def catchUp(spark: SparkSession, storePath: String, targetSec: Long,
-              backend: StoreBackend = ArchiveBackend): Unit =
+              backend: StoreBackend = ArchiveBackend,
+              retentionSec: Map[Long, Long] = Map.empty): Unit =
     catchUpImpl(spark, storePath, targetSec, hop, asStoreRows,
-      backend = backend)
+      backend = backend, retentionSec = retentionSec)
 
   /** [[catchUp]] for typed-union stores built by [[materializeTyped]]:
     * identical watermark machinery (the resume math is ts-based and
     * type-agnostic), typed dispatch in the hop.
     */
   def catchUpTyped(spark: SparkSession, storePath: String, targetSec: Long,
-                   backend: StoreBackend = ArchiveBackend): Unit =
+                   backend: StoreBackend = ArchiveBackend,
+                   retentionSec: Map[Long, Long] = Map.empty): Unit =
     catchUpImpl(spark, storePath, targetSec, typedHop, asTypedStoreRows,
-      heldSource = true, backend = backend)
+      heldSource = true, backend = backend, retentionSec = retentionSec)
 
   private def typedHop(source: DataFrame, sourceSec: Long,
                        targetSec: Long): DataFrame =
@@ -233,7 +260,8 @@ object Cascade {
                           hopFn: (DataFrame, Long, Long) => DataFrame,
                           toStore: DataFrame => DataFrame,
                           heldSource: Boolean = false,
-                          backend: StoreBackend = ArchiveBackend): Unit = {
+                          backend: StoreBackend = ArchiveBackend,
+                          retentionSec: Map[Long, Long] = Map.empty): Unit = {
     val levels = backend.levels(spark, storePath).filter(_ != targetSec)
     val source = Decimation.selectSourcePeriod(targetSec, levels)
     val targetP = targetSec * Samples.NS
@@ -325,5 +353,6 @@ object Cascade {
     persistWatermarks(
       spark2.createDataFrame(mergedRows.toSeq.asJava, wm.schema),
       storePath, targetSec)
+    retainAfterWrite(spark, storePath, targetSec, retentionSec, backend)
   }
 }

@@ -66,6 +66,23 @@ object ChannelRegistry {
         lit(0), lit(0L), // raw: keep forever
         lit(3600), lit(7L * 86400L),
         lit(21600), lit(30L * 86400L)).as("retention_sec"))
+  /** Collapse the per-channel `decimation_level_to_retention` maps
+    * (the [[configMap]] shape) into one per-level retention for the
+    * cascade's write-triggered retention: the MAX across channels —
+    * day buckets are shared by every channel, so dropping one deletes
+    * all channels' rows, and the most-conservative retention is the
+    * only safe per-partition rule (a channel wanting shorter retention
+    * just keeps data a little longer; the converse would lose data).
+    * Levels where any channel asks for 0 (keep forever) stay 0.
+    */
+  def levelRetention(cfg: DataFrame): Map[Long, Long] =
+    cfg.select(explode(col("retention_sec")).as(Seq("level", "keep")))
+      .groupBy("level")
+      .agg(when(min(col("keep")) === 0L, 0L)
+        .otherwise(max(col("keep"))).as("keep"))
+      .collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+
   def dataIdFor(configs: Seq[ChannelConfig], name: String): Option[String] =
     configs.find(_.name == name).map(_.channelDataId)
 

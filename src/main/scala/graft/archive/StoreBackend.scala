@@ -33,6 +33,11 @@ trait StoreBackend {
   def writeTxn(samples: DataFrame, path: String, levelSec: Long,
                writerId: String, token: Long): Unit =
     write(samples, path, levelSec)
+  /** ST9 — drop expired day buckets of one level (end-of-bucket older
+    * than latest − retention; 0 = keep forever). Returns dropped paths.
+    */
+  def applyRetention(spark: SparkSession, path: String, levelSec: Long,
+                     retentionNs: Long): Seq[String]
 }
 
 /** Raw-parquet store: levels come from one driver-side listing of the
@@ -57,6 +62,9 @@ object ArchiveBackend extends StoreBackend {
       .flatMap(_.stripPrefix("level=").toLongOption)
       .sorted
   }
+  def applyRetention(spark: SparkSession, path: String, levelSec: Long,
+                     retentionNs: Long): Seq[String] =
+    ArchiveStore.applyRetention(spark, path, levelSec, retentionNs)
 }
 
 /** Manifest-committed store: every cascade hop is one atomic commit,
@@ -79,4 +87,7 @@ object ManifestBackend extends StoreBackend {
     ManifestStore.commitIfChanged(samples, path, levelSec, writerId, token)
     ()
   }
+  def applyRetention(spark: SparkSession, path: String, levelSec: Long,
+                     retentionNs: Long): Seq[String] =
+    ManifestStore.applyRetention(spark, path, levelSec, retentionNs)
 }

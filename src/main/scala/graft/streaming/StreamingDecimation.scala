@@ -220,7 +220,8 @@ object StreamingDecimation {
     * identity is the checkpoint dir, which is what survives restarts.
     */
   def writeRawStreamManifest(samples: DataFrame, storePath: String,
-                             checkpointDir: String, levelSec: Long = 0L)
+                             checkpointDir: String, levelSec: Long = 0L,
+                             retentionSec: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery =
     samples.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -229,6 +230,13 @@ object StreamingDecimation {
         graft.archive.ManifestStore.commitIdempotent(
           batch.toDF(), storePath, levelSec,
           writerId = s"stream:$checkpointDir", batchId = batchId)
+        // write-triggered retention, like the reference's delete-after-
+        // every-successful-write (ArchivedChannelDecimationLevel.java:
+        // 602-640): a manifest swap per expired day, bytes go at vacuum
+        if (retentionSec > 0L)
+          graft.archive.ManifestStore.applyRetention(
+            batch.sparkSession, storePath, levelSec,
+            retentionSec * graft.core.Samples.NS)
         ()
       }
       .start()

@@ -318,4 +318,47 @@ class CascadeSpec extends AnyFunSuite {
         assert(a(k) == b(k), s"level $l at $k: ${a(k)} vs ${b(k)}")
     }
   }
+
+  test("write-triggered retention expires day buckets during cascade runs") {
+    import org.apache.spark.sql.functions._
+    val ns = Samples.NS
+    val base = 1704067200L * ns // 2024-01-01T00:00Z
+    def hourly(fromH: Long, toH: Long) =
+      spark.range(fromH, toH).select(
+        lit("chA").as("channel"),
+        (lit(base) + col("id") * 3600L * ns).as("ts"),
+        col("id").cast("double").as("value"),
+        lit(null).cast("string").as("str_value"),
+        lit(0).as("severity"), lit(0).as("status"),
+        col("id").as("sample_id"))
+    def days(store: String, level: Long) =
+      ArchiveStore.read(spark, store, level)
+        .select("bucket_date").distinct().collect()
+        .map(_.getDate(0).toString).toSet
+
+    // 3 days of hourly samples, 1-day retention on raw and 1h levels:
+    // materialize itself must expire day 1 (bucket END < latest − 1d)
+    // with no manual applyRetention call
+    val store = Files.createTempDirectory("casret").toString
+    val keep = Map(0L -> 86400L, 3600L -> 86400L)
+    Cascade.materialize(spark, store, hourly(0, 72), Seq(3600L),
+      retentionSec = keep)
+    assert(days(store, 0L) == Set("2024-01-02", "2024-01-03"))
+    assert(days(store, 3600L) == Set("2024-01-02", "2024-01-03"))
+
+    // day 4 arrives; catch-up must advance the horizon and expire
+    // day 2 from the decimated level as part of its own write
+    graft.archive.ArchiveBackend.write(hourly(72, 96), store, 0L)
+    Cascade.catchUp(spark, store, 3600L, retentionSec = keep)
+    assert(days(store, 3600L) == Set("2024-01-03", "2024-01-04"))
+  }
+
+  test("levelRetention collapses per-channel maps conservatively") {
+    val raw = Samples.fromEvents(spark, "/root/testdata/sf0.001")
+    val lr = graft.archive.ChannelRegistry.levelRetention(
+      graft.archive.ChannelRegistry.configMap(raw))
+    // the synthetic config keeps raw forever and bounds the two
+    // decimated levels; max-across-channels must preserve that shape
+    assert(lr == Map(0L -> 0L, 3600L -> 7L * 86400L, 21600L -> 30L * 86400L))
+  }
 }
