@@ -604,6 +604,56 @@ object ManifestStore {
     dropped.map(_.path)
   }
 
+  /** Remove every row of one channel (by the store's clustering key —
+    * name, or channel_data_id for id-keyed stores) from ALL levels in
+    * one commit: files wholly owned by the channel (chMin = chMax =
+    * key) are dropped from the manifest outright; files whose key
+    * range straddles it are rewritten without its rows and swapped in
+    * the same version. Readers on the old snapshot keep working; bytes
+    * go at [[vacuum]]. Idempotent: a replay finds no files that can
+    * contain the key and no-ops. In an id-sorted range-partitioned
+    * store nearly all of a channel's data is in wholly-owned files, so
+    * the rewrite set is small at any scale.
+    */
+  def removeChannelData(spark: SparkSession, path: String,
+                        key: String): Long = {
+    val m = latestManifest(spark, path)
+      .getOrElse(return -1L)
+    val touches = m.files.filter(f =>
+      f.chMin.forall(_ <= key) && f.chMax.forall(_ >= key))
+    if (touches.isEmpty) return m.version
+    val owned = touches
+      .filter(f => f.chMin.contains(key) && f.chMax.contains(key)).toSet
+    val straddle = touches.filterNot(owned)
+    val schema = m.schema
+    val keyCol =
+      if (schema.fieldNames.contains("channel")) "channel"
+      else "channel_data_id"
+    val rewritten: Seq[FileEntry] =
+      straddle.groupBy(_.levelSec).toSeq.flatMap { case (lvl, victims) =>
+        val staged =
+          s"$path/data/rmch-${java.util.UUID.randomUUID().toString.take(12)}"
+        val kept = spark.read.schema(schema)
+          .parquet(victims.map(e => resolveEntry(path, e.path)): _*)
+          .where(col(keyCol) =!= key)
+        withBucketDate(kept)
+          .withColumn("level", lit(lvl))
+          .repartitionByRange(col("bucket_date"), clusterCol(kept))
+          .sortWithinPartitions(clusterCol(kept), col("ts"))
+          .write.partitionBy("level", "bucket_date").parquet(staged)
+        statsFor(spark, path, staged, lvl)
+      }
+    val gone = touches.map(_.path).toSet
+    commitLoop(spark, path) { cur =>
+      if (!gone.subsetOf(cur.files.map(_.path).toSet))
+        throw new java.io.IOException(
+          s"concurrent commit replaced a file of channel '$key' " +
+            "mid-removal — re-run removeChannelData")
+      cur.copy(files = cur.files.filterNot(f => gone.contains(f.path))
+        ++ rewritten)
+    }.version
+  }
+
   /** Physically delete data files no longer referenced by the LATEST
     * manifest (compacted-away, expired, or orphaned by a failed stage)
     * whose modification time is older than `graceMs`, and manifest

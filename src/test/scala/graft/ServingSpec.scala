@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.archive.{ChannelConfig, ChannelConfigXml, JsonV1, ResolutionPlanner}
+import graft.archive.{ChannelAlreadyExistsException, ChannelConfig,
+  ChannelConfigXml, ChannelRegistry, ConfigCommands, JsonV1, ManifestStore,
+  PendingChannelOperationException, ResolutionPlanner}
 
 class ServingSpec extends AnyFunSuite {
 
@@ -159,5 +161,100 @@ class ServingSpec extends AnyFunSuite {
     // 30s level covers [5000,10000]; 3600s level covers [1000,4999];
     // nothing below 1000
     assert(segs == Seq((3600L, 1000L, 4999L), (30L, 5000L, 10000L)))
+  }
+
+  private def lifecycleRaw(name: String, ids: Seq[Long]) =
+    ids.map(i => (name, 1704067200L * graft.core.Samples.NS + i * 1000L,
+        i.toDouble, i))
+      .toDF("channel", "ts", "value", "sample_id")
+
+  test("channel lifecycle: add → write → query, update, rename") {
+    import java.nio.file.Files
+    val cfgDir = Files.createTempDirectory("cfglog").toString
+    val store = Files.createTempDirectory("cfgstore").toString
+
+    val a = ChannelConfig("pv:a", "id-a", "ca", enabled = true,
+      Map("rate" -> "10"), Map(3600L -> 86400L))
+    ConfigCommands.addChannel(spark, cfgDir, a)
+    intercept[ChannelAlreadyExistsException] {
+      ConfigCommands.addChannel(spark, cfgDir, a)
+    }
+    // raw level auto-added, negative retentions clamped (normalize)
+    val st1 = ConfigCommands.state(spark, cfgDir)
+    assert(st1.config("pv:a").get.levels.contains(0L))
+
+    // write under the rename-stable id, query under the current name
+    ManifestStore.commitById(
+      ChannelRegistry.resolveToId(lifecycleRaw("pv:a", 1L to 5L),
+        st1.configs), store, 0L)
+    val served = ManifestStore.readById(spark, store, st1.configs, 0L)
+      .select("channel").distinct().collect().map(_.getString(0)).toSet
+    assert(served == Set("pv:a"))
+
+    // update: enabled flips, data id / control-system type immutable
+    ConfigCommands.updateChannel(spark, cfgDir, a.copy(enabled = false))
+    assert(!ConfigCommands.state(spark, cfgDir).config("pv:a").get.enabled)
+    intercept[IllegalArgumentException] {
+      ConfigCommands.updateChannel(spark, cfgDir,
+        a.copy(channelDataId = "id-other"))
+    }
+
+    // rename: metadata-only; the same files serve the new name
+    ConfigCommands.renameChannel(spark, cfgDir, "pv:a", "pv:b")
+    val st2 = ConfigCommands.state(spark, cfgDir)
+    assert(st2.config("pv:a").isEmpty)
+    val served2 = ManifestStore.readById(spark, store, st2.configs, 0L)
+      .select("channel").distinct().collect().map(_.getString(0)).toSet
+    assert(served2 == Set("pv:b"))
+  }
+
+  test("channel remove is two-phase: pending lock, data gone after vacuum, crash rolls forward") {
+    import java.nio.file.Files
+    val cfgDir = Files.createTempDirectory("cfglog2").toString
+    val store = Files.createTempDirectory("cfgstore2").toString
+    for (n <- Seq("pv:x", "pv:y"))
+      ConfigCommands.addChannel(spark, cfgDir,
+        ChannelConfig(n, s"id-$n", "ca", enabled = true, Map(), Map()))
+    val cfgs = ConfigCommands.state(spark, cfgDir).configs
+    // one file straddles both ids, so removal exercises the rewrite path
+    ManifestStore.commitById(ChannelRegistry.resolveToId(
+      lifecycleRaw("pv:x", 1L to 20L).unionByName(
+        lifecycleRaw("pv:y", 21L to 40L)), cfgs).coalesce(1), store, 0L)
+
+    // simulate a remove that crashed after phase 1: the channel is
+    // locked against every other command
+    ConfigCommands.beginRemove(spark, cfgDir, "pv:x")
+    intercept[PendingChannelOperationException] {
+      ConfigCommands.updateChannel(spark, cfgDir,
+        cfgs.find(_.name == "pv:x").get)
+    }
+    intercept[PendingChannelOperationException] {
+      ConfigCommands.beginRemove(spark, cfgDir, "pv:x")
+    }
+    intercept[PendingChannelOperationException] {
+      ConfigCommands.renameChannel(spark, cfgDir, "pv:x", "pv:z")
+    }
+
+    // recovery rolls the crashed remove forward
+    assert(ConfigCommands.recoverPending(spark, cfgDir, Some(store))
+      == Seq("pv:x"))
+    val st = ConfigCommands.state(spark, cfgDir)
+    assert(st.config("pv:x").isEmpty && st.pending.isEmpty)
+    assert(st.config("pv:y").isDefined)
+
+    // rows gone from the live snapshot, survivor intact
+    val ids = ManifestStore.read(spark, store, 0L)
+      .select("channel_data_id").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(ids == Set("id-pv:y"))
+
+    // bytes gone after vacuum (grace 0: no concurrent readers here)
+    val freed = ManifestStore.vacuum(spark, store, graceMs = 0L)
+    assert(freed.nonEmpty)
+    assert(ManifestStore.read(spark, store, 0L).count() == 20L)
+
+    // a second removal of the same data id is a clean no-op
+    ConfigCommands.recoverPending(spark, cfgDir, Some(store))
+    assert(ManifestStore.read(spark, store, 0L).count() == 20L)
   }
 }
