@@ -155,15 +155,25 @@ object TextAnalysis {
   }
 
   /** Corpus statistics — the per-stratum "data card" numbers a released
-    * dataset publishes: document counts, token totals, and exact token-
-    * count percentiles per language. One map-side-combinable pass for
-    * the sums; the percentiles sort within each (small) stratum group —
-    * for strata too large for exact percentiles at 100 TB, swap in
-    * `percentile_approx` and accept the documented error bound.
+    * dataset publishes: document counts, token totals, and token-count
+    * percentiles per language. One map-side-combinable pass for the
+    * sums. Exact percentiles (`approx = false`, the oracle-gated form)
+    * buffer each stratum's values — fine while strata fit an executor;
+    * at 100 TB strata are billions of documents, so `approx = true`
+    * switches to `percentile_approx` (KLL-style mergeable sketch,
+    * constant memory, rank error ≤ n/`accuracy` — at the default
+    * 10⁴ that is ±0.01% of the distribution, far below any data-card
+    * reporting threshold).
     */
   def corpusStats(docs: DataFrame, textCol: String = "text",
-                  stratumCol: String = "lang"): DataFrame = {
+                  stratumCol: String = "lang",
+                  approx: Boolean = false,
+                  accuracy: Int = 10000): DataFrame = {
     val nTokens = size(Dedup.tokens(textCol)).cast("long")
+    val pct = (q: Double) =>
+      if (approx)
+        expr(s"percentile_approx(n_tokens, $q, $accuracy)").cast("double")
+      else expr(s"percentile(n_tokens, $q)")
     docs.select(col(stratumCol), nTokens.as("n_tokens"))
       .groupBy(stratumCol)
       .agg(
@@ -174,9 +184,9 @@ object TextAnalysis {
         // across engines (see r6)
         r6(sum(col("n_tokens")).cast("double") / count(lit(1)))
           .as("mean_tokens"),
-        r6(expr("percentile(n_tokens, 0.5)")).as("p50_tokens"),
-        r6(expr("percentile(n_tokens, 0.9)")).as("p90_tokens"),
-        r6(expr("percentile(n_tokens, 0.99)")).as("p99_tokens"))
+        r6(pct(0.5)).as("p50_tokens"),
+        r6(pct(0.9)).as("p90_tokens"),
+        r6(pct(0.99)).as("p99_tokens"))
   }
 
   /** Unigram corpus-frequency scoring — the LM-filter plumbing

@@ -16,6 +16,41 @@ class PipelineSpec extends AnyFunSuite {
       .withColumn("source", org.apache.spark.sql.functions.lit("s"))
       .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
 
+  test("approx corpus percentiles track exact on a skewed stratum") {
+    import org.apache.spark.sql.functions._
+    // power-law-ish token counts: most docs tiny, a heavy tail — the
+    // shape that makes exact per-stratum percentiles expensive at scale
+    val skewed = spark.range(1, 4001).select(
+      col("id").as("doc_id"),
+      // 1..20 tokens for 90% of docs, up to ~2000 for the tail
+      when(col("id") % 10 =!= 0, (col("id") % 20 + 1))
+        .otherwise(col("id") % 2000 + 50).as("n"),
+      lit("xx").as("lang"))
+      .withColumn("text", concat_ws(" ",
+        array_repeat(lit("w"), col("n").cast("int"))))
+    val exact = TextAnalysis.corpusStats(skewed).collect()(0)
+    val approx = TextAnalysis.corpusStats(skewed, approx = true).collect()(0)
+    // counts/sums identical (same single pass)
+    assert(exact.getLong(1) == approx.getLong(1))
+    assert(exact.getLong(2) == approx.getLong(2))
+    // the sketch's guarantee is on RANK, not value (and it returns an
+    // actual element where exact interpolates at mass boundaries):
+    // the approx percentile's rank must be within the documented
+    // n/accuracy band of the target rank
+    val sorted = skewed.select(col("n").cast("long")).collect()
+      .map(_.getLong(0)).sorted
+    val n = sorted.length
+    for ((q, i) <- Seq(0.5 -> 4, 0.9 -> 5, 0.99 -> 6)) {
+      val a = approx.getDouble(i)
+      val lo = sorted.indexWhere(_ >= a) // first rank of the value
+      val hi = sorted.lastIndexWhere(_ <= a) // last rank ≤ value
+      val target = q * (n - 1)
+      val slack = n.toDouble / 10000 + 1
+      assert(lo - slack <= target && target <= hi + slack,
+        s"q=$q: approx $a has rank band [$lo,$hi], target $target")
+    }
+  }
+
   test("exact dedup groups identical texts under the smallest doc id") {
     val d = docs((1L, "a b c", "en"), (5L, "a b c", "en"), (3L, "x y", "en"))
     val got = Dedup.exact(d).collect()
