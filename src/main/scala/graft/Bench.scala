@@ -67,34 +67,22 @@ object Bench {
     val total = results.map(_._2).sum
     val nEvents = graft.core.Tables.events(spark, sfDir).count()
 
-    // dedicated decimation-throughput measurement: per-query times at
+    // dedicated decimation-throughput measurements: per-query times at
     // small SF are dominated by fixed per-query overhead (~0.5 s), so
     // rows/s from them understates the engine by an order of
-    // magnitude. Measure on a 2M-row in-memory frame instead — the
-    // same workload shape as BASELINE.md's scaling study.
-    import org.apache.spark.sql.functions._
-    val nCh = 250
-    val tputRows = 2000000L
-    val base = 1704067200L * 1000000000L
-    val frame = spark.range(tputRows).select(
-        concat(lit("ch"), col("id") % nCh).as("channel"),
-        (lit(base) + (col("id") / nCh).cast("long") * 1000000000L +
-          col("id") % 7).as("ts"),
-        (col("id") % 1000).cast("double").as("value"),
-        lit("").as("str_value"), lit(0).as("severity"), lit(0).as("status"),
-        col("id").as("sample_id"))
-      .repartition(64).cache()
-    frame.count()
-    val tputSec = (1 to 2).map { _ =>
-      val t0 = System.nanoTime()
-      graft.archive.Decimation.decimate(frame, 3600L * 1000000000L)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }.min
-    frame.unpersist()
+    // magnitude. Measure on fixed in-memory frames instead — the same
+    // workload shape as BASELINE.md's scaling study. Two sizes: the
+    // historical 2M quick number, and the PINNED sf1-scale row (20M
+    // rows / 1000 channels, min-of-3) whose fixed row count and extra
+    // run stop round-over-round perf claims riding suite noise.
+    val tputSec = DecimationBench.measure(spark, rows = 2000000L,
+      channels = 250, runs = 2)
+    val sf1Rows = 20000000L
+    val sf1Sec = DecimationBench.measure(spark, rows = sf1Rows,
+      channels = 1000, runs = 3)
 
     val extras =
-      s""""events_rows":$nEvents,"decimate_rows_per_sec":${(tputRows / tputSec).toLong},"decimate_tput_rows":$tputRows,"wall_sec":$wallSec,"runs_per_query":2,"action":"noop_write""""
+      s""""events_rows":$nEvents,"decimate_rows_per_sec":${(2000000L / tputSec).toLong},"decimate_tput_rows":2000000,"decimate_sf1_rows_per_sec":${(sf1Rows / sf1Sec).toLong},"decimate_sf1_rows":$sf1Rows,"decimate_sf1_runs":3,"wall_sec":$wallSec,"runs_per_query":2,"action":"noop_write""""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extras,"sf":"$sfDir"}"""
     println(line)

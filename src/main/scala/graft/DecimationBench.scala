@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Pinned decimation-throughput benchmark: a FIXED synthetic workload
+  * (rows, channels, 1 h windows), min-of-N warm runs, so throughput
+  * claims compare the engine across rounds instead of suite noise.
+  * Runs standalone against any master — the BASELINE.md scaling rows
+  * (local[1] / local[32] / local-cluster[4,8]) come from here:
+  *
+  * {{{
+  * SPARK_GRAFT_MASTER='local-cluster[4,8,4096]' \
+  *   sbt -batch "runMain graft.DecimationBench"
+  * }}}
+  *
+  * [[Bench]] embeds the same measurement in-suite via [[measure]].
+  */
+object DecimationBench {
+
+  /** Build the fixed frame, decimate to 1 h windows through the noop
+    * sink (full physical plan), return min-of-`runs` seconds.
+    */
+  def measure(spark: SparkSession, rows: Long, channels: Int,
+              runs: Int): Double = {
+    val base = 1704067200L * 1000000000L
+    val frame = spark.range(rows).select(
+        concat(lit("ch"), col("id") % channels).as("channel"),
+        (lit(base) + (col("id") / channels).cast("long") * 1000000000L +
+          col("id") % 7).as("ts"),
+        (col("id") % 1000).cast("double").as("value"),
+        lit("").as("str_value"), lit(0).as("severity"), lit(0).as("status"),
+        col("id").as("sample_id"))
+      .repartition(64).cache()
+    frame.count()
+    val sec = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      graft.archive.Decimation.decimate(frame, 3600L * 1000000000L)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    frame.unpersist()
+    sec
+  }
+
+  def main(args: Array[String]): Unit = {
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]")
+    val rows = sys.env.getOrElse("SPARK_GRAFT_TPUT_ROWS", "20000000").toLong
+    val channels = sys.env.getOrElse("SPARK_GRAFT_TPUT_CHANNELS", "1000").toInt
+    val builder = SparkSession.builder()
+      .master(master)
+      .appName("graft-decimation-bench")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    // local-cluster executors are separate JVMs and need the repo
+    // classes on their classpath explicitly
+    if (master.startsWith("local-cluster"))
+      builder.config("spark.executor.extraClassPath",
+        new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sec = measure(spark, rows, channels, runs = 3)
+    val line =
+      s"""{"metric":"decimate_rows_per_sec","value":${(rows / sec).toLong},"unit":"rows_per_sec","rows":$rows,"channels":$channels,"runs":3,"sec":$sec,"master":"$master"}"""
+    println(line)
+    java.nio.file.Files.write(java.nio.file.Paths.get("decim_bench.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}

@@ -337,12 +337,21 @@ object Cascade {
         coalesce(col("last_src_ts"), col("_ol")).as("last_src_ts"),
         coalesce(col("resume_ts"), col("_or")).as("resume_ts"))
       .collect()
-    val token = mergedRows.map(r => (r.getAs[String]("channel"),
-        r.getAs[Long]("last_src_ts"), r.getAs[Long]("resume_ts")))
-      .sortBy(_._1)
-      .foldLeft(17L) { case (acc, (c, l, rts)) =>
-        ((acc * 31 + c.hashCode) * 31 + l) * 31 + rts
-      }
+    // collision-resistant token: SHA-256 over a canonical serialization,
+    // truncated to 64 bits. A 31-multiplier fold had enough structure
+    // that two distinct post-run states could collide, and a collision
+    // makes commitIfChanged silently skip a GENUINE append — permanent
+    // loss in the decimated level. Null watermark fields (never
+    // expected — the merge coalesces two non-null frames) are encoded
+    // explicitly rather than NPE-ing in an unboxing getAs[Long].
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    mergedRows.sortBy(_.getAs[String]("channel")).foreach { r =>
+      def field(i: Int): String =
+        if (r.isNullAt(i)) "null" else r.getLong(i).toString
+      md.update((r.getAs[String]("channel") + " " + field(1) +
+        " " + field(2) + "\n").getBytes("UTF-8"))
+    }
+    val token = java.nio.ByteBuffer.wrap(md.digest()).getLong
     // exactly-once on a transactional backend: a crash-replay between
     // this write and the watermark persist recomputes the identical
     // post-run state and token, and the duplicate append is skipped
