@@ -35,10 +35,35 @@ object ArchiveReader {
                            hi: Option[Long]): DataFrame =
     if (!samples.columns.contains("ts_raw")) samples
     else {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       val slack = graft.core.Samples.RawSlackNs
-      val withLo = lo.map(l => samples.where(col("ts_raw") >= l))
+      // The raw column keeps its parquet-native type so the predicate
+      // can match row-group statistics: Long = legacy ns; timestamp
+      // types = µs instants. Bounds are widened outward on conversion
+      // (floor on both sides; the hi slack absorbs sub-µs truncation)
+      // so the hint can only over-select, never drop a matching row.
+      def bound(ns: Long): Any = samples.schema("ts_raw").dataType match {
+        case LongType => ns
+        case TimestampNTZType =>
+          val us = Math.floorDiv(ns, 1000L)
+          java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(us, 1000000L),
+            (Math.floorMod(us, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
+        case TimestampType =>
+          val us = Math.floorDiv(ns, 1000L)
+          java.time.Instant.ofEpochSecond(
+            Math.floorDiv(us, 1000000L),
+            Math.floorMod(us, 1000000L) * 1000L)
+        case other =>
+          throw new IllegalStateException(s"unsupported ts_raw type: $other")
+      }
+      val withLo = lo.map(l => samples.where(col("ts_raw") >= lit(bound(l))))
         .getOrElse(samples)
-      hi.map(h => withLo.where(col("ts_raw") <= h + slack)).getOrElse(withLo)
+      hi.map { h =>
+        val hWide = if (h > Long.MaxValue - slack) Long.MaxValue else h + slack
+        withLo.where(col("ts_raw") <= lit(bound(hWide)))
+      }.getOrElse(withLo)
     }
 
   /** S5/F1/O1 — inclusive range scan, time-ascending. */

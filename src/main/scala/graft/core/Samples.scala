@@ -40,6 +40,10 @@ object Samples {
   def fromEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val k = get_json_object(col("props"), "$.k").cast("int")
+    // the untruncated source column in its parquet-native type (Long ns
+    // legacy, timestamp µs current) — predicates against it can reach
+    // the scan's row-group statistics (see ArchiveReader.pushdownHint)
+    val rawTs = if (ev.columns.contains("ts_src")) col("ts_src") else col("ts")
     ev.select(
       col("event_type").as("channel"),
       (col("ts") - pmod(col("ts"), lit(1000L))).as("ts"),
@@ -52,13 +56,31 @@ object Samples {
       // predicates on the (derived) canonical ts cannot reach the
       // parquet scan, but an equivalent widened predicate on ts_raw
       // can — ArchiveReader adds it automatically (see pushdownHint).
-      col("ts").as("ts_raw"))
+      rawTs.as("ts_raw"))
   }
 
   /** Max distance between canonical ts and the raw source timestamp
     * (µs truncation ⇒ raw ∈ [ts, ts + 999]).
     */
   val RawSlackNs: Long = 999L
+
+  /** Render a canonical ns-Long timestamp as a `ts_raw` value of the
+    * given physical type, so synthetic frames can be unioned with
+    * [[fromEvents]] output regardless of which parquet timestamp type
+    * the source table used. Session timezone is UTC (Tables pins it),
+    * making the LTZ→NTZ cast the identity wall-clock mapping.
+    */
+  def rawTsFromNs(ts: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val us = ((ts - pmod(ts, lit(1000L))) / lit(1000L)).cast("long")
+    dt match {
+      case LongType         => ts
+      case TimestampType    => timestamp_micros(us)
+      case TimestampNTZType => timestamp_micros(us).cast(TimestampNTZType)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported ts_raw type: $other")
+    }
+  }
 
   /** Marker-aware variant: severity 3 (INVALID) rows become marker
     * samples (null value) — models disconnected periods so decimation

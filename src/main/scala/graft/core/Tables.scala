@@ -1,21 +1,35 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver-generated test tables (TESTDATA.md).
   *
   * All tables are plain parquet under `\$sfDir/<name>.parquet`. The
-  * `events` table carries a nanosecond-precision timestamp, which Spark
-  * only exposes via `spark.sql.legacy.parquet.nanosAsLong` — we want it
-  * as a raw Long anyway, because the engine's canonical time unit is
-  * nanoseconds-since-epoch (reference:
-  * cassandra-pv-archiver-control-system-api/.../Sample.java:22-28).
+  * `events` table carries a high-precision timestamp; the engine's
+  * canonical time unit is nanoseconds-since-epoch as a plain Long
+  * (reference: cassandra-pv-archiver-control-system-api/.../
+  * Sample.java:22-28), so [[events]] normalizes whatever physical type
+  * the generator used:
+  *
+  *  - parquet TIMESTAMP(NANOS): `spark.sql.legacy.parquet.nanosAsLong`
+  *    surfaces it directly as a ns Long — used as-is.
+  *  - parquet TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ): the raw column
+  *    is kept under `ts_src` (so range predicates can still be pushed
+  *    to the parquet scan against its row-group statistics) and a
+  *    derived ns-Long `ts` is added. The session timezone is pinned to
+  *    UTC so the NTZ→instant interpretation matches DuckDB's
+  *    `epoch_ns(naive_ts)` on the oracle side.
   */
 object Tables {
 
-  /** Enable Long-nanos parquet reads; idempotent, cheap. */
+  /** Enable Long-nanos parquet reads + UTC wall-clock interpretation;
+    * idempotent, cheap.
+    */
   private def withNanos(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
   }
 
@@ -29,7 +43,27 @@ object Tables {
   def nation(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "region")
   def part(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "part")
-  def events(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "events")
+
+  /** The events table with `ts` guaranteed to be nanoseconds-since-epoch
+    * as a Long. When the source column is timestamp-typed, the raw
+    * (pushable) column survives as `ts_src`.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = read(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampNTZType =>
+        df.withColumnRenamed("ts", "ts_src")
+          .withColumn("ts",
+            unix_micros(col("ts_src").cast(TimestampType)) * lit(1000L))
+      case TimestampType =>
+        df.withColumnRenamed("ts", "ts_src")
+          .withColumn("ts", unix_micros(col("ts_src")) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(s"unsupported events.ts type: $other")
+    }
+  }
+
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
 }

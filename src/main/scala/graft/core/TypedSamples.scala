@@ -126,8 +126,13 @@ object TypedSamples {
         .when(m0 === 13, lit("aggregated_scalar_double"))
         .when(m0 === 14, lit("array_float"))
         .otherwise(lit("aggregated_scalar_long"))
+    // the untruncated source timestamp in its parquet-native type
+    // (Long ns legacy, timestamp µs current) — kept for ts_raw so
+    // range predicates stay pushable (ArchiveReader.pushdownHint)
+    val rawTs0 =
+      if (ev0.columns.contains("ts_src")) col("ts_src") else col("ts")
     val ev = ev0.select(col("event_type"), col("ts"), col("value"),
-      col("props"), col("event_id"),
+      col("props"), col("event_id"), rawTs0.as("_ts_src"),
       k0.as("_k"), sev0.as("_sev"), marker0.as("_marker"),
       vtype0.as("_vtype"))
 
@@ -217,7 +222,7 @@ object TypedSamples {
       when(numericTag, lim - 500.0).as("meta_control_low"),
       when(numericTag, lit(500.0) - lim).as("meta_control_high"),
       col("event_id").as("sample_id"),
-      col("ts").as("ts_raw"))
+      col("_ts_src").as("ts_raw"))
   }
 
   /** Canonical array-free rendering of an array<double> column for

@@ -176,7 +176,8 @@ class CascadeSpec extends AnyFunSuite {
       ("ancient", cut - 3000L * 1000000000L, 6.0, "", 0, 0, 900006L))
       .toDF("channel", "ts", "value", "str_value", "severity", "status",
         "sample_id")
-      .withColumn("ts_raw", $"ts")
+      .withColumn("ts_raw",
+        Samples.rawTsFromNs($"ts", events.schema("ts_raw").dataType))
     val raw = events.unionByName(late).cache()
     val first = events.where($"ts" <= cut)
     val rest = Samples.monotonicDedup(raw).where($"ts" > cut ||
