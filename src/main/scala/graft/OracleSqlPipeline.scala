@@ -528,6 +528,61 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |FROM occ LEFT JOIN bis USING (u, w) LEFT JOIN back USING (w), rtot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // mirror of TextAnalysis.hashedLinearScore with the stand-in
+    // weight table w(h) = (h mod 2001) - 1000: per-doc mean hashed-
+    // bigram weight, exact integers until the output-edge round
+    "text_quality_classifier" ->
+      s"""WITH $TOKS,
+         |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+         |       FROM t, UNNEST(range(1, len(toks))) g(i)
+         |       WHERE len(toks) >= 2),
+         |wt AS (SELECT doc_id,
+         |         (${md5HashM31Sql("bigram")} % 2001) - 1000 AS w
+         |       FROM bg),
+         |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+         |         CAST(sum(w) AS BIGINT) AS sw
+         |       FROM wt GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(sc.n_features, 0) AS n_features,
+         |       round(sc.sw::DOUBLE / sc.n_features, 6) AS score,
+         |       (sc.sw > 0) AS positive
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // mirror of Sampling.qualityBucketSample (rates .1/.3/.6/.9,
+    // vocab 20): unigram-score quantile thresholds (scaled-round 6dp),
+    // comparison-chain bucketing, salted-hash Bernoulli keep
+    "sample_quality_bucket" ->
+      s"""WITH $TOKS,
+         |occ AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |counts AS (SELECT tok, count(*) AS cnt FROM occ GROUP BY tok),
+         |vocab AS (SELECT tok, TRUE AS in_vocab FROM counts
+         |          ORDER BY cnt DESC, tok ASC LIMIT 20),
+         |scored AS (
+         |  SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    round(sum(c.cnt)::DOUBLE / count(*), 6) AS avg_token_count
+         |  FROM occ o JOIN counts c USING (tok)
+         |  GROUP BY o.doc_id),
+         |thr AS (SELECT
+         |  CAST(CAST(round(quantile_cont(avg_token_count, 0.25) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS thr1,
+         |  CAST(CAST(round(quantile_cont(avg_token_count, 0.5) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS thr2,
+         |  CAST(CAST(round(quantile_cont(avg_token_count, 0.75) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS thr3
+         |  FROM scored),
+         |bucketed AS (
+         |  SELECT s.doc_id, s.n_tokens, s.avg_token_count,
+         |    1 + (CASE WHEN s.avg_token_count > thr.thr1 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN s.avg_token_count > thr.thr2 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN s.avg_token_count > thr.thr3 THEN 1 ELSE 0 END)
+         |      AS bucket
+         |  FROM scored s, thr)
+         |SELECT doc_id, n_tokens, avg_token_count, bucket
+         |FROM bucketed
+         |WHERE (('0x' || substr(md5(doc_id::VARCHAR || 'qb'), 1, 15))::BIGINT
+         |       / 1152921504606846976.0) <
+         |  CASE bucket WHEN 1 THEN 0.1 WHEN 2 THEN 0.3
+         |              WHEN 3 THEN 0.6 ELSE 0.9 END
+         |ORDER BY doc_id""".stripMargin,
+
     // mirror of TextAnalysis.unigramScore at vocabSize 20: corpus
     // token counts, top-V membership by (cnt desc, tok asc), per-doc
     // mean corpus count and OOV fraction as exact-integer ratios
@@ -1276,6 +1331,36 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |           ORDER BY cos_sim DESC, vec_id) AS rank
          |  FROM cand)
          |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+
+    // mirror of Similarity.semanticDedup at minCos 0.5: single-table
+    // LSH buckets, 6dp-rounded per-bucket centroid (DECIMAL-routed
+    // mean), tournament drop rule (closer-to-centroid same-bucket
+    // 0.5-cosine mate wins; centroid_sim tie -> lower vec_id)
+    "dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${bucketExpr(0)} AS bucket FROM e),
+         |dims AS (SELECT bucket, g.pos AS pos, v[g.pos + 1] AS val
+         |         FROM b, UNNEST(generate_series(0, len(v) - 1)) g(pos)),
+         |agg AS (SELECT bucket, pos,
+         |          round(CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+         |            / count(*), 6) AS m
+         |        FROM dims GROUP BY 1, 2),
+         |cent AS (SELECT bucket, list(m ORDER BY pos) AS centroid
+         |         FROM agg GROUP BY bucket),
+         |mm AS (SELECT b.vec_id, b.bucket, b.v,
+         |         round(list_cosine_similarity(b.v, cent.centroid), 6)
+         |           AS centroid_sim
+         |       FROM b JOIN cent USING (bucket)),
+         |drp AS (SELECT DISTINCT x.vec_id FROM mm x JOIN mm y
+         |          ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+         |         AND round(list_cosine_similarity(x.v, y.v), 6) >= 0.5
+         |         AND (y.centroid_sim < x.centroid_sim OR
+         |              (y.centroid_sim = x.centroid_sim
+         |               AND y.vec_id < x.vec_id)))
+         |SELECT mm.vec_id, mm.bucket, mm.centroid_sim,
+         |       (drp.vec_id IS NOT NULL) AS dropped
+         |FROM mm LEFT JOIN drp ON mm.vec_id = drp.vec_id
+         |ORDER BY mm.vec_id""".stripMargin,
 
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -462,6 +462,12 @@ object SparkEntry {
       TextAnalysis.unigramScore(Tables.documents(s, dir), vocabSize = 20)
         .orderBy("doc_id")),
 
+    // hashed-bigram linear classifier (fastText shape) with the
+    // deterministic stand-in weight table
+    "text_quality_classifier" -> ((s, dir) =>
+      TextAnalysis.hashedLinearScore(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
     // multi-round BPE vocabulary training: the full merge loop, with
     // exact leftmost-greedy application each round (double-space trick).
     // Served from the shared memo (one training run feeds this gate and
@@ -575,6 +581,13 @@ object SparkEntry {
     "sample_topn" -> ((s, dir) =>
       Sampling.topNPerStratum(Tables.documents(s, dir), n = 40)
         .select(col("doc_id"), col("lang")).orderBy("doc_id")),
+
+    // CCNet-style perplexity-bucketed sampling: 4 quantile buckets of
+    // the unigram-LM score, tail kept at 10% up to head at 90%
+    "sample_quality_bucket" -> ((s, dir) =>
+      Sampling.qualityBucketSample(Tables.documents(s, dir),
+          rates = Seq(0.1, 0.3, 0.6, 0.9), vocabSize = 20)
+        .orderBy("doc_id")),
 
     "sample_split" -> ((s, dir) =>
       Sampling.hashSplit(Tables.documents(s, dir),
@@ -716,6 +729,12 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingNearDup(Tables.embeddings(s, dir), minCos = 0.3)
         .orderBy("vec_a", "vec_b")),
+
+    // SemDeDup-style semantic dedup: LSH-bucket clusters, within each
+    // bucket keep the ε-dup member farthest from the bucket centroid
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir), minCos = 0.5)
+        .orderBy("vec_id")),
 
     // representative (mean) embedding per near-dup cluster — the vector
     // a deduplicated index serves; arrays stringified for the oracle

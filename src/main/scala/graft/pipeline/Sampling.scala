@@ -264,4 +264,56 @@ object Sampling {
       .select(col("doc_id"), col("n_tokens"), col("logw"),
         col("key_exact").cast("decimal(38,6)").cast("double").as("key"))
   }
+
+  /** Perplexity-bucketed sampling — the CCNet (Wenzek et al. 2020,
+    * arXiv:1911.00359) head/middle/tail recipe: score every document
+    * with a corpus language model, cut the score distribution into
+    * `rates.length` quantile buckets, and keep each bucket at its own
+    * rate (typically favoring the fluent head). The LM proxy is
+    * [[TextAnalysis.unigramScore]]'s `avg_token_count` (higher = more
+    * fluent/common tokens ≈ lower perplexity; exact-integer ratio, so
+    * engine-deterministic — no libm log whose last bit differs across
+    * engines).
+    *
+    * Scale shape: NO global sort/ntile — bucket boundaries are B−1
+    * percentile thresholds (one tiny agg row, cross-joined broadcast),
+    * bucketing is a codegen'd comparison chain, and the keep decision
+    * is the salted-hash Bernoulli used by every sampler here (pure
+    * function of doc_id — reproducible across runs, engines, and
+    * cluster sizes). At 100 TB swap the exact `percentile` for
+    * `percentile_approx` exactly as [[TextAnalysis.corpusStats]] does;
+    * the gate keeps the exact form.
+    *
+    * `rates(i)` is the keep probability of bucket i+1 (buckets ordered
+    * by ascending score: bucket 1 = rarest-token tail ... bucket B =
+    * most-fluent head).
+    *
+    * Output: kept documents as (doc_id, n_tokens, avg_token_count,
+    * bucket).
+    */
+  def qualityBucketSample(docs: DataFrame, rates: Seq[Double],
+                          vocabSize: Int = 1000,
+                          textCol: String = "text",
+                          salt: String = "qb"): DataFrame = {
+    require(rates.nonEmpty, "need at least one bucket rate")
+    val nB = rates.length
+    val scored = TextAnalysis.unigramScore(docs, vocabSize, textCol)
+    val thr = scored.agg(
+      TextAnalysis.r6(expr(
+        s"percentile(avg_token_count, ${1.0 / nB})")).as("thr1"),
+      ((2 until nB).map(i => TextAnalysis.r6(expr(
+        s"percentile(avg_token_count, ${i.toDouble / nB})"))
+        .as(s"thr$i"))): _*)
+    val bucket = (1 until nB).foldLeft(lit(1)) { (acc, i) =>
+      acc + when(col("avg_token_count") > col(s"thr$i"), 1).otherwise(0)
+    }
+    val rate = rates.zipWithIndex.foldLeft(lit(rates.head)) {
+      case (acc, (r, i)) => when(col("bucket") === i + 1, lit(r)).otherwise(acc)
+    }
+    scored.crossJoin(broadcast(thr))
+      .withColumn("bucket", bucket)
+      .where(hashUniform(col("doc_id"), salt) < rate)
+      .select(col("doc_id"), col("n_tokens"), col("avg_token_count"),
+        col("bucket"))
+  }
 }

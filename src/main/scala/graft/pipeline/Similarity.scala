@@ -637,4 +637,69 @@ object Similarity {
   /** Back-compat single-table variant of round 1's query shape. */
   def lshNearestInBucket(corpus: DataFrame): DataFrame =
     lshNearest(corpus, NumPlanes, 1)
+
+  /** Semantic deduplication — SemDeDup (Abbas et al. 2023,
+    * arXiv:2303.09540) re-expressed for Spark at scale. The paper
+    * k-means-clusters the embedding space and, inside each cluster,
+    * drops all but one member of every ε-ball of near-identical
+    * semantics, keeping the member FARTHEST from the cluster centroid
+    * (low centroid-similarity = the most informative exemplar).
+    *
+    * Scale-first choices:
+    *  - the cluster structure is the deterministic single-table LSH
+    *    bucketing (`planesFor` bounds expected bucket size, so the
+    *    within-bucket pair join is ~O(n·targetBucketSize), never
+    *    all-pairs, and needs no iterative training pass);
+    *  - the centroid is a per-(bucket, dimension) partial aggregation —
+    *    map-side combinable, one shuffle keyed by (bucket, pos), no
+    *    vector materialized whole off its own row;
+    *  - the keep rule is a non-recursive tournament: x is dropped when
+    *    some same-bucket y with cos(x, y) ≥ `minCos` sits closer to the
+    *    centroid (centroid_sim tie → lower vec_id wins). The greedy
+    *    sequential sweep of the paper is inherently serial; the
+    *    tournament keeps every local minimum of centroid-similarity,
+    *    deviating only on chains (a~b, b~c, a≁c keeps {a-or-c side}
+    *    both here, one of three there) — the conservative direction
+    *    for training data (never over-deletes a chain).
+    *
+    * Centroid elements are rounded at 6dp (scaled round) so the
+    * downstream cosines see engine-identical inputs.
+    *
+    * Output: one row per vector — (vec_id, bucket, centroid_sim,
+    * dropped).
+    */
+  def semanticDedup(corpus: DataFrame, minCos: Double,
+                    numPlanes: Int = NumPlanes): DataFrame = {
+    val b = bucketed(corpus, numPlanes, 1).drop("tbl")
+    val cent = b
+      .select(col("bucket"), posexplode(asDouble(col("embedding")))
+        .as(Seq("pos", "v")))
+      .groupBy("bucket", "pos")
+      .agg(graft.archive.Decimation.exactSum(col("v")).as("s"),
+        count(lit(1)).as("n"))
+      .groupBy("bucket")
+      .agg(transform(array_sort(collect_list(struct(col("pos"),
+          TextAnalysis.r6(col("s").cast("double") / col("n")).as("m")))),
+          e => e.getField("m"))
+        .as("centroid"))
+    val m = b.join(cent, Seq("bucket"))
+      .select(col("bucket"), col("vec_id"), col("embedding"),
+        round(cosine(asDouble(col("embedding")), col("centroid")), 6)
+          .as("centroid_sim"))
+    val dropped = m.as("x").join(m.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") =!= col("y.vec_id") &&
+        round(cosine(asDouble(col("x.embedding")),
+          asDouble(col("y.embedding"))), 6) >= minCos &&
+        (col("y.centroid_sim") < col("x.centroid_sim") ||
+          (col("y.centroid_sim") === col("x.centroid_sim") &&
+            col("y.vec_id") < col("x.vec_id"))))
+      .select(col("x.vec_id").as("vec_id"))
+      .distinct()
+      .withColumn("is_dropped", lit(true))
+    m.select(col("vec_id"), col("bucket"), col("centroid_sim"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"), col("centroid_sim"),
+        coalesce(col("is_dropped"), lit(false)).as("dropped"))
+  }
 }

@@ -501,4 +501,60 @@ object TextAnalysis {
         (round(col("n_chars").cast("double") / col("n_subwords") * lit(1e6))
           .cast("long").cast("double") / lit(1e6)))
   }
+
+  /** Hashed-feature linear text classifier — the fastText shape
+    * (Joulin et al. 2016, arXiv:1607.01759): every token-bigram hashes
+    * into a fixed-size weight table and the document score is the mean
+    * table weight of its features. This is how production quality
+    * classifiers (e.g. CCNet/LLaMA-style "is this page wiki-like?")
+    * run over a 100 TB crawl: no vocabulary join at all when the
+    * weight is a pure expression of the hash, or a broadcast join
+    * against a table-sized (2^B) weight frame when trained weights are
+    * supplied — either way one codegen'd corpus scan, a per-doc
+    * map-side-combinable aggregate, and nothing corpus-sized shuffles.
+    *
+    * With `weights = None` the stand-in weight for feature-hash h is
+    * the zero-mean integer `(h mod 2001) − 1000` — deterministic in
+    * every engine, so the whole score is an exact-integer ratio until
+    * the output-edge scaled round. A trained model swaps in a
+    * `(feature_hash, weight)` frame without touching the plan shape.
+    *
+    * Output: (doc_id, n_features, score, positive); documents with
+    * fewer than two tokens surface with n_features = 0 and null score.
+    */
+  def hashedLinearScore(docs: DataFrame,
+                        weights: Option[DataFrame] = None,
+                        textCol: String = "text"): DataFrame = {
+    val feats = docs
+      .select(col("doc_id"), toks(textCol).as("toks"))
+      // sequence(1, 0) DESCENDS in Spark — a sub-2-token doc would
+      // index out of bounds under ANSI; filter, the left join below
+      // restores those docs with n_features = 0
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(toks[i-1], ' ', toks[i]))")).as("bigram"))
+      .select(col("doc_id"),
+        graft.pipeline.Hashing.md5HashM31(col("bigram")).as("h"))
+    val weighted = weights match {
+      case Some(w) =>
+        feats.join(broadcast(w), feats("h") === w("feature_hash"), "left")
+          .select(col("doc_id"),
+            coalesce(col("weight"), lit(0.0)).as("w"))
+      case None =>
+        feats.select(col("doc_id"),
+          (pmod(col("h"), lit(2001L)) - lit(1000L)).as("w"))
+    }
+    val scored = weighted.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_features"),
+        sum(col("w")).as("sw"))
+      .select(col("doc_id"), col("n_features"),
+        r6(col("sw").cast("double") / col("n_features")).as("score"),
+        (col("sw") > 0).as("positive"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_features"), lit(0L)).as("n_features"),
+        col("score"), col("positive"))
+  }
 }

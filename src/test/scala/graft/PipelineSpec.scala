@@ -808,4 +808,68 @@ class PipelineSpec extends AnyFunSuite {
     val sel2 = Sampling.dsirResample(raw, target, n = 2).collect()
     assert(sel.map(_.getLong(0)).toSeq == sel2.map(_.getLong(0)).toSeq)
   }
+
+  test("semanticDedup drops the closer-to-centroid member of an identical pair") {
+    import org.apache.spark.sql.functions._
+    // vec 1 and 2 identical (cos = 1 ≥ τ, same bucket by construction);
+    // vec 3 orthogonal-ish. Dim matches the similarity module.
+    val dim = Similarity.Dim
+    def v(head: Double*) =
+      (head ++ Seq.fill(dim - head.length)(0.0)).toArray
+    val emb = Seq(
+      (1L, v(1.0, 0.2)), (2L, v(1.0, 0.2)), (3L, v(-1.0, 5.0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, minCos = 0.95).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("bucket"), r.getAs[Boolean]("dropped"))).toMap
+    assert(out.size == 3)
+    // identical pair shares a bucket; equal centroid_sim → lower id kept
+    assert(out(1L)._1 == out(2L)._1)
+    assert(!out(1L)._2 && out(2L)._2)
+    // a vector with no ε-dup mate in its bucket is never dropped
+    assert(!out(3L)._2)
+  }
+
+  test("hashedLinearScore: feature counts, null score under 2 tokens, sign flag") {
+    val d = docs(
+      (1L, "alpha beta gamma delta", "en"), // 3 bigrams
+      (2L, "single", "en"), //  0 bigrams → null score
+      (3L, "alpha beta", "en")) // 1 bigram
+    val out = TextAnalysis.hashedLinearScore(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_features") == 3L)
+    assert(out(2L).getAs[Long]("n_features") == 0L)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("score")))
+    assert(out(3L).getAs[Long]("n_features") == 1L)
+    for (id <- Seq(1L, 3L)) {
+      val r = out(id)
+      assert(r.getAs[Boolean]("positive") == (r.getAs[Double]("score") > 0))
+    }
+    // deterministic across runs
+    val again = TextAnalysis.hashedLinearScore(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(again.toSeq == out.toSeq.map(e => (e._1, e._2.getLong(1))).sorted)
+  }
+
+  test("qualityBucketSample: buckets partition the score axis, rates respected") {
+    val d = Tables_docs_sf0001
+    val rates = Seq(0.1, 0.3, 0.6, 0.9)
+    val kept = Sampling.qualityBucketSample(d, rates, vocabSize = 20).collect()
+    assert(kept.nonEmpty)
+    val byBucket = kept.groupBy(_.getAs[Int]("bucket"))
+    assert(byBucket.keySet.subsetOf(Set(1, 2, 3, 4)))
+    // score ranges of adjacent buckets never interleave
+    val ranges = byBucket.view.mapValues(rs =>
+      (rs.map(_.getAs[Double]("avg_token_count")).min,
+        rs.map(_.getAs[Double]("avg_token_count")).max)).toMap
+    for (b <- 1 to 3 if ranges.contains(b) && ranges.contains(b + 1))
+      assert(ranges(b)._2 <= ranges(b + 1)._1,
+        s"bucket $b max ${ranges(b)._2} > bucket ${b + 1} min ${ranges(b + 1)._1}")
+    // the head bucket keeps more than the tail (rates are 9× apart)
+    for (Seq(lo, hi) <- Seq(1, 4).sliding(2) if byBucket.contains(lo) && byBucket.contains(hi))
+      assert(byBucket(hi).length > byBucket(lo).length)
+  }
+
+  private lazy val Tables_docs_sf0001 =
+    graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
 }
