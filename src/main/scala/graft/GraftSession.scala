@@ -64,6 +64,16 @@ object GraftSession {
         core.Tables.documents(spark, sfDir)
           .where(org.apache.spark.sql.functions.col("doc_id") % 11 === 0))
       .createOrReplaceTempView("doc_dsir_weights")
+    pipeline.Similarity.semanticDedup(
+        core.Tables.embeddings(spark, sfDir), minCos = 0.3)
+      .createOrReplaceTempView("emb_semantic_dedup")
+    pipeline.TextAnalysis.hashedLinearScore(
+        core.Tables.documents(spark, sfDir))
+      .createOrReplaceTempView("doc_classifier_score")
+    pipeline.Sampling.qualityBucketSample(
+        core.Tables.documents(spark, sfDir),
+        rates = Seq(0.1, 0.3, 0.6, 0.9))
+      .createOrReplaceTempView("doc_quality_sample")
     // native functions
     functions.VectorExpressions.register(spark)
   }

@@ -1332,7 +1332,7 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |  FROM cand)
          |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
 
-    // mirror of Similarity.semanticDedup at minCos 0.5: single-table
+    // mirror of Similarity.semanticDedup at minCos 0.3: single-table
     // LSH buckets, 6dp-rounded per-bucket centroid (DECIMAL-routed
     // mean), tournament drop rule (closer-to-centroid same-bucket
     // 0.5-cosine mate wins; centroid_sim tie -> lower vec_id)
@@ -1353,7 +1353,7 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |       FROM b JOIN cent USING (bucket)),
          |drp AS (SELECT DISTINCT x.vec_id FROM mm x JOIN mm y
          |          ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
-         |         AND round(list_cosine_similarity(x.v, y.v), 6) >= 0.5
+         |         AND round(list_cosine_similarity(x.v, y.v), 6) >= 0.3
          |         AND (y.centroid_sim < x.centroid_sim OR
          |              (y.centroid_sim = x.centroid_sim
          |               AND y.vec_id < x.vec_id)))

@@ -733,7 +733,7 @@ object SparkEntry {
     // SemDeDup-style semantic dedup: LSH-bucket clusters, within each
     // bucket keep the ε-dup member farthest from the bucket centroid
     "dedup_semantic" -> ((s, dir) =>
-      Similarity.semanticDedup(Tables.embeddings(s, dir), minCos = 0.5)
+      Similarity.semanticDedup(Tables.embeddings(s, dir), minCos = 0.3)
         .orderBy("vec_id")),
 
     // representative (mean) embedding per near-dup cluster — the vector

@@ -682,23 +682,38 @@ object Similarity {
           TextAnalysis.r6(col("s").cast("double") / col("n")).as("m")))),
           e => e.getField("m"))
         .as("centroid"))
-    val m = b.join(cent, Seq("bucket"))
-      .select(col("bucket"), col("vec_id"), col("embedding"),
+    // The per-vector centroid-similarity frame is referenced three
+    // times (both tournament sides + the output): self-join branches
+    // do not CSE, so without truncation the Dim-fold posexplode
+    // centroid pipeline would run three times over the corpus.
+    // A lazy local checkpoint stores the 3-column narrow frame
+    // (~24 B/vector — 24 GB cluster-wide at 10⁹ vectors) after its
+    // first materialization; recompute-on-executor-loss is the
+    // accepted trade against tripling the most expensive stage.
+    val cs = b.join(cent, Seq("bucket"))
+      .select(col("bucket"), col("vec_id"),
         round(cosine(asDouble(col("embedding")), col("centroid")), 6)
           .as("centroid_sim"))
-    val dropped = m.as("x").join(m.as("y"),
-        col("x.bucket") === col("y.bucket") &&
-        col("x.vec_id") =!= col("y.vec_id") &&
-        round(cosine(asDouble(col("x.embedding")),
-          asDouble(col("y.embedding"))), 6) >= minCos &&
-        (col("y.centroid_sim") < col("x.centroid_sim") ||
-          (col("y.centroid_sim") === col("x.centroid_sim") &&
-            col("y.vec_id") < col("x.vec_id"))))
-      .select(col("x.vec_id").as("vec_id"))
+      .localCheckpoint(false)
+    // candidate pairs from the raw bucketed scan (column-pruned, same
+    // two-scan shape as embeddingNearDup) — the only per-pair work
+    val pairs = b.as("a").join(b.as("bb"),
+        col("a.bucket") === col("bb.bucket") &&
+        col("a.vec_id") =!= col("bb.vec_id") &&
+        round(cosine(asDouble(col("a.embedding")),
+          asDouble(col("bb.embedding"))), 6) >= minCos)
+      .select(col("a.vec_id").as("x_id"), col("bb.vec_id").as("y_id"))
+    val dropped = pairs
+      .join(cs.select(col("vec_id").as("x_id"),
+        col("centroid_sim").as("x_cs")), Seq("x_id"))
+      .join(cs.select(col("vec_id").as("y_id"),
+        col("centroid_sim").as("y_cs")), Seq("y_id"))
+      .where(col("y_cs") < col("x_cs") ||
+        (col("y_cs") === col("x_cs") && col("y_id") < col("x_id")))
+      .select(col("x_id").as("vec_id"))
       .distinct()
       .withColumn("is_dropped", lit(true))
-    m.select(col("vec_id"), col("bucket"), col("centroid_sim"))
-      .join(dropped, Seq("vec_id"), "left")
+    cs.join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("bucket"), col("centroid_sim"),
         coalesce(col("is_dropped"), lit(false)).as("dropped"))
   }
