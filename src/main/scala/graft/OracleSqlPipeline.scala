@@ -528,6 +528,28 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |FROM occ LEFT JOIN bis USING (u, w) LEFT JOIN back USING (w), rtot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // mirror of Dedup.duplicateSpans at k=5: 0-based window positions,
+    // 60-bit window hash, corpus-wide occ >= 2, gap-and-island merge
+    "dedup_dup_spans" ->
+      s"""WITH $TOKS,
+         |win AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    ${md5Hash60Sql(
+             "concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])")} AS h
+         |  FROM t, UNNEST(range(1, greatest(len(toks) - 3, 1))) g(i)),
+         |dup AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM win JOIN dup USING (h))
+         |SELECT doc_id,
+         |  CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + 4 AS BIGINT) AS span_end,
+         |  CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT) AS span_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_windows
+         |FROM isl GROUP BY doc_id, grp
+         |ORDER BY doc_id, span_start""".stripMargin,
+
     // mirror of TextAnalysis.hashedLinearScore with the stand-in
     // weight table w(h) = (h mod 2001) - 1000: per-doc mean hashed-
     // bigram weight, exact integers until the output-edge round

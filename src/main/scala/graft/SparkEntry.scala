@@ -571,6 +571,12 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), r6("jaccard"))
         .orderBy("doc_a", "doc_b")),
 
+    // exact duplicated-span extraction (Lee et al. 2021 ExactSubstr
+    // granularity): maximal runs of corpus-duplicated 5-token windows
+    "dedup_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(Tables.documents(s, dir), k = 5)
+        .orderBy("doc_id", "span_start")),
+
     // deterministic corpus sampling / splitting / packing — hash-gated,
     // reproducible, oracle-exact (no rand() anywhere)
     "sample_stratified" -> ((s, dir) =>

@@ -523,6 +523,58 @@ object Dedup {
         sum(when(!col("keep"), 1).otherwise(0)).cast("int").as("n_removed"))
   }
 
+  /** Exact duplicated-span extraction — Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499) ExactSubstr, re-expressed for Spark: instead of
+    * the paper's corpus-wide suffix array (inherently sequential to
+    * build and RAM-resident to query), slide a k-token window over
+    * every document, find window values occurring ≥ `minOcc` times
+    * corpus-wide, and merge each document's consecutive duplicated
+    * window positions into maximal spans — the token ranges a
+    * span-level dedup pass would cut. A run of j duplicated windows is
+    * a duplicated substring of j + k − 1 tokens, so duplicated
+    * substrings of length ≥ k are recovered at suffix-array output
+    * granularity without the suffix array.
+    *
+    * Scale shape: windows are the codegen'd zip_with fold (shared with
+    * [[rawShingles]]); the dup-window set is one map-side-combinable
+    * count; membership is a hash equi-join on the 60-bit window hash
+    * (AQE-sized — membership costs O(df) join rows per hot window,
+    * never O(df²) pairs); the island merge is a per-document window
+    * function (partitionBy doc_id, no global sort).
+    *
+    * Output: (doc_id, span_start, span_end, span_tokens, n_windows) —
+    * token positions 0-based inclusive.
+    */
+  def duplicateSpans(docs: DataFrame, k: Int = 5, minOcc: Int = 2,
+                     textCol: String = "text"): DataFrame = {
+    require(k > 0, s"window length must be positive: $k")
+    require(minOcc >= 2, s"minOcc below 2 would flag unique text: $minOcc")
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(textCol)
+    val shArr = (1 until k).foldLeft(toks: Column) { (acc, o) =>
+      zip_with(acc, slice(toks, lit(o + 1), size(toks)),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    val win = docs
+      .select(col("doc_id"), posexplode(shArr).as(Seq("pos", "shingle")))
+      .where(col("shingle").isNotNull)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        Hashing.md5Hash60(col("shingle")).as("h"))
+    val dup = win.groupBy("h").agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= minOcc).select("h")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    win.join(dup, Seq("h"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k.toLong - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_windows"))
+  }
+
   def ngramJaccard(docs: DataFrame, k: Int = 3,
                    minJaccard: Double = 0.15,
                    maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {

@@ -809,6 +809,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(sel.map(_.getLong(0)).toSeq == sel2.map(_.getLong(0)).toSeq)
   }
 
+  test("duplicateSpans recovers a shared 7-token run as one maximal span") {
+    val shared = "the quick brown fox jumps over fences"
+    val d = docs(
+      (1L, s"unique alpha words here then $shared and tail text", "en"),
+      (2L, s"completely different prefix $shared closing words", "en"),
+      (3L, "nothing duplicated in this document at all today", "en"))
+    val spans = Dedup.duplicateSpans(d, k = 5).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("span_start"), r.getAs[Long]("span_end"),
+        r.getAs[Long]("span_tokens"), r.getAs[Long]("n_windows")))
+    // 7 shared tokens → 3 windows of 5, merged into ONE span per doc
+    assert(spans.count(_._1 == 1L) == 1)
+    assert(spans.count(_._1 == 2L) == 1)
+    assert(spans.count(_._1 == 3L) == 0)
+    val s1 = spans.find(_._1 == 1L).get
+    assert(s1._4 == 7L && s1._5 == 3L)
+    // doc 1: "unique alpha words here then" = 5 tokens → span starts at 5
+    assert(s1._2 == 5L && s1._3 == 11L)
+    // doc 2: "completely different prefix" = 3 tokens → span starts at 3
+    val s2 = spans.find(_._1 == 2L).get
+    assert(s2._4 == 7L && s2._2 == 3L)
+  }
+
   test("semanticDedup drops the closer-to-centroid member of an identical pair") {
     import org.apache.spark.sql.functions._
     // vec 1 and 2 identical (cos = 1 ≥ τ, same bucket by construction);
