@@ -882,6 +882,37 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |  CAST(max(abs(s)) AS INT) AS peak
          |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
 
+    // mirror of Multimodal.audioActivitySegments (frameLen 64, mean
+    // energy >= 1.4e6): the same analytic sample law as
+    // mm_audio_features, framed; integer-exact threshold compare and
+    // gap-and-island merge — a value match proves the codec
+    // round-trip AND the segmentation arithmetic
+    "mm_audio_vad" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, 256 + (doc_id % 257) AS n FROM documents),
+         |s AS (
+         |  SELECT doc_id, i // 64 AS frame,
+         |    ((doc_id * 31 + i * 7919) % 4096) - 2048 AS s
+         |  FROM d, UNNEST(range(n)) u(i)),
+         |f AS (
+         |  SELECT doc_id, frame, CAST(count(*) AS BIGINT) AS nf,
+         |    CAST(sum(s * s) AS BIGINT) AS energy
+         |  FROM s GROUP BY 1, 2),
+         |act AS (SELECT * FROM f WHERE energy >= 1400000 * nf),
+         |isl AS (
+         |  SELECT doc_id, frame, nf, energy,
+         |    frame - row_number() OVER (PARTITION BY doc_id ORDER BY frame)
+         |      AS grp
+         |  FROM act)
+         |SELECT doc_id,
+         |  CAST(min(frame) AS BIGINT) AS seg_start,
+         |  CAST(max(frame) AS BIGINT) AS seg_end,
+         |  CAST(count(*) AS BIGINT) AS n_frames,
+         |  CAST(sum(nf) AS BIGINT) AS n_samples,
+         |  CAST(sum(energy) AS BIGINT) AS energy_sum
+         |FROM isl GROUP BY doc_id, grp
+         |ORDER BY doc_id, seg_start""".stripMargin,
+
     "mm_png_features" ->
       s"""WITH d AS (
          |  SELECT doc_id, 8 + (doc_id % 9) AS w, 8 + ((doc_id * 7) % 9) AS h

@@ -822,6 +822,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // energy-based activity segmentation through the real WAV decode:
+    // integer frame energies, exact threshold, gap-and-island merge
+    "mm_audio_vad" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.audioActivitySegments(
+          Multimodal.attachWavPayload(Tables.documents(s, dir)))
+        .orderBy("doc_id", "seg_start")
+    }),
+
     // value-checked image path: REAL PNG encode→decode (javax.imageio)
     // over analytic test images whose statistics the oracle computes
     // in closed form — the gate verifies the codec round-trip.

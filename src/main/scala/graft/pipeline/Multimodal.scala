@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side shape is real and tested: schema, batching,
   * partition sizing, and the typed `mapPartitions` boundary are
-  * exactly what a production decode stage uses. The codec itself is
-  * STUBBED (this container ships no image/audio libraries): the
-  * "decoder" is a deterministic fake that derives pixel-like
-  * statistics from the raw bytes. Swap [[MediaDecoder.decode]] for a
-  * real JNI/Java codec without touching the plan.
+  * exactly what a production decode stage uses. Since round 3 the
+  * image (PNG via javax.imageio), audio (WAV/PCM16 via
+  * javax.sound.sampled), and clip-container paths run REAL pure-JRE
+  * codecs — the legacy byte-statistics [[MediaDecoder]] survives only
+  * for the original `mm_features` gate. A heavier codec (JPEG, Opus,
+  * H.264 via JNI) swaps in without touching any plan.
   */
 object Multimodal {
 
@@ -238,6 +239,68 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Per-frame integer energy of a decoded WAV stream: the PCM samples
+    * framed into `frameLen`-sample windows, each with its exact sum of
+    * squares (Long — 16-bit samples square to ≤ 2^30, so even 2^33
+    * samples per frame would fit). Decode is iterator-at-a-time; one
+    * output row per frame.
+    */
+  case class FrameEnergy(doc_id: Long, frame: Int, n_in_frame: Int,
+                         energy: Long)
+
+  def audioFrameEnergies(media: DataFrame, frameLen: Int)
+                        (implicit spark: SparkSession): Dataset[FrameEnergy] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        WavCodec.decodeOpt(r.payload).toSeq.flatMap { case (_, pcm) =>
+          pcm.grouped(frameLen).zipWithIndex.map { case (fr, idx) =>
+            var sum2 = 0L
+            var i = 0
+            while (i < fr.length) {
+              val s = fr(i).toInt; sum2 += s.toLong * s; i += 1
+            }
+            FrameEnergy(r.doc_id, idx, fr.length, sum2)
+          }
+        }
+      }
+    }
+  }
+
+  /** Energy-based activity segmentation (VAD shape) over the real WAV
+    * decode: a frame is ACTIVE when its mean energy clears
+    * `minMeanEnergy` (compared in exact integers —
+    * `energy ≥ minMeanEnergy · n` — so the short tail frame is judged
+    * by the same rule without a division), and consecutive active
+    * frames merge into segments with the same per-document
+    * gap-and-island window pass as [[Dedup.duplicateSpans]]. This is
+    * the speech/music trimming screen an audio curation pipeline runs
+    * before transcription: everything stays integer-exact, the decode
+    * never materializes a clip's frames off its row until the
+    * per-frame explode, and the merge shuffles one row per frame keyed
+    * by doc.
+    *
+    * Output: (doc_id, seg_start, seg_end, n_frames, n_samples,
+    * energy_sum) — frame indices inclusive.
+    */
+  def audioActivitySegments(media: DataFrame, frameLen: Int = 64,
+                            minMeanEnergy: Long = 1400000L)
+                           (implicit spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = audioFrameEnergies(media, frameLen).toDF()
+    val w = Window.partitionBy("doc_id").orderBy("frame")
+    f.where(col("energy") >= lit(minMeanEnergy) * col("n_in_frame"))
+      .withColumn("grp", col("frame") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("frame")).cast("long").as("seg_start"),
+        max(col("frame")).cast("long").as("seg_end"),
+        count(lit(1)).as("n_frames"),
+        sum(col("n_in_frame")).as("n_samples"),
+        sum(col("energy")).as("energy_sum"))
+      .select(col("doc_id"), col("seg_start"), col("seg_end"),
+        col("n_frames"), col("n_samples"), col("energy_sum"))
   }
 
   /** Minimal seekable clip container: [4-byte big-endian length][frame

@@ -809,6 +809,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(sel.map(_.getLong(0)).toSeq == sel2.map(_.getLong(0)).toSeq)
   }
 
+  test("audioActivitySegments merges loud frames, judges the tail by the same rule") {
+    implicit val sp: SparkSession = spark
+    import org.apache.spark.sql.functions.lit
+    // 64-sample frames: 2 silent, 3 loud, 2 silent, then a loud
+    // 32-sample tail — expect segments [2,4] and [7,7]
+    val frameLen = 64
+    val pcm = (Array.fill(2 * frameLen)(0.toShort) ++
+      Array.fill(3 * frameLen)(2000.toShort) ++
+      Array.fill(2 * frameLen)(0.toShort) ++
+      Array.fill(frameLen / 2)(2000.toShort))
+    val bytes = Multimodal.WavCodec.encode(pcm, Multimodal.WavSampleRate)
+    val media = Seq(Multimodal.MediaRow(7L, "audio/wav", bytes.length, bytes))
+      .toDF()
+    val segs = Multimodal.audioActivitySegments(media, frameLen,
+        minMeanEnergy = 1400000L)
+      .orderBy("seg_start").collect()
+      .map(r => (r.getAs[Long]("seg_start"), r.getAs[Long]("seg_end"),
+        r.getAs[Long]("n_frames"), r.getAs[Long]("n_samples")))
+    assert(segs.toSeq == Seq((2L, 4L, 3L, 192L), (7L, 7L, 1L, 32L)))
+  }
+
   test("duplicateSpans recovers a shared 7-token run as one maximal span") {
     val shared = "the quick brown fox jumps over fences"
     val d = docs(
