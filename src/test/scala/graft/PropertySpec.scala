@@ -256,4 +256,45 @@ class PropertySpec extends AnyFunSuite {
           s"edge ($a,$b) straddles ${split(a)}/${split(b)}; edges=$edges")
     }
   }
+
+  test("duplicateSpans equals a brute-force reference on random dup-heavy corpora") {
+    val k = 3
+    // tiny vocab → lots of genuine window collisions
+    val docGen = for {
+      n <- Gen.choose(0, 25)
+      ws <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd"))
+    } yield ws
+    val corpusGen = Gen.listOfN(8, docGen)
+    for (i <- 0 until 5;
+         corpus <- corpusGen(Gen.Parameters.default, Seed(91 + i))) {
+      // reference: count window values across the corpus, mark
+      // positions whose window occurs >= 2 times, merge consecutive
+      val wins = corpus.zipWithIndex.flatMap { case (ws, d) =>
+        ws.sliding(k).zipWithIndex.collect {
+          case (w, p) if w.length == k => (d.toLong, p.toLong, w.mkString(" "))
+        }
+      }
+      val occ = wins.groupBy(_._3).view.mapValues(_.size).toMap
+      val expected = wins.filter(w => occ(w._3) >= 2)
+        .groupBy(_._1).flatMap { case (d, ps) =>
+          val sorted = ps.map(_._2).sorted
+          // island split
+          val runs = sorted.foldLeft(List.empty[List[Long]]) {
+            case (acc, p) if acc.nonEmpty && acc.head.head == p - 1 =>
+              (p :: acc.head) :: acc.tail
+            case (acc, p) => List(p) :: acc
+          }
+          runs.map(r => (d, r.min, r.max + k - 1, r.max + k - 1 - r.min + 1,
+            r.size.toLong))
+        }.toSet
+      val docsDf = corpus.zipWithIndex
+        .map { case (ws, d) => (d.toLong, ws.mkString(" "), "xx") }
+        .toDF("doc_id", "text", "lang")
+      val got = graft.pipeline.Dedup.duplicateSpans(docsDf, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(got == expected,
+        s"seed ${91 + i}: got ${got.toList.sorted} vs ${expected.toList.sorted}")
+    }
+  }
 }
