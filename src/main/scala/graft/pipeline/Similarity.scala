@@ -42,6 +42,13 @@ object Similarity {
     */
   val NumTables = 2
 
+  /** Default hot-bucket cap for [[semanticDedup]]: within-bucket pair
+    * work is bounded by maxBucket² per slice (~16.7M cosines at 4096 —
+    * a few seconds of one core), regardless of how many near-identical
+    * vectors a semantic cluster packs into one bucket.
+    */
+  val DefaultMaxBucket = 4096
+
   /** Corpus-size-aware plane count: buckets sized toward
     * `targetBucketSize` vectors, so the per-bucket join stays ~O(n ·
     * targetBucketSize) as the corpus grows. 10⁹ vectors @ target 64 →
@@ -669,15 +676,33 @@ object Similarity {
     * dropped).
     */
   def semanticDedup(corpus: DataFrame, minCos: Double,
-                    numPlanes: Int = NumPlanes): DataFrame = {
-    val b = bucketed(corpus, numPlanes, 1).drop("tbl")
+                    numPlanes: Int = NumPlanes,
+                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // Hot-bucket guard: a semantic cluster of m near-identical vectors
+    // lands in ONE bucket by design, and the within-bucket tournament
+    // is O(m²) — measured 527 s on 200k vectors collapsed into ~100
+    // clusters vs seconds on smooth corpora (the dedup analog of the
+    // image block join's df-cap). Buckets beyond `maxBucket` are
+    // sliced by a stable vec_id hash into ⌈m/maxBucket⌉ sub-buckets:
+    // pair work per slice is bounded, every slice still drops all but
+    // its centroid-farthest member of each ε-group, and the
+    // conservative direction (a few extra survivors, one per slice)
+    // is the right failure mode for training data. With no bucket
+    // over the cap the sub-key is constant 0 and semantics — and the
+    // oracle — are unchanged.
+    val b0 = bucketed(corpus, numPlanes, 1).drop("tbl")
+    val sizes = b0.groupBy("bucket").agg(count(lit(1)).as("bn"))
+    val nsub = greatest(ceil(col("bn") / lit(maxBucket)), lit(1L)).cast("long")
+    val b = b0.join(sizes, Seq("bucket"))
+      .withColumn("sub", pmod(xxhash64(col("vec_id")), nsub))
+      .drop("bn")
     val cent = b
-      .select(col("bucket"), posexplode(asDouble(col("embedding")))
-        .as(Seq("pos", "v")))
-      .groupBy("bucket", "pos")
+      .select(col("bucket"), col("sub"),
+        posexplode(asDouble(col("embedding"))).as(Seq("pos", "v")))
+      .groupBy("bucket", "sub", "pos")
       .agg(graft.archive.Decimation.exactSum(col("v")).as("s"),
         count(lit(1)).as("n"))
-      .groupBy("bucket")
+      .groupBy("bucket", "sub")
       .agg(transform(array_sort(collect_list(struct(col("pos"),
           TextAnalysis.r6(col("s").cast("double") / col("n")).as("m")))),
           e => e.getField("m"))
@@ -690,7 +715,7 @@ object Similarity {
     // (~24 B/vector — 24 GB cluster-wide at 10⁹ vectors) after its
     // first materialization; recompute-on-executor-loss is the
     // accepted trade against tripling the most expensive stage.
-    val cs = b.join(cent, Seq("bucket"))
+    val cs = b.join(cent, Seq("bucket", "sub"))
       .select(col("bucket"), col("vec_id"),
         round(cosine(asDouble(col("embedding")), col("centroid")), 6)
           .as("centroid_sim"))
@@ -699,6 +724,7 @@ object Similarity {
     // two-scan shape as embeddingNearDup) — the only per-pair work
     val pairs = b.as("a").join(b.as("bb"),
         col("a.bucket") === col("bb.bucket") &&
+        col("a.sub") === col("bb.sub") &&
         col("a.vec_id") =!= col("bb.vec_id") &&
         round(cosine(asDouble(col("a.embedding")),
           asDouble(col("bb.embedding"))), 6) >= minCos)

@@ -874,6 +874,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(!out(3L)._2)
   }
 
+  test("semanticDedup hot-bucket cap bounds pair work, still drops dups per slice") {
+    import org.apache.spark.sql.functions._
+    val dim = Similarity.Dim
+    // 3000 identical vectors — one semantic cluster, one LSH bucket:
+    // the adversarial O(m²) tournament case
+    val emb = spark.range(3000).select(col("id").as("vec_id"),
+      array((0 until dim).map(d => lit((d % 7 + 1).toDouble)): _*)
+        .as("embedding"))
+    val out = Similarity.semanticDedup(emb, minCos = 0.95, maxBucket = 100)
+      .collect()
+    assert(out.length == 3000)
+    val survivors = out.count(r => !r.getAs[Boolean]("dropped"))
+    // one survivor per hash slice: ⌈3000/100⌉ = 30 slices
+    assert(survivors <= 30, s"survivors=$survivors")
+    assert(survivors >= 1)
+  }
+
   test("hashedLinearScore: feature counts, null score under 2 tokens, sign flag") {
     val d = docs(
       (1L, "alpha beta gamma delta", "en"), // 3 bigrams
