@@ -550,6 +550,39 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |FROM isl GROUP BY doc_id, grp
          |ORDER BY doc_id, span_start""".stripMargin,
 
+    // mirror of Dedup.spanDedupedCorpus at k=5: struct-min keeper per
+    // duplicated window value, k-position coverage expansion of
+    // non-keeper windows, anti-join cut, ordered text rebuild
+    "dedup_span_apply" ->
+      s"""WITH $TOKS,
+         |tp AS (SELECT doc_id, i - 1 AS p, toks[i] AS tok
+         |       FROM t, UNNEST(range(1, len(toks) + 1)) g(i)),
+         |win AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    ${md5Hash60Sql(
+             "concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])")} AS h
+         |  FROM t, UNNEST(range(1, greatest(len(toks) - 3, 1))) g(i)),
+         |rep AS (
+         |  SELECT h, min(struct_pack(d := doc_id, p := pos)) AS keeper
+         |  FROM win GROUP BY h HAVING count(*) >= 2),
+         |rm AS (
+         |  SELECT DISTINCT w.doc_id, w.pos + j AS p
+         |  FROM win w JOIN rep USING (h), UNNEST(range(5)) u(j)
+         |  WHERE NOT (w.doc_id = struct_extract(rep.keeper, 'd')
+         |             AND w.pos = struct_extract(rep.keeper, 'p'))),
+         |keep AS (
+         |  SELECT tp.doc_id, tp.p, tp.tok
+         |  FROM tp LEFT JOIN rm ON tp.doc_id = rm.doc_id AND tp.p = rm.p
+         |  WHERE rm.p IS NULL),
+         |agg AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text2,
+         |         count(*) AS n_kept
+         |  FROM keep GROUP BY doc_id),
+         |base AS (SELECT doc_id, len(toks) AS n FROM t)
+         |SELECT base.doc_id, COALESCE(agg.text2, '') AS text,
+         |  CAST(base.n - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM base LEFT JOIN agg USING (doc_id) ORDER BY base.doc_id""".stripMargin,
+
     // mirror of TextAnalysis.hashedLinearScore with the stand-in
     // weight table w(h) = (h mod 2001) - 1000: per-doc mean hashed-
     // bigram weight, exact integers until the output-edge round

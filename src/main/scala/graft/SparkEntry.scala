@@ -577,6 +577,12 @@ object SparkEntry {
       Dedup.duplicateSpans(Tables.documents(s, dir), k = 5)
         .orderBy("doc_id", "span_start")),
 
+    // the removal step: first occurrence kept, covered tokens cut,
+    // cleaned text rebuilt
+    "dedup_span_apply" -> ((s, dir) =>
+      Dedup.spanDedupedCorpus(Tables.documents(s, dir), k = 5)
+        .orderBy("doc_id")),
+
     // deterministic corpus sampling / splitting / packing — hash-gated,
     // reproducible, oracle-exact (no rand() anywhere)
     "sample_stratified" -> ((s, dir) =>

@@ -546,21 +546,30 @@ object Dedup {
     * Output: (doc_id, span_start, span_end, span_tokens, n_windows) —
     * token positions 0-based inclusive.
     */
-  def duplicateSpans(docs: DataFrame, k: Int = 5, minOcc: Int = 2,
-                     textCol: String = "text"): DataFrame = {
-    require(k > 0, s"window length must be positive: $k")
-    require(minOcc >= 2, s"minOcc below 2 would flag unique text: $minOcc")
-    import org.apache.spark.sql.expressions.Window
+  /** (doc_id, pos, h): every k-token window of every document with its
+    * 0-based token position and 60-bit hash — the shared input of
+    * [[duplicateSpans]] (reporting) and [[spanDedupedCorpus]] (apply).
+    */
+  private def windowHashes(docs: DataFrame, k: Int,
+                           textCol: String): DataFrame = {
     val toks = tokens(textCol)
     val shArr = (1 until k).foldLeft(toks: Column) { (acc, o) =>
       zip_with(acc, slice(toks, lit(o + 1), size(toks)),
         (a, b) => concat(a, lit(" "), b))
     }
-    val win = docs
+    docs
       .select(col("doc_id"), posexplode(shArr).as(Seq("pos", "shingle")))
       .where(col("shingle").isNotNull)
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         Hashing.md5Hash60(col("shingle")).as("h"))
+  }
+
+  def duplicateSpans(docs: DataFrame, k: Int = 5, minOcc: Int = 2,
+                     textCol: String = "text"): DataFrame = {
+    require(k > 0, s"window length must be positive: $k")
+    require(minOcc >= 2, s"minOcc below 2 would flag unique text: $minOcc")
+    import org.apache.spark.sql.expressions.Window
+    val win = windowHashes(docs, k, textCol)
     val dup = win.groupBy("h").agg(count(lit(1)).as("occ"))
       .where(col("occ") >= minOcc).select("h")
     val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -573,6 +582,56 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"),
         col("n_windows"))
+  }
+
+  /** Apply span-level dedup — the removal step of Lee et al. 2021
+    * ExactSubstr: every duplicated k-window value keeps its FIRST
+    * occurrence (min (doc_id, pos), the same field-lexicographic
+    * keeper rule as [[segmentDedup]]) and every token covered by a
+    * non-keeper duplicated window is cut; survivors re-join into the
+    * cleaned text. Unlike [[segmentDedup]]'s fixed non-overlapping
+    * grid, this removes duplicated runs at ANY alignment.
+    *
+    * Scale shape: the keeper choice rides the same combinable
+    * aggregation as the dup count; coverage expansion is a bounded k×
+    * explode of only the removed windows; the cut is a left-anti
+    * equi-join on (doc, position); the text rebuild is the per-doc
+    * sorted collect every returning-the-corpus operator here pays.
+    *
+    * Output: (doc_id, text, n_removed) — n_removed in tokens.
+    */
+  def spanDedupedCorpus(docs: DataFrame, k: Int = 5, minOcc: Int = 2,
+                        textCol: String = "text"): DataFrame = {
+    require(k > 0, s"window length must be positive: $k")
+    require(minOcc >= 2, s"minOcc below 2 would cut unique text: $minOcc")
+    val win = windowHashes(docs, k, textCol)
+    val rep = win.groupBy("h")
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("pos"))).as("keeper"))
+      .where(col("occ") >= minOcc)
+      .select(col("h"), col("keeper"))
+    val removed = win.join(rep, Seq("h"))
+      .where(!(col("doc_id") === col("keeper.doc_id") &&
+        col("pos") === col("keeper.pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k.toLong - 1)))
+          .as("p"))
+      .distinct()
+    val toksPos = docs
+      .select(col("doc_id"), posexplode(tokens(textCol)).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("tok"))
+    val cleaned = toksPos.join(removed, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok"))).as(textCol),
+        count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"),
+        size(tokens(textCol)).cast("long").as("n_toks"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col(textCol), lit("")).as(textCol),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
   def ngramJaccard(docs: DataFrame, k: Int = 3,

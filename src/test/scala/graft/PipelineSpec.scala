@@ -853,6 +853,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(s2._4 == 7L && s2._2 == 3L)
   }
 
+  test("spanDedupedCorpus keeps the first occurrence, cuts the repeat") {
+    val shared = "the quick brown fox jumps over fences"
+    val d = docs(
+      (1L, s"unique alpha words here then $shared and tail text", "en"),
+      (2L, s"completely different prefix $shared closing words", "en"),
+      (3L, "nothing duplicated in this document at all today", "en"))
+    val out = Dedup.spanDedupedCorpus(d, k = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Long]("n_removed"))).toMap
+    // doc 1 holds the keeper windows (min doc_id) — nothing removed
+    assert(out(1L)._2 == 0L)
+    assert(out(1L)._1.contains(shared))
+    // doc 2 loses exactly the 7 shared tokens, keeps its own words
+    assert(out(2L)._2 == 7L)
+    assert(out(2L)._1 == "completely different prefix closing words")
+    assert(out(3L)._2 == 0L)
+  }
+
   test("semanticDedup drops the closer-to-centroid member of an identical pair") {
     import org.apache.spark.sql.functions._
     // vec 1 and 2 identical (cos = 1 ≥ τ, same bucket by construction);
