@@ -695,6 +695,25 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |WHERE s.doc_id % 11 <> 0
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    // mirror of Dedup.contaminationReport (k=3, eval = doc_id % 11 = 0):
+    // distinct eval shingles left-joined against the distinct set of
+    // eval shingles present anywhere in the training split
+    "dedup_contamination_report" ->
+      s"""WITH $TOKS,
+         |$SH3,
+         |ev AS (SELECT doc_id AS eval_doc_id, shingle FROM sh
+         |       WHERE doc_id % 11 = 0),
+         |matched AS (
+         |  SELECT DISTINCT s.shingle
+         |  FROM sh s JOIN (SELECT DISTINCT shingle FROM ev) e USING (shingle)
+         |  WHERE s.doc_id % 11 <> 0)
+         |SELECT ev.eval_doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(count(m.shingle) AS BIGINT) AS n_hit,
+         |  round(count(m.shingle)::DOUBLE / count(*), 6) AS hit_frac
+         |FROM ev LEFT JOIN matched m USING (shingle)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "dedup_simhash_pairs" ->
       s"""WITH $TOKS,
          |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),

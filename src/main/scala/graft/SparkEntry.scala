@@ -557,6 +557,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the eval-side accounting of the same overlap: per benchmark doc,
+    // how much of it leaks into the training corpus
+    "dedup_contamination_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationReport(
+        docs.where(col("doc_id") % 11 =!= 0),
+        docs.where(col("doc_id") % 11 === 0), k = 3)
+        .orderBy("eval_doc_id")
+    }),
+
     // near-dup clusters assigned to train/val/test atomically — no
     // near-duplicate pair may straddle the train/eval boundary
     "sample_split_safe" -> ((s, dir) => {

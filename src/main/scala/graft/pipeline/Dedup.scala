@@ -456,6 +456,36 @@ object Dedup {
       .agg(count_distinct(col("shingle")).as("eval_ngram_hits"))
   }
 
+  /** The eval-side view of [[decontaminate]] — the report a lab
+    * publishes next to a benchmark score: per eval document, how much
+    * of it leaks into the training corpus (GPT-3 appendix-C /
+    * PaLM-style n-gram overlap accounting). Same shuffle-free corpus
+    * shape as decontaminate: the corpus is scanned once and semi-joined
+    * against the broadcast eval shingle set; everything after that
+    * join is eval-sized. A 100 TB corpus against a 10k-doc benchmark
+    * costs one pruned scan.
+    *
+    * Output: (eval_doc_id, n_shingles, n_hit, hit_frac) — distinct
+    * k-shingles of the eval doc, how many occur anywhere in the
+    * corpus, and their ratio.
+    */
+  def contaminationReport(docs: DataFrame, evalDocs: DataFrame,
+                          k: Int = 5): DataFrame = {
+    val evSh = shingles(evalDocs, k)
+      .select(col("doc_id").as("eval_doc_id"), col("shingle"))
+    val matched = rawShingles(docs, k)
+      .join(broadcast(evSh.select("shingle").distinct()), Seq("shingle"))
+      .select("shingle").distinct()
+      .withColumn("hit", lit(true))
+    evSh.join(matched, Seq("shingle"), "left")
+      .groupBy("eval_doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit"))
+      .select(col("eval_doc_id"), col("n_shingles"), col("n_hit"),
+        TextAnalysis.r6(col("n_hit").cast("double") / col("n_shingles"))
+          .as("hit_frac"))
+  }
+
   /** C4-style repeated-segment removal, generalized: partition each
     * document into non-overlapping `k`-token segments, count each
     * segment's exact occurrences across the corpus, and drop every
