@@ -74,6 +74,16 @@ object GraftSession {
         core.Tables.documents(spark, sfDir),
         rates = Seq(0.1, 0.3, 0.6, 0.9))
       .createOrReplaceTempView("doc_quality_sample")
+    pipeline.Dedup.duplicateSpans(core.Tables.documents(spark, sfDir))
+      .createOrReplaceTempView("doc_dup_spans")
+    pipeline.Dedup.spanDedupedCorpus(core.Tables.documents(spark, sfDir))
+      .createOrReplaceTempView("doc_span_deduped")
+    pipeline.Dedup.contaminationReport(
+        core.Tables.documents(spark, sfDir)
+          .where(org.apache.spark.sql.functions.col("doc_id") % 11 =!= 0),
+        core.Tables.documents(spark, sfDir)
+          .where(org.apache.spark.sql.functions.col("doc_id") % 11 === 0))
+      .createOrReplaceTempView("eval_contamination")
     // native functions
     functions.VectorExpressions.register(spark)
   }
