@@ -930,6 +930,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.toSeq == out.toSeq.map(e => (e._1, e._2.getLong(1))).sorted)
   }
 
+  test("hashedLinearScore applies a trained weight table via broadcast join") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val d = docs((1L, "good words here", "en"), (2L, "bad stuff there", "en"))
+    val w = graft.pipeline.Hashing.md5HashM31(col("bigram"))
+    // weight table keyed by the same feature hash the scorer computes:
+    // +2.5 for doc 1's bigrams, -2.5 for doc 2's
+    val bg = d.select(col("doc_id"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.expr(
+            "transform(sequence(1, size(array_remove(split(lower(text), '\\\\s+'), '')) - 1), " +
+              "i -> concat(array_remove(split(lower(text), '\\\\s+'), '')[i-1], ' ', " +
+              "array_remove(split(lower(text), '\\\\s+'), '')[i]))")).as("bigram"))
+      .select(col("doc_id"), w.as("feature_hash"))
+    val wf = bg.withColumn("weight",
+        org.apache.spark.sql.functions.when(col("doc_id") === 1L, lit(2.5))
+          .otherwise(lit(-2.5)))
+      .select("feature_hash", "weight")
+    val out = TextAnalysis.hashedLinearScore(d, weights = Some(wf)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("score") == 2.5)
+    assert(out(1L).getAs[Boolean]("positive"))
+    assert(out(2L).getAs[Double]("score") == -2.5)
+    assert(!out(2L).getAs[Boolean]("positive"))
+  }
+
   test("qualityBucketSample: buckets partition the score axis, rates respected") {
     val d = Tables_docs_sf0001
     val rates = Seq(0.1, 0.3, 0.6, 0.9)
