@@ -70,9 +70,11 @@ object GraftSession {
     pipeline.TextAnalysis.hashedLinearScore(
         core.Tables.documents(spark, sfDir))
       .createOrReplaceTempView("doc_classifier_score")
+    // same hyper-parameters as the oracle-gated queries — a SQL user
+    // must see exactly the verified computation
     pipeline.Sampling.qualityBucketSample(
         core.Tables.documents(spark, sfDir),
-        rates = Seq(0.1, 0.3, 0.6, 0.9))
+        rates = Seq(0.1, 0.3, 0.6, 0.9), vocabSize = 20)
       .createOrReplaceTempView("doc_quality_sample")
     pipeline.Dedup.duplicateSpans(core.Tables.documents(spark, sfDir))
       .createOrReplaceTempView("doc_dup_spans")
@@ -82,7 +84,8 @@ object GraftSession {
         core.Tables.documents(spark, sfDir)
           .where(org.apache.spark.sql.functions.col("doc_id") % 11 =!= 0),
         core.Tables.documents(spark, sfDir)
-          .where(org.apache.spark.sql.functions.col("doc_id") % 11 === 0))
+          .where(org.apache.spark.sql.functions.col("doc_id") % 11 === 0),
+        k = 3)
       .createOrReplaceTempView("eval_contamination")
     // native functions
     functions.VectorExpressions.register(spark)

@@ -599,7 +599,7 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |       FROM wt GROUP BY doc_id)
          |SELECT d.doc_id,
          |       coalesce(sc.n_features, 0) AS n_features,
-         |       round(sc.sw::DOUBLE / sc.n_features, 6) AS score,
+         |       CAST(CAST(round((sc.sw::DOUBLE / sc.n_features) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS score,
          |       (sc.sw > 0) AS positive
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          |ORDER BY d.doc_id""".stripMargin,
@@ -615,7 +615,7 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |          ORDER BY cnt DESC, tok ASC LIMIT 20),
          |scored AS (
          |  SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |    round(sum(c.cnt)::DOUBLE / count(*), 6) AS avg_token_count
+         |    CAST(CAST(round((sum(c.cnt)::DOUBLE / count(*)) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS avg_token_count
          |  FROM occ o JOIN counts c USING (tok)
          |  GROUP BY o.doc_id),
          |thr AS (SELECT
@@ -648,9 +648,9 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |vocab AS (SELECT tok, TRUE AS in_vocab FROM counts
          |          ORDER BY cnt DESC, tok ASC LIMIT 20)
          |SELECT o.doc_id, count(*) AS n_tokens,
-         |  round(sum(c.cnt)::DOUBLE / count(*), 6) AS avg_token_count,
-         |  round(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)::DOUBLE
-         |    / count(*), 6) AS oov_frac
+         |  CAST(CAST(round((sum(c.cnt)::DOUBLE / count(*)) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS avg_token_count,
+         |  CAST(CAST(round((sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0
+         |    AS oov_frac
          |FROM occ o JOIN counts c USING (tok) LEFT JOIN vocab v USING (tok)
          |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin,
 
@@ -710,7 +710,7 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |SELECT ev.eval_doc_id,
          |  CAST(count(*) AS BIGINT) AS n_shingles,
          |  CAST(count(m.shingle) AS BIGINT) AS n_hit,
-         |  round(count(m.shingle)::DOUBLE / count(*), 6) AS hit_frac
+         |  CAST(CAST(round((count(m.shingle)::DOUBLE / count(*)) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS hit_frac
          |FROM ev LEFT JOIN matched m USING (shingle)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -1447,8 +1447,8 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |dims AS (SELECT bucket, g.pos AS pos, v[g.pos + 1] AS val
          |         FROM b, UNNEST(generate_series(0, len(v) - 1)) g(pos)),
          |agg AS (SELECT bucket, pos,
-         |          round(CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
-         |            / count(*), 6) AS m
+         |          CAST(CAST(round((CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / count(*)) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0
+         |            AS m
          |        FROM dims GROUP BY 1, 2),
          |cent AS (SELECT bucket, list(m ORDER BY pos) AS centroid
          |         FROM agg GROUP BY bucket),

@@ -35,14 +35,19 @@ import graft.core.Samples
 object ArchiveStore {
 
   /** ns → µs with EXACT arithmetic: `ts / 1000L` on a Column is double
-    * division, which rounds by up to 128 ns near 2^60 — enough to push
-    * the last nanoseconds of a day into the NEXT day's bucket while the
-    * reader prunes with exact integer math, silently losing the row.
-    * The subtract-remainder form divides an exact multiple (≤ ~1.8e15,
-    * well inside double's 2^53 exact range until year ~2255).
+    * division, and a 2024-epoch ns value (~1.7e18) needs 61 bits — the
+    * double cast rounds it to a multiple of 256 BEFORE the divide, so
+    * ~1.5% of µs-aligned inputs come back one microsecond low (measured
+    * 31/2000; the earlier subtract-remainder form only fixed the
+    * sub-µs remainder, not the numerator rounding). Routing the exact
+    * multiple through DECIMAL(20,0) keeps every digit: the quotient is
+    * an integer, represented exactly, and the final long cast is
+    * lossless. One decimal op per row on the write path — noise next
+    * to the parquet encode it feeds.
     */
   private[graft] def microsCol(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    ((ts - pmod(ts, lit(1000L))) / lit(1000L)).cast("long")
+    ((ts - pmod(ts, lit(1000L))).cast("decimal(20,0)") / lit(1000L))
+      .cast("long")
 
   /** THE day-bucketing contract of every store layout: canonical ns ts
     * → UTC day. One definition — the manifest store, the streaming sink,

@@ -348,8 +348,16 @@ object Cascade {
     mergedRows.sortBy(_.getAs[String]("channel")).foreach { r =>
       def field(i: Int): String =
         if (r.isNullAt(i)) "null" else r.getLong(i).toString
-      md.update((r.getAs[String]("channel") + " " + field(1) +
-        " " + field(2) + "\n").getBytes("UTF-8"))
+      // Length-prefixed fields: any in-band separator (even NUL) can
+      // in principle be forged by a channel NAME containing it, making
+      // two distinct states serialize identically; the prefix makes
+      // the encoding injective with no reserved characters.
+      val name = r.getAs[String]("channel").getBytes("UTF-8")
+      md.update((name.length.toString + ":").getBytes("UTF-8"))
+      md.update(name)
+      Seq(field(1), field(2)).foreach { f =>
+        md.update((f.length.toString + ":" + f).getBytes("UTF-8"))
+      }
     }
     val token = java.nio.ByteBuffer.wrap(md.digest()).getLong
     // exactly-once on a transactional backend: a crash-replay between

@@ -72,7 +72,13 @@ object Samples {
     */
   def rawTsFromNs(ts: Column, dt: org.apache.spark.sql.types.DataType): Column = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val us = ((ts - pmod(ts, lit(1000L))) / lit(1000L)).cast("long")
+    // DECIMAL-routed ns→µs: Long/Long `/` is double division, and
+    // 2024-epoch ns values round to multiples of 256 in the double
+    // cast — ~1.5% of conversions came back one µs low, enough for
+    // pushdownHint's lo bound to drop a genuinely matching row (see
+    // ArchiveStore.microsCol)
+    val us = ((ts - pmod(ts, lit(1000L))).cast("decimal(20,0)") / lit(1000L))
+      .cast("long")
     dt match {
       case LongType         => ts
       case TimestampType    => timestamp_micros(us)

@@ -561,7 +561,14 @@ object Multimodal {
   def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3,
                         maxBlockFreq: Option[Int] = Some(DefaultMaxBlockFreq))
       : DataFrame = {
-    val blkAll = hashes.select(col("doc_id"),
+    // The hash frame is referenced five times downstream (block
+    // explode on both self-join sides, the hot-block aggregation, and
+    // both verify join-backs); when it arrives straight off
+    // imageDHash's mapPartitions PNG decode, each reference re-runs
+    // the decode. A lazy local checkpoint of the narrow frame
+    // (doc_id + four 16-bit blocks) pays the decode once.
+    val h = hashes.localCheckpoint(false)
+    val blkAll = h.select(col("doc_id"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
         .as(Seq("blk", "bv")))
     val blk = maxBlockFreq match {
@@ -580,8 +587,8 @@ object Multimodal {
     val ham = (0 to 3).map(i =>
       bit_count(col(s"ha.b$i").bitwiseXOR(col(s"hb.b$i"))))
       .reduce(_ + _)
-    cand.join(hashes.as("ha"), col("doc_a") === col("ha.doc_id"))
-      .join(hashes.as("hb"), col("doc_b") === col("hb.doc_id"))
+    cand.join(h.as("ha"), col("doc_a") === col("ha.doc_id"))
+      .join(h.as("hb"), col("doc_b") === col("hb.doc_id"))
       .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }

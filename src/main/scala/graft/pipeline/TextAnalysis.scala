@@ -538,7 +538,13 @@ object TextAnalysis {
         graft.pipeline.Hashing.md5HashM31(col("bigram")).as("h"))
     val weighted = weights match {
       case Some(w) =>
-        feats.join(broadcast(w), feats("h") === w("feature_hash"), "left")
+        // collapse duplicate feature_hash rows first — a left join
+        // against a non-unique weight table would duplicate feature
+        // rows, silently inflating n_features and the score; summing
+        // duplicates is the linear-model semantics of repeated entries
+        val wu = w.groupBy("feature_hash")
+          .agg(sum(col("weight")).as("weight"))
+        feats.join(broadcast(wu), feats("h") === wu("feature_hash"), "left")
           .select(col("doc_id"),
             coalesce(col("weight"), lit(0.0)).as("w"))
       case None =>

@@ -138,4 +138,30 @@ class OracleParitySpec extends AnyFunSuite {
     info(s"plain round(x,6): $divergent/${vals.size} tie divergences " +
       "(scaled sequence: 0)")
   }
+
+  test("gotcha: Column Long/Long division is double math — ns→µs must route DECIMAL") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 2024-epoch ns values need 61 bits; the double cast rounds them
+    // to multiples of 256 BEFORE a `/ 1000`, leaving ~1.5% of µs-
+    // aligned conversions one µs low. This pins the DECIMAL-routed
+    // form (ArchiveStore.microsCol / Samples.rawTsFromNs) against
+    // driver-side exact integer division.
+    val ns = (0 until 2000).map(i => 1704067200000000000L + i.toLong * 1000L)
+    val df = ns.toDF("ts")
+    val decimalRouted = df.select(
+        ((col("ts") - pmod(col("ts"), lit(1000L))).cast("decimal(20,0)")
+          / lit(1000L)).cast("long").as("us"))
+      .collect().map(_.getLong(0))
+    val doubleDivided = df.select(
+        ((col("ts") - pmod(col("ts"), lit(1000L))) / lit(1000L))
+          .cast("long").as("us"))
+      .collect().map(_.getLong(0))
+    val exact = ns.map(Math.floorDiv(_, 1000L))
+    assert(decimalRouted.toSeq == exact,
+      "DECIMAL-routed ns→µs must be exact")
+    val off = (doubleDivided, exact).zipped.count(p => p._1 != p._2)
+    info(s"double-division form: $off/2000 off by one µs (DECIMAL form: 0)")
+    assert(off > 0, "expected the double form to reproduce the rounding bug")
+  }
 }
