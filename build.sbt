@@ -15,6 +15,14 @@ run / fork := true
 // output prefixes every line with [info], which breaks machine parsing
 // of Bench's single JSON result line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and keep sbt's own epilogue off stdout too: the trailing
+// "[success] Total time: ..." line lands AFTER the JSON line, so a
+// parser taking the last stdout line gets sbt noise instead of the
+// metric. With showSuccess off, Bench's JSON is the final line.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by another
+// setting — exempt it from the unused-key lint.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

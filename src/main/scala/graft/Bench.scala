@@ -85,14 +85,18 @@ object Bench {
       s""""events_rows":$nEvents,"decimate_rows_per_sec":${(2000000L / tputSec).toLong},"decimate_tput_rows":2000000,"decimate_sf1_rows_per_sec":${(sf1Rows / sf1Sec).toLong},"decimate_sf1_rows":$sf1Rows,"decimate_sf1_runs":3,"wall_sec":$wallSec,"runs_per_query":2,"action":"noop_write""""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extras,"sf":"$sfDir"}"""
-    println(line)
-    // last act: the machine-readable copy — the driver's stdout capture
-    // truncates long lines, so the file is the authoritative artifact
+    // machine-readable copies first — the driver's stdout capture
+    // truncates long lines, so the files are the authoritative artifact
     // (both names: bench.json is the historical one, bench_out.json the
     // one the round-3 review asked for)
     Seq("bench.json", "bench_out.json").foreach { f =>
       Files.write(Paths.get(f), (line + "\n").getBytes(StandardCharsets.UTF_8))
     }
     spark.stop()
+    // LAST act, after spark.stop(): the one stdout JSON line. Nothing
+    // may print after it — a last-line parser must see the metric, not
+    // shutdown noise (sbt's own "[success]" epilogue is disabled via
+    // showSuccess := false in build.sbt).
+    println(line)
   }
 }

@@ -189,6 +189,29 @@ object SparkEntry {
         .orderBy(col("channel"), col("ts"), col("sample_id"))
     }),
 
+    // the streaming ingest path under the SAME oracle as the batch
+    // scan: a bounded file-source stream drains through
+    // writeRawStream (watermark + day-partitioned exactly-once file
+    // sink), then the resulting STORE is served with the
+    // arch_range_scan semantics — the continuous sink's bytes are
+    // rows/schema/hash-gated, not just spec-asserted.
+    "stream_range_scan" -> ((s, dir) => {
+      // scratchDir pre-creates its directory — land the bounded input
+      // one level down so the parquet writer sees a fresh path
+      val in = scratchDir("stream-in") + "/events"
+      val store = scratchDir("stream-store")
+      val ckpt = scratchDir("stream-ckpt")
+      val r = raw(s, dir)
+      r.write.parquet(in)
+      val q = graft.streaming.StreamingDecimation.writeRawStream(
+        s.readStream.schema(r.schema).parquet(in), store, ckpt)
+      try q.processAllAvailable() finally q.stop()
+      ArchiveReader.rangeScan(
+          graft.archive.ArchiveStore.read(s, store, 0), LO, HI)
+        .select(coreCols: _*)
+        .orderBy(col("channel"), col("ts"), col("sample_id"))
+    }),
+
     "arch_boundary_before" -> ((s, dir) =>
       ArchiveReader.boundaryBefore(raw(s, dir), TB)
         .select(coreCols: _*).orderBy("channel")),
@@ -892,6 +915,9 @@ object SparkEntry {
     // the manifest store must serve the exact bytes the raw scan serves —
     // same oracle, different storage path
     base + ("arch_manifest_scan" -> base("arch_range_scan")) +
+      // the streaming file sink must land the exact bytes the batch
+      // scan serves — same oracle, continuous ingest path
+      ("stream_range_scan" -> base("arch_range_scan")) +
       // the persisted IVF index must serve exactly what the per-query
       // build serves — same oracle, different storage path
       ("sim_ivf_persisted" -> base("sim_ivf_search")) +

@@ -78,12 +78,18 @@ object ArchiveServer {
   }
 
   /** Steps 2–4 — the planned, unioned sample frame (channel, ts,
-    * value, level), time-ascending.
+    * value, level), time-ascending. `allowedLevels` restricts the
+    * planner to the CONFIG-declared level set ([[ConfiguredArchive]]):
+    * levels present in the store but no longer configured (a config
+    * update that dropped one) stop being served immediately, like the
+    * reference's config-driven level DAG.
     */
   def querySamples(spark: SparkSession, storePath: String, channel: String,
                    startNs: Long, endNs: Long, count: Option[Long],
-                   backend: StoreBackend = ArchiveBackend): DataFrame = {
+                   backend: StoreBackend = ArchiveBackend,
+                   allowedLevels: Option[Set[Long]] = None): DataFrame = {
     val states = levelStates(spark, storePath, channel, backend)
+      .filter(s => allowedLevels.forall(_.contains(s.periodSec)))
     require(states.nonEmpty, s"unknown channel $channel")
     val chosen = ResolutionPlanner.selectLevel(
       states.map(_.periodSec), startNs, endNs, count)

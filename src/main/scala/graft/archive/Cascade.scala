@@ -181,6 +181,36 @@ object Cascade {
     }
   }
 
+  /** Whether a level has its resume watermarks (i.e. has been built at
+    * least once) — [[ConfiguredArchive.catchUp]] uses this to route a
+    * config-added level to its first full build instead of an
+    * incremental run that would have nothing to resume from.
+    */
+  def hasWatermarks(spark: SparkSession, storePath: String,
+                    levelSec: Long): Boolean = {
+    val live = new org.apache.hadoop.fs.Path(watermarkPath(storePath, levelSec))
+    val f = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.exists(live) || f.exists(new org.apache.hadoop.fs.Path(
+      watermarkPath(storePath, levelSec) + "._trash"))
+  }
+
+  /** Build ONE level from the best available source over FULL history
+    * — the [[materialize]] loop body as a standalone call, for levels
+    * a configuration change adds to an already-materialized store.
+    */
+  def materializeLevel(spark: SparkSession, storePath: String,
+                       targetSec: Long,
+                       backend: StoreBackend = ArchiveBackend,
+                       retentionSec: Map[Long, Long] = Map.empty): Unit = {
+    val done = backend.levels(spark, storePath).filter(_ != targetSec)
+    val source = Decimation.selectSourcePeriod(targetSec, done)
+    val src = backend.read(spark, storePath, source)
+    backend.write(asStoreRows(hop(src, source, targetSec)),
+      storePath, targetSec)
+    writeWatermarks(spark, storePath, targetSec, src, source)
+    retainAfterWrite(spark, storePath, targetSec, retentionSec, backend)
+  }
+
   /** Typed cascade materialization: raw typed samples and every
     * decimation level as typed stores, each level decimating the
     * previous through the full 21-type dispatch
@@ -232,9 +262,11 @@ object Cascade {
     */
   def catchUp(spark: SparkSession, storePath: String, targetSec: Long,
               backend: StoreBackend = ArchiveBackend,
-              retentionSec: Map[Long, Long] = Map.empty): Unit =
+              retentionSec: Map[Long, Long] = Map.empty,
+              knownChannels: Option[Seq[String]] = None): Unit =
     catchUpImpl(spark, storePath, targetSec, hop, asStoreRows,
-      backend = backend, retentionSec = retentionSec)
+      backend = backend, retentionSec = retentionSec,
+      knownChannels = knownChannels)
 
   /** [[catchUp]] for typed-union stores built by [[materializeTyped]]:
     * identical watermark machinery (the resume math is ts-based and
@@ -242,9 +274,11 @@ object Cascade {
     */
   def catchUpTyped(spark: SparkSession, storePath: String, targetSec: Long,
                    backend: StoreBackend = ArchiveBackend,
-                   retentionSec: Map[Long, Long] = Map.empty): Unit =
+                   retentionSec: Map[Long, Long] = Map.empty,
+                   knownChannels: Option[Seq[String]] = None): Unit =
     catchUpImpl(spark, storePath, targetSec, typedHop, asTypedStoreRows,
-      heldSource = true, backend = backend, retentionSec = retentionSec)
+      heldSource = true, backend = backend, retentionSec = retentionSec,
+      knownChannels = knownChannels)
 
   private def typedHop(source: DataFrame, sourceSec: Long,
                        targetSec: Long): DataFrame =
@@ -261,7 +295,8 @@ object Cascade {
                           toStore: DataFrame => DataFrame,
                           heldSource: Boolean = false,
                           backend: StoreBackend = ArchiveBackend,
-                          retentionSec: Map[Long, Long] = Map.empty): Unit = {
+                          retentionSec: Map[Long, Long] = Map.empty,
+                          knownChannels: Option[Seq[String]] = None): Unit = {
     val levels = backend.levels(spark, storePath).filter(_ != targetSec)
     val source = Decimation.selectSourcePeriod(targetSec, levels)
     val targetP = targetSec * Samples.NS
@@ -282,15 +317,21 @@ object Cascade {
     // channel set — NOT against `clipped`: a new channel whose entire
     // history predates the global clip is absent from the clipped read,
     // and deriving "new" from it would silently skip that history and
-    // then watermark it as processed. The channel-column distinct is a
-    // column-pruned, dictionary-backed scan (a channel-registry lookup
-    // in a deployment that maintains one).
+    // then watermark it as processed. `knownChannels` is the registry
+    // route ([[ConfiguredArchive.catchUp]] passes the configured
+    // channel set): a metadata lookup instead of the fallback
+    // source-level distinct — which, though column-pruned and
+    // dictionary-backed, is still a full-level footer+column pass per
+    // cascade hop at 100 TB.
     val seen = wmRows.map(_.getAs[String]("channel")).toSet
     val newChannels =
       if (globalMin.isEmpty) Array.empty[String]
-      else backend.read(spark, storePath, source)
-        .select("channel").distinct()
-        .collect().map(_.getString(0)).filterNot(seen)
+      else knownChannels match {
+        case Some(cs) => cs.filterNot(seen).toArray
+        case None => backend.read(spark, storePath, source)
+          .select("channel").distinct()
+          .collect().map(_.getString(0)).filterNot(seen)
+      }
     val src =
       if (newChannels.isEmpty || globalMin.isEmpty) clipped
       else clipped.where(col("resume_ts").isNotNull)

@@ -59,6 +59,34 @@ object ConfigCommands {
                          pending: Seq[PendingOp]) {
     def config(name: String): Option[ChannelConfig] =
       configs.find(_.name == name)
+
+    /** Channels whose archiving is switched on — the set the engine
+      * acts on (the reference honors the enabled flag at
+      * ArchivedChannel.java:766-835; a disabled channel is neither
+      * written nor served).
+      */
+    def enabledConfigs: Seq[ChannelConfig] = configs.filter(_.enabled)
+
+    /** The decimation-level set the cascade must maintain: the union
+      * of every enabled channel's declared levels (sans raw),
+      * ascending — the config-derived replacement for caller-passed
+      * level lists ([[ConfiguredArchive]]).
+      */
+    def levelsSec: Seq[Long] =
+      enabledConfigs.flatMap(_.levels.keys).filter(_ != 0L).distinct.sorted
+
+    /** Per-level retention derived from the enabled channels' maps,
+      * collapsed with the only partition-safe rule (day buckets are
+      * shared across channels, so the MOST conservative wins): any
+      * channel asking 0 (keep forever) pins the level to 0, otherwise
+      * the maximum keep-duration applies — the same rule as
+      * [[ChannelRegistry.levelRetention]].
+      */
+    def retentionSec: Map[Long, Long] =
+      enabledConfigs.flatMap(_.levels.toSeq).groupBy(_._1).map {
+        case (l, kvs) =>
+          l -> (if (kvs.exists(_._2 == 0L)) 0L else kvs.map(_._2).max)
+      }
   }
 
   // ---- the versioned config log ------------------------------------

@@ -1,0 +1,121 @@
+package graft.archive
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Samples
+
+/** Raised when serving is asked for a channel whose configuration is
+  * disabled — the reference refuses both archiving and retrieval for
+  * disabled channels (ArchivedChannel.java:766-835).
+  */
+class ChannelDisabledException(name: String)
+  extends RuntimeException(s"channel '$name' is disabled")
+
+/** Configuration-governed archiving — the layer that makes the
+  * [[ConfigCommands]] log DRIVE the engine, the way
+  * `ArchiveConfigurationService` drives `ArchivingService` in the
+  * reference: the cascade derives its level set and retention map from
+  * the committed configuration (no caller-passed literals), ingest
+  * drops channels that are unknown or disabled, catch-up learns new
+  * channels from the registry instead of scanning the source level,
+  * and the serving edge refuses disabled channels and plans only over
+  * config-declared levels.
+  *
+  * The store is keyed by the rename-stable `channelDataId` throughout
+  * (the id rides the `channel` column internally — the reference keys
+  * every bucket by channelDataId for the same reason,
+  * SampleBucketId.java:80-89), so a rename is a pure config commit:
+  * serving resolves the CURRENT name to the id on the way in and
+  * re-labels rows on the way out, and no data file is ever touched.
+  */
+object ConfiguredArchive {
+
+  /** Resolve names → data ids for the enabled channel set and key the
+    * frame by the id (rides the `channel` column so the cascade, the
+    * stores, and the server work unchanged). Unknown and disabled
+    * channels are dropped — the reference likewise refuses samples for
+    * channels it is not configured to archive.
+    */
+  private def idKeyed(samples: DataFrame,
+                      enabled: Seq[ChannelConfig]): DataFrame =
+    ChannelRegistry.resolveToId(samples, enabled)
+      .withColumnRenamed("channel_data_id", "channel")
+
+  /** Full build: write raw and materialize every config-declared level
+    * with config-derived retention. Returns the config state that
+    * governed the build (its `version` is the build's provenance).
+    */
+  def materialize(spark: SparkSession, configPath: String,
+                  storePath: String, raw: DataFrame,
+                  backend: StoreBackend = ManifestBackend)
+      : ConfigCommands.ConfigState = {
+    val st = ConfigCommands.state(spark, configPath)
+    Cascade.materialize(spark, storePath, idKeyed(raw, st.enabledConfigs),
+      st.levelsSec, backend, st.retentionSec)
+    st
+  }
+
+  /** Incremental ingest: append new raw samples (enabled channels
+    * only, id-keyed, F6-deduplicated) and apply the config's raw-level
+    * retention — the batch analog of the streaming sink's per-batch
+    * write+retain.
+    */
+  def ingestRaw(spark: SparkSession, configPath: String, storePath: String,
+                raw: DataFrame,
+                backend: StoreBackend = ManifestBackend): Unit = {
+    val st = ConfigCommands.state(spark, configPath)
+    backend.write(Samples.monotonicDedup(idKeyed(raw, st.enabledConfigs)),
+      storePath, 0L)
+    st.retentionSec.get(0L).filter(_ > 0L).foreach { sec =>
+      backend.applyRetention(spark, storePath, 0L, sec * Samples.NS); ()
+    }
+  }
+
+  /** Extend every config-declared level over data that arrived since
+    * the last run. Levels the configuration added since the store was
+    * built get their first full build; existing levels run the
+    * incremental catch-up with the configured channel set as the
+    * new-channel registry (no source-level distinct — the fix for the
+    * full-level metadata pass flagged in round 4) and config-derived
+    * retention after each successful write.
+    */
+  def catchUp(spark: SparkSession, configPath: String, storePath: String,
+              backend: StoreBackend = ManifestBackend): Unit = {
+    val st = ConfigCommands.state(spark, configPath)
+    val known = st.enabledConfigs.map(_.channelDataId)
+    for (level <- st.levelsSec) {
+      if (!Cascade.hasWatermarks(spark, storePath, level))
+        Cascade.materializeLevel(spark, storePath, level, backend,
+          st.retentionSec)
+      else
+        Cascade.catchUp(spark, storePath, level, backend, st.retentionSec,
+          knownChannels = Some(known))
+    }
+  }
+
+  /** Config-governed serving: resolve the current name to its data id,
+    * refuse unknown ([[NoSuchChannelException]]) and disabled
+    * ([[ChannelDisabledException]]) channels, plan only over the
+    * channel's config-declared levels, and serve rows under the name
+    * the caller used.
+    */
+  def querySamples(spark: SparkSession, configPath: String,
+                   storePath: String, name: String,
+                   startNs: Long, endNs: Long, count: Option[Long],
+                   backend: StoreBackend = ManifestBackend): DataFrame = {
+    val cfg = resolveEnabled(spark, configPath, name)
+    ArchiveServer.querySamples(spark, storePath, cfg.channelDataId,
+        startNs, endNs, count, backend,
+        allowedLevels = Some(cfg.levels.keySet))
+      .withColumn("channel", lit(name))
+  }
+
+  private def resolveEnabled(spark: SparkSession, configPath: String,
+                             name: String): ChannelConfig = {
+    val cfg = ConfigCommands.state(spark, configPath).config(name)
+      .getOrElse(throw new NoSuchChannelException(name))
+    if (!cfg.enabled) throw new ChannelDisabledException(name)
+    cfg
+  }
+}

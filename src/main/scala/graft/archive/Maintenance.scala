@@ -1,0 +1,63 @@
+package graft.archive
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.Samples
+
+/** Background upkeep for a manifest-committed store — the reference's
+  * continuous maintenance duties (bucket-size compaction rollover,
+  * per-level retention deletes, tombstone cleanup) composed into ONE
+  * idempotent call an operator can schedule: plan compaction from
+  * manifest stats, rewrite every fragmented (level, day) with one
+  * atomic swap per level, apply per-level retention, then vacuum
+  * unreferenced bytes and stale manifest versions. Every step is a
+  * metadata-first operation (no data scan to decide work), and a
+  * second run on a converged store is a no-op.
+  */
+object Maintenance {
+
+  case class Report(compacted: Seq[ManifestStore.CompactionCandidate],
+                    retainedPaths: Map[Long, Seq[String]],
+                    vacuumed: Seq[String]) {
+    def isNoop: Boolean =
+      compacted.isEmpty && retainedPaths.values.forall(_.isEmpty) &&
+        vacuumed.isEmpty
+  }
+
+  /** One upkeep pass over every level of `storePath`. `retentionSec`
+    * maps levelSec → keep-duration seconds (absent / 0 = keep
+    * forever). `vacuumGraceMs` defaults to 0 here ONLY because the
+    * composed call runs after its own retention/compaction commits in
+    * the same process; a deployment with concurrent readers schedules
+    * [[ManifestStore.vacuum]]'s 24 h default instead.
+    */
+  def run(spark: SparkSession, storePath: String,
+          retentionSec: Map[Long, Long] = Map.empty,
+          smallBytes: Long = 32L * 1024 * 1024,
+          vacuumGraceMs: Long = 0L): Report = {
+    val levels = ManifestBackend.levels(spark, storePath)
+    val compacted = levels.flatMap(l =>
+      ManifestStore.compactAll(spark, storePath, l, smallBytes))
+    val retained = levels.map { l =>
+      l -> (retentionSec.getOrElse(l, 0L) match {
+        case 0L => Seq.empty[String]
+        case sec =>
+          ManifestStore.applyRetention(spark, storePath, l, sec * Samples.NS)
+      })
+    }.toMap
+    val vacuumed = ManifestStore.vacuum(spark, storePath, vacuumGraceMs)
+    Report(compacted, retained, vacuumed)
+  }
+
+  /** [[run]] with the retention map derived from the committed
+    * configuration ([[ConfigCommands]]) — the fully config-governed
+    * upkeep loop.
+    */
+  def runConfigured(spark: SparkSession, configPath: String,
+                    storePath: String,
+                    smallBytes: Long = 32L * 1024 * 1024,
+                    vacuumGraceMs: Long = 0L): Report =
+    run(spark, storePath,
+      ConfigCommands.state(spark, configPath).retentionSec,
+      smallBytes, vacuumGraceMs)
+}

@@ -241,6 +241,46 @@ object StreamingDecimation {
       }
       .start()
 
+  /** Config-GOVERNED streaming ingest ([[writeRawStreamManifest]] with
+    * the [[graft.archive.ConfigCommands]] log in charge): every
+    * micro-batch re-reads the committed configuration, so an operator's
+    * config commit takes effect on the NEXT batch of a running stream —
+    * no restart. Per batch:
+    *
+    *  1. resolve names → rename-stable data ids against the enabled
+    *     channel set (unknown/disabled channels dropped, exactly like
+    *     the reference's refusal to archive unconfigured channels);
+    *  2. one atomic idempotent manifest commit (exactly-once);
+    *  3. the config's retention for this level — the reference's
+    *     delete-after-every-successful-write rule
+    *     (ArchivedChannelDecimationLevel.java:602-640), with the
+    *     horizon map coming from configuration instead of a caller
+    *     argument, so expired windows vanish DURING the stream.
+    */
+  def writeRawStreamConfigured(samples: DataFrame, storePath: String,
+                               checkpointDir: String, configPath: String,
+                               levelSec: Long = 0L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    samples.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val st = graft.archive.ConfigCommands.state(spark, configPath)
+        val keyed = graft.archive.ChannelRegistry
+          .resolveToId(batch.toDF(), st.enabledConfigs)
+          .withColumnRenamed("channel_data_id", "channel")
+        graft.archive.ManifestStore.commitIdempotent(
+          keyed, storePath, levelSec,
+          writerId = s"stream:$checkpointDir", batchId = batchId)
+        st.retentionSec.get(levelSec).filter(_ > 0L).foreach { sec =>
+          graft.archive.ManifestStore.applyRetention(
+            spark, storePath, levelSec, sec * graft.core.Samples.NS)
+        }
+        ()
+      }
+      .start()
+
   /** ST1/ST3 — ingest shaping: event-time column, watermark, and the
     * windowed pre-aggregation a monitoring sink consumes. (The raw
     * append path writes `samples` to ArchiveStore unchanged.)

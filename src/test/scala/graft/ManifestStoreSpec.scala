@@ -122,6 +122,51 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(ManifestStore.read(spark, dir, 0).count() == 2)
   }
 
+  test("Maintenance.run converges a fragmented multi-level store in one idempotent call") {
+    import graft.archive.Maintenance
+    val dir = Files.createTempDirectory("maint").toString
+    // fragment two levels: 3 tiny commits each on the same days, plus
+    // an expired old day on the raw level
+    for (i <- 0 until 3) {
+      ManifestStore.commit(samples(
+        ("c", T0 + 10 * DAY + i * NS, i.toDouble),
+        ("c", T0 + 11 * DAY + i * NS, 10.0 + i)), dir, 0)
+      ManifestStore.commit(samples(
+        ("c", T0 + 10 * DAY + i * NS, 20.0 + i)), dir, 3600)
+    }
+    ManifestStore.commit(samples(("c", T0 + 1 * NS, 99.0)), dir, 0)
+
+    val before = ManifestStore.read(spark, dir, 0)
+      .where(col("ts") >= T0 + 10 * DAY)
+      .select("value").collect().map(_.getDouble(0)).sorted.toSeq
+    val m0 = ManifestStore.latestManifest(spark, dir).get
+    assert(m0.files.count(_.levelSec == 0L) >= 7)
+
+    // ONE call: compact both levels, apply per-level retention (7 days
+    // on raw — the T0 day expires), vacuum the orphaned bytes
+    val report = Maintenance.run(spark, dir,
+      retentionSec = Map(0L -> 7L * 86400L))
+    assert(report.compacted.nonEmpty)
+    assert(report.retainedPaths(0L).exists(_.contains("2024-01-01")))
+    assert(report.vacuumed.nonEmpty)
+
+    // reads identical before/after on the surviving range; fragments
+    // collapsed to one file per (level, day)
+    val after = ManifestStore.read(spark, dir, 0)
+      .select("value").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(after == before)
+    assert(ManifestStore.read(spark, dir, 3600)
+      .select("value").collect().map(_.getDouble(0)).sorted.toSeq
+      == Seq(20.0, 21.0, 22.0))
+    val m1 = ManifestStore.latestManifest(spark, dir).get
+    assert(m1.files.groupBy(f => (f.levelSec, f.bucketDate))
+      .forall(_._2.size == 1))
+
+    // a second run is a no-op
+    assert(Maintenance.run(spark, dir,
+      retentionSec = Map(0L -> 7L * 86400L)).isNoop)
+  }
+
   test("a lost commit race retries and lands on the next version") {
     val dir = Files.createTempDirectory("mstore").toString
     ManifestStore.commit(samples(("c", T0 + 1 * NS, 1.0)), dir, 0)

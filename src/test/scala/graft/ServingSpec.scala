@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.archive.{ChannelAlreadyExistsException, ChannelConfig,
-  ChannelConfigXml, ChannelRegistry, ConfigCommands, JsonV1, ManifestStore,
-  PendingChannelOperationException, ResolutionPlanner}
+  ChannelConfigXml, ChannelDisabledException, ChannelRegistry,
+  ConfigCommands, ConfiguredArchive, JsonV1, ManifestBackend, ManifestStore,
+  NoSuchChannelException, PendingChannelOperationException,
+  ResolutionPlanner}
 
 class ServingSpec extends AnyFunSuite {
 
@@ -206,6 +208,92 @@ class ServingSpec extends AnyFunSuite {
     val served2 = ManifestStore.readById(spark, store, st2.configs, 0L)
       .select("channel").distinct().collect().map(_.getString(0)).toSet
     assert(served2 == Set("pv:b"))
+  }
+
+  test("configuration governs the engine: levels, enabled flag, rename, registry-driven catch-up") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val cfgDir = Files.createTempDirectory("govcfg").toString
+    val store = Files.createTempDirectory("govstore").toString
+    val NS = graft.core.Samples.NS
+    val t0 = 1704067200L * NS
+
+    // the configuration DECLARES the engine's shape: one enabled
+    // channel with a 1h level, one disabled channel. The test passes
+    // NO level or retention literals to any cascade call.
+    ConfigCommands.addChannel(spark, cfgDir, ChannelConfig("pv:gov", "id-gov",
+      "ca", enabled = true, Map(), Map(3600L -> 0L)))
+    ConfigCommands.addChannel(spark, cfgDir, ChannelConfig("pv:off", "id-off",
+      "ca", enabled = false, Map(), Map(3600L -> 0L)))
+
+    def rawFor(name: String, ids: Seq[Int], base: Long) =
+      ids.map(i => (name, base + i * 60L * NS, i.toDouble, "", 0, 0, i.toLong))
+        .toDF("channel", "ts", "value", "str_value", "severity", "status",
+          "sample_id")
+
+    ConfiguredArchive.materialize(spark, cfgDir, store,
+      rawFor("pv:gov", 1 to 600, t0)
+        .unionByName(rawFor("pv:off", 1 to 10, t0)))
+
+    // the cascade built exactly the configured level set, id-keyed,
+    // and never archived the disabled channel
+    assert(ManifestBackend.levels(spark, store).toSet == Set(0L, 3600L))
+    assert(ManifestStore.read(spark, store, 0L)
+      .where(col("channel") === "id-off").count() == 0)
+    assert(ManifestStore.read(spark, store, 3600L)
+      .where(col("channel") === "id-gov").count() > 0)
+
+    // serving: configured name resolves (rows re-labeled with the
+    // name), disabled and unknown channels refuse
+    val hi = t0 + 4L * 3600L * NS
+    val got = ConfiguredArchive.querySamples(spark, cfgDir, store,
+      "pv:gov", t0, hi, None)
+    val vals = got.select("channel", "value").collect()
+    assert(vals.nonEmpty && vals.forall(_.getString(0) == "pv:gov"))
+    intercept[ChannelDisabledException] {
+      ConfiguredArchive.querySamples(spark, cfgDir, store, "pv:off",
+        t0, hi, None)
+    }
+    intercept[NoSuchChannelException] {
+      ConfiguredArchive.querySamples(spark, cfgDir, store, "pv:none",
+        t0, hi, None)
+    }
+
+    // disable → serving refuses; re-enable + rename → the SAME data
+    // serves under the new name (id-keyed store: zero files touched)
+    val gov = ConfigCommands.state(spark, cfgDir).config("pv:gov").get
+    ConfigCommands.updateChannel(spark, cfgDir, gov.copy(enabled = false))
+    intercept[ChannelDisabledException] {
+      ConfiguredArchive.querySamples(spark, cfgDir, store, "pv:gov",
+        t0, hi, None)
+    }
+    ConfigCommands.updateChannel(spark, cfgDir, gov.copy(enabled = true))
+    ConfigCommands.renameChannel(spark, cfgDir, "pv:gov", "pv:gov2")
+    val got2 = ConfiguredArchive.querySamples(spark, cfgDir, store,
+      "pv:gov2", t0, hi, None)
+    assert(got2.select("value").collect().map(_.getDouble(0)).sorted.toSeq ==
+      vals.map(_.getDouble(1)).sorted.toSeq)
+
+    // incremental: a NEW configured channel plus new samples; catch-up
+    // derives channels from the REGISTRY and levels from config — the
+    // new channel's 1h windows appear without any level literal
+    ConfigCommands.addChannel(spark, cfgDir, ChannelConfig("pv:new", "id-new",
+      "ca", enabled = true, Map(), Map(3600L -> 0L)))
+    ConfiguredArchive.ingestRaw(spark, cfgDir, store,
+      rawFor("pv:new", 1 to 600, t0))
+    ConfiguredArchive.catchUp(spark, cfgDir, store)
+    assert(ManifestStore.read(spark, store, 3600L)
+      .where(col("channel") === "id-new").count() > 0)
+
+    // a config update that ADDS a level: the next catch-up builds it
+    // from scratch (first full build, then incremental thereafter)
+    val gov2 = ConfigCommands.state(spark, cfgDir).config("pv:gov2").get
+    ConfigCommands.updateChannel(spark, cfgDir,
+      gov2.copy(levels = gov2.levels + (21600L -> 0L)))
+    ConfiguredArchive.catchUp(spark, cfgDir, store)
+    assert(ManifestBackend.levels(spark, store).toSet ==
+      Set(0L, 3600L, 21600L))
+    assert(ManifestStore.read(spark, store, 21600L).count() > 0)
   }
 
   test("channel remove is two-phase: pending lock, data gone after vacuum, crash rolls forward") {

@@ -300,4 +300,46 @@ class StreamingSpec extends AnyFunSuite {
         r.getAs[Long]("n") == 2))
     } finally q.stop()
   }
+
+  test("config-driven retention fires during a running stream; unconfigured channels refused") {
+    import java.nio.file.Files
+    import graft.archive.{ChannelConfig, ConfigCommands, ManifestStore}
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cfgDir = Files.createTempDirectory("strcfg").toString
+    val dir = Files.createTempDirectory("strstore").toString
+    val ckpt = Files.createTempDirectory("strckpt").toString
+    val day = 86400L * S
+    val base = 1704067200L * S
+    // the configuration declares raw retention = 2 days; the sink
+    // reads it per micro-batch — nothing here calls retention manually
+    ConfigCommands.addChannel(spark, cfgDir, ChannelConfig("pv:s", "id-s",
+      "ca", enabled = true, Map(), Map(0L -> 2L * 86400L)))
+    val mem = MemoryStream[InSample]
+    val q = StreamingDecimation.writeRawStreamConfigured(
+      mem.toDS().toDF().select($"channel", $"ts",
+        $"value".cast("double").as("value"), $"seq".as("sample_id")),
+      dir, ckpt, cfgDir)
+    try {
+      mem.addData(Seq(InSample("pv:s", base, Some(1.0), 0)))
+      q.processAllAvailable()
+      assert(ManifestStore.read(spark, dir, 0L).count() == 1)
+      // five days later: the day-0 bucket's END falls past the 2-day
+      // horizon and vanishes DURING the stream
+      mem.addData(Seq(InSample("pv:s", base + 5 * day, Some(2.0), 1)))
+      q.processAllAvailable()
+      assert(ManifestStore.read(spark, dir, 0L)
+        .select("ts").collect().map(_.getLong(0)).toSeq
+        == Seq(base + 5 * day))
+      // a channel the config does not declare is refused by the sink
+      mem.addData(Seq(InSample("pv:unknown", base + 5 * day + 1000L,
+        Some(9.0), 2)))
+      q.processAllAvailable()
+      assert(ManifestStore.read(spark, dir, 0L).count() == 1)
+      // the store is id-keyed: rows ride the rename-stable data id
+      assert(ManifestStore.read(spark, dir, 0L)
+        .select("channel").head.getString(0) == "id-s")
+    } finally q.stop()
+  }
 }
