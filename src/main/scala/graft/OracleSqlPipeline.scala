@@ -604,6 +604,33 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // mirror of the TRAINED classifier composition: the weight table
+    // is sum(label) per feature hash (±1.0 double labels from lang),
+    // then the same per-doc mean-weight score as the stand-in gate.
+    // Every sum is of integer-valued doubles — order-independent exact.
+    "text_classifier_trained" ->
+      s"""WITH $TOKS,
+         |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+         |       FROM t, UNNEST(range(1, len(toks))) g(i)
+         |       WHERE len(toks) >= 2),
+         |ft AS (SELECT doc_id, ${md5HashM31Sql("bigram")} AS h FROM bg),
+         |lbl AS (SELECT doc_id,
+         |          CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+         |               ELSE CAST(-1.0 AS DOUBLE) END AS label
+         |        FROM documents),
+         |wt AS (SELECT ft.h AS feature_hash, sum(lbl.label) AS weight
+         |       FROM ft JOIN lbl USING (doc_id) GROUP BY ft.h),
+         |sc AS (SELECT ft.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+         |         sum(wt.weight) AS sw
+         |       FROM ft JOIN wt ON ft.h = wt.feature_hash
+         |       GROUP BY ft.doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(sc.n_features, 0) AS n_features,
+         |       CAST(CAST(round((sc.sw::DOUBLE / sc.n_features) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS score,
+         |       (sc.sw > 0) AS positive
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     // mirror of Sampling.qualityBucketSample (rates .1/.3/.6/.9,
     // vocab 20): unigram-score quantile thresholds (scaled-round 6dp),
     // comparison-chain bucketing, salted-hash Bernoulli keep
@@ -1429,6 +1456,70 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |  JOIN assigned a ON pc.cluster = a.cluster
          |  JOIN e ON a.vec_id = e.vec_id
          |  WHERE pc.probe_id != a.vec_id)
+         |SELECT probe_id, vec_id, cos_sim,
+         |       CAST(rank AS INT) AS rank
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |           ORDER BY cos_sim DESC, vec_id) AS rank
+         |  FROM cand)
+         |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+
+    // mirror of Similarity.ivfSearchRefined: two Lloyd sweeps over the
+    // seed quantizer (assign → scaled-round-6dp per-dim DECIMAL mean,
+    // empty clusters keep their previous centroid), then the standard
+    // IVF probe/assign/rank search over the refined centroids
+    "sim_ivf_refined" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cluster, v AS cent FROM e ORDER BY vec_id LIMIT 8),
+         |a1 AS (SELECT vec_id, cluster FROM (
+         |    SELECT e.vec_id, c0.cluster,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY round(list_cosine_similarity(e.v, c0.cent), 6) DESC,
+         |                      cluster) AS rn
+         |    FROM e CROSS JOIN c0) WHERE rn = 1),
+         |d1 AS (SELECT a.cluster, g.pos, e.v[g.pos + 1] AS val
+         |       FROM a1 a JOIN e ON a.vec_id = e.vec_id,
+         |            UNNEST(generate_series(0, len(e.v) - 1)) g(pos)),
+         |m1 AS (SELECT cluster, pos,
+         |         CAST(CAST(round((CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / count(*)) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS m
+         |       FROM d1 GROUP BY 1, 2),
+         |r1 AS (SELECT cluster, list(m ORDER BY pos) AS cent FROM m1 GROUP BY cluster),
+         |c1 AS (SELECT c0.cluster, coalesce(r1.cent, c0.cent) AS cent
+         |       FROM c0 LEFT JOIN r1 USING (cluster)),
+         |a2 AS (SELECT vec_id, cluster FROM (
+         |    SELECT e.vec_id, c1.cluster,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY round(list_cosine_similarity(e.v, c1.cent), 6) DESC,
+         |                      cluster) AS rn
+         |    FROM e CROSS JOIN c1) WHERE rn = 1),
+         |d2 AS (SELECT a.cluster, g.pos, e.v[g.pos + 1] AS val
+         |       FROM a2 a JOIN e ON a.vec_id = e.vec_id,
+         |            UNNEST(generate_series(0, len(e.v) - 1)) g(pos)),
+         |m2 AS (SELECT cluster, pos,
+         |         CAST(CAST(round((CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / count(*)) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS m
+         |       FROM d2 GROUP BY 1, 2),
+         |r2 AS (SELECT cluster, list(m ORDER BY pos) AS cent FROM m2 GROUP BY cluster),
+         |c2 AS (SELECT c1.cluster, coalesce(r2.cent, c1.cent) AS cent
+         |       FROM c1 LEFT JOIN r2 USING (cluster)),
+         |a3 AS (SELECT vec_id, cluster FROM (
+         |    SELECT e.vec_id, c2.cluster,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY round(list_cosine_similarity(e.v, c2.cent), 6) DESC,
+         |                      cluster) AS rn
+         |    FROM e CROSS JOIN c2) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+         |pc AS (SELECT probe_id, pv, cluster FROM (
+         |    SELECT p.probe_id, p.pv, c2.cluster,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY round(list_cosine_similarity(p.pv, c2.cent), 6) DESC,
+         |                      cluster) AS rn
+         |    FROM probes p CROSS JOIN c2) WHERE rn <= 2),
+         |cand AS (
+         |  SELECT pc.probe_id, a3.vec_id,
+         |         round(list_cosine_similarity(pc.pv, e.v), 6) AS cos_sim
+         |  FROM pc JOIN a3 ON pc.cluster = a3.cluster
+         |  JOIN e ON a3.vec_id = e.vec_id
+         |  WHERE pc.probe_id != a3.vec_id)
          |SELECT probe_id, vec_id, cos_sim,
          |       CAST(rank AS INT) AS rank
          |FROM (

@@ -491,6 +491,17 @@ object SparkEntry {
       TextAnalysis.hashedLinearScore(Tables.documents(s, dir))
         .orderBy("doc_id")),
 
+    // the TRAINED path end to end: one aggregation fits the hashed
+    // weight table from deterministic ±1 language labels, the scorer
+    // broadcasts it — the production train→score composition under
+    // the same rows/schema/hash gate as the stand-in path
+    "text_classifier_trained" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = TextAnalysis.trainHashedWeights(docs,
+        when(col("lang") === "en", 1.0).otherwise(-1.0))
+      TextAnalysis.hashedLinearScore(docs, Some(w)).orderBy("doc_id")
+    }),
+
     // multi-round BPE vocabulary training: the full merge loop, with
     // exact leftmost-greedy application each round (double-space trick).
     // Served from the shared memo (one training run feeds this gate and
@@ -740,6 +751,16 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.ivfSearch(e, e.where(col("vec_id") < 5), topK = 10,
           k = 8, nProbe = 2)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // IVF search over Lloyd-REFINED centroids (2 sweeps, 6dp-rounded
+    // dims): the production quantizer path, gated on values like the
+    // seed-centroid search; recall@10 delta vs seeds is in BASELINE.md
+    "sim_ivf_refined" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfSearchRefined(e, e.where(col("vec_id") < 5), topK = 10,
+          k = 8, nProbe = 2, iters = 2)
         .orderBy("probe_id", "rank")
     }),
 

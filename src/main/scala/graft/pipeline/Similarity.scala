@@ -221,10 +221,14 @@ object Similarity {
   private def seedSet(corpus: DataFrame, k: Int): DataFrame =
     corpus.orderBy("vec_id").limit(k)
 
-  def ivfAssign(corpus: DataFrame, k: Int = 8): DataFrame = {
+  /** Coarse-quantizer assignment against an arbitrary centroid frame
+    * (cluster, seed_emb) — shared by the seed quantizer
+    * ([[ivfAssign]]) and the Lloyd-refined one
+    * ([[ivfSearchRefined]]), so their tie-break semantics can never
+    * diverge.
+    */
+  private def assignWith(corpus: DataFrame, seeds: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val seeds = seedSet(corpus, k)
-      .select(col("vec_id").as("cluster"), col("embedding").as("seed_emb"))
     val scored = corpus.crossJoin(broadcast(seeds))
       .select(col("vec_id"), col("cluster"),
         round(cosine(asDouble(col("embedding")), asDouble(col("seed_emb"))), 6)
@@ -236,6 +240,13 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), col("cos_to_centroid"))
   }
 
+  private def seedFrame(corpus: DataFrame, k: Int): DataFrame =
+    seedSet(corpus, k)
+      .select(col("vec_id").as("cluster"), col("embedding").as("seed_emb"))
+
+  def ivfAssign(corpus: DataFrame, k: Int = 8): DataFrame =
+    assignWith(corpus, seedFrame(corpus, k))
+
   /** IVF index build — Lloyd refinement of the coarse quantizer: each
     * iteration assigns every vector to its nearest centroid (broadcast
     * k centroids, one scan) and recomputes each centroid as the
@@ -246,7 +257,25 @@ object Similarity {
     * shape at corpus scale.
     */
   def ivfCentroids(corpus: DataFrame, k: Int = 8,
-                   iters: Int = 1): DataFrame = {
+                   iters: Int = 1): DataFrame =
+    centroidsImpl(corpus, k, iters, roundDims = false)
+
+  /** [[ivfCentroids]] with each dimension scaled-rounded to 6dp after
+    * every iteration — the engine-deterministic variant the
+    * oracle-gated refined search runs on. Unrounded per-dim means
+    * carry half-ulp engine differences into the NEXT iteration's
+    * (rounded) assignment cosines, where a 6dp tie can tip; rounding
+    * at the hand-off makes every iteration's input bit-identical
+    * across engines (the [[semanticDedup]] centroid convention).
+    * Recall impact is nil: 1e-6 per dimension against unit-norm-scale
+    * vectors.
+    */
+  def ivfCentroidsRounded(corpus: DataFrame, k: Int = 8,
+                          iters: Int = 2): DataFrame =
+    centroidsImpl(corpus, k, iters, roundDims = true)
+
+  private def centroidsImpl(corpus: DataFrame, k: Int, iters: Int,
+                            roundDims: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     var centroids = seedSet(corpus, k)
       .select(col("vec_id").as("cluster"),
@@ -261,12 +290,17 @@ object Similarity {
         .orderBy(col("cos").desc, col("cluster"))
       val assigned = scored.withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
+      val mean =
+        if (roundDims)
+          TextAnalysis.r6(
+            graft.archive.Decimation.exactSum(col("v")) / count(lit(1)))
+        else
+          graft.archive.Decimation.exactSum(col("v")) / count(lit(1))
       val recomputed = assigned
         .select(col("cluster"),
           posexplode(asDouble(col("embedding"))).as(Seq("pos", "v")))
         .groupBy("cluster", "pos")
-        .agg((graft.archive.Decimation.exactSum(col("v")) / count(lit(1)))
-          .as("v"), count(lit(1)).as("n"))
+        .agg(mean.as("v"), count(lit(1)).as("n"))
         .groupBy("cluster")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
           x => x.getField("v")).as("centroid"),
@@ -314,14 +348,37 @@ object Similarity {
   }
 
   def ivfSearch(corpus: DataFrame, probes: DataFrame, topK: Int,
-                k: Int = 8, nProbe: Int = 2): DataFrame = {
+                k: Int = 8, nProbe: Int = 2): DataFrame =
+    searchWith(corpus, probes, seedFrame(corpus, k), nProbe, topK)
+
+  /** [[ivfSearch]] with BOTH quantizer roles (probe routing and the
+    * inverted-list assignment) running over Lloyd-REFINED centroids
+    * ([[ivfCentroidsRounded]], `iters` sweeps) instead of the first-k
+    * seed vectors — the production index-build shape: refined
+    * centroids balance the inverted lists around the data's actual
+    * density, which is where the measured recall@10 gain over seed
+    * centroids comes from (BASELINE.md RECALL row). Search-time cost
+    * is identical to [[ivfSearch]]; the refinement is train-time.
+    */
+  def ivfSearchRefined(corpus: DataFrame, probes: DataFrame, topK: Int,
+                       k: Int = 8, nProbe: Int = 2,
+                       iters: Int = 2): DataFrame =
+    searchWith(corpus, probes,
+      ivfCentroidsRounded(corpus, k, iters)
+        .select(col("cluster"), col("centroid").as("seed_emb")),
+      nProbe, topK)
+
+  /** The IVF probe path over an arbitrary quantizer (cluster,
+    * seed_emb) — shared by the seed and refined searches.
+    */
+  private def searchWith(corpus: DataFrame, probes: DataFrame,
+                         seeds: DataFrame, nProbe: Int,
+                         topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val seeds = seedSet(corpus, k)
-      .select(col("vec_id").as("cluster"), col("embedding").as("seed_emb"))
     // probe → its nProbe nearest clusters
     val probeClusters = nearestClusters(probes, seeds, nProbe)
     // corpus member → its cluster (the inverted-list assignment)
-    val assigned = ivfAssign(corpus, k)
+    val assigned = assignWith(corpus, seeds)
       .select(col("vec_id"), col("cluster"))
       .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
     val cand = probeClusters.join(assigned, Seq("cluster"))

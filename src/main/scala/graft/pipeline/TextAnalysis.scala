@@ -522,6 +522,31 @@ object TextAnalysis {
     * Output: (doc_id, n_features, score, positive); documents with
     * fewer than two tokens surface with n_features = 0 and null score.
     */
+  /** Train the hashed weight table for [[hashedLinearScore]] from
+    * labeled documents in ONE map-side-combinable aggregation:
+    * w[h] = Σ label(doc) over every occurrence of feature h — the
+    * count-based one-epoch linear fit (the centroid-of-labels
+    * estimate a fastText-style model converges toward for hashed
+    * bag-of-bigrams). `labelCol` is any per-doc numeric expression
+    * (±1 class labels, a quality score, …). The label rides the
+    * feature-extraction scan, so nothing corpus-sized joins or
+    * shuffles: the output is the 2^B-bounded (feature_hash, weight)
+    * table the scorer broadcasts.
+    */
+  def trainHashedWeights(docs: DataFrame, labelCol: Column,
+                         textCol: String = "text"): DataFrame =
+    docs
+      .select(col("doc_id"), labelCol.cast("double").as("label"),
+        toks(textCol).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("label"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(toks[i-1], ' ', toks[i]))")).as("bigram"))
+      .select(graft.pipeline.Hashing.md5HashM31(col("bigram"))
+        .as("feature_hash"), col("label"))
+      .groupBy("feature_hash")
+      .agg(sum(col("label")).as("weight"))
+
   def hashedLinearScore(docs: DataFrame,
                         weights: Option[DataFrame] = None,
                         textCol: String = "text"): DataFrame = {

@@ -148,6 +148,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@10 = $recall") // deterministic corpus; seed codebooks
   }
 
+  test("trained hashed classifier separates the classes it was fit on") {
+    // two clean classes with disjoint bigram vocabularies: the one-
+    // aggregation weight fit must score members of the +1 class
+    // positive and the −1 class negative
+    val d = docs(
+      (1L, "good clean prose here", "en"), (2L, "good clean prose here", "en"),
+      (3L, "ruido sucio basura aqui", "es"), (4L, "ruido sucio basura aqui", "es"),
+      (5L, "x", "en")) // sub-2-token doc: n_features 0, null score
+    val w = TextAnalysis.trainHashedWeights(d,
+      when(col("lang") === "en", 1.0).otherwise(-1.0))
+    // every bigram occurs twice within one class: |weight| = 2
+    assert(w.collect().forall(r => math.abs(r.getDouble(1)) == 2.0))
+    val scored = TextAnalysis.hashedLinearScore(d, Some(w))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(scored(1L).exists(_ > 0) && scored(2L).exists(_ > 0))
+    assert(scored(3L).exists(_ < 0) && scored(4L).exists(_ < 0))
+    assert(scored(5L).isEmpty)
+  }
+
+  test("refined IVF search at zero Lloyd iterations equals the seed-centroid search") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = e.where(col("vec_id") < 5)
+    def keys(df: org.apache.spark.sql.DataFrame) = df
+      .select("probe_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(keys(Similarity.ivfSearch(e, probes, 10, 8, 2)) ==
+      keys(Similarity.ivfSearchRefined(e, probes, 10, 8, 2, iters = 0)))
+    // with real sweeps the search still returns full result sets
+    assert(Similarity.ivfSearchRefined(e, probes, 10, 8, 2, iters = 2)
+      .groupBy("probe_id").count().collect().forall(_.getLong(1) == 10L))
+  }
+
   test("Lloyd-refined PQ codebooks reduce quantization distortion") {
     import org.apache.spark.sql.functions.{avg, col}
     val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
