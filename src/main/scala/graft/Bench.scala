@@ -28,15 +28,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER / SPARK_GRAFT_EXEC_CP: same multi-executor
+    // override as Verify (local-cluster runs for the scaling studies).
+    var builder = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_EXEC_CP").foreach(cp =>
+      builder = builder.config("spark.executor.extraClassPath", cp))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     // warm-up: table footers + one tiny end-to-end plan

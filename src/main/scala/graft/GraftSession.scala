@@ -64,6 +64,15 @@ object GraftSession {
         core.Tables.documents(spark, sfDir)
           .where(org.apache.spark.sql.functions.col("doc_id") % 11 === 0))
       .createOrReplaceTempView("doc_dsir_weights")
+    // SNAPSHOT semantics: semanticDedup (like imageNearDupPairs)
+    // lazy-localCheckpoints its per-vector centroid frame, so this
+    // view FREEZES at its first materialization for the session's
+    // lifetime — later changes to the embeddings table are not
+    // reflected, and the checkpointed blocks live until the session
+    // (or an explicit re-register) drops them. That is the right
+    // trade for a dedup report (one consistent pass, read many
+    // times); call Similarity.semanticDedup directly per batch when
+    // fresh-per-query results matter.
     pipeline.Similarity.semanticDedup(
         core.Tables.embeddings(spark, sfDir), minCos = 0.3)
       .createOrReplaceTempView("emb_semantic_dedup")

@@ -724,7 +724,9 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
 
     // mirror of Dedup.contaminationReport (k=3, eval = doc_id % 11 = 0):
     // distinct eval shingles left-joined against the distinct set of
-    // eval shingles present anywhere in the training split
+    // eval shingles present anywhere in the training split; the final
+    // left join back onto the eval docs surfaces sub-k documents with
+    // n_shingles = 0 and NULL hit_frac instead of omitting them
     "dedup_contamination_report" ->
       s"""WITH $TOKS,
          |$SH3,
@@ -733,13 +735,21 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |matched AS (
          |  SELECT DISTINCT s.shingle
          |  FROM sh s JOIN (SELECT DISTINCT shingle FROM ev) e USING (shingle)
-         |  WHERE s.doc_id % 11 <> 0)
-         |SELECT ev.eval_doc_id,
-         |  CAST(count(*) AS BIGINT) AS n_shingles,
-         |  CAST(count(m.shingle) AS BIGINT) AS n_hit,
-         |  CAST(CAST(round((count(m.shingle)::DOUBLE / count(*)) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS hit_frac
-         |FROM ev LEFT JOIN matched m USING (shingle)
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+         |  WHERE s.doc_id % 11 <> 0),
+         |rep AS (
+         |  SELECT ev.eval_doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_shingles,
+         |    CAST(count(m.shingle) AS BIGINT) AS n_hit,
+         |    CAST(CAST(round((count(m.shingle)::DOUBLE / count(*)) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS hit_frac
+         |  FROM ev LEFT JOIN matched m USING (shingle)
+         |  GROUP BY 1)
+         |SELECT d.doc_id AS eval_doc_id,
+         |  coalesce(rep.n_shingles, 0) AS n_shingles,
+         |  coalesce(rep.n_hit, 0) AS n_hit,
+         |  rep.hit_frac
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 11 = 0) d
+         |LEFT JOIN rep ON d.doc_id = rep.eval_doc_id
+         |ORDER BY 1""".stripMargin,
 
     "dedup_simhash_pairs" ->
       s"""WITH $TOKS,

@@ -385,6 +385,14 @@ object Cascade {
     // loss in the decimated level. Null watermark fields (never
     // expected — the merge coalesces two non-null frames) are encoded
     // explicitly rather than NPE-ing in an unboxing getAs[Long].
+    // MIGRATION CAVEAT: this length-prefixed encoding replaced the
+    // round-3 format, so a token persisted by the OLD format never
+    // matches a new-format recomputation — a crash-replay straddling
+    // that upgrade re-applies its batch once (at-least-once at
+    // migration, exactly-once before and after). Inherent to any
+    // token-encoding change; if the encoding changes again, bump the
+    // writerId (e.g. "catchup2:") so the stale token is simply
+    // superseded rather than compared.
     val md = java.security.MessageDigest.getInstance("SHA-256")
     mergedRows.sortBy(_.getAs[String]("channel")).foreach { r =>
       def field(i: Int): String =

@@ -26,6 +26,19 @@ object Tables {
 
   /** Enable Long-nanos parquet reads + UTC wall-clock interpretation;
     * idempotent, cheap.
+    *
+    * SIDE EFFECT, by contract: reading any table pins
+    * `spark.sql.session.timeZone` to UTC for the WHOLE session. This
+    * is deliberate and load-bearing, not incidental — the NTZ→instant
+    * cast in [[events]] and the store layouts' UTC day-bucketing
+    * contract (`ArchiveStore.bucketDateCol`, shared by the manifest
+    * store, the streaming sink, and retention) both read the session
+    * timezone, so an engine session MUST run UTC or stores written and
+    * read under different zones would disagree on day boundaries. An
+    * application embedding this library that needs another zone for
+    * its own timestamp rendering should do that rendering in a
+    * separate session (or convert explicitly with from_utc_timestamp)
+    * rather than re-pinning this conf.
     */
   private def withNanos(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

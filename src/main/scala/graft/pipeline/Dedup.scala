@@ -465,9 +465,13 @@ object Dedup {
     * join is eval-sized. A 100 TB corpus against a 10k-doc benchmark
     * costs one pruned scan.
     *
-    * Output: (eval_doc_id, n_shingles, n_hit, hit_frac) — distinct
-    * k-shingles of the eval doc, how many occur anywhere in the
-    * corpus, and their ratio.
+    * Output: ONE row per eval document — (eval_doc_id, n_shingles,
+    * n_hit, hit_frac): distinct k-shingles of the eval doc, how many
+    * occur anywhere in the corpus, and their ratio. Docs shorter than
+    * k tokens produce no shingles and surface explicitly with
+    * n_shingles = n_hit = 0 and a NULL hit_frac (no denominator) —
+    * a caller summing per-benchmark coverage sees them instead of
+    * silently missing rows.
     */
   def contaminationReport(docs: DataFrame, evalDocs: DataFrame,
                           k: Int = 5): DataFrame = {
@@ -477,13 +481,19 @@ object Dedup {
       .join(broadcast(evSh.select("shingle").distinct()), Seq("shingle"))
       .select("shingle").distinct()
       .withColumn("hit", lit(true))
-    evSh.join(matched, Seq("shingle"), "left")
+    val report = evSh.join(matched, Seq("shingle"), "left")
       .groupBy("eval_doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit"))
       .select(col("eval_doc_id"), col("n_shingles"), col("n_hit"),
         TextAnalysis.r6(col("n_hit").cast("double") / col("n_shingles"))
           .as("hit_frac"))
+    evalDocs.select(col("doc_id").as("eval_doc_id"))
+      .join(report, Seq("eval_doc_id"), "left")
+      .select(col("eval_doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("hit_frac"))
   }
 
   /** C4-style repeated-segment removal, generalized: partition each
@@ -507,7 +517,9 @@ object Dedup {
     * kept segments once.
     *
     * Returns (doc_id, text, n_removed) with `text` rebuilt from the
-    * kept segments in order.
+    * kept segments in order — in the [[tokens]] normalization
+    * (lowercased, punctuation-split), like [[spanDedupedCorpus]]; see
+    * the note there.
     */
   def segmentDedup(docs: DataFrame, k: Int = 8, minOcc: Int = 2,
                    textCol: String = "text"): DataFrame = {
@@ -627,8 +639,18 @@ object Dedup {
     * explode of only the removed windows; the cut is a left-anti
     * equi-join on (doc, position); the text rebuild is the per-doc
     * sorted collect every returning-the-corpus operator here pays.
+    * 100×-probed linear (BASELINE.md SPANAPPLY100X: 500k docs / 20M
+    * windows with a df≈167k hot run, 46.5 s warm, closed-form removal
+    * count verified).
     *
     * Output: (doc_id, text, n_removed) — n_removed in tokens.
+    * NOTE the text is rebuilt from the [[tokens]] normalization
+    * (lowercased, punctuation-split, whitespace collapsed), so even a
+    * document with nothing removed comes back normalized — the same
+    * convention as [[segmentDedup]], and unlike reference ExactSubstr
+    * implementations that cut byte ranges from the original text.
+    * Keep the original column alongside when byte-exact survivors
+    * matter; matching is on normalized tokens either way.
     */
   def spanDedupedCorpus(docs: DataFrame, k: Int = 5, minOcc: Int = 2,
                         textCol: String = "text"): DataFrame = {

@@ -772,6 +772,12 @@ object Similarity {
     // (~24 B/vector — 24 GB cluster-wide at 10⁹ vectors) after its
     // first materialization; recompute-on-executor-loss is the
     // accepted trade against tripling the most expensive stage.
+    // CALLER NOTE: the checkpoint makes the returned frame a SNAPSHOT
+    // — the first materialization is frozen and re-served (stale if
+    // the source table changes), and its blocks persist until the
+    // frame is garbage-collected or the session ends. Long-lived
+    // handles (e.g. a registered temp view) inherit both properties;
+    // re-invoke for a fresh pass.
     val cs = b.join(cent, Seq("bucket", "sub"))
       .select(col("bucket"), col("vec_id"),
         round(cosine(asDouble(col("embedding")), col("centroid")), 6)

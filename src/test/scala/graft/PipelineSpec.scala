@@ -148,6 +148,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@10 = $recall") // deterministic corpus; seed codebooks
   }
 
+  test("contamination report surfaces sub-k eval docs with zero shingles") {
+    val corpus = docs((1L, "alpha beta gamma delta", "en"))
+    val eval = docs(
+      (11L, "alpha beta gamma tail", "en"), // leaks a 3-gram
+      (12L, "one two", "en"))               // < k tokens: no shingles
+    val rows = Dedup.contaminationReport(corpus, eval, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(rows.keySet == Set(11L, 12L)) // every eval doc present
+    assert(rows(11L)._1 == 2 && rows(11L)._2 == 1 &&
+      rows(11L)._3.contains(0.5))
+    assert(rows(12L) == ((0L, 0L, None))) // explicit zero row, null frac
+  }
+
   test("trained hashed classifier separates the classes it was fit on") {
     // two clean classes with disjoint bigram vocabularies: the one-
     // aggregation weight fit must score members of the +1 class
