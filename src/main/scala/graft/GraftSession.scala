@@ -79,6 +79,20 @@ object GraftSession {
     pipeline.TextAnalysis.hashedLinearScore(
         core.Tables.documents(spark, sfDir))
       .createOrReplaceTempView("doc_classifier_score")
+    // the TRAINED classifier path (same ±1 language labels as the
+    // gated text_classifier_trained query) and the Lloyd-refined IVF
+    // quantizer — round-5 ops, SQL-reachable like the rest
+    pipeline.TextAnalysis.hashedLinearScore(
+        core.Tables.documents(spark, sfDir),
+        Some(pipeline.TextAnalysis.trainHashedWeights(
+          core.Tables.documents(spark, sfDir),
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.col("lang") === "en", 1.0)
+            .otherwise(-1.0))))
+      .createOrReplaceTempView("doc_classifier_trained")
+    pipeline.Similarity.ivfCentroidsRounded(
+        core.Tables.embeddings(spark, sfDir), k = 8, iters = 2)
+      .createOrReplaceTempView("emb_ivf_centroids_refined")
     // same hyper-parameters as the oracle-gated queries — a SQL user
     // must see exactly the verified computation
     pipeline.Sampling.qualityBucketSample(

@@ -211,6 +211,24 @@ object Cascade {
     retainAfterWrite(spark, storePath, targetSec, retentionSec, backend)
   }
 
+  /** [[materializeLevel]] for typed-union stores: one config-added
+    * level built from the best available source over full history,
+    * typed dispatch in the hop, held-boundary watermarks.
+    */
+  def materializeTypedLevel(spark: SparkSession, storePath: String,
+                            targetSec: Long,
+                            backend: StoreBackend = ArchiveBackend,
+                            retentionSec: Map[Long, Long] = Map.empty): Unit = {
+    val done = backend.levels(spark, storePath).filter(_ != targetSec)
+    val source = Decimation.selectSourcePeriod(targetSec, done)
+    val src = backend.read(spark, storePath, source)
+    backend.write(asTypedStoreRows(typedHop(src, source, targetSec)),
+      storePath, targetSec)
+    writeWatermarks(spark, storePath, targetSec, src, source,
+      heldSource = true)
+    retainAfterWrite(spark, storePath, targetSec, retentionSec, backend)
+  }
+
   /** Typed cascade materialization: raw typed samples and every
     * decimation level as typed stores, each level decimating the
     * previous through the full 21-type dispatch

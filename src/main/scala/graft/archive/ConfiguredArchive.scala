@@ -56,6 +56,41 @@ object ConfiguredArchive {
     st
   }
 
+  /** [[materialize]] for the full 21-type value union: same config-
+    * derived levels/retention, typed dispatch in every hop
+    * ([[Cascade.materializeTyped]]).
+    */
+  def materializeTyped(spark: SparkSession, configPath: String,
+                       storePath: String, typedRaw: DataFrame,
+                       backend: StoreBackend = ManifestBackend)
+      : ConfigCommands.ConfigState = {
+    val st = ConfigCommands.state(spark, configPath)
+    Cascade.materializeTyped(spark, storePath,
+      idKeyed(typedRaw, st.enabledConfigs), st.levelsSec, backend,
+      st.retentionSec)
+    st
+  }
+
+  /** [[catchUp]] for typed-union stores: registry-driven new-channel
+    * detection and config-derived retention, typed hops. Config-added
+    * levels get their first full build via the typed cascade's own
+    * source-selection rule.
+    */
+  def catchUpTyped(spark: SparkSession, configPath: String,
+                   storePath: String,
+                   backend: StoreBackend = ManifestBackend): Unit = {
+    val st = ConfigCommands.state(spark, configPath)
+    val known = st.enabledConfigs.map(_.channelDataId)
+    for (level <- st.levelsSec) {
+      if (!Cascade.hasWatermarks(spark, storePath, level))
+        Cascade.materializeTypedLevel(spark, storePath, level, backend,
+          st.retentionSec)
+      else
+        Cascade.catchUpTyped(spark, storePath, level, backend,
+          st.retentionSec, knownChannels = Some(known))
+    }
+  }
+
   /** Incremental ingest: append new raw samples (enabled channels
     * only, id-keyed, F6-deduplicated) and apply the config's raw-level
     * retention — the batch analog of the streaming sink's per-batch
@@ -109,6 +144,22 @@ object ConfiguredArchive {
         startNs, endNs, count, backend,
         allowedLevels = Some(cfg.levels.keySet))
       .withColumn("channel", lit(name))
+  }
+
+  /** The complete config-governed user-facing stack: config → id-keyed
+    * store → resolution planner → JSON v1 wire. Same streaming
+    * `toLocalIterator` contract as [[ArchiveServer.serveJson]].
+    */
+  def serveJson(spark: SparkSession, configPath: String, storePath: String,
+                name: String, startNs: Long, endNs: Long,
+                count: Option[Long],
+                backend: StoreBackend = ManifestBackend): Iterator[String] = {
+    import scala.jdk.CollectionConverters._
+    val df = querySamples(spark, configPath, storePath, name, startNs,
+        endNs, count, backend)
+      .withColumn("severity", lit(0)).withColumn("status", lit(0))
+    JsonV1.serializeRaw(df).select("json").toLocalIterator()
+      .asScala.map(_.getString(0))
   }
 
   private def resolveEnabled(spark: SparkSession, configPath: String,

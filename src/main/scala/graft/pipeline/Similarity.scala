@@ -310,7 +310,9 @@ object Similarity {
       // otherwise shrink permanently — same rule as pqCodebooksRefined)
       centroids = centroids
         .select(col("cluster"), col("centroid").as("_prev"))
-        .join(recomputed, Seq("cluster"), "left")
+        // both sides are k rows — broadcast beats planning a shuffle
+        // pair for a quantizer-sized join
+        .join(broadcast(recomputed), Seq("cluster"), "left")
         .select(col("cluster"),
           coalesce(col("centroid"), col("_prev")).as("centroid"),
           coalesce(col("n_assigned"), lit(0L)).as("n_assigned"))
@@ -381,7 +383,11 @@ object Similarity {
     val assigned = assignWith(corpus, seeds)
       .select(col("vec_id"), col("cluster"))
       .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-    val cand = probeClusters.join(assigned, Seq("cluster"))
+    // the probe frame is |probes|·nProbe rows by construction —
+    // broadcast it so the corpus-sized assignment never shuffles for
+    // the join (the planner can't infer the post-window size and was
+    // observed sort-merge-joining here)
+    val cand = broadcast(probeClusters).join(assigned, Seq("cluster"))
       .where(col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id"),
         round(cosine(asDouble(col("probe_emb")), asDouble(col("embedding"))), 6)
@@ -453,7 +459,9 @@ object Similarity {
       .localCheckpoint()
     val wanted = probeClusters.select("cluster").distinct()
       .collect().map(_.getLong(0))
-    val cand = probeClusters
+    // probe frame broadcast for the same reason as searchWith: the
+    // pruned postings read is the big side
+    val cand = broadcast(probeClusters)
       .join(postings.where(col("cluster").isin(wanted.toSeq: _*)),
         Seq("cluster"))
       .where(col("probe_id") =!= col("vec_id"))

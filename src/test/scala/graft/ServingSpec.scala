@@ -72,6 +72,14 @@ class ServingSpec extends AnyFunSuite {
     val seg = spark.sql(
       "SELECT sum(n_removed) FROM doc_segment_deduped").head.getLong(0)
     assert(seg >= 0)
+    // round-5 views: trained classifier scores + refined IVF quantizer
+    val trained = spark.sql(
+      """SELECT count(*) FROM doc_classifier_trained
+        |WHERE n_features > 0 AND score IS NOT NULL""".stripMargin)
+      .head.getLong(0)
+    assert(trained > 0)
+    assert(spark.sql("SELECT count(*) FROM emb_ivf_centroids_refined")
+      .head.getLong(0) == 8L)
   }
 
   test("name→dataId resolution via broadcast config join survives renames") {
@@ -291,6 +299,43 @@ class ServingSpec extends AnyFunSuite {
     ConfigCommands.updateChannel(spark, cfgDir,
       gov2.copy(levels = gov2.levels + (21600L -> 0L)))
     ConfiguredArchive.catchUp(spark, cfgDir, store)
+    assert(ManifestBackend.levels(spark, store).toSet ==
+      Set(0L, 3600L, 21600L))
+    assert(ManifestStore.read(spark, store, 21600L).count() > 0)
+
+    // the full stack serves the JSON v1 wire under the current name
+    val json = ConfiguredArchive.serveJson(spark, cfgDir, store,
+      "pv:gov2", t0, hi, None).toSeq
+    assert(json.nonEmpty && json.forall(_.startsWith("{\"time\":")))
+  }
+
+  test("config-governed TYPED cascade: levels from config, registry-driven typed catch-up") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val cfgDir = Files.createTempDirectory("govtcfg").toString
+    val store = Files.createTempDirectory("govtstore").toString
+    val typed = graft.core.TypedSamples.fromEvents(spark,
+      "/root/testdata/sf0.001")
+    val chans = typed.select("channel").distinct()
+      .collect().map(_.getString(0)).sorted
+    chans.foreach(c => ConfigCommands.addChannel(spark, cfgDir,
+      ChannelConfig(c, s"id-$c", "ca", enabled = true, Map(),
+        Map(3600L -> 0L))))
+
+    ConfiguredArchive.materializeTyped(spark, cfgDir, store, typed)
+    assert(ManifestBackend.levels(spark, store).toSet == Set(0L, 3600L))
+    // id-keyed and carrying the typed union at the decimated level
+    val fine = ManifestStore.read(spark, store, 3600L)
+    assert(fine.select("channel").distinct().collect()
+      .forall(_.getString(0).startsWith("id-")))
+    assert(fine.select("vtype").distinct().count() > 1)
+
+    // config adds a 6h level: the typed catch-up first-builds it from
+    // the 1h level (typed source-selection rule), no literals passed
+    val c0 = ConfigCommands.state(spark, cfgDir).config(chans.head).get
+    ConfigCommands.updateChannel(spark, cfgDir,
+      c0.copy(levels = c0.levels + (21600L -> 0L)))
+    ConfiguredArchive.catchUpTyped(spark, cfgDir, store)
     assert(ManifestBackend.levels(spark, store).toSet ==
       Set(0L, 3600L, 21600L))
     assert(ManifestStore.read(spark, store, 21600L).count() > 0)
