@@ -201,15 +201,9 @@ object Cascade {
   def materializeLevel(spark: SparkSession, storePath: String,
                        targetSec: Long,
                        backend: StoreBackend = ArchiveBackend,
-                       retentionSec: Map[Long, Long] = Map.empty): Unit = {
-    val done = backend.levels(spark, storePath).filter(_ != targetSec)
-    val source = Decimation.selectSourcePeriod(targetSec, done)
-    val src = backend.read(spark, storePath, source)
-    backend.write(asStoreRows(hop(src, source, targetSec)),
-      storePath, targetSec)
-    writeWatermarks(spark, storePath, targetSec, src, source)
-    retainAfterWrite(spark, storePath, targetSec, retentionSec, backend)
-  }
+                       retentionSec: Map[Long, Long] = Map.empty): Unit =
+    materializeLevelImpl(spark, storePath, targetSec, hop, asStoreRows,
+      heldSource = false, backend, retentionSec)
 
   /** [[materializeLevel]] for typed-union stores: one config-added
     * level built from the best available source over full history,
@@ -218,15 +212,65 @@ object Cascade {
   def materializeTypedLevel(spark: SparkSession, storePath: String,
                             targetSec: Long,
                             backend: StoreBackend = ArchiveBackend,
-                            retentionSec: Map[Long, Long] = Map.empty): Unit = {
+                            retentionSec: Map[Long, Long] = Map.empty): Unit =
+    materializeLevelImpl(spark, storePath, targetSec, typedHop,
+      asTypedStoreRows, heldSource = true, backend, retentionSec)
+
+  private def materializeLevelImpl(spark: SparkSession, storePath: String,
+                                   targetSec: Long,
+                                   hopFn: (DataFrame, Long, Long) => DataFrame,
+                                   toStore: DataFrame => DataFrame,
+                                   heldSource: Boolean,
+                                   backend: StoreBackend,
+                                   retentionSec: Map[Long, Long]): Unit = {
     val done = backend.levels(spark, storePath).filter(_ != targetSec)
     val source = Decimation.selectSourcePeriod(targetSec, done)
-    val src = backend.read(spark, storePath, source)
-    backend.write(asTypedStoreRows(typedHop(src, source, targetSec)),
+    val src0 = backend.read(spark, storePath, source)
+    // a raw level may hold undeduplicated streaming appends (the
+    // continuous sink writes arrival order): the first build must see
+    // the F6-deduplicated view — same rule as catchUpImpl's suffix
+    val src =
+      if (source == 0L) Samples.monotonicDedup(src0) else src0
+    val wmDf = computeWatermarks(src, targetSec, source, heldSource)
+    val wmRows = wmDf.collect()
+    // crash-safety, mirroring catchUp: the token hashes the post-build
+    // watermark state, so a re-run after a crash between this write
+    // and the watermark persist recomputes the identical full-history
+    // state and token and the duplicate append is skipped on a
+    // transactional backend (plain store keeps its documented
+    // at-least-once behavior)
+    backend.writeTxn(toStore(hopFn(src, source, targetSec)),
+      storePath, targetSec, writerId = s"build:$targetSec",
+      token = stateToken(wmRows.toSeq))
+    import scala.jdk.CollectionConverters._
+    persistWatermarks(
+      spark.createDataFrame(wmRows.toSeq.asJava, wmDf.schema),
       storePath, targetSec)
-    writeWatermarks(spark, storePath, targetSec, src, source,
-      heldSource = true)
     retainAfterWrite(spark, storePath, targetSec, retentionSec, backend)
+  }
+
+  /** Collision-resistant 64-bit token of a watermark state: SHA-256
+    * over a length-prefixed injective serialization of the
+    * (channel, last_src_ts, resume_ts) rows — see the encoding notes
+    * at the catch-up call site.
+    */
+  private def stateToken(rows: Seq[org.apache.spark.sql.Row]): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    rows.sortBy(_.getAs[String]("channel")).foreach { r =>
+      def field(i: Int): String =
+        if (r.isNullAt(i)) "null" else r.getLong(i).toString
+      // Length-prefixed fields: any in-band separator (even NUL) can
+      // in principle be forged by a channel NAME containing it, making
+      // two distinct states serialize identically; the prefix makes
+      // the encoding injective with no reserved characters.
+      val name = r.getAs[String]("channel").getBytes("UTF-8")
+      md.update((name.length.toString + ":").getBytes("UTF-8"))
+      md.update(name)
+      Seq(field(1), field(2)).foreach { f =>
+        md.update((f.length.toString + ":" + f).getBytes("UTF-8"))
+      }
+    }
+    java.nio.ByteBuffer.wrap(md.digest()).getLong
   }
 
   /** Typed cascade materialization: raw typed samples and every
@@ -396,10 +440,11 @@ object Cascade {
         coalesce(col("last_src_ts"), col("_ol")).as("last_src_ts"),
         coalesce(col("resume_ts"), col("_or")).as("resume_ts"))
       .collect()
-    // collision-resistant token: SHA-256 over a canonical serialization,
-    // truncated to 64 bits. A 31-multiplier fold had enough structure
-    // that two distinct post-run states could collide, and a collision
-    // makes commitIfChanged silently skip a GENUINE append — permanent
+    // collision-resistant token ([[stateToken]]): SHA-256 over a
+    // canonical length-prefixed serialization, truncated to 64 bits.
+    // A 31-multiplier fold had enough structure that two distinct
+    // post-run states could collide, and a collision makes
+    // commitIfChanged silently skip a GENUINE append — permanent
     // loss in the decimated level. Null watermark fields (never
     // expected — the merge coalesces two non-null frames) are encoded
     // explicitly rather than NPE-ing in an unboxing getAs[Long].
@@ -411,22 +456,7 @@ object Cascade {
     // token-encoding change; if the encoding changes again, bump the
     // writerId (e.g. "catchup2:") so the stale token is simply
     // superseded rather than compared.
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    mergedRows.sortBy(_.getAs[String]("channel")).foreach { r =>
-      def field(i: Int): String =
-        if (r.isNullAt(i)) "null" else r.getLong(i).toString
-      // Length-prefixed fields: any in-band separator (even NUL) can
-      // in principle be forged by a channel NAME containing it, making
-      // two distinct states serialize identically; the prefix makes
-      // the encoding injective with no reserved characters.
-      val name = r.getAs[String]("channel").getBytes("UTF-8")
-      md.update((name.length.toString + ":").getBytes("UTF-8"))
-      md.update(name)
-      Seq(field(1), field(2)).foreach { f =>
-        md.update((f.length.toString + ":" + f).getBytes("UTF-8"))
-      }
-    }
-    val token = java.nio.ByteBuffer.wrap(md.digest()).getLong
+    val token = stateToken(mergedRows.toSeq)
     // exactly-once on a transactional backend: a crash-replay between
     // this write and the watermark persist recomputes the identical
     // post-run state and token, and the duplicate append is skipped

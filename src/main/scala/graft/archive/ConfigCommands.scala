@@ -75,15 +75,22 @@ object ConfigCommands {
     def levelsSec: Seq[Long] =
       enabledConfigs.flatMap(_.levels.keys).filter(_ != 0L).distinct.sorted
 
-    /** Per-level retention derived from the enabled channels' maps,
-      * collapsed with the only partition-safe rule (day buckets are
-      * shared across channels, so the MOST conservative wins): any
-      * channel asking 0 (keep forever) pins the level to 0, otherwise
-      * the maximum keep-duration applies — the same rule as
-      * [[ChannelRegistry.levelRetention]].
+    /** Per-level retention derived from ALL configured channels' maps
+      * — enabled AND disabled: disabling a channel stops archiving
+      * and serving, but its already-stored history must keep its
+      * retention protection (a disabled channel's keep-forever vote
+      * still pins shared day buckets; dropping the vote would let a
+      * neighbour's shorter horizon delete data that re-enabling was
+      * supposed to bring back). Votes collapse with the only
+      * partition-safe rule (day buckets are shared across channels,
+      * so the MOST conservative wins): any channel asking 0 (keep
+      * forever) pins the level to 0, otherwise the maximum
+      * keep-duration applies — the same rule as
+      * [[ChannelRegistry.levelRetention]]. Only [[removeChannel]]
+      * withdraws a channel's vote (it deletes the data anyway).
       */
     def retentionSec: Map[Long, Long] =
-      enabledConfigs.flatMap(_.levels.toSeq).groupBy(_._1).map {
+      configs.flatMap(_.levels.toSeq).groupBy(_._1).map {
         case (l, kvs) =>
           l -> (if (kvs.exists(_._2 == 0L)) 0L else kvs.map(_._2).max)
       }

@@ -37,8 +37,8 @@ object ConfiguredArchive {
     * channels are dropped — the reference likewise refuses samples for
     * channels it is not configured to archive.
     */
-  private def idKeyed(samples: DataFrame,
-                      enabled: Seq[ChannelConfig]): DataFrame =
+  private[graft] def idKeyed(samples: DataFrame,
+                             enabled: Seq[ChannelConfig]): DataFrame =
     ChannelRegistry.resolveToId(samples, enabled)
       .withColumnRenamed("channel_data_id", "channel")
 
@@ -140,9 +140,13 @@ object ConfiguredArchive {
                    startNs: Long, endNs: Long, count: Option[Long],
                    backend: StoreBackend = ManifestBackend): DataFrame = {
     val cfg = resolveEnabled(spark, configPath, name)
+    // raw (0) is always servable: the command surface normalizes it
+    // into every config, but a config imported or constructed without
+    // that normalization must not lose its raw data at the serving
+    // edge (and with it the widened-boundary contract)
     ArchiveServer.querySamples(spark, storePath, cfg.channelDataId,
         startNs, endNs, count, backend,
-        allowedLevels = Some(cfg.levels.keySet))
+        allowedLevels = Some(cfg.levels.keySet + 0L))
       .withColumn("channel", lit(name))
   }
 

@@ -26,9 +26,13 @@ object Maintenance {
 
   /** One upkeep pass over every level of `storePath`. `retentionSec`
     * maps levelSec → keep-duration seconds (absent / 0 = keep
-    * forever). `vacuumGraceMs` defaults to 0 here ONLY because the
-    * composed call runs after its own retention/compaction commits in
-    * the same process; a deployment with concurrent readers schedules
+    * forever). Retention runs FIRST: expired fragmented days would
+    * otherwise be rewritten by the compactor and then immediately
+    * dropped — wasted I/O that grows with the retention backlog;
+    * dropping them first means the compactor only touches survivors.
+    * `vacuumGraceMs` defaults to 0 here ONLY because the composed
+    * call runs after its own retention/compaction commits in the same
+    * process; a deployment with concurrent readers schedules
     * [[ManifestStore.vacuum]]'s 24 h default instead.
     */
   def run(spark: SparkSession, storePath: String,
@@ -36,8 +40,6 @@ object Maintenance {
           smallBytes: Long = 32L * 1024 * 1024,
           vacuumGraceMs: Long = 0L): Report = {
     val levels = ManifestBackend.levels(spark, storePath)
-    val compacted = levels.flatMap(l =>
-      ManifestStore.compactAll(spark, storePath, l, smallBytes))
     val retained = levels.map { l =>
       l -> (retentionSec.getOrElse(l, 0L) match {
         case 0L => Seq.empty[String]
@@ -45,6 +47,8 @@ object Maintenance {
           ManifestStore.applyRetention(spark, storePath, l, sec * Samples.NS)
       })
     }.toMap
+    val compacted = levels.flatMap(l =>
+      ManifestStore.compactAll(spark, storePath, l, smallBytes))
     val vacuumed = ManifestStore.vacuum(spark, storePath, vacuumGraceMs)
     Report(compacted, retained, vacuumed)
   }

@@ -349,9 +349,18 @@ object Similarity {
       .select(col("probe_id"), col("probe_emb"), col("cluster"))
   }
 
+  /** `broadcastProbes`: the probe-routing frame is |probes|·nProbe
+    * rows and is broadcast by default so the corpus-sized assignment
+    * never shuffles for the candidate join. Pass false for
+    * corpus-sized probe sets (all-pairs kNN) — the explicit hint
+    * bypasses the broadcast size limits and would OOM the driver
+    * where a planner-chosen shuffle join completes.
+    */
   def ivfSearch(corpus: DataFrame, probes: DataFrame, topK: Int,
-                k: Int = 8, nProbe: Int = 2): DataFrame =
-    searchWith(corpus, probes, seedFrame(corpus, k), nProbe, topK)
+                k: Int = 8, nProbe: Int = 2,
+                broadcastProbes: Boolean = true): DataFrame =
+    searchWith(corpus, probes, seedFrame(corpus, k), nProbe, topK,
+      broadcastProbes)
 
   /** [[ivfSearch]] with BOTH quantizer roles (probe routing and the
     * inverted-list assignment) running over Lloyd-REFINED centroids
@@ -364,18 +373,20 @@ object Similarity {
     */
   def ivfSearchRefined(corpus: DataFrame, probes: DataFrame, topK: Int,
                        k: Int = 8, nProbe: Int = 2,
-                       iters: Int = 2): DataFrame =
+                       iters: Int = 2,
+                       broadcastProbes: Boolean = true): DataFrame =
     searchWith(corpus, probes,
       ivfCentroidsRounded(corpus, k, iters)
         .select(col("cluster"), col("centroid").as("seed_emb")),
-      nProbe, topK)
+      nProbe, topK, broadcastProbes)
 
   /** The IVF probe path over an arbitrary quantizer (cluster,
     * seed_emb) — shared by the seed and refined searches.
     */
   private def searchWith(corpus: DataFrame, probes: DataFrame,
                          seeds: DataFrame, nProbe: Int,
-                         topK: Int): DataFrame = {
+                         topK: Int,
+                         broadcastProbes: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // probe → its nProbe nearest clusters
     val probeClusters = nearestClusters(probes, seeds, nProbe)
@@ -383,11 +394,14 @@ object Similarity {
     val assigned = assignWith(corpus, seeds)
       .select(col("vec_id"), col("cluster"))
       .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-    // the probe frame is |probes|·nProbe rows by construction —
-    // broadcast it so the corpus-sized assignment never shuffles for
+    // serving-shaped probe sets are |probes|·nProbe rows — broadcast
+    // by default so the corpus-sized assignment never shuffles for
     // the join (the planner can't infer the post-window size and was
-    // observed sort-merge-joining here)
-    val cand = broadcast(probeClusters).join(assigned, Seq("cluster"))
+    // observed sort-merge-joining here); disabled for all-pairs uses
+    // (see ivfSearch docs)
+    val probeSide =
+      if (broadcastProbes) broadcast(probeClusters) else probeClusters
+    val cand = probeSide.join(assigned, Seq("cluster"))
       .where(col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id"),
         round(cosine(asDouble(col("probe_emb")), asDouble(col("embedding"))), 6)
@@ -446,7 +460,8 @@ object Similarity {
 
   def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession,
                        path: String, probes: DataFrame, topK: Int,
-                       nProbe: Int = 2): DataFrame = {
+                       nProbe: Int = 2,
+                       broadcastProbes: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val seeds = spark.read.parquet(path + "/centroids")
     // hive partition columns read back as Int — restore the key type
@@ -459,9 +474,11 @@ object Similarity {
       .localCheckpoint()
     val wanted = probeClusters.select("cluster").distinct()
       .collect().map(_.getLong(0))
-    // probe frame broadcast for the same reason as searchWith: the
-    // pruned postings read is the big side
-    val cand = broadcast(probeClusters)
+    // probe frame broadcast for the same reason as searchWith (the
+    // pruned postings read is the big side); same all-pairs opt-out
+    val probeSide =
+      if (broadcastProbes) broadcast(probeClusters) else probeClusters
+    val cand = probeSide
       .join(postings.where(col("cluster").isin(wanted.toSeq: _*)),
         Seq("cluster"))
       .where(col("probe_id") =!= col("vec_id"))

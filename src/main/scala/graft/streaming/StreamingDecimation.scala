@@ -267,9 +267,13 @@ object StreamingDecimation {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val st = graft.archive.ConfigCommands.state(spark, configPath)
-        val keyed = graft.archive.ChannelRegistry
-          .resolveToId(batch.toDF(), st.enabledConfigs)
-          .withColumnRenamed("channel_data_id", "channel")
+        // the one shared name→id keying (ConfiguredArchive.idKeyed).
+        // NOTE this sink deliberately does NOT monotonicDedup (it
+        // preserves arrival order across batches — cross-batch F6
+        // would need keyed state); dedup happens at decimation /
+        // catch-up read time, exactly like writeRawStream
+        val keyed = graft.archive.ConfiguredArchive
+          .idKeyed(batch.toDF(), st.enabledConfigs)
         graft.archive.ManifestStore.commitIdempotent(
           keyed, storePath, levelSec,
           writerId = s"stream:$checkpointDir", batchId = batchId)

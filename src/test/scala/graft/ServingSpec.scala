@@ -301,12 +301,89 @@ class ServingSpec extends AnyFunSuite {
     ConfiguredArchive.catchUp(spark, cfgDir, store)
     assert(ManifestBackend.levels(spark, store).toSet ==
       Set(0L, 3600L, 21600L))
-    assert(ManifestStore.read(spark, store, 21600L).count() > 0)
+    val built = ManifestStore.read(spark, store, 21600L).count()
+    assert(built > 0)
+
+    // crash between the first build's write and its watermark persist:
+    // the re-run recomputes the same full-history state token and the
+    // duplicate append is skipped (manifest backend exactly-once)
+    val wmDir = new org.apache.hadoop.fs.Path(
+      s"$store/_watermarks/level_21600")
+    wmDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(wmDir, true)
+    ConfiguredArchive.catchUp(spark, cfgDir, store)
+    assert(ManifestStore.read(spark, store, 21600L).count() == built)
 
     // the full stack serves the JSON v1 wire under the current name
     val json = ConfiguredArchive.serveJson(spark, cfgDir, store,
       "pv:gov2", t0, hi, None).toSeq
     assert(json.nonEmpty && json.forall(_.startsWith("{\"time\":")))
+  }
+
+  test("a disabled channel's keep-forever retention vote still protects its data") {
+    import java.nio.file.Files
+    val cfgDir = Files.createTempDirectory("retvote").toString
+    ConfigCommands.addChannel(spark, cfgDir, ChannelConfig("pv:keep",
+      "id-keep", "ca", enabled = true, Map(), Map(0L -> 0L)))
+    ConfigCommands.addChannel(spark, cfgDir, ChannelConfig("pv:short",
+      "id-short", "ca", enabled = true, Map(), Map(0L -> 30L * 86400L)))
+    // disabling pv:keep stops archiving/serving, but its history on
+    // the SHARED day buckets must not fall to pv:short's 30-day horizon
+    val keep = ConfigCommands.state(spark, cfgDir).config("pv:keep").get
+    ConfigCommands.updateChannel(spark, cfgDir, keep.copy(enabled = false))
+    val st = ConfigCommands.state(spark, cfgDir)
+    assert(st.retentionSec(0L) == 0L) // keep-forever vote survives
+    // but the disabled channel no longer votes for LEVELS to build
+    assert(st.levelsSec.isEmpty || !st.levelsSec.contains(0L))
+  }
+
+  test("production loop: configured stream ingest → config catch-up → config serving → remove") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, lit}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cfgDir = Files.createTempDirectory("loopcfg").toString
+    val store = Files.createTempDirectory("loopstore").toString
+    val ckpt = Files.createTempDirectory("loopckpt").toString
+    val NS = graft.core.Samples.NS
+    val t0 = 1704067200L * NS
+    ConfigCommands.addChannel(spark, cfgDir, ChannelConfig("pv:loop",
+      "id-loop", "ca", enabled = true, Map(), Map(3600L -> 0L)))
+
+    // the whole production loop with NO literals outside the config:
+    // stream → exactly-once id-keyed commits → catch-up builds the
+    // config's levels → serving answers under the configured name
+    val mem = MemoryStream[graft.streaming.StreamingDecimation.InSample]
+    val q = graft.streaming.StreamingDecimation.writeRawStreamConfigured(
+      mem.toDS().toDF().select($"channel", $"ts",
+        $"value".cast("double").as("value"), $"seq".as("sample_id"),
+        lit("").as("str_value"), lit(0).as("severity"), lit(0).as("status")),
+      store, ckpt, cfgDir)
+    try {
+      (1 to 600).grouped(250).foreach { g =>
+        mem.addData(g.map(i => graft.streaming.StreamingDecimation.InSample(
+          "pv:loop", t0 + i * 60L * NS, Some(i.toDouble), i.toLong)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    ConfiguredArchive.catchUp(spark, cfgDir, store)
+    assert(ManifestBackend.levels(spark, store).toSet == Set(0L, 3600L))
+    val rows = ConfiguredArchive.querySamples(spark, cfgDir, store,
+      "pv:loop", t0, t0 + 10L * 3600L * NS, Some(5)).collect()
+    assert(rows.nonEmpty &&
+      rows.forall(_.getAs[String]("channel") == "pv:loop"))
+
+    // remove: two-phase config+data removal; serving then refuses and
+    // the live snapshot holds no rows of the id on any level
+    ConfigCommands.removeChannel(spark, cfgDir, "pv:loop", Some(store))
+    intercept[NoSuchChannelException] {
+      ConfiguredArchive.querySamples(spark, cfgDir, store, "pv:loop",
+        t0, t0 + NS, None)
+    }
+    for (l <- Seq(0L, 3600L))
+      assert(ManifestStore.read(spark, store, l)
+        .where(col("channel") === "id-loop").count() == 0, s"level $l")
   }
 
   test("config-governed TYPED cascade: levels from config, registry-driven typed catch-up") {
