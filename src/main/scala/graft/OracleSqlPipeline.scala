@@ -604,6 +604,77 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // mirror of the round-4/5 composition flagship: the span-apply
+    // chain (its cleaned text IS space-joined normalized tokens, so
+    // re-tokenization is a plain space split), the classifier trained
+    // on the cleaned corpus, positive-score keep, hash split
+    "pipeline_curate2" ->
+      s"""WITH $TOKS,
+         |tp AS (SELECT doc_id, i - 1 AS p, toks[i] AS tok
+         |       FROM t, UNNEST(range(1, len(toks) + 1)) g(i)),
+         |win AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    ${md5Hash60Sql(
+             "concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])")} AS h
+         |  FROM t, UNNEST(range(1, greatest(len(toks) - 3, 1))) g(i)),
+         |rep AS (
+         |  SELECT h, min(struct_pack(d := doc_id, p := pos)) AS keeper
+         |  FROM win GROUP BY h HAVING count(*) >= 2),
+         |rm AS (
+         |  SELECT DISTINCT w.doc_id, w.pos + j AS p
+         |  FROM win w JOIN rep USING (h), UNNEST(range(5)) u(j)
+         |  WHERE NOT (w.doc_id = struct_extract(rep.keeper, 'd')
+         |             AND w.pos = struct_extract(rep.keeper, 'p'))),
+         |keep AS (
+         |  SELECT tp.doc_id, tp.p, tp.tok
+         |  FROM tp LEFT JOIN rm ON tp.doc_id = rm.doc_id AND tp.p = rm.p
+         |  WHERE rm.p IS NULL),
+         |agg AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text2,
+         |         count(*) AS n_kept
+         |  FROM keep GROUP BY doc_id),
+         |base AS (SELECT doc_id, len(toks) AS n FROM t),
+         |clean AS (
+         |  SELECT base.doc_id, COALESCE(agg.text2, '') AS text,
+         |    CAST(base.n - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed
+         |  FROM base LEFT JOIN agg USING (doc_id)),
+         |ct AS (SELECT doc_id,
+         |         list_filter(string_split(text, ' '), x -> x <> '') AS toks2
+         |       FROM clean),
+         |bg2 AS (SELECT doc_id, toks2[i] || ' ' || toks2[i + 1] AS bigram
+         |        FROM ct, UNNEST(range(1, len(toks2))) g(i)
+         |        WHERE len(toks2) >= 2),
+         |ft2 AS (SELECT doc_id, ${md5HashM31Sql("bigram")} AS h FROM bg2),
+         |lbl AS (SELECT doc_id,
+         |          CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+         |               ELSE CAST(-1.0 AS DOUBLE) END AS label
+         |        FROM documents),
+         |wt AS (SELECT ft2.h AS fh, sum(lbl.label) AS weight
+         |       FROM ft2 JOIN lbl USING (doc_id) GROUP BY ft2.h),
+         |sc AS (SELECT ft2.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+         |         sum(wt.weight) AS sw
+         |       FROM ft2 JOIN wt ON ft2.h = wt.fh
+         |       GROUP BY ft2.doc_id),
+         |scored AS (
+         |  SELECT doc_id, n_features,
+         |    CAST(CAST(round((sw / n_features) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
+         |  FROM sc),
+         |thr AS (
+         |  SELECT CAST(sum(CAST(score AS DECIMAL(38,12))) AS DOUBLE)
+         |           / count(*) AS thr
+         |  FROM scored)
+         |SELECT doc_id, n_removed, n_features, score,
+         |       CASE WHEN u < 0.8 THEN 'train'
+         |            WHEN u < 0.9 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (
+         |  SELECT s.doc_id, clean.n_removed, s.n_features, s.score,
+         |    (('0x' || substr(md5(s.doc_id::VARCHAR || 'split'), 1, 15))::BIGINT
+         |     / 1152921504606846976.0) AS u
+         |  FROM scored s JOIN clean ON s.doc_id = clean.doc_id
+         |  WHERE s.score > (SELECT thr FROM thr))
+         |ORDER BY doc_id""".stripMargin,
+
     // mirror of the TRAINED classifier composition: the weight table
     // is sum(label) per feature hash (±1.0 double labels from lang),
     // then the same per-doc mean-weight score as the stand-in gate.

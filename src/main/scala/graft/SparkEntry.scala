@@ -707,6 +707,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // second composition flagship, from the round-4/5 operators:
+    // exact duplicated-SPAN removal → hashed classifier TRAINED on the
+    // cleaned corpus (±1 language labels) → keep docs scoring above
+    // the corpus MEAN (the class-imbalance-free relative threshold: a
+    // shared-vocabulary corpus offsets every absolute score, so
+    // "positive" would keep nothing — the mean-relative rule is what a
+    // production quality filter calibrates to) → growth-stable hash
+    // split. Proves the newer curation ops compose end to end.
+    "pipeline_curate2" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cleaned = Dedup.spanDedupedCorpus(docs, k = 5)
+      val labeled = cleaned
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val w = TextAnalysis.trainHashedWeights(labeled,
+        when(col("lang") === "en", 1.0).otherwise(-1.0))
+      val scored = TextAnalysis.hashedLinearScore(cleaned, Some(w))
+        .where(col("score").isNotNull)
+      // DECIMAL-routed mean of the (already 6dp-rounded) scores: the
+      // threshold must be bit-identical across engines and parallelism
+      val thr = scored.agg(
+        (graft.archive.Decimation.exactSum(col("score")) / count(lit(1)))
+          .as("thr"))
+      val kept = scored.crossJoin(broadcast(thr))
+        .where(col("score") > col("thr"))
+        .join(cleaned.select(col("doc_id"), col("n_removed")), Seq("doc_id"))
+      Sampling.hashSplit(kept,
+          Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
+        .select(col("doc_id"), col("n_removed"), col("n_features"),
+          col("score"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     "sim_bruteforce_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), 10)
