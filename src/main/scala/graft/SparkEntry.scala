@@ -717,7 +717,14 @@ object SparkEntry {
     // split. Proves the newer curation ops compose end to end.
     "pipeline_curate2" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // the cleaned corpus feeds FIVE plan branches (label join, train
+      // scan, score scan, n_removed join, sub-2-token restore) and
+      // self-join branches do not CSE — without truncation the span
+      // pipeline recomputes per branch (measured 162 s → 53 s at the
+      // 100× probe, 3.1×). Lazy local checkpoint of the narrow
+      // (doc_id, text, n_removed) frame, the semanticDedup pattern.
       val cleaned = Dedup.spanDedupedCorpus(docs, k = 5)
+        .localCheckpoint(false)
       val labeled = cleaned
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       val w = TextAnalysis.trainHashedWeights(labeled,

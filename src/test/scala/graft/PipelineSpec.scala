@@ -194,6 +194,9 @@ class PipelineSpec extends AnyFunSuite {
     // with real sweeps the search still returns full result sets
     assert(Similarity.ivfSearchRefined(e, probes, 10, 8, 2, iters = 2)
       .groupBy("probe_id").count().collect().forall(_.getLong(1) == 10L))
+    // the all-pairs opt-out (no probe broadcast) is result-identical
+    assert(keys(Similarity.ivfSearch(e, probes, 10, 8, 2,
+      broadcastProbes = false)) == keys(Similarity.ivfSearch(e, probes, 10, 8, 2)))
   }
 
   test("Lloyd-refined PQ codebooks reduce quantization distortion") {
