@@ -110,6 +110,14 @@ object GraftSession {
           .where(org.apache.spark.sql.functions.col("doc_id") % 11 === 0),
         k = 3)
       .createOrReplaceTempView("eval_contamination")
+    // round-5 analytics: trailing 1h rolling aggregates over the clean
+    // history and 12h-gap event sessions (both lazy, both the same
+    // parameters as their oracle gates)
+    archive.Rolling.trailing(
+        Samples.monotonicDedup(Samples.fromEvents(spark, sfDir)), 3600L)
+      .createOrReplaceTempView("samples_rolling_1h")
+    streaming.Sessionize.sessions(core.Tables.events(spark, sfDir), 43200L)
+      .createOrReplaceTempView("event_sessions")
     // native functions
     functions.VectorExpressions.register(spark)
   }

@@ -172,6 +172,49 @@ object OracleSql {
          |FROM samples WHERE ts BETWEEN $LO AND $HI
          |ORDER BY channel, ts, sample_id""".stripMargin,
 
+    // graft.archive.Rolling.trailing — inclusive [ts - 1h, ts] RANGE
+    // frame over the clean history, clipped to the gate range after
+    "arch_rolling_window" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |roll AS (
+         |  SELECT channel, ts,
+         |    CAST(sum(CAST(value AS DECIMAL(38,12))) OVER w AS DOUBLE) /
+         |      count(value) OVER w AS roll_mean,
+         |    min(value) OVER w AS roll_min,
+         |    max(value) OVER w AS roll_max,
+         |    count(value) OVER w AS roll_n
+         |  FROM clean
+         |  WINDOW w AS (PARTITION BY channel ORDER BY ts
+         |    RANGE BETWEEN ${3600L * NS} PRECEDING AND CURRENT ROW))
+         |SELECT channel, ts, round(roll_mean, 6) AS roll_mean,
+         |       roll_min, roll_max, roll_n
+         |FROM roll WHERE ts BETWEEN $LO AND $HI
+         |ORDER BY channel, ts""".stripMargin,
+
+    // graft.streaming.Sessionize.sessions — session_window semantics:
+    // merge iff diff <= gap (an exactly-gap successor still merges);
+    // 12h gap
+    "events_sessionize" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, epoch_ns(ts) AS ts, event_id, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w)
+         |              > ${43200L * 1000000000L} THEN 1 ELSE 0 END AS is_new
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         |  FROM flagged)
+         |SELECT user_id, min(ts) AS start_ns, max(ts) AS end_ns,
+         |       count(*) AS n_events,
+         |       round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 6)
+         |         AS sum_value
+         |FROM sess GROUP BY user_id, session_seq
+         |ORDER BY user_id, start_ns""".stripMargin,
+
     "arch_boundary_before" ->
       s"""WITH $SAMPLES
          |SELECT channel, ts, value, severity, status, sample_id FROM (

@@ -194,6 +194,25 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
         |       count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
 
+    // SparkEntry doc_jsonl_roundtrip — the JSONL write+read must be
+    // the identity, so the oracle is the parquet original
+    "doc_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // graft.pipeline.Dedup.bloomNewDocs — the bloom prefilter + exact
+    // confirm is semantically the plain anti-join, which is exactly
+    // what the oracle states.
+    "dedup_bloom_new" ->
+      """WITH batch AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN doc_id % 8 = 0 THEN text || ' graftnew'
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 4 = 0)
+        |SELECT b.doc_id, b.lang FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM documents h WHERE h.text = b.text)
+        |ORDER BY doc_id""".stripMargin,
+
     "dedup_minhash_lsh" ->
       s"""WITH $TOKS,
          |$SH3,

@@ -189,6 +189,25 @@ object SparkEntry {
         .orderBy(col("channel"), col("ts"), col("sample_id"))
     }),
 
+    // the reference's background-upkeep loop as ONE idempotent call
+    // (ArchivingService's periodic maintenance): 21-day retention
+    // (drops the pre-gate-range days; horizon rule = bucket end <
+    // level max − retention), compaction of the fragmented
+    // survivors, vacuum of the dead bytes — then the maintained store
+    // must serve the exact arch_range_scan bytes
+    "arch_maintenance_scan" -> ((s, dir) => {
+      val store = scratchDir("maint")
+      val r = raw(s, dir)
+      (0 to 2).foreach(i =>
+        ManifestStore.commit(r.where(pmod(col("sample_id"), lit(3)) === i),
+          store, levelSec = 0))
+      graft.archive.Maintenance.run(s, store,
+        retentionSec = Map(0L -> (21L * 86400L)))
+      ManifestStore.read(s, store, 0, Some(LO), Some(HI))
+        .select(coreCols: _*)
+        .orderBy(col("channel"), col("ts"), col("sample_id"))
+    }),
+
     // the streaming ingest path under the SAME oracle as the batch
     // scan: a bounded file-source stream drains through
     // writeRawStream (watermark + day-partitioned exactly-once file
@@ -237,6 +256,26 @@ object SparkEntry {
 
     "arch_monotonic_dedup" -> ((s, dir) =>
       clean(s, dir).select(coreCols: _*).orderBy("channel", "sample_id")),
+
+    // trailing 1h sliding-window aggregates per channel (graft.archive
+    // .Rolling): the window rides the full clean history, the output is
+    // clipped to the gate range AFTER — left-edge windows keep their
+    // look-back
+    "arch_rolling_window" -> ((s, dir) =>
+      graft.archive.Rolling.trailing(clean(s, dir), 3600L)
+        .where(col("ts").between(LO, HI))
+        .select(col("channel"), col("ts"), r6("roll_mean"),
+          col("roll_min"), col("roll_max"), col("roll_n"))
+        .orderBy("channel", "ts")),
+
+    // gap-based sessionization of the raw events stream (graft
+    // .streaming.Sessionize, 12h gap — the corpus' median per-user
+    // inter-event gap is ~7.3h, so sessions genuinely merge AND split)
+    "events_sessionize" -> ((s, dir) =>
+      graft.streaming.Sessionize.sessions(Tables.events(s, dir), 43200L)
+        .select(col("user_id"), col("start_ns"), col("end_ns"),
+          col("n_events"), r6("sum_value"))
+        .orderBy("user_id", "start_ns")),
 
     "arch_decimate_1h" -> ((s, dir) =>
       Decimation.decimate(marked(s, dir), P1H)
@@ -436,6 +475,22 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // bloom-prefiltered incremental EXACT dedup: the corpus has no
+    // full-text duplicates, so the batch perturbs half its texts to a
+    // deterministic unseen variant — the gate exercises both branches
+    // (bloom miss → definitively new, bloom hit → exact-confirmed
+    // duplicate) and the oracle is the plain anti-join semantics.
+    "dedup_bloom_new" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val batch = docs.where(col("doc_id") % 4 === 0)
+        .withColumn("text",
+          when(col("doc_id") % 8 === 0, concat(col("text"), lit(" graftnew")))
+            .otherwise(col("text")))
+      Dedup.bloomNewDocs(docs, batch)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // pairwise near-dups → duplicate clusters (connected components by
     // hash-min label propagation) + canonical representative per cluster
     "dedup_clusters" -> ((s, dir) =>
@@ -447,6 +502,21 @@ object SparkEntry {
     "corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(Tables.documents(s, dir))
         .orderBy("lang")),
+
+    // JSONL interchange: the corpus written as newline-delimited JSON
+    // (the training-data exchange format) and read back with the
+    // declared schema must reproduce every byte — gates Spark's JSON
+    // sink+source escaping/typing round-trip against the parquet
+    // original
+    "doc_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val out = scratchDir("jsonl") + "/docs"
+      docs.write.json(out)
+      s.read.schema(docs.schema).json(out)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    }),
 
     // PII scrubbing, gated on synthesized-but-deterministic PII: both
     // engines build the same salted text, redact, and hash the result
@@ -985,6 +1055,10 @@ object SparkEntry {
       ("sim_ivf_incremental" -> base("sim_ivf_search")) +
       // snapshot isolation / atomic compaction serve the same bytes
       ("arch_time_travel" -> base("arch_range_scan")) +
-      ("arch_compacted_scan" -> base("arch_range_scan"))
+      ("arch_compacted_scan" -> base("arch_range_scan")) +
+      // the composed retention→compact→vacuum upkeep pass must leave
+      // the served range-scan bytes untouched (retention only drops
+      // days strictly before the gate range)
+      ("arch_maintenance_scan" -> base("arch_range_scan"))
   }
 }

@@ -36,6 +36,72 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup of a new batch against a historical
+    * corpus via a Bloom filter — the 100 TB shape of "which of these
+    * documents have we already ingested?". An anti-join of every
+    * batch against the corpus re-shuffles corpus-scale data per
+    * batch; this path never shuffles the history at all:
+    *
+    *  1. build a Bloom filter over the history's content hashes
+    *     (`stat.bloomFilter` — a mergeable tree-aggregated sketch;
+    *     ~1.2 GB per 10⁹ docs at 1% fpp, and per-batch filters
+    *     `mergeInPlace` so steady state maintains the sketch
+    *     incrementally instead of rescanning);
+    *  2. membership-test the batch with the codegen'd
+    *     `BloomFilterMightContain` expression (the same native
+    *     predicate Spark's runtime row-level filtering injects) —
+    *     misses are DEFINITIVELY new (no false negatives), no join;
+    *  3. exact-confirm only the hits: a broadcast hash semi-join
+    *     prunes the history to rows whose hash collides with a
+    *     candidate (candidate-bounded, tiny), then an anti-join on
+    *     the actual text removes true duplicates AND the Bloom
+    *     false positives.
+    *
+    * Result is exactly the `batch ANTI JOIN history ON text`
+    * semantics; the fpp knob trades sketch memory against confirm-join
+    * traffic, never correctness. `expectedItems` sizes the filter —
+    * pass the corpus cardinality from ingest metadata at scale (the
+    * default falls back to one `count()` scan).
+    */
+  def bloomNewDocs(history: DataFrame, batch: DataFrame,
+                   textCol: String = "text", fpp: Double = 0.01,
+                   expectedItems: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+
+    val hash = xxhash64(col(textCol))
+    val expected =
+      if (expectedItems > 0L) expectedItems
+      else math.max(history.count(), 64L)
+    val bf = history.stat.bloomFilter(hash, expected, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val might = ColumnBridge.column(BloomFilterMightContain(
+      Literal.create(bytes, BinaryType), ColumnBridge.expression(hash)))
+
+    val flagged = batch.withColumn("_bloom_hit", might)
+    val misses = flagged.where(!col("_bloom_hit")).drop("_bloom_hit")
+    val candidates = flagged.where(col("_bloom_hit"))
+
+    // Confirm pass: the history side is pruned by hash BEFORE any
+    // text ships — candHashes is 8 bytes per distinct candidate, so
+    // the semi-join broadcasts at any batch size that fits a batch.
+    // The final anti-join is left to AQE (both sides are
+    // candidate-bounded; it broadcasts the survivor set when small).
+    val candHashes = candidates.select(hash.as("_h")).distinct()
+    val survivors = history
+      .join(broadcast(candHashes), hash === col("_h"), "left_semi")
+      .select(col(textCol)).distinct()
+    val confirmedNew = candidates
+      .join(survivors, Seq(textCol), "left_anti")
+      .drop("_bloom_hit")
+    misses.unionByName(confirmedNew)
+  }
+
   /** Whitespace tokens, lowercased — THE corpus tokenizer (quality,
     * shingles, packing budgets, and data-card stats all count with this
     * one expression). `split` keeps leading/trailing empty strings

@@ -16,6 +16,33 @@ class PipelineSpec extends AnyFunSuite {
       .withColumn("source", org.apache.spark.sql.functions.lit("s"))
       .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
 
+  test("bloomNewDocs equals the plain anti-join, even under heavy false positives") {
+    import org.apache.spark.sql.functions._
+    val history = spark.range(0, 300).select(
+      col("id").as("doc_id"),
+      concat(lit("hist doc number "), col("id")).as("text"),
+      lit("en").as("lang"))
+    // batch: 40 true duplicates of history texts + 60 unseen docs
+    val batch = spark.range(1000, 1100).select(
+      col("id").as("doc_id"),
+      when(col("id") % 5 < 2, concat(lit("hist doc number "), col("id") - 1000))
+        .otherwise(concat(lit("fresh doc "), col("id"))).as("text"),
+      lit("en").as("lang"))
+    val expected = batch.join(history.select("text"), Seq("text"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(expected.length == 60)
+    for (fpp <- Seq(0.01, 0.5)) { // 0.5 floods the confirm path with FPs
+      val got = Dedup.bloomNewDocs(history, batch, fpp = fpp)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(got.sameElements(expected), s"fpp=$fpp")
+    }
+    // sanity: at 1% fpp the bloom-miss short-circuit actually fires
+    // (≥ some batch rows never reach the confirm join) — asserted
+    // indirectly by the tiny survivor set: confirm semantics already
+    // covered above, so just re-check the exact count
+    assert(Dedup.bloomNewDocs(history, batch).count() == 60)
+  }
+
   test("approx corpus percentiles track exact on a skewed stratum") {
     import org.apache.spark.sql.functions._
     // power-law-ish token counts: most docs tiny, a heavy tail — the

@@ -80,6 +80,17 @@ class ServingSpec extends AnyFunSuite {
     assert(trained > 0)
     assert(spark.sql("SELECT count(*) FROM emb_ivf_centroids_refined")
       .head.getLong(0) == 8L)
+    // round-5 analytics views: rolling window + sessions
+    val roll = spark.sql(
+      """SELECT count(*) FROM samples_rolling_1h
+        |WHERE roll_n >= 1 AND roll_min <= roll_mean
+        |  AND roll_mean <= roll_max""".stripMargin).head.getLong(0)
+    assert(roll > 0)
+    val sess = spark.sql(
+      """SELECT count(*) FROM event_sessions
+        |WHERE end_ns >= start_ns AND n_events >= 1""".stripMargin)
+      .head.getLong(0)
+    assert(sess > 0)
   }
 
   test("name→dataId resolution via broadcast config join survives renames") {

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Sessionize
+
+/** The three sessionization paths must agree: the oracle-gated
+  * lag/cumsum batch operator, Spark's native `session_window`
+  * aggregation, and the same native aggregation drained through a
+  * Structured Streaming query. Includes the exact-gap boundary: an
+  * event exactly `gap` after its predecessor starts a NEW session
+  * (session_window's end is exclusive).
+  */
+class SessionizeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  private val S = 1000000000L // ns per second
+  private val Gap = 100L // seconds
+  private val T0 = 1704067200L * S // 2024-01-01T00:00:00Z
+
+  // (user_id, ts_ns, event_id, value); user 1 pins the exactly-at-gap
+  // merge AND a one-past-gap split, user 2 an inside-gap merge, user 3
+  // a singleton
+  private val rows: Seq[(Long, Long, Long, Double)] = Seq(
+    (1L, T0, 1L, 1.5),
+    (1L, T0 + 40 * S, 2L, 2.5),
+    (1L, T0 + 140 * S, 3L, 4.0), // exactly gap later → still merges
+    (1L, T0 + 241 * S, 4L, 8.0), // gap+1 later → new session
+    (2L, T0 + 5 * S, 5L, 1.0),
+    (2L, T0 + 5 * S + (Gap - 1) * S, 6L, 2.0), // inside gap → same session
+    (3L, T0 + 77 * S, 7L, 42.0))
+
+  private def eventsDf: DataFrame = {
+    import spark.implicits._
+    rows.toDF("user_id", "ts", "event_id", "value")
+  }
+
+  private def canon(df: DataFrame): Seq[(Long, Long, Long, Long, Double)] =
+    df.select("user_id", "start_ns", "end_ns", "n_events", "sum_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .toSeq.sorted
+
+  test("batch lag/cumsum sessions match the expected boundary semantics") {
+    val got = canon(Sessionize.sessions(eventsDf, Gap))
+    val want = Seq(
+      (1L, T0, T0 + 140 * S, 3L, 8.0),
+      (1L, T0 + 241 * S, T0 + 241 * S, 1L, 8.0),
+      (2L, T0 + 5 * S, T0 + 104 * S, 2L, 3.0),
+      (3L, T0 + 77 * S, T0 + 77 * S, 1L, 42.0)).sorted
+    assert(got == want)
+  }
+
+  test("native session_window aggregation computes the same sessions") {
+    assert(canon(Sessionize.sessionWindowAgg(eventsDf, Gap)) ==
+      canon(Sessionize.sessions(eventsDf, Gap)))
+  }
+
+  test("streamed session_window drains to the batch sessions") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val stream = mem.toDS().toDF("user_id", "ts", "event_id", "value")
+    val q = Sessionize.sessionWindowAgg(stream, Gap, watermark = Some("0 seconds"))
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      // append mode emits a session only once the watermark passes its
+      // close; a far-future flush event advances it past every real one
+      mem.addData(Seq((99L, T0 + 10000 * S, 999L, 0.0)))
+      q.processAllAvailable()
+      val got = canon(spark.table("sess_out").where($"user_id" =!= 99L))
+      assert(got == canon(Sessionize.sessions(eventsDf, Gap)))
+    } finally q.stop()
+  }
+}
