@@ -65,31 +65,75 @@ object Dedup {
     */
   def bloomNewDocs(history: DataFrame, batch: DataFrame,
                    textCol: String = "text", fpp: Double = 0.01,
-                   expectedItems: Long = 0L): DataFrame = {
+                   expectedItems: Long = 0L): DataFrame =
+    bloomNewDocsWith(bloomBuild(history, textCol, fpp, expectedItems),
+      history, batch, textCol)
+
+  /** Build the serialized Bloom sketch over a corpus slice's content
+    * hashes. One tree-aggregated scan; the result is the PERSISTED
+    * dedup state — steady-state ingest builds a sketch per new batch
+    * ([[bloomMerge]]-ing it into the corpus sketch after the batch
+    * commits) and never rescans the history.
+    */
+  def bloomBuild(corpus: DataFrame, textCol: String = "text",
+                 fpp: Double = 0.01, expectedItems: Long = 0L): Array[Byte] = {
+    val expected =
+      if (expectedItems > 0L) expectedItems
+      else math.max(corpus.count(), 64L)
+    val bf = corpus.stat.bloomFilter(xxhash64(col(textCol)), expected, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Union two serialized sketches (same expectedItems/fpp geometry —
+    * `mergeInPlace` throws on incompatible filters). */
+  def bloomMerge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val fa = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(a))
+    val fb = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(b))
+    fa.mergeInPlace(fb)
+    val bos = new java.io.ByteArrayOutputStream()
+    fa.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** [[bloomNewDocs]] against a PRE-BUILT sketch — the steady-state
+    * ingest path. A batch with zero sketch hits returns after
+    * batch-local work only (the short-circuit `isEmpty` probe means
+    * the history is not even SCANNED, let alone shuffled) — note
+    * that at fpp f a batch of n docs expects n·f false positives, so
+    * the zero-hit fast path fires for small batches / low fpp; a
+    * large batch should expect ONE column-pruned history scan per
+    * call, still never a history shuffle. Honest local-bench caveat
+    * (BASELINE.md BLOOM probe): in a single JVM a plain anti-join
+    * beats this path — "shuffling" 2M in-memory rows is a memcpy.
+    * The bloom path's win is topological (no corpus shuffle: at
+    * cluster scale the anti-join re-partitions the corpus over the
+    * network per batch) plus build amortization via the persisted
+    * mergeable sketch.
+    */
+  def bloomNewDocsWith(bloom: Array[Byte], history: DataFrame,
+                       batch: DataFrame,
+                       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graft.ColumnBridge
     import org.apache.spark.sql.types.BinaryType
 
     val hash = xxhash64(col(textCol))
-    val expected =
-      if (expectedItems > 0L) expectedItems
-      else math.max(history.count(), 64L)
-    val bf = history.stat.bloomFilter(hash, expected, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
     val might = ColumnBridge.column(BloomFilterMightContain(
-      Literal.create(bytes, BinaryType), ColumnBridge.expression(hash)))
+      Literal.create(bloom, BinaryType), ColumnBridge.expression(hash)))
 
     val flagged = batch.withColumn("_bloom_hit", might)
     val misses = flagged.where(!col("_bloom_hit")).drop("_bloom_hit")
     val candidates = flagged.where(col("_bloom_hit"))
+    if (candidates.isEmpty) return batch
 
     // Confirm pass: the history side is pruned by hash BEFORE any
     // text ships — candHashes is 8 bytes per distinct candidate, so
-    // the semi-join broadcasts at any batch size that fits a batch.
+    // the semi-join broadcasts at any batch size that fits a batch,
+    // and the history is scanned (never shuffled) exactly once.
     // The final anti-join is left to AQE (both sides are
     // candidate-bounded; it broadcasts the survivor set when small).
     val candHashes = candidates.select(hash.as("_h")).distinct()

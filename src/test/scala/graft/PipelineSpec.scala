@@ -41,6 +41,25 @@ class PipelineSpec extends AnyFunSuite {
     // indirectly by the tiny survivor set: confirm semantics already
     // covered above, so just re-check the exact count
     assert(Dedup.bloomNewDocs(history, batch).count() == 60)
+
+    // steady-state path: a merged sketch over two history halves
+    // decides like one built over the whole corpus
+    val h1 = history.where(col("doc_id") < 150)
+    val h2 = history.where(col("doc_id") >= 150)
+    val merged = Dedup.bloomMerge(
+      Dedup.bloomBuild(h1, expectedItems = 300),
+      Dedup.bloomBuild(h2, expectedItems = 300))
+    val gotMerged = Dedup.bloomNewDocsWith(merged, history, batch)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(gotMerged.sameElements(expected))
+
+    // clean batch (no sketch hits): returned as-is, history untouched
+    val clean = spark.range(5000, 5050).select(
+      col("id").as("doc_id"),
+      concat(lit("untouched doc "), col("id")).as("text"),
+      lit("en").as("lang"))
+    assert(Dedup.bloomNewDocsWith(
+      Dedup.bloomBuild(history), history, clean).count() == 50)
   }
 
   test("approx corpus percentiles track exact on a skewed stratum") {
