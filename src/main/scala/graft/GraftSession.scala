@@ -118,6 +118,18 @@ object GraftSession {
       .createOrReplaceTempView("samples_rolling_1h")
     streaming.Sessionize.sessions(core.Tables.events(spark, sfDir), 43200L)
       .createOrReplaceTempView("event_sessions")
+    // round-5 text analytics: CMS heavy hitters and PMI collocations
+    // (same parameters as their oracle gates)
+    locally {
+      import org.apache.spark.sql.functions.explode
+      val d = core.Tables.documents(spark, sfDir)
+      pipeline.TextAnalysis.cmsHeavyHitters(
+          d.select(explode(pipeline.Dedup.tokens("text")).as("tok")).distinct(),
+          pipeline.TextAnalysis.countMinSketch(d))
+        .createOrReplaceTempView("corpus_heavy_hitters")
+      pipeline.TextAnalysis.collocations(d)
+        .createOrReplaceTempView("corpus_collocations")
+    }
     // native functions
     functions.VectorExpressions.register(spark)
   }

@@ -1735,5 +1735,56 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |FROM e LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
          |  ON e.vec_id = r.vec_id
          |ORDER BY e.vec_id""".stripMargin,
+
+    // mirror of TextAnalysis.countMinSketch + cmsHeavyHitters: the
+    // depth×width counter table from the same md5M31/perm bucket
+    // hashes, point-queried (min over rows) for every distinct token
+    "text_heavy_hitters" -> {
+      val d = TextAnalysis.CmsDepth
+      val wdt = TextAnalysis.CmsWidth
+      def bucket(i: Int) = s"(${permSql("h", i)} % $wdt)"
+      val skRows = (0 until d).map(i =>
+        s"SELECT $i AS i, ${bucket(i)} AS bucket FROM wh").mkString(
+        "\n         UNION ALL\n         ")
+      val joins = (0 until d).map(i =>
+        s"JOIN (SELECT bucket, cnt AS c$i FROM sk WHERE i = $i) s$i" +
+          s" ON s$i.bucket = ${bucket(i)}").mkString("\n        ")
+      val leastOf = (0 until d).map(i => s"c$i").mkString("least(", ", ", ")")
+      s"""WITH $TOKS,
+         |w AS (SELECT unnest(toks) AS tok FROM t),
+         |wh AS (SELECT ${md5HashM31Sql("tok")} AS h FROM w),
+         |sk AS (SELECT i, bucket, count(*) AS cnt FROM (
+         |         $skRows
+         |       ) GROUP BY i, bucket),
+         |cand AS (SELECT DISTINCT tok, ${md5HashM31Sql("tok")} AS h FROM w)
+         |SELECT tok, CAST($leastOf AS BIGINT) AS est_count
+         |FROM cand
+         |        $joins
+         |ORDER BY est_count DESC, tok ASC LIMIT 25""".stripMargin
+    },
+
+    // mirror of TextAnalysis.collocations: PMI over adjacent-token
+    // pairs, min pair count 5, top 30 — the ln input is the one shared
+    // integer-ratio parenthesization, 6dp scaled-round per pair
+    "text_collocations" ->
+      s"""WITH $TOKS,
+         |pairs AS (SELECT toks[i] AS u, toks[i+1] AS w
+         |          FROM t, UNNEST(range(1, len(toks))) ux(i)
+         |          WHERE len(toks) >= 2),
+         |uni AS (SELECT tok, count(*) AS c1
+         |        FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+         |bi0 AS (SELECT u, w, count(*) AS c2 FROM pairs GROUP BY u, w),
+         |tot AS (SELECT (SELECT CAST(sum(c2) AS BIGINT) FROM bi0) AS nb,
+         |               (SELECT CAST(sum(c1) AS BIGINT) FROM uni) AS nu)
+         |SELECT u, w, c2 AS n_pair,
+         |  CAST(CAST(round(ln(c2::DOUBLE * nu * nu
+         |      / (nb * cu.c1 * cw.c1)) * 1000000.0) AS BIGINT) AS DOUBLE)
+         |    / 1000000.0 AS pmi
+         |FROM bi0
+         |JOIN uni cu ON cu.tok = u
+         |JOIN uni cw ON cw.tok = w
+         |CROSS JOIN tot
+         |WHERE c2 >= 5
+         |ORDER BY pmi DESC, u ASC, w ASC LIMIT 30""".stripMargin,
   )
 }

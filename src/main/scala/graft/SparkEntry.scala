@@ -61,6 +61,11 @@ object SparkEntry {
       .createTempDirectory(java.nio.file.Paths.get(runScratch), prefix)
       .toString
 
+  /** Memory-sink gates need a fresh temp-view name per invocation —
+    * bench runs every query twice in one session.
+    */
+  private val streamGateSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** One BPE training run per sf-dir, shared by every gate that needs
     * the merge list (`text_bpe_vocab` re-serves the trace,
     * `text_bpe_tokenize` replays the merges): training is K sequential
@@ -229,6 +234,33 @@ object SparkEntry {
           graft.archive.ArchiveStore.read(s, store, 0), LO, HI)
         .select(coreCols: _*)
         .orderBy(col("channel"), col("ts"), col("sample_id"))
+    }),
+
+    // ST2 under the driver oracle: the SAME marked samples drain
+    // through the streaming keyed-state decimator (file source →
+    // flatMapGroupsWithState over DecimatorCore → append sink) and
+    // must hash-match the batch decimation oracle byte for byte — the
+    // stream ≡ batch property, gated in DuckDB instead of ScalaTest
+    "stream_decimate_1h" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val in = scratchDir("sdec-in") + "/samples"
+      // arrival order = sample_id: the seq the batch F6 rule uses
+      val m = marked(s, dir).select(col("channel"), col("ts"),
+        col("value"), col("sample_id").as("seq"))
+      m.write.parquet(in)
+      val ds = s.readStream.schema(m.schema).parquet(in)
+        .as[graft.streaming.StreamingDecimation.InSample]
+      val sink = s"sdec_out_${streamGateSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamingDecimation.decimateStream(ds, P1H)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(col("channel"), col("win_start"), r6("mean"), r6("std"),
+          col("min_value"), col("max_value"), r6("covered_fraction"),
+          col("n_samples"))
+        .orderBy("channel", "win_start")
     }),
 
     "arch_boundary_before" -> ((s, dir) =>
@@ -571,6 +603,25 @@ object SparkEntry {
         when(col("lang") === "en", 1.0).otherwise(-1.0))
       TextAnalysis.hashedLinearScore(docs, Some(w)).orderBy("doc_id")
     }),
+
+    // count-min-sketch heavy hitters: the depth×width mergeable
+    // sketch built in one scan, then queried for the corpus' top-25
+    // tokens — width (512) is deliberately smaller than the vocabulary
+    // so the gate hashes real collision overestimates, not a
+    // degenerate exact count
+    "text_heavy_hitters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sketch = TextAnalysis.countMinSketch(docs)
+      val cands = docs
+        .select(explode(graft.pipeline.Dedup.tokens("text")).as("tok"))
+        .distinct()
+      TextAnalysis.cmsHeavyHitters(cands, sketch)
+    }),
+
+    // PMI collocation mining: adjacent-pair pointwise mutual
+    // information over vocabulary-bounded count tables
+    "text_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(Tables.documents(s, dir))),
 
     // multi-round BPE vocabulary training: the full merge loop, with
     // exact leftmost-greedy application each round (double-space trick).
@@ -1048,6 +1099,10 @@ object SparkEntry {
       // the streaming file sink must land the exact bytes the batch
       // scan serves — same oracle, continuous ingest path
       ("stream_range_scan" -> base("arch_range_scan")) +
+      // the streaming keyed-state decimator must emit the exact
+      // windows the batch decimation plan emits — stream ≡ batch
+      // under the DuckDB oracle, not just the ScalaTest property
+      ("stream_decimate_1h" -> base("arch_decimate_1h")) +
       // the persisted IVF index must serve exactly what the per-query
       // build serves — same oracle, different storage path
       ("sim_ivf_persisted" -> base("sim_ivf_search")) +

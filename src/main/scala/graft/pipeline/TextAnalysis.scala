@@ -588,4 +588,125 @@ object TextAnalysis {
         coalesce(col("n_features"), lit(0L)).as("n_features"),
         col("score"), col("positive"))
   }
+
+  // ---- Count-min sketch heavy hitters -------------------------------
+
+  /** Sketch geometry for the gated queries. Width is deliberately
+    * small vs the corpus vocabulary so the gate exercises real
+    * collisions (est_count > exact count) — at 100 TB you size width
+    * ≈ e/ε for the tolerable overcount ε·N.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 512
+
+  private def cmsBucket(tok: Column, row: Int, width: Int): Column =
+    pmod(Hashing.perm(Hashing.md5HashM31(tok), row), lit(width.toLong))
+
+  /** Count-min sketch over the corpus' token stream: depth×width
+    * bounded counters, one per (row, bucket). ONE corpus scan; the
+    * depth-way explosion happens on the already-exploded token rows
+    * and the aggregation is map-side combinable over ≤ depth·width
+    * distinct keys — the shuffle is sketch-sized (KB), never
+    * corpus-sized. The output frame IS the mergeable summary: sketches
+    * of corpus slices merge by (row, bucket) count addition
+    * ([[cmsMerge]]), which is how a 100 TB corpus builds one sketch
+    * per partition-group in parallel and folds them on the driver or
+    * in a tree.
+    */
+  def countMinSketch(docs: DataFrame, textCol: String = "text",
+                     depth: Int = CmsDepth,
+                     width: Int = CmsWidth): DataFrame = {
+    val tokens = docs.select(explode(toks(textCol)).as("tok"))
+    val rows = (0 until depth).map(i =>
+      struct(lit(i).as("row"), cmsBucket(col("tok"), i, width).as("bucket")))
+    tokens
+      .select(explode(array(rows: _*)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two sketches of the same geometry: counter-wise addition.
+    * Associative + commutative — the distributive fold at scale.
+    */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("row", "bucket")
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Estimate token frequencies from a sketch and return the top-k
+    * heavy hitters: est(tok) = min over rows of the token's bucket
+    * counter (the classic CMS point query — an overestimate, never
+    * under). `candidates` is the token set to query; the gate passes
+    * the corpus' distinct tokens, a 100 TB deployment passes a
+    * bounded candidate list (per-partition top-m survivors, a prior
+    * vocabulary, or trending terms) — the sketch answers in O(depth)
+    * per candidate from a broadcast-sized table either way.
+    */
+  def cmsHeavyHitters(candidates: DataFrame, sketch: DataFrame,
+                      topK: Int = 25, depth: Int = CmsDepth,
+                      width: Int = CmsWidth): DataFrame = {
+    var est = candidates.select(col("tok"))
+    for (i <- 0 until depth) {
+      val sk = sketch.where(col("row") === i)
+        .select(col("bucket").as(s"b$i"), col("cnt").as(s"c$i"))
+      // left join: a candidate the corpus never saw has no bucket row
+      // only when that bucket is globally empty — either way the CMS
+      // answer is the counter value, 0 when absent (never under)
+      est = est.withColumn(s"b$i", cmsBucket(col("tok"), i, width))
+        .join(broadcast(sk), Seq(s"b$i"), "left")
+    }
+    est
+      .select(col("tok"),
+        least((0 until depth).map(i =>
+          coalesce(col(s"c$i"), lit(0L))): _*).as("est_count"))
+      .orderBy(col("est_count").desc, col("tok").asc)
+      .limit(topK)
+  }
+
+  // ---- PMI collocations ---------------------------------------------
+
+  /** Collocation mining: adjacent-token pairs ranked by pointwise
+    * mutual information,
+    *
+    *   pmi(u,w) = ln( (c2/Nb) / ((c1(u)/Nu)·(c1(w)/Nu)) )
+    *            = ln( c2·Nu·Nu / (Nb·c1(u)·c1(w)) )
+    *
+    * over pairs with c2 ≥ minCount (the standard guard — PMI explodes
+    * on hapax pairs). Three count tables (bigram, unigram, totals),
+    * all vocabulary-bounded; the corpus pays one scan for pair
+    * explosion. The unigram table is broadcast into the bigram join —
+    * nothing corpus-sized shuffles twice. Determinism: the ln input is
+    * a single integer-ratio expression in one shared parenthesization
+    * and the result is 6dp-truncated per pair (the [[r6]] scaled-round
+    * sequence), the same cross-engine contract as [[bigramScore]].
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5L, topK: Int = 30,
+                   textCol: String = "text"): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), toks(textCol).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), " +
+          "slice(toks, 2, size(toks) - 1), " +
+          "(x, y) -> named_struct('u', x, 'w', y))")).as("bg"))
+      .select(col("bg.u").as("u"), col("bg.w").as("w"))
+    val uni = docs.select(explode(toks(textCol)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    // bi0 feeds both the totals and the filtered table — identical
+    // subplans, so ReuseExchange serves both from one shuffle
+    val bi0 = pairs.groupBy("u", "w").agg(count(lit(1)).as("c2"))
+    val totals = bi0.agg(sum(col("c2")).as("nb")).crossJoin(
+      uni.agg(sum(col("c1")).as("nu")))
+    val bi = bi0.where(col("c2") >= minCount)
+    bi
+      .join(broadcast(uni.select(col("tok").as("u"), col("c1").as("cu"))),
+        Seq("u"))
+      .join(broadcast(uni.select(col("tok").as("w"), col("c1").as("cw"))),
+        Seq("w"))
+      .crossJoin(broadcast(totals))
+      .select(col("u"), col("w"), col("c2").as("n_pair"),
+        r6(log(col("c2").cast("double") * col("nu") * col("nu")
+          / (col("nb") * col("cu") * col("cw")))).as("pmi"))
+      .orderBy(col("pmi").desc, col("u").asc, col("w").asc)
+      .limit(topK)
+  }
 }

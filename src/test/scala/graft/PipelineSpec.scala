@@ -1071,6 +1071,56 @@ class PipelineSpec extends AnyFunSuite {
       assert(byBucket(hi).length > byBucket(lo).length)
   }
 
+  test("count-min sketch never underestimates; slice sketches merge exactly") {
+    val d = Tables_docs_sf0001
+    val sketch = TextAnalysis.countMinSketch(d)
+    // sketch is geometry-bounded, regardless of corpus size
+    assert(sketch.count() <= TextAnalysis.CmsDepth.toLong * TextAnalysis.CmsWidth)
+    val exact = d.select(org.apache.spark.sql.functions.explode(
+        Dedup.tokens("text")).as("tok"))
+      .groupBy("tok").count()
+    val est = TextAnalysis.cmsHeavyHitters(
+      exact.select("tok"), sketch, topK = Int.MaxValue)
+    val joined = est.join(exact, Seq("tok")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("est_count") >= r.getAs[Long]("count"),
+        s"CMS underestimated ${r.getAs[String]("tok")}")
+    }
+    // distributive build: per-slice sketches merged == whole-corpus sketch
+    val merged = TextAnalysis.cmsMerge(
+      TextAnalysis.countMinSketch(d.where($"doc_id" % 2 === 0)),
+      TextAnalysis.countMinSketch(d.where($"doc_id" % 2 =!= 0)))
+    val whole = sketch.withColumnRenamed("cnt", "w_cnt")
+    val diff = merged.join(whole, Seq("row", "bucket"), "full")
+      .where($"cnt".isNull || $"w_cnt".isNull || $"cnt" =!= $"w_cnt")
+    assert(diff.count() == 0)
+    // an unseen candidate estimates from the counters alone (never null)
+    val ext = TextAnalysis.cmsHeavyHitters(
+      Seq("zzz_unseen_token_zzz").toDF("tok"), sketch, topK = 1).collect()
+    assert(ext.length == 1 && ext(0).getAs[Long]("est_count") >= 0L)
+  }
+
+  test("collocations rank a constructed collocation top, respect minCount") {
+    // "new york" appears 6 times and its parts appear nowhere else;
+    // filler tokens are common, so PMI must rank the pair first
+    val filler = "a b c d e f g h"
+    val d = docs((1L to 6L).map(i =>
+      (i, s"new york $filler", "en")) :+ (7L, s"$filler $filler", "en"): _*)
+    val out = TextAnalysis.collocations(d, minCount = 5L, topK = 5).collect()
+    assert(out.nonEmpty)
+    assert(out.head.getAs[String]("u") == "new" &&
+      out.head.getAs[String]("w") == "york")
+    assert(out.head.getAs[Long]("n_pair") == 6L)
+    // pmi = ln(c2 * Nu^2 / (Nb * cu * cw)) truncated at 6dp
+    val nu = 6 * 10 + 16.0; val nb = 6 * 9 + 15.0
+    val expected = math.floor(
+      math.log(6 * nu * nu / (nb * 6 * 6)) * 1e6 + 0.5) / 1e6
+    assert(math.abs(out.head.getAs[Double]("pmi") - expected) < 1e-9)
+    // every surviving pair respects the count floor
+    out.foreach(r => assert(r.getAs[Long]("n_pair") >= 5L))
+  }
+
   private lazy val Tables_docs_sf0001 =
     graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
 }
