@@ -129,6 +129,9 @@ object GraftSession {
         .createOrReplaceTempView("corpus_heavy_hitters")
       pipeline.TextAnalysis.collocations(d)
         .createOrReplaceTempView("corpus_collocations")
+      pipeline.Similarity.normalizeCenter(
+          core.Tables.embeddings(spark, sfDir))
+        .createOrReplaceTempView("emb_normalized")
     }
     // native functions
     functions.VectorExpressions.register(spark)

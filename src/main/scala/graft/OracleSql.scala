@@ -187,7 +187,9 @@ object OracleSql {
          |  FROM clean
          |  WINDOW w AS (PARTITION BY channel ORDER BY ts
          |    RANGE BETWEEN ${3600L * NS} PRECEDING AND CURRENT ROW))
-         |SELECT channel, ts, round(roll_mean, 6) AS roll_mean,
+         |SELECT channel, ts,
+         |  CAST(CAST(round(roll_mean * 1000000.0) AS BIGINT) AS DOUBLE)
+         |    / 1000000.0 AS roll_mean,
          |       roll_min, roll_max, roll_n
          |FROM roll WHERE ts BETWEEN $LO AND $HI
          |ORDER BY channel, ts""".stripMargin,

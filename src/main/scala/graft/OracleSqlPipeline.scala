@@ -1736,6 +1736,46 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |  ON e.vec_id = r.vec_id
          |ORDER BY e.vec_id""".stripMargin,
 
+    // mirror of Similarity.normalizeCenter: unit vectors (6dp
+    // scale-rounded at the hand-off), per-dim DECIMAL-routed corpus
+    // mean (6dp at hand-off), center, re-normalize, stringify — every
+    // cross-stage hand-off rounds on both engines, so half-ULP drift
+    // cannot compound (the iterating-chain rule)
+    "sim_embed_normalize" -> {
+      def sq(x: String) =
+        s"CAST(CAST(round(($x) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |nn AS (SELECT vec_id, v,
+         |         sqrt(list_inner_product(v, v)) AS pre_norm FROM e),
+         |un AS (SELECT vec_id, pre_norm,
+         |         CASE WHEN pre_norm > 0
+         |           THEN list_transform(v, x -> ${sq("x / pre_norm")})
+         |           ELSE v END AS uv
+         |       FROM nn),
+         |d AS (SELECT g.pos AS pos, uv[g.pos + 1] AS x
+         |      FROM un, UNNEST(generate_series(0, len(uv) - 1)) g(pos)),
+         |m AS (SELECT pos,
+         |        ${sq("CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*)")} AS mval
+         |      FROM d GROUP BY pos),
+         |mv AS (SELECT list(mval ORDER BY pos) AS mean_vec FROM m),
+         |ce AS (SELECT vec_id, pre_norm,
+         |         list_transform(range(1, len(uv) + 1),
+         |           i -> uv[i] - mean_vec[i]) AS cv
+         |       FROM un, mv),
+         |cn AS (SELECT vec_id, pre_norm, cv,
+         |         sqrt(list_inner_product(cv, cv)) AS c_norm FROM ce),
+         |w AS (SELECT vec_id, pre_norm,
+         |        CASE WHEN c_norm > 0
+         |          THEN list_transform(cv, x -> ${sq("x / c_norm")})
+         |          ELSE cv END AS wv
+         |      FROM cn)
+         |SELECT vec_id, ${sq("pre_norm")} AS pre_norm,
+         |  '[' || array_to_string(list_transform(wv,
+         |    x -> CAST(CAST(round(x, 6) AS DECIMAL(18,6)) AS VARCHAR)), ',')
+         |    || ']' AS vec_str
+         |FROM w ORDER BY vec_id""".stripMargin
+    },
+
     // mirror of TextAnalysis.countMinSketch + cmsHeavyHitters: the
     // depth×width counter table from the same md5M31/perm bucket
     // hashes, point-queried (min over rows) for every distinct token

@@ -23,6 +23,14 @@ object SparkEntry {
 
   private def r6(c: String): Column = round(col(c), 6).as(c)
 
+  /** Scaled 6dp round (multiply → scale-0 round → divide): the
+    * engine-deterministic sequence for columns that land on systematic
+    * 6dp ties (e.g. decimal-sum / power-of-two-count rolling means,
+    * where plain round(x,6) HALF_UPs on Spark but not DuckDB).
+    */
+  private def sr6(c: String): Column =
+    (round(col(c) * lit(1e6)).cast("long").cast("double") / lit(1e6)).as(c)
+
   private def raw(s: SparkSession, dir: String) = Samples.fromEvents(s, dir)
   private def clean(s: SparkSession, dir: String) =
     Samples.monotonicDedup(Samples.fromEvents(s, dir))
@@ -296,7 +304,17 @@ object SparkEntry {
     "arch_rolling_window" -> ((s, dir) =>
       graft.archive.Rolling.trailing(clean(s, dir), 3600L)
         .where(col("ts").between(LO, HI))
-        .select(col("channel"), col("ts"), r6("roll_mean"),
+        .select(col("channel"), col("ts"), sr6("roll_mean"),
+          col("roll_min"), col("roll_max"), col("roll_n"))
+        .orderBy("channel", "ts")),
+
+    // the linear-time deque path must serve the exact same bytes as
+    // the declarative RANGE frame (Spark's sliding frame re-evaluates
+    // per row — O(n·frame) on dense channels; the deque is O(n))
+    "arch_rolling_window_fast" -> ((s, dir) =>
+      graft.archive.Rolling.trailingFast(clean(s, dir), 3600L)
+        .where(col("ts").between(LO, HI))
+        .select(col("channel"), col("ts"), sr6("roll_mean"),
           col("roll_min"), col("roll_max"), col("roll_n"))
         .orderBy("channel", "ts")),
 
@@ -308,6 +326,36 @@ object SparkEntry {
         .select(col("user_id"), col("start_ns"), col("end_ns"),
           col("n_events"), r6("sum_value"))
         .orderBy("user_id", "start_ns")),
+
+    // ST7 under the driver oracle: the same events drain through the
+    // native session_window streaming aggregation (file source,
+    // append mode, 0 s watermark) and must hash-match the batch
+    // sessionization oracle. A sentinel event one gap past the corpus
+    // end advances the watermark so every real session finalizes (the
+    // SessionizeSpec drain pattern); the sentinel user is filtered out.
+    "stream_sessionize" -> ((s, dir) => {
+      val in = scratchDir("sess-in") + "/events"
+      val gap = 43200L
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val maxTs = ev.agg(max(col("ts"))).head.getLong(0)
+      val sentinel = s.range(1).select(
+        lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+        lit(maxTs + (gap + 60L) * 1000000000L).as("ts"),
+        lit(0.0).as("value"))
+      ev.unionByName(sentinel).write.parquet(in)
+      val stream = s.readStream.schema(ev.schema).parquet(in)
+      val sink = s"sess_out_${streamGateSeq.incrementAndGet()}"
+      val q = graft.streaming.Sessionize.sessionWindowAgg(stream, gap,
+          watermark = Some("0 seconds"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).where(col("user_id") =!= -1L)
+        .select(col("user_id"), col("start_ns"), col("end_ns"),
+          col("n_events"), r6("sum_value"))
+        .orderBy("user_id", "start_ns")
+    }),
 
     "arch_decimate_1h" -> ((s, dir) =>
       Decimation.decimate(marked(s, dir), P1H)
@@ -964,6 +1012,15 @@ object SparkEntry {
 
     // representative (mean) embedding per near-dup cluster — the vector
     // a deduplicated index serves; arrays stringified for the oracle
+    // embedding prep: L2-normalize → subtract corpus mean direction →
+    // re-normalize (the hubness-removing centering step before
+    // ANN/clustering); arrays stringified per the oracle convention
+    "sim_embed_normalize" -> ((s, dir) =>
+      Similarity.normalizeCenter(Tables.embeddings(s, dir))
+        .select(col("vec_id"), sr6("pre_norm"),
+          TypedSamples.numArrayToString(col("vec")).as("vec_str"))
+        .orderBy("vec_id")),
+
     "sim_cluster_centroids" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       // 0.5: centroids are for TIGHT near-dup clusters — at 0.3 the
@@ -1103,6 +1160,11 @@ object SparkEntry {
       // windows the batch decimation plan emits — stream ≡ batch
       // under the DuckDB oracle, not just the ScalaTest property
       ("stream_decimate_1h" -> base("arch_decimate_1h")) +
+      // the deque sliding-window path serves the RANGE-frame bytes
+      ("arch_rolling_window_fast" -> base("arch_rolling_window")) +
+      // the native session_window streaming aggregation must emit the
+      // batch sessionization's bytes once the watermark drains it
+      ("stream_sessionize" -> base("events_sessionize")) +
       // the persisted IVF index must serve exactly what the per-query
       // build serves — same oracle, different storage path
       ("sim_ivf_persisted" -> base("sim_ivf_search")) +

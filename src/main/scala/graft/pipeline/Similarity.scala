@@ -691,6 +691,60 @@ object Similarity {
       .join(members, Seq("comp"))
   }
 
+  /** Embedding post-processing for retrieval/clustering prep:
+    * L2-normalize → subtract the corpus mean direction → re-normalize
+    * (the standard centering step that removes the shared "hubness"
+    * component inflating every cosine; cf. the all-but-the-top
+    * observation that embedding sets share a large common mean
+    * vector). Three stages, all linear:
+    *
+    *   1. unit vectors — one codegen'd scan (norm via the native
+    *      [[graft.functions.VectorDot]]), elements 6dp scale-rounded
+    *      at the hand-off so both engines agree bit-exactly;
+    *   2. per-dimension corpus mean — posexplode + DECIMAL-routed
+    *      combinable aggregation over `dims` keys, 6dp-rounded at the
+    *      hand-off (the iterating-chain rule: round every cross-stage
+    *      hand-off or half-ULP drift compounds);
+    *   3. center + re-normalize — the dim-sized mean vector is
+    *      broadcast; one more scan.
+    *
+    * At 100 TB: two corpus scans and one dims-sized shuffle — the mean
+    * is a map-side-combinable per-dimension sum, never a vector
+    * shuffle. Zero-norm inputs pass through unchanged (no 0/0 under
+    * ANSI); zero-norm CENTERED vectors (a vector exactly equal to the
+    * mean direction) likewise.
+    *
+    * Output: (vec_id, pre_norm — the original L2 length, vec — the
+    * processed array).
+    */
+  def normalizeCenter(emb: DataFrame): DataFrame = {
+    val sr6e = (c: Column) =>
+      round(c * lit(1e6)).cast("long").cast("double") / lit(1e6)
+    val dot = graft.functions.VectorExpressions.vector_dot(_, _)
+    val unit = emb
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("pre_norm", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id"), col("pre_norm"),
+        when(col("pre_norm") > 0,
+          transform(col("v"), x => sr6e(x / col("pre_norm"))))
+          .otherwise(col("v")).as("u"))
+    val mean = unit
+      .select(posexplode(col("u")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(sr6e(graft.archive.Decimation.exactSum(col("x")).cast("double")
+        / count(lit(1))).as("m"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("mean_vec"))
+    unit.crossJoin(broadcast(mean))
+      .withColumn("c", zip_with(col("u"), col("mean_vec"), (a, b) => a - b))
+      .withColumn("c_norm", sqrt(dot(col("c"), col("c"))))
+      .select(col("vec_id"), col("pre_norm"),
+        when(col("c_norm") > 0,
+          transform(col("c"), x => sr6e(x / col("c_norm"))))
+          .otherwise(col("c")).as("vec"))
+  }
+
   /** Multi-table ANN: per vector, its best candidate neighbour (by
     * rounded cosine, vec_id tie-break) across every table it shares a
     * bucket with, plus its candidate count (0 rows stay present with

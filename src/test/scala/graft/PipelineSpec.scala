@@ -1101,6 +1101,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(ext.length == 1 && ext(0).getAs[Long]("est_count") >= 0L)
   }
 
+  test("normalizeCenter: unit outputs, shrunken mean component, zero-safe") {
+    val emb = Seq(
+      (1L, Array(3.0f, 4.0f, 0.0f)), (2L, Array(0.0f, 5.0f, 0.0f)),
+      (3L, Array(1.0f, 1.0f, 1.0f)), (4L, Array(2.0f, 3.0f, 0.5f)),
+      (5L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.pipeline.Similarity.normalizeCenter(emb)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Double](2))).toMap
+    assert(math.abs(out(1L)._1 - 5.0) < 1e-12) // pre_norm = ||(3,4,0)||
+    // processed vectors are unit length (6dp hand-off tolerance)
+    for (id <- Seq(1L, 2L, 3L, 4L)) {
+      val n = math.sqrt(out(id)._2.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-4, s"vec $id norm $n")
+    }
+    // the zero vector contributes nothing and is not divided by zero
+    assert(out(5L)._1 == 0.0)
+    // centering shrinks the shared mean component: the norm of the
+    // output mean is well below the norm of the unit-vector mean
+    val dims = out(1L)._2.length
+    def meanNorm(vs: Seq[Seq[Double]]) = {
+      val m = (0 until dims).map(i => vs.map(_(i)).sum / vs.size)
+      math.sqrt(m.map(x => x * x).sum)
+    }
+    val units = Seq(
+      Seq(3.0, 4.0, 0.0), Seq(0.0, 5.0, 0.0),
+      Seq(1.0, 1.0, 1.0), Seq(2.0, 3.0, 0.5)
+    ).map { v => val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    val preMean = meanNorm(units)
+    val outMean = meanNorm(Seq(1L, 2L, 3L, 4L).map(out(_)._2))
+    assert(outMean < 0.7 * preMean,
+      s"residual mean $outMean vs pre-centering $preMean")
+  }
+
   test("collocations rank a constructed collocation top, respect minCount") {
     // "new york" appears 6 times and its parts appear nowhere else;
     // filler tokens are common, so PMI must rank the pair first

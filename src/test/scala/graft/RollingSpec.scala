@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.archive.Rolling
+
+/** The linear-time deque path must be bit-identical to the declarative
+  * RANGE-frame path — including null markers, ts ties (RANGE peers),
+  * channel boundaries, and the DECIMAL-routed mean.
+  */
+class RollingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  private def compare(rows: Seq[(String, Long, Option[Double])],
+                      windowSec: Long): Unit = {
+    val df = rows.toDF("channel", "ts", "value")
+    val slow = Rolling.trailing(df, windowSec)
+      .collect().map(_.toSeq).toSeq
+    val fast = Rolling.trailingFast(df, windowSec)
+      .collect().map(_.toSeq).toSeq
+    // multiset equality (ties make per-row order ambiguous); doubles
+    // compared bitwise via toString of the full row
+    assert(slow.map(_.toString).sorted == fast.map(_.toString).sorted)
+    assert(slow.size == rows.size)
+  }
+
+  test("trailingFast equals trailing on a dense single channel") {
+    val ns = 1000000000L
+    val rows = (0 until 500).map(i =>
+      ("c", i.toLong * 3 * ns, Some((i % 17) * 0.3 - 2.0)))
+    compare(rows, windowSec = 60L)
+  }
+
+  test("trailingFast equals trailing with ties, nulls, and many channels") {
+    val ns = 1000000000L
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 2000).map { i =>
+      val ch = s"ch${rnd.nextInt(5)}"
+      // quantized ts forces RANGE peers (equal ts within a channel)
+      val ts = rnd.nextInt(300).toLong * 7 * ns
+      val v = if (rnd.nextInt(10) == 0) None
+        else Some(math.floor(rnd.nextDouble() * 1000) / 8.0)
+      (ch, ts, v)
+    }
+    compare(rows, windowSec = 120L)
+    compare(rows, windowSec = 1L)    // near-degenerate frame
+    compare(rows, windowSec = 10000L) // frame spans everything
+  }
+
+  test("all-null frames yield null stats and zero count") {
+    val ns = 1000000000L
+    val rows = Seq(("c", 0L, None), ("c", 5 * ns, None),
+      ("c", 100 * ns, Some(1.5)))
+    compare(rows, windowSec = 10L)
+    val out = Rolling.trailingFast(rows.toDF("channel", "ts", "value"), 10L)
+      .orderBy("ts").collect()
+    assert(out(0).isNullAt(2) && out(0).getLong(5) == 0L)
+    assert(out(2).getDouble(2) == 1.5)
+  }
+}
