@@ -318,6 +318,16 @@ object SparkEntry {
           col("roll_min"), col("roll_max"), col("roll_n"))
         .orderBy("channel", "ts")),
 
+    // the skew path: the same bytes with the time axis split into
+    // 2h chunks processed in parallel (context-row warm-up across
+    // chunk boundaries) — a hot channel stops being one straggler task
+    "arch_rolling_window_chunked" -> ((s, dir) =>
+      graft.archive.Rolling.trailingFastChunked(clean(s, dir), 3600L, 7200L)
+        .where(col("ts").between(LO, HI))
+        .select(col("channel"), col("ts"), sr6("roll_mean"),
+          col("roll_min"), col("roll_max"), col("roll_n"))
+        .orderBy("channel", "ts")),
+
     // gap-based sessionization of the raw events stream (graft
     // .streaming.Sessionize, 12h gap — the corpus' median per-user
     // inter-event gap is ~7.3h, so sessions genuinely merge AND split)
@@ -1162,6 +1172,8 @@ object SparkEntry {
       ("stream_decimate_1h" -> base("arch_decimate_1h")) +
       // the deque sliding-window path serves the RANGE-frame bytes
       ("arch_rolling_window_fast" -> base("arch_rolling_window")) +
+      // so does the chunk-parallel skew path
+      ("arch_rolling_window_chunked" -> base("arch_rolling_window")) +
       // the native session_window streaming aggregation must emit the
       // batch sessionization's bytes once the watermark drains it
       ("stream_sessionize" -> base("events_sessionize")) +

@@ -48,97 +48,144 @@ object Rolling {
       count(col("value")).over(w).as("roll_n"))
   }
 
+  /** The shared linear-time frame walker over one sorted partition:
+    * rows are (group channel, group chunk, ts, value, emit). State
+    * resets on (channel, chunk) change; an exact DECIMAL running sum
+    * (decimal add/subtract is order-exact, so incremental ≡
+    * re-aggregated — the same reason the gated mean is DECIMAL-routed)
+    * and monotonic deques for min/max give amortized-O(1) maintenance.
+    * RANGE-frame peer semantics are preserved: all rows sharing a ts
+    * enter the frame before any of them emits. Rows with emit = false
+    * are look-back context only (the chunked path's warm-up prefix).
+    */
+  private def walk(it: Iterator[(String, Long, Long, Option[Double], Boolean)],
+                   w: Long): Iterator[RollOut] = {
+    val buf = it.buffered
+    new Iterator[RollOut] {
+      var ch: String = null
+      var ck: Long = Long.MinValue
+      val ring = scala.collection.mutable.ArrayDeque.empty[(Long, Option[Double])]
+      val minDq = scala.collection.mutable.ArrayDeque.empty[(Long, Double)]
+      val maxDq = scala.collection.mutable.ArrayDeque.empty[(Long, Double)]
+      var sum = java.math.BigDecimal.ZERO
+      var cnt = 0L
+      val pending = scala.collection.mutable.Queue.empty[RollOut]
+
+      private def dec(x: Double) = // cast double→DECIMAL(38,12), Spark's way
+        java.math.BigDecimal.valueOf(x)
+          .setScale(12, java.math.RoundingMode.HALF_UP)
+
+      private def push(ts: Long, v: Option[Double]): Unit = {
+        ring.append((ts, v))
+        v.foreach { x =>
+          sum = sum.add(dec(x)); cnt += 1
+          while (minDq.nonEmpty && minDq.last._2 >= x) minDq.removeLast()
+          minDq.append((ts, x))
+          while (maxDq.nonEmpty && maxDq.last._2 <= x) maxDq.removeLast()
+          maxDq.append((ts, x))
+        }
+      }
+
+      private def evict(lo: Long): Unit = {
+        while (ring.nonEmpty && ring.head._1 < lo) {
+          val (_, ev) = ring.removeHead()
+          ev.foreach { x => sum = sum.subtract(dec(x)); cnt -= 1 }
+        }
+        while (minDq.nonEmpty && minDq.head._1 < lo) minDq.removeHead()
+        while (maxDq.nonEmpty && maxDq.head._1 < lo) maxDq.removeHead()
+      }
+
+      private def refill(): Unit = {
+        if (buf.isEmpty) return
+        val (c, k, ts, _, _) = buf.head
+        if (c != ch || k != ck) {
+          ch = c; ck = k; ring.clear(); minDq.clear(); maxDq.clear()
+          sum = java.math.BigDecimal.ZERO; cnt = 0L
+        }
+        // absorb the whole ts-peer group before emitting any of it
+        // (RANGE frames include peers on both sides of the order)
+        val peers = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Double], Boolean)]
+        while (buf.hasNext && buf.head._1 == ch && buf.head._2 == ck &&
+               buf.head._3 == ts) {
+          val r = buf.next(); peers += ((r._3, r._4, r._5))
+        }
+        peers.foreach { case (t, v, _) => push(t, v) }
+        evict(ts - w)
+        val mean = if (cnt == 0) None else Some(sum.doubleValue() / cnt)
+        val mn = minDq.headOption.map(_._2)
+        val mx = maxDq.headOption.map(_._2)
+        peers.foreach { case (t, _, emit) =>
+          if (emit) pending.enqueue(RollOut(ch, t, mean, mn, mx, cnt))
+        }
+      }
+
+      def hasNext: Boolean = {
+        while (pending.isEmpty && buf.hasNext) refill()
+        pending.nonEmpty
+      }
+      def next(): RollOut = { hasNext; pending.dequeue() }
+    }
+  }
+
   /** Same result as [[trailing]], linear time. Spark's
     * `SlidingWindowFunctionFrame` re-evaluates a bounded frame's
     * aggregate buffer from scratch every time the frame slides (no
     * retraction), so [[trailing]] is O(n·frame) — on a dense channel
     * (1 Hz samples, 1 h window → 3600-row frames) the per-row rescan
     * dominates. This variant keeps the one channel-clustered shuffle +
-    * in-partition sort, then walks each channel once with
-    * amortized-O(1) frame maintenance: an exact DECIMAL running sum
-    * (decimal add/subtract is order-exact, so incremental ≡
-    * re-aggregated — the same reason the gated mean is DECIMAL-routed)
-    * and monotonic deques for min/max (the classic sliding-window-
-    * minimum structure). RANGE-frame peer semantics are preserved:
-    * all rows sharing a ts enter the frame before any of them emits.
-    * Equivalence to [[trailing]] (incl. nulls and ts ties) is pinned
-    * in RollingSpec; the gate serves either path from the same oracle.
+    * in-partition sort, then walks each channel once with the
+    * amortized-O(1) [[walk]] core. Equivalence to [[trailing]] (incl.
+    * nulls and ts ties) is pinned in RollingSpec; the gate serves
+    * either path from the same oracle.
     */
   def trailingFast(samples: DataFrame, windowSec: Long): DataFrame = {
     val spark = samples.sparkSession
     import spark.implicits._
     val w = windowSec * Samples.NS
-    samples.select(col("channel"), col("ts"), col("value"))
-      .as[(String, Long, Option[Double])]
+    samples.select(col("channel"), lit(0L).as("_ck"), col("ts"),
+        col("value"), lit(true).as("_emit"))
+      .as[(String, Long, Long, Option[Double], Boolean)]
       .repartition(col("channel"))
       .sortWithinPartitions(col("channel"), col("ts"))
-      .mapPartitions { it =>
-        val buf = it.buffered
-        new Iterator[RollOut] {
-          // per-channel frame state, reset on channel change
-          var ch: String = null
-          val ring = scala.collection.mutable.ArrayDeque.empty[(Long, Option[Double])]
-          val minDq = scala.collection.mutable.ArrayDeque.empty[(Long, Double)]
-          val maxDq = scala.collection.mutable.ArrayDeque.empty[(Long, Double)]
-          var sum = java.math.BigDecimal.ZERO
-          var cnt = 0L
-          val pending = scala.collection.mutable.Queue.empty[RollOut]
+      .mapPartitions(walk(_, w))
+      .toDF()
+  }
 
-          private def push(ts: Long, v: Option[Double]): Unit = {
-            ring.append((ts, v))
-            v.foreach { x =>
-              // cast double→DECIMAL(38,12) the way Spark's cast does
-              sum = sum.add(java.math.BigDecimal.valueOf(x)
-                .setScale(12, java.math.RoundingMode.HALF_UP))
-              cnt += 1
-              while (minDq.nonEmpty && minDq.last._2 >= x) minDq.removeLast()
-              minDq.append((ts, x))
-              while (maxDq.nonEmpty && maxDq.last._2 <= x) maxDq.removeLast()
-              maxDq.append((ts, x))
-            }
-          }
-
-          private def evict(lo: Long): Unit = {
-            while (ring.nonEmpty && ring.head._1 < lo) {
-              val (_, ev) = ring.removeHead()
-              ev.foreach { x =>
-                sum = sum.subtract(java.math.BigDecimal.valueOf(x)
-                  .setScale(12, java.math.RoundingMode.HALF_UP))
-                cnt -= 1
-              }
-            }
-            while (minDq.nonEmpty && minDq.head._1 < lo) minDq.removeHead()
-            while (maxDq.nonEmpty && maxDq.head._1 < lo) maxDq.removeHead()
-          }
-
-          private def refill(): Unit = {
-            if (buf.isEmpty) return
-            val (c, ts, _) = buf.head
-            if (c != ch) {
-              ch = c; ring.clear(); minDq.clear(); maxDq.clear()
-              sum = java.math.BigDecimal.ZERO; cnt = 0L
-            }
-            // absorb the whole ts-peer group before emitting any of it
-            // (RANGE frames include peers on both sides of the order)
-            val peers = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Double])]
-            while (buf.hasNext && buf.head._1 == ch && buf.head._2 == ts) {
-              val r = buf.next(); peers += ((r._2, r._3))
-            }
-            peers.foreach { case (t, v) => push(t, v) }
-            evict(ts - w)
-            val mean = if (cnt == 0) None
-              else Some(sum.doubleValue() / cnt)
-            val mn = minDq.headOption.map(_._2)
-            val mx = maxDq.headOption.map(_._2)
-            peers.foreach { case (t, _) =>
-              pending.enqueue(RollOut(ch, t, mean, mn, mx, cnt))
-            }
-          }
-
-          def hasNext: Boolean = { if (pending.isEmpty) refill(); pending.nonEmpty }
-          def next(): RollOut = { if (pending.isEmpty) refill(); pending.dequeue() }
-        }
-      }
+  /** [[trailingFast]] with bounded per-task work under hot-channel
+    * skew: the time axis splits into `chunkSec` tumbling chunks that
+    * process in PARALLEL (the rolling analog of
+    * `Samples.monotonicDedupChunked`). Every row is shipped once to
+    * its own chunk and once more as look-back CONTEXT to the next
+    * chunk when a trailing window starting there can still reach it
+    * (`ts ≥ nextChunkStart − W`; at most one extra copy since
+    * `chunkSec ≥ windowSec` is required) — context rows prime the
+    * frame and are not emitted. One shuffle on (channel, chunk): a
+    * 1 Hz mega-channel at chunkSec = 86400 becomes ~86k-row tasks
+    * spread across the cluster instead of one straggler, at ≤ 2×
+    * shuffled rows. Chunked ≡ plain pinned in RollingSpec.
+    */
+  def trailingFastChunked(samples: DataFrame, windowSec: Long,
+                          chunkSec: Long): DataFrame = {
+    require(chunkSec >= windowSec,
+      s"chunkSec ($chunkSec) must be >= windowSec ($windowSec)")
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val w = windowSec * Samples.NS
+    val c = chunkSec * Samples.NS
+    val base = samples.select(col("channel"), col("ts"), col("value"))
+    val own = base
+      .select(col("channel"), Samples.windowStart(col("ts"), c).as("_ck"),
+        col("ts"), col("value"), lit(true).as("_emit"))
+    val ctx = base
+      .select(col("channel"),
+        (Samples.windowStart(col("ts"), c) + lit(c)).as("_ck"),
+        col("ts"), col("value"), lit(false).as("_emit"))
+      .where(col("ts") >= col("_ck") - lit(w))
+    own.unionByName(ctx)
+      .as[(String, Long, Long, Option[Double], Boolean)]
+      .repartition(col("channel"), col("_ck"))
+      .sortWithinPartitions(col("channel"), col("_ck"), col("ts"))
+      .mapPartitions(walk(_, w))
       .toDF()
   }
 }

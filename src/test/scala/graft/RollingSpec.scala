@@ -25,6 +25,14 @@ class RollingSpec extends AnyFunSuite {
     // compared bitwise via toString of the full row
     assert(slow.map(_.toString).sorted == fast.map(_.toString).sorted)
     assert(slow.size == rows.size)
+    // chunked ≡ plain, with chunk boundaries cutting through the data
+    // (chunk = 2× window) and with one giant chunk
+    for (chunkSec <- Seq(windowSec * 2, windowSec * 1000)) {
+      val chunked = Rolling.trailingFastChunked(df, windowSec, chunkSec)
+        .collect().map(_.toSeq).toSeq
+      assert(slow.map(_.toString).sorted == chunked.map(_.toString).sorted,
+        s"chunkSec=$chunkSec")
+    }
   }
 
   test("trailingFast equals trailing on a dense single channel") {
