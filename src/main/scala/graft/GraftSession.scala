@@ -132,6 +132,10 @@ object GraftSession {
       pipeline.Similarity.normalizeCenter(
           core.Tables.embeddings(spark, sfDir))
         .createOrReplaceTempView("emb_normalized")
+      // doc stop-density deliberately has NO pre-wired view: its
+      // discovered-stopword list requires materializing the sketch
+      // (a collect), and register() must stay lazy — compose it from
+      // corpus_heavy_hitters when needed
     }
     // native functions
     functions.VectorExpressions.register(spark)

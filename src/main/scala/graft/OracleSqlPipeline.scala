@@ -188,6 +188,33 @@ reach(id, r) AS (
   SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.id),
 comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
 
+  /** The full count-min heavy-hitters query (shared by the standalone
+    * gate and the stopword-density composition's nested CTE).
+    */
+  private lazy val heavyHittersSql: String = {
+    val d = TextAnalysis.CmsDepth
+    val wdt = TextAnalysis.CmsWidth
+    def bucket(i: Int) = s"(${permSql("h", i)} % $wdt)"
+    val skRows = (0 until d).map(i =>
+      s"SELECT $i AS i, ${bucket(i)} AS bucket FROM wh").mkString(
+      "\n         UNION ALL\n         ")
+    val joins = (0 until d).map(i =>
+      s"JOIN (SELECT bucket, cnt AS c$i FROM sk WHERE i = $i) s$i" +
+        s" ON s$i.bucket = ${bucket(i)}").mkString("\n        ")
+    val leastOf = (0 until d).map(i => s"c$i").mkString("least(", ", ", ")")
+    s"""WITH $TOKS,
+       |w AS (SELECT unnest(toks) AS tok FROM t),
+       |wh AS (SELECT ${md5HashM31Sql("tok")} AS h FROM w),
+       |sk AS (SELECT i, bucket, count(*) AS cnt FROM (
+       |         $skRows
+       |       ) GROUP BY i, bucket),
+       |cand AS (SELECT DISTINCT tok, ${md5HashM31Sql("tok")} AS h FROM w)
+       |SELECT tok, CAST($leastOf AS BIGINT) AS est_count
+       |FROM cand
+       |        $joins
+       |ORDER BY est_count DESC, tok ASC LIMIT 25""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
@@ -1779,29 +1806,25 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
     // mirror of TextAnalysis.countMinSketch + cmsHeavyHitters: the
     // depth×width counter table from the same md5M31/perm bucket
     // hashes, point-queried (min over rows) for every distinct token
-    "text_heavy_hitters" -> {
-      val d = TextAnalysis.CmsDepth
-      val wdt = TextAnalysis.CmsWidth
-      def bucket(i: Int) = s"(${permSql("h", i)} % $wdt)"
-      val skRows = (0 until d).map(i =>
-        s"SELECT $i AS i, ${bucket(i)} AS bucket FROM wh").mkString(
-        "\n         UNION ALL\n         ")
-      val joins = (0 until d).map(i =>
-        s"JOIN (SELECT bucket, cnt AS c$i FROM sk WHERE i = $i) s$i" +
-          s" ON s$i.bucket = ${bucket(i)}").mkString("\n        ")
-      val leastOf = (0 until d).map(i => s"c$i").mkString("least(", ", ", ")")
-      s"""WITH $TOKS,
-         |w AS (SELECT unnest(toks) AS tok FROM t),
-         |wh AS (SELECT ${md5HashM31Sql("tok")} AS h FROM w),
-         |sk AS (SELECT i, bucket, count(*) AS cnt FROM (
-         |         $skRows
-         |       ) GROUP BY i, bucket),
-         |cand AS (SELECT DISTINCT tok, ${md5HashM31Sql("tok")} AS h FROM w)
-         |SELECT tok, CAST($leastOf AS BIGINT) AS est_count
-         |FROM cand
-         |        $joins
-         |ORDER BY est_count DESC, tok ASC LIMIT 25""".stripMargin
-    },
+    "text_heavy_hitters" -> heavyHittersSql,
+
+    // mirror of the text_stop_density composition: the heavy-hitters
+    // query becomes the discovered stopword list (nested WITH), then
+    // per-doc occurrence counting via an exploded join — the same
+    // numbers the Spark side computes with a broadcast literal list
+    "text_stop_density" ->
+      s"""WITH hh AS ($heavyHittersSql),
+         |$TOKS,
+         |tr AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |st AS (SELECT doc_id, count(*) AS n_stop
+         |       FROM tr JOIN hh USING (tok) GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(st.n_stop, 0) AS BIGINT) AS n_stop,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    CAST(CAST(round(coalesce(st.n_stop, 0)::DOUBLE / len(toks)
+         |      * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0
+         |  END AS stop_frac
+         |FROM t LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // mirror of TextAnalysis.collocations: PMI over adjacent-token
     // pairs, min pair count 5, top 30 — the ln input is the one shared

@@ -681,6 +681,21 @@ object SparkEntry {
     "text_collocations" -> ((s, dir) =>
       TextAnalysis.collocations(Tables.documents(s, dir))),
 
+    // sketch-composition flagship: DISCOVER the corpus' stopwords from
+    // the count-min sketch (top-25 heavy hitters — no hand-curated
+    // list), collect the k-sized list, score every doc's stopword
+    // density in one shuffle-free codegen'd scan
+    "text_stop_density" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sketch = TextAnalysis.countMinSketch(docs)
+      val cands = docs
+        .select(explode(graft.pipeline.Dedup.tokens("text")).as("tok"))
+        .distinct()
+      val stop = TextAnalysis.cmsHeavyHitters(cands, sketch)
+        .collect().map(_.getString(0)).toSeq
+      TextAnalysis.stopwordDensity(docs, stop).orderBy("doc_id")
+    }),
+
     // multi-round BPE vocabulary training: the full merge loop, with
     // exact leftmost-greedy application each round (double-space trick).
     // Served from the shared memo (one training run feeds this gate and

@@ -662,6 +662,26 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Per-doc density of a given stopword list — the composition
+    * target for [[cmsHeavyHitters]]: DISCOVER the corpus' function
+    * words from the sketch (no hand-curated list, works for any
+    * language mix), collect the k-sized list to the driver, and score
+    * every document in one shuffle-free codegen'd scan (`hits` over
+    * the token array, the same shape as [[quality]]). Sub-`minTokens`
+    * docs get a NULL fraction rather than a noisy one.
+    */
+  def stopwordDensity(docs: DataFrame, stopwords: Seq[String],
+                      textCol: String = "text"): DataFrame =
+    docs
+      .select(col("doc_id"), toks(textCol).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        hits(col("toks"), stopwords).cast("long").as("n_stop"))
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+        when(col("n_tokens") > 0,
+          r6(col("n_stop").cast("double") / col("n_tokens")))
+          .as("stop_frac"))
+
   // ---- PMI collocations ---------------------------------------------
 
   /** Collocation mining: adjacent-token pairs ranked by pointwise

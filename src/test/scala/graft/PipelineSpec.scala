@@ -1101,6 +1101,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(ext.length == 1 && ext(0).getAs[Long]("est_count") >= 0L)
   }
 
+  test("stopwordDensity counts occurrences of a discovered list, null under no tokens") {
+    val d = docs(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the the the", "en"),
+      (3L, "", "en"))
+    val sketch = TextAnalysis.countMinSketch(d)
+    val cands = d.select(org.apache.spark.sql.functions.explode(
+      Dedup.tokens("text")).as("tok")).distinct()
+    val top = TextAnalysis.cmsHeavyHitters(cands, sketch, topK = 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(top == Seq("the")) // 5 occurrences dominates
+    val out = TextAnalysis.stopwordDensity(d, top)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 6L && out(1L).getLong(2) == 2L)
+    assert(math.abs(out(1L).getDouble(3) - 0.333333) < 1e-9)
+    assert(out(2L).getLong(2) == 3L && out(2L).getDouble(3) == 1.0)
+    assert(out(3L).getLong(1) == 0L && out(3L).isNullAt(3))
+  }
+
   test("normalizeCenter: unit outputs, shrunken mean component, zero-safe") {
     val emb = Seq(
       (1L, Array(3.0f, 4.0f, 0.0f)), (2L, Array(0.0f, 5.0f, 0.0f)),
