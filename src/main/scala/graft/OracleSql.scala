@@ -194,6 +194,18 @@ object OracleSql {
          |FROM roll WHERE ts BETWEEN $LO AND $HI
          |ORDER BY channel, ts""".stripMargin,
 
+    // graft.streaming.Sessionize.windowedUserStats — 6h tumbling
+    // windows: count, exact distinct users, DECIMAL-routed value sum
+    // (scaled 6dp round on both sides)
+    "events_window_users" ->
+      s"""WITH e AS (SELECT epoch_ns(ts) AS tsn, user_id, value FROM events)
+         |SELECT tsn - tsn % ${21600L * 1000000000L} AS win_start,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  CAST(CAST(round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+         |    * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_value
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // graft.streaming.Sessionize.sessions — session_window semantics:
     // merge iff diff <= gap (an exactly-gap successor still merges);
     // 12h gap

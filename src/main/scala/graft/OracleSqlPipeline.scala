@@ -1808,6 +1808,25 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
     // hashes, point-queried (min over rows) for every distinct token
     "text_heavy_hitters" -> heavyHittersSql,
 
+    // mirror of Retrieval.tfidfTopK: smoothed TF-IDF, score rounded
+    // BEFORE the per-doc rank so half-ULP ln drift cannot flip ranks
+    "text_tfidf_topk" ->
+      s"""WITH $TOKS,
+         |w AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM w GROUP BY 1, 2),
+         |dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, tok, tf,
+         |         CAST(CAST(round(tf * (ln((1.0 + n_docs) / (1.0 + df))
+         |           + 1.0) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0
+         |           AS score
+         |       FROM tf JOIN dfc USING (tok) CROSS JOIN n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, tok ASC) AS rank FROM sc)
+         |SELECT doc_id, CAST(rank AS INT) AS rank, tok,
+         |  CAST(tf AS BIGINT) AS tf, score
+         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
     // mirror of the text_stop_density composition: the heavy-hitters
     // query becomes the discovered stopword list (nested WITH), then
     // per-doc occurrence counting via an exploded join — the same

@@ -318,6 +318,16 @@ object SparkEntry {
           col("roll_min"), col("roll_max"), col("roll_n"))
         .orderBy("channel", "ts")),
 
+    // tumbling-window event analytics: per 6h epoch-aligned window,
+    // event count + EXACT distinct users (the gate tier; production
+    // swaps approx_count_distinct — HLL++, mergeable) + value sum
+    "events_window_users" -> ((s, dir) =>
+      graft.streaming.Sessionize.windowedUserStats(
+          Tables.events(s, dir), 21600L)
+        .select(col("win_start"), col("n_events"), col("n_users"),
+          sr6("sum_value"))
+        .orderBy("win_start")),
+
     // the skew path: the same bytes with the time axis split into
     // 2h chunks processed in parallel (context-row warm-up across
     // chunk boundaries) — a hot channel stops being one straggler task
@@ -680,6 +690,12 @@ object SparkEntry {
     // information over vocabulary-bounded count tables
     "text_collocations" -> ((s, dir) =>
       TextAnalysis.collocations(Tables.documents(s, dir))),
+
+    // per-doc top-5 keywords by smoothed TF-IDF (score 6dp-rounded
+    // BEFORE ranking so engine half-ULPs cannot flip a rank)
+    "text_tfidf_topk" -> ((s, dir) =>
+      Retrieval.tfidfTopK(Tables.documents(s, dir))
+        .orderBy("doc_id", "rank")),
 
     // sketch-composition flagship: DISCOVER the corpus' stopwords from
     // the count-min sketch (top-25 heavy hitters — no hand-curated

@@ -81,4 +81,43 @@ object Retrieval {
       .select(col("doc_id"), col("n_query_terms"),
         col("score_exact").cast("decimal(38,6)").cast("double").as("score"))
   }
+
+  /** Per-document top-k keywords by smoothed TF-IDF
+    * (idf = ln((1+N)/(1+df)) + 1, the sklearn smoothing — never
+    * negative, never divides by zero), the standard keyword-extraction
+    * / doc-representation primitive.
+    *
+    * Scale shape: two doc-sized shuffles — tf on (doc_id, tok), then
+    * the per-doc top-k window on doc_id — plus a vocabulary-sized df
+    * table that is BROADCAST (never a corpus-side shuffle). At 100 TB
+    * prune the df table to df ≥ 2 first (hapax tokens are noise and
+    * dominate the vocabulary).
+    *
+    * Determinism: idf inputs are exact integers in one shared
+    * parenthesization; the score is 6dp scale-rounded BEFORE ranking
+    * so a half-ULP idf difference can never flip a rank between
+    * engines; ties break on tok asc.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 5,
+                textCol: String = "text"): DataFrame = {
+    val sr6 = (c: Column) =>
+      round(c * lit(1e6)).cast("long").cast("double") / lit(1e6)
+    val tf = docs.select(col("doc_id"), explode(toks(textCol)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) +
+      lit(1.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok").asc)
+    tf.join(broadcast(dfc), Seq("tok"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"), col("tf"),
+        sr6(col("tf") * idf).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"),
+        col("score"))
+  }
 }

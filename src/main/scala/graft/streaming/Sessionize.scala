@@ -52,6 +52,25 @@ object Sessionize {
       .drop("session_seq")
   }
 
+  /** Tumbling-window event statistics: per epoch-aligned window,
+    * event count, EXACT distinct users, and a DECIMAL-routed value
+    * sum. The gate uses exact `count(DISTINCT)` (Spark plans the
+    * two-phase expand — correct but a second shuffle keyed on
+    * (window, user)); at 100 TB swap in `approx_count_distinct`
+    * (HyperLogLog++: one map-side-combinable pass, mergeable sketches,
+    * ~2% error) — the same exact/approx switch corpusStats documents
+    * for percentiles.
+    */
+  def windowedUserStats(events: DataFrame, windowSec: Long): DataFrame =
+    events
+      .groupBy(graft.core.Samples.windowStart(col("ts"),
+        windowSec * 1000000000L).as("win_start"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(38,12)")).cast("double")
+          .as("sum_value"))
+
   /** The same sessions via Spark's native `session_window` — the
     * formulation that runs unchanged under Structured Streaming
     * (watermark-driven state cleanup, merging session state).

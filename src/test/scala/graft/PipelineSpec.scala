@@ -1101,6 +1101,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(ext.length == 1 && ext(0).getAs[Long]("est_count") >= 0L)
   }
 
+  test("tfidfTopK ranks a doc's rare term above its common term") {
+    // "zebra" appears once in one doc; "common" appears in every doc —
+    // same tf within doc 1, so idf must decide the order
+    val d = docs(
+      (1L, "common zebra common", "en"),
+      (2L, "common filler words here", "en"),
+      (3L, "common more filler text", "en"))
+    val out = Retrieval.tfidfTopK(d, k = 2)
+      .where($"doc_id" === 1L).orderBy("rank").collect()
+    assert(out(0).getAs[String]("tok") == "common") // tf 2 beats idf here
+    assert(out(1).getAs[String]("tok") == "zebra")
+    // but per-occurrence, zebra scores higher: score/tf comparison
+    val sCommon = out(0).getAs[Double]("score") / out(0).getAs[Long]("tf")
+    val sZebra = out(1).getAs[Double]("score") / out(1).getAs[Long]("tf")
+    assert(sZebra > sCommon)
+    // idf formula check: zebra tf=1, df=1, N=3 → (1+3)/(1+1)=2
+    assert(math.abs(out(1).getAs[Double]("score") -
+      (math.log(2.0) + 1.0)) < 1e-6)
+  }
+
+  test("windowedUserStats: exact distinct users per tumbling window") {
+    import org.apache.spark.sql.functions._
+    val NS = 1000000000L
+    val ev = Seq(
+      (1L, 10L * NS, 7L, 1.5), (2L, 20L * NS, 7L, 2.5),
+      (3L, 30L * NS, 8L, 1.0), (4L, 100L * NS, 7L, 4.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = graft.streaming.Sessionize.windowedUserStats(ev, 60L)
+      .orderBy("win_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 0L && out(0).getLong(1) == 3L &&
+      out(0).getLong(2) == 2L && out(0).getDouble(3) == 5.0)
+    assert(out(1).getLong(0) == 60L * NS && out(1).getLong(2) == 1L)
+  }
+
   test("stopwordDensity counts occurrences of a discovered list, null under no tokens") {
     val d = docs(
       (1L, "the cat sat on the mat", "en"),
