@@ -102,8 +102,14 @@ object Retrieval {
                 textCol: String = "text"): DataFrame = {
     val sr6 = (c: Column) =>
       round(c * lit(1e6)).cast("long").cast("double") / lit(1e6)
+    // tf feeds both the df aggregation and the scoring join — without
+    // truncation the corpus explosion runs per branch (AQE exchange
+    // reuse observed not collapsing identical agg subplans); lazily
+    // localCheckpoint it, the pipeline_curate2 pattern (measured 3.1×
+    // there for the same multi-branch shape)
     val tf = docs.select(col("doc_id"), explode(toks(textCol)).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val idf = log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) +

@@ -709,11 +709,18 @@ object TextAnalysis {
           "slice(toks, 2, size(toks) - 1), " +
           "(x, y) -> named_struct('u', x, 'w', y))")).as("bg"))
       .select(col("bg.u").as("u"), col("bg.w").as("w"))
+    // uni feeds three consumers (cu join, cw join, Nu total) and bi0
+    // two (Nb total, the filtered table) — self-join branches don't
+    // CSE and AQE's exchange reuse was observed NOT collapsing them,
+    // so the corpus would pay the token/pair explosion per branch.
+    // Both frames are vocabulary-bounded: lazily localCheckpoint them
+    // (the semanticDedup pattern — first materialization is reused;
+    // snapshot semantics documented there apply here too)
     val uni = docs.select(explode(toks(textCol)).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c1"))
-    // bi0 feeds both the totals and the filtered table — identical
-    // subplans, so ReuseExchange serves both from one shuffle
+      .localCheckpoint(false)
     val bi0 = pairs.groupBy("u", "w").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(false)
     val totals = bi0.agg(sum(col("c2")).as("nb")).crossJoin(
       uni.agg(sum(col("c1")).as("nu")))
     val bi = bi0.where(col("c2") >= minCount)
