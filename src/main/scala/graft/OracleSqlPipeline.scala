@@ -1763,6 +1763,45 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |  ON e.vec_id = r.vec_id
          |ORDER BY e.vec_id""".stripMargin,
 
+    // mirror of the pipeline_curate3 composition: heavy hitters →
+    // stopword-density band → top-1 TF-IDF keyword → hash split,
+    // each fragment identical to its standalone gate's mirror
+    "pipeline_curate3" ->
+      s"""WITH hh AS ($heavyHittersSql),
+         |$TOKS,
+         |tr AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |st AS (SELECT doc_id, count(*) AS n_stop
+         |       FROM tr JOIN hh USING (tok) GROUP BY doc_id),
+         |sd AS (SELECT t.doc_id,
+         |         CAST(CAST(round(coalesce(st.n_stop, 0)::DOUBLE / len(toks)
+         |           * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS stop_frac
+         |       FROM t LEFT JOIN st USING (doc_id) WHERE len(toks) > 0),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tr GROUP BY 1, 2),
+         |dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, tok,
+         |         CAST(CAST(round(tf * (ln((1.0 + n_docs) / (1.0 + df))
+         |           + 1.0) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0
+         |           AS score
+         |       FROM tf JOIN dfc USING (tok) CROSS JOIN n),
+         |kw AS (SELECT doc_id, tok AS top_keyword, score AS kw_score
+         |       FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |               ORDER BY score DESC, tok ASC) AS rnk FROM sc)
+         |       WHERE rnk = 1),
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN u < 0.8 THEN 'train'
+         |              WHEN u < 0.9 THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM (SELECT doc_id,
+         |               (('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 15))::BIGINT
+         |                / 1152921504606846976.0) AS u
+         |             FROM documents))
+         |SELECT sd.doc_id, sd.stop_frac, kw.top_keyword, kw.kw_score,
+         |       sp.split
+         |FROM sd JOIN kw USING (doc_id) JOIN sp USING (doc_id)
+         |WHERE sd.stop_frac BETWEEN 0.05 AND 0.95
+         |ORDER BY sd.doc_id""".stripMargin,
+
     // mirror of Similarity.normalizeCenter: unit vectors (6dp
     // scale-rounded at the hand-off), per-dim DECIMAL-routed corpus
     // mean (6dp at hand-off), center, re-normalize, stringify — every

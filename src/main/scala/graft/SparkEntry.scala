@@ -697,6 +697,33 @@ object SparkEntry {
       Retrieval.tfidfTopK(Tables.documents(s, dir))
         .orderBy("doc_id", "rank")),
 
+    // THIRD composition flagship, from the round-5 third/fourth-batch
+    // ops: discover stopwords from the count-min sketch → per-doc
+    // stopword-density band filter (too few function words = listy
+    // garbage, too many = empty prose) → annotate survivors with
+    // their top TF-IDF keyword → growth-stable hash split. Every
+    // stage is itself oracle-gated standalone.
+    "pipeline_curate3" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sketch = TextAnalysis.countMinSketch(docs)
+      val cands = docs
+        .select(explode(graft.pipeline.Dedup.tokens("text")).as("tok"))
+        .distinct()
+      val stop = TextAnalysis.cmsHeavyHitters(cands, sketch)
+        .collect().map(_.getString(0)).toSeq
+      val sd = TextAnalysis.stopwordDensity(docs, stop)
+        .where(col("stop_frac").between(0.05, 0.95))
+        .select(col("doc_id"), col("stop_frac"))
+      val kw = Retrieval.tfidfTopK(docs, k = 1)
+        .select(col("doc_id"), col("tok").as("top_keyword"),
+          col("score").as("kw_score"))
+      sd.join(kw, Seq("doc_id"))
+        .join(Sampling.hashSplit(docs,
+            Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
+          .select(col("doc_id"), col("split")), Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // sketch-composition flagship: DISCOVER the corpus' stopwords from
     // the count-min sketch (top-25 heavy hitters — no hand-curated
     // list), collect the k-sized list, score every doc's stopword
