@@ -194,6 +194,16 @@ object OracleSql {
          |FROM roll WHERE ts BETWEEN $LO AND $HI
          |ORDER BY channel, ts""".stripMargin,
 
+    // SparkEntry stream_window_counts — the native window() streaming
+    // aggregation must emit exactly the batch tumbling counts/sums
+    "stream_window_counts" ->
+      s"""WITH e AS (SELECT epoch_ns(ts) AS tsn, value FROM events)
+         |SELECT tsn - tsn % ${21600L * 1000000000L} AS win_start,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(CAST(round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+         |    * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_value
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // graft.streaming.Sessionize.windowedUserStats — 6h tumbling
     // windows: count, exact distinct users, DECIMAL-routed value sum
     // (scaled 6dp round on both sides)

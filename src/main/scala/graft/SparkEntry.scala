@@ -318,6 +318,43 @@ object SparkEntry {
           col("roll_min"), col("roll_max"), col("roll_n"))
         .orderBy("channel", "ts")),
 
+    // the NATIVE tumbling window() streaming aggregation under the
+    // driver oracle (the fourth oracle-gated streaming path — the
+    // built-in windowed-state form of ST2, complementing the custom
+    // keyed-state decimator): events drain through watermark +
+    // groupBy(window(...)) in append mode, a sentinel one window past
+    // the corpus end finalizes every real window, and the emitted
+    // counts/sums must hash-match the batch tumbling aggregation
+    "stream_window_counts" -> ((s, dir) => {
+      val in = scratchDir("swc-in") + "/events"
+      val win = 21600L
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("value"))
+      val maxTs = ev.agg(max(col("ts"))).head.getLong(0)
+      val sentinel = s.range(1).select(lit(-1L).as("event_id"),
+        lit(maxTs + (win + 60L) * 1000000000L).as("ts"),
+        lit(0.0).as("value"))
+      ev.unionByName(sentinel).write.parquet(in)
+      val stream = s.readStream.schema(ev.schema).parquet(in)
+        .withColumn("_ts", timestamp_micros(
+          (col("ts").cast("decimal(20,0)") / 1000L).cast("long")))
+        .withWatermark("_ts", "0 seconds")
+      val sink = s"swc_out_${streamGateSeq.incrementAndGet()}"
+      val q = stream
+        .groupBy(window(col("_ts"), s"$win seconds"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(38,12)")).cast("double")
+            .as("sum_value"))
+        .select((unix_micros(col("window.start")) * 1000L).as("win_start"),
+          col("n_events"), col("sum_value"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(col("win_start"), col("n_events"), sr6("sum_value"))
+        .orderBy("win_start")
+    }),
+
     // tumbling-window event analytics: per 6h epoch-aligned window,
     // event count + EXACT distinct users (the gate tier; production
     // swaps approx_count_distinct — HLL++, mergeable) + value sum
