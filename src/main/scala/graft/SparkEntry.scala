@@ -365,6 +365,30 @@ object SparkEntry {
           sr6("sum_value"))
         .orderBy("win_start")),
 
+    // the FIFTH oracle-gated streaming path: per-channel keyed-state
+    // trailing window — every sample emits its trailing stats once,
+    // and the drained stream must serve the batch RANGE-frame bytes
+    "stream_rolling_window" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val in = scratchDir("sroll-in") + "/samples"
+      val m = clean(s, dir).select(col("channel"), col("ts"),
+        col("value"), col("sample_id").as("seq"))
+      m.write.parquet(in)
+      val ds = s.readStream.schema(m.schema).parquet(in)
+        .as[graft.streaming.StreamingDecimation.InSample]
+      val sink = s"sroll_out_${streamGateSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamingRolling.trailingStream(ds, 3600L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .where(col("ts").between(LO, HI))
+        .select(col("channel"), col("ts"), sr6("roll_mean"),
+          col("roll_min"), col("roll_max"), col("roll_n"))
+        .orderBy("channel", "ts")
+    }),
+
     // the skew path: the same bytes with the time axis split into
     // 2h chunks processed in parallel (context-row warm-up across
     // chunk boundaries) — a hot channel stops being one straggler task
@@ -1269,6 +1293,8 @@ object SparkEntry {
       ("arch_rolling_window_fast" -> base("arch_rolling_window")) +
       // so does the chunk-parallel skew path
       ("arch_rolling_window_chunked" -> base("arch_rolling_window")) +
+      // and the keyed-state streaming form
+      ("stream_rolling_window" -> base("arch_rolling_window")) +
       // the native session_window streaming aggregation must emit the
       // batch sessionization's bytes once the watermark drains it
       ("stream_sessionize" -> base("events_sessionize")) +

@@ -58,6 +58,37 @@ class RollingSpec extends AnyFunSuite {
     compare(rows, windowSec = 10000L) // frame spans everything
   }
 
+  test("streamed trailing window equals batch across micro-batches") {
+    implicit val s: SparkSession = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingDecimation.InSample
+    val ns = 1000000000L
+    val rows = Seq(
+      ("c", 5L, Some(1.0)), ("c", 40L, Some(3.0)), ("d", 10L, Some(9.0)),
+      ("c", 70L, Some(5.0)), ("c", 71L, None), ("d", 200L, Some(2.0)),
+      ("c", 130L, Some(7.0)), ("c", 131L, Some(2.0)))
+      .map { case (ch, t, v) => (ch, t * ns, v) }
+    val in = rows.zipWithIndex.map { case ((ch, t, v), i) =>
+      InSample(ch, t, v, i.toLong)
+    }
+    val mem = MemoryStream[InSample]
+    val q = graft.streaming.StreamingRolling.trailingStream(mem.toDS(), 60L)
+      .writeStream.format("memory").queryName("sroll_spec")
+      .outputMode("append").start()
+    try {
+      // split mid-frame to exercise state carry-over
+      mem.addData(in.take(3)); q.processAllAvailable()
+      mem.addData(in.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sroll_spec")
+      .collect().map(_.toSeq.toString).sorted
+    val batch = Rolling.trailingFast(
+        rows.toDF("channel", "ts", "value"), 60L)
+      .collect().map(_.toSeq.toString).sorted
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("all-null frames yield null stats and zero count") {
     val ns = 1000000000L
     val rows = Seq(("c", 0L, None), ("c", 5 * ns, None),
