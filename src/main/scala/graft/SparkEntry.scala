@@ -365,6 +365,29 @@ object SparkEntry {
           sr6("sum_value"))
         .orderBy("win_start")),
 
+    // the SIXTH oracle-gated streaming path: streaming exact dedup
+    // (dropDuplicatesWithinWatermark over the content hash) must keep
+    // exactly one survivor per distinct text — the kept TEXT set is
+    // deterministic even though which doc_id survives a within-batch
+    // tie is not, so the gate hashes md5(text) of the survivors
+    "stream_dedup_exact" -> ((s, dir) => {
+      val in = scratchDir("sdx-in") + "/docs"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          timestamp_micros(lit(1704067200L) * 1000000L + col("doc_id"))
+            .as("event_time"))
+      docs.write.parquet(in)
+      val stream = s.readStream.schema(docs.schema).parquet(in)
+      val sink = s"sdx_out_${streamGateSeq.incrementAndGet()}"
+      val q = graft.pipeline.Dedup
+        .exactStreaming(stream, "event_time", "10 minutes")
+        .select(md5(col("text")).as("text_hash"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).select(col("text_hash")).orderBy("text_hash")
+    }),
+
     // the FIFTH oracle-gated streaming path: per-channel keyed-state
     // trailing window — every sample emits its trailing stats once,
     // and the drained stream must serve the batch RANGE-frame bytes
@@ -1295,6 +1318,11 @@ object SparkEntry {
       ("arch_rolling_window_chunked" -> base("arch_rolling_window")) +
       // and the keyed-state streaming form
       ("stream_rolling_window" -> base("arch_rolling_window")) +
+      // streaming exact dedup keeps one survivor per distinct text
+      ("stream_dedup_exact" ->
+        """SELECT md5(text) AS text_hash
+          |FROM (SELECT DISTINCT text FROM documents)
+          |ORDER BY text_hash""".stripMargin) +
       // the native session_window streaming aggregation must emit the
       // batch sessionization's bytes once the watermark drains it
       ("stream_sessionize" -> base("events_sessionize")) +
