@@ -198,10 +198,14 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
     val skRows = (0 until d).map(i =>
       s"SELECT $i AS i, ${bucket(i)} AS bucket FROM wh").mkString(
       "\n         UNION ALL\n         ")
+    // LEFT joins + coalesce(0): the Spark side answers external
+    // candidates (whose bucket may be globally empty) with 0, never a
+    // dropped row — the mirror must match that contract
     val joins = (0 until d).map(i =>
-      s"JOIN (SELECT bucket, cnt AS c$i FROM sk WHERE i = $i) s$i" +
+      s"LEFT JOIN (SELECT bucket, cnt AS c$i FROM sk WHERE i = $i) s$i" +
         s" ON s$i.bucket = ${bucket(i)}").mkString("\n        ")
-    val leastOf = (0 until d).map(i => s"c$i").mkString("least(", ", ", ")")
+    val leastOf = (0 until d).map(i => s"coalesce(c$i, 0)")
+      .mkString("least(", ", ", ")")
     s"""WITH $TOKS,
        |w AS (SELECT unnest(toks) AS tok FROM t),
        |wh AS (SELECT ${md5HashM31Sql("tok")} AS h FROM w),
@@ -214,6 +218,31 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
        |        $joins
        |ORDER BY est_count DESC, tok ASC LIMIT 25""".stripMargin
   }
+
+  /** Shared fragments between the standalone stop-density / TF-IDF
+    * mirrors and the pipeline_curate3 composition — factored so a fix
+    * to either cannot drift from the other (requires `t` from TOKS,
+    * and `hh` for the stop-density pair).
+    */
+  private val stopDensityCtes: String =
+    """tr AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      |st AS (SELECT doc_id, count(*) AS n_stop
+      |       FROM tr JOIN hh USING (tok) GROUP BY doc_id)""".stripMargin
+
+  private val stopFracExpr: String =
+    """CAST(CAST(round(coalesce(st.n_stop, 0)::DOUBLE / len(toks)
+      |      * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0""".stripMargin
+
+  /** TF-IDF scoring chain over a (doc_id, tok) rows CTE. */
+  private def tfidfScoreCtes(tokRows: String): String =
+    s"""tf AS (SELECT doc_id, tok, count(*) AS tf FROM $tokRows GROUP BY 1, 2),
+       |dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |sc AS (SELECT doc_id, tok, tf,
+       |         CAST(CAST(round(tf * (ln((1.0 + n_docs) / (1.0 + df))
+       |           + 1.0) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0
+       |           AS score
+       |       FROM tf JOIN dfc USING (tok) CROSS JOIN n)""".stripMargin
 
   val all: Map[String, String] = Map(
     "dedup_exact" ->
@@ -1769,21 +1798,11 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
     "pipeline_curate3" ->
       s"""WITH hh AS ($heavyHittersSql),
          |$TOKS,
-         |tr AS (SELECT doc_id, unnest(toks) AS tok FROM t),
-         |st AS (SELECT doc_id, count(*) AS n_stop
-         |       FROM tr JOIN hh USING (tok) GROUP BY doc_id),
+         |$stopDensityCtes,
          |sd AS (SELECT t.doc_id,
-         |         CAST(CAST(round(coalesce(st.n_stop, 0)::DOUBLE / len(toks)
-         |           * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS stop_frac
+         |         $stopFracExpr AS stop_frac
          |       FROM t LEFT JOIN st USING (doc_id) WHERE len(toks) > 0),
-         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tr GROUP BY 1, 2),
-         |dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
-         |n AS (SELECT count(*) AS n_docs FROM documents),
-         |sc AS (SELECT doc_id, tok,
-         |         CAST(CAST(round(tf * (ln((1.0 + n_docs) / (1.0 + df))
-         |           + 1.0) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0
-         |           AS score
-         |       FROM tf JOIN dfc USING (tok) CROSS JOIN n),
+         |${tfidfScoreCtes("tr")},
          |kw AS (SELECT doc_id, tok AS top_keyword, score AS kw_score
          |       FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
          |               ORDER BY score DESC, tok ASC) AS rnk FROM sc)
@@ -1852,14 +1871,7 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
     "text_tfidf_topk" ->
       s"""WITH $TOKS,
          |w AS (SELECT doc_id, unnest(toks) AS tok FROM t),
-         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM w GROUP BY 1, 2),
-         |dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
-         |n AS (SELECT count(*) AS n_docs FROM documents),
-         |sc AS (SELECT doc_id, tok, tf,
-         |         CAST(CAST(round(tf * (ln((1.0 + n_docs) / (1.0 + df))
-         |           + 1.0) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0
-         |           AS score
-         |       FROM tf JOIN dfc USING (tok) CROSS JOIN n),
+         |${tfidfScoreCtes("w")},
          |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
          |        ORDER BY score DESC, tok ASC) AS rank FROM sc)
          |SELECT doc_id, CAST(rank AS INT) AS rank, tok,
@@ -1873,14 +1885,11 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
     "text_stop_density" ->
       s"""WITH hh AS ($heavyHittersSql),
          |$TOKS,
-         |tr AS (SELECT doc_id, unnest(toks) AS tok FROM t),
-         |st AS (SELECT doc_id, count(*) AS n_stop
-         |       FROM tr JOIN hh USING (tok) GROUP BY doc_id)
+         |$stopDensityCtes
          |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
          |  CAST(coalesce(st.n_stop, 0) AS BIGINT) AS n_stop,
          |  CASE WHEN len(toks) > 0 THEN
-         |    CAST(CAST(round(coalesce(st.n_stop, 0)::DOUBLE / len(toks)
-         |      * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0
+         |    $stopFracExpr
          |  END AS stop_frac
          |FROM t LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
 
@@ -1899,7 +1908,7 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |               (SELECT CAST(sum(c1) AS BIGINT) FROM uni) AS nu)
          |SELECT u, w, c2 AS n_pair,
          |  CAST(CAST(round(ln(c2::DOUBLE * nu * nu
-         |      / (nb * cu.c1 * cw.c1)) * 1000000.0) AS BIGINT) AS DOUBLE)
+         |      / (nb::DOUBLE * cu.c1 * cw.c1)) * 1000000.0) AS BIGINT) AS DOUBLE)
          |    / 1000000.0 AS pmi
          |FROM bi0
          |JOIN uni cu ON cu.tok = u

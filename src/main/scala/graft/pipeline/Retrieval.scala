@@ -100,8 +100,7 @@ object Retrieval {
     */
   def tfidfTopK(docs: DataFrame, k: Int = 5,
                 textCol: String = "text"): DataFrame = {
-    val sr6 = (c: Column) =>
-      round(c * lit(1e6)).cast("long").cast("double") / lit(1e6)
+    val sr6 = TextAnalysis.r6 _ // the one shared scaled-round sequence
     // tf feeds both the df aggregation and the scoring join — without
     // truncation the corpus explosion runs per branch (AQE exchange
     // reuse observed not collapsing identical agg subplans); lazily

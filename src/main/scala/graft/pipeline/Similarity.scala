@@ -718,8 +718,7 @@ object Similarity {
     * processed array).
     */
   def normalizeCenter(emb: DataFrame): DataFrame = {
-    val sr6e = (c: Column) =>
-      round(c * lit(1e6)).cast("long").cast("double") / lit(1e6)
+    val sr6e = TextAnalysis.r6 _ // the one shared scaled-round sequence
     val dot = graft.functions.VectorExpressions.vector_dot(_, _)
     val unit = emb
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))

@@ -644,9 +644,15 @@ object TextAnalysis {
   def cmsHeavyHitters(candidates: DataFrame, sketch: DataFrame,
                       topK: Int = 25, depth: Int = CmsDepth,
                       width: Int = CmsWidth): DataFrame = {
+    // the depth row-slices are depth independent broadcast branches of
+    // the same un-materialized sketch plan — without truncation each
+    // would re-run the corpus-wide sketch aggregation (AQE exchange
+    // reuse observed not collapsing such branches; the collocations/
+    // tfidf pattern). The sketch is ≤ depth·width rows: checkpoint it.
+    val sk0 = sketch.localCheckpoint(false)
     var est = candidates.select(col("tok"))
     for (i <- 0 until depth) {
-      val sk = sketch.where(col("row") === i)
+      val sk = sk0.where(col("row") === i)
         .select(col("bucket").as(s"b$i"), col("cnt").as(s"c$i"))
       // left join: a candidate the corpus never saw has no bucket row
       // only when that bucket is globally empty — either way the CMS
@@ -731,8 +737,12 @@ object TextAnalysis {
         Seq("w"))
       .crossJoin(broadcast(totals))
       .select(col("u"), col("w"), col("c2").as("n_pair"),
+        // denominator through DOUBLE from the first multiply: the
+        // integer product Nb·c1(u)·c1(w) exceeds 2^63 on large
+        // corpora (silent Long wrap here, a BIGINT overflow error in
+        // DuckDB); both engines share the ((nb·cu)·cw) double order
         r6(log(col("c2").cast("double") * col("nu") * col("nu")
-          / (col("nb") * col("cu") * col("cw")))).as("pmi"))
+          / (col("nb").cast("double") * col("cu") * col("cw")))).as("pmi"))
       .orderBy(col("pmi").desc, col("u").asc, col("w").asc)
       .limit(topK)
   }
