@@ -204,6 +204,41 @@ object OracleSql {
          |    * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_value
          |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // graft.archive.Rolling.zscore — trailing-window anomaly scores:
+    // exact DECIMAL Σx/Σx² window sums, one shared double
+    // parenthesization for mean/variance, clamp + NULL degenerate
+    // frames, scaled 6dp round at the edge
+    "arch_rolling_zscore" -> {
+      def sq(x: String) =
+        s"CAST(CAST(round(($x) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0"
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |roll AS (
+         |  SELECT channel, ts, value,
+         |    CAST(sum(CAST(value AS DECIMAL(38,12))) OVER w AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(value * value AS DECIMAL(38,12))) OVER w AS DOUBLE)
+         |      AS sxx,
+         |    count(value) OVER w AS n
+         |  FROM clean
+         |  WINDOW w AS (PARTITION BY channel ORDER BY ts
+         |    RANGE BETWEEN ${3600L * NS} PRECEDING AND CURRENT ROW)),
+         |z AS (
+         |  SELECT channel, ts, value,
+         |    sx / n AS zmean_raw,
+         |    CASE WHEN n >= 2 THEN
+         |      sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0))
+         |    END AS zstd_raw
+         |  FROM roll)
+         |SELECT channel, ts, value,
+         |  ${sq("zmean_raw")} AS zmean,
+         |  ${sq("zstd_raw")} AS zstd,
+         |  CASE WHEN zstd_raw > 0 THEN
+         |    ${sq("(value - zmean_raw) / zstd_raw")}
+         |  END AS zscore
+         |FROM z WHERE ts BETWEEN $LO AND $HI
+         |ORDER BY channel, ts""".stripMargin
+    },
+
     // graft.streaming.Sessionize.windowedUserStats — 6h tumbling
     // windows: count, exact distinct users, DECIMAL-routed value sum
     // (scaled 6dp round on both sides)

@@ -436,6 +436,16 @@ object SparkEntry {
         .orderBy("channel", "ts")
     }),
 
+    // trailing-window anomaly scores: z = (value − mean)/std against
+    // the channel's own 1h window, DECIMAL Σx/Σx² window sums, NULL
+    // (never garbage) on degenerate frames
+    "arch_rolling_zscore" -> ((s, dir) =>
+      graft.archive.Rolling.zscore(clean(s, dir), 3600L)
+        .where(col("ts").between(LO, HI))
+        .select(col("channel"), col("ts"), col("value"),
+          sr6("zmean"), sr6("zstd"), sr6("zscore"))
+        .orderBy("channel", "ts")),
+
     // the skew path: the same bytes with the time axis split into
     // 2h chunks processed in parallel (context-row warm-up across
     // chunk boundaries) — a hot channel stops being one straggler task

@@ -48,6 +48,41 @@ object Rolling {
       count(col("value")).over(w).as("roll_n"))
   }
 
+  /** Per-sample anomaly score against the channel's own trailing
+    * window: z = (value − mean)/std over `[ts − W, ts]` — the
+    * "deviation alarm" analytic an archiver's users run downstream of
+    * the sample API. One channel-clustered shuffle; mean and variance
+    * come from exact DECIMAL Σx / Σx² window sums (order-exact across
+    * partition topologies and engines), combined in one shared
+    * double parenthesization:
+    *
+    *   var = max( (Σx² − (Σx)²/n) / (n−1), 0 )    (sample variance,
+    *   clamped — cancellation can leave a tiny negative)
+    *
+    * Degenerate frames are NULL, not garbage: n < 2 → no std, std = 0
+    * (constant window) → no z. The current sample is part of its own
+    * window (self-inclusive baseline — an isolated spike still scores,
+    * capped near √n by construction).
+    */
+  def zscore(samples: DataFrame, windowSec: Long): DataFrame = {
+    val w = Window.partitionBy("channel").orderBy(col("ts"))
+      .rangeBetween(-windowSec * Samples.NS, 0L)
+    val sx = sum(col("value").cast("decimal(38,12)")).over(w).cast("double")
+    val sxx = sum((col("value") * col("value")).cast("decimal(38,12)"))
+      .over(w).cast("double")
+    val n = count(col("value")).over(w)
+    val staged = samples.select(col("channel"), col("ts"), col("value"),
+      sx.as("sx"), sxx.as("sxx"), n.as("n"))
+    val mean = col("sx") / col("n")
+    val variance = greatest(
+      (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1),
+      lit(0.0))
+    val std = when(col("n") >= 2, sqrt(variance))
+    staged.select(col("channel"), col("ts"), col("value"),
+      mean.as("zmean"), std.as("zstd"),
+      when(std > 0, (col("value") - mean) / std).as("zscore"))
+  }
+
   /** The shared linear-time frame walker over one sorted partition:
     * rows are (group channel, group chunk, ts, value, emit). State
     * resets on (channel, chunk) change; an exact DECIMAL running sum

@@ -89,6 +89,26 @@ class RollingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("zscore: spike scores, constant window and singleton frames are NULL") {
+    val ns = 1000000000L
+    val rows = Seq(
+      ("c", 0L, Some(2.0)), ("c", 10 * ns, Some(2.0)),
+      ("c", 20 * ns, Some(2.0)), ("c", 30 * ns, Some(8.0)), // spike
+      ("d", 0L, Some(5.0))) // singleton frame
+      .toDF("channel", "ts", "value")
+    val out = Rolling.zscore(rows, 60L).orderBy("channel", "ts").collect()
+    // first row: n=1 → no std, no z
+    assert(out(0).isNullAt(4) && out(0).isNullAt(5))
+    // constant window rows: std 0 → z NULL, never Inf/NaN
+    assert(out(1).getDouble(4) == 0.0 && out(1).isNullAt(5))
+    // the spike: mean (2+2+2+8)/4 = 3.5, sample std 3, z = 1.5
+    assert(math.abs(out(3).getDouble(3) - 3.5) < 1e-12)
+    assert(math.abs(out(3).getDouble(4) - 3.0) < 1e-12)
+    assert(math.abs(out(3).getDouble(5) - 1.5) < 1e-12)
+    // singleton channel: no std/z
+    assert(out(4).isNullAt(4) && out(4).isNullAt(5))
+  }
+
   test("all-null frames yield null stats and zero count") {
     val ns = 1000000000L
     val rows = Seq(("c", 0L, None), ("c", 5 * ns, None),
