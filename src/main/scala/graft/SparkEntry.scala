@@ -446,6 +446,14 @@ object SparkEntry {
           sr6("zmean"), sr6("zstd"), sr6("zscore"))
         .orderBy("channel", "ts")),
 
+    // the linear walker must serve the declarative z-score bytes
+    "arch_rolling_zscore_fast" -> ((s, dir) =>
+      graft.archive.Rolling.zscoreFast(clean(s, dir), 3600L)
+        .where(col("ts").between(LO, HI))
+        .select(col("channel"), col("ts"), col("value"),
+          sr6("zmean"), sr6("zstd"), sr6("zscore"))
+        .orderBy("channel", "ts")),
+
     // the skew path: the same bytes with the time axis split into
     // 2h chunks processed in parallel (context-row warm-up across
     // chunk boundaries) — a hot channel stops being one straggler task
@@ -1340,6 +1348,8 @@ object SparkEntry {
       ("arch_rolling_window_chunked" -> base("arch_rolling_window")) +
       // and the keyed-state streaming form
       ("stream_rolling_window" -> base("arch_rolling_window")) +
+      // the linear z-score walker serves the declarative bytes
+      ("arch_rolling_zscore_fast" -> base("arch_rolling_zscore")) +
       // streaming exact dedup keeps one survivor per distinct text
       ("stream_dedup_exact" ->
         """SELECT md5(text) AS text_hash

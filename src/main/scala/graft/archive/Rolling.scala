@@ -11,6 +11,11 @@ case class RollOut(channel: String, ts: Long, roll_mean: Option[Double],
                    roll_min: Option[Double], roll_max: Option[Double],
                    roll_n: Long)
 
+/** Output row of the z-score operators. */
+case class ZOut(channel: String, ts: Long, value: Option[Double],
+                zmean: Option[Double], zstd: Option[Double],
+                zscore: Option[Double])
+
 /** Trailing (sliding) time-window aggregates over the canonical sample
   * frame — the analytics companion to the tumbling decimation family
   * (SURVEY.md W1): for every sample, the mean/min/max/count of the
@@ -63,6 +68,11 @@ object Rolling {
     * (constant window) → no z. The current sample is part of its own
     * window (self-inclusive baseline — an isolated spike still scores,
     * capped near √n by construction).
+    *
+    * Scale note: this declarative form inherits the sliding-frame
+    * re-evaluation cost ([[trailingFast]]'s doc — O(n·frame) on dense
+    * channels); [[zscoreFast]] is the linear path (same bytes, same
+    * oracle) for 1 Hz × 1 h frames corpus-wide.
     */
   def zscore(samples: DataFrame, windowSec: Long): DataFrame = {
     val w = Window.partitionBy("channel").orderBy(col("ts"))
@@ -81,6 +91,86 @@ object Rolling {
     staged.select(col("channel"), col("ts"), col("value"),
       mean.as("zmean"), std.as("zstd"),
       when(std > 0, (col("value") - mean) / std).as("zscore"))
+  }
+
+  /** [[zscore]] in linear time — the deque walker's sibling carrying
+    * Σx AND Σx² as exact decimals (add/subtract order-exact, so
+    * incremental ≡ the RANGE window's re-aggregated sums bit for bit;
+    * each x² term is the double product cast to DECIMAL(38,12) exactly
+    * as the declarative plan casts it). Same one shuffle + sort; the
+    * mean/variance double math repeats [[zscore]]'s parenthesization
+    * verbatim, so both paths serve the same oracle bytes.
+    */
+  def zscoreFast(samples: DataFrame, windowSec: Long): DataFrame = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val w = windowSec * Samples.NS
+    samples.select(col("channel"), col("ts"), col("value"))
+      .as[(String, Long, Option[Double])]
+      .repartition(col("channel"))
+      .sortWithinPartitions(col("channel"), col("ts"))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[ZOut] {
+          var ch: String = null
+          val ring = scala.collection.mutable.ArrayDeque.empty[(Long, Option[Double])]
+          var sx = java.math.BigDecimal.ZERO
+          var sxx = java.math.BigDecimal.ZERO
+          var cnt = 0L
+          val pending = scala.collection.mutable.Queue.empty[ZOut]
+
+          private def dec(x: Double) =
+            java.math.BigDecimal.valueOf(x)
+              .setScale(12, java.math.RoundingMode.HALF_UP)
+
+          private def push(ts: Long, v: Option[Double]): Unit = {
+            ring.append((ts, v))
+            v.foreach { x =>
+              sx = sx.add(dec(x)); sxx = sxx.add(dec(x * x)); cnt += 1
+            }
+          }
+
+          private def evict(lo: Long): Unit =
+            while (ring.nonEmpty && ring.head._1 < lo) {
+              val (_, ev) = ring.removeHead()
+              ev.foreach { x =>
+                sx = sx.subtract(dec(x)); sxx = sxx.subtract(dec(x * x))
+                cnt -= 1
+              }
+            }
+
+          private def refill(): Unit = {
+            if (buf.isEmpty) return
+            val (c, ts, _) = buf.head
+            if (c != ch) {
+              ch = c; ring.clear()
+              sx = java.math.BigDecimal.ZERO; sxx = java.math.BigDecimal.ZERO
+              cnt = 0L
+            }
+            val peers = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Double])]
+            while (buf.hasNext && buf.head._1 == ch && buf.head._2 == ts) {
+              val r = buf.next(); peers += ((r._2, r._3))
+            }
+            peers.foreach { case (t, v) => push(t, v) }
+            evict(ts - w)
+            // the zscore() parenthesization, verbatim
+            val sxd = sx.doubleValue(); val sxxd = sxx.doubleValue()
+            val mean = if (cnt == 0) None else Some(sxd / cnt)
+            val std = if (cnt >= 2)
+              Some(math.sqrt(math.max((sxxd - sxd * sxd / cnt) / (cnt - 1), 0.0)))
+            else None
+            peers.foreach { case (t, v) =>
+              val z = for (x <- v; s <- std if s > 0; m <- mean)
+                yield (x - m) / s
+              pending.enqueue(ZOut(ch, t, v, mean, std, z))
+            }
+          }
+
+          def hasNext: Boolean = { if (pending.isEmpty) refill(); pending.nonEmpty }
+          def next(): ZOut = { hasNext; pending.dequeue() }
+        }
+      }
+      .toDF()
   }
 
   /** The shared linear-time frame walker over one sorted partition:

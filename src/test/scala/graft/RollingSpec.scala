@@ -109,6 +109,24 @@ class RollingSpec extends AnyFunSuite {
     assert(out(4).isNullAt(4) && out(4).isNullAt(5))
   }
 
+  test("zscoreFast equals the declarative zscore, bitwise") {
+    val ns = 1000000000L
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 1500).map { i =>
+      val ch = s"z${rnd.nextInt(4)}"
+      val ts = rnd.nextInt(200).toLong * 9 * ns
+      val v = if (rnd.nextInt(12) == 0) None
+        else Some(math.floor(rnd.nextDouble() * 900) / 16.0)
+      (ch, ts, v)
+    }
+    val df = rows.toDF("channel", "ts", "value")
+    for (w <- Seq(1L, 90L, 100000L)) {
+      val slow = Rolling.zscore(df, w).collect().map(_.toSeq.toString).sorted
+      val fast = Rolling.zscoreFast(df, w).collect().map(_.toSeq.toString).sorted
+      assert(slow.toSeq == fast.toSeq, s"windowSec=$w")
+    }
+  }
+
   test("all-null frames yield null stats and zero count") {
     val ns = 1000000000L
     val rows = Seq(("c", 0L, None), ("c", 5 * ns, None),
