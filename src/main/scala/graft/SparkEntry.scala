@@ -454,6 +454,14 @@ object SparkEntry {
           sr6("zmean"), sr6("zstd"), sr6("zscore"))
         .orderBy("channel", "ts")),
 
+    // and so must the chunk-parallel skew path
+    "arch_rolling_zscore_chunked" -> ((s, dir) =>
+      graft.archive.Rolling.zscoreFastChunked(clean(s, dir), 3600L, 7200L)
+        .where(col("ts").between(LO, HI))
+        .select(col("channel"), col("ts"), col("value"),
+          sr6("zmean"), sr6("zstd"), sr6("zscore"))
+        .orderBy("channel", "ts")),
+
     // the skew path: the same bytes with the time axis split into
     // 2h chunks processed in parallel (context-row warm-up across
     // chunk boundaries) — a hot channel stops being one straggler task
@@ -1350,6 +1358,7 @@ object SparkEntry {
       ("stream_rolling_window" -> base("arch_rolling_window")) +
       // the linear z-score walker serves the declarative bytes
       ("arch_rolling_zscore_fast" -> base("arch_rolling_zscore")) +
+      ("arch_rolling_zscore_chunked" -> base("arch_rolling_zscore")) +
       // streaming exact dedup keeps one survivor per distinct text
       ("stream_dedup_exact" ->
         """SELECT md5(text) AS text_hash

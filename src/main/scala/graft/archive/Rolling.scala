@@ -105,72 +105,121 @@ object Rolling {
     val spark = samples.sparkSession
     import spark.implicits._
     val w = windowSec * Samples.NS
-    samples.select(col("channel"), col("ts"), col("value"))
-      .as[(String, Long, Option[Double])]
+    samples.select(col("channel"), lit(0L).as("_ck"), col("ts"),
+        col("value"), lit(true).as("_emit"))
+      .as[(String, Long, Long, Option[Double], Boolean)]
       .repartition(col("channel"))
       .sortWithinPartitions(col("channel"), col("ts"))
-      .mapPartitions { it =>
-        val buf = it.buffered
-        new Iterator[ZOut] {
-          var ch: String = null
-          val ring = scala.collection.mutable.ArrayDeque.empty[(Long, Option[Double])]
-          var sx = java.math.BigDecimal.ZERO
-          var sxx = java.math.BigDecimal.ZERO
-          var cnt = 0L
-          val pending = scala.collection.mutable.Queue.empty[ZOut]
+      .mapPartitions(zwalk(_, w))
+      .toDF()
+  }
 
-          private def dec(x: Double) =
-            java.math.BigDecimal.valueOf(x)
-              .setScale(12, java.math.RoundingMode.HALF_UP)
+  /** [[zscoreFast]] with the chunk-parallel skew treatment of
+    * [[trailingFastChunked]]: tumbling chunks with non-emitted
+    * look-back context rows, one shuffle on (channel, chunk), a hot
+    * channel becomes parallel chunk tasks at ≤ 2× shuffled rows.
+    */
+  def zscoreFastChunked(samples: DataFrame, windowSec: Long,
+                        chunkSec: Long): DataFrame = {
+    require(chunkSec >= windowSec,
+      s"chunkSec ($chunkSec) must be >= windowSec ($windowSec)")
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val w = windowSec * Samples.NS
+    val c = chunkSec * Samples.NS
+    val base = samples.select(col("channel"), col("ts"), col("value"))
+    val own = base
+      .select(col("channel"), Samples.windowStart(col("ts"), c).as("_ck"),
+        col("ts"), col("value"), lit(true).as("_emit"))
+    val ctx = base
+      .select(col("channel"),
+        (Samples.windowStart(col("ts"), c) + lit(c)).as("_ck"),
+        col("ts"), col("value"), lit(false).as("_emit"))
+      .where(col("ts") >= col("_ck") - lit(w))
+    own.unionByName(ctx)
+      .as[(String, Long, Long, Option[Double], Boolean)]
+      .repartition(col("channel"), col("_ck"))
+      .sortWithinPartitions(col("channel"), col("_ck"), col("ts"))
+      .mapPartitions(zwalk(_, w))
+      .toDF()
+  }
 
-          private def push(ts: Long, v: Option[Double]): Unit = {
-            ring.append((ts, v))
-            v.foreach { x =>
-              sx = sx.add(dec(x)); sxx = sxx.add(dec(x * x)); cnt += 1
-            }
-          }
+  /** The z-score walker over one sorted partition — the [[walk]]
+    * shape carrying Σx AND Σx² as exact decimals (add/subtract
+    * order-exact, so incremental ≡ the RANGE window's re-aggregated
+    * sums bit for bit; each x² term is the double product cast to
+    * DECIMAL(38,12) exactly as the declarative plan casts it). The
+    * mean/variance double math repeats [[zscore]]'s parenthesization
+    * verbatim, so every path serves the same oracle bytes.
+    */
+  private def zwalk(it: Iterator[(String, Long, Long, Option[Double], Boolean)],
+                    w: Long): Iterator[ZOut] = {
+    val buf = it.buffered
+    new Iterator[ZOut] {
+      var ch: String = null
+      var ck: Long = Long.MinValue
+      val ring = scala.collection.mutable.ArrayDeque.empty[(Long, Option[Double])]
+      var sx = java.math.BigDecimal.ZERO
+      var sxx = java.math.BigDecimal.ZERO
+      var cnt = 0L
+      val pending = scala.collection.mutable.Queue.empty[ZOut]
 
-          private def evict(lo: Long): Unit =
-            while (ring.nonEmpty && ring.head._1 < lo) {
-              val (_, ev) = ring.removeHead()
-              ev.foreach { x =>
-                sx = sx.subtract(dec(x)); sxx = sxx.subtract(dec(x * x))
-                cnt -= 1
-              }
-            }
+      private def dec(x: Double) =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(12, java.math.RoundingMode.HALF_UP)
 
-          private def refill(): Unit = {
-            if (buf.isEmpty) return
-            val (c, ts, _) = buf.head
-            if (c != ch) {
-              ch = c; ring.clear()
-              sx = java.math.BigDecimal.ZERO; sxx = java.math.BigDecimal.ZERO
-              cnt = 0L
-            }
-            val peers = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Double])]
-            while (buf.hasNext && buf.head._1 == ch && buf.head._2 == ts) {
-              val r = buf.next(); peers += ((r._2, r._3))
-            }
-            peers.foreach { case (t, v) => push(t, v) }
-            evict(ts - w)
-            // the zscore() parenthesization, verbatim
-            val sxd = sx.doubleValue(); val sxxd = sxx.doubleValue()
-            val mean = if (cnt == 0) None else Some(sxd / cnt)
-            val std = if (cnt >= 2)
-              Some(math.sqrt(math.max((sxxd - sxd * sxd / cnt) / (cnt - 1), 0.0)))
-            else None
-            peers.foreach { case (t, v) =>
-              val z = for (x <- v; s <- std if s > 0; m <- mean)
-                yield (x - m) / s
-              pending.enqueue(ZOut(ch, t, v, mean, std, z))
-            }
-          }
-
-          def hasNext: Boolean = { if (pending.isEmpty) refill(); pending.nonEmpty }
-          def next(): ZOut = { hasNext; pending.dequeue() }
+      private def push(ts: Long, v: Option[Double]): Unit = {
+        ring.append((ts, v))
+        v.foreach { x =>
+          sx = sx.add(dec(x)); sxx = sxx.add(dec(x * x)); cnt += 1
         }
       }
-      .toDF()
+
+      private def evict(lo: Long): Unit =
+        while (ring.nonEmpty && ring.head._1 < lo) {
+          val (_, ev) = ring.removeHead()
+          ev.foreach { x =>
+            sx = sx.subtract(dec(x)); sxx = sxx.subtract(dec(x * x))
+            cnt -= 1
+          }
+        }
+
+      private def refill(): Unit = {
+        if (buf.isEmpty) return
+        val (c, k, ts, _, _) = buf.head
+        if (c != ch || k != ck) {
+          ch = c; ck = k; ring.clear()
+          sx = java.math.BigDecimal.ZERO; sxx = java.math.BigDecimal.ZERO
+          cnt = 0L
+        }
+        val peers = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Double], Boolean)]
+        while (buf.hasNext && buf.head._1 == ch && buf.head._2 == ck &&
+               buf.head._3 == ts) {
+          val r = buf.next(); peers += ((r._3, r._4, r._5))
+        }
+        peers.foreach { case (t, v, _) => push(t, v) }
+        evict(ts - w)
+        // the zscore() parenthesization, verbatim
+        val sxd = sx.doubleValue(); val sxxd = sxx.doubleValue()
+        val mean = if (cnt == 0) None else Some(sxd / cnt)
+        val std = if (cnt >= 2)
+          Some(math.sqrt(math.max((sxxd - sxd * sxd / cnt) / (cnt - 1), 0.0)))
+        else None
+        peers.foreach { case (t, v, emit) =>
+          if (emit) {
+            val z = for (x <- v; s <- std if s > 0; m <- mean)
+              yield (x - m) / s
+            pending.enqueue(ZOut(ch, t, v, mean, std, z))
+          }
+        }
+      }
+
+      def hasNext: Boolean = {
+        while (pending.isEmpty && buf.hasNext) refill()
+        pending.nonEmpty
+      }
+      def next(): ZOut = { hasNext; pending.dequeue() }
+    }
   }
 
   /** The shared linear-time frame walker over one sorted partition:

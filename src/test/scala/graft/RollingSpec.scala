@@ -124,6 +124,9 @@ class RollingSpec extends AnyFunSuite {
       val slow = Rolling.zscore(df, w).collect().map(_.toSeq.toString).sorted
       val fast = Rolling.zscoreFast(df, w).collect().map(_.toSeq.toString).sorted
       assert(slow.toSeq == fast.toSeq, s"windowSec=$w")
+      val chunked = Rolling.zscoreFastChunked(df, w, w * 2)
+        .collect().map(_.toSeq.toString).sorted
+      assert(slow.toSeq == chunked.toSeq, s"chunked windowSec=$w")
     }
   }
 
