@@ -6,8 +6,12 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line:
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  * SPARK_GRAFT_SF_DIR and prints ONE SHORT JSON line:
+  * {"metric":"total","value":N,"unit":"sec","n_queries":...,
+  *  "decimate_sf1_rows_per_sec":...,"queries_detail":"bench_out.json",
+  *  "sf":...}. The full per-query timing map lives in bench.json /
+  * bench_out.json — stdout captures truncate multi-KB lines, so the
+  * parsable headline and the detail record are deliberately separate.
   *
   * Measurement protocol:
   *   - the action is a `noop`-format write, which executes the FULL
@@ -82,25 +86,33 @@ object Bench {
     val tputSec = DecimationBench.measure(spark, rows = 2000000L,
       channels = 250, runs = 2)
     val sf1Rows = 20000000L
-    val sf1Sec = DecimationBench.measure(spark, rows = sf1Rows,
+    val sf1Secs = DecimationBench.measureRuns(spark, rows = sf1Rows,
       channels = 1000, runs = 3)
+    val sf1Sec = sf1Secs.min
 
     val extras =
-      s""""events_rows":$nEvents,"decimate_rows_per_sec":${(2000000L / tputSec).toLong},"decimate_tput_rows":2000000,"decimate_sf1_rows_per_sec":${(sf1Rows / sf1Sec).toLong},"decimate_sf1_rows":$sf1Rows,"decimate_sf1_runs":3,"wall_sec":$wallSec,"runs_per_query":2,"action":"noop_write""""
-    val line =
+      s""""events_rows":$nEvents,"decimate_rows_per_sec":${(2000000L / tputSec).toLong},"decimate_tput_rows":2000000,"decimate_sf1_rows_per_sec":${(sf1Rows / sf1Sec).toLong},"decimate_sf1_rows":$sf1Rows,"decimate_sf1_runs":3,"decimate_sf1_run_secs":${sf1Secs.mkString("[", ",", "]")},"wall_sec":$wallSec,"runs_per_query":2,"action":"noop_write""""
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extras,"sf":"$sfDir"}"""
-    // machine-readable copies first — the driver's stdout capture
-    // truncates long lines, so the files are the authoritative artifact
-    // (both names: bench.json is the historical one, bench_out.json the
-    // one the round-3 review asked for)
+    // The FULL artifact (per-query map) goes to the files — the
+    // driver's stdout capture truncates long lines (~5 KB of 120 query
+    // timings defeated it five rounds running), so the files are the
+    // authoritative detail record (both names: bench.json is the
+    // historical one, bench_out.json the round-3 review's).
     Seq("bench.json", "bench_out.json").foreach { f =>
-      Files.write(Paths.get(f), (line + "\n").getBytes(StandardCharsets.UTF_8))
+      Files.write(Paths.get(f), (full + "\n").getBytes(StandardCharsets.UTF_8))
     }
+    // The stdout line is SHORT by design: headline totals + the pinned
+    // decimation throughput (all three run times, so a storage-pressure
+    // outlier is visible in the artifact) + a pointer to the full map.
+    // It must survive a last-line capture intact, so no 120-entry map.
+    val short =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"wall_sec":$wallSec,"runs_per_query":2,"action":"noop_write","decimate_sf1_rows_per_sec":${(sf1Rows / sf1Sec).toLong},"decimate_sf1_rows":$sf1Rows,"decimate_sf1_run_secs":${sf1Secs.mkString("[", ",", "]")},"decimate_rows_per_sec":${(2000000L / tputSec).toLong},"queries_detail":"bench_out.json","sf":"$sfDir"}"""
     spark.stop()
     // LAST act, after spark.stop(): the one stdout JSON line. Nothing
     // may print after it — a last-line parser must see the metric, not
     // shutdown noise (sbt's own "[success]" epilogue is disabled via
     // showSuccess := false in build.sbt).
-    println(line)
+    println(short)
   }
 }

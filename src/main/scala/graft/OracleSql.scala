@@ -425,6 +425,45 @@ object OracleSql {
          |WHERE c.ts >= m.t_max - $RET7D
          |GROUP BY c.channel ORDER BY c.channel""".stripMargin,
 
+    // the config-governed serving stack (ConfiguredArchive): channels
+    // ranked by name — rank 1 renamed AFTER the store is built, rank 2
+    // disabled — each enabled channel served over [LO, HI] under its
+    // CURRENT name with the widened-boundary contract: strict-inner
+    // rows plus the at-or-before-LO / at-or-after-HI boundary row
+    // (clean's per-channel ts are strictly monotonic, so each boundary
+    // row is unique)
+    "arch_configured_serve" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |chans AS (
+         |  SELECT channel, row_number() OVER (ORDER BY channel) AS rn
+         |  FROM (SELECT DISTINCT channel FROM samples)),
+         |cfg AS (
+         |  SELECT channel AS orig,
+         |    CASE WHEN rn = 1 THEN channel || '#renamed' ELSE channel END AS name,
+         |    (rn <> 2) AS enabled
+         |  FROM chans),
+         |inner_rows AS (
+         |  SELECT channel, ts, value FROM clean WHERE ts > $LO AND ts < $HI),
+         |lo_b AS (
+         |  SELECT channel, ts, value FROM (
+         |    SELECT channel, ts, value,
+         |      row_number() OVER (PARTITION BY channel ORDER BY ts DESC) AS k
+         |    FROM clean WHERE ts <= $LO) WHERE k = 1),
+         |hi_b AS (
+         |  SELECT channel, ts, value FROM (
+         |    SELECT channel, ts, value,
+         |      row_number() OVER (PARTITION BY channel ORDER BY ts ASC) AS k
+         |    FROM clean WHERE ts >= $HI) WHERE k = 1),
+         |uni AS (
+         |  SELECT * FROM inner_rows
+         |  UNION SELECT * FROM lo_b
+         |  UNION SELECT * FROM hi_b)
+         |SELECT g.name AS channel, u.ts, u.value, CAST(0 AS BIGINT) AS level
+         |FROM uni u JOIN cfg g ON u.channel = g.orig
+         |WHERE g.enabled
+         |ORDER BY channel, ts""".stripMargin,
+
     "chan_registry" ->
       s"""WITH $SAMPLES
          |SELECT channel, count(*) AS n_samples, min(ts) AS first_ts,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.archive.{ArchiveReader, ChannelRegistry, Decimation, JsonV1, ManifestStore, TypedDecimation}
+import graft.archive.{ArchiveReader, ChannelConfig, ChannelRegistry, ConfigCommands, ConfiguredArchive, Decimation, JsonV1, ManifestStore, TypedDecimation}
 import graft.core.{Samples, Tables, TypedSamples}
 import graft.pipeline.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
 import OracleSql._
@@ -73,6 +73,34 @@ object SparkEntry {
     * bench runs every query twice in one session.
     */
   private val streamGateSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Detach a drained memory-sink table and delete the gate's scratch
+    * inputs NOW (not at JVM exit): the returned frame keeps the sink's
+    * MemoryPlan alive until the caller is done with it, but dropping
+    * the temp view releases the catalog reference, so repeated gate
+    * runs in one session (bench runs every query twice) don't
+    * accumulate full-result memory sinks in the driver — or parquet
+    * copies of the input on scratch disk.
+    */
+  private def detachSink(s: SparkSession, sink: String,
+                         scratch: String*): DataFrame = {
+    val res = s.table(sink)
+    s.catalog.dropTempView(sink)
+    dropScratch(scratch: _*)
+    res
+  }
+
+  /** Recursively delete gate scratch paths that are no longer inputs
+    * to the frame being returned (drained stream inputs, stopped-query
+    * checkpoints).
+    */
+  private def dropScratch(paths: String*): Unit =
+    paths.foreach { p =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(p))
+    }
 
   /** One BPE training run per sf-dir, shared by every gate that needs
     * the merge list (`text_bpe_vocab` re-serves the trace,
@@ -257,6 +285,9 @@ object SparkEntry {
       val q = graft.streaming.StreamingDecimation.writeRawStream(
         s.readStream.schema(r.schema).parquet(in), store, ckpt)
       try q.processAllAvailable() finally q.stop()
+      // the served result reads the STORE only — the input copy and
+      // the checkpoint can go now instead of at JVM exit
+      dropScratch(in, ckpt)
       ArchiveReader.rangeScan(
           graft.archive.ArchiveStore.read(s, store, 0), LO, HI)
         .select(coreCols: _*)
@@ -283,7 +314,7 @@ object SparkEntry {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-      s.table(sink)
+      detachSink(s, sink, in)
         .select(col("channel"), col("win_start"), r6("mean"), r6("std"),
           col("min_value"), col("max_value"), r6("covered_fraction"),
           col("n_samples"))
@@ -369,7 +400,7 @@ object SparkEntry {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-      s.table(sink)
+      detachSink(s, sink, in)
         .select(col("win_start"), col("n_events"), sr6("sum_value"))
         .orderBy("win_start")
     }),
@@ -388,12 +419,11 @@ object SparkEntry {
     // (dropDuplicatesWithinWatermark over the content hash) must keep
     // exactly one survivor per distinct text — the kept TEXT set is
     // deterministic even though which doc_id survives a within-batch
-    // tie is not, so the gate hashes md5(text) of the survivors.
-    // Caveat (asymmetry vs the oracle): the streaming op keys on
-    // (xxhash64, length) — its production tier — while the oracle is
-    // true DISTINCT text; two distinct same-length texts colliding in
-    // 64 bits would red this gate. That probability is ~n²/2^65 and
-    // the corpus is fixed, so the gate is deterministic in practice.
+    // tie is not, so the gate hashes md5(text) of the survivors. The
+    // op keys on (md5, length) — the same 128-bit key as the batch
+    // exact tier — so the gate's DISTINCT-text oracle and the op's
+    // semantics are symmetric (a red would need two same-length texts
+    // sharing an md5).
     "stream_dedup_exact" -> ((s, dir) => {
       val in = scratchDir("sdx-in") + "/docs"
       val docs = Tables.documents(s, dir)
@@ -409,7 +439,7 @@ object SparkEntry {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-      s.table(sink).select(col("text_hash")).orderBy("text_hash")
+      detachSink(s, sink, in).select(col("text_hash")).orderBy("text_hash")
     }),
 
     // the FIFTH oracle-gated streaming path: per-channel keyed-state
@@ -429,7 +459,7 @@ object SparkEntry {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-      s.table(sink)
+      detachSink(s, sink, in)
         .where(col("ts").between(LO, HI))
         .select(col("channel"), col("ts"), sr6("roll_mean"),
           col("roll_min"), col("roll_max"), col("roll_n"))
@@ -505,7 +535,7 @@ object SparkEntry {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-      s.table(sink).where(col("user_id") =!= -1L)
+      detachSink(s, sink, in).where(col("user_id") =!= -1L)
         .select(col("user_id"), col("start_ns"), col("end_ns"),
           col("n_events"), r6("sum_value"))
         .orderBy("user_id", "start_ns")
@@ -584,6 +614,49 @@ object SparkEntry {
           col("first.enumValue").as("enum_value"), col("n_samples"))
         .orderBy("channel", "win_start")),
 
+    // ST2 for the FULL 21-type union under the driver oracle: the
+    // typed samples drain through the keyed-state TypedDecimatorCore
+    // dispatch (file source → flatMapGroupsWithState → append sink)
+    // and must hash-match the one-pass typed oracle byte for byte —
+    // the 21-type dispatch cannot silently drift between the batch
+    // plan and the streaming state machine without a red gate
+    "stream_decimate_typed" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val in = scratchDir("stdec-in") + "/samples"
+      // the same TValue struct packing as TypedDecimation.decimateSorted;
+      // arrival order = sample_id (the seq the F6/ST5 drop rule uses)
+      val m = TypedSamples.fromEvents(s, dir)
+        .select(col("channel"), col("ts"),
+          struct(col("vtype"), col("value").as("value"),
+            col("str_value").as("strValue"),
+            col("enum_value").as("enumValue"),
+            col("labels").as("labels"), col("arr_num").as("arrNum"),
+            col("arr_str").as("arrStr"), col("agg_mean").as("aggMean"),
+            col("agg_std").as("aggStd"), col("agg_min").as("aggMin"),
+            col("agg_max").as("aggMax"), col("agg_cov").as("aggCov"),
+            col("severity").as("severity"), col("status").as("status"))
+            .as("v"),
+          col("sample_id").as("seq"))
+      m.write.parquet(in)
+      val ds = s.readStream.schema(m.schema).parquet(in)
+        .as[graft.streaming.StreamingDecimation.TypedIn]
+      val sink = s"stdec_out_${streamGateSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamingDecimation
+        .decimateTypedStream(ds, P1H)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      detachSink(s, sink, in)
+        .select(col("channel"), col("win_start"), col("vtype"),
+          r6("mean"), r6("std"), col("min_value"), col("max_value"),
+          r6("covered_fraction"), col("max_severity"), col("status_at_max"),
+          when(!col("vtype").startsWith("aggregated_"), col("first.value"))
+            .as("first_value"),
+          col("first.enumValue").as("enum_value"), col("n_samples"))
+        .orderBy("channel", "win_start")
+    }),
+
     "arch_decimate_enum" -> ((s, dir) =>
       TypedDecimation.decimate(TypedSamples.fromEvents(s, dir), P1H)
         .where(col("vtype") === "scalar_enum")
@@ -625,6 +698,48 @@ object SparkEntry {
         Decimation.decimate(marked(s, dir), P1H), P1H, P6H)
         .orderBy("channel", "win_start")),
 
+    // the streaming cascade hop (A2/A8 live form) under the driver
+    // oracle: 1h fine windows (byte-identical to the streamed ones by
+    // the stream_decimate_1h gate) drain through the engine-exact
+    // keyed-state merge and must hash-match the batch reAggregateExact
+    // oracle. One sentinel fine window per channel past the channel's
+    // last coarse window flushes the final open state (a coarse window
+    // only emits once a fine window at-or-after its end arrives);
+    // sentinel states hold nothing and never emit.
+    "stream_reagg_6h" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val in = scratchDir("sreagg-in") + "/fine"
+      val fine = Decimation.decimate(marked(s, dir), P1H)
+        .select(col("channel"), col("win_start"), col("mean"), col("std"),
+          col("min_value"), col("max_value"), col("covered_fraction"),
+          col("n_samples"))
+      val sentinels = fine.groupBy("channel")
+        .agg(max(col("win_start")).as("w"))
+        .select(col("channel"), (col("w") + lit(P6H)).as("win_start"),
+          lit(null).cast("double").as("mean"),
+          lit(null).cast("double").as("std"),
+          lit(null).cast("double").as("min_value"),
+          lit(null).cast("double").as("max_value"),
+          lit(0.0).as("covered_fraction"), lit(0L).as("n_samples"))
+      // ONE file → one micro-batch: the keyed merge needs per-channel
+      // win_start order, which a multi-file replay can't guarantee
+      fine.unionByName(sentinels).coalesce(1).write.parquet(in)
+      val ds = s.readStream.schema(fine.schema).parquet(in)
+        .as[graft.streaming.StreamingDecimation.AggOut]
+      val sink = s"sreagg_out_${streamGateSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamingDecimation
+        .reAggregateExactStream(ds, P1H, P6H)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      detachSink(s, sink, in)
+        .select(col("channel"), col("win_start"), col("mean"), col("std"),
+          col("min_value"), col("max_value"), col("covered_fraction"),
+          col("n_samples"))
+        .orderBy("channel", "win_start")
+    }),
+
     "arch_asof_lookup" -> ((s, dir) => {
       val grid = raw(s, dir).select("channel").distinct()
         .withColumn("g", explode(sequence(lit(LO), lit(HI), lit(P6H))))
@@ -651,6 +766,43 @@ object SparkEntry {
             round(col("mean"), 6).as("value"), lit(p).as("level"))
       }
       dfs.reduce(_ unionByName _).orderBy("channel", "ts", "level")
+    }),
+
+    // the config-GOVERNED stack under the driver oracle (round-5
+    // review's ask): a config log built in-gate — every channel
+    // enabled on the raw level, the lexicographically FIRST channel
+    // renamed after the store is built, the SECOND disabled —
+    // materializes an id-keyed manifest store, then every enabled
+    // channel is served through ConfiguredArchive.querySamples
+    // (name→id resolution, config-declared level planning, widened
+    // boundaries) under its CURRENT name. The oracle rebuilds the
+    // same rename/disable table from rank-by-name and the same
+    // inner+boundary union from the clean frame — so a regression in
+    // name→id resolution, the disabled-drop at ingest, or the
+    // boundary-widened serving plan reds a hash, not just a spec.
+    // (The disabled channel's serving REFUSAL stays spec-asserted in
+    // ServingSpec — an exception has no oracle row to hash.)
+    "arch_configured_serve" -> ((s, dir) => {
+      val cfgDir = scratchDir("cfgsrv") + "/config"
+      val store = scratchDir("cfgsrv") + "/store"
+      val names = raw(s, dir).select("channel").distinct()
+        .orderBy("channel").collect().map(_.getString(0)).toSeq
+      names.zipWithIndex.foreach { case (n, i) =>
+        ConfigCommands.addChannel(s, cfgDir, ChannelConfig(n, s"id-$n",
+          "ca", enabled = i != 1, Map(), Map(0L -> 0L)))
+      }
+      // build BEFORE the rename: rename-stability means zero data
+      // files change when the name does
+      ConfiguredArchive.materialize(s, cfgDir, store, clean(s, dir))
+      ConfigCommands.renameChannel(s, cfgDir, names.head,
+        names.head + "#renamed")
+      val served = ConfigCommands.state(s, cfgDir).enabledConfigs
+        .map(_.name).sorted
+      served.map { n =>
+        ConfiguredArchive.querySamples(s, cfgDir, store, n, LO, HI, None)
+      }.reduce(_ unionByName _)
+        .select(col("channel"), col("ts"), col("value"), col("level"))
+        .orderBy("channel", "ts")
     }),
 
     "arch_retention" -> ((s, dir) =>
@@ -818,6 +970,21 @@ object SparkEntry {
         .select(explode(graft.pipeline.Dedup.tokens("text")).as("tok"))
         .distinct()
       TextAnalysis.cmsHeavyHitters(cands, sketch)
+    }),
+
+    // the 100 TB CMS story under the oracle: one sketch per corpus
+    // SHARD (disjoint doc_id halves), cmsMerge folds them, and the
+    // merged sketch must serve the WHOLE-corpus heavy hitters byte for
+    // byte — counter-wise addition is exact, so shard-and-fold is not
+    // an approximation of the single-pass sketch, it IS the sketch
+    "text_heavy_hitters_merged" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val skA = TextAnalysis.countMinSketch(docs.where(col("doc_id") % 2 === 0))
+      val skB = TextAnalysis.countMinSketch(docs.where(col("doc_id") % 2 =!= 0))
+      val cands = docs
+        .select(explode(graft.pipeline.Dedup.tokens("text")).as("tok"))
+        .distinct()
+      TextAnalysis.cmsHeavyHitters(cands, TextAnalysis.cmsMerge(skA, skB))
     }),
 
     // PMI collocation mining: adjacent-pair pointwise mutual
@@ -1350,6 +1517,12 @@ object SparkEntry {
       // windows the batch decimation plan emits — stream ≡ batch
       // under the DuckDB oracle, not just the ScalaTest property
       ("stream_decimate_1h" -> base("arch_decimate_1h")) +
+      // the 21-type streaming dispatch serves the one-pass typed bytes
+      ("stream_decimate_typed" -> base("arch_decimate_typed21_onepass")) +
+      // the streaming exact cascade hop serves the batch reagg bytes
+      ("stream_reagg_6h" -> base("arch_reagg_6h")) +
+      // shard-sketch + cmsMerge serves the whole-corpus heavy hitters
+      ("text_heavy_hitters_merged" -> base("text_heavy_hitters")) +
       // the deque sliding-window path serves the RANGE-frame bytes
       ("arch_rolling_window_fast" -> base("arch_rolling_window")) +
       // so does the chunk-parallel skew path

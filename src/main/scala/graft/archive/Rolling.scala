@@ -164,14 +164,27 @@ object Rolling {
       var cnt = 0L
       val pending = scala.collection.mutable.Queue.empty[ZOut]
 
-      private def dec(x: Double) =
-        java.math.BigDecimal.valueOf(x)
-          .setScale(12, java.math.RoundingMode.HALF_UP)
+      // non-finite x: the declarative plan's double→DECIMAL cast yields
+      // NULL (non-ANSI), so sum() skips the term while count(value)
+      // still counts the non-null double — mirror that here instead of
+      // letting BigDecimal.valueOf throw on NaN/Infinity (the walkers
+      // and the RANGE path are gated as byte-identical, so their
+      // failure modes must match too)
+      private def dec(x: Double): java.math.BigDecimal =
+        if (java.lang.Double.isFinite(x))
+          java.math.BigDecimal.valueOf(x)
+            .setScale(12, java.math.RoundingMode.HALF_UP)
+        else null
+
+      private def add(acc: java.math.BigDecimal, d: java.math.BigDecimal) =
+        if (d == null) acc else acc.add(d)
+      private def sub(acc: java.math.BigDecimal, d: java.math.BigDecimal) =
+        if (d == null) acc else acc.subtract(d)
 
       private def push(ts: Long, v: Option[Double]): Unit = {
         ring.append((ts, v))
         v.foreach { x =>
-          sx = sx.add(dec(x)); sxx = sxx.add(dec(x * x)); cnt += 1
+          sx = add(sx, dec(x)); sxx = add(sxx, dec(x * x)); cnt += 1
         }
       }
 
@@ -179,7 +192,7 @@ object Rolling {
         while (ring.nonEmpty && ring.head._1 < lo) {
           val (_, ev) = ring.removeHead()
           ev.foreach { x =>
-            sx = sx.subtract(dec(x)); sxx = sxx.subtract(dec(x * x))
+            sx = sub(sx, dec(x)); sxx = sub(sxx, dec(x * x))
             cnt -= 1
           }
         }
@@ -245,17 +258,30 @@ object Rolling {
       var cnt = 0L
       val pending = scala.collection.mutable.Queue.empty[RollOut]
 
-      private def dec(x: Double) = // cast double→DECIMAL(38,12), Spark's way
-        java.math.BigDecimal.valueOf(x)
-          .setScale(12, java.math.RoundingMode.HALF_UP)
+      // cast double→DECIMAL(38,12), Spark's way — including the
+      // non-ANSI NaN/Infinity → NULL rule (sum skips the term,
+      // count(value) still counts it), so a non-finite sample degrades
+      // identically to the declarative RANGE path instead of throwing
+      private def dec(x: Double): java.math.BigDecimal =
+        if (java.lang.Double.isFinite(x))
+          java.math.BigDecimal.valueOf(x)
+            .setScale(12, java.math.RoundingMode.HALF_UP)
+        else null
 
       private def push(ts: Long, v: Option[Double]): Unit = {
         ring.append((ts, v))
         v.foreach { x =>
-          sum = sum.add(dec(x)); cnt += 1
-          while (minDq.nonEmpty && minDq.last._2 >= x) minDq.removeLast()
+          val d = dec(x); if (d != null) sum = sum.add(d); cnt += 1
+          // Double.compare ordering = Spark's: NaN greater than
+          // everything (so a window holding a NaN reports max = NaN,
+          // min = smallest finite, like the declarative min/max)
+          while (minDq.nonEmpty &&
+            java.lang.Double.compare(minDq.last._2, x) >= 0)
+            minDq.removeLast()
           minDq.append((ts, x))
-          while (maxDq.nonEmpty && maxDq.last._2 <= x) maxDq.removeLast()
+          while (maxDq.nonEmpty &&
+            java.lang.Double.compare(maxDq.last._2, x) <= 0)
+            maxDq.removeLast()
           maxDq.append((ts, x))
         }
       }
@@ -263,7 +289,9 @@ object Rolling {
       private def evict(lo: Long): Unit = {
         while (ring.nonEmpty && ring.head._1 < lo) {
           val (_, ev) = ring.removeHead()
-          ev.foreach { x => sum = sum.subtract(dec(x)); cnt -= 1 }
+          ev.foreach { x =>
+            val d = dec(x); if (d != null) sum = sum.subtract(d); cnt -= 1
+          }
         }
         while (minDq.nonEmpty && minDq.head._1 < lo) minDq.removeHead()
         while (maxDq.nonEmpty && maxDq.head._1 < lo) maxDq.removeHead()

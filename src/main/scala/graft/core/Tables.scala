@@ -42,7 +42,18 @@ object Tables {
     */
   private def withNanos(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // loudly, not silently: an embedding application that had pinned a
+    // different zone for its own rendering gets one warning line the
+    // first time the engine re-pins it, instead of a quiet semantic
+    // shift in unrelated timestamp queries
+    val tz = spark.conf.get("spark.sql.session.timeZone", "")
+    if (tz != "UTC") {
+      if (tz.nonEmpty)
+        System.err.println(
+          s"[graft] overriding spark.sql.session.timeZone '$tz' -> UTC " +
+            "(engine contract; see Tables.withNanos scaladoc)")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
     spark
   }
 

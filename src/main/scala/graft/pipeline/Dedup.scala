@@ -399,12 +399,19 @@ object Dedup {
     * window, not corpus history. The batch [[exactFast]] pass dedups
     * across windows during compaction; this stage keeps the hot path
     * append-only.
+    *
+    * Keyed on (md5, length) — the 128-bit batch [[exact]] key plus the
+    * length belt: a collision dropping a genuinely distinct document
+    * would need two same-length texts sharing an md5, which is
+    * practically impossible (vs the ~n²/2^65 odds the earlier 64-bit
+    * xxhash64 key carried), so "exact" means exact here the same way
+    * it does in the batch tier and the DISTINCT-text oracle.
     */
   def exactStreaming(stream: DataFrame, eventTimeCol: String,
                      watermark: String,
                      textCol: String = "text"): DataFrame =
     stream
-      .withColumn("text_hash", xxhash64(col(textCol)))
+      .withColumn("text_hash", md5(col(textCol)))
       .withColumn("text_len", length(col(textCol)))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("text_hash", "text_len")

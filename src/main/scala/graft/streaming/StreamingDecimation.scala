@@ -185,6 +185,114 @@ object StreamingDecimation {
         GroupStateTimeout.NoTimeout)(process)
   }
 
+  /** Engine-exact accumulator for [[reAggregateExactStream]]: the
+    * integer sums of [[graft.archive.Decimation.reAggregateExact]],
+    * exact at any magnitude (BigInt on the String fields — Spark's
+    * Decimal(38,18) state encoder could overflow what decimal(38,0)
+    * sums hold).
+    */
+  case class ReAggExactState(winStart: Long, numM: String, den: Long,
+                             numV: String, minV: Option[Double],
+                             maxV: Option[Double], n: Long)
+
+  /** [[reAggregateStream]] through the engine-exact integer merge of
+    * [[graft.archive.Decimation.reAggregateExact]] — the streaming
+    * cascade hop that serves the same oracle bytes as the batch hop:
+    * fine means/stds/coverages quantize to the 6dp grid on entry
+    * (proven cross-engine-identical by the decimation gates), the
+    * merge runs in exact integers, and the output edge repeats the
+    * batch half-up division verbatim. StreamingCascadeSpec pins
+    * stream ≡ batch; the `stream_reagg_6h` gate hashes it against the
+    * `arch_reagg_6h` DuckDB oracle.
+    *
+    * Fine windows must arrive per channel in win_start order (the
+    * [[decimateStream]] emission order); a coarse window flushes when
+    * a fine window at-or-after its end arrives, so a bounded drain
+    * needs one sentinel fine window per channel past the last real
+    * coarse window (the gate's drain pattern — sentinels flush state
+    * and never emit themselves).
+    */
+  def reAggregateExactStream(fine: Dataset[AggOut], sourcePeriodNs: Long,
+                             targetPeriodNs: Long)
+                            (implicit spark: SparkSession): Dataset[AggOut] = {
+    import spark.implicits._
+    require(targetPeriodNs % sourcePeriodNs == 0)
+    val k = targetPeriodNs / sourcePeriodNs
+
+    // Spark's round(double) at scale 0: BigDecimal.valueOf (shortest
+    // decimal repr) + HALF_UP — the same sequence Decimation's
+    // micro(c) compiles to, so the quantization grid is identical
+    def micro(x: Double): Long =
+      java.math.BigDecimal.valueOf(x * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+    // round-half-away-from-zero of n/d as an integer, d > 0 — the
+    // batch halfUp(n, d) in exact BigInt arithmetic
+    def halfUp(n: BigInt, d: BigInt): BigInt =
+      if (n >= 0) (n * 2 + d) / (d * 2) else -((-(n * 2) + d) / (d * 2))
+
+    def emit(ch: String, st: ReAggExactState): AggOut = {
+      val den = st.den
+      if (den > 0) {
+        val numM = BigInt(st.numM); val numV = BigInt(st.numV)
+        val mean = halfUp(numM, BigInt(den)).toDouble / 1e6
+        val md = numM.toDouble / den.toDouble / 1e6
+        val varr = numV.toDouble / (den.toDouble * 1e12) - md * md
+        val std0 = if (varr < 1e-9) 0.0 else math.sqrt(varr)
+        val std = java.math.BigDecimal.valueOf(std0 * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue() / 1e6
+        AggOut(ch, st.winStart, Some(mean), Some(std), st.minV, st.maxV,
+          halfUp(BigInt(den), BigInt(k)).toDouble / 1e6, st.n)
+      } else
+        AggOut(ch, st.winStart, None, None, st.minV, st.maxV, 0.0, st.n)
+    }
+
+    def fresh(target: Long) =
+      ReAggExactState(target, "0", 0L, "0", None, None, 0L)
+
+    def process(channel: String, it: Iterator[AggOut],
+                state: GroupState[ReAggExactState]): Iterator[AggOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[AggOut]
+      var st = state.getOption.orNull
+      for (a <- it.toSeq.sortBy(_.win_start)) {
+        val target = a.win_start - math.floorMod(a.win_start, targetPeriodNs)
+        if (st == null) st = fresh(target)
+        else if (target > st.winStart) {
+          out += emit(channel, st); st = fresh(target)
+        }
+        if (target == st.winStart) {
+          // min/max/n merge unconditionally (batch min()/max()/sum()
+          // over the group, null-skipping); the integer moment sums
+          // only when the fine window carries a mean (cf6 = 0 rows
+          // contribute nothing to num/den anyway)
+          val merged = st.copy(
+            minV = (st.minV.toSeq ++ a.min_value.toSeq)
+              .reduceOption((x: Double, y: Double) => math.min(x, y)),
+            maxV = (st.maxV.toSeq ++ a.max_value.toSeq)
+              .reduceOption((x: Double, y: Double) => math.max(x, y)),
+            n = st.n + a.n_samples)
+          st = (a.mean, a.std) match {
+            case (Some(m), Some(s)) =>
+              val m6 = BigInt(micro(m)); val s6 = BigInt(micro(s))
+              val cf6 = BigInt(micro(a.covered_fraction))
+              merged.copy(
+                numM = (BigInt(merged.numM) + cf6 * m6).toString,
+                den = merged.den + cf6.toLong,
+                numV = (BigInt(merged.numV) + cf6 * (s6 * s6 + m6 * m6))
+                  .toString)
+            case _ => merged
+          }
+        }
+      }
+      if (st != null) state.update(st)
+      out.iterator
+    }
+
+    fine.groupByKey(_.channel)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(process)
+  }
+
   /** S9 streaming form — the continuous raw-append path: watermark the
     * stream and append it into the [[graft.archive.ArchiveStore]]
     * layout (level/day hive partitions). Exactly-once via the

@@ -103,6 +103,41 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(old.count() == 3)
   }
 
+  test("vacuum grace protects a held pre-compaction snapshot from concurrent maintenance") {
+    val dir = Files.createTempDirectory("mstore").toString
+    ManifestStore.commit(samples(("c", T0 + 1 * NS, 1.0)), dir, 0)
+    ManifestStore.commit(samples(("c", T0 + 2 * NS, 2.0)), dir, 0)
+    ManifestStore.commit(samples(("c", T0 + 3 * NS, 3.0)), dir, 0)
+    val held = ManifestStore.latestManifest(spark, dir).get
+    // a concurrent reader pins the pre-maintenance version (the
+    // time-travel handle an in-flight long query holds)
+    val reader = ManifestStore.readVersion(spark, dir, held.version, 0)
+
+    // maintenance runs UNDER the reader with a real grace: compaction
+    // swaps the manifest, but vacuum must not touch bytes younger than
+    // the grace — exactly the files the held snapshot still references
+    val rep = graft.archive.Maintenance.run(spark, dir,
+      vacuumGraceMs = 3600L * 1000)
+    assert(rep.compacted.nonEmpty, "fragmented day was not compacted")
+    assert(rep.vacuumed.isEmpty, s"grace violated: ${rep.vacuumed}")
+
+    // the held snapshot still serves its exact pre-compaction rows…
+    assert(reader.select("value").collect().map(_.getDouble(0)).sorted.toSeq
+      == Seq(1.0, 2.0, 3.0))
+    // …and the current version serves the same rows from the compacted file
+    val cur = ManifestStore.read(spark, dir, 0)
+    assert(cur.select("value").collect().map(_.getDouble(0)).sorted.toSeq
+      == Seq(1.0, 2.0, 3.0))
+    assert(cur.inputFiles.length == 1)
+
+    // once the grace window has passed (grace 0 stands in for elapsed
+    // time), the obsolete pre-compaction bytes are reclaimed
+    val rep2 = graft.archive.Maintenance.run(spark, dir, vacuumGraceMs = 0L)
+    assert(rep2.compacted.isEmpty, "second pass must be compaction-noop")
+    assert(rep2.vacuumed.nonEmpty, "obsolete bytes were never reclaimed")
+    assert(ManifestStore.read(spark, dir, 0).count() == 3)
+  }
+
   test("retention drops expired days from the manifest without a data scan; vacuum deletes bytes") {
     val dir = Files.createTempDirectory("mstore").toString
     ManifestStore.commit(samples(

@@ -73,4 +73,51 @@ class StreamingCascadeSpec extends AnyFunSuite {
       assert(sa.n_samples == ba.n_samples)
     }
   }
+
+  test("exact streaming re-aggregation is BIT-identical to batch reAggregateExact, sentinel-flushed") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val samples = (0L until 300L).map(t =>
+      InSample("c", t * S, Some(math.sin(t / 3.0) * 40 - 17.25), t)) ++
+      (0L until 200L).map(t =>
+        InSample("d", (t * 2) * S,
+          if (t % 13 == 0) None else Some((t % 19).toDouble / 7), 1000 + t))
+
+    val fineDf = Decimation.decimate(
+      samples.toDF("channel", "ts", "value", "sample_id")
+        .selectExpr("channel", "ts", "value", "'' AS str_value",
+          "0 AS severity", "0 AS status", "sample_id"),
+      10 * S)
+    val fine = fineDf.as[AggOut].collect().toSeq
+
+    // per-channel sentinels one coarse period past the last fine
+    // window: they flush every real coarse window and emit nothing
+    val sentinels = fine.groupBy(_.channel).map { case (ch, as) =>
+      AggOut(ch, as.map(_.win_start).max + 30 * S, None, None, None, None,
+        0.0, 0L)
+    }.toSeq
+
+    val mem = MemoryStream[AggOut]
+    val q = StreamingDecimation.reAggregateExactStream(mem.toDS(), 10 * S, 30 * S)
+      .writeStream.format("memory").queryName("exact_coarse_out")
+      .outputMode("append").start()
+    try {
+      (fine.sortBy(_.win_start) ++ sentinels).grouped(7)
+        .foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    val streamed = spark.table("exact_coarse_out").as[AggOut].collect()
+      .map(a => (a.channel, a.win_start) -> a).toMap
+    val batch = Decimation.reAggregateExact(fineDf, 10 * S, 30 * S)
+      .as[AggOut].collect().map(a => (a.channel, a.win_start) -> a).toMap
+
+    // sentinels flushed EVERY coarse window: exact key equality…
+    assert(streamed.keySet == batch.keySet,
+      s"missing=${batch.keySet -- streamed.keySet} extra=${streamed.keySet -- batch.keySet}")
+    // …and bit-identical values (the merge is integer arithmetic on
+    // the 6dp grid on both sides — no tolerance needed or allowed)
+    for ((k, sa) <- streamed) assert(sa == batch(k), s"at $k: $sa vs ${batch(k)}")
+  }
 }
