@@ -972,6 +972,29 @@ object SparkEntry {
       TextAnalysis.cmsHeavyHitters(cands, sketch)
     }),
 
+    // the SEVENTH oracle-gated streaming path: CMS sketch maintenance
+    // over a document stream (Complete-mode aggregation — correct
+    // here BECAUSE the state is the ≤ depth·width counter table, KBs
+    // by construction), drained and point-queried exactly like the
+    // batch sketch; counter addition is the cmsMerge law, so the
+    // streamed sketch serves the whole-corpus heavy hitters
+    "stream_heavy_hitters" -> ((s, dir) => {
+      val in = scratchDir("shh-in") + "/docs"
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      docs.write.parquet(in)
+      val stream = s.readStream.schema(docs.schema).parquet(in)
+      val sink = s"shh_out_${streamGateSeq.incrementAndGet()}"
+      val q = TextAnalysis.countMinSketchStream(stream)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      val sketch = detachSink(s, sink, in)
+      val cands = Tables.documents(s, dir)
+        .select(explode(graft.pipeline.Dedup.tokens("text")).as("tok"))
+        .distinct()
+      TextAnalysis.cmsHeavyHitters(cands, sketch)
+    }),
+
     // the 100 TB CMS story under the oracle: one sketch per corpus
     // SHARD (disjoint doc_id halves), cmsMerge folds them, and the
     // merged sketch must serve the WHOLE-corpus heavy hitters byte for
@@ -1523,6 +1546,8 @@ object SparkEntry {
       ("stream_reagg_6h" -> base("arch_reagg_6h")) +
       // shard-sketch + cmsMerge serves the whole-corpus heavy hitters
       ("text_heavy_hitters_merged" -> base("text_heavy_hitters")) +
+      // so does the streamed Complete-mode sketch
+      ("stream_heavy_hitters" -> base("text_heavy_hitters")) +
       // the deque sliding-window path serves the RANGE-frame bytes
       ("arch_rolling_window_fast" -> base("arch_rolling_window")) +
       // so does the chunk-parallel skew path

@@ -632,6 +632,30 @@ object TextAnalysis {
     a.unionByName(b).groupBy("row", "bucket")
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** [[countMinSketch]] as a STREAMING aggregation — the
+    * continuous-ingest form of sketch maintenance: each micro-batch's
+    * token stream folds into the ≤ depth·width counters (Complete
+    * mode: the counter table is tiny by construction, so re-emitting
+    * it per batch is KBs — this is the rare case where Complete is
+    * the scale answer, because the state IS the sketch). Counter
+    * addition is the [[cmsMerge]] law, so the drained streaming
+    * sketch is bit-identical to the batch sketch of the same corpus
+    * ([[cmsHeavyHitters]] point queries serve the same answers —
+    * hash-gated by `stream_heavy_hitters` against the whole-corpus
+    * batch oracle).
+    */
+  def countMinSketchStream(stream: DataFrame, textCol: String = "text",
+                           depth: Int = CmsDepth,
+                           width: Int = CmsWidth): DataFrame = {
+    val tokens = stream.select(explode(toks(textCol)).as("tok"))
+    val rows = (0 until depth).map(i =>
+      struct(lit(i).as("row"), cmsBucket(col("tok"), i, width).as("bucket")))
+    tokens
+      .select(explode(array(rows: _*)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Estimate token frequencies from a sketch and return the top-k
     * heavy hitters: est(tok) = min over rows of the token's bucket
     * counter (the classic CMS point query — an overestimate, never

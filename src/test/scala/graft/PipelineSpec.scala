@@ -1101,6 +1101,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(ext.length == 1 && ext(0).getAs[Long]("est_count") >= 0L)
   }
 
+  test("streaming CMS sketch folds across micro-batches into the batch sketch exactly") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables_docs_sf0001.select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = TextAnalysis.countMinSketchStream(
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cms_stream_out")
+      .outputMode("complete").start()
+    try {
+      // three uneven batches: the Complete-mode counters must FOLD
+      // (not overwrite) across them
+      docs.grouped(docs.size / 3 + 1).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("cms_stream_out")
+      .withColumnRenamed("cnt", "s_cnt")
+    val whole = TextAnalysis.countMinSketch(Tables_docs_sf0001)
+    val diff = whole.join(streamed, Seq("row", "bucket"), "full")
+      .where($"cnt".isNull || $"s_cnt".isNull || $"cnt" =!= $"s_cnt")
+    assert(diff.count() == 0)
+    spark.catalog.dropTempView("cms_stream_out")
+  }
+
   test("tfidfTopK ranks a doc's rare term above its common term") {
     // "zebra" appears once in one doc; "common" appears in every doc —
     // same tf within doc 1, so idf must decide the order
