@@ -393,6 +393,59 @@ object OracleSql {
          |  n_samples
          |FROM re ORDER BY channel, win_start""".stripMargin,
 
+    // inter-sample gaps strictly over 15 min (gap_end - gap_start in
+    // exact integer ns on both sides)
+    "arch_gap_report" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |g AS (
+         |  SELECT channel,
+         |         lag(ts) OVER (PARTITION BY channel ORDER BY ts) AS gap_start,
+         |         ts AS gap_end
+         |  FROM clean)
+         |SELECT channel, gap_start, gap_end, gap_end - gap_start AS gap_ns
+         |FROM g
+         |WHERE gap_start IS NOT NULL AND gap_end - gap_start > ${900L * NS}
+         |ORDER BY channel, gap_start""".stripMargin,
+
+    // linear-interpolation resample: the union-merge neighbor lookup
+    // (samples sort before probes at equal ts), integer ts differences
+    // cast to double for the one division — op order mirrors the Spark
+    // plan exactly, scaled 6dp round at the edge
+    "arch_resample_linear" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |chans AS (SELECT DISTINCT channel FROM samples),
+         |grid AS (SELECT channel, u.g FROM chans,
+         |         UNNEST(generate_series($LO, $HI, $P6H)) AS u(g)),
+         |m AS (
+         |  SELECT channel, ts, value, 0 AS is_probe FROM clean
+         |  UNION ALL
+         |  SELECT channel, g AS ts, NULL AS value, 1 AS is_probe FROM grid),
+         |w AS (
+         |  SELECT *,
+         |    last_value(CASE WHEN is_probe = 0 THEN ts END IGNORE NULLS) OVER
+         |      (PARTITION BY channel ORDER BY ts, is_probe
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ts0,
+         |    last_value(CASE WHEN is_probe = 0 THEN value END IGNORE NULLS) OVER
+         |      (PARTITION BY channel ORDER BY ts, is_probe
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+         |    first_value(CASE WHEN is_probe = 0 THEN ts END IGNORE NULLS) OVER
+         |      (PARTITION BY channel ORDER BY ts, is_probe
+         |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ts1,
+         |    first_value(CASE WHEN is_probe = 0 THEN value END IGNORE NULLS) OVER
+         |      (PARTITION BY channel ORDER BY ts, is_probe
+         |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1
+         |  FROM m)
+         |SELECT channel, ts,
+         |  CAST(CAST(round((CASE WHEN ts0 = ts THEN v0
+         |       WHEN ts0 IS NOT NULL AND ts1 IS NOT NULL
+         |       THEN v0 + (v1 - v0) *
+         |            (CAST(ts - ts0 AS DOUBLE) / CAST(ts1 - ts0 AS DOUBLE))
+         |       END) * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS value
+         |FROM w WHERE is_probe = 1
+         |ORDER BY channel, ts""".stripMargin,
+
     "arch_asof_lookup" ->
       s"""WITH $SAMPLES,
          |$CLEAN,

@@ -757,6 +757,23 @@ object SparkEntry {
         .orderBy("channel", "win_start")
     }),
 
+    // inter-sample gap report: every gap strictly over 15 min per
+    // channel — the outage view an archiver operator reads daily
+    "arch_gap_report" -> ((s, dir) =>
+      ArchiveReader.gapReport(clean(s, dir), 900L)
+        .orderBy("channel", "gap_start")),
+
+    // linear-interpolation resample onto the 6h grid: exact on-sample
+    // hits, lerp between neighbors, NULL outside the sampled span —
+    // the both-directions union-merge (no join, one shuffle)
+    "arch_resample_linear" -> ((s, dir) => {
+      val grid = raw(s, dir).select("channel").distinct()
+        .withColumn("g", explode(sequence(lit(LO), lit(HI), lit(P6H))))
+      ArchiveReader.resampleLinear(clean(s, dir), grid)
+        .select(col("channel"), col("ts"), sr6("value"))
+        .orderBy("channel", "ts")
+    }),
+
     "arch_asof_lookup" -> ((s, dir) => {
       val grid = raw(s, dir).select("channel").distinct()
         .withColumn("g", explode(sequence(lit(LO), lit(HI), lit(P6H))))

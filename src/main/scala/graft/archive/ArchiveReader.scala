@@ -233,4 +233,60 @@ object ArchiveReader {
         .where(col("ts") >= col("_t_max") - retentionNanos)
         .drop("_t_max")
     }
+
+  /** Gap report — the archiver operator's "where is my data missing"
+    * query: per channel, every inter-sample gap STRICTLY longer than
+    * `thresholdSec`, as (channel, gap_start, gap_end, gap_ns). The
+    * reference's users infer outages from the sample API by hand; this
+    * serves them directly. One channel-clustered shuffle (lag window),
+    * linear in samples — at 100 TB the lag rides the same partition
+    * the range scan already clusters on.
+    */
+  def gapReport(samples: DataFrame, thresholdSec: Long): DataFrame = {
+    val w = Window.partitionBy("channel").orderBy("ts")
+    samples
+      .withColumn("_prev", lag(col("ts"), 1).over(w))
+      .where(col("_prev").isNotNull &&
+        col("ts") - col("_prev") > thresholdSec * graft.core.Samples.NS)
+      .select(col("channel"), col("_prev").as("gap_start"),
+        col("ts").as("gap_end"), (col("ts") - col("_prev")).as("gap_ns"))
+  }
+
+  /** Linear-interpolation resample onto an explicit (channel, g) grid
+    * — the "smooth chart at fixed resolution" read the reference's
+    * sample-and-hold serving approximates. Semantics per grid point:
+    * a sample exactly at `g` serves as-is; between two samples it
+    * serves v0 + (v1 − v0)·(g − ts0)/(ts1 − ts0); outside the sampled
+    * span it is NULL (no extrapolation).
+    *
+    * The [[asOfLookup]] union-merge idiom run in BOTH directions: one
+    * channel-clustered shuffle, no join, no per-probe scans — the
+    * neighbor lookups are `last`/`first` over the merged order, so a
+    * grid of any density costs one window pass. Timestamp differences
+    * subtract as integers FIRST (exact — spans stay far below 2^53)
+    * and cast to double for the one division, the same op order as
+    * the DuckDB oracle mirror.
+    */
+  def resampleLinear(samples: DataFrame, grid: DataFrame): DataFrame = {
+    val probes = grid.select(col("channel"), col("g").as("ts"),
+      lit(null).cast("double").as("value"), lit(1).as("is_probe"))
+    val data = samples.select(col("channel"), col("ts"), col("value"),
+      lit(0).as("is_probe"))
+    // samples sort before probes at equal ts, so an exact-time sample
+    // is on the "before" side of its probe and never the "after" side
+    val ord = Window.partitionBy("channel").orderBy(col("ts"), col("is_probe"))
+    val wb = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val wa = ord.rowsBetween(0, Window.unboundedFollowing)
+    val sRow = when(col("is_probe") === 0, struct(col("ts"), col("value")))
+    val u = data.unionByName(probes)
+      .withColumn("_b", last(sRow, ignoreNulls = true).over(wb))
+      .withColumn("_a", first(sRow, ignoreNulls = true).over(wa))
+    val f = (col("ts") - col("_b.ts")).cast("double") /
+      (col("_a.ts") - col("_b.ts")).cast("double")
+    val v = when(col("_b.ts") === col("ts"), col("_b.value"))
+      .when(col("_b").isNotNull && col("_a").isNotNull,
+        col("_b.value") + (col("_a.value") - col("_b.value")) * f)
+    u.where(col("is_probe") === 1)
+      .select(col("channel"), col("ts"), v.as("value"))
+  }
 }

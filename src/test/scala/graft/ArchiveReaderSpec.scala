@@ -97,4 +97,41 @@ class ArchiveReaderSpec extends AnyFunSuite {
     assert(ts(r, "c") == Seq(20L)) // 10 < 20-5
     assert(ts(r, "d") == Seq(15L))
   }
+
+  test("gapReport flags only gaps STRICTLY over the threshold, per channel") {
+    val NS = 1000000000L
+    val s = Seq(
+      ("c", 0L * NS, 1.0, "", 0, 0, 0L),
+      ("c", 10L * NS, 1.0, "", 0, 0, 1L),  // gap exactly 10 s — NOT flagged
+      ("c", 25L * NS, 1.0, "", 0, 0, 2L),  // gap 15 s — flagged
+      ("d", 0L * NS, 1.0, "", 0, 0, 3L),
+      ("d", 11L * NS, 1.0, "", 0, 0, 4L))  // gap 11 s — flagged
+      .toDF("channel", "ts", "value", "str_value", "severity", "status",
+        "sample_id")
+    val r = ArchiveReader.gapReport(s, 10L).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toSet
+    assert(r == Set(
+      ("c", 10L * NS, 25L * NS, 15L * NS),
+      ("d", 0L * NS, 11L * NS, 11L * NS)))
+  }
+
+  test("resampleLinear: exact hit, midpoint lerp, no extrapolation") {
+    val s = Seq(
+      ("c", 100L, 10.0, "", 0, 0, 0L),
+      ("c", 200L, 30.0, "", 0, 0, 1L))
+      .toDF("channel", "ts", "value", "str_value", "severity", "status",
+        "sample_id")
+    val grid = Seq(("c", 50L), ("c", 100L), ("c", 150L), ("c", 175L),
+      ("c", 200L), ("c", 250L)).toDF("channel", "g")
+    val r = ArchiveReader.resampleLinear(s, grid).collect()
+      .map(x => x.getLong(1) ->
+        (if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toMap
+    assert(r(50L).isEmpty)            // before the span: no extrapolation
+    assert(r(100L).contains(10.0))    // exact sample hit
+    assert(r(150L).contains(20.0))    // midpoint
+    assert(r(175L).contains(25.0))    // 3/4 point
+    assert(r(200L).contains(30.0))    // exact hit at span end
+    assert(r(250L).isEmpty)           // after the span
+  }
 }
