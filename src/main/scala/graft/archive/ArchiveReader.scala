@@ -261,8 +261,14 @@ object ArchiveReader {
     *
     * The [[asOfLookup]] union-merge idiom run in BOTH directions: one
     * channel-clustered shuffle, no join, no per-probe scans — the
-    * neighbor lookups are `last`/`first` over the merged order, so a
-    * grid of any density costs one window pass. Timestamp differences
+    * neighbor lookups are `last` over a GROWING frame in each
+    * direction. Both directions deliberately use the incremental
+    * UnboundedPreceding..CurrentRow frame (the "after" neighbor comes
+    * from a reversed-order window, costing a second in-partition
+    * sort): Spark's UnboundedFollowing frame processor re-evaluates
+    * its aggregate from the current row to the partition end for
+    * EVERY row — O(n²) per channel, measured 165 s on the sf0.1 gate
+    * vs sub-second for the two growing frames. Timestamp differences
     * subtract as integers FIRST (exact — spans stay far below 2^53)
     * and cast to double for the one division, the same op order as
     * the DuckDB oracle mirror.
@@ -272,15 +278,21 @@ object ArchiveReader {
       lit(null).cast("double").as("value"), lit(1).as("is_probe"))
     val data = samples.select(col("channel"), col("ts"), col("value"),
       lit(0).as("is_probe"))
-    // samples sort before probes at equal ts, so an exact-time sample
-    // is on the "before" side of its probe and never the "after" side
-    val ord = Window.partitionBy("channel").orderBy(col("ts"), col("is_probe"))
-    val wb = ord.rowsBetween(Window.unboundedPreceding, 0)
-    val wa = ord.rowsBetween(0, Window.unboundedFollowing)
+    // ascending: samples sort before probes at equal ts, so an
+    // exact-time sample is on the "before" side of its probe
+    val wb = Window.partitionBy("channel")
+      .orderBy(col("ts"), col("is_probe"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // descending: probes sort before equal-ts samples (is_probe desc),
+    // so the "after" neighbor is the nearest STRICTLY-later sample —
+    // the same exclusion the ascending side's tie rule implies
+    val wa = Window.partitionBy("channel")
+      .orderBy(col("ts").desc, col("is_probe").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     val sRow = when(col("is_probe") === 0, struct(col("ts"), col("value")))
     val u = data.unionByName(probes)
       .withColumn("_b", last(sRow, ignoreNulls = true).over(wb))
-      .withColumn("_a", first(sRow, ignoreNulls = true).over(wa))
+      .withColumn("_a", last(sRow, ignoreNulls = true).over(wa))
     val f = (col("ts") - col("_b.ts")).cast("double") /
       (col("_a.ts") - col("_b.ts")).cast("double")
     val v = when(col("_b.ts") === col("ts"), col("_b.value"))

@@ -46,12 +46,14 @@ object Tables {
     // different zone for its own rendering gets one warning line the
     // first time the engine re-pins it, instead of a quiet semantic
     // shift in unrelated timestamp queries
-    val tz = spark.conf.get("spark.sql.session.timeZone", "")
-    if (tz != "UTC") {
-      if (tz.nonEmpty)
-        System.err.println(
-          s"[graft] overriding spark.sql.session.timeZone '$tz' -> UTC " +
-            "(engine contract; see Tables.withNanos scaladoc)")
+    // getOption, NOT get-with-default: Spark validates a passed
+    // default as a timezone value, so get(key, "") THROWS on a
+    // session that never set the conf (a vanilla spark-shell)
+    val tz = spark.conf.getOption("spark.sql.session.timeZone")
+    if (!tz.contains("UTC")) {
+      tz.foreach(z => System.err.println(
+        s"[graft] overriding spark.sql.session.timeZone '$z' -> UTC " +
+          "(engine contract; see Tables.withNanos scaladoc)"))
       spark.conf.set("spark.sql.session.timeZone", "UTC")
     }
     spark
