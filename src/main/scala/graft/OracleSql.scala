@@ -408,6 +408,23 @@ object OracleSql {
          |WHERE gap_start IS NOT NULL AND gap_end - gap_start > ${900L * NS}
          |ORDER BY channel, gap_start""".stripMargin,
 
+    // dv/dt per sample: double value delta times 1e9 over the exact
+    // integer ns delta, the Spark op order verbatim
+    "arch_rate_of_change" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |g AS (
+         |  SELECT channel, ts, value,
+         |         lag(ts) OVER (PARTITION BY channel ORDER BY ts) AS pt,
+         |         lag(value) OVER (PARTITION BY channel ORDER BY ts) AS pv
+         |  FROM clean)
+         |SELECT channel, ts, value,
+         |  CAST(CAST(round(((value - pv) * 1000000000.0 /
+         |       CAST(ts - pt AS DOUBLE)) * 1000000.0) AS BIGINT) AS DOUBLE)
+         |    / 1e6 AS rate_per_sec
+         |FROM g WHERE pt IS NOT NULL
+         |ORDER BY channel, ts""".stripMargin,
+
     // linear-interpolation resample: the union-merge neighbor lookup
     // (samples sort before probes at equal ts), integer ts differences
     // cast to double for the one division — op order mirrors the Spark

@@ -763,6 +763,39 @@ object SparkEntry {
       ArchiveReader.gapReport(clean(s, dir), 900L)
         .orderBy("channel", "gap_start")),
 
+    // dv/dt per sample (slew-rate analytic): exact integer ts deltas,
+    // one double division, 6dp scaled round at the edge
+    "arch_rate_of_change" -> ((s, dir) =>
+      ArchiveReader.rateOfChange(clean(s, dir))
+        .select(col("channel"), col("ts"), col("value"),
+          sr6("rate_per_sec"))
+        .orderBy("channel", "ts")),
+
+    // the EIGHTH oracle-gated streaming path: live gap detection —
+    // per-channel keyed state of ONE timestamp, each closing sample
+    // emits its gap once, and the drained stream must serve the batch
+    // lag-window bytes (same oracle as arch_gap_report)
+    "stream_gap_report" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val m = clean(s, dir).select(col("channel"), col("ts"),
+        col("value"), col("sample_id").as("seq"))
+      // the stream_rolling_window input is the same frame — share it
+      val in = memoInput("sroll-in", dir)(m.write.parquet(_))
+      val ds = s.readStream.schema(m.schema).parquet(in)
+        .as[graft.streaming.StreamingDecimation.InSample]
+      val sink = s"sgap_out_${streamGateSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamingDecimation
+        .gapStream(ds, 900L * NS)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      detachSink(s, sink)
+        .select(col("channel"), col("gap_start"), col("gap_end"),
+          col("gap_ns"))
+        .orderBy("channel", "gap_start")
+    }),
+
     // linear-interpolation resample onto the 6h grid: exact on-sample
     // hits, lerp between neighbors, NULL outside the sampled span —
     // the both-directions union-merge (no join, one shuffle)
@@ -1605,6 +1638,8 @@ object SparkEntry {
       // watermark-resumed incremental catch-up serves the bytes of
       // one-pass decimation over the whole corpus
       ("arch_incremental_catchup" -> base("arch_decimate_1h")) +
+      // live keyed-state gap detection serves the batch lag bytes
+      ("stream_gap_report" -> base("arch_gap_report")) +
       // shard-sketch + cmsMerge serves the whole-corpus heavy hitters
       ("text_heavy_hitters_merged" -> base("text_heavy_hitters")) +
       // so does the streamed Complete-mode sketch

@@ -252,6 +252,24 @@ object ArchiveReader {
         col("ts").as("gap_end"), (col("ts") - col("_prev")).as("gap_ns"))
   }
 
+  /** Rate of change — the slew-rate analytic (alarm systems trigger on
+    * dv/dt): per sample, (value − prev_value)·1e9/(ts − prev_ts) in
+    * units per second, per channel. First sample of a channel has no
+    * rate and is omitted. Same one-lag window as [[gapReport]]; the
+    * integer ts difference subtracts exactly before the one double
+    * division, mirrored op-for-op in the oracle.
+    */
+  def rateOfChange(samples: DataFrame): DataFrame = {
+    val w = Window.partitionBy("channel").orderBy("ts")
+    samples
+      .withColumn("_pt", lag(col("ts"), 1).over(w))
+      .withColumn("_pv", lag(col("value"), 1).over(w))
+      .where(col("_pt").isNotNull)
+      .select(col("channel"), col("ts"), col("value"),
+        ((col("value") - col("_pv")) * lit(1e9) /
+          (col("ts") - col("_pt")).cast("double")).as("rate_per_sec"))
+  }
+
   /** Linear-interpolation resample onto an explicit (channel, g) grid
     * — the "smooth chart at fixed resolution" read the reference's
     * sample-and-hold serving approximates. Semantics per grid point:

@@ -293,6 +293,50 @@ object StreamingDecimation {
         GroupStateTimeout.NoTimeout)(process)
   }
 
+  /** One detected inter-sample gap ([[gapStream]] output — the
+    * streaming twin of `ArchiveReader.gapReport`'s row).
+    */
+  case class GapOut(channel: String, gap_start: Long, gap_end: Long,
+                    gap_ns: Long)
+
+  /** Streaming gap detection — the live form of
+    * `ArchiveReader.gapReport`: per-channel keyed state holds only the
+    * last accepted timestamp (8 bytes per channel — the smallest state
+    * in the engine), and a sample arriving more than `thresholdNs`
+    * after it emits the gap ONCE, the moment it closes. The same
+    * F6/ST5 arrival-order contract as [[decimateStream]]: in-batch
+    * replay by `seq`, out-of-order/duplicate arrivals dropped across
+    * batches, so a monotonic drain is byte-identical to the batch
+    * operator (the `stream_gap_report` gate serves the
+    * `arch_gap_report` oracle).
+    *
+    * An OPEN gap (silence continuing right now) is invisible until a
+    * sample closes it — by design, matching the batch lag semantics; a
+    * monitoring deployment pairs this with a timeout-based alarm
+    * (GroupStateTimeout) if it needs open-ended silence alerts.
+    */
+  def gapStream(samples: Dataset[InSample], thresholdNs: Long)
+               (implicit spark: SparkSession): Dataset[GapOut] = {
+    import spark.implicits._
+    def process(channel: String, it: Iterator[InSample],
+                state: GroupState[Long]): Iterator[GapOut] = {
+      var last = state.getOption.getOrElse(Long.MinValue)
+      val out = scala.collection.mutable.ArrayBuffer.empty[GapOut]
+      for (s <- it.toSeq.sortBy(_.seq)) {
+        if (last == Long.MinValue || s.ts > last) { // F6/ST5
+          if (last != Long.MinValue && s.ts - last > thresholdNs)
+            out += GapOut(channel, last, s.ts, s.ts - last)
+          last = s.ts
+        }
+      }
+      state.update(last)
+      out.iterator
+    }
+    samples.groupByKey(_.channel)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(process)
+  }
+
   /** S9 streaming form — the continuous raw-append path: watermark the
     * stream and append it into the [[graft.archive.ArchiveStore]]
     * layout (level/day hive partitions). Exactly-once via the

@@ -116,6 +116,22 @@ class ArchiveReaderSpec extends AnyFunSuite {
       ("d", 0L * NS, 11L * NS, 11L * NS)))
   }
 
+  test("rateOfChange: dv/dt per second, first sample of a channel omitted") {
+    val NS = 1000000000L
+    val s = Seq(
+      ("c", 0L * NS, 10.0, "", 0, 0, 0L),
+      ("c", 2L * NS, 16.0, "", 0, 0, 1L),   // +6 over 2 s → 3.0/s
+      ("c", 10L * NS, 12.0, "", 0, 0, 2L),  // −4 over 8 s → −0.5/s
+      ("d", 5L * NS, 1.0, "", 0, 0, 3L))    // single sample: no rate
+      .toDF("channel", "ts", "value", "str_value", "severity", "status",
+        "sample_id")
+    val r = ArchiveReader.rateOfChange(s).collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x.getDouble(3)).toMap
+    assert(r.keySet == Set(("c", 2L * NS), ("c", 10L * NS)))
+    assert(r(("c", 2L * NS)) == 3.0)
+    assert(r(("c", 10L * NS)) == -0.5)
+  }
+
   test("resampleLinear: exact hit, midpoint lerp, no extrapolation") {
     val s = Seq(
       ("c", 100L, 10.0, "", 0, 0, 0L),
