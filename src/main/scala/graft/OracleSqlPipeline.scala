@@ -1479,6 +1479,50 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |SELECT probe_id, vec_id, cos_sim, rank
          |FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
 
+    // Matryoshka prefix tier: the brute-force mirror on v[1:16]
+    "sim_matryoshka_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT * FROM e WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+         |         round(list_cosine_similarity(p.v[1:16], c.v[1:16]), 6) AS cos_sim
+         |  FROM p JOIN e c ON c.vec_id != p.vec_id),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY probe_id
+         |           ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT probe_id, vec_id, cos_sim, rank
+         |FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+
+    // prefix shortlist (50 on v[1:16]) -> exact full-dim rerank (10)
+    "sim_matryoshka_reranked" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT * FROM e WHERE vec_id < 5),
+         |tr AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+         |         round(list_cosine_similarity(p.v[1:16], c.v[1:16]), 6) AS tcos
+         |  FROM p JOIN e c ON c.vec_id != p.vec_id),
+         |short AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |           row_number() OVER (PARTITION BY probe_id
+         |             ORDER BY tcos DESC, vec_id) AS rk
+         |    FROM tr) WHERE rk <= 50),
+         |ex AS (
+         |  SELECT s.probe_id, s.vec_id,
+         |         round(list_cosine_similarity(p.v, c.v), 6) AS cos_sim
+         |  FROM short s
+         |  JOIN e c ON c.vec_id = s.vec_id
+         |  JOIN p ON p.vec_id = s.probe_id),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY probe_id
+         |           ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+         |  FROM ex)
+         |SELECT probe_id, vec_id, cos_sim, rank
+         |FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+
     // mirror of Similarity.int8TopK: per-vector symmetric int8
     // quantization, exact integer dot, rescale by the two scales,
     // multiply→scale-0-round→divide 6dp rounding (identical IEEE

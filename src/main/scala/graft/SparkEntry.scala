@@ -1393,6 +1393,25 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // Matryoshka truncated-prefix tier: top-k on the first 16 of 64
+    // dims — dims/Dim of the scan bandwidth; prefix order carries the
+    // structure on MRL-trained embeddings
+    "sim_matryoshka_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.matryoshkaTopK(e, e.where(col("vec_id") < 5), 16, 10)
+        .select(col("probe_id"), col("vec_id"), col("cos_sim"), col("rank"))
+        .orderBy("probe_id", "rank")
+    }),
+
+    // the MRL serving composition: prefix shortlist (50) → exact
+    // full-dim rerank (10)
+    "sim_matryoshka_reranked" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.matryoshkaReranked(e, e.where(col("vec_id") < 5), 16, 10)
+        .select(col("probe_id"), col("vec_id"), col("cos_sim"), col("rank"))
+        .orderBy("probe_id", "rank")
+    }),
+
     // int8-quantized brute-force: integer dot products rescaled by the
     // per-vector scales — 4x the memory bandwidth of the double scan
     "sim_int8_topk" -> ((s, dir) => {

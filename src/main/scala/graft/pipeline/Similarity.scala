@@ -184,6 +184,58 @@ object Similarity {
       .where(col("rank") <= topK)
   }
 
+  /** Matryoshka (MRL) truncated-prefix scan tier: cosine top-k
+    * computed on only the FIRST `dims` coordinates (Kusupati et al.
+    * 2022 — matryoshka-trained embeddings order information by
+    * prefix, so the truncated space preserves neighborhood structure
+    * at dims/Dim of the scan bandwidth). Cosine normalizes
+    * internally, so no re-normalization of the slice is needed. On
+    * non-MRL embeddings (the synthetic corpus) the prefix is just a
+    * random projection — the gate pins correctness of the plan, the
+    * recall gain appears on genuinely matryoshka-trained vectors.
+    */
+  def matryoshkaTopK(corpus: DataFrame, probes: DataFrame, dims: Int,
+                     k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dims > 0, s"prefix dims must be positive: $dims")
+    val cut = (c: Column) => slice(asDouble(c), 1, dims)
+    val joined = corpus.as("c")
+      .join(broadcast(probes.as("p")), col("c.vec_id") =!= col("p.vec_id"))
+      .select(col("p.vec_id").as("probe_id"), col("c.vec_id").as("vec_id"),
+        round(cosine(cut(col("p.embedding")), cut(col("c.embedding"))), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Prefix-scan-then-exact-rerank — the MRL serving pattern: the
+    * truncated-prefix shortlist (dims/Dim of the scan bandwidth over
+    * the corpus) feeds an exact full-dimension cosine rerank of
+    * `shortK` candidates per probe. Same two-tier shape as
+    * [[int8SearchReranked]] / [[pqSearchReranked]]; at 10⁹ vectors
+    * the prefix tier is the memory-bandwidth knob and the rerank
+    * touches only shortK full vectors per probe.
+    */
+  def matryoshkaReranked(corpus: DataFrame, probes: DataFrame, dims: Int,
+                         topK: Int, shortK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shortlist = matryoshkaTopK(corpus, probes, dims, shortK)
+      .select(col("probe_id"), col("vec_id"))
+    val exact = shortlist
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_emb"))), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(asDouble(col("probe_emb")), asDouble(col("embedding"))), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+  }
+
   /** LSH bucket id in table `table`: bit p set iff plane p's dot
     * product is >= 0.
     */
