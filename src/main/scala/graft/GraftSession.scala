@@ -137,6 +137,26 @@ object GraftSession {
       // (a collect), and register() must stay lazy — compose it from
       // corpus_heavy_hitters when needed
     }
+    // round-6 archive analytics (lazy, gate parameters): inter-sample
+    // gaps over 15 min, per-sample dv/dt, and the 6h linear resample
+    locally {
+      import org.apache.spark.sql.functions._
+      val clean = Samples.monotonicDedup(Samples.fromEvents(spark, sfDir))
+      archive.ArchiveReader.gapReport(clean, 900L)
+        .createOrReplaceTempView("samples_gaps")
+      archive.ArchiveReader.rateOfChange(clean)
+        .createOrReplaceTempView("samples_rate")
+      val grid = Samples.fromEvents(spark, sfDir).select("channel").distinct()
+        .withColumn("g", explode(sequence(lit(OracleSql.LO),
+          lit(OracleSql.HI), lit(OracleSql.P6H))))
+      archive.ArchiveReader.resampleLinear(clean, grid)
+        .createOrReplaceTempView("samples_resampled_6h")
+      // Matryoshka prefix tier (dims = 16, the gate parameter)
+      val e = core.Tables.embeddings(spark, sfDir)
+      pipeline.Similarity.matryoshkaReranked(
+          e, e.where(col("vec_id") < 5), 16, 10)
+        .createOrReplaceTempView("emb_matryoshka_topk")
+    }
     // native functions
     functions.VectorExpressions.register(spark)
   }

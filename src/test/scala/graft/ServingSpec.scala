@@ -91,6 +91,21 @@ class ServingSpec extends AnyFunSuite {
         |WHERE end_ns >= start_ns AND n_events >= 1""".stripMargin)
       .head.getLong(0)
     assert(sess > 0)
+    // round-6 views: gaps, dv/dt, linear resample, matryoshka tier
+    val gaps = spark.sql(
+      """SELECT count(*) FROM samples_gaps
+        |WHERE gap_ns = gap_end - gap_start AND gap_ns > 900000000000""".stripMargin)
+      .head.getLong(0)
+    assert(gaps > 0)
+    assert(spark.sql(
+      "SELECT count(*) FROM samples_rate WHERE rate_per_sec IS NOT NULL")
+      .head.getLong(0) > 0)
+    assert(spark.sql(
+      "SELECT count(*) FROM samples_resampled_6h WHERE value IS NOT NULL")
+      .head.getLong(0) > 0)
+    assert(spark.sql(
+      "SELECT count(DISTINCT probe_id) FROM emb_matryoshka_topk")
+      .head.getLong(0) == 5L)
   }
 
   test("name→dataId resolution via broadcast config join survives renames") {
