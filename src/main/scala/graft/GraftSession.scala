@@ -146,6 +146,8 @@ object GraftSession {
         .createOrReplaceTempView("samples_gaps")
       archive.ArchiveReader.rateOfChange(clean)
         .createOrReplaceTempView("samples_rate")
+      archive.ArchiveReader.healthReport(clean, 900L, 3600L, 3.0)
+        .createOrReplaceTempView("channel_health")
       val grid = Samples.fromEvents(spark, sfDir).select("channel").distinct()
         .withColumn("g", explode(sequence(lit(OracleSql.LO),
           lit(OracleSql.HI), lit(OracleSql.P6H))))

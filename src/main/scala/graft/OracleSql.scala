@@ -408,6 +408,66 @@ object OracleSql {
          |WHERE gap_start IS NOT NULL AND gap_end - gap_start > ${900L * NS}
          |ORDER BY channel, gap_start""".stripMargin,
 
+    // the cross-family health composition: gaps + worst slew rate +
+    // trailing-window anomaly count per channel, each family's CTE
+    // reusing its standalone oracle's arithmetic verbatim
+    "arch_health_report" -> {
+      def sq(x: String) =
+        s"CAST(CAST(round(($x) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0"
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |b AS (
+         |  SELECT channel, count(*) AS n_samples, max(ts) AS last_ts
+         |  FROM clean GROUP BY 1),
+         |gp AS (
+         |  SELECT channel, count(*) AS n_gaps FROM (
+         |    SELECT channel, ts,
+         |           lag(ts) OVER (PARTITION BY channel ORDER BY ts) AS p
+         |    FROM clean)
+         |  WHERE p IS NOT NULL AND ts - p > ${900L * NS} GROUP BY 1),
+         |rt AS (
+         |  SELECT channel,
+         |         max(abs((value - pv) * 1000000000.0 /
+         |             CAST(ts - pt AS DOUBLE))) AS mar
+         |  FROM (
+         |    SELECT channel, ts, value,
+         |           lag(ts) OVER w AS pt, lag(value) OVER w AS pv
+         |    FROM clean
+         |    WINDOW w AS (PARTITION BY channel ORDER BY ts))
+         |  WHERE pt IS NOT NULL GROUP BY 1),
+         |roll AS (
+         |  SELECT channel, ts, value,
+         |    CAST(sum(CAST(value AS DECIMAL(38,12))) OVER w AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(value * value AS DECIMAL(38,12))) OVER w AS DOUBLE)
+         |      AS sxx,
+         |    count(value) OVER w AS n
+         |  FROM clean
+         |  WINDOW w AS (PARTITION BY channel ORDER BY ts
+         |    RANGE BETWEEN ${3600L * NS} PRECEDING AND CURRENT ROW)),
+         |z AS (
+         |  SELECT channel, ts, value,
+         |    sx / n AS zmean_raw,
+         |    CASE WHEN n >= 2 THEN
+         |      sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0))
+         |    END AS zstd_raw
+         |  FROM roll),
+         |an AS (
+         |  SELECT channel, count(*) AS n_anomalies
+         |  FROM z
+         |  WHERE zstd_raw > 0
+         |    AND abs(${sq("(value - zmean_raw) / zstd_raw")}) > 3.0
+         |  GROUP BY 1)
+         |SELECT b.channel, b.n_samples, b.last_ts,
+         |  coalesce(gp.n_gaps, 0) AS n_gaps,
+         |  ${sq("rt.mar")} AS max_abs_rate,
+         |  coalesce(an.n_anomalies, 0) AS n_anomalies
+         |FROM b
+         |LEFT JOIN gp USING (channel)
+         |LEFT JOIN rt USING (channel)
+         |LEFT JOIN an USING (channel)
+         |ORDER BY b.channel""".stripMargin
+    },
+
     // dv/dt per sample: double value delta times 1e9 over the exact
     // integer ns delta, the Spark op order verbatim
     "arch_rate_of_change" ->

@@ -763,6 +763,13 @@ object SparkEntry {
       ArchiveReader.gapReport(clean(s, dir), 900L)
         .orderBy("channel", "gap_start")),
 
+    // the cross-family archive composition flagship: per channel —
+    // samples/last-seen, gaps over 15 min, worst slew rate, trailing
+    // 1h |z| > 3 anomaly count (via the linear z walker)
+    "arch_health_report" -> ((s, dir) =>
+      ArchiveReader.healthReport(clean(s, dir), 900L, 3600L, 3.0)
+        .orderBy("channel")),
+
     // dv/dt per sample (slew-rate analytic): exact integer ts deltas,
     // one double division, 6dp scaled round at the edge
     "arch_rate_of_change" -> ((s, dir) =>

@@ -270,6 +270,48 @@ object ArchiveReader {
           (col("ts") - col("_pt")).cast("double")).as("rate_per_sec"))
   }
 
+  // the one shared scaled-round sequence (multiply → scale-0 round →
+  // divide): engine-deterministic at systematic 6dp ties, unlike
+  // plain round(x, 6)
+  private def sr6(c: Column): Column =
+    round(c * lit(1e6)).cast("long").cast("double") / lit(1e6)
+
+  /** Per-channel health report — the cross-family composition an
+    * archiver operator reads first thing in the morning: sample count
+    * and last-seen time, number of data gaps over `gapThresholdSec`
+    * ([[gapReport]]), the worst slew rate ([[rateOfChange]]), and the
+    * number of trailing-window anomalies (|z| > `zThreshold` against
+    * the channel's own `windowSec` window, [[Rolling.zscoreFast]] —
+    * the linear walker, so the whole report is one pass per family).
+    * Channels too short for a family report NULL max rate / zero
+    * counts, never a missing row.
+    *
+    * The anomaly threshold compares the 6dp scale-rounded z on both
+    * engines — an unrounded comparison within half a ULP of the
+    * threshold could flip the count between engines.
+    */
+  def healthReport(samples: DataFrame, gapThresholdSec: Long,
+                   windowSec: Long, zThreshold: Double): DataFrame = {
+    val base = samples.groupBy("channel").agg(
+      count(lit(1)).as("n_samples"), max(col("ts")).as("last_ts"))
+    val gaps = gapReport(samples, gapThresholdSec)
+      .groupBy("channel").agg(count(lit(1)).as("n_gaps"))
+    val rate = rateOfChange(samples)
+      .groupBy("channel")
+      .agg(max(abs(col("rate_per_sec"))).as("_mar"))
+    val anom = Rolling.zscoreFast(samples, windowSec)
+      .where(abs(sr6(col("zscore"))) > zThreshold)
+      .groupBy("channel").agg(count(lit(1)).as("n_anomalies"))
+    base
+      .join(gaps, Seq("channel"), "left")
+      .join(rate, Seq("channel"), "left")
+      .join(anom, Seq("channel"), "left")
+      .select(col("channel"), col("n_samples"), col("last_ts"),
+        coalesce(col("n_gaps"), lit(0L)).as("n_gaps"),
+        sr6(col("_mar")).as("max_abs_rate"),
+        coalesce(col("n_anomalies"), lit(0L)).as("n_anomalies"))
+  }
+
   /** Linear-interpolation resample onto an explicit (channel, g) grid
     * — the "smooth chart at fixed resolution" read the reference's
     * sample-and-hold serving approximates. Semantics per grid point:

@@ -106,6 +106,10 @@ class ServingSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT count(DISTINCT probe_id) FROM emb_matryoshka_topk")
       .head.getLong(0) == 5L)
+    assert(spark.sql(
+      """SELECT count(*) FROM channel_health
+        |WHERE n_samples > 0 AND n_gaps >= 0 AND n_anomalies >= 0""".stripMargin)
+      .head.getLong(0) > 0)
   }
 
   test("name→dataId resolution via broadcast config join survives renames") {
