@@ -763,6 +763,38 @@ object SparkEntry {
       ArchiveReader.gapReport(clean(s, dir), 900L)
         .orderBy("channel", "gap_start")),
 
+    // S12 under the driver oracle: the SAME config-governed serving
+    // as arch_configured_serve, but the serving config log is built
+    // from an XML EXPORT→IMPORT round trip of the first log's
+    // post-rename state — a dropped data id, garbled enabled flag, or
+    // lost level in the XML codec mislabels/refuses/misplans serving
+    // and reds the hash (same oracle as arch_configured_serve)
+    "arch_xml_config_serve" -> ((s, dir) => {
+      val root = scratchDir("xmlcfg")
+      val cfg1 = root + "/c1"; val cfg2 = root + "/c2"
+      val store = root + "/store"
+      val names = raw(s, dir).select("channel").distinct()
+        .orderBy("channel").collect().map(_.getString(0)).toSeq
+      names.zipWithIndex.foreach { case (n, i) =>
+        ConfigCommands.addChannel(s, cfg1, ChannelConfig(n, s"id-$n",
+          "ca", enabled = i != 1, Map(), Map(0L -> 0L)))
+      }
+      ConfiguredArchive.materialize(s, cfg1, store, clean(s, dir))
+      ConfigCommands.renameChannel(s, cfg1, names.head,
+        names.head + "#renamed")
+      val xml = graft.archive.ChannelConfigXml.exportXml("srv",
+        ConfigCommands.state(s, cfg1).configs)
+      val (_, imported) = graft.archive.ChannelConfigXml.importXml(xml)
+      imported.foreach(c => ConfigCommands.addChannel(s, cfg2, c))
+      val served = ConfigCommands.state(s, cfg2).enabledConfigs
+        .map(_.name).sorted
+      served.map { n =>
+        ConfiguredArchive.querySamples(s, cfg2, store, n, LO, HI, None)
+      }.reduce(_ unionByName _)
+        .select(col("channel"), col("ts"), col("value"), col("level"))
+        .orderBy("channel", "ts")
+    }),
+
     // the cross-family archive composition flagship: per channel —
     // samples/last-seen, gaps over 15 min, worst slew rate, trailing
     // 1h |z| > 3 anomaly count (via the linear z walker)
@@ -1666,6 +1698,9 @@ object SparkEntry {
       ("arch_incremental_catchup" -> base("arch_decimate_1h")) +
       // live keyed-state gap detection serves the batch lag bytes
       ("stream_gap_report" -> base("arch_gap_report")) +
+      // serving through an XML-round-tripped config serves the same
+      // bytes as the directly-committed config
+      ("arch_xml_config_serve" -> base("arch_configured_serve")) +
       // shard-sketch + cmsMerge serves the whole-corpus heavy hitters
       ("text_heavy_hitters_merged" -> base("text_heavy_hitters")) +
       // so does the streamed Complete-mode sketch
