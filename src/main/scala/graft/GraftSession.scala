@@ -153,11 +153,18 @@ object GraftSession {
           lit(OracleSql.HI), lit(OracleSql.P6H))))
       archive.ArchiveReader.resampleLinear(clean, grid)
         .createOrReplaceTempView("samples_resampled_6h")
-      // Matryoshka prefix tier (dims = 16, the gate parameter)
+      // Matryoshka tiers (dims = 16, the gate parameters) — BOTH
+      // registered under their gate names so a view's results always
+      // match the oracle of the same name: _topk is the pure truncated
+      // prefix ranking, _reranked the prefix shortlist + full-dim
+      // rerank
       val e = core.Tables.embeddings(spark, sfDir)
-      pipeline.Similarity.matryoshkaReranked(
+      pipeline.Similarity.matryoshkaTopK(
           e, e.where(col("vec_id") < 5), 16, 10)
         .createOrReplaceTempView("emb_matryoshka_topk")
+      pipeline.Similarity.matryoshkaReranked(
+          e, e.where(col("vec_id") < 5), 16, 10)
+        .createOrReplaceTempView("emb_matryoshka_reranked")
     }
     // native functions
     functions.VectorExpressions.register(spark)

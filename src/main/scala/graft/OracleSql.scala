@@ -497,6 +497,7 @@ object OracleSql {
          |         UNNEST(generate_series($LO, $HI, $P6H)) AS u(g)),
          |m AS (
          |  SELECT channel, ts, value, 0 AS is_probe FROM clean
+         |  WHERE value IS NOT NULL
          |  UNION ALL
          |  SELECT channel, g AS ts, NULL AS value, 1 AS is_probe FROM grid),
          |w AS (

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -59,11 +61,31 @@ object SessionStateBench {
     val (tMax, tMin) = (span.getLong(0), span.getLong(1))
     val slice = (tMax - tMin) / batches + 1
     // one file per time slice, written in order → the file source
-    // replays them oldest-first and the watermark advances per batch
+    // replays them oldest-first and the watermark advances per batch.
+    // FileStreamSource orders by MODIFICATION time, and sequential
+    // coalesce(1) writes can tie on coarse filesystem timestamps — a
+    // tie-reordered slice under a 0 s watermark would silently drop
+    // its events and corrupt the state curve. Stamp every slice's
+    // files with an explicit strictly-increasing mtime so the replay
+    // order is pinned, not hoped for.
+    val stamped = scala.collection.mutable.Set.empty[java.nio.file.Path]
+    val mtimeBase = java.nio.file.Files
+      .getLastModifiedTime(java.nio.file.Paths.get(dir)).toMillis
     (0 until batches).foreach { i =>
       ev.where(col("ts") >= tMin + i.toLong * slice &&
                col("ts") < tMin + (i + 1).toLong * slice)
         .coalesce(1).write.mode("append").parquet(in)
+      val it = java.nio.file.Files.list(java.nio.file.Paths.get(in))
+      try it.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .filterNot(stamped.contains)
+        .foreach { p =>
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(
+              mtimeBase + i.toLong * 10000L))
+          stamped += p
+        }
+      finally it.close()
     }
 
     val stream = spark.readStream.schema(ev.schema)
@@ -82,8 +104,16 @@ object SessionStateBench {
         Option(p.sources.headOption.map(_.numInputRows).getOrElse(0L))
           .getOrElse(0L)))
     val maxState = if (curve.isEmpty) 0L else curve.map(_._1).max
+    // end-to-end honesty check: every generated event must have been
+    // INPUT to the stream — a modtime tie that reordered slices past
+    // the watermark would show up here as a shortfall, failing the
+    // probe instead of silently flattening the curve
+    val inputRows = q.recentProgress.toSeq.map(_.numInputRows).sum
+    require(inputRows == rows,
+      s"stream consumed $inputRows of $rows generated events — " +
+        "slice replay dropped data; the state curve is invalid")
     val line =
-      s"""{"metric":"session_state_rows_max","value":$maxState,"unit":"rows","events":$rows,"users":$users,"batches":$batches,"wall_sec":$wallSec,"events_per_sec":${(rows / wallSec).toLong},"state_rows_curve":${curve.map(_._1).mkString("[", ",", "]")},"state_bytes_curve":${curve.map(_._2).mkString("[", ",", "]")}}"""
+      s"""{"metric":"session_state_rows_max","value":$maxState,"unit":"rows","events":$rows,"users":$users,"batches":$batches,"input_rows":$inputRows,"wall_sec":$wallSec,"events_per_sec":${(rows / wallSec).toLong},"state_rows_curve":${curve.map(_._1).mkString("[", ",", "]")},"state_bytes_curve":${curve.map(_._2).mkString("[", ",", "]")}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("session_state_bench.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

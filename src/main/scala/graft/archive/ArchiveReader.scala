@@ -317,7 +317,8 @@ object ArchiveReader {
     * sample-and-hold serving approximates. Semantics per grid point:
     * a sample exactly at `g` serves as-is; between two samples it
     * serves v0 + (v1 − v0)·(g − ts0)/(ts1 − ts0); outside the sampled
-    * span it is NULL (no extrapolation).
+    * span it is NULL (no extrapolation). Null-VALUED samples (marker
+    * rows) are not endpoints — interpolation bridges across them.
     *
     * The [[asOfLookup]] union-merge idiom run in BOTH directions: one
     * channel-clustered shuffle, no join, no per-probe scans — the
@@ -336,8 +337,18 @@ object ArchiveReader {
   def resampleLinear(samples: DataFrame, grid: DataFrame): DataFrame = {
     val probes = grid.select(col("channel"), col("g").as("ts"),
       lit(null).cast("double").as("value"), lit(1).as("is_probe"))
-    val data = samples.select(col("channel"), col("ts"), col("value"),
-      lit(0).as("is_probe"))
+    // null-VALUED samples (disabled/disconnected marker rows) are not
+    // interpolation endpoints: without this filter the struct-paired
+    // neighbor lookup would hold a (ts, null) struct — advancing ts0
+    // but serving a null value — while a per-field IGNORE NULLS
+    // formulation (the DuckDB oracle) would advance ts0 and keep the
+    // older v0, i.e. the two disagree exactly when markers flow
+    // through. Skipping markers entirely is the well-defined contract:
+    // interpolation bridges across a marker as if it were a gap, and
+    // the oracle mirrors the same filter.
+    val data = samples.where(col("value").isNotNull)
+      .select(col("channel"), col("ts"), col("value"),
+        lit(0).as("is_probe"))
     // ascending: samples sort before probes at equal ts, so an
     // exact-time sample is on the "before" side of its probe
     val wb = Window.partitionBy("channel")

@@ -46,12 +46,17 @@ object Tables {
     // different zone for its own rendering gets one warning line the
     // first time the engine re-pins it, instead of a quiet semantic
     // shift in unrelated timestamp queries
-    // getOption, NOT get-with-default: Spark validates a passed
-    // default as a timezone value, so get(key, "") THROWS on a
-    // session that never set the conf (a vanilla spark-shell)
-    val tz = spark.conf.getOption("spark.sql.session.timeZone")
-    if (!tz.contains("UTC")) {
-      tz.foreach(z => System.err.println(
+    // conf.getAll, NOT getOption: getOption falls through to SQLConf's
+    // DEFAULT (the JVM zone) on a session that never set the conf, so
+    // a vanilla spark-shell on a non-UTC JVM would be warned about a
+    // pin "it made" that it never made. getAll carries only
+    // EXPLICITLY-set entries (SQLConf.getAllConfs = the settings map),
+    // so the warning fires exactly when an embedding application had
+    // actually pinned a different zone.
+    val explicitTz = spark.conf.getAll.get("spark.sql.session.timeZone")
+    val effectiveTz = spark.conf.getOption("spark.sql.session.timeZone")
+    if (!effectiveTz.contains("UTC")) {
+      explicitTz.filter(_ != "UTC").foreach(z => System.err.println(
         s"[graft] overriding spark.sql.session.timeZone '$z' -> UTC " +
           "(engine contract; see Tables.withNanos scaladoc)"))
       spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -43,6 +43,23 @@ object StreamingDecimation {
   /** 30 s — the reference's in-memory queue bound. */
   val WatermarkDelay = "30 seconds"
 
+  /** Re-aggregation contract violation, surfaced LOUDLY: per-channel
+    * fine windows must arrive in `win_start` order (the upstream
+    * decimation stream emits them that way; a multi-file replay that
+    * reorders slices does not). A fine window whose coarse target is
+    * older than the open coarse window used to match neither the flush
+    * nor the merge branch and was DROPPED silently — quietly-wrong
+    * coarse aggregates. Killing the query is the honest behavior: the
+    * caller must replay the fine stream in order.
+    */
+  private def orderViolation(op: String, channel: String, winStart: Long,
+                             target: Long, openTarget: Long): Exception =
+    new IllegalStateException(
+      s"$op: fine window win_start=$winStart (coarse target=$target) for " +
+        s"channel '$channel' arrived after coarse window $openTarget was " +
+        "opened — per-channel win_start arrival order is violated; " +
+        "replay the fine stream in order")
+
   /** Process one channel's micro-batch with the shared
     * [[graft.archive.DecimatorCore]] state machine. Samples inside a
     * batch replay in arrival (`seq`) order; monotonicity across
@@ -160,6 +177,9 @@ object StreamingDecimation {
         else if (target > st.winStart) { out += emit(channel, st)
           st = ReAggState(target, 0.0, 0.0, 0.0, None, None, 0)
         }
+        else if (target < st.winStart)
+          throw orderViolation("reAggregateStream", channel,
+            a.win_start, target, st.winStart)
         if (target == st.winStart) {
           val w = sourcePeriodNs.toDouble * a.covered_fraction
           (a.mean, a.std) match {
@@ -260,6 +280,9 @@ object StreamingDecimation {
         else if (target > st.winStart) {
           out += emit(channel, st); st = fresh(target)
         }
+        else if (target < st.winStart)
+          throw orderViolation("reAggregateExactStream", channel,
+            a.win_start, target, st.winStart)
         if (target == st.winStart) {
           // min/max/n merge unconditionally (batch min()/max()/sum()
           // over the group, null-skipping); the integer moment sums
