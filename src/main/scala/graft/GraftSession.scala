@@ -166,6 +166,25 @@ object GraftSession {
           e, e.where(col("vec_id") < 5), 16, 10)
         .createOrReplaceTempView("emb_matryoshka_reranked")
     }
+    // round-7 training-prep ops (lazy, gate parameters)
+    locally {
+      import org.apache.spark.sql.functions._
+      val d = core.Tables.documents(spark, sfDir)
+      pipeline.TextAnalysis.chunkDocs(d, 64, 48)
+        .createOrReplaceTempView("doc_chunks")
+      val vocab = pipeline.TextAnalysis.vocabulary(d, 1000)
+      vocab.createOrReplaceTempView("corpus_vocab")
+      pipeline.TextAnalysis.encodeIds(d, vocab)
+        .createOrReplaceTempView("doc_token_ids")
+      pipeline.Retrieval.invertedIndex(d, minDf = 2L, maxDf = 1000000L)
+        .createOrReplaceTempView("corpus_inverted_index")
+      pipeline.Sampling.interleave(d)
+        .createOrReplaceTempView("corpus_interleaved")
+      val e = core.Tables.embeddings(spark, sfDir)
+      pipeline.Similarity.semanticDecontaminate(
+          e, e.where(col("vec_id") < 5), minCos = 0.3)
+        .createOrReplaceTempView("emb_decontaminated")
+    }
     // native functions
     functions.VectorExpressions.register(spark)
   }

@@ -956,6 +956,25 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |  FROM documents)
          |WHERE rn <= 40 ORDER BY doc_id""".stripMargin,
 
+    // mirror of Sampling.interleave: hash-shuffled rank within source,
+    // train_ord = rank·n_sources + source-name-rank (dense_rank ==
+    // the Spark side's collected name-ordered index)
+    "sample_interleave" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY
+         |      (('0x' || substr(md5(doc_id::VARCHAR || 'ilv'), 1, 15))::BIGINT
+         |       / 1152921504606846976.0), doc_id) - 1 AS BIGINT)
+         |      AS rank_in_source,
+         |    CAST(dense_rank() OVER (ORDER BY source) - 1 AS BIGINT)
+         |      AS src_idx
+         |  FROM documents),
+         |n AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS ns
+         |      FROM documents)
+         |SELECT doc_id, source, rank_in_source,
+         |  rank_in_source * ns + src_idx AS train_ord
+         |FROM r CROSS JOIN n ORDER BY train_ord""".stripMargin,
+
     // mirror of Sampling.temperatureMix at nTarget 300: sqrt-weighted
     // quotas in exact integer arithmetic (floor∘sqrt of an integer is
     // engine-deterministic; halfUp division via (2a+b)//(2b)), then
@@ -1773,6 +1792,21 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3
          |ORDER BY vec_a, vec_b""".stripMargin,
 
+    // mirror of Similarity.semanticDecontaminate: max 6dp cosine to
+    // any eval vector (self excluded), flagged at 0.3; every corpus
+    // vector has >= 4 non-self eval partners so the inner join loses
+    // no rows (Spark's left join + coalesce(-1) covers the empty-eval
+    // edge the gate corpus cannot produce)
+    "dedup_semantic_decon" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT * FROM e WHERE vec_id < 5),
+         |s AS (SELECT c.vec_id,
+         |        max(round(list_cosine_similarity(c.v, p.v), 6)) AS m
+         |      FROM e c JOIN p ON p.vec_id != c.vec_id
+         |      GROUP BY c.vec_id)
+         |SELECT vec_id, m AS max_eval_cos, (m >= 0.3) AS contaminated
+         |FROM s ORDER BY vec_id""".stripMargin,
+
     // cluster centroids over the 0.3-cosine near-dup graph: recursive
     // components + per-dimension DECIMAL-routed means; arrays
     // stringified exactly like the Spark side (round6 -> DECIMAL(18,6))
@@ -1921,6 +1955,75 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |SELECT doc_id, CAST(rank AS INT) AS rank, tok,
          |  CAST(tf AS BIGINT) AS tf, score
          |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    // mirror of TextAnalysis.chunkDocs(64, 48): chunk starts at every
+    // stride multiple below the token count; 1-based inclusive list
+    // slice == Spark's slice(toks, start+1, 64); the final chunk keeps
+    // its natural short length
+    "doc_chunks" ->
+      s"""WITH $TOKS,
+         |c AS (SELECT doc_id, CAST(i // 48 AS BIGINT) AS chunk_id,
+         |        toks[i+1 : i+64] AS ch
+         |      FROM t, UNNEST(range(0, len(toks), 48)) u(i)
+         |      WHERE len(toks) > 0)
+         |SELECT doc_id, chunk_id, CAST(len(ch) AS BIGINT) AS n_tokens,
+         |  array_to_string(ch, ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // mirror of TextAnalysis.vocabulary(1000): ids dense from 0 by
+    // (count desc, token asc); the filter after row_number ==
+    // limit-then-rank because the order is identical
+    "text_vocab_ids" ->
+      s"""WITH $TOKS,
+         |u AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS n_occ
+         |      FROM t, UNNEST(toks) x(tok) GROUP BY 1),
+         |r AS (SELECT token, n_occ,
+         |        CAST(row_number() OVER (ORDER BY n_occ DESC, token) - 1
+         |          AS INT) AS token_id
+         |      FROM u)
+         |SELECT token, token_id, n_occ FROM r
+         |WHERE token_id < 1000 ORDER BY token_id""".stripMargin,
+
+    // mirror of TextAnalysis.encodeIds over vocabulary(20): positional
+    // token explode, left join the id table, OOV = -1
+    "text_encode_ids" ->
+      s"""WITH $TOKS,
+         |u AS (SELECT tok AS token, count(*) AS c
+         |      FROM t, UNNEST(toks) x(tok) GROUP BY 1),
+         |r AS (SELECT token,
+         |        CAST(row_number() OVER (ORDER BY c DESC, token) - 1
+         |          AS INT) AS token_id
+         |      FROM u QUALIFY token_id < 20),
+         |p AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i+1] AS token
+         |      FROM t, UNNEST(range(0, len(toks))) g(i))
+         |SELECT p.doc_id, p.pos,
+         |  CAST(coalesce(r.token_id, -1) AS INT) AS token_id
+         |FROM p LEFT JOIN r USING (token)
+         |ORDER BY doc_id, pos""".stripMargin,
+
+    // mirror of Retrieval.invertedIndex: distinct (doc, token), df
+    // band, sorted `,`-joined postings (the cross-engine array
+    // contract — never hash raw lists)
+    "text_inverted_index" ->
+      s"""WITH $TOKS,
+         |d AS (SELECT DISTINCT doc_id, tok AS token
+         |      FROM t, UNNEST(toks) x(tok)),
+         |g AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+         |        array_to_string(list_sort(list(doc_id)), ',') AS postings
+         |      FROM d GROUP BY token)
+         |SELECT token, df, postings FROM g
+         |WHERE df BETWEEN 2 AND 1000000 ORDER BY token""".stripMargin,
+
+    // the streaming chunker drains against the identical batch mirror
+    "stream_chunks" ->
+      s"""WITH $TOKS,
+         |c AS (SELECT doc_id, CAST(i // 48 AS BIGINT) AS chunk_id,
+         |        toks[i+1 : i+64] AS ch
+         |      FROM t, UNNEST(range(0, len(toks), 48)) u(i)
+         |      WHERE len(toks) > 0)
+         |SELECT doc_id, chunk_id, CAST(len(ch) AS BIGINT) AS n_tokens,
+         |  array_to_string(ch, ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     // mirror of the text_stop_density composition: the heavy-hitters
     // query becomes the discovered stopword list (nested WITH), then

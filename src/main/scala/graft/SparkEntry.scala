@@ -1151,6 +1151,54 @@ object SparkEntry {
       Retrieval.tfidfTopK(Tables.documents(s, dir))
         .orderBy("doc_id", "rank")),
 
+    // context-window preparation: 64-token chunks at stride 48
+    // (overlapping windows); a pure per-row explode+slice, no shuffle
+    "doc_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkDocs(Tables.documents(s, dir), 64, 48)
+        .orderBy("doc_id", "chunk_id")),
+
+    // the same chunker run as a Structured Streaming transform
+    // (stateless per-row ops stream unchanged) and drained against
+    // the batch oracle
+    "stream_chunks" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+      val in = memoInput("chunk-in", dir)(docs.write.parquet(_))
+      val stream = s.readStream.schema(docs.schema).parquet(in)
+      val sink = s"chunk_out_${streamGateSeq.incrementAndGet()}"
+      val q = TextAnalysis.chunkDocs(stream, 64, 48)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      detachSink(s, sink)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          col("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // tokenizer-for-training step 1: frequency-ranked vocabulary,
+    // ids dense from 0 by (count desc, token asc)
+    "text_vocab_ids" -> ((s, dir) =>
+      TextAnalysis.vocabulary(Tables.documents(s, dir), 1000)
+        .orderBy("token_id")),
+
+    // tokenizer-for-training step 2: corpus encoded as id sequences
+    // against a deliberately-small top-20 vocabulary so the OOV (−1)
+    // path is exercised, not just declared
+    "text_encode_ids" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.encodeIds(docs, TextAnalysis.vocabulary(docs, 20))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // retrieval-side inverted index: sorted posting lists per token
+    // within a df band (serialized `,`-joined — the cross-engine
+    // array contract)
+    "text_inverted_index" -> ((s, dir) =>
+      Retrieval.invertedIndex(Tables.documents(s, dir),
+          minDf = 2L, maxDf = 1000000L)
+        .orderBy("token")),
+
     // THIRD composition flagship, from the round-5 third/fourth-batch
     // ops: discover stopwords from the count-min sketch → per-doc
     // stopword-density band filter (too few function words = listy
@@ -1316,6 +1364,14 @@ object SparkEntry {
     "sample_topn" -> ((s, dir) =>
       Sampling.topNPerStratum(Tables.documents(s, dir), n = 40)
         .select(col("doc_id"), col("lang")).orderBy("doc_id")),
+
+    // deterministic source interleaving: a global training order that
+    // round-robins across sources (hash-shuffled within each source)
+    "sample_interleave" -> ((s, dir) =>
+      Sampling.interleave(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"), col("rank_in_source"),
+          col("train_ord"))
+        .orderBy("train_ord")),
 
     // CCNet-style perplexity-bucketed sampling: 4 quantile buckets of
     // the unigram-LM score, tail kept at 10% up to head at 90%
@@ -1532,6 +1588,16 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingNearDup(Tables.embeddings(s, dir), minCos = 0.3)
         .orderBy("vec_a", "vec_b")),
+
+    // semantic train/eval decontamination: broadcast the (small) eval
+    // vectors, one corpus scan, flag anything with cosine >= 0.3 to
+    // any eval item — the embedding-space twin of dedup_decontaminate
+    "dedup_semantic_decon" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.semanticDecontaminate(e, e.where(col("vec_id") < 5),
+          minCos = 0.3)
+        .orderBy("vec_id")
+    }),
 
     // SemDeDup-style semantic dedup: LSH-bucket clusters, within each
     // bucket keep the ε-dup member farthest from the bucket centroid

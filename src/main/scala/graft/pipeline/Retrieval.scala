@@ -125,4 +125,35 @@ object Retrieval {
       .select(col("doc_id"), col("rank"), col("tok"), col("tf"),
         col("score"))
   }
+
+  /** Inverted index: (token, df, postings) — sorted distinct doc-id
+    * posting lists for every token with minDf ≤ df ≤ maxDf. The
+    * retrieval-side artifact a corpus-search service builds once and
+    * serves from.
+    *
+    * Scale shape: one (doc_id, token)-distinct aggregation, then one
+    * token-keyed shuffle where the per-token payload is the posting
+    * list itself. The df band is load-bearing at 100 TB: maxDf caps
+    * the stop-word rows whose postings would otherwise be corpus-sized
+    * single-key values (the classic inverted-index hot key) — serve
+    * those from a separate df-only table if needed; minDf drops the
+    * hapax tail that dominates the vocabulary. Within the band a
+    * posting list is ≤ maxDf ids ≈ bounded, so no key can straggle.
+    *
+    * Postings are serialized `,`-joined (sorted ascending) — the
+    * cross-engine array contract (BASELINE.md: never hash raw arrays).
+    */
+  def invertedIndex(docs: DataFrame, minDf: Long = 2L, maxDf: Long = 1000L,
+                    textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), explode(toks(textCol)).as("token"))
+      .groupBy("token")
+      // collect_set = the posting set AND the df in ONE shuffle with
+      // map-side partial aggregation (within-doc repeats never leave
+      // their partition) — vs distinct-then-group, which ships every
+      // (doc, token) pair through two exchanges
+      .agg(sort_array(collect_set(col("doc_id"))).as("p"))
+      .select(col("token"), size(col("p")).cast("long").as("df"), col("p"))
+      .where(col("df").between(minDf, maxDf))
+      .select(col("token"), col("df"),
+        concat_ws(",", transform(col("p"), _.cast("string"))).as("postings"))
 }

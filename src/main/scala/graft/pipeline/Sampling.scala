@@ -316,4 +316,48 @@ object Sampling {
       .select(col("doc_id"), col("n_tokens"), col("avg_token_count"),
         col("bucket"))
   }
+
+  /** Deterministic source interleaving: assign every document a global
+    * training-order index that round-robins across sources — the data-
+    * ordering step between mixing and sharding (consecutive training
+    * batches see every source instead of one source's contiguous run).
+    *
+    * Within a source, documents are ordered by the salted id-hash
+    * (a reproducible shuffle — same property as every sampler here);
+    * across sources, position = rank_in_source · n_sources +
+    * source_idx (sources indexed by name order). Sources of unequal
+    * size simply exhaust: the global order stays strictly increasing
+    * and gap-tolerant, which is all a downstream `ORDER BY train_ord`
+    * shard writer needs.
+    *
+    * Scale shape: one source-keyed shuffle for the within-source
+    * row_number; source count is metadata-sized (collected once).
+    * At 100 TB the per-source window is the cost of one sort of that
+    * source's ids — the same bound as any shard-writing sort — and no
+    * global single-partition order is ever materialized.
+    */
+  def interleave(docs: DataFrame, sourceCol: String = "source",
+                 idCol: String = "doc_id",
+                 salt: String = "ilv"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // source universe: metadata-sized (sources, not documents), ranked
+    // by name with a window over the DISTINCT frame — the
+    // single-partition sort touches |sources| rows, never the corpus,
+    // and the whole operator stays lazy (no driver collect)
+    val srcIdx = docs.select(col(sourceCol)).distinct()
+      .select(col(sourceCol),
+        (row_number().over(Window.orderBy(col(sourceCol))) - 1)
+          .cast("long").as("src_idx"),
+        count(lit(1)).over(Window.partitionBy()).as("n_sources"))
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(hashUniform(col(idCol), salt), col(idCol))
+    docs.select(col(idCol), col(sourceCol))
+      .join(broadcast(srcIdx), Seq(sourceCol))
+      .withColumn("rank_in_source",
+        (row_number().over(w) - 1).cast("long"))
+      .withColumn("train_ord",
+        col("rank_in_source") * col("n_sources") + col("src_idx"))
+      .select(col(idCol), col(sourceCol), col("rank_in_source"),
+        col("train_ord"))
+  }
 }

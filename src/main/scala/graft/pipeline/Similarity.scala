@@ -936,4 +936,37 @@ object Similarity {
       .select(col("vec_id"), col("bucket"), col("centroid_sim"),
         coalesce(col("is_dropped"), lit(false)).as("dropped"))
   }
+
+  /** Semantic train/eval decontamination: flag every corpus vector
+    * whose cosine to ANY eval-set vector reaches `minCos` — the
+    * embedding-space counterpart of [[Dedup.decontaminate]]'s shingle
+    * overlap (an eval paraphrase leaks semantically long before it
+    * leaks lexically).
+    *
+    * Scale shape: eval sets are small by nature (thousands of
+    * prompts), so the honest 100 TB plan is a BROADCAST of the eval
+    * vectors and ONE corpus scan — per-row work is |eval|·Dim
+    * multiply-adds through the codegen'd [[cosine]], no shuffle, no
+    * candidate-generation recall risk (LSH would trade exactness for
+    * nothing here: the scan is bandwidth-bound either way, and a
+    * missed near-duplicate of an eval item is the one failure mode a
+    * decontamination pass must not have). Eval vectors present in the
+    * corpus itself (same vec_id) are excluded from their own max.
+    *
+    * Output: one row per corpus vector — (vec_id, max_eval_cos
+    * 6dp-rounded with −1 for "no eval neighbor", contaminated).
+    */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                            minCos: Double): DataFrame = {
+    val scored = corpus.as("c")
+      .join(broadcast(evalSet.as("e")),
+        col("c.vec_id") =!= col("e.vec_id"), "left")
+      .select(col("c.vec_id").as("vec_id"),
+        round(cosine(asDouble(col("c.embedding")),
+          asDouble(col("e.embedding"))), 6).as("cos"))
+    scored.groupBy("vec_id")
+      .agg(coalesce(max(col("cos")), lit(-1.0)).as("max_eval_cos"))
+      .select(col("vec_id"), col("max_eval_cos"),
+        (col("max_eval_cos") >= minCos).as("contaminated"))
+  }
 }

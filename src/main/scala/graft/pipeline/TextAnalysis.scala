@@ -770,4 +770,115 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("u").asc, col("w").asc)
       .limit(topK)
   }
+
+  // ---- Chunking (training-window preparation) -----------------------
+
+  /** Split every document into fixed-length token chunks with a
+    * configurable stride — the context-window preparation step of a
+    * training pipeline (stride < chunkTokens gives the standard
+    * overlapping windows; stride == chunkTokens tiles exactly).
+    *
+    * Scale shape: per-row explode of chunk START positions (⌈n/stride⌉
+    * rows per doc, bounded by doc length), `slice` on the already-built
+    * token array per start — no shuffle at all; chunking is a pure map
+    * and the output is written partition-local. The final chunk keeps
+    * its natural short length (no padding) so token accounting stays
+    * exact; empty documents produce zero chunks.
+    *
+    * Output: (doc_id, chunk_id, n_tokens, chunk_text) with chunk_id =
+    * start/stride (0-based, dense per doc).
+    */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 64, stride: Int = 48,
+                textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    require(stride > 0, s"stride must be positive: $stride")
+    docs
+      .select(col("doc_id"), toks(textCol).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+          .as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        slice(col("toks"), col("start") + 1, lit(chunkTokens)).as("c"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("c")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("c")).as("chunk_text"))
+  }
+
+  // ---- Vocabulary construction + id encoding ------------------------
+
+  /** Frequency-ranked vocabulary: the `vocabSize` most frequent tokens,
+    * ids assigned contiguously from 0 by (count desc, token asc) — the
+    * deterministic token→id table a tokenizer-for-training emits.
+    *
+    * Scale shape: one map-side-combinable count aggregation over the
+    * corpus (vocabulary-sized shuffle, like [[unigramScore]]); the
+    * TOTAL order exists only over the top-`vocabSize` survivors, which
+    * Catalyst plans as a distributed TakeOrdered — the corpus never
+    * sees a single-partition sort. The final row_number over V rows is
+    * a bounded-size single partition by construction (V ≪ corpus).
+    */
+  def vocabulary(docs: DataFrame, vocabSize: Int,
+                 textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = docs.select(explode(toks(textCol)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("token").asc)
+      .limit(vocabSize)
+    // V rows: the global row_number is over the already-limited frame
+    val w = Window.orderBy(col("n_occ").desc, col("token").asc)
+    top.select(col("token"),
+      (row_number().over(w) - 1).cast("int").as("token_id"), col("n_occ"))
+  }
+
+  /** Encode documents as token-id sequences against a [[vocabulary]]
+    * frame: (doc_id, pos, token_id), OOV tokens = −1. The vocabulary
+    * is broadcast (V rows) so encoding is one corpus scan with a
+    * map-side hash join — the shape that turns 100 TB of text into
+    * training ids without a shuffle.
+    */
+  def encodeIds(docs: DataFrame, vocab: DataFrame,
+                textCol: String = "text"): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(toks(textCol)).as(Seq("pos", "token")))
+      .join(broadcast(vocab.select(col("token"), col("token_id"))),
+        Seq("token"), "left")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        coalesce(col("token_id"), lit(-1)).as("token_id"))
+
+  // ---- Mergeable distinct-count sketches (HLL) -----------------------
+
+  /** Per-group vocabulary sketch: one Datasketches HLL per `lang`,
+    * built with Spark's native `hll_sketch_agg` (codegen'd, mergeable).
+    * The 100 TB story mirrors [[countMinSketch]]: each shard/partition
+    * aggregates its own fixed-size sketch (lgK=12 → ≤ 4 KB dense), so
+    * distinct-counting the corpus vocabulary ships kilobytes per group
+    * instead of shuffling the token universe. Merge shard sketches
+    * with [[vocabSketchMerge]]; read estimates with [[vocabEstimate]].
+    * The estimate is exact while a sketch is still in its
+    * coupon-collecting regime and within ±1.6% (lgK=12) beyond it —
+    * measured against the exact distinct in VocabSketchSpec and the
+    * HLL100X BASELINE probe rather than asserted.
+    */
+  def vocabSketch(docs: DataFrame, lgK: Int = 12,
+                  textCol: String = "text"): DataFrame =
+    docs.select(col("lang"), explode(toks(textCol)).as("token"))
+      .groupBy("lang")
+      .agg(hll_sketch_agg(col("token"), lit(lgK)).as("sketch"))
+
+  /** Merge per-shard [[vocabSketch]] frames: union-all → one
+    * `hll_union_agg` per group. Input sketches may disagree on lgK
+    * (allowDifferentLgConfigK = true) — the union downgrades to the
+    * smaller K, which is the standard mergeability contract.
+    */
+  def vocabSketchMerge(shards: DataFrame*): DataFrame =
+    shards.reduce(_ unionByName _)
+      .groupBy("lang")
+      .agg(hll_union_agg(col("sketch"), lit(true)).as("sketch"))
+
+  /** Read a sketch frame: (lang, est_distinct). */
+  def vocabEstimate(sketches: DataFrame): DataFrame =
+    sketches.select(col("lang"),
+      hll_sketch_estimate(col("sketch")).as("est_distinct"))
 }

@@ -110,6 +110,23 @@ class ServingSpec extends AnyFunSuite {
       """SELECT count(*) FROM channel_health
         |WHERE n_samples > 0 AND n_gaps >= 0 AND n_anomalies >= 0""".stripMargin)
       .head.getLong(0) > 0)
+    // round-7 views: chunking, vocab/id encoding, inverted index,
+    // interleave order, semantic decontamination
+    assert(spark.sql(
+      "SELECT count(*) FROM doc_chunks WHERE n_tokens BETWEEN 1 AND 64")
+      .head.getLong(0) > 0)
+    assert(spark.sql(
+      """SELECT count(*) FROM doc_token_ids i JOIN corpus_vocab v
+        |ON i.token_id = v.token_id""".stripMargin).head.getLong(0) > 0)
+    assert(spark.sql(
+      "SELECT count(*) FROM corpus_inverted_index WHERE df >= 2")
+      .head.getLong(0) > 0)
+    assert(spark.sql(
+      "SELECT count(DISTINCT train_ord) = count(*) FROM corpus_interleaved")
+      .head.getBoolean(0))
+    assert(spark.sql(
+      "SELECT count(*) FROM emb_decontaminated WHERE max_eval_cos >= -1")
+      .head.getLong(0) > 0)
   }
 
   test("name→dataId resolution via broadcast config join survives renames") {

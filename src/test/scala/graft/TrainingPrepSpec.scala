@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Dedup, Retrieval, Sampling, Similarity, TextAnalysis}
+
+/** Round-7 training-data-preparation operators: chunking, vocabulary
+  * construction + id encoding, inverted index, semantic
+  * decontamination, source interleaving, and the mergeable HLL
+  * vocabulary sketch.
+  */
+class TrainingPrepSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", concat(lit("s"), col("doc_id") % 3))
+
+  // ---- chunking ------------------------------------------------------
+
+  test("chunkDocs tiles exactly when stride == chunk and reconstructs the corpus") {
+    val d = docs(
+      1L -> (1 to 10).map(i => s"t$i").mkString(" "), // 10 toks → 3+3+3+1
+      2L -> "a b c",                                   // short single chunk
+      3L -> "   ",                                     // empty → no chunks
+      4L -> "x")                                       // 1 tok
+    val c = TextAnalysis.chunkDocs(d, chunkTokens = 3, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(!c.exists(_._1 == 3L), "empty doc produced a chunk")
+    val doc1 = c.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.map(_._2).sameElements(Array(0L, 1L, 2L, 3L)))
+    assert(doc1.map(_._3).sameElements(Array(3L, 3L, 3L, 1L)))
+    // exact tiling reconstructs the tokenized document
+    assert(doc1.map(_._4).mkString(" ") ==
+      (1 to 10).map(i => s"t$i").mkString(" "))
+    assert(c.filter(_._1 == 2L).map(_._4).toSeq == Seq("a b c"))
+    assert(c.filter(_._1 == 4L).map(_._4).toSeq == Seq("x"))
+  }
+
+  test("chunkDocs with stride < chunk overlaps by chunk - stride tokens") {
+    val d = docs(1L -> (1 to 10).map(i => s"w$i").mkString(" "))
+    val c = TextAnalysis.chunkDocs(d, chunkTokens = 4, stride = 2)
+      .orderBy("chunk_id").collect()
+    // starts 0,2,4,6,8 → 5 chunks; consecutive chunks share 2 tokens
+    assert(c.length == 5)
+    val texts = c.map(_.getString(3))
+    assert(texts(0) == "w1 w2 w3 w4" && texts(1) == "w3 w4 w5 w6")
+    assert(texts(4) == "w9 w10") // natural short tail, no padding
+    // every token position is covered by at least one chunk
+    val covered = c.flatMap { r =>
+      val start = r.getLong(1) * 2
+      start until (start + r.getLong(2))
+    }.toSet
+    assert(covered == (0L until 10L).toSet)
+  }
+
+  // ---- vocabulary + encoding ----------------------------------------
+
+  test("vocabulary ranks by count desc then token asc with dense ids from 0") {
+    val d = docs(1L -> "b b b a a c", 2L -> "a c c d")
+    val v = TextAnalysis.vocabulary(d, vocabSize = 3)
+      .orderBy("token_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // counts: a=3 b=3 c=3 d=1 → ties broken token-asc, top-3 cuts d
+    assert(v.toSeq == Seq(("a", 0, 3L), ("b", 1, 3L), ("c", 2, 3L)))
+  }
+
+  test("encodeIds round-trips through a covering vocabulary and flags OOV as -1") {
+    val d = docs(1L -> "the quick fox", 2L -> "the lazy dog")
+    val full = TextAnalysis.vocabulary(d, vocabSize = 100)
+    val enc = TextAnalysis.encodeIds(d, full)
+    // decode through the vocabulary and compare to the tokenization
+    val decoded = enc.join(full, Seq("token_id"))
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("token")))),
+        s => s.getField("token"))).as("rt"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(decoded.sameElements(Array("the quick fox", "the lazy dog")))
+    // a 1-token vocabulary leaves everything else at -1, positions intact
+    val tiny = TextAnalysis.vocabulary(d, vocabSize = 1) // "the" (count 2)
+    val enc1 = TextAnalysis.encodeIds(d, tiny).orderBy("doc_id", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(enc1.toSeq == Seq((1L, 0L, 0), (1L, 1L, -1), (1L, 2L, -1),
+      (2L, 0L, 0), (2L, 1L, -1), (2L, 2L, -1)))
+  }
+
+  // ---- inverted index ------------------------------------------------
+
+  test("invertedIndex applies the df band and emits sorted postings") {
+    val d = docs(
+      1L -> "alpha beta gamma",
+      2L -> "alpha beta",
+      3L -> "alpha stop stop", // within-doc dup counts once
+      4L -> "alpha")
+    val ix = Retrieval.invertedIndex(d, minDf = 2L, maxDf = 3L)
+      .orderBy("token").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // alpha df=4 > maxDf (hot key banded out); gamma/stop df=1 < minDf
+    assert(ix.toSeq == Seq(("beta", 2L, "1,2")))
+  }
+
+  // ---- semantic decontamination --------------------------------------
+
+  test("semanticDecontaminate flags near-eval vectors and excludes self-pairs") {
+    val mk = (id: Long, v: Seq[Double]) => (id, v.map(_.toFloat).toArray)
+    val e = Seq(
+      mk(0L, Seq(1.0, 0.0, 0.0, 0.0)),   // eval
+      mk(1L, Seq(0.0, 1.0, 0.0, 0.0)),   // eval
+      mk(10L, Seq(0.99, 0.01, 0.0, 0.0)), // near eval 0 → contaminated
+      mk(11L, Seq(0.0, 0.0, 1.0, 0.0)),   // orthogonal → clean
+      mk(12L, Seq(-1.0, 0.0, 0.0, 0.0)))  // anti-parallel → clean
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(
+        e, e.where(col("vec_id") < 2), minCos = 0.9)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(10L)._3 && byId(10L)._2 > 0.99)
+    assert(!byId(11L)._3 && byId(11L)._2 == 0.0)
+    assert(!byId(12L)._3 && byId(12L)._2 == 0.0) // max vs OTHER eval, not -1
+    // eval vectors score against the OTHER eval vector, never themselves
+    assert(byId(0L)._2 == 0.0 && byId(1L)._2 == 0.0)
+    assert(out.length == 5)
+  }
+
+  // ---- interleaving ---------------------------------------------------
+
+  test("interleave round-robins sources and train_ord is strictly increasing") {
+    val d = (0L until 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .withColumn("source", concat(lit("s"), col("doc_id") % 3))
+    val out = Sampling.interleave(d).orderBy("train_ord").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 30)
+    assert(out.map(_._4).distinct.length == 30, "train_ord must be unique")
+    // equal-size sources: a full round-robin — every consecutive
+    // 3-window of the global order sees all three sources
+    out.grouped(3).foreach { g =>
+      assert(g.map(_._2).toSet == Set("s0", "s1", "s2"), g.mkString(","))
+    }
+    // rank_in_source is dense 0..9 per source
+    out.groupBy(_._2).values.foreach { rows =>
+      assert(rows.map(_._3).sorted.sameElements(0L until 10L))
+    }
+    // determinism: same input → identical order
+    val again = Sampling.interleave(d).orderBy("train_ord").collect()
+      .map(r => r.getLong(0))
+    assert(again.sameElements(out.map(_._1)))
+  }
+
+  test("interleave stays strictly increasing when sources exhaust unevenly") {
+    val d = (0L until 21L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .withColumn("source",
+        when(col("doc_id") < 18, lit("big")).otherwise(lit("small")))
+    val ord = Sampling.interleave(d).orderBy("train_ord")
+      .select("train_ord").collect().map(_.getLong(0))
+    assert(ord.length == 21 && ord.distinct.length == 21)
+    assert(ord.sameElements(ord.sorted))
+  }
+
+  // ---- HLL vocabulary sketch ------------------------------------------
+
+  test("vocabSketch estimate tracks the exact distinct and shard merge ≈ whole") {
+    // synthetic corpus: per-lang vocab sizes spanning the coupon and
+    // HLL regimes at lgK=12
+    val d = (0L until 4000L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "zh"
+      // en: 200-token vocab (coupon regime); zh: 2000 (estimation)
+      val tok = if (lang == "en") s"e${i % 200}" else s"z${i % 2000}"
+      (i, s"$tok $tok fill${i % 7}", lang)
+    }.toDF("doc_id", "text", "lang")
+    val exact = d.select(col("lang"),
+        explode(Dedup.tokens("text")).as("tok"))
+      .groupBy("lang").agg(countDistinct("tok").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val whole = TextAnalysis.vocabEstimate(TextAnalysis.vocabSketch(d))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (lang, n) =>
+      val est = whole(lang)
+      assert(math.abs(est - n).toDouble / n < 0.05,
+        s"$lang: est $est vs exact $n")
+    }
+    // mergeability: two disjoint doc_id shards, sketched independently
+    // and merged, estimate within the same bound
+    val shA = TextAnalysis.vocabSketch(d.where(col("doc_id") % 2 === 0))
+    val shB = TextAnalysis.vocabSketch(d.where(col("doc_id") % 2 =!= 0))
+    val merged = TextAnalysis.vocabEstimate(
+        TextAnalysis.vocabSketchMerge(shA, shB))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (lang, n) =>
+      assert(math.abs(merged(lang) - n).toDouble / n < 0.05,
+        s"merged $lang: ${merged(lang)} vs exact $n")
+    }
+    // coupon regime is exact: the 200-token lang estimates exactly
+    assert(whole("en") == exact("en") && merged("en") == exact("en"))
+  }
+}
