@@ -595,6 +595,27 @@ object OracleSql {
          |WHERE g.enabled
          |ORDER BY channel, ts""".stripMargin,
 
+    // explicit per-request limit modes at the serving edge: Exact
+    // lower bound (inclusive range edge, NO at-or-before widening) +
+    // AT_OR_AFTER upper (strict inner edge, first sample >= HI
+    // appended) — all channels enabled, no rename
+    "arch_serve_limit_modes" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |inner_rows AS (
+         |  SELECT channel, ts, value FROM clean
+         |  WHERE ts >= $LO AND ts < $HI),
+         |hi_b AS (
+         |  SELECT channel, ts, value FROM (
+         |    SELECT channel, ts, value,
+         |      row_number() OVER (PARTITION BY channel ORDER BY ts ASC) AS k
+         |    FROM clean WHERE ts >= $HI) WHERE k = 1),
+         |uni AS (
+         |  SELECT * FROM inner_rows
+         |  UNION SELECT * FROM hi_b)
+         |SELECT channel, ts, value, CAST(0 AS BIGINT) AS level
+         |FROM uni ORDER BY channel, ts""".stripMargin,
+
     "chan_registry" ->
       s"""WITH $SAMPLES
          |SELECT channel, count(*) AS n_samples, min(ts) AS first_ts,

@@ -1984,6 +1984,17 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |SELECT token, token_id, n_occ FROM r
          |WHERE token_id < 1000 ORDER BY token_id""".stripMargin,
 
+    // HLL sketches in the coupon-collecting regime are exact, and the
+    // shard-merge is lossless, so BOTH estimate columns equal the exact
+    // per-lang distinct token count
+    "text_vocab_sketch" ->
+      s"""WITH $TOKS
+         |SELECT lang,
+         |       CAST(count(DISTINCT tok) AS BIGINT) AS est_distinct,
+         |       CAST(count(DISTINCT tok) AS BIGINT) AS est_distinct_merged
+         |FROM t, UNNEST(toks) x(tok)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
     // mirror of TextAnalysis.encodeIds over vocabulary(20): positional
     // token explode, left join the id table, OOV = -1
     "text_encode_ids" ->

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PROBE100X harness for the round-7 training-prep operators — the
+  * 100×-the-gate synthetic workloads whose measured shapes go into
+  * BASELINE.md (the SF-0.1 gates are too small to show scaling
+  * hazards). One JSON line per probe on stdout.
+  *
+  * Corpus: 500k docs × 40 tokens (20M token windows — the same scale
+  * the round-4 dedup probes used), built with expr-side integer math
+  * only. Token distribution is Zipf-flavored: rank = hash²-skewed over
+  * a 50k vocabulary plus one guaranteed stop word per doc, so the
+  * inverted index probe actually HAS corpus-wide hot keys for the
+  * maxDf band to kill.
+  *
+  * {{{ sbt -batch "runMain graft.Probe100x [inverted_index|interleave|chunks|all]" }}}
+  */
+object Probe100x {
+
+  private def corpus(spark: SparkSession, docs: Long, toksPerDoc: Int,
+                     vocab: Int): DataFrame = {
+    // per-token id: squared-uniform → low ids are corpus-hot (a crude
+    // Zipf); token 0 is additionally injected into EVERY doc
+    val tok = (i: Int) => {
+      val h = pmod(xxhash64(col("id") * lit(toksPerDoc) + lit(i)),
+        lit(vocab.toLong * vocab.toLong)).cast("double")
+      concat(lit("t"), sqrt(h).cast("long"))
+    }
+    spark.range(docs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", lit("t0") +: (1 until toksPerDoc).map(tok): _*)
+        .as("text"),
+      // 90% of docs in one mega-source, the rest spread over 10 — the
+      // skew shape that breaks a global-sort interleaver
+      when(pmod(col("id"), lit(100)) < 90, lit("s_mega"))
+        .otherwise(concat(lit("s"), pmod(col("id"), lit(10))))
+        .as("source"))
+  }
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("all")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .appName("graft-probe100x")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = corpus(spark, docs = 500000L, toksPerDoc = 40, vocab = 50000)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count() // materialize once; probes measure the operator
+
+    def report(name: String, fields: (String, Any)*): Unit = {
+      val body = fields.map {
+        case (k, v: String) => s""""$k":"$v""""
+        case (k, v) => s""""$k":$v"""
+      }.mkString(",")
+      println(s"""{"probe":"$name",$body}""")
+    }
+
+    if (mode == "inverted_index" || mode == "all") {
+      // banded: the production shape (maxDf kills the hot keys)
+      val banded = time(noop(
+        graft.pipeline.Retrieval.invertedIndex(docs, minDf = 2L, maxDf = 1000L)))
+      // uncapped: every stop word becomes a ~500k-id posting row —
+      // measured so the cap's value is a number, not an assertion
+      val uncapped = time(noop(
+        graft.pipeline.Retrieval.invertedIndex(docs, minDf = 2L,
+          maxDf = 1000000L)))
+      report("inverted_index", "docs" -> 500000, "tokens" -> 20000000,
+        "banded_maxdf1000_sec" -> banded, "uncapped_sec" -> uncapped)
+    }
+
+    if (mode == "interleave" || mode == "all") {
+      val sec = time(noop(graft.pipeline.Sampling.interleave(docs)))
+      report("interleave", "docs" -> 500000, "mega_source_frac" -> 0.9,
+        "sec" -> sec)
+    }
+
+    if (mode == "chunks" || mode == "all") {
+      val sec = time(noop(
+        graft.pipeline.TextAnalysis.chunkDocs(docs, chunkTokens = 8,
+          stride = 8)))
+      report("chunks", "docs" -> 500000, "tokens" -> 20000000,
+        "chunk_tokens" -> 8, "stride" -> 8, "sec" -> sec)
+    }
+
+    docs.unpersist()
+    spark.stop()
+  }
+}

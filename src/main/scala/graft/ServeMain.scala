@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.archive.{ArchiveBackend, HttpArchiveServer, ManifestBackend}
+
+/** The curl-able serving process: one Spark session + the archive-access
+  * HTTP API over a config/store pair.
+  *
+  * {{{
+  * sbt -batch "runMain graft.ServeMain <configPath> <storePath> [port]"
+  * curl 'http://localhost:<port>/archive-access/api/1.0/archive/1/samples/ch0?start=0&end=9999999999999999999'
+  * }}}
+  *
+  * `SPARK_GRAFT_BACKEND=archive` serves a raw-parquet [[ArchiveBackend]]
+  * store instead of the default manifest-committed one.
+  */
+object ServeMain {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ServeMain <configPath> <storePath> [port]")
+    val (configPath, storePath) = (args(0), args(1))
+    val port = if (args.length > 2) args(2).toInt else 8080
+    val backend = sys.env.get("SPARK_GRAFT_BACKEND") match {
+      case Some("archive") => ArchiveBackend
+      case _ => ManifestBackend
+    }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER",
+        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
+      .appName("graft-serve")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val running = HttpArchiveServer.start(spark, configPath, storePath,
+      backend, port)
+    println(s"[graft] serving ${running.baseUrl}/ (Ctrl-C to stop)")
+    sys.addShutdownHook { running.stop(); spark.stop() }
+    Thread.currentThread().join()
+  }
+}

@@ -40,6 +40,12 @@ object SessionStateBench {
       .appName("graft-session-state-bench")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.session.timeZone", "UTC")
+      // recentProgress retains only this many entries (default 100);
+      // the curve and the honesty checks below sum over ALL batches,
+      // so a SPARK_GRAFT_SESS_BATCHES >= ~100 run would silently
+      // truncate the curve and spuriously fail the input-rows check.
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        (batches + 64).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -104,14 +110,23 @@ object SessionStateBench {
         Option(p.sources.headOption.map(_.numInputRows).getOrElse(0L))
           .getOrElse(0L)))
     val maxState = if (curve.isEmpty) 0L else curve.map(_._1).max
-    // end-to-end honesty check: every generated event must have been
-    // INPUT to the stream — a modtime tie that reordered slices past
-    // the watermark would show up here as a shortfall, failing the
-    // probe instead of silently flattening the curve
+    // end-to-end honesty checks. (1) every generated event must have
+    // been INPUT to the stream — a lost slice file shows up here.
+    // (2) input alone can't catch tie-reordered slices: the file
+    // source still READS (and counts) a late slice's rows, then the
+    // 0 s watermark drops them inside the stateful operator — so also
+    // require zero watermark-dropped rows, the metric that measures
+    // exactly that failure.
     val inputRows = q.recentProgress.toSeq.map(_.numInputRows).sum
     require(inputRows == rows,
       s"stream consumed $inputRows of $rows generated events — " +
         "slice replay dropped data; the state curve is invalid")
+    val droppedRows = q.recentProgress.toSeq
+      .flatMap(_.stateOperators.toSeq)
+      .map(_.numRowsDroppedByWatermark).sum
+    require(droppedRows == 0L,
+      s"$droppedRows rows dropped by the watermark — slice replay ran " +
+        "out of order; the state curve is invalid")
     val line =
       s"""{"metric":"session_state_rows_max","value":$maxState,"unit":"rows","events":$rows,"users":$users,"batches":$batches,"input_rows":$inputRows,"wall_sec":$wallSec,"events_per_sec":${(rows / wallSec).toLong},"state_rows_curve":${curve.map(_._1).mkString("[", ",", "]")},"state_bytes_curve":${curve.map(_._2).mkString("[", ",", "]")}}"""
     java.nio.file.Files.write(

@@ -911,6 +911,32 @@ object SparkEntry {
         .orderBy("channel", "ts")
     }),
 
+    // per-request limit modes END TO END (ArchiveAccessService.java:
+    // 55-135 exposes a TimeStampLimitMode per bound on every request):
+    // the same config-governed stack served with an EXPLICIT
+    // non-default pair — Exact lower bound, AT_OR_AFTER upper — which
+    // is neither the all-widened count-empty default nor the all-exact
+    // count path, so a serving edge that ignores the per-request modes
+    // reds this hash
+    "arch_serve_limit_modes" -> ((s, dir) => {
+      val cfgDir = scratchDir("cfgmod") + "/config"
+      val store = scratchDir("cfgmod") + "/store"
+      val names = raw(s, dir).select("channel").distinct()
+        .orderBy("channel").collect().map(_.getString(0)).toSeq
+      names.foreach { n =>
+        ConfigCommands.addChannel(s, cfgDir, ChannelConfig(n, s"id-$n",
+          "ca", enabled = true, Map(), Map(0L -> 0L)))
+      }
+      ConfiguredArchive.materialize(s, cfgDir, store, clean(s, dir))
+      names.map { n =>
+        ConfiguredArchive.querySamples(s, cfgDir, store, n, LO, HI, None,
+          loMode = Some(ArchiveReader.Exact),
+          hiMode = Some(ArchiveReader.AtOrWidened))
+      }.reduce(_ unionByName _)
+        .select(col("channel"), col("ts"), col("value"), col("level"))
+        .orderBy("channel", "ts")
+    }),
+
     // incremental catch-up under the oracle: build the 1h level on the
     // first slice of history (ts ≤ CUT), append the remainder raw, run
     // the watermark-resumed catch-up — the extended level must serve
@@ -1198,6 +1224,28 @@ object SparkEntry {
       Retrieval.invertedIndex(Tables.documents(s, dir),
           minDf = 2L, maxDf = 1000000L)
         .orderBy("token")),
+
+    // HLL vocabulary sketch under the oracle: the per-lang vocab at
+    // this SF (31 tokens) is deep inside the sketch's coupon-collecting
+    // regime, where the HLL estimate IS the exact distinct count — so
+    // the whole-corpus sketch AND the three-shard merge
+    // (vocabSketchMerge = hll_union_agg) must both serve the exact
+    // per-lang COUNT(DISTINCT token). The shard ≡ whole identity is the
+    // 100 TB contract: per-shard 4 KB sketches fold to the corpus
+    // answer without shuffling the token universe.
+    "text_vocab_sketch" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val whole = TextAnalysis.vocabEstimate(TextAnalysis.vocabSketch(docs))
+      val shards = (0 to 2).map(i =>
+        TextAnalysis.vocabSketch(docs.where(col("doc_id") % 3 === i)))
+      val merged = TextAnalysis.vocabEstimate(
+          TextAnalysis.vocabSketchMerge(shards: _*))
+        .withColumnRenamed("est_distinct", "est_distinct_merged")
+      whole.join(merged, Seq("lang"))
+        .select(col("lang"), col("est_distinct"),
+          col("est_distinct_merged"))
+        .orderBy("lang")
+    }),
 
     // THIRD composition flagship, from the round-5 third/fourth-batch
     // ops: discover stopwords from the count-min sketch → per-doc

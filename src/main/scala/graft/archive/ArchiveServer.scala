@@ -28,17 +28,31 @@ object ArchiveServer {
 
   case class LevelState(periodSec: Long, earliestTs: Long)
 
-  /** Step 1 — per-level availability for one channel. */
+  /** Step 1 — per-level availability for one channel, as ONE grouped
+    * aggregate over the union of the (channel-pruned, ts-only) level
+    * reads — a single Spark job, not one `agg(min)` action per level.
+    * Levels are few (≤5) so the serial loop was latency, not
+    * correctness, but under per-request serving load the per-level
+    * job-submission round trips dominate the aggregate itself; the
+    * union keeps every read's pruning and collects once. A level with
+    * no rows for the channel simply has no group, matching the old
+    * flatMap-None contract.
+    */
   def levelStates(spark: SparkSession, storePath: String,
                   channel: String,
                   backend: StoreBackend = ArchiveBackend): Seq[LevelState] = {
     val levels = backend.levels(spark, storePath).sorted
-    levels.flatMap { l =>
-      val first = backend.read(spark, storePath, l, channel = Some(channel))
-        .where(col("channel") === channel)
-        .agg(min("ts")).head
-      if (first.isNullAt(0)) None else Some(LevelState(l, first.getLong(0)))
-    }.toSeq
+    if (levels.isEmpty) return Seq.empty
+    levels.map { l =>
+        backend.read(spark, storePath, l, channel = Some(channel))
+          .where(col("channel") === channel)
+          .select(lit(l).as("level_sec"), col("ts"))
+      }
+      .reduce(_ unionByName _)
+      .groupBy("level_sec").agg(min("ts").as("first_ts"))
+      .collect()
+      .map(r => LevelState(r.getLong(0), r.getLong(1)))
+      .sortBy(_.periodSec).toSeq
   }
 
   /** One day in nanoseconds — the store's partition granularity. */
@@ -83,11 +97,23 @@ object ArchiveServer {
     * levels present in the store but no longer configured (a config
     * update that dropped one) stop being served immediately, like the
     * reference's config-driven level DAG.
+    *
+    * `loMode`/`hiMode` expose the reference's per-request boundary
+    * matrix at the serving edge (ArchiveAccessService.java:55-135:
+    * every getSamples call carries a TimeStampLimitMode per bound;
+    * Api10Controller passes AT_OR_BEFORE/AT_OR_AFTER on both its raw
+    * and decimated paths). `None` keeps this server's historical
+    * default — widened bounds iff `count` is empty — so existing
+    * callers and gates are unchanged; `Some(mode)` forces that bound's
+    * handling regardless of `count`.
     */
   def querySamples(spark: SparkSession, storePath: String, channel: String,
                    startNs: Long, endNs: Long, count: Option[Long],
                    backend: StoreBackend = ArchiveBackend,
-                   allowedLevels: Option[Set[Long]] = None): DataFrame = {
+                   allowedLevels: Option[Set[Long]] = None,
+                   loMode: Option[ArchiveReader.LimitMode] = None,
+                   hiMode: Option[ArchiveReader.LimitMode] = None): DataFrame = {
+    import ArchiveReader.{AtOrWidened, Exact}
     val states = levelStates(spark, storePath, channel, backend)
       .filter(s => allowedLevels.forall(_.contains(s.periodSec)))
     require(states.nonEmpty, s"unknown channel $channel")
@@ -96,28 +122,41 @@ object ArchiveServer {
     val segments = ResolutionPlanner.fallbackSegments(chosen,
       states.map(s => s.periodSec -> s.earliestTs).toMap,
       states.map(_.periodSec).filter(_ > chosen), startNs, endNs)
+    val defaultMode = if (count.isEmpty) AtOrWidened else Exact
     val parts = segments.flatMap { case (period, from, to) =>
       // boundary widening only on the finest (most recent) segment —
       // the coarser prepended history is range-exact (reference:
       // Api10Controller range-splits with end = earliestSeen − 1).
       // The widened boundaries come from the walk-back probe, so every
       // read stays day-partition-clipped — no unclipped history scan.
-      val widen = period == chosen && count.isEmpty
+      val effLo = if (period == chosen) loMode.getOrElse(defaultMode) else Exact
+      val effHi = if (period == chosen) hiMode.getOrElse(defaultMode) else Exact
       val base = backend.read(spark, storePath, period,
           Some(from), Some(to), Some(channel))
         .where(col("channel") === channel)
       val valueCol = if (period == 0L) col("value") else col("mean")
       val project = (df: DataFrame) => df.select(col("channel"), col("ts"),
         valueCol.as("value"), lit(period).as("level"))
-      if (widen) {
-        val inner = base.where(col("ts") > from && col("ts") < to)
-        val lower = boundaryProbe(spark, storePath, period, channel,
-          from, forward = false, backend = backend)
-        val upper = boundaryProbe(spark, storePath, period, channel,
-          to, forward = true, backend = backend)
-        (Seq(inner) ++ lower ++ upper).map(project)
-      } else
+      if (effLo == Exact && effHi == Exact)
         Seq(project(base.where(col("ts").between(from, to))))
+      else {
+        // per-bound: an Exact bound keeps its inclusive range edge; a
+        // widened bound excludes the edge from the inner scan (the
+        // walk-back probe serves it — a sample exactly at the bound IS
+        // its own boundary sample, getSamples' 0/1/2 matrix)
+        val inner = base.where(
+          (if (effLo == Exact) col("ts") >= from else col("ts") > from) &&
+            (if (effHi == Exact) col("ts") <= to else col("ts") < to))
+        val lower = if (effLo == AtOrWidened)
+          boundaryProbe(spark, storePath, period, channel, from,
+            forward = false, backend = backend)
+          else None
+        val upper = if (effHi == AtOrWidened)
+          boundaryProbe(spark, storePath, period, channel, to,
+            forward = true, backend = backend)
+          else None
+        (Seq(inner) ++ lower ++ upper).map(project)
+      }
     }
     parts.reduce(_ unionByName _)
       // a sample exactly at a bound satisfies both its boundary probe
@@ -131,9 +170,11 @@ object ArchiveServer {
     */
   def serveJson(spark: SparkSession, storePath: String, channel: String,
                 startNs: Long, endNs: Long, count: Option[Long],
-                backend: StoreBackend = ArchiveBackend): Iterator[String] = {
+                backend: StoreBackend = ArchiveBackend,
+                loMode: Option[ArchiveReader.LimitMode] = None,
+                hiMode: Option[ArchiveReader.LimitMode] = None): Iterator[String] = {
     val df = querySamples(spark, storePath, channel, startNs, endNs, count,
-      backend)
+      backend, loMode = loMode, hiMode = hiMode)
       .withColumn("severity", lit(0)).withColumn("status", lit(0))
     JsonV1.serializeRaw(df).select("json").toLocalIterator()
       .asScala.map(_.getString(0))

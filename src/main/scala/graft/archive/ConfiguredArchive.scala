@@ -138,7 +138,9 @@ object ConfiguredArchive {
   def querySamples(spark: SparkSession, configPath: String,
                    storePath: String, name: String,
                    startNs: Long, endNs: Long, count: Option[Long],
-                   backend: StoreBackend = ManifestBackend): DataFrame = {
+                   backend: StoreBackend = ManifestBackend,
+                   loMode: Option[ArchiveReader.LimitMode] = None,
+                   hiMode: Option[ArchiveReader.LimitMode] = None): DataFrame = {
     val cfg = resolveEnabled(spark, configPath, name)
     // raw (0) is always servable: the command surface normalizes it
     // into every config, but a config imported or constructed without
@@ -146,7 +148,8 @@ object ConfiguredArchive {
     // edge (and with it the widened-boundary contract)
     ArchiveServer.querySamples(spark, storePath, cfg.channelDataId,
         startNs, endNs, count, backend,
-        allowedLevels = Some(cfg.levels.keySet + 0L))
+        allowedLevels = Some(cfg.levels.keySet + 0L),
+        loMode = loMode, hiMode = hiMode)
       .withColumn("channel", lit(name))
   }
 
@@ -157,10 +160,12 @@ object ConfiguredArchive {
   def serveJson(spark: SparkSession, configPath: String, storePath: String,
                 name: String, startNs: Long, endNs: Long,
                 count: Option[Long],
-                backend: StoreBackend = ManifestBackend): Iterator[String] = {
+                backend: StoreBackend = ManifestBackend,
+                loMode: Option[ArchiveReader.LimitMode] = None,
+                hiMode: Option[ArchiveReader.LimitMode] = None): Iterator[String] = {
     import scala.jdk.CollectionConverters._
     val df = querySamples(spark, configPath, storePath, name, startNs,
-        endNs, count, backend)
+        endNs, count, backend, loMode, hiMode)
       .withColumn("severity", lit(0)).withColumn("status", lit(0))
     JsonV1.serializeRaw(df).select("json").toLocalIterator()
       .asScala.map(_.getString(0))

@@ -56,9 +56,21 @@ object Tables {
     val explicitTz = spark.conf.getAll.get("spark.sql.session.timeZone")
     val effectiveTz = spark.conf.getOption("spark.sql.session.timeZone")
     if (!effectiveTz.contains("UTC")) {
-      explicitTz.filter(_ != "UTC").foreach(z => System.err.println(
-        s"[graft] overriding spark.sql.session.timeZone '$z' -> UTC " +
-          "(engine contract; see Tables.withNanos scaladoc)"))
+      explicitTz.filter(_ != "UTC") match {
+        case Some(z) => System.err.println(
+          s"[graft] overriding spark.sql.session.timeZone '$z' -> UTC " +
+            "(engine contract; see Tables.withNanos scaladoc)")
+        case None =>
+          // a vanilla session on a non-UTC JVM never pinned anything,
+          // so "overriding" would be wrong — but re-pinning COMPLETELY
+          // silently would reintroduce the quiet semantic shift in
+          // timestamp rendering the warning exists to surface. One
+          // informational line, not a warning.
+          effectiveTz.foreach(z => System.err.println(
+            s"[graft] pinning spark.sql.session.timeZone to UTC " +
+              s"(JVM default was '$z'; engine contract, see " +
+              "Tables.withNanos scaladoc)"))
+      }
       spark.conf.set("spark.sql.session.timeZone", "UTC")
     }
     spark

@@ -1,0 +1,188 @@
+package graft
+
+import java.net.{HttpURLConnection, URI, URLEncoder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.archive.{ArchiveReader, ChannelConfig, ConfigCommands,
+  ConfiguredArchive, HttpArchiveServer}
+
+/** Integration spec for the HTTP serving edge: real requests over a
+  * real socket against a config-governed manifest store, byte-compared
+  * with [[ConfiguredArchive.serveJson]] (the engine boundary the HTTP
+  * layer wraps). Mirrors the reference's Api10Controller contract —
+  * URL-decoded channel paths (an encoded `/` stays inside the name),
+  * the 400/404 parameter/route matrix (Api10Controller.java:258-276),
+  * glob/regexp channel listing (:160-211), and the widened
+  * AT_OR_BEFORE/AT_OR_AFTER sample bounds (:388-394).
+  */
+class HttpArchiveServerSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  private val NS = graft.core.Samples.NS
+  private val T0 = 1704067200L * NS
+
+  /** Channel with every URL hazard: slash, space, colon, plus, tilde. */
+  private val Hairy = "pv/room 1:a+b~c"
+
+  private lazy val fixture: (String, String, HttpArchiveServer.Running) = {
+    import spark.implicits._
+    val cfgDir = Files.createTempDirectory("httpcfg").toString
+    val store = Files.createTempDirectory("httpstore").toString
+    def rawFor(name: String, ids: Seq[Int]) =
+      ids.map(i => (name, T0 + i * 60L * NS, i.toDouble, "", 0, 0, i.toLong))
+        .toDF("channel", "ts", "value", "str_value", "severity", "status",
+          "sample_id")
+    Seq(
+      ChannelConfig("pv:alpha", "id-alpha", "ca", enabled = true, Map(),
+        Map(3600L -> 0L)),
+      ChannelConfig("pv:beta", "id-beta", "ca", enabled = true, Map(),
+        Map(3600L -> 0L)),
+      ChannelConfig(Hairy, "id-hairy", "ca", enabled = true, Map(),
+        Map(3600L -> 0L)),
+      ChannelConfig("pv:off", "id-off", "ca", enabled = false, Map(),
+        Map(3600L -> 0L)),
+      ChannelConfig("pv:empty", "id-empty", "ca", enabled = true, Map(),
+        Map(3600L -> 0L))
+    ).foreach(c => ConfigCommands.addChannel(spark, cfgDir, c))
+    ConfiguredArchive.materialize(spark, cfgDir, store,
+      rawFor("pv:alpha", 1 to 600)
+        .unionByName(rawFor("pv:beta", 1 to 60))
+        .unionByName(rawFor(Hairy, 1 to 60)))
+    val running = HttpArchiveServer.start(spark, cfgDir, store)
+    sys.addShutdownHook(running.stop())
+    (cfgDir, store, running)
+  }
+
+  private def cfgDir: String = fixture._1
+  private def storePath: String = fixture._2
+  private def base: String = fixture._3.baseUrl
+
+  private def get(url: String): (Int, String) = {
+    val conn = URI.create(url).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val code = conn.getResponseCode
+    val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body =
+      if (in == null) ""
+      else try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    conn.disconnect()
+    (code, body)
+  }
+
+  /** Path-segment encoding: percent-encode, never '+'-for-space (a
+    * literal '+' in a path is not decoded as a space by clients that
+    * follow the URL spec — the reference's own UI sends %20).
+    */
+  private def enc(s: String): String =
+    URLEncoder.encode(s, StandardCharsets.UTF_8).replace("+", "%20")
+
+  test("archive info endpoint serves the fixed one-archive array") {
+    val (code, body) = get(s"$base/")
+    assert(code == 200)
+    assert(body ==
+      """[{"key":1,"name":"Graft","description":"Spark Graft Archive"}]""")
+  }
+
+  test("samples bytes equal serveJson with the controller's widened modes") {
+    val lo = T0 + 100L * 60L * NS
+    val hi = T0 + 400L * 60L * NS
+    val (code, body) =
+      get(s"$base/1/samples/${enc("pv:alpha")}?start=$lo&end=$hi")
+    assert(code == 200)
+    val expected = ConfiguredArchive.serveJson(spark, cfgDir,
+        storePath, "pv:alpha", lo, hi, None,
+        loMode = Some(ArchiveReader.AtOrWidened),
+        hiMode = Some(ArchiveReader.AtOrWidened))
+      .mkString("[", ",", "]")
+    assert(body == expected)
+    // widened: the first element is the at-or-before-lo boundary
+    assert(body.startsWith("""[{"time":""" + (T0 + 100L * 60L * NS)))
+  }
+
+  test("count parameter drives resolution selection over HTTP") {
+    val lo = T0
+    val hi = T0 + 600L * 60L * NS
+    val (code, body) =
+      get(s"$base/1/samples/${enc("pv:alpha")}?start=$lo&end=$hi&count=5")
+    assert(code == 200)
+    val expected = ConfiguredArchive.serveJson(spark, cfgDir,
+        storePath, "pv:alpha", lo, hi, Some(5L),
+        loMode = Some(ArchiveReader.AtOrWidened),
+        hiMode = Some(ArchiveReader.AtOrWidened))
+      .mkString("[", ",", "]")
+    assert(body == expected)
+    // a count this small over 10 h picks the 1 h decimation level —
+    // far fewer elements than the 600 raw samples
+    assert(body.count(_ == '{') < 100)
+  }
+
+  test("URL-decoded channel names: encoded slash/space/plus stay in the name") {
+    val lo = T0
+    val hi = T0 + 100L * 60L * NS
+    val (code, body) =
+      get(s"$base/1/samples/${enc(Hairy)}?start=$lo&end=$hi")
+    assert(code == 200)
+    val expected = ConfiguredArchive.serveJson(spark, cfgDir,
+        storePath, Hairy, lo, hi, None,
+        loMode = Some(ArchiveReader.AtOrWidened),
+        hiMode = Some(ArchiveReader.AtOrWidened))
+      .mkString("[", ",", "]")
+    assert(body == expected)
+    assert(body.count(_ == '{') > 0)
+  }
+
+  test("parameter validation: the 400 matrix") {
+    val ch = enc("pv:alpha")
+    assert(get(s"$base/1/samples/$ch?start=5&end=4")._1 == 400) // end < start
+    assert(get(s"$base/1/samples/$ch?start=-1&end=4")._1 == 400) // start < 0
+    assert(get(s"$base/1/samples/$ch?start=0&end=4&count=0")._1 == 400)
+    assert(get(s"$base/1/samples/$ch?start=0&end=4&count=-3")._1 == 400)
+    assert(get(s"$base/1/samples/$ch?start=abc&end=4")._1 == 400)
+    assert(get(s"$base/1/samples/$ch?end=4")._1 == 400) // missing start
+    assert(get(s"$base/1/samples/$ch?start=0")._1 == 400) // missing end
+    assert(get(s"$base/1/samples/$ch?start=0&end=4&count=x")._1 == 400)
+  }
+
+  test("route matrix: 404 unknown/empty channel and route, 403 disabled") {
+    assert(get(s"$base/1/samples/${enc("pv:nope")}?start=0&end=4")._1 == 404)
+    assert(get(s"$base/1/samples/?start=0&end=4")._1 == 404)
+    assert(get(s"$base/1/nonsense/x")._1 == 404)
+    assert(get(s"$base/1/samples/${enc("pv:off")}?start=0&end=4")._1 == 403)
+    // configured but no stored data: an empty array, not an error
+    assert(get(s"$base/1/samples/${enc("pv:empty")}?start=0&end=4") ==
+      (200, "[]"))
+  }
+
+  test("channels-by-pattern: case-insensitive glob, sorted, hairy included") {
+    val (code, body) = get(s"$base/1/channels-by-pattern/${enc("PV*")}")
+    assert(code == 200)
+    assert(body ==
+      s"""["pv/room 1:a+b~c","pv:alpha","pv:beta","pv:empty","pv:off"]""")
+    val (c2, b2) = get(s"$base/1/channels-by-pattern/${enc("pv:?lpha")}")
+    assert(c2 == 200 && b2 == """["pv:alpha"]""")
+  }
+
+  test("channels-by-regexp: anchored matches, bad pattern is 400") {
+    val (code, body) = get(s"$base/1/channels-by-regexp/${enc("pv:(alpha|beta)")}")
+    assert(code == 200)
+    assert(body == """["pv:alpha","pv:beta"]""")
+    val (c2, b2) = get(s"$base/1/channels-by-regexp/${enc("pv:(")}")
+    assert(c2 == 400 && b2.contains("Invalid regular expression"))
+  }
+
+  test("prettyPrint puts each element on its own line") {
+    val (code, body) = get(
+      s"$base/1/channels-by-pattern/${enc("pv:*")}?prettyPrint")
+    assert(code == 200)
+    assert(body ==
+      "[\n  \"pv:alpha\",\n  \"pv:beta\",\n  \"pv:empty\",\n  \"pv:off\"\n]")
+  }
+
+}
