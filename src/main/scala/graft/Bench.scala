@@ -54,25 +54,21 @@ object Bench {
     SparkEntry.queries.get("q1_pricing_summary")
       .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
 
-    // dedicated decimation-throughput measurements, run FIRST: the
+    // dedicated decimation-throughput measurement, run FIRST: the
     // round-6 driver artifact recorded 32 s min for the sf1 probe
     // against 5.3 s from a standalone run of the SAME build — after a
     // 134-query suite the JVM's storage/shuffle memory is pressured
     // enough that even a MEMORY_AND_DISK frame re-runs slow. The probe
     // measures the ENGINE's decimation throughput, not suite residue,
     // so it runs on the warm-but-unpressured JVM, before the suite.
-    // Two sizes: the historical 2M quick number, and the PINNED
-    // sf1-scale row (20M rows / 1000 channels, min-of-3) whose fixed
-    // row count and extra run stop round-over-round perf claims riding
-    // suite noise.
-    // discarded warmup pass: the first heavy shuffle of the session
-    // pays plan-compile + cold shuffle-manager costs that belong to
-    // the JVM, not the engine — r7 recorded 495k rows/s for the quick
-    // probe vs 2.6M for the pinned probe in the SAME run purely from
-    // running first. The warmup result is dropped.
+    // ONE pinned size (20M rows / 1000 channels, min-of-3) preceded by
+    // a discarded 2M warmup pass: the first heavy shuffle of the
+    // session pays plan-compile + cold shuffle-manager costs that
+    // belong to the JVM, not the engine. The historical 2M "quick"
+    // METRIC is gone (round 8): a ~1 s job is dominated by fixed
+    // scheduling overheads and read 4-5× under the pinned number even
+    // warm — it measured overhead amortization, not the engine.
     DecimationBench.measure(spark, rows = 2000000L, channels = 250, runs = 1)
-    val tputSec = DecimationBench.measure(spark, rows = 2000000L,
-      channels = 250, runs = 2)
     val sf1Rows = 20000000L
     val sf1Secs = DecimationBench.measureRuns(spark, rows = sf1Rows,
       channels = 1000, runs = 3)
@@ -105,7 +101,7 @@ object Bench {
     // boundary are not comparable to rounds whose artifacts lack the
     // field (r1-r6 ran the probes post-suite, on a pressured JVM).
     val extras =
-      s""""events_rows":$nEvents,"decimate_rows_per_sec":${(2000000L / tputSec).toLong},"decimate_tput_rows":2000000,"decimate_sf1_rows_per_sec":${(sf1Rows / sf1Sec).toLong},"decimate_sf1_rows":$sf1Rows,"decimate_sf1_runs":3,"decimate_sf1_run_secs":${sf1Secs.mkString("[", ",", "]")},"tput_probe":"pre_suite","wall_sec":$wallSec,"runs_per_query":2,"action":"noop_write""""
+      s""""events_rows":$nEvents,"decimate_sf1_rows_per_sec":${(sf1Rows / sf1Sec).toLong},"decimate_sf1_rows":$sf1Rows,"decimate_sf1_runs":3,"decimate_sf1_run_secs":${sf1Secs.mkString("[", ",", "]")},"tput_probe":"pre_suite","wall_sec":$wallSec,"runs_per_query":2,"action":"noop_write""""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extras,"sf":"$sfDir"}"""
     // The FULL artifact (per-query map) goes to the files — the
@@ -121,7 +117,7 @@ object Bench {
     // outlier is visible in the artifact) + a pointer to the full map.
     // It must survive a last-line capture intact, so no 120-entry map.
     val short =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"wall_sec":$wallSec,"runs_per_query":2,"action":"noop_write","decimate_sf1_rows_per_sec":${(sf1Rows / sf1Sec).toLong},"decimate_sf1_rows":$sf1Rows,"decimate_sf1_run_secs":${sf1Secs.mkString("[", ",", "]")},"decimate_rows_per_sec":${(2000000L / tputSec).toLong},"tput_probe":"pre_suite","queries_detail":"bench_out.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"wall_sec":$wallSec,"runs_per_query":2,"action":"noop_write","decimate_sf1_rows_per_sec":${(sf1Rows / sf1Sec).toLong},"decimate_sf1_rows":$sf1Rows,"decimate_sf1_run_secs":${sf1Secs.mkString("[", ",", "]")},"tput_probe":"pre_suite","queries_detail":"bench_out.json","sf":"$sfDir"}"""
     spark.stop()
     // LAST act, after spark.stop(): the one stdout JSON line. Nothing
     // may print after it — a last-line parser must see the metric, not

@@ -1,0 +1,101 @@
+package graft
+
+import java.net.{HttpURLConnection, URI}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.archive.{ChannelConfig, ConfigCommands, ConfiguredArchive,
+  HttpArchiveServer}
+
+/** HTTP serving-edge latency probe (HTTPLAT): build a config-governed
+  * manifest store (1000 channels × 1 week of 1-minute samples + a 1 h
+  * level), start [[HttpArchiveServer]], and drive sequential
+  * `GET /1/samples/<ch>?start&end[&count]` requests over a live
+  * socket — the per-request cost of the full stack (config resolve →
+  * one grouped levelStates job → planner → pruned range read + two
+  * boundary probes → JSON stream). Reports mean/p50/p95 per request
+  * shape as one JSON line.
+  *
+  * What this measures is REQUEST LATENCY on a warm session, not
+  * throughput: every request is a handful of small Spark jobs, so the
+  * floor is job-scheduling round trips — the number that matters for
+  * an interactive archive-viewer UI in front of this edge.
+  */
+object HttpBench {
+
+  def main(args: Array[String]): Unit = {
+    val reqs = sys.env.getOrElse("SPARK_GRAFT_HTTP_REQS", "50").toInt
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .appName("graft-http-bench")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+
+    val NS = 1000000000L
+    val t0 = 1704067200L * NS
+    val channels = 1000
+    val rows = channels.toLong * 7L * 24L * 60L // one week of 1-min samples
+    val dir = java.nio.file.Files.createTempDirectory("httpbench").toString
+    val cfg = s"$dir/config"; val store = s"$dir/store"
+    (0 until channels).foreach(i =>
+      ConfigCommands.addChannel(spark, cfg, ChannelConfig(s"ch$i", s"id$i",
+        "ca", enabled = true, Map(), Map(3600L -> 0L))))
+    val raw = spark.range(rows).select(
+      concat(lit("ch"), col("id") % channels).as("channel"),
+      (lit(t0) + expr(s"id div $channels") * (60L * NS)).as("ts"),
+      (col("id") % 997).cast("double").as("value"),
+      lit("").as("str_value"), lit(0).as("severity"), lit(0).as("status"),
+      col("id").as("sample_id"))
+    ConfiguredArchive.materialize(spark, cfg, store, raw)
+
+    val running = HttpArchiveServer.start(spark, cfg, store)
+    def get(url: String): Int = {
+      val conn = URI.create(url).toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("GET")
+      val code = conn.getResponseCode
+      val in = conn.getInputStream
+      var n = 0L
+      val buf = new Array[Byte](65536)
+      var r = in.read(buf)
+      while (r >= 0) { n += r; r = in.read(buf) }
+      in.close(); conn.disconnect()
+      if (code == 200) n.toInt else -code
+    }
+    def measure(mk: Int => String): Seq[Double] =
+      (0 until reqs).map { i =>
+        val u = mk(i)
+        val s0 = System.nanoTime()
+        require(get(u) > 0, s"request failed: $u")
+        (System.nanoTime() - s0) / 1e9
+      }
+    def stats(xs: Seq[Double]): String = {
+      val s = xs.sorted
+      f""""mean":${xs.sum / xs.size}%.4f,"p50":${s(s.size / 2)}%.4f,"p95":${
+        s((s.size * 95) / 100 min (s.size - 1))}%.4f"""
+    }
+
+    val base = running.baseUrl
+    // warm: first request compiles the serving plans
+    get(s"$base/1/samples/ch0?start=${t0 + 86400L * NS}&end=${t0 + 2L * 86400L * NS}")
+    // shape A: raw day window (widened bounds, ~1440 elements)
+    val day = measure(i => s"$base/1/samples/ch${i % channels}" +
+      s"?start=${t0 + 86400L * NS}&end=${t0 + 2L * 86400L * NS}")
+    // shape B: count-driven decimated week (planner picks the 1 h level)
+    val week = measure(i => s"$base/1/samples/ch${i % channels}" +
+      s"?start=$t0&end=${t0 + 7L * 86400L * NS}&count=200")
+    // shape C: channel listing (driver-side config walk, no Spark job)
+    val list = measure(_ => s"$base/1/channels-by-pattern/ch1*")
+    running.stop()
+
+    val line =
+      s"""{"metric":"http_request_sec","reqs":$reqs,"channels":$channels,"rows":$rows,"raw_day":{${stats(day)}},"decimated_week_count200":{${stats(week)}},"channel_listing":{${stats(list)}}}"""
+    spark.stop()
+    println(line)
+  }
+}

@@ -171,6 +171,31 @@ object ConfiguredArchive {
       .asScala.map(_.getString(0))
   }
 
+  /** Config-governed TYPED serving — the full 21-type JSON v1 wire
+    * from a typed-union store: resolve the current name to its id,
+    * refuse unknown/disabled channels, pick the decimation level for
+    * `count` through the same [[ResolutionPlanner]] rule as the scalar
+    * path (restricted to config-declared levels), then serve that one
+    * level boundary-widened via [[ArchiveServer.serveJsonTyped]]. The
+    * typed path serves ONE level (no retention-fallback union —
+    * decimated typed levels carry the full value union, so falling
+    * back is a planner choice, not a format change).
+    */
+  def serveJsonTyped(spark: SparkSession, configPath: String,
+                     storePath: String, name: String,
+                     startNs: Long, endNs: Long, count: Option[Long],
+                     backend: StoreBackend = ManifestBackend): Iterator[String] = {
+    val cfg = resolveEnabled(spark, configPath, name)
+    val states = ArchiveServer.levelStates(spark, storePath,
+        cfg.channelDataId, backend)
+      .filter(s => (cfg.levels.keySet + 0L).contains(s.periodSec))
+    if (states.isEmpty) return Iterator.empty
+    val level = ResolutionPlanner.selectLevel(states.map(_.periodSec),
+      startNs, endNs, count)
+    ArchiveServer.serveJsonTyped(spark, storePath, cfg.channelDataId,
+      startNs, endNs, level, backend)
+  }
+
   private def resolveEnabled(spark: SparkSession, configPath: String,
                              name: String): ChannelConfig = {
     val cfg = ConfigCommands.state(spark, configPath).config(name)

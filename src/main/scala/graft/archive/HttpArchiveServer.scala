@@ -45,6 +45,13 @@ import org.apache.spark.sql.SparkSession
   * default pretty printer; our elements are pre-serialized JsonV1
   * objects, so prettiness applies to the array framing).
   *
+  * A typed-union store (the 21-type `vtype` layout) is auto-detected
+  * and served through [[ConfiguredArchive.serveJsonTyped]] — the FULL
+  * wire format (enum labels, array elements, aggregated minMaxDouble
+  * with metadata, markers), which is the reference's only serving
+  * path (`serializeSampleToJsonV1`); scalar stores keep the scalar
+  * serializer.
+  *
   * One deliberate divergence: the reference serves archived data for
   * DISABLED channels (disabling stops archiving, not retrieval); this
   * engine's [[ConfiguredArchive]] refuses them
@@ -71,9 +78,18 @@ object HttpArchiveServer {
   def start(spark: SparkSession, configPath: String, storePath: String,
             backend: StoreBackend = ManifestBackend,
             port: Int = 0): Running = {
+    // typed-union stores (the `vtype` discriminator on the raw level)
+    // serve the FULL 21-type wire format — the reference has exactly
+    // one serving path (serializeSampleToJsonV1 on typed samples);
+    // the scalar path is this engine's simplification for
+    // scalar-double stores. Detected once, lazily (the store may be
+    // populated after the server starts).
+    lazy val typed =
+      try backend.read(spark, storePath, 0L).columns.contains("vtype")
+      catch { case _: Throwable => false }
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext(ContextPath, (ex: HttpExchange) =>
-      try handle(spark, configPath, storePath, backend, ex)
+      try handle(spark, configPath, storePath, backend, typed, ex)
       catch {
         case e: Throwable =>
           // last-resort 500 — contract errors are mapped before this
@@ -86,7 +102,7 @@ object HttpArchiveServer {
 
   private def handle(spark: SparkSession, configPath: String,
                      storePath: String, backend: StoreBackend,
-                     ex: HttpExchange): Unit = {
+                     typed: => Boolean, ex: HttpExchange): Unit = {
     if (ex.getRequestMethod != "GET") { sendError(ex, 405, "GET only"); return }
     // RAW path: getPath percent-decodes, which would split an encoded
     // '/' inside a channel name into path segments — the reference
@@ -98,7 +114,7 @@ object HttpArchiveServer {
       case "" | "/" => sendJson(ex,
         """[{"key":1,"name":"Graft","description":"Spark Graft Archive"}]""")
       case p if p.startsWith("/1/samples/") =>
-        samples(spark, configPath, storePath, backend, ex,
+        samples(spark, configPath, storePath, backend, typed, ex,
           decodePath(p.stripPrefix("/1/samples/")), params)
       case p if p.startsWith("/1/channels-by-pattern/") =>
         val glob = decodePath(p.stripPrefix("/1/channels-by-pattern/"))
@@ -118,7 +134,7 @@ object HttpArchiveServer {
 
   private def samples(spark: SparkSession, configPath: String,
                       storePath: String, backend: StoreBackend,
-                      ex: HttpExchange, channel: String,
+                      typed: => Boolean, ex: HttpExchange, channel: String,
                       params: Map[String, String]): Unit = {
     if (channel.isEmpty) { sendError(ex, 404, "not found"); return }
     // parameter validation per Api10Controller.java:246-279: a missing
@@ -141,10 +157,16 @@ object HttpArchiveServer {
       return
     }
     val it =
-      try ConfiguredArchive.serveJson(spark, configPath, storePath, channel,
-        start.get, end.get, count.flatten, backend,
-        loMode = Some(ArchiveReader.AtOrWidened),
-        hiMode = Some(ArchiveReader.AtOrWidened))
+      try {
+        if (typed)
+          ConfiguredArchive.serveJsonTyped(spark, configPath, storePath,
+            channel, start.get, end.get, count.flatten, backend)
+        else
+          ConfiguredArchive.serveJson(spark, configPath, storePath, channel,
+            start.get, end.get, count.flatten, backend,
+            loMode = Some(ArchiveReader.AtOrWidened),
+            hiMode = Some(ArchiveReader.AtOrWidened))
+      }
       catch {
         case _: NoSuchChannelException => sendError(ex, 404, "not found"); return
         case e: ChannelDisabledException =>

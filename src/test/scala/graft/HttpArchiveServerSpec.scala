@@ -177,6 +177,44 @@ class HttpArchiveServerSpec extends AnyFunSuite {
     assert(c2 == 400 && b2.contains("Invalid regular expression"))
   }
 
+  test("typed-union store auto-serves the full 21-type wire format") {
+    val cfg2 = Files.createTempDirectory("httpcfgT").toString
+    val store2 = Files.createTempDirectory("httpstoreT").toString
+    // the sf0.001 events corpus as the typed union — every family
+    val typed = graft.core.TypedSamples.fromEvents(spark,
+      "/root/testdata/sf0.001")
+    val names = typed.select("channel").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    names.foreach { n =>
+      ConfigCommands.addChannel(spark, cfg2, ChannelConfig(n, s"tid-$n",
+        "ca", enabled = true, Map(), Map(3600L -> 0L)))
+    }
+    ConfiguredArchive.materializeTyped(spark, cfg2, store2, typed)
+    val running2 = HttpArchiveServer.start(spark, cfg2, store2)
+    try {
+      val lo = T0 + 10L * 86400L * NS
+      val hi = lo + 86400L * NS
+      val (code, body) = get(s"http://localhost:${running2.port}" +
+        s"${HttpArchiveServer.ContextPath}/1/samples/${enc(names.head)}" +
+        s"?start=$lo&end=$hi")
+      assert(code == 200)
+      val expected = ConfiguredArchive.serveJsonTyped(spark, cfg2, store2,
+        names.head, lo, hi, None).mkString("[", ",", "]")
+      assert(body == expected)
+      // the union's families actually crossed the wire
+      assert(body.contains("\"quality\":\"Original\""))
+      val types = "\"type\":\"([A-Za-z]+)\"".r
+        .findAllMatchIn(body).map(_.group(1)).toSet
+      assert(types.size >= 3, s"families seen: $types")
+      // count picks the typed decimated level (Interpolated quality)
+      val (c2, b2) = get(s"http://localhost:${running2.port}" +
+        s"${HttpArchiveServer.ContextPath}/1/samples/${enc(names.head)}" +
+        s"?start=$lo&end=$hi&count=5")
+      assert(c2 == 200)
+      assert(b2.contains("\"quality\":\"Interpolated\""))
+    } finally running2.stop()
+  }
+
   test("prettyPrint puts each element on its own line") {
     val (code, body) = get(
       s"$base/1/channels-by-pattern/${enc("pv:*")}?prettyPrint")
