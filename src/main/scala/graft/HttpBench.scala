@@ -91,10 +91,35 @@ object HttpBench {
       s"?start=$t0&end=${t0 + 7L * 86400L * NS}&count=200")
     // shape C: channel listing (driver-side config walk, no Spark job)
     val list = measure(_ => s"$base/1/channels-by-pattern/ch1*")
+    // shape B2: the chart-UI pattern — repeated requests for ONE
+    // channel (pan/zoom on a chart): the per-(store version, channel)
+    // levelStates memo serves availability from memory after the
+    // first hit
+    val oneCh = measure(_ => s"$base/1/samples/ch7" +
+      s"?start=${t0 + 86400L * NS}&end=${t0 + 2L * 86400L * NS}")
+    // shape D: CONCURRENT raw-day requests — 8 client threads, the
+    // server's fixed pool interleaving their small Spark jobs; reports
+    // aggregate requests/sec (the serving-throughput number, where the
+    // sequential shapes report latency)
+    val clients = 8
+    val perClient = math.max(reqs / clients, 4)
+    val c0 = System.nanoTime()
+    val threads = (0 until clients).map { c =>
+      val t = new Thread(() =>
+        (0 until perClient).foreach { i =>
+          val ch = (c * perClient + i) % channels
+          require(get(s"$base/1/samples/ch$ch" +
+            s"?start=${t0 + 86400L * NS}&end=${t0 + 2L * 86400L * NS}") > 0)
+        })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    val concSec = (System.nanoTime() - c0) / 1e9
+    val concRps = clients.toLong * perClient / concSec
     running.stop()
 
     val line =
-      s"""{"metric":"http_request_sec","reqs":$reqs,"channels":$channels,"rows":$rows,"raw_day":{${stats(day)}},"decimated_week_count200":{${stats(week)}},"channel_listing":{${stats(list)}}}"""
+      s"""{"metric":"http_request_sec","reqs":$reqs,"channels":$channels,"rows":$rows,"raw_day":{${stats(day)}},"raw_day_same_channel":{${stats(oneCh)}},"decimated_week_count200":{${stats(week)}},"channel_listing":{${stats(list)}},"concurrent_raw_day":{"clients":$clients,"total_reqs":${clients * perClient},"wall_sec":$concSec,"req_per_sec":$concRps}}"""
     spark.stop()
     println(line)
   }

@@ -40,7 +40,33 @@ object ArchiveServer {
     */
   def levelStates(spark: SparkSession, storePath: String,
                   channel: String,
-                  backend: StoreBackend = ArchiveBackend): Seq[LevelState] = {
+                  backend: StoreBackend = ArchiveBackend): Seq[LevelState] =
+    backend.metaVersion(spark, storePath) match {
+      case Some(v) =>
+        // memoized per (store, manifest version, channel): under
+        // per-request serving load this job is pure repeated work as
+        // long as nothing committed — and any commit/compaction/
+        // retention bumps the version, so the memo can never serve
+        // stale availability. The version check itself is one
+        // driver-side directory LIST, no Spark job.
+        val key = (storePath, v, channel)
+        val hit = levelStatesMemo.get(key)
+        if (hit != null) hit
+        else {
+          val computed = computeLevelStates(spark, storePath, channel, backend)
+          if (levelStatesMemo.size > 4096) levelStatesMemo.clear()
+          levelStatesMemo.put(key, computed)
+          computed
+        }
+      case None => computeLevelStates(spark, storePath, channel, backend)
+    }
+
+  private val levelStatesMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, String), Seq[LevelState]]()
+
+  private def computeLevelStates(spark: SparkSession, storePath: String,
+                                 channel: String,
+                                 backend: StoreBackend): Seq[LevelState] = {
     val levels = backend.levels(spark, storePath).sorted
     if (levels.isEmpty) return Seq.empty
     levels.map { l =>
@@ -147,14 +173,25 @@ object ArchiveServer {
         val inner = base.where(
           (if (effLo == Exact) col("ts") >= from else col("ts") > from) &&
             (if (effHi == Exact) col("ts") <= to else col("ts") < to))
-        val lower = if (effLo == AtOrWidened)
-          boundaryProbe(spark, storePath, period, channel, from,
-            forward = false, backend = backend)
-          else None
-        val upper = if (effHi == AtOrWidened)
-          boundaryProbe(spark, storePath, period, channel, to,
-            forward = true, backend = backend)
-          else None
+        // the two walk-back probes are independent chains of small
+        // eager actions — run them CONCURRENTLY (Spark's scheduler is
+        // thread-safe), so a request pays max(lower, upper) probe
+        // latency instead of their sum
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val lowerF =
+          if (effLo == AtOrWidened)
+            Future(boundaryProbe(spark, storePath, period, channel, from,
+              forward = false, backend = backend))
+          else Future.successful(None)
+        val upperF =
+          if (effHi == AtOrWidened)
+            Future(boundaryProbe(spark, storePath, period, channel, to,
+              forward = true, backend = backend))
+          else Future.successful(None)
+        val lower = Await.result(lowerF, Duration.Inf)
+        val upper = Await.result(upperF, Duration.Inf)
         (Seq(inner) ++ lower ++ upper).map(project)
       }
     }

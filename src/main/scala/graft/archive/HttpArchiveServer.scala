@@ -63,21 +63,22 @@ object HttpArchiveServer {
   /** The reference's servlet context for the API. */
   val ContextPath = "/archive-access/api/1.0/archive"
 
-  final case class Running(server: HttpServer) {
+  final case class Running(server: HttpServer,
+                           pool: java.util.concurrent.ExecutorService) {
     def port: Int = server.getAddress.getPort
     def baseUrl: String = s"http://localhost:$port$ContextPath"
-    def stop(): Unit = server.stop(0)
+    def stop(): Unit = { server.stop(0); pool.shutdown() }
   }
 
   /** Start serving `configPath`/`storePath` on `port` (0 = ephemeral).
-    * Requests are handled serially on the caller-provided executor
-    * default (one request at a time keeps the embedded server simple;
-    * the Spark session itself is thread-safe, so swapping in a pool is
-    * a one-line change for a deployment that needs it).
+    * Requests are handled on a fixed pool (`threads`, default 8) — the
+    * Spark session and scheduler are thread-safe, so concurrent
+    * requests interleave their small jobs instead of queueing behind
+    * one another's scheduling round trips (measured: HTTPLAT row).
     */
   def start(spark: SparkSession, configPath: String, storePath: String,
             backend: StoreBackend = ManifestBackend,
-            port: Int = 0): Running = {
+            port: Int = 0, threads: Int = 8): Running = {
     // typed-union stores (the `vtype` discriminator on the raw level)
     // serve the FULL 21-type wire format — the reference has exactly
     // one serving path (serializeSampleToJsonV1 on typed samples);
@@ -96,8 +97,10 @@ object HttpArchiveServer {
           try sendError(ex, 500, s"internal error: ${e.getMessage}")
           catch { case _: Throwable => () }
       } finally ex.close())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    server.setExecutor(pool)
     server.start()
-    Running(server)
+    Running(server, pool)
   }
 
   private def handle(spark: SparkSession, configPath: String,

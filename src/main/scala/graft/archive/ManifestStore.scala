@@ -189,6 +189,14 @@ object ManifestStore {
       }
   }
 
+  /** Latest committed version NUMBER without reading any manifest body
+    * — one driver-side directory listing. The cheap, monotonic cache
+    * key for memoizing per-store planning metadata across requests on
+    * an unchanged store (any commit/compaction/retention bumps it).
+    */
+  def latestVersion(spark: SparkSession, path: String): Option[Long] =
+    listVersions(fs(spark, path), path).lastOption
+
   def readManifest(spark: SparkSession, path: String, version: Long): Manifest = {
     val f = fs(spark, path)
     val in = f.open(versionFile(path, version))

@@ -38,6 +38,15 @@ trait StoreBackend {
     */
   def applyRetention(spark: SparkSession, path: String, levelSec: Long,
                      retentionNs: Long): Seq[String]
+  /** A cheap, MONOTONIC metadata version for memoizing per-store
+    * planning state (serving caches level availability per version):
+    * defined only when the backend can answer from metadata alone —
+    * the manifest store's version counter, bumped by every
+    * commit/compaction/retention. `None` = not cheaply versioned, do
+    * not memoize (the raw-parquet store has no transactional counter;
+    * directory mtimes are not reliable across filesystems).
+    */
+  def metaVersion(spark: SparkSession, path: String): Option[Long] = None
 }
 
 /** Raw-parquet store: levels come from one driver-side listing of the
@@ -90,4 +99,6 @@ object ManifestBackend extends StoreBackend {
   def applyRetention(spark: SparkSession, path: String, levelSec: Long,
                      retentionNs: Long): Seq[String] =
     ManifestStore.applyRetention(spark, path, levelSec, retentionNs)
+  override def metaVersion(spark: SparkSession, path: String): Option[Long] =
+    ManifestStore.latestVersion(spark, path)
 }
