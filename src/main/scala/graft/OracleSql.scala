@@ -595,6 +595,41 @@ object OracleSql {
          |WHERE g.enabled
          |ORDER BY channel, ts""".stripMargin,
 
+    // the controller's count path: the 1 h decimation chain over CLEAN
+    // (the configured store materializes from clean — no marker rows),
+    // widened per-window boundaries on both sides. LO/HI are hour-
+    // aligned, so the lo boundary is the window starting exactly AT LO
+    // (a sample at the bound IS its own boundary sample) and the
+    // strict inner excludes it — served once via the union dedup
+    "arch_serve_decimated_widened" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |${validity("clean", "_c")},
+         |${slices(P1H, "_c")},
+         |${decAgg(P1H, "_c")},
+         |inner_rows AS (
+         |  SELECT channel, win_start AS ts, mean AS value FROM dec_c
+         |  WHERE win_start > $LO AND win_start < $HI),
+         |lo_b AS (
+         |  SELECT channel, win_start AS ts, mean AS value FROM (
+         |    SELECT channel, win_start, mean,
+         |      row_number() OVER (PARTITION BY channel
+         |                         ORDER BY win_start DESC) AS k
+         |    FROM dec_c WHERE win_start <= $LO) WHERE k = 1),
+         |hi_b AS (
+         |  SELECT channel, win_start AS ts, mean AS value FROM (
+         |    SELECT channel, win_start, mean,
+         |      row_number() OVER (PARTITION BY channel
+         |                         ORDER BY win_start ASC) AS k
+         |    FROM dec_c WHERE win_start >= $HI) WHERE k = 1),
+         |uni AS (
+         |  SELECT * FROM inner_rows
+         |  UNION SELECT * FROM lo_b
+         |  UNION SELECT * FROM hi_b)
+         |SELECT channel, ts, round(value, 6) AS value,
+         |       CAST(3600 AS BIGINT) AS level
+         |FROM uni ORDER BY channel, ts""".stripMargin,
+
     // explicit per-request limit modes at the serving edge: Exact
     // lower bound (inclusive range edge, NO at-or-before widening) +
     // AT_OR_AFTER upper (strict inner edge, first sample >= HI

@@ -937,6 +937,36 @@ object SparkEntry {
         .orderBy("channel", "ts")
     }),
 
+    // the reference controller's COUNT path verbatim at the serving
+    // edge (Api10Controller sendSamples :388-462): count drives level
+    // selection AND both bounds stay widened AT_OR_BEFORE/AT_OR_AFTER.
+    // count=240 over the 10-day range makes the perfect period exactly
+    // 3600 s, so the planner must pick the 1 h level and serve its
+    // widened window set — strict-inner windows plus the at-or-before-
+    // LO and at-or-after-HI DECIMATED boundary rows. A serving edge
+    // that forgets widening on the decimated path (the historical
+    // default widened only when count was empty) reds this hash.
+    "arch_serve_decimated_widened" -> ((s, dir) => {
+      val cfgDir = scratchDir("cfgdw") + "/config"
+      val store = scratchDir("cfgdw") + "/store"
+      val names = raw(s, dir).select("channel").distinct()
+        .orderBy("channel").collect().map(_.getString(0)).toSeq
+      names.foreach { n =>
+        ConfigCommands.addChannel(s, cfgDir, ChannelConfig(n, s"id-$n",
+          "ca", enabled = true, Map(), Map(3600L -> 0L)))
+      }
+      ConfiguredArchive.materialize(s, cfgDir, store, clean(s, dir))
+      names.map { n =>
+        ConfiguredArchive.querySamples(s, cfgDir, store, n, LO, HI,
+          Some(240L),
+          loMode = Some(ArchiveReader.AtOrWidened),
+          hiMode = Some(ArchiveReader.AtOrWidened))
+      }.reduce(_ unionByName _)
+        .select(col("channel"), col("ts"),
+          round(col("value"), 6).as("value"), col("level"))
+        .orderBy("channel", "ts")
+    }),
+
     // incremental catch-up under the oracle: build the 1h level on the
     // first slice of history (ts ≤ CUT), append the remainder raw, run
     // the watermark-resumed catch-up — the extended level must serve
