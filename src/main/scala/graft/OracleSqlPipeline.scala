@@ -975,6 +975,101 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |  rank_in_source * ns + src_idx AS train_ord
          |FROM r CROSS JOIN n ORDER BY train_ord""".stripMargin,
 
+    // mirror of Sampling.curriculumOrder: the global easy-to-hard
+    // position is a pure function of the (quality_score desc, doc_id)
+    // total order, so the oracle is ONE window — the Spark side's
+    // range-partition + offset recipe must land on exactly these
+    // ordinals or the hash reds
+    "sample_curriculum" ->
+      s"""WITH $TOKS,
+         |d AS (SELECT t.doc_id,
+         |        length(text)::DOUBLE AS n_chars,
+         |        len(toks)::DOUBLE AS n_tokens,
+         |        (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS n_digits,
+         |        len(list_filter(toks, x -> list_contains($enList, x)))::DOUBLE AS stop_hits
+         |      FROM documents JOIN t ON documents.doc_id = t.doc_id),
+         |q AS (SELECT doc_id,
+         |        round(least(1.0, (stop_hits / greatest(n_tokens, 1)) * 3) * 0.5
+         |          + (CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 0.3 ELSE 0.0 END)
+         |          + (CASE WHEN n_digits / greatest(n_chars, 1) < 0.2 THEN 0.2 ELSE 0.0 END), 6)
+         |          AS quality_score
+         |      FROM d)
+         |SELECT doc_id, quality_score,
+         |  row_number() OVER (ORDER BY quality_score DESC, doc_id) AS position
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    // mirror of TextAnalysis.lengthQuantiles: dyadic p ∈ {.25,.5,.75}
+    // over the integer n_chars make quantile_cont's interpolation
+    // bit-exact against Spark's exact percentile; the ≥-median count
+    // compares against the UNROUNDED median on both sides
+    "text_length_quantiles" ->
+      s"""WITH s AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |    quantile_cont(n_chars, 0.25) AS p25,
+         |    quantile_cont(n_chars, 0.50) AS p50,
+         |    quantile_cont(n_chars, 0.75) AS p75
+         |  FROM documents GROUP BY lang),
+         |a AS (
+         |  SELECT d.lang, count(*) AS n_above
+         |  FROM documents d JOIN s ON d.lang = s.lang
+         |  WHERE d.n_chars >= s.p50 GROUP BY d.lang)
+         |SELECT s.lang AS lang, n_docs,
+         |  round(p25, 6) AS p25, round(p50, 6) AS p50, round(p75, 6) AS p75,
+         |  n_above AS n_above_median
+         |FROM s JOIN a ON s.lang = a.lang ORDER BY s.lang""".stripMargin,
+
+    // mirror of Retrieval.hybridRrf: BM25 top-50 (selected by the
+    // exact decimal score, RANKED by the 6dp output score — exactly
+    // the Spark side's two-stage order) fused with the cosine top-50
+    // of probe vec_id 0 via 1/(60+rank) reciprocal-rank fusion,
+    // scale-rounded, doc_id tie-break
+    "text_hybrid_rrf" -> {
+      val q = Retrieval.GateQuery.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH $TOKS,
+         |d AS (SELECT doc_id, len(toks) AS dl,
+         |        list_filter(toks, x -> list_contains($q, x)) AS q
+         |      FROM t),
+         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d),
+         |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM (
+         |         SELECT doc_id, dl, unnest(q) AS tok FROM d WHERE len(q) > 0)
+         |       GROUP BY doc_id, dl, tok),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |sc AS (SELECT tf.doc_id,
+         |        CAST(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |          ((tf * 2.2) / (tf + 1.2 * (0.25 +
+         |            0.75 * CAST(dl AS DOUBLE) * n_docs / sum_dl)))
+         |          AS DECIMAL(38,12)) AS contrib
+         |      FROM tf JOIN df USING (tok), stats),
+         |lex0 AS (SELECT doc_id, CAST(round(sum(contrib), 6) AS DOUBLE) AS score
+         |         FROM sc GROUP BY doc_id
+         |         ORDER BY sum(contrib) DESC, doc_id ASC LIMIT 50),
+         |lex AS (SELECT doc_id, CAST(row_number() OVER (
+         |          ORDER BY score DESC, doc_id) AS INT) AS lex_rank
+         |        FROM lex0),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT * FROM e WHERE vec_id = 0),
+         |sem AS (SELECT vec_id AS doc_id, sem_rank FROM (
+         |          SELECT c.vec_id,
+         |            CAST(row_number() OVER (ORDER BY
+         |              round(list_cosine_similarity(p.v, c.v), 6) DESC,
+         |              c.vec_id) AS INT) AS sem_rank
+         |          FROM p JOIN e c ON c.vec_id != p.vec_id)
+         |        WHERE sem_rank <= 50),
+         |fused AS (
+         |  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         |    coalesce(lex_rank, 0) AS lex_rank,
+         |    coalesce(sem_rank, 0) AS sem_rank,
+         |    CAST(CAST(round(((CASE WHEN lex_rank IS NOT NULL
+         |            THEN 1.0 / (60 + lex_rank) ELSE 0.0 END)
+         |        + (CASE WHEN sem_rank IS NOT NULL
+         |            THEN 1.0 / (60 + sem_rank) ELSE 0.0 END))
+         |      * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS rrf
+         |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+         |SELECT doc_id, lex_rank, sem_rank, rrf,
+         |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+         |FROM fused QUALIFY rank <= 10 ORDER BY rank""".stripMargin
+    },
+
     // mirror of Sampling.temperatureMix at nTarget 300: sqrt-weighted
     // quotas in exact integer arithmetic (floor∘sqrt of an integer is
     // engine-deterministic; halfUp division via (2a+b)//(2b)), then

@@ -1344,6 +1344,28 @@ object SparkEntry {
       Retrieval.bm25TopK(Tables.documents(s, dir),
         query = Retrieval.GateQuery, k = 25)),
 
+    // hybrid retrieval: BM25 top-50 ∪ cosine top-50 (probe vec 0)
+    // fused by reciprocal rank — lexical AND paraphrase match in one
+    // deterministic ranked list
+    "text_hybrid_rrf" -> ((s, dir) =>
+      Retrieval.hybridRrf(Tables.documents(s, dir),
+          Tables.embeddings(s, dir), query = Retrieval.GateQuery,
+          probeVecId = 0L, n = 50, k = 10)
+        .orderBy("rank")),
+
+    // global curriculum position (easy-to-hard by quality score)
+    // via the range-partition + cumulative-offset recipe — a global
+    // ordinal with NO single-partition sort
+    "sample_curriculum" -> ((s, dir) =>
+      Sampling.curriculumOrder(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
+    // per-language length quantiles + above-median counts: the
+    // distribution profile per-language threshold policies read
+    "text_length_quantiles" -> ((s, dir) =>
+      TextAnalysis.lengthQuantiles(Tables.documents(s, dir))
+        .orderBy("lang")),
+
     // DSIR importance weighting: raw corpus scored against the
     // (doc_id % 11 = 0) target slice — same slice convention as
     // decontamination

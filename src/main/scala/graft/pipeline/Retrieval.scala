@@ -126,6 +126,51 @@ object Retrieval {
         col("score"))
   }
 
+  /** Hybrid retrieval via reciprocal rank fusion: fuse the lexical
+    * BM25 top-`n` with the semantic cosine top-`n` (embedding of
+    * `probeVecId` as the query vector) by
+    * `rrf(d) = Σ_lists 1/(kRrf + rank_d)` — the standard
+    * score-calibration-free fusion (Cormack et al., SIGIR'09), the
+    * retrieval shape a contamination audit or targeted corpus search
+    * actually runs (exact-term match AND paraphrase match in one
+    * ranked list).
+    *
+    * Scale shape: both candidate generators are the distributed part
+    * (BM25's query-sized scoring join; the cosine scan — swap in
+    * `Similarity.ivfSearch` at 100 TB, the fusion is rank-only so the
+    * generator is pluggable). The fusion itself joins two k-sized
+    * lists — driver-free but trivially small by construction, so the
+    * single-partition rank windows here are on ≤n rows, never
+    * corpus-sized.
+    *
+    * Determinism: fusion consumes only integer RANKS (each already
+    * 6dp-tie-broken by doc_id inside its generator); 1/(k+r) is one
+    * IEEE division per list and the sum is two terms in fixed order,
+    * scale-rounded at the edge; final ties break on doc_id.
+    */
+  def hybridRrf(docs: DataFrame, embeds: DataFrame, query: Seq[String],
+                probeVecId: Long, n: Int = 50, k: Int = 10,
+                kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25TopK(docs, query, n)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).as("lex_rank"))
+    val sem = Similarity.bruteForceTopK(
+        embeds, embeds.where(col("vec_id") === probeVecId), n)
+      .select(col("vec_id").as("doc_id"), col("rank").as("sem_rank"))
+    val contrib = (r: Column) =>
+      when(r.isNotNull, lit(1.0) / (lit(kRrf) + r)).otherwise(lit(0.0))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0)).as("sem_rank"),
+        TextAnalysis.r6(contrib(col("lex_rank")) + contrib(col("sem_rank")))
+          .as("rrf"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .where(col("rank") <= k)
+  }
+
   /** Inverted index: (token, df, postings) — sorted distinct doc-id
     * posting lists for every token with minDf ≤ df ≤ maxDf. The
     * retrieval-side artifact a corpus-search service builds once and

@@ -360,4 +360,65 @@ object Sampling {
       .select(col(idCol), col(sourceCol), col("rank_in_source"),
         col("train_ord"))
   }
+
+  /** Curriculum ordering: a GLOBAL 1-based training position over the
+    * whole corpus by (quality_score desc, doc_id asc) — easy-to-hard
+    * data ordering — computed WITHOUT ever materializing a
+    * single-partition sort (the `row_number() OVER (ORDER BY …)`
+    * anti-pattern that serializes the corpus through one task).
+    *
+    * The scale-safe global-ordinal recipe: range-repartition on the
+    * full (strict) sort key so partitions are disjoint key ranges in
+    * the total order, rank within each partition with a
+    * partition-local window, then add the cumulative count of the
+    * preceding partitions. The offsets are one metadata-sized driver
+    * collect (≤ `parts` rows); position values are a pure function of
+    * the total order, independent of where the sampled range
+    * boundaries happen to fall.
+    *
+    * Scale shape at 100 TB: one range shuffle + one partition-local
+    * sort — the same cost bound as writing sorted shards — plus a
+    * count job over the checkpointed shuffle output. Skewed score
+    * distributions are handled by the range partitioner's sampling
+    * (doc_id in the key makes every key unique, so no single key can
+    * straggle a partition).
+    */
+  def curriculumOrder(docs: DataFrame, parts: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val p = if (parts > 0) parts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val scored = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("quality_score"))
+    // One range shuffle + one in-partition sort, then
+    // monotonically_increasing_id stamps (partition id << 33 |
+    // in-partition ordinal) — the in-partition rank is ALREADY in the
+    // id, so no second shuffle and no window pass is needed (a
+    // Window.partitionBy(pid) here would re-shuffle the whole corpus
+    // on pid: measured as an extra Exchange in the plan). The
+    // checkpoint pins partitioning + order so the count job and the
+    // output projection see identical ids.
+    val ranged = scored
+      .repartitionByRange(p, col("quality_score").desc, col("doc_id").asc)
+      .sortWithinPartitions(col("quality_score").desc, col("doc_id").asc)
+      .withColumn("mid", monotonically_increasing_id())
+      .localCheckpoint(false)
+    val pidCol = shiftright(col("mid"), 33)
+    val idxCol = col("mid").bitwiseAND(lit((1L << 33) - 1))
+    // per-partition sizes: metadata-sized (≤ parts rows collected)
+    val counts = ranged.groupBy(pidCol.as("pid")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val offsets = (0 until p).scanLeft(0L)((a, i) =>
+      a + counts.getOrElse(i.toLong, 0L))
+    import spark.implicits._
+    val offs = (0 until p).map(i => (i.toLong, offsets(i)))
+      .toDF("pid", "offset")
+    // range partitions are disjoint key ranges in ascending partition-
+    // index order, so offset(pid) + in-partition ordinal IS the global
+    // rank — one broadcast join + projection, zero further shuffles
+    ranged.select(col("doc_id"), col("quality_score"),
+        pidCol.as("pid"), idxCol.as("idx"))
+      .join(broadcast(offs), Seq("pid"))
+      .select(col("doc_id"), col("quality_score"),
+        (col("offset") + col("idx") + lit(1L)).as("position"))
+  }
 }

@@ -95,6 +95,43 @@ object TextAnalysis {
       round(score, 6).as("quality_score"))
   }
 
+  /** Per-language exact length quantiles (p25/p50/p75 of `n_chars`)
+    * plus the count of documents at or above the language median — the
+    * distribution profile a per-language length/quality threshold
+    * policy is derived from (CCNet-style per-language cutoffs, not one
+    * global number that over-prunes low-resource languages).
+    *
+    * Exact `percentile` (linear interpolation at p·(n−1)) is
+    * deliberate: its state is a value→count map, so memory is
+    * O(distinct n_chars per language) — bounded for a length metric at
+    * any corpus size. For unbounded-cardinality metrics at 100 TB,
+    * swap in `approx_percentile` (KLL-sketch, fixed memory) — the
+    * plan shape is identical.
+    *
+    * Determinism: p ∈ {.25, .5, .75} are dyadic, n_chars is integer,
+    * so the interpolation `a + frac·(b−a)` is bit-exact in IEEE
+    * doubles on both engines; the ≥-median comparison therefore
+    * can't flip. Quantiles are 6dp-rounded at the output edge only.
+    */
+  def lengthQuantiles(docs: DataFrame,
+                      lenCol: String = "n_chars"): DataFrame = {
+    val q = docs.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      percentile(col(lenCol), lit(0.25)).as("p25"),
+      percentile(col(lenCol), lit(0.5)).as("p50"),
+      percentile(col(lenCol), lit(0.75)).as("p75"))
+    val above = docs
+      .join(broadcast(q.select(col("lang"), col("p50"))), Seq("lang"))
+      .where(col(lenCol).cast("double") >= col("p50"))
+      .groupBy("lang").agg(count(lit(1)).as("n_above_median"))
+    q.join(above, Seq("lang"))
+      .select(col("lang"), col("n_docs"),
+        round(col("p25"), 6).as("p25"),
+        round(col("p50"), 6).as("p50"),
+        round(col("p75"), 6).as("p75"),
+        col("n_above_median"))
+  }
+
   /** Token statistics: whitespace tokens, BPE-ish subword pieces
     * (letter runs / digit runs / single other chars — the classic
     * pre-tokenizer regex), and distinct-token count.

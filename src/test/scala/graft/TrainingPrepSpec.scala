@@ -200,4 +200,77 @@ class TrainingPrepSpec extends AnyFunSuite {
     // coupon regime is exact: the 200-token lang estimates exactly
     assert(whole("en") == exact("en") && merged("en") == exact("en"))
   }
+
+  // ---- curriculum ordering (round 8) ---------------------------------
+
+  test("curriculumOrder assigns a 1..n permutation matching the total order") {
+    val d = docs((0L until 60L).map { i =>
+      // varied stopword density → a spread of quality scores with ties
+      val stops = "the and is of " * (i % 5).toInt
+      i -> s"$stops tok$i alpha beta gamma delta"
+    }: _*)
+    val out = Sampling.curriculumOrder(d, parts = 7).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.map(_._3).sorted.sameElements(1L to 60L),
+      "positions are not a 1..n permutation")
+    // position order == (quality desc, doc_id asc) total order
+    val byPos = out.sortBy(_._3)
+    val expected = out.sortBy(t => (-t._2, t._1))
+    assert(byPos.map(_._1).sameElements(expected.map(_._1)))
+    // partition count must not change the ordinals
+    val alt = Sampling.curriculumOrder(d, parts = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.forall { case (id, _, pos) => alt(id) == pos },
+      "positions depend on the range partition count")
+  }
+
+  // ---- hybrid RRF retrieval (round 8) --------------------------------
+
+  test("hybridRrf fuses BM25 and cosine ranks by 1/(60+r) with doc_id ties") {
+    val d = docs(
+      0L -> "hash stuff here",
+      1L -> "hash hash hash",
+      2L -> "hash",
+      3L -> "unrelated words only")
+    val e = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1f)), (3L, Array(1f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val lex = Retrieval.bm25TopK(d, Seq("hash"), 50).orderBy(
+        col("score").desc, col("doc_id")).collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (id, i) => id -> (i + 1) }
+      .toMap
+    val sem = Similarity.bruteForceTopK(e, e.where(col("vec_id") === 0L), 50)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    val expected = (0L to 3L).flatMap { id =>
+      val s = lex.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        sem.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      if (s > 0) Some(id -> math.round(s * 1e6) / 1e6) else None
+    }.sortBy(t => (-t._2, t._1))
+    val out = Retrieval.hybridRrf(d, e, Seq("hash"), probeVecId = 0L,
+        n = 50, k = 10).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(out.toSeq == expected,
+      s"fused ranking mismatch: got ${out.toSeq} want $expected")
+    // a doc present in BOTH lists outranks one with a single, equal-
+    // or-worse contribution: doc 1 (lex 1, sem 2) beats doc 3 (sem 1)
+    assert(out.head._1 == 1L)
+  }
+
+  // ---- per-language length quantiles (round 8) -----------------------
+
+  test("lengthQuantiles interpolates exactly and counts above the median") {
+    val d = Seq(
+      (1L, "en", 10L), (2L, "en", 20L), (3L, "en", 30L), (4L, "en", 40L),
+      (5L, "de", 5L), (6L, "de", 7L), (7L, "de", 9L))
+      .toDF("doc_id", "lang", "n_chars")
+    val out = TextAnalysis.lengthQuantiles(d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5))).toMap
+    // en: p·(n−1) over [10,20,30,40] → p25 = 17.5, p50 = 25, p75 = 32.5
+    assert(out("en") == ((4L, 17.5, 25.0, 32.5, 2L)))
+    // de: odd count → p50 is the middle value; all-above count incl. it
+    assert(out("de") == ((3L, 6.0, 7.0, 8.0, 2L)))
+  }
 }
