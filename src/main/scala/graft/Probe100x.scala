@@ -102,6 +102,28 @@ object Probe100x {
         "chunk_tokens" -> 8, "stride" -> 8, "sec" -> sec)
     }
 
+    if (mode == "curriculum" || mode == "all") {
+      // the global-ordinal kernel at 20M rows (40× the sf0.1 gate),
+      // synthetic scores with heavy 6dp ties (1000 distinct values →
+      // ~20k docs per score, the worst case for the strict-key range
+      // partitioner) vs the naive single-partition global window
+      val scored = spark.range(20000000L).select(
+          col("id").as("doc_id"),
+          (pmod(xxhash64(col("id")), lit(1000L)).cast("double") /
+            lit(1000.0)).as("quality_score"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      scored.count()
+      val ranged = time(noop(
+        graft.pipeline.Sampling.globalOrdinal(scored, parts = 64)))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      val naive = time(noop(scored.withColumn("position",
+        row_number().over(w).cast("long"))))
+      scored.unpersist()
+      report("curriculum", "rows" -> 20000000,
+        "range_offset_sec" -> ranged, "single_partition_window_sec" -> naive)
+    }
+
     docs.unpersist()
     spark.stop()
   }

@@ -383,12 +383,18 @@ object Sampling {
     * (doc_id in the key makes every key unique, so no single key can
     * straggle a partition).
     */
-  def curriculumOrder(docs: DataFrame, parts: Int = 0): DataFrame = {
-    val spark = docs.sparkSession
+  def curriculumOrder(docs: DataFrame, parts: Int = 0): DataFrame =
+    globalOrdinal(TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("quality_score")), parts)
+
+  /** The scale-safe global-ordinal kernel over a (doc_id,
+    * quality_score) frame — see [[curriculumOrder]]. Public so scale
+    * probes (and callers with their own score) can drive it directly.
+    */
+  def globalOrdinal(scored: DataFrame, parts: Int = 0): DataFrame = {
+    val spark = scored.sparkSession
     val p = if (parts > 0) parts
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val scored = TextAnalysis.quality(docs)
-      .select(col("doc_id"), col("quality_score"))
     // One range shuffle + one in-partition sort, then
     // monotonically_increasing_id stamps (partition id << 33 |
     // in-partition ordinal) — the in-partition rank is ALREADY in the
