@@ -1641,6 +1641,69 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
     // quantization, exact integer dot, rescale by the two scales,
     // multiply→scale-0-round→divide 6dp rounding (identical IEEE
     // sequence to the Spark side)
+    // mirror of Similarity.binaryTopK: sign bits packed into four
+    // 16-bit blocks (the dHash block convention), Hamming =
+    // Σ bit_count(xor) — pure integer, no rounding step anywhere
+    "sim_binary_topk" -> {
+      def blk(b: Int) = (0 until 16).map(j =>
+        s"(CASE WHEN v[${b * 16 + j + 1}] > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id,
+         |        CAST(${blk(0)} AS INT) AS b0, CAST(${blk(1)} AS INT) AS b1,
+         |        CAST(${blk(2)} AS INT) AS b2, CAST(${blk(3)} AS INT) AS b3
+         |      FROM e),
+         |p AS (SELECT vec_id AS probe_id, b0 AS p0, b1 AS p1,
+         |        b2 AS p2, b3 AS p3
+         |      FROM b WHERE vec_id < 5),
+         |h AS (SELECT probe_id, c.vec_id,
+         |        CAST(bit_count(xor(c.b0, p0)) + bit_count(xor(c.b1, p1))
+         |           + bit_count(xor(c.b2, p2)) + bit_count(xor(c.b3, p3))
+         |          AS INT) AS hamming
+         |      FROM b c JOIN p ON c.vec_id != p.probe_id),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, hamming,
+         |         CAST(row_number() OVER (PARTITION BY probe_id
+         |           ORDER BY hamming ASC, vec_id) AS INT) AS rank
+         |  FROM h)
+         |SELECT probe_id, vec_id, hamming, rank
+         |FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
+    },
+
+    // mirror of Similarity.binarySearchReranked: Hamming shortlist
+    // (rank ≤ 50) reranked by exact cosine
+    "sim_binary_reranked" -> {
+      def blk(b: Int) = (0 until 16).map(j =>
+        s"(CASE WHEN v[${b * 16 + j + 1}] > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id,
+         |        CAST(${blk(0)} AS INT) AS b0, CAST(${blk(1)} AS INT) AS b1,
+         |        CAST(${blk(2)} AS INT) AS b2, CAST(${blk(3)} AS INT) AS b3
+         |      FROM e),
+         |p AS (SELECT vec_id AS probe_id, b0 AS p0, b1 AS p1,
+         |        b2 AS p2, b3 AS p3
+         |      FROM b WHERE vec_id < 5),
+         |h AS (SELECT probe_id, c.vec_id,
+         |        bit_count(xor(c.b0, p0)) + bit_count(xor(c.b1, p1))
+         |          + bit_count(xor(c.b2, p2)) + bit_count(xor(c.b3, p3))
+         |          AS hamming
+         |      FROM b c JOIN p ON c.vec_id != p.probe_id),
+         |short AS (SELECT probe_id, vec_id FROM (
+         |            SELECT probe_id, vec_id,
+         |              row_number() OVER (PARTITION BY probe_id
+         |                ORDER BY hamming ASC, vec_id) AS rk
+         |            FROM h) WHERE rk <= 50),
+         |x AS (SELECT s.probe_id, s.vec_id,
+         |        round(list_cosine_similarity(pe.v, ce.v), 6) AS cos_sim
+         |      FROM short s JOIN e ce ON s.vec_id = ce.vec_id
+         |                   JOIN e pe ON s.probe_id = pe.vec_id)
+         |SELECT probe_id, vec_id, cos_sim,
+         |  CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+         |FROM x QUALIFY rank <= 10 ORDER BY probe_id, rank""".stripMargin
+    },
+
     "sim_int8_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |s AS (SELECT vec_id, v,

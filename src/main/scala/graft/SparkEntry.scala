@@ -1625,6 +1625,24 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // 1-bit sign tier of the ANN ladder: Hamming top-k over packed
+    // sign bits (pure integer ranking, 1/32 the scan bandwidth)
+    "sim_binary_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.binaryTopK(e, e.where(col("vec_id") < 5), 10)
+        .select(col("probe_id"), col("vec_id"), col("hamming"), col("rank"))
+        .orderBy("probe_id", "rank")
+    }),
+
+    // two-tier: sign-bit Hamming shortlist → exact cosine rerank
+    "sim_binary_reranked" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.binarySearchReranked(e, e.where(col("vec_id") < 5),
+          topK = 10, shortK = 50)
+        .select(col("probe_id"), col("vec_id"), col("cos_sim"), col("rank"))
+        .orderBy("probe_id", "rank")
+    }),
+
     "sim_ann_lsh" -> ((s, dir) =>
       Similarity.lshNearest(Tables.embeddings(s, dir))
         .orderBy("vec_id")),

@@ -184,6 +184,73 @@ object Similarity {
       .where(col("rank") <= topK)
   }
 
+  /** 1-bit sign quantization: bit i = (v_i > 0), packed into four
+    * 16-bit integer blocks (the dHash/SimHash block convention —
+    * engine-portable integer ops, no 64-bit shift edge cases). The
+    * 32×-compression tier of the ANN ladder: a 10⁹-vector corpus at
+    * Dim=64 is 8 GB of sign bytes, small enough to broadcast-scan
+    * on every executor; Hamming distance approximates angular
+    * distance (Charikar 2002 — P[bit flip] = θ/π for random
+    * hyperplanes; for sign bits, exact on centered embeddings).
+    */
+  def binarySign(vecs: DataFrame): DataFrame = {
+    val v = asDouble(col("embedding"))
+    val blocks = (0 until 4).map { b =>
+      (0 until 16).map { j =>
+        when(element_at(v, b * 16 + j + 1) > 0, lit(1 << j))
+          .otherwise(lit(0))
+      }.reduce(_ + _).cast("int").as(s"b$b")
+    }
+    vecs.select(col("vec_id") +: blocks: _*)
+  }
+
+  /** Brute-force top-k over sign bits: rank by Hamming distance asc
+    * (64-bit popcount over the four xor'd blocks — pure integer, so
+    * ranking is exact and engine-deterministic with no rounding step
+    * at all), vec_id tie-break. Same broadcast-probe shape as
+    * [[bruteForceTopK]] at 1/32 of the memory traffic; compose with
+    * an exact rerank via [[binarySearchReranked]].
+    */
+  def binaryTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bc = binarySign(corpus)
+    val bp = binarySign(probes).select(col("vec_id").as("probe_id"),
+      col("b0").as("p0"), col("b1").as("p1"),
+      col("b2").as("p2"), col("b3").as("p3"))
+    val hamming = (0 until 4).map(i =>
+      bit_count(col(s"b$i").bitwiseXOR(col(s"p$i")))).reduce(_ + _)
+    val joined = bc.join(broadcast(bp), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        hamming.cast("int").as("hamming"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("hamming").asc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Sign-bit-scan-then-exact-rerank: the Hamming shortlist feeds an
+    * exact cosine rerank of `shortK` candidates per probe — the same
+    * two-tier production pattern as [[int8SearchReranked]] /
+    * [[pqSearchReranked]], at the ladder's cheapest scan tier.
+    */
+  def binarySearchReranked(corpus: DataFrame, probes: DataFrame,
+                           topK: Int, shortK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shortlist = binaryTopK(corpus, probes, shortK)
+      .select(col("probe_id"), col("vec_id"))
+    val exact = shortlist
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_emb"))), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(asDouble(col("probe_emb")), asDouble(col("embedding"))), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+  }
+
   /** Matryoshka (MRL) truncated-prefix scan tier: cosine top-k
     * computed on only the FIRST `dims` coordinates (Kusupati et al.
     * 2022 — matryoshka-trained embeddings order information by

@@ -527,6 +527,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(top.getAs[Long]("vec_id") == 2L)
   }
 
+  test("binary sign tier packs 16-bit blocks and ranks by Hamming distance") {
+    implicit val s: SparkSession = spark
+    val base = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    def flip(idx: Int*): Array[Float] = {
+      val c = base.clone(); idx.foreach(i => c(i) = -c(i)); c
+    }
+    val e = Seq(
+      (0L, base),
+      (1L, flip(3)),           // 1 sign flip
+      (2L, flip(0, 17, 40)),   // 3 sign flips across 3 blocks
+      (3L, base.map(x => -x))  // all 64 flipped
+    ).toDF("vec_id", "embedding")
+    val b = Similarity.binarySign(e).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getInt)).toMap
+    // alternating +/- sets the even bits of every block
+    assert(b(0L) == Seq(0x5555, 0x5555, 0x5555, 0x5555))
+    assert(b(3L) == Seq(0xAAAA, 0xAAAA, 0xAAAA, 0xAAAA))
+    val top = Similarity.binaryTopK(e, e.where($"vec_id" === 0), k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("hamming")))
+    assert(top.toSeq == Seq((1L, 1), (2L, 3), (3L, 64)))
+    // the two-tier rerank returns exact cosines in the same order
+    val rr = Similarity.binarySearchReranked(e, e.where($"vec_id" === 0),
+        topK = 3, shortK = 3)
+      .orderBy("rank").collect().map(_.getAs[Long]("vec_id"))
+    assert(rr.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("PNG codec round-trips pixels losslessly through real imageio bytes") {
     val px = Array.tabulate(12 * 5)(i => (i * 37) % 256)
     val bytes = Multimodal.PngCodec.encode(12, 5, px)
