@@ -1070,6 +1070,39 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |FROM fused QUALIFY rank <= 10 ORDER BY rank""".stripMargin
     },
 
+    // mirror of Sampling.packSequential: the interleave order's
+    // global running token sum is ONE window here (the oracle may be
+    // sequential; the Spark side must reproduce it distributed),
+    // shard = exclusive-prefix-sum div budget. sum(BIGINT) widens to
+    // HUGEINT in DuckDB — cast back before the integer div
+    "pack_sequential" ->
+      s"""WITH tt AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY
+         |      (('0x' || substr(md5(doc_id::VARCHAR || 'ilv'), 1, 15))::BIGINT
+         |       / 1152921504606846976.0), doc_id) - 1 AS BIGINT)
+         |      AS rank_in_source,
+         |    CAST(dense_rank() OVER (ORDER BY source) - 1 AS BIGINT)
+         |      AS src_idx
+         |  FROM tt),
+         |n AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS ns
+         |      FROM documents),
+         |o AS (SELECT doc_id, source,
+         |        rank_in_source * ns + src_idx AS train_ord, n_tokens
+         |      FROM r CROSS JOIN n),
+         |c AS (SELECT doc_id, source, train_ord, n_tokens,
+         |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY train_ord
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS cb
+         |      FROM o)
+         |SELECT doc_id, source, train_ord, n_tokens, cb // 512 AS shard
+         |FROM c ORDER BY train_ord""".stripMargin,
+
     // mirror of Sampling.temperatureMix at nTarget 300: sqrt-weighted
     // quotas in exact integer arithmetic (floor∘sqrt of an integer is
     // engine-deterministic; halfUp division via (2a+b)//(2b)), then

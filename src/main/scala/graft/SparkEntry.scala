@@ -1473,6 +1473,14 @@ object SparkEntry {
           col("train_ord"))
         .orderBy("train_ord")),
 
+    // sequential shard packing: distributed global prefix sum of
+    // token counts in the interleaved training order, shard =
+    // tokens-before div budget
+    "pack_sequential" -> ((s, dir) =>
+      Sampling.packSequential(Tables.documents(s, dir),
+          budgetTokens = 512L)
+        .orderBy("train_ord")),
+
     // CCNet-style perplexity-bucketed sampling: 4 quantile buckets of
     // the unigram-LM score, tail kept at 10% up to head at 90%
     "sample_quality_bucket" -> ((s, dir) =>

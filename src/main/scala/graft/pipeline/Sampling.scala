@@ -338,7 +338,8 @@ object Sampling {
     */
   def interleave(docs: DataFrame, sourceCol: String = "source",
                  idCol: String = "doc_id",
-                 salt: String = "ilv"): DataFrame = {
+                 salt: String = "ilv",
+                 extraCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // source universe: metadata-sized (sources, not documents), ranked
     // by name with a window over the DISTINCT frame — the
@@ -351,14 +352,14 @@ object Sampling {
         count(lit(1)).over(Window.partitionBy()).as("n_sources"))
     val w = Window.partitionBy(sourceCol)
       .orderBy(hashUniform(col(idCol), salt), col(idCol))
-    docs.select(col(idCol), col(sourceCol))
+    docs.select((col(idCol) +: col(sourceCol) +: extraCols.map(col)): _*)
       .join(broadcast(srcIdx), Seq(sourceCol))
       .withColumn("rank_in_source",
         (row_number().over(w) - 1).cast("long"))
       .withColumn("train_ord",
         col("rank_in_source") * col("n_sources") + col("src_idx"))
-      .select(col(idCol), col(sourceCol), col("rank_in_source"),
-        col("train_ord"))
+      .select((col(idCol) +: col(sourceCol) +: col("rank_in_source") +:
+        col("train_ord") +: extraCols.map(col)): _*)
   }
 
   /** Curriculum ordering: a GLOBAL 1-based training position over the
@@ -383,6 +384,68 @@ object Sampling {
     * (doc_id in the key makes every key unique, so no single key can
     * straggle a partition).
     */
+  /** Sequential shard packing: walk the corpus in [[interleave]]'s
+    * deterministic training order and assign shard
+    * `⌊tokens-before-this-doc / budget⌋` — each shard holds
+    * consecutive training docs totalling ~`budgetTokens` (overflow
+    * bounded by one document per boundary; a doc belongs to the shard
+    * where it STARTS). This is the prefix-sum formulation of shard
+    * filling — the strict greedy reset-per-shard variant is
+    * inherently sequential state, while the prefix-sum form
+    * distributes, and the two differ only when a single document
+    * spans a boundary.
+    *
+    * The global running sum is the one scan shape Catalyst has no
+    * operator for (a global window = single-partition sort), so this
+    * uses the [[globalOrdinal]] recipe generalized to sums: range-
+    * partition by train_ord, collect per-partition token SUBTOTALS
+    * (metadata-sized), then one `mapPartitions` pass that seeds each
+    * partition's running sum with its predecessors' total — the
+    * documented per-partition-imperative last resort, justified here
+    * because the scan is genuinely stateful. Cost at 100 TB: one
+    * range shuffle + one in-partition pass, same bound as writing
+    * the shards themselves.
+    */
+  def packSequential(docs: DataFrame, budgetTokens: Long,
+                     parts: Int = 0, textCol: String = "text",
+                     sourceCol: String = "source",
+                     idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val p = if (parts > 0) parts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val withTok = docs.withColumn("n_tokens",
+      size(Dedup.tokens(textCol)).cast("long"))
+    val ranged = interleave(withTok, sourceCol, idCol,
+        extraCols = Seq("n_tokens"))
+      .repartitionByRange(p, col("train_ord").asc)
+      .sortWithinPartitions(col("train_ord").asc)
+      .localCheckpoint(false)
+    val subtotals = ranged
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(sum(col("n_tokens")).as("toks")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until p).scanLeft(0L)((a, i) =>
+      a + subtotals.getOrElse(i, 0L))
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val tokIdx = ranged.schema.fieldIndex("n_tokens")
+    val outSchema = ranged.schema
+      .add(org.apache.spark.sql.types.StructField("cum_before",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val withCum = spark.createDataFrame(
+      ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var run = bcOff.value(pid)
+        it.map { r =>
+          val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ run)
+          run += r.getLong(tokIdx)
+          out
+        }
+      }, outSchema)
+    withCum
+      .withColumn("shard", expr(s"cum_before div ${budgetTokens}L"))
+      .select(col(idCol), col(sourceCol), col("train_ord"),
+        col("n_tokens"), col("shard"))
+  }
+
   def curriculumOrder(docs: DataFrame, parts: Int = 0): DataFrame =
     globalOrdinal(TextAnalysis.quality(docs)
       .select(col("doc_id"), col("quality_score")), parts)

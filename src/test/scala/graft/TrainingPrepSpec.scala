@@ -224,6 +224,35 @@ class TrainingPrepSpec extends AnyFunSuite {
       "positions depend on the range partition count")
   }
 
+  // ---- sequential shard packing (round 8) ----------------------------
+
+  test("packSequential fills shards to the budget via a distributed prefix sum") {
+    val d = docs((0L until 40L).map(i =>
+      i -> (1 to (3 + (i % 5)).toInt).map(j => s"w$j").mkString(" ")): _*)
+    val out = Sampling.packSequential(d, budgetTokens = 20L, parts = 5)
+      .orderBy("train_ord").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // shards are contiguous runs in training order, starting at 0
+    val shards = out.map(_._4)
+    assert(shards.head == 0L && shards.sameElements(shards.sorted))
+    // shard boundaries honor the prefix-sum law: a doc's shard is
+    // tokens-before div budget
+    var cum = 0L
+    out.foreach { case (_, _, nTok, shard) =>
+      assert(shard == cum / 20L); cum += nTok
+    }
+    // every shard except possibly the last spans ≥ budget tokens from
+    // its start (overflow bounded by one doc per boundary)
+    val perShard = out.groupBy(_._4).view.mapValues(_.map(_._3).sum).toMap
+    perShard.toSeq.sortBy(_._1).dropRight(1).foreach { case (sh, toks) =>
+      assert(toks >= 20L - 7L, s"shard $sh underfilled: $toks")
+    }
+    // partition count must not change the assignment
+    val alt = Sampling.packSequential(d, budgetTokens = 20L, parts = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out.forall { case (id, _, _, sh) => alt(id) == sh })
+  }
+
   // ---- hybrid RRF retrieval (round 8) --------------------------------
 
   test("hybridRrf fuses BM25 and cosine ranks by 1/(60+r) with doc_id ties") {
