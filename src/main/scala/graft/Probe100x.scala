@@ -102,6 +102,16 @@ object Probe100x {
         "chunk_tokens" -> 8, "stride" -> 8, "sec" -> sec)
     }
 
+    if (mode == "pack" || mode == "all") {
+      // the prefix-sum shard packer over the full 20M-token corpus
+      // (tokenize + per-source interleave windows + range shuffle +
+      // seeded in-partition scan), 90%-skewed sources included
+      val sec = time(noop(graft.pipeline.Sampling.packSequential(
+        docs, budgetTokens = 8192L, parts = 64)))
+      report("pack_sequential", "docs" -> 500000, "tokens" -> 20000000,
+        "budget" -> 8192, "sec" -> sec)
+    }
+
     if (mode == "curriculum" || mode == "all") {
       // the global-ordinal kernel at 20M rows (40× the sf0.1 gate),
       // synthetic scores with heavy 6dp ties (1000 distinct values →
