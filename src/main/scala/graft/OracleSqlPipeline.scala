@@ -1674,6 +1674,76 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
     // quantization, exact integer dot, rescale by the two scales,
     // multiply→scale-0-round→divide 6dp rounding (identical IEEE
     // sequence to the Spark side)
+    // mirror of the sim_recall_report gate: each tier's top-10 CTE is
+    // the same SQL as its standalone gate; hits = |tier ∩ exact| per
+    // probe via LEFT JOIN + count(non-null)
+    "sim_recall_report" -> {
+      def blk(b: Int) = (0 until 16).map(j =>
+        s"(CASE WHEN v[${b * 16 + j + 1}] > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |pr AS (SELECT * FROM e WHERE vec_id < 5),
+         |exact AS (SELECT probe_id, vec_id FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id,
+         |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |      round(list_cosine_similarity(p.v, c.v), 6) DESC, c.vec_id) AS rk
+         |  FROM pr p JOIN e c ON c.vec_id != p.vec_id) WHERE rk <= 10),
+         |b AS (SELECT vec_id,
+         |        CAST(${blk(0)} AS INT) AS b0, CAST(${blk(1)} AS INT) AS b1,
+         |        CAST(${blk(2)} AS INT) AS b2, CAST(${blk(3)} AS INT) AS b3
+         |      FROM e),
+         |bp AS (SELECT vec_id AS probe_id, b0 AS p0, b1 AS p1,
+         |         b2 AS p2, b3 AS p3 FROM b WHERE vec_id < 5),
+         |bin AS (SELECT probe_id, vec_id FROM (
+         |  SELECT probe_id, c.vec_id,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY
+         |      bit_count(xor(c.b0, p0)) + bit_count(xor(c.b1, p1))
+         |      + bit_count(xor(c.b2, p2)) + bit_count(xor(c.b3, p3)) ASC,
+         |      c.vec_id) AS rk
+         |  FROM b c JOIN bp ON c.vec_id != bp.probe_id) WHERE rk <= 10),
+         |s8 AS (SELECT vec_id, v,
+         |        CASE WHEN m = 0 THEN 1.0 ELSE m / 127 END AS scale
+         |      FROM (SELECT vec_id, v,
+         |              list_max(list_transform(v, x -> abs(x))) AS m
+         |            FROM e)),
+         |q8 AS (SELECT vec_id, scale,
+         |        list_transform(v, x -> CAST(round(x / scale) AS INT)) AS qv
+         |      FROM s8),
+         |p8 AS (SELECT vec_id AS probe_id, scale AS pscale, qv AS pqv
+         |      FROM q8 WHERE vec_id < 5),
+         |i8 AS (SELECT probe_id, vec_id FROM (
+         |  SELECT p.probe_id, c.vec_id,
+         |    row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |      CAST(round(list_dot_product(c.qv, p.pqv) * c.scale * p.pscale
+         |        * 1000000.0) AS BIGINT) / 1000000.0 DESC, c.vec_id) AS rk
+         |  FROM q8 c JOIN p8 p ON c.vec_id != p.probe_id) WHERE rk <= 10),
+         |mat AS (SELECT probe_id, vec_id FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id,
+         |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |      round(list_cosine_similarity(p.v[1:16], c.v[1:16]), 6) DESC,
+         |      c.vec_id) AS rk
+         |  FROM pr p JOIN e c ON c.vec_id != p.vec_id) WHERE rk <= 10),
+         |rb AS (SELECT a.probe_id, 'binary' AS tier,
+         |         CAST(count(x.vec_id) AS BIGINT) AS hits
+         |       FROM bin a LEFT JOIN exact x
+         |         ON a.probe_id = x.probe_id AND a.vec_id = x.vec_id
+         |       GROUP BY a.probe_id),
+         |ri AS (SELECT a.probe_id, 'int8' AS tier,
+         |         CAST(count(x.vec_id) AS BIGINT) AS hits
+         |       FROM i8 a LEFT JOIN exact x
+         |         ON a.probe_id = x.probe_id AND a.vec_id = x.vec_id
+         |       GROUP BY a.probe_id),
+         |rm AS (SELECT a.probe_id, 'matryoshka16' AS tier,
+         |         CAST(count(x.vec_id) AS BIGINT) AS hits
+         |       FROM mat a LEFT JOIN exact x
+         |         ON a.probe_id = x.probe_id AND a.vec_id = x.vec_id
+         |       GROUP BY a.probe_id)
+         |SELECT probe_id, tier, hits FROM (
+         |  SELECT * FROM rb UNION ALL SELECT * FROM ri
+         |  UNION ALL SELECT * FROM rm)
+         |ORDER BY tier, probe_id""".stripMargin
+    },
+
     // mirror of Similarity.binaryTopK: sign bits packed into four
     // 16-bit blocks (the dHash block convention), Hamming =
     // Σ bit_count(xor) — pure integer, no rounding step anywhere

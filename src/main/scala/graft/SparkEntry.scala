@@ -1633,6 +1633,27 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // recall@10 of each cheap ANN tier against the exact cosine
+    // top-10 — the measurable quality artifact of the ladder: a tier
+    // is only worth its bandwidth saving if its recall is known
+    "sim_recall_report" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val probes = e.where(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(e, probes, 10)
+        .select(col("probe_id"), col("vec_id"), lit(1).as("in_exact"))
+      def hits(tier: String, approx: DataFrame) =
+        approx.select(col("probe_id"), col("vec_id"))
+          .join(exact, Seq("probe_id", "vec_id"), "left")
+          .groupBy("probe_id")
+          .agg(sum(coalesce(col("in_exact"), lit(0))).as("hits"))
+          .select(col("probe_id"), lit(tier).as("tier"), col("hits"))
+      hits("binary", Similarity.binaryTopK(e, probes, 10))
+        .unionByName(hits("int8", Similarity.int8TopK(e, probes, 10)))
+        .unionByName(hits("matryoshka16",
+          Similarity.matryoshkaTopK(e, probes, 16, 10)))
+        .orderBy("tier", "probe_id")
+    }),
+
     // 1-bit sign tier of the ANN ladder: Hamming top-k over packed
     // sign bits (pure integer ranking, 1/32 the scan bandwidth)
     "sim_binary_topk" -> ((s, dir) => {
