@@ -297,4 +297,52 @@ class PropertySpec extends AnyFunSuite {
         s"seed ${91 + i}: got ${got.toList.sorted} vs ${expected.toList.sorted}")
     }
   }
+
+  test("globalOrdinal == the single-window rank for random scores, any partition count") {
+    val gen = for {
+      n <- Gen.choose(1, 200)
+      // coarse scores force heavy ties; ids are the unique tiebreak
+      scores <- Gen.listOfN(n, Gen.choose(0, 5).map(_ / 5.0))
+      parts <- Gen.choose(1, 9)
+    } yield (scores, parts)
+    for (i <- 0 until 6;
+         (scores, parts) <- gen(Gen.Parameters.default, Seed(400 + i))) {
+      val df = scores.zipWithIndex
+        .map { case (s, id) => (id.toLong, s) }
+        .toDF("doc_id", "quality_score")
+      val got = graft.pipeline.Sampling.globalOrdinal(df, parts)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val want = scores.zipWithIndex
+        .sortBy { case (s, id) => (-s, id) }.zipWithIndex
+        .map { case ((_, id), pos) => id.toLong -> (pos + 1L) }.toMap
+      assert(got == want, s"seed ${400 + i} parts=$parts")
+    }
+  }
+
+  test("packSequential == the sequential prefix-sum walk for random docs") {
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      sizes <- Gen.listOfN(n, Gen.choose(1, 9))
+      budget <- Gen.choose(5L, 40L)
+      parts <- Gen.choose(1, 7)
+    } yield (sizes, budget, parts)
+    for (i <- 0 until 5;
+         (sizes, budget, parts) <- gen(Gen.Parameters.default, Seed(500 + i))) {
+      val df = sizes.zipWithIndex.map { case (k, id) =>
+        (id.toLong, (1 to k).map(j => s"w$j").mkString(" "),
+          s"s${id % 3}")
+      }.toDF("doc_id", "text", "source")
+      val out = graft.pipeline.Sampling
+        .packSequential(df, budget, parts)
+        .orderBy("train_ord").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+      // reference: sequential walk in the emitted train_ord order
+      var cum = 0L
+      out.foreach { case (id, nTok, shard) =>
+        assert(shard == cum / budget, s"seed ${500 + i} doc $id")
+        cum += nTok
+      }
+      assert(out.map(_._2).sum == sizes.map(_.toLong).sum)
+    }
+  }
 }
