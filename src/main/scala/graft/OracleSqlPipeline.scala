@@ -975,6 +975,74 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |  rank_in_source * ns + src_idx AS train_ord
          |FROM r CROSS JOIN n ORDER BY train_ord""".stripMargin,
 
+    // mirror of Retrieval.hybridRrfWith over the IVF generator: the
+    // same lex chain as text_hybrid_rrf, the same IVF chain as
+    // sim_ivf_search (seed quantizer, nProbe 2, probe vec 0, top-50),
+    // the same 1/(60+rank) fusion
+    "text_hybrid_rrf_ivf" -> {
+      val q = Retrieval.GateQuery.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH $TOKS,
+         |d AS (SELECT doc_id, len(toks) AS dl,
+         |        list_filter(toks, x -> list_contains($q, x)) AS q
+         |      FROM t),
+         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d),
+         |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM (
+         |         SELECT doc_id, dl, unnest(q) AS tok FROM d WHERE len(q) > 0)
+         |       GROUP BY doc_id, dl, tok),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |sc AS (SELECT tf.doc_id,
+         |        CAST(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |          ((tf * 2.2) / (tf + 1.2 * (0.25 +
+         |            0.75 * CAST(dl AS DOUBLE) * n_docs / sum_dl)))
+         |          AS DECIMAL(38,12)) AS contrib
+         |      FROM tf JOIN df USING (tok), stats),
+         |lex0 AS (SELECT doc_id, CAST(round(sum(contrib), 6) AS DOUBLE) AS score
+         |         FROM sc GROUP BY doc_id
+         |         ORDER BY sum(contrib) DESC, doc_id ASC LIMIT 50),
+         |lex AS (SELECT doc_id, CAST(row_number() OVER (
+         |          ORDER BY score DESC, doc_id) AS INT) AS lex_rank
+         |        FROM lex0),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |seeds AS (SELECT vec_id AS cluster, v AS sv FROM e ORDER BY vec_id LIMIT 8),
+         |assigned AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT e.vec_id, seeds.cluster,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY round(list_cosine_similarity(e.v, seeds.sv), 6) DESC,
+         |                      cluster) AS rn
+         |    FROM e CROSS JOIN seeds) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id = 0),
+         |pclusters AS (
+         |  SELECT probe_id, pv, cluster FROM (
+         |    SELECT p.probe_id, p.pv, seeds.cluster,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY round(list_cosine_similarity(p.pv, seeds.sv), 6) DESC,
+         |                      cluster) AS rn
+         |    FROM probes p CROSS JOIN seeds) WHERE rn <= 2),
+         |sem AS (SELECT vec_id AS doc_id, CAST(rk AS INT) AS sem_rank FROM (
+         |  SELECT a.vec_id,
+         |    row_number() OVER (ORDER BY
+         |      round(list_cosine_similarity(pc.pv, e.v), 6) DESC,
+         |      a.vec_id) AS rk
+         |  FROM pclusters pc
+         |  JOIN assigned a ON pc.cluster = a.cluster
+         |  JOIN e ON a.vec_id = e.vec_id
+         |  WHERE pc.probe_id != a.vec_id) WHERE rk <= 50),
+         |fused AS (
+         |  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         |    coalesce(lex_rank, 0) AS lex_rank,
+         |    coalesce(sem_rank, 0) AS sem_rank,
+         |    CAST(CAST(round(((CASE WHEN lex_rank IS NOT NULL
+         |            THEN 1.0 / (60 + lex_rank) ELSE 0.0 END)
+         |        + (CASE WHEN sem_rank IS NOT NULL
+         |            THEN 1.0 / (60 + sem_rank) ELSE 0.0 END))
+         |      * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS rrf
+         |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+         |SELECT doc_id, lex_rank, sem_rank, rrf,
+         |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+         |FROM fused QUALIFY rank <= 10 ORDER BY rank""".stripMargin
+    },
+
     // mirror of Sampling.curriculumOrder: the global easy-to-hard
     // position is a pure function of the (quality_score desc, doc_id)
     // total order, so the oracle is ONE window — the Spark side's

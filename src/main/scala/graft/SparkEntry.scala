@@ -1353,6 +1353,20 @@ object SparkEntry {
           probeVecId = 0L, n = 50, k = 10)
         .orderBy("rank")),
 
+    // the same fusion with the 100 TB semantic generator swapped in:
+    // IVF candidates (seed quantizer, nProbe=2) instead of the brute
+    // scan — the rank-only fusion contract makes this a one-line swap
+    "text_hybrid_rrf_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Retrieval.hybridRrfWith(Tables.documents(s, dir),
+          query = Retrieval.GateQuery,
+          sem = Similarity.ivfSearch(e, e.where(col("vec_id") === 0L),
+              topK = 50, k = 8, nProbe = 2)
+            .select(col("vec_id").as("doc_id"), col("rank").as("sem_rank")),
+          n = 50, k = 10)
+        .orderBy("rank")
+    }),
+
     // global curriculum position (easy-to-hard by quality score)
     // via the range-partition + cumulative-offset recipe — a global
     // ordinal with NO single-partition sort

@@ -150,14 +150,25 @@ object Retrieval {
     */
   def hybridRrf(docs: DataFrame, embeds: DataFrame, query: Seq[String],
                 probeVecId: Long, n: Int = 50, k: Int = 10,
-                kRrf: Int = 60): DataFrame = {
+                kRrf: Int = 60): DataFrame =
+    hybridRrfWith(docs, query,
+      Similarity.bruteForceTopK(
+          embeds, embeds.where(col("vec_id") === probeVecId), n)
+        .select(col("vec_id").as("doc_id"), col("rank").as("sem_rank")),
+      n, k, kRrf)
+
+  /** [[hybridRrf]] with a caller-supplied semantic candidate list
+    * (`doc_id`, `sem_rank`) — the fusion is rank-only, so ANY
+    * generator plugs in: brute force for exactness, [[Similarity
+    * .ivfSearch]] for the 100 TB path, a persisted index for serving.
+    */
+  def hybridRrfWith(docs: DataFrame, query: Seq[String], sem: DataFrame,
+                    n: Int = 50, k: Int = 10,
+                    kRrf: Int = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lex = bm25TopK(docs, query, n)
       .select(col("doc_id"), row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))).as("lex_rank"))
-    val sem = Similarity.bruteForceTopK(
-        embeds, embeds.where(col("vec_id") === probeVecId), n)
-      .select(col("vec_id").as("doc_id"), col("rank").as("sem_rank"))
     val contrib = (r: Column) =>
       when(r.isNotNull, lit(1.0) / (lit(kRrf) + r)).otherwise(lit(0.0))
     lex.join(sem, Seq("doc_id"), "full_outer")
