@@ -975,6 +975,39 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |  rank_in_source * ns + src_idx AS train_ord
          |FROM r CROSS JOIN n ORDER BY train_ord""".stripMargin,
 
+    // mirror of pipeline_curate4: quality filter → global curriculum
+    // position → prefix-sum shard assignment, all in the oracle's
+    // sequential windows (the Spark side's distributed ordinal +
+    // prefix-sum recipes must land on exactly these rows)
+    "pipeline_curate4" ->
+      s"""WITH $TOKS,
+         |d AS (SELECT t.doc_id,
+         |        length(text)::DOUBLE AS n_chars,
+         |        len(toks)::DOUBLE AS n_tokens,
+         |        (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS n_digits,
+         |        len(list_filter(toks, x -> list_contains($enList, x)))::DOUBLE AS stop_hits
+         |      FROM documents JOIN t ON documents.doc_id = t.doc_id),
+         |q AS (SELECT doc_id,
+         |        round(least(1.0, (stop_hits / greatest(n_tokens, 1)) * 3) * 0.5
+         |          + (CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 0.3 ELSE 0.0 END)
+         |          + (CASE WHEN n_digits / greatest(n_chars, 1) < 0.2 THEN 0.2 ELSE 0.0 END), 6)
+         |          AS quality_score,
+         |        CAST(n_tokens AS BIGINT) AS n_tokens
+         |      FROM d),
+         |f AS (SELECT * FROM q WHERE quality_score >= 0.5),
+         |o AS (SELECT doc_id, quality_score, n_tokens,
+         |        row_number() OVER (ORDER BY quality_score DESC, doc_id)
+         |          AS position
+         |      FROM f),
+         |c AS (SELECT doc_id, quality_score, position, n_tokens,
+         |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY position
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS cb
+         |      FROM o)
+         |SELECT doc_id, quality_score, position, n_tokens,
+         |  cb // 2048 AS shard
+         |FROM c ORDER BY position""".stripMargin,
+
     // mirror of Retrieval.hybridRrfWith over the IVF generator: the
     // same lex chain as text_hybrid_rrf, the same IVF chain as
     // sim_ivf_search (seed quantizer, nProbe 2, probe vec 0, top-50),

@@ -1283,6 +1283,24 @@ object SparkEntry {
     // garbage, too many = empty prose) → annotate survivors with
     // their top TF-IDF keyword → growth-stable hash split. Every
     // stage is itself oracle-gated standalone.
+    // curriculum-packed shards flagship: quality filter → GLOBAL
+    // easy-to-hard position (distributed ordinal, extra cols riding
+    // the same shuffle) → prefix-sum shard assignment in curriculum
+    // order — the full "what do I actually feed the trainer" answer
+    // in one composed, oracle-gated plan
+    "pipeline_curate4" -> ((s, dir) => {
+      val q = TextAnalysis.quality(Tables.documents(s, dir))
+        .where(col("quality_score") >= 0.5)
+        .select(col("doc_id"), col("quality_score"),
+          col("n_tokens").cast("long").as("n_tokens"))
+      val ordered = Sampling.globalOrdinal(q)
+      Sampling.packByOrder(ordered, "position", "n_tokens",
+          budgetTokens = 2048L)
+        .select(col("doc_id"), col("quality_score"), col("position"),
+          col("n_tokens"), col("shard"))
+        .orderBy("position")
+    }),
+
     "pipeline_curate3" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val stop = discoveredStopwords(s, dir)

@@ -415,23 +415,40 @@ object Sampling {
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val withTok = docs.withColumn("n_tokens",
       size(Dedup.tokens(textCol)).cast("long"))
-    val ranged = interleave(withTok, sourceCol, idCol,
-        extraCols = Seq("n_tokens"))
-      .repartitionByRange(p, col("train_ord").asc)
-      .sortWithinPartitions(col("train_ord").asc)
+    packByOrder(interleave(withTok, sourceCol, idCol,
+        extraCols = Seq("n_tokens")),
+        "train_ord", "n_tokens", budgetTokens, p)
+      .select(col(idCol), col(sourceCol), col("train_ord"),
+        col("n_tokens"), col("shard"))
+  }
+
+  /** The distributed prefix-sum packing kernel: given ANY frame with
+    * a strict global order column and a token-count column, assign
+    * `shard = tokens-before div budget` — see [[packSequential]] for
+    * the recipe and its cost bound. Returns the input columns plus
+    * `cum_before` and `shard`.
+    */
+  def packByOrder(ordered: DataFrame, ordCol: String, tokCol: String,
+                  budgetTokens: Long, parts: Int = 0): DataFrame = {
+    val spark = ordered.sparkSession
+    val p = if (parts > 0) parts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = ordered
+      .repartitionByRange(p, col(ordCol).asc)
+      .sortWithinPartitions(col(ordCol).asc)
       .localCheckpoint(false)
     val subtotals = ranged
       .groupBy(spark_partition_id().as("pid"))
-      .agg(sum(col("n_tokens")).as("toks")).collect()
+      .agg(sum(col(tokCol)).as("toks")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until p).scanLeft(0L)((a, i) =>
       a + subtotals.getOrElse(i, 0L))
     val bcOff = spark.sparkContext.broadcast(offsets)
-    val tokIdx = ranged.schema.fieldIndex("n_tokens")
+    val tokIdx = ranged.schema.fieldIndex(tokCol)
     val outSchema = ranged.schema
       .add(org.apache.spark.sql.types.StructField("cum_before",
         org.apache.spark.sql.types.LongType, nullable = false))
-    val withCum = spark.createDataFrame(
+    spark.createDataFrame(
       ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
         var run = bcOff.value(pid)
         it.map { r =>
@@ -440,10 +457,7 @@ object Sampling {
           out
         }
       }, outSchema)
-    withCum
       .withColumn("shard", expr(s"cum_before div ${budgetTokens}L"))
-      .select(col(idCol), col(sourceCol), col("train_ord"),
-        col("n_tokens"), col("shard"))
   }
 
   def curriculumOrder(docs: DataFrame, parts: Int = 0): DataFrame =
@@ -483,11 +497,14 @@ object Sampling {
       .toDF("pid", "offset")
     // range partitions are disjoint key ranges in ascending partition-
     // index order, so offset(pid) + in-partition ordinal IS the global
-    // rank — one broadcast join + projection, zero further shuffles
-    ranged.select(col("doc_id"), col("quality_score"),
-        pidCol.as("pid"), idxCol.as("idx"))
+    // rank — one broadcast join + projection, zero further shuffles.
+    // Any extra input columns ride along (compositions would otherwise
+    // pay a corpus-sized re-join to get them back)
+    val original = scored.columns.toSeq
+    ranged.select(original.map(col) :+ pidCol.as("pid") :+
+        idxCol.as("idx"): _*)
       .join(broadcast(offs), Seq("pid"))
-      .select(col("doc_id"), col("quality_score"),
-        (col("offset") + col("idx") + lit(1L)).as("position"))
+      .select(original.map(col) :+
+        (col("offset") + col("idx") + lit(1L)).as("position"): _*)
   }
 }
