@@ -1279,6 +1279,26 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |    AS quality_score
          |FROM d ORDER BY doc_id""".stripMargin,
 
+    // mirror of TextAnalysis.normalizeText over the unicode-injected
+    // corpus: same op order (trim → collapse \s+ → NFC → lower);
+    // chr(769) = U+0301 combining acute, chr(8491) = U+212B ANGSTROM
+    // SIGN (an NFC singleton → U+00C5). Both engines count length in
+    // codepoints
+    "text_normalize" ->
+      s"""WITH inj AS (
+         |  SELECT doc_id,
+         |    text || '  Cafe' || chr(769) || '  ' || chr(8491) || ' end'
+         |      AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+         |  lower(nfc_normalize(
+         |    regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS text_norm,
+         |  CAST(length(lower(nfc_normalize(
+         |    regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS BIGINT)
+         |    AS n_chars_norm
+         |FROM inj ORDER BY doc_id""".stripMargin,
+
     "text_token_stats" ->
       s"""WITH $TOKS
          |SELECT t.doc_id,

@@ -1531,6 +1531,18 @@ object SparkEntry {
           col("n_tokens"), col("bin"))
         .orderBy("doc_id")),
 
+    // canonical cleaning scan with a REAL Unicode workload: every doc
+    // gets a decomposed-e-acute + ANGSTROM-SIGN + double-space tail
+    // appended, so the gate exercises composition, singleton mapping,
+    // case folding, and whitespace collapse — not the ASCII no-op path
+    "text_normalize" -> ((s, dir) =>
+      TextAnalysis.normalizeText(
+          Tables.documents(s, dir).withColumn("text",
+            concat(col("text"), lit("  Cafe\u0301  \u212B end"))))
+        .select(col("doc_id"), col("n_chars_raw"), col("text_norm"),
+          col("n_chars_norm"))
+        .orderBy("doc_id")),
+
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(Tables.documents(s, dir)).orderBy("doc_id")),
 

@@ -92,10 +92,16 @@ object VectorExpressions {
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("vector_dot"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[VectorDot].getName, "vector_dot"),
         (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[NfcNormalize].getName, "nfc_normalize"),
+        (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+  }
 }

@@ -95,6 +95,23 @@ object TextAnalysis {
       round(score, 6).as("quality_score"))
   }
 
+  /** Canonical text normalization — the first step of any corpus
+    * cleaning pipeline: trim, collapse whitespace runs, Unicode NFC
+    * (via the codegen'd [[graft.functions.NfcNormalize]] expression —
+    * Spark has no built-in), then lowercase. One shuffle-free
+    * codegen'd scan; the NFC fast path returns already-normalized
+    * (≈ all-ASCII) rows untouched.
+    */
+  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val collapsed = regexp_replace(trim(col(textCol)), "\\s+", " ")
+    val norm = lower(graft.functions.StringExpressions
+      .nfc_normalize(collapsed))
+    docs.select(col("doc_id"),
+      length(col(textCol)).cast("long").as("n_chars_raw"),
+      norm.as("text_norm"))
+      .withColumn("n_chars_norm", length(col("text_norm")).cast("long"))
+  }
+
   /** Per-language exact length quantiles (p25/p50/p75 of `n_chars`)
     * plus the count of documents at or above the language median — the
     * distribution profile a per-language length/quality threshold

@@ -53,4 +53,35 @@ class VectorExprSpec extends AnyFunSuite {
       .head.getDouble(0)
     assert(math.abs(c - 0.6) < 1e-7)
   }
+
+  test("nfc_normalize composes, maps singletons, fast-paths NFC text, is SQL-registered") {
+    import graft.functions.StringExpressions
+    val d = Seq(
+      (1L, "Cafe\u0301"),  // e + combining acute -> e-acute
+      (2L, "\u212B"),     // ANGSTROM SIGN → Å (NFC singleton)
+      (3L, "already ascii"),       // fast path: returned untouched
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "s")
+    val got = d.select(col("id"),
+        StringExpressions.nfc_normalize(col("s")).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L) == "Caf\u00e9" && got(1L).length == 4)
+    assert(got(2L) == "\u00c5")
+    assert(got(3L) == "already ascii")
+    assert(got(4L) == null)
+    // codegen path via SQL registration
+    StringExpressions.register(spark)
+    d.createOrReplaceTempView("nfc_t")
+    val viaSql = spark.sql(
+      "SELECT id, length(nfc_normalize(s)) AS l FROM nfc_t WHERE s IS NOT NULL ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaSql == Map(1L -> 4, 2L -> 1, 3L -> 13))
+    // type check fires on non-strings
+    val err = intercept[Exception] {
+      d.select(StringExpressions.nfc_normalize(col("id"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("nfc_normalize") ||
+      err.getMessage.toLowerCase.contains("datatype_mismatch"))
+  }
 }
