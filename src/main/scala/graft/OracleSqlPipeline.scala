@@ -1795,6 +1795,30 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
     // quantization, exact integer dot, rescale by the two scales,
     // multiply→scale-0-round→divide 6dp rounding (identical IEEE
     // sequence to the Spark side)
+    // mirror of Similarity.sourceOutliers: per-(source, dim) DECIMAL
+    // mean scale-rounded to 6dp before the cosine (the ivf_refined
+    // centroid discipline), bottom-5 cosines per source
+    "sim_source_outliers" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |m AS (SELECT d.doc_id, d.source, e.v
+         |      FROM documents d JOIN e ON d.doc_id = e.vec_id),
+         |dm AS (SELECT source, g.pos, v[g.pos + 1] AS val
+         |       FROM m, UNNEST(generate_series(0, len(v) - 1)) g(pos)),
+         |cm AS (SELECT source, pos,
+         |         CAST(CAST(round((CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / count(*)) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS cx
+         |       FROM dm GROUP BY 1, 2),
+         |cent AS (SELECT source, list(cx ORDER BY pos) AS c FROM cm
+         |         GROUP BY source),
+         |scored AS (
+         |  SELECT m.source, m.doc_id,
+         |         round(list_cosine_similarity(m.v, cent.c), 6)
+         |           AS cos_centroid
+         |  FROM m JOIN cent ON m.source = cent.source)
+         |SELECT source, doc_id, cos_centroid,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY cos_centroid ASC, doc_id) AS INT) AS rank
+         |FROM scored QUALIFY rank <= 5 ORDER BY source, rank""".stripMargin,
+
     // mirror of the sim_recall_report gate: each tier's top-10 CTE is
     // the same SQL as its standalone gate; hits = |tier ∩ exact| per
     // probe via LEFT JOIN + count(non-null)

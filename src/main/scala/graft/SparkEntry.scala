@@ -1677,6 +1677,13 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // embedding QA: the 5 farthest-from-centroid docs per source —
+    // the mislabeled-data / embedding-drift detector
+    "sim_source_outliers" -> ((s, dir) =>
+      Similarity.sourceOutliers(Tables.documents(s, dir),
+          Tables.embeddings(s, dir), k = 5)
+        .orderBy("source", "rank")),
+
     // recall@10 of each cheap ANN tier against the exact cosine
     // top-10 — the measurable quality artifact of the ladder: a tier
     // is only worth its bandwidth saving if its recall is known

@@ -184,6 +184,48 @@ object Similarity {
       .where(col("rank") <= topK)
   }
 
+  /** Embedding QA: per-source centroid outliers — the k documents per
+    * source whose embeddings sit farthest (lowest cosine) from their
+    * source's mean vector. The standard mislabeled-data / embedding-
+    * drift detector a curation pipeline runs before trusting a
+    * source's vectors.
+    *
+    * Scale shape: centroids are one map-side-combinable per-(source,
+    * dim) aggregation (|sources|·Dim rows — metadata-sized, broadcast
+    * back), then one codegen'd cosine scan + a per-source top-k
+    * window. No corpus-sized shuffle beyond the centroid aggregation.
+    *
+    * Determinism: per-dim means ride DECIMAL(38,12) and scale-round
+    * to 6dp BEFORE the cosine (the sim_ivf_refined centroid
+    * discipline), so engine half-ULP drift cannot flip an outlier
+    * rank; ties break on doc_id.
+    */
+  def sourceOutliers(docs: DataFrame, embeds: DataFrame,
+                     k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = docs.select(col("doc_id"), col("source"))
+      .join(embeds.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+    val cent = m
+      .select(col("source"),
+        posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy("source", "pos")
+      .agg(TextAnalysis.r6(
+        graft.archive.Decimation.exactSum(col("x")) / count(lit(1)))
+        .as("cx"))
+      .groupBy("source")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cx")))),
+        t => t.getField("cx")).as("centroid"))
+    m.join(broadcast(cent), Seq("source"))
+      .select(col("source"), col("doc_id"),
+        round(cosine(asDouble(col("embedding")), col("centroid")), 6)
+          .as("cos_centroid"))
+      .withColumn("rank", row_number().over(Window.partitionBy("source")
+        .orderBy(col("cos_centroid").asc, col("doc_id"))))
+      .where(col("rank") <= k)
+  }
+
   /** 1-bit sign quantization: bit i = (v_i > 0), packed into four
     * 16-bit integer blocks (the dHash/SimHash block convention —
     * engine-portable integer ops, no 64-bit shift edge cases). The
