@@ -132,11 +132,16 @@ object TextAnalysis {
     */
   def lengthQuantiles(docs: DataFrame,
                       lenCol: String = "n_chars"): DataFrame = {
+    // the per-language frame feeds BOTH the threshold join and the
+    // final output; it's |langs| rows, so checkpoint it once instead
+    // of re-running the corpus aggregation per branch (identical agg
+    // subplans don't reliably get exchange reuse — tfidfTopK note)
     val q = docs.groupBy("lang").agg(
       count(lit(1)).as("n_docs"),
       percentile(col(lenCol), lit(0.25)).as("p25"),
       percentile(col(lenCol), lit(0.5)).as("p50"),
       percentile(col(lenCol), lit(0.75)).as("p75"))
+      .localCheckpoint(false)
     val above = docs
       .join(broadcast(q.select(col("lang"), col("p50"))), Seq("lang"))
       .where(col(lenCol).cast("double") >= col("p50"))
