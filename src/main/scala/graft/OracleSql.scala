@@ -337,6 +337,53 @@ object OracleSql {
          |  n_samples
          |FROM dec ORDER BY channel, win_start""".stripMargin,
 
+    // mirror of Analytics.correlatedChannels: 1 h means over CLEAN,
+    // quantized to the 6dp integer grid, exact DECIMAL moment sums,
+    // fixed-order closed-form Pearson, scale-rounded edge
+    "arch_correlated_channels" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |${validity("clean", "_c")},
+         |${slices(P1H, "_c")},
+         |${decAgg(P1H, "_c")},
+         |g AS (SELECT channel, win_start,
+         |        CAST(round(mean * 1000000.0) AS BIGINT) AS q FROM dec_c),
+         |x AS (SELECT win_start, q AS x FROM g WHERE channel = 'click'),
+         |yy AS (SELECT channel AS other, win_start, q AS y FROM g
+         |       WHERE channel <> 'click'),
+         |a AS (SELECT other, count(*) AS n,
+         |        CAST(sum(CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+         |        CAST(sum(CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+         |        CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
+         |        CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+         |        CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS syy
+         |      FROM yy JOIN x USING (win_start) GROUP BY other)
+         |SELECT other AS channel, n AS n_windows,
+         |  CAST(CAST(round((CASE WHEN
+         |      sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+         |      sqrt(CAST(n AS DOUBLE) * syy - sy * sy) = 0
+         |    THEN 0.0
+         |    ELSE (CAST(n AS DOUBLE) * sxy - sx * sy) /
+         |      (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+         |       sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) END) * 1000000.0)
+         |    AS BIGINT) AS DOUBLE) / 1000000.0 AS corr
+         |FROM a ORDER BY corr DESC, channel""".stripMargin,
+
+    // mirror of Analytics.histogram: clamped fixed-bin counts over
+    // CLEAN (identical binning expression order)
+    "arch_histogram" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN
+         |SELECT channel,
+         |  least(19, greatest(0,
+         |    CAST(floor((value - 0.0) * 20 / 500.0) AS INT))) AS bin,
+         |  0.0 + CAST(least(19, greatest(0,
+         |    CAST(floor((value - 0.0) * 20 / 500.0) AS INT))) AS DOUBLE)
+         |    * 25.0 AS bin_lo,
+         |  count(*) AS n
+         |FROM clean WHERE value IS NOT NULL
+         |GROUP BY 1, 2, 3 ORDER BY channel, bin""".stripMargin,
+
     "arch_decimate_severity" ->
       s"""WITH $SAMPLES,
          |$CLEAN,

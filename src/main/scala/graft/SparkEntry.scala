@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.archive.{ArchiveReader, ChannelConfig, ChannelRegistry, ConfigCommands, ConfiguredArchive, Decimation, JsonV1, ManifestStore, TypedDecimation}
+import graft.archive.{Analytics, ArchiveReader, ChannelConfig, ChannelRegistry, ConfigCommands, ConfiguredArchive, Decimation, JsonV1, ManifestStore, TypedDecimation}
 import graft.core.{Samples, Tables, TypedSamples}
 import graft.pipeline.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
 import OracleSql._
@@ -564,6 +564,16 @@ object SparkEntry {
           col("min_value"), col("max_value"), r6("covered_fraction"),
           col("n_samples"))
         .orderBy("channel", "win_start")),
+
+    // correlated-channel search: probe-vs-all Pearson over aligned
+    // decimated windows — linear in channels, never the O(C²) matrix
+    "arch_correlated_channels" -> ((s, dir) =>
+      Analytics.correlatedChannels(clean(s, dir), P1H, probe = "click")),
+
+    // archive-viewer value distribution: fixed-bin clamped histogram
+    "arch_histogram" -> ((s, dir) =>
+      Analytics.histogram(clean(s, dir), bins = 20, lo = 0.0, hi = 500.0)
+        .orderBy("channel", "bin")),
 
     "arch_decimate_severity" -> ((s, dir) =>
       Decimation.decimateSeverity(raw(s, dir), P1H)
