@@ -312,6 +312,24 @@ object SparkEntry {
         .orderBy(col("channel"), col("ts"), col("sample_id"))
     }),
 
+    // the live-dashboard histogram: the SAME binning plan runs as a
+    // complete-mode streaming aggregation (bin counts maintained
+    // incrementally across micro-batches) and must serve the batch
+    // histogram bytes. Input is pre-deduped batch-side — the in-stream
+    // dedup parity is stream_range_scan's gate, this one gates the
+    // streaming AGGREGATION
+    "stream_histogram" -> ((s, dir) => {
+      val r = clean(s, dir)
+      val in = memoInput("shist-in", dir)(r.write.parquet(_))
+      val stream = s.readStream.schema(r.schema).parquet(in)
+      val sink = s"shist_out_${streamGateSeq.incrementAndGet()}"
+      val q = Analytics.histogram(stream, bins = 20, lo = 0.0, hi = 500.0)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      detachSink(s, sink).orderBy("channel", "bin")
+    }),
+
     // ST2 under the driver oracle: the SAME marked samples drain
     // through the streaming keyed-state decimator (file source →
     // flatMapGroupsWithState over DecimatorCore → append sink) and
@@ -1979,6 +1997,8 @@ object SparkEntry {
       ("text_heavy_hitters_merged" -> base("text_heavy_hitters")) +
       // so does the streamed Complete-mode sketch
       ("stream_heavy_hitters" -> base("text_heavy_hitters")) +
+      // the complete-mode streaming histogram serves the batch bins
+      ("stream_histogram" -> base("arch_histogram")) +
       // the deque sliding-window path serves the RANGE-frame bytes
       ("arch_rolling_window_fast" -> base("arch_rolling_window")) +
       // so does the chunk-parallel skew path
