@@ -70,10 +70,30 @@ object Bench {
     // warm — it measured overhead amortization, not the engine.
     DecimationBench.measure(spark, rows = 2000000L, channels = 250, runs = 1)
     val sf1Rows = 20000000L
-    val sf1Secs = DecimationBench.measureRuns(spark, rows = sf1Rows,
-      channels = 1000, runs = 3)
-    val sf1Sec = sf1Secs.min
-    spark.catalog.clearCache()
+    // CONTENTION GUARD (round 9): the r8 driver artifact published a
+    // 10×-low probe reading whose own run vector ([52.8, 136.2, 85.3] s
+    // — never warms, max/min 2.6×) showed machine contention, with zero
+    // code change to the decimation path. A healthy warm probe's
+    // min-of-3 vector is tight (max/min ≤ 2 once the first-run compile
+    // cost is excluded). So: re-run the whole 3-run probe up to 3
+    // attempts until the LAST TWO runs (post-warmup) agree within 2×,
+    // and publish every attempt's vector plus a contended flag — the
+    // artifact can report a contended machine, but it can no longer
+    // silently present one as the engine's throughput.
+    var sf1Attempts = List.empty[Seq[Double]]
+    var sf1Secs = Seq.empty[Double]
+    var sf1Stable = false
+    while (!sf1Stable && sf1Attempts.size < 3) {
+      sf1Secs = DecimationBench.measureRuns(spark, rows = sf1Rows,
+        channels = 1000, runs = 3)
+      sf1Attempts = sf1Attempts :+ sf1Secs
+      val warm = sf1Secs.drop(1)
+      sf1Stable = warm.max / warm.min <= 2.0
+      spark.catalog.clearCache()
+    }
+    // headline = best run across ALL attempts (the least-contended
+    // observation of the same fixed workload)
+    val sf1Sec = sf1Attempts.flatten.min
 
     val wall0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -100,8 +120,10 @@ object Bench {
     // throughput probes moved BEFORE the suite) — readings across this
     // boundary are not comparable to rounds whose artifacts lack the
     // field (r1-r6 ran the probes post-suite, on a pressured JVM).
+    val attemptsJson =
+      sf1Attempts.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     val extras =
-      s""""events_rows":$nEvents,"decimate_sf1_rows_per_sec":${(sf1Rows / sf1Sec).toLong},"decimate_sf1_rows":$sf1Rows,"decimate_sf1_runs":3,"decimate_sf1_run_secs":${sf1Secs.mkString("[", ",", "]")},"tput_probe":"pre_suite","wall_sec":$wallSec,"runs_per_query":2,"action":"noop_write""""
+      s""""events_rows":$nEvents,"decimate_sf1_rows_per_sec":${(sf1Rows / sf1Sec).toLong},"decimate_sf1_rows":$sf1Rows,"decimate_sf1_runs":3,"decimate_sf1_run_secs":${sf1Secs.mkString("[", ",", "]")},"decimate_sf1_attempts":$attemptsJson,"decimate_sf1_contended":${!sf1Stable},"tput_probe":"pre_suite","wall_sec":$wallSec,"runs_per_query":2,"action":"noop_write""""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extras,"sf":"$sfDir"}"""
     // The FULL artifact (per-query map) goes to the files — the
@@ -117,7 +139,7 @@ object Bench {
     // outlier is visible in the artifact) + a pointer to the full map.
     // It must survive a last-line capture intact, so no 120-entry map.
     val short =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"wall_sec":$wallSec,"runs_per_query":2,"action":"noop_write","decimate_sf1_rows_per_sec":${(sf1Rows / sf1Sec).toLong},"decimate_sf1_rows":$sf1Rows,"decimate_sf1_run_secs":${sf1Secs.mkString("[", ",", "]")},"tput_probe":"pre_suite","queries_detail":"bench_out.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"wall_sec":$wallSec,"runs_per_query":2,"action":"noop_write","decimate_sf1_rows_per_sec":${(sf1Rows / sf1Sec).toLong},"decimate_sf1_rows":$sf1Rows,"decimate_sf1_attempts":$attemptsJson,"decimate_sf1_contended":${!sf1Stable},"tput_probe":"pre_suite","queries_detail":"bench_out.json","sf":"$sfDir"}"""
     spark.stop()
     // LAST act, after spark.stop(): the one stdout JSON line. Nothing
     // may print after it — a last-line parser must see the metric, not

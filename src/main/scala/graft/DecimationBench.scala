@@ -77,10 +77,23 @@ object DecimationBench {
         new java.io.File("target/scala-2.13/classes").getAbsolutePath)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val secs = measureRuns(spark, rows, channels, runs = 3)
-    val sec = secs.min
+    // same contention guard as [[Bench]]: a probe whose post-warmup
+    // runs disagree by >2× measures the machine, not the engine —
+    // retry up to 3 attempts and publish every vector + the flag
+    var attempts = List.empty[Seq[Double]]
+    var secs = Seq.empty[Double]
+    var stable = false
+    while (!stable && attempts.size < 3) {
+      secs = measureRuns(spark, rows, channels, runs = 3)
+      attempts = attempts :+ secs
+      val warm = secs.drop(1)
+      stable = warm.max / warm.min <= 2.0
+    }
+    val sec = attempts.flatten.min
+    val attemptsJson =
+      attempts.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"decimate_rows_per_sec","value":${(rows / sec).toLong},"unit":"rows_per_sec","rows":$rows,"channels":$channels,"runs":3,"sec":$sec,"run_secs":${secs.mkString("[", ",", "]")},"master":"$master"}"""
+      s"""{"metric":"decimate_rows_per_sec","value":${(rows / sec).toLong},"unit":"rows_per_sec","rows":$rows,"channels":$channels,"runs":3,"sec":$sec,"run_secs":${secs.mkString("[", ",", "]")},"attempts":$attemptsJson,"contended":${!stable},"master":"$master"}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get("decim_bench.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

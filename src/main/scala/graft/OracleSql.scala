@@ -381,7 +381,7 @@ object OracleSql {
          |    CAST(floor((value - 0.0) * 20 / 500.0) AS INT))) AS DOUBLE)
          |    * 25.0 AS bin_lo,
          |  count(*) AS n
-         |FROM clean WHERE value IS NOT NULL
+         |FROM clean WHERE value IS NOT NULL AND NOT isnan(value)
          |GROUP BY 1, 2, 3 ORDER BY channel, bin""".stripMargin,
 
     "arch_decimate_severity" ->
@@ -641,6 +641,32 @@ object OracleSql {
          |FROM uni u JOIN cfg g ON u.channel = g.orig
          |WHERE g.enabled
          |ORDER BY channel, ts""".stripMargin,
+
+    // disabled-channel serving: every channel archived while enabled,
+    // one disabled afterwards — retrieval ignores the enabled flag
+    // (the reference's contract), so the oracle is simply the widened
+    // serve over EVERY channel, no enabled filter
+    "arch_disabled_serve" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |inner_rows AS (
+         |  SELECT channel, ts, value FROM clean WHERE ts > $LO AND ts < $HI),
+         |lo_b AS (
+         |  SELECT channel, ts, value FROM (
+         |    SELECT channel, ts, value,
+         |      row_number() OVER (PARTITION BY channel ORDER BY ts DESC) AS k
+         |    FROM clean WHERE ts <= $LO) WHERE k = 1),
+         |hi_b AS (
+         |  SELECT channel, ts, value FROM (
+         |    SELECT channel, ts, value,
+         |      row_number() OVER (PARTITION BY channel ORDER BY ts ASC) AS k
+         |    FROM clean WHERE ts >= $HI) WHERE k = 1),
+         |uni AS (
+         |  SELECT * FROM inner_rows
+         |  UNION SELECT * FROM lo_b
+         |  UNION SELECT * FROM hi_b)
+         |SELECT channel, ts, value, CAST(0 AS BIGINT) AS level
+         |FROM uni ORDER BY channel, ts""".stripMargin,
 
     // the controller's count path: the 1 h decimation chain over CLEAN
     // (the configured store materializes from clean — no marker rows),

@@ -289,6 +289,34 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |JOIN sig sb ON doc_b = sb.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // capBandSize guard parity: buckets of more than 4 docs are
+    // removed from the banding frame before pairing — same filter,
+    // same surviving pairs, on both engines
+    "dedup_minhash_lsh_capped" ->
+      s"""WITH $TOKS,
+         |$SH3,
+         |hs AS (SELECT doc_id, ${md5HashM31Sql("shingle")} AS h FROM sh),
+         |sig AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM hs GROUP BY doc_id),
+         |bands0 AS (
+         |  $bandSelects),
+         |hot AS (SELECT band, key FROM bands0
+         |        GROUP BY band, key HAVING count(*) > 4),
+         |bands AS (SELECT b.* FROM bands0 b
+         |          WHERE NOT EXISTS (SELECT 1 FROM hot h
+         |            WHERE h.band = b.band AND h.key = b.key)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(($sigMatches)::DOUBLE / $NumMinHashes, 6) AS est_jaccard
+         |FROM pairs
+         |JOIN sig sa ON doc_a = sa.doc_id
+         |JOIN sig sb ON doc_b = sb.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_minhash_verified" ->
       s"""WITH $TOKS,
          |$SH3,
@@ -2088,6 +2116,52 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |           ORDER BY cos_sim DESC, vec_id) AS rank
          |  FROM cand)
          |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+
+    // freshness-policy gate: after the drift-triggered rebuild the
+    // index is bit-identical to a fresh build over the full corpus
+    // (deterministic seeds = 8 smallest vec_ids), so the oracle is the
+    // sim_ivf_search plan + per-probe hit count against the exact
+    // top-10
+    "sim_recall_after_churn" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |seeds AS (SELECT vec_id AS cluster, v AS sv FROM e ORDER BY vec_id LIMIT 8),
+         |assigned AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT e.vec_id, seeds.cluster,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY round(list_cosine_similarity(e.v, seeds.sv), 6) DESC,
+         |                      cluster) AS rn
+         |    FROM e CROSS JOIN seeds) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+         |pclusters AS (
+         |  SELECT probe_id, pv, cluster FROM (
+         |    SELECT p.probe_id, p.pv, seeds.cluster,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY round(list_cosine_similarity(p.pv, seeds.sv), 6) DESC,
+         |                      cluster) AS rn
+         |    FROM probes p CROSS JOIN seeds) WHERE rn <= 2),
+         |cand AS (
+         |  SELECT pc.probe_id, a.vec_id,
+         |         round(list_cosine_similarity(pc.pv, e.v), 6) AS cos_sim
+         |  FROM pclusters pc
+         |  JOIN assigned a ON pc.cluster = a.cluster
+         |  JOIN e ON a.vec_id = e.vec_id
+         |  WHERE pc.probe_id != a.vec_id),
+         |ivf AS (SELECT probe_id, vec_id FROM (
+         |  SELECT probe_id, vec_id,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_sim DESC, vec_id) AS rank
+         |  FROM cand) WHERE rank <= 10),
+         |exact AS (SELECT probe_id, vec_id FROM (
+         |  SELECT p.probe_id, c.vec_id,
+         |    row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |      round(list_cosine_similarity(p.pv, c.v), 6) DESC, c.vec_id) AS rk
+         |  FROM probes p JOIN e c ON c.vec_id != p.probe_id) WHERE rk <= 10)
+         |SELECT i.probe_id, 'ivf_rebuilt' AS tier,
+         |       CAST(count(x.vec_id) AS BIGINT) AS hits
+         |FROM ivf i LEFT JOIN exact x
+         |  ON i.probe_id = x.probe_id AND i.vec_id = x.vec_id
+         |GROUP BY i.probe_id ORDER BY i.probe_id""".stripMargin,
 
     // mirror of Similarity.ivfSearchRefined: two Lloyd sweeps over the
     // seed quantizer (assign → scaled-round-6dp per-dim DECIMAL mean,

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * inverted index probe actually HAS corpus-wide hot keys for the
   * maxDf band to kill.
   *
-  * {{{ sbt -batch "runMain graft.Probe100x [inverted_index|interleave|chunks|all]" }}}
+  * {{{ sbt -batch "runMain graft.Probe100x [inverted_index|interleave|chunks|pack|curriculum|lsh_skew|all]" }}}
   */
 object Probe100x {
 
@@ -132,6 +132,41 @@ object Probe100x {
       scored.unpersist()
       report("curriculum", "rows" -> 20000000,
         "range_offset_sec" -> ranged, "single_partition_window_sec" -> naive)
+    }
+
+    if (mode == "lsh_skew" || mode == "all") {
+      // adversarial banding skew: 10% of docs are IDENTICAL
+      // boilerplate, so they share every band key — the single
+      // pathological bucket emits n²/2 candidate pairs per band
+      // uncapped. The uncapped shape is measured at 20k docs (2k-doc
+      // bucket → ~2M pairs × 16 bands of join output) because at 500k
+      // it is ~1.25B pairs × 16 — exactly the explosion the guard
+      // exists for; the capped run takes the FULL 500k corpus with
+      // the same 10% hot fraction and stays flat.
+      def skewed(n: Long) = spark.range(n).select(
+        col("id").as("doc_id"),
+        when(pmod(col("id"), lit(10)) === 0,
+            lit("all work and no play makes a boilerplate document " +
+              "that repeats across the whole crawl every single day"))
+          .otherwise(concat_ws(" ", (0 until 14).map(i =>
+            concat(lit("w"), pmod(xxhash64(col("id") * lit(31) + lit(i)),
+              lit(100000L)))): _*))
+          .as("text"))
+      val small = skewed(20000L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      small.count()
+      val uncapped = time(noop(
+        graft.pipeline.Dedup.minHashCandidates(small)))
+      small.unpersist()
+      val big = skewed(500000L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      big.count()
+      val capped = time(noop(
+        graft.pipeline.Dedup.minHashCandidates(big, maxBandSize = Some(64))))
+      big.unpersist()
+      report("lsh_skew", "hot_frac" -> 0.1,
+        "uncapped_docs" -> 20000, "uncapped_sec" -> uncapped,
+        "capped_docs" -> 500000, "cap" -> 64, "capped_sec" -> capped)
     }
 
     docs.unpersist()

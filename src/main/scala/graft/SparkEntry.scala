@@ -387,7 +387,7 @@ object SparkEntry {
     // clipped to the gate range AFTER — left-edge windows keep their
     // look-back
     "arch_rolling_window" -> ((s, dir) =>
-      graft.archive.Rolling.trailing(clean(s, dir), 3600L)
+      graft.archive.Rolling.trailingReference(clean(s, dir), 3600L)
         .where(col("ts").between(LO, HI))
         .select(col("channel"), col("ts"), sr6("roll_mean"),
           col("roll_min"), col("roll_max"), col("roll_n"))
@@ -504,7 +504,7 @@ object SparkEntry {
     // the channel's own 1h window, DECIMAL Σx/Σx² window sums, NULL
     // (never garbage) on degenerate frames
     "arch_rolling_zscore" -> ((s, dir) =>
-      graft.archive.Rolling.zscore(clean(s, dir), 3600L)
+      graft.archive.Rolling.zscoreReference(clean(s, dir), 3600L)
         .where(col("ts").between(LO, HI))
         .select(col("channel"), col("ts"), col("value"),
           sr6("zmean"), sr6("zstd"), sr6("zscore"))
@@ -939,6 +939,32 @@ object SparkEntry {
         .orderBy("channel", "ts")
     }),
 
+    // disabled-channel serving end to end (round-9): every channel
+    // archived while enabled, then the lexicographically SECOND
+    // channel decommissioned — the serving stack still answers for it
+    // (Api10Controller.java:235-279 never consults the enabled flag;
+    // disabling stops archiving, not retrieval), so ALL channels serve
+    // their full widened-boundary history and the oracle carries no
+    // enabled filter at all
+    "arch_disabled_serve" -> ((s, dir) => {
+      val cfgDir = scratchDir("cfgdis") + "/config"
+      val store = scratchDir("cfgdis") + "/store"
+      val names = raw(s, dir).select("channel").distinct()
+        .orderBy("channel").collect().map(_.getString(0)).toSeq
+      names.foreach { n =>
+        ConfigCommands.addChannel(s, cfgDir, ChannelConfig(n, s"id-$n",
+          "ca", enabled = true, Map(), Map(0L -> 0L)))
+      }
+      ConfiguredArchive.materialize(s, cfgDir, store, clean(s, dir))
+      val victim = ConfigCommands.state(s, cfgDir).config(names(1)).get
+      ConfigCommands.updateChannel(s, cfgDir, victim.copy(enabled = false))
+      names.map { n =>
+        ConfiguredArchive.querySamples(s, cfgDir, store, n, LO, HI, None)
+      }.reduce(_ unionByName _)
+        .select(col("channel"), col("ts"), col("value"), col("level"))
+        .orderBy("channel", "ts")
+    }),
+
     // per-request limit modes END TO END (ArchiveAccessService.java:
     // 55-135 exposes a TimeStampLimitMode per bound on every request):
     // the same config-governed stack served with an EXPLICIT
@@ -1051,6 +1077,18 @@ object SparkEntry {
 
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashCandidates(Tables.documents(s, dir))
+        .select(col("doc_a"), col("doc_b"), r6("est_jaccard"))
+        .orderBy("doc_a", "doc_b")),
+
+    // the banding join's quadratic-explosion guard (capBandSize): a
+    // (band, key) bucket over the cap is dropped whole BEFORE the
+    // self-join — the oracle rebuilds the same bucket-size filter, so
+    // the guard's exact semantics (which pairs survive) are hashed,
+    // not just its existence. Cap 4 is deliberately small enough to
+    // trip on this corpus's near-dup families.
+    "dedup_minhash_lsh_capped" -> ((s, dir) =>
+      Dedup.minHashCandidates(Tables.documents(s, dir),
+          maxBandSize = Some(4))
         .select(col("doc_a"), col("doc_b"), r6("est_jaccard"))
         .orderBy("doc_a", "doc_b")),
 
@@ -1809,6 +1847,35 @@ object SparkEntry {
       Similarity.ivfSearchIndexed(s, idx, e.where(col("vec_id") < 5),
           topK = 10, nProbe = 2)
         .orderBy("probe_id", "rank")
+    }),
+
+    // the IVF freshness policy end to end: index built on 200 vectors,
+    // grown 2.5× through appends against the STALE centroids, then the
+    // drift trigger fires (2.0 > 0.5 appended fraction) and rebuilds
+    // the quantizer over the live postings — after which recall@10 of
+    // the rebuilt index is pinned per-probe against the exact top-10
+    // (the rebuild is deterministic, so the oracle is simply IVF
+    // search over the full corpus + the hit count)
+    "sim_recall_after_churn" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val idx = s"$runScratch/ivfidx-churn"
+      Similarity.ivfBuildIndex(e.where(col("vec_id") < 200), idx, k = 8)
+      Similarity.ivfIndexAppend(s, idx,
+        e.where(col("vec_id") >= 200 && col("vec_id") < 400))
+      Similarity.ivfIndexAppend(s, idx, e.where(col("vec_id") >= 400))
+      val rebuilt = Similarity.ivfRefreshIfDrifted(s, idx,
+        maxAppendFraction = 0.5)
+      require(rebuilt, "churn gate expects the drift trigger to fire")
+      val probes = e.where(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(e, probes, 10)
+        .select(col("probe_id"), col("vec_id"), lit(1).as("in_exact"))
+      Similarity.ivfSearchIndexed(s, idx, probes, topK = 10, nProbe = 2)
+        .select(col("probe_id"), col("vec_id"))
+        .join(exact, Seq("probe_id", "vec_id"), "left")
+        .groupBy("probe_id")
+        .agg(sum(coalesce(col("in_exact"), lit(0))).as("hits"))
+        .select(col("probe_id"), lit("ivf_rebuilt").as("tier"), col("hits"))
+        .orderBy("probe_id")
     }),
 
     "dedup_embedding" -> ((s, dir) =>

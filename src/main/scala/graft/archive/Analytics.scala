@@ -64,7 +64,11 @@ object Analytics {
     */
   def histogram(samples: DataFrame, bins: Int, lo: Double,
                 hi: Double): DataFrame =
-    samples.where(col("value").isNotNull)
+    // NaN is out-of-domain, not "bin 0": floor(NaN) cast to int is 0 in
+    // Spark, which would silently count NaN samples in the lowest bin
+    // (and diverge from engines whose cast rejects NaN) — exclude it
+    // alongside NULL so both edge bins hold only real clamped values
+    samples.where(col("value").isNotNull && !isnan(col("value")))
       .select(col("channel"),
         least(lit(bins - 1), greatest(lit(0),
           floor((col("value") - lit(lo)) * lit(bins) / lit(hi - lo))

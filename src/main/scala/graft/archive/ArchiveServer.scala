@@ -24,9 +24,18 @@ import org.apache.spark.sql.functions._
   *  5. serialize to the JSON v1 wire format, streamed via
   *     `toLocalIterator` — the driver never materializes the result.
   */
+/** The serving stack's "configured channel with no stored data" signal
+  * — a SUBTYPE of the generic require failure so an HTTP edge can map
+  * exactly this case to the reference's empty-array response while any
+  * other IllegalArgumentException (planner misconfig, bad bounds)
+  * still surfaces as a 500 instead of silently serving empty data.
+  */
+class NoStoredDataException(channel: String)
+  extends IllegalArgumentException(s"no stored data for channel $channel")
+
 object ArchiveServer {
 
-  case class LevelState(periodSec: Long, earliestTs: Long)
+  case class LevelState(periodSec: Long, earliestTs: Long, latestTs: Long)
 
   /** Step 1 — per-level availability for one channel, as ONE grouped
     * aggregate over the union of the (channel-pruned, ts-only) level
@@ -49,7 +58,10 @@ object ArchiveServer {
         // retention bumps the version, so the memo can never serve
         // stale availability. The version check itself is one
         // driver-side directory LIST, no Spark job.
-        val key = (storePath, v, channel)
+        // the backend is part of the key: two StoreBackend
+        // implementations defining metaVersion over the same path must
+        // not cross-serve each other's cached level states
+        val key = (backend, storePath, v, channel)
         val hit = levelStatesMemo.get(key)
         if (hit != null) hit
         else {
@@ -62,7 +74,7 @@ object ArchiveServer {
     }
 
   private val levelStatesMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, String), Seq[LevelState]]()
+    (StoreBackend, String, Long, String), Seq[LevelState]]()
 
   private def computeLevelStates(spark: SparkSession, storePath: String,
                                  channel: String,
@@ -75,9 +87,14 @@ object ArchiveServer {
           .select(lit(l).as("level_sec"), col("ts"))
       }
       .reduce(_ unionByName _)
-      .groupBy("level_sec").agg(min("ts").as("first_ts"))
+      // min AND max in the one aggregate: latestTs lets the serving
+      // plan skip boundary probes that provably cannot find a sample
+      // (request upper bound past the channel's last sample, or lower
+      // bound before its first) without any extra job
+      .groupBy("level_sec").agg(min("ts").as("first_ts"),
+        max("ts").as("last_ts"))
       .collect()
-      .map(r => LevelState(r.getLong(0), r.getLong(1)))
+      .map(r => LevelState(r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(_.periodSec).toSeq
   }
 
@@ -110,7 +127,14 @@ object ArchiveServer {
         .where(col("channel") === channel)
         .orderBy(if (forward) col("ts").asc else col("ts").desc)
         .limit(1)
-      if (probe.head(1).nonEmpty) return Some(probe)
+      // the probe's job already fetched the boundary ROW — return it
+      // as a LocalRelation so the final serving job unions a literal
+      // instead of RE-EXECUTING the probe scan (one fewer store read
+      // per widened bound in the request's one materializing job)
+      val got = probe.head(1)
+      if (got.nonEmpty)
+        return Some(spark.createDataFrame(
+          java.util.Arrays.asList(got(0)), probe.schema))
       if (!forward && lo == 0) return None // walked past the epoch
       span *= 2
     }
@@ -142,20 +166,31 @@ object ArchiveServer {
     import ArchiveReader.{AtOrWidened, Exact}
     val states = levelStates(spark, storePath, channel, backend)
       .filter(s => allowedLevels.forall(_.contains(s.periodSec)))
-    require(states.nonEmpty, s"unknown channel $channel")
+    if (states.isEmpty) throw new NoStoredDataException(channel)
     val chosen = ResolutionPlanner.selectLevel(
       states.map(_.periodSec), startNs, endNs, count)
     val segments = ResolutionPlanner.fallbackSegments(chosen,
       states.map(s => s.periodSec -> s.earliestTs).toMap,
       states.map(_.periodSec).filter(_ > chosen), startNs, endNs)
     val defaultMode = if (count.isEmpty) AtOrWidened else Exact
+    // the request's lower-bound mode applies to whichever segment
+    // actually holds the request's lower edge: with retention fallback
+    // in play that is the EARLIEST (coarsest) segment, not the chosen
+    // level — the reference passes AT_OR_BEFORE on the bounds of its
+    // fallback reads too (Api10Controller.java:466-480), so the
+    // at-or-before-start boundary sample survives a multi-level serve.
+    // Interior segment joints stay exact (widening them would re-serve
+    // the adjacent segment's rows).
+    val earliestFrom = segments.map(_._2).min
     val parts = segments.flatMap { case (period, from, to) =>
-      // boundary widening only on the finest (most recent) segment —
-      // the coarser prepended history is range-exact (reference:
-      // Api10Controller range-splits with end = earliestSeen − 1).
-      // The widened boundaries come from the walk-back probe, so every
-      // read stays day-partition-clipped — no unclipped history scan.
-      val effLo = if (period == chosen) loMode.getOrElse(defaultMode) else Exact
+      // upper-bound widening only on the finest (most recent) segment —
+      // the coarser prepended history ends at an interior joint
+      // (reference: Api10Controller range-splits with
+      // end = earliestSeen − 1). The widened boundaries come from the
+      // walk-back probe, so every read stays day-partition-clipped —
+      // no unclipped history scan.
+      val effLo = if (from == earliestFrom) loMode.getOrElse(defaultMode)
+                  else Exact
       val effHi = if (period == chosen) hiMode.getOrElse(defaultMode) else Exact
       val base = backend.read(spark, storePath, period,
           Some(from), Some(to), Some(channel))
@@ -176,19 +211,28 @@ object ArchiveServer {
         // the two walk-back probes are independent chains of small
         // eager actions — run them CONCURRENTLY (Spark's scheduler is
         // thread-safe), so a request pays max(lower, upper) probe
-        // latency instead of their sum
+        // latency instead of their sum. The memoized level metadata
+        // prunes them further: a probe whose boundary provably does
+        // not exist (request bound outside [earliest, latest]) is
+        // skipped with NO job, and an existing boundary clamps the
+        // geometric walk's span to ~2× its actual distance.
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
+        val st = states.find(_.periodSec == period)
         val lowerF =
-          if (effLo == AtOrWidened)
+          if (effLo == AtOrWidened && st.exists(_.earliestTs <= from))
             Future(boundaryProbe(spark, storePath, period, channel, from,
-              forward = false, backend = backend))
+              forward = false,
+              maxSpanNs = 2L * (from - st.get.earliestTs + DayNs),
+              backend = backend))
           else Future.successful(None)
         val upperF =
-          if (effHi == AtOrWidened)
+          if (effHi == AtOrWidened && st.exists(_.latestTs >= to))
             Future(boundaryProbe(spark, storePath, period, channel, to,
-              forward = true, backend = backend))
+              forward = true,
+              maxSpanNs = 2L * (st.get.latestTs - to + DayNs),
+              backend = backend))
           else Future.successful(None)
         val lower = Await.result(lowerF, Duration.Inf)
         val upper = Await.result(upperF, Duration.Inf)
@@ -213,9 +257,24 @@ object ArchiveServer {
     val df = querySamples(spark, storePath, channel, startNs, endNs, count,
       backend, loMode = loMode, hiMode = hiMode)
       .withColumn("severity", lit(0)).withColumn("status", lit(0))
-    JsonV1.serializeRaw(df).select("json").toLocalIterator()
-      .asScala.map(_.getString(0))
+    serializedIterator(JsonV1.serializeRaw(df), count)
   }
+
+  /** The serving action, latency-shaped: a count-driven request is
+    * resolution-planned to ~count rows, so ONE collect job beats
+    * `toLocalIterator`'s job-per-partition chatter (a globally sorted
+    * result has many range partitions — each was a scheduling round
+    * trip). An unbounded request still streams, but through a
+    * coalesce(1) so the whole serve is a single job; partition order
+    * is the sort order, so the stream stays time-ascending.
+    */
+  private[archive] def serializedIterator(serialized: DataFrame,
+                                          count: Option[Long]): Iterator[String] =
+    if (count.isDefined)
+      serialized.select("json").collect().iterator.map(_.getString(0))
+    else
+      serialized.select("json").coalesce(1).toLocalIterator()
+        .asScala.map(_.getString(0))
 
   /** Typed serving: a raw-level store holding the full 21-type value
     * union serves the complete JSON v1 wire format — enum channels get
@@ -249,8 +308,7 @@ object ArchiveServer {
       if (levelSec == 0L) widened
       else TypedDecimation.asTypedSamples(
         widened.withColumnRenamed("ts", "win_start"))
-    JsonV1.serializeTyped(samples, original = levelSec == 0L)
-      .select("json").toLocalIterator()
-      .asScala.map(_.getString(0))
+    serializedIterator(
+      JsonV1.serializeTyped(samples, original = levelSec == 0L), None)
   }
 }

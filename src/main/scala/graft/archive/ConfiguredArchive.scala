@@ -5,9 +5,13 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Samples
 
-/** Raised when serving is asked for a channel whose configuration is
-  * disabled — the reference refuses both archiving and retrieval for
-  * disabled channels (ArchivedChannel.java:766-835).
+/** Raised when serving is asked for a disabled channel AND the caller
+  * opted into refusal (`refuseDisabled = true`). The reference's
+  * archive-access path serves a disabled channel's archived history —
+  * Api10Controller.java:235-279 never consults the enabled flag
+  * (disabling stops ARCHIVING, ArchivedChannel.java:766-835, not
+  * retrieval) — so serving history is the default here too; the flag
+  * exists for deployments that want decommissioned channels dark.
   */
 class ChannelDisabledException(name: String)
   extends RuntimeException(s"channel '$name' is disabled")
@@ -130,18 +134,21 @@ object ConfiguredArchive {
   }
 
   /** Config-governed serving: resolve the current name to its data id,
-    * refuse unknown ([[NoSuchChannelException]]) and disabled
-    * ([[ChannelDisabledException]]) channels, plan only over the
-    * channel's config-declared levels, and serve rows under the name
-    * the caller used.
+    * refuse unknown channels ([[NoSuchChannelException]]), plan only
+    * over the channel's config-declared levels, and serve rows under
+    * the name the caller used. A DISABLED channel's archived history
+    * is served (the reference's contract — disabling stops archiving,
+    * not retrieval); `refuseDisabled = true` restores the refusal
+    * ([[ChannelDisabledException]]) for deployments that want it.
     */
   def querySamples(spark: SparkSession, configPath: String,
                    storePath: String, name: String,
                    startNs: Long, endNs: Long, count: Option[Long],
                    backend: StoreBackend = ManifestBackend,
                    loMode: Option[ArchiveReader.LimitMode] = None,
-                   hiMode: Option[ArchiveReader.LimitMode] = None): DataFrame = {
-    val cfg = resolveEnabled(spark, configPath, name)
+                   hiMode: Option[ArchiveReader.LimitMode] = None,
+                   refuseDisabled: Boolean = false): DataFrame = {
+    val cfg = resolveServable(spark, configPath, name, refuseDisabled)
     // raw (0) is always servable: the command surface normalizes it
     // into every config, but a config imported or constructed without
     // that normalization must not lose its raw data at the serving
@@ -162,13 +169,12 @@ object ConfiguredArchive {
                 count: Option[Long],
                 backend: StoreBackend = ManifestBackend,
                 loMode: Option[ArchiveReader.LimitMode] = None,
-                hiMode: Option[ArchiveReader.LimitMode] = None): Iterator[String] = {
-    import scala.jdk.CollectionConverters._
+                hiMode: Option[ArchiveReader.LimitMode] = None,
+                refuseDisabled: Boolean = false): Iterator[String] = {
     val df = querySamples(spark, configPath, storePath, name, startNs,
-        endNs, count, backend, loMode, hiMode)
+        endNs, count, backend, loMode, hiMode, refuseDisabled)
       .withColumn("severity", lit(0)).withColumn("status", lit(0))
-    JsonV1.serializeRaw(df).select("json").toLocalIterator()
-      .asScala.map(_.getString(0))
+    ArchiveServer.serializedIterator(JsonV1.serializeRaw(df), count)
   }
 
   /** Config-governed TYPED serving — the full 21-type JSON v1 wire
@@ -184,8 +190,9 @@ object ConfiguredArchive {
   def serveJsonTyped(spark: SparkSession, configPath: String,
                      storePath: String, name: String,
                      startNs: Long, endNs: Long, count: Option[Long],
-                     backend: StoreBackend = ManifestBackend): Iterator[String] = {
-    val cfg = resolveEnabled(spark, configPath, name)
+                     backend: StoreBackend = ManifestBackend,
+                     refuseDisabled: Boolean = false): Iterator[String] = {
+    val cfg = resolveServable(spark, configPath, name, refuseDisabled)
     val states = ArchiveServer.levelStates(spark, storePath,
         cfg.channelDataId, backend)
       .filter(s => (cfg.levels.keySet + 0L).contains(s.periodSec))
@@ -196,11 +203,13 @@ object ConfiguredArchive {
       startNs, endNs, level, backend)
   }
 
-  private def resolveEnabled(spark: SparkSession, configPath: String,
-                             name: String): ChannelConfig = {
+  private def resolveServable(spark: SparkSession, configPath: String,
+                              name: String,
+                              refuseDisabled: Boolean): ChannelConfig = {
     val cfg = ConfigCommands.state(spark, configPath).config(name)
       .getOrElse(throw new NoSuchChannelException(name))
-    if (!cfg.enabled) throw new ChannelDisabledException(name)
+    if (refuseDisabled && !cfg.enabled)
+      throw new ChannelDisabledException(name)
     cfg
   }
 }

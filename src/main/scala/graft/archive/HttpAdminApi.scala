@@ -1,0 +1,281 @@
+package graft.archive
+
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.HttpExchange
+import org.apache.spark.sql.SparkSession
+
+/** The reference's ADMIN configuration API, re-expressed over
+  * [[ConfigCommands]] — the HTTP surface an operator uses to manage
+  * channels without writing Scala. Fresh implementation of the
+  * CONTRACT of ApiController.java (cassandra-pv-archiver-server/.../
+  * web/admin/controller/ApiController.java:225-762) and its wsapi
+  * shapes, served on the same socket as [[HttpArchiveServer]]:
+  *
+  *   - `GET  <ctx>/1.0/channels/all` — every configured channel
+  *     (ChannelsAllResponse: a `channels` array, name-sorted)
+  *   - `GET  <ctx>/1.0/channels/all/by-name/<channel>` — one channel's
+  *     configuration, or 404 (:253-268)
+  *   - `GET  <ctx>/1.0/channels/by-server/<serverId>/export` — the S12
+  *     XML configuration file (:474-528, ChannelConfigXml)
+  *   - `POST <ctx>/1.0/channels/by-server/<serverId>/import` — an XML
+  *     configuration file as the request body; every channel is
+  *     add-or-updated (:530-724; the reference wraps the file in a
+  *     JSON envelope with per-flag add/update/remove switches — this
+  *     edge takes the XML directly, the envelope being a Spring
+  *     upload-form artifact, and applies its default switches:
+  *     add + update)
+  *   - `POST <ctx>/1.0/run-archive-configuration-commands` — the
+  *     command batch (:762-802): a JSON object
+  *     `{"commands":[{"commandType":...}]}` using the reference's
+  *     Jackson wire names (ArchiveConfigurationCommand.java:67-75:
+  *     `add_channel`, `add_or_update_channel`, `update_channel`,
+  *     `rename_channel`, `remove_channel`), answered by a
+  *     RunArchiveConfigurationCommandsResponse-shaped
+  *     `{"errorMessage":null,"results":[{"success":...,
+  *     "errorMessage":...}]}` with one result per command, in order —
+  *     a failed command reports its error and the batch CONTINUES,
+  *     like the reference's per-command result list.
+  *
+  * Commands mutate the same versioned config log the serving edge
+  * plans from, so a change is visible to `GET /1/samples/...` at the
+  * next request (the serving caches key on the config version).
+  * `remove_channel` is the full two-phase remove INCLUDING archived
+  * data when the store is manifest-backed, exactly like
+  * [[ConfigCommands.removeChannel]].
+  */
+object HttpAdminApi {
+
+  /** The reference's admin servlet context. */
+  val ContextPath = "/admin/api"
+
+  private val mapper = new ObjectMapper()
+
+  private[archive] def handle(spark: SparkSession, configPath: String,
+                              storePath: Option[String],
+                              ex: HttpExchange): Unit = {
+    val rawPath = ex.getRequestURI.getRawPath.stripPrefix(ContextPath)
+    (ex.getRequestMethod, rawPath) match {
+      case ("GET", "/1.0/channels/all") =>
+        channelsAll(spark, configPath, ex)
+      case ("GET", p) if p.startsWith("/1.0/channels/all/by-name/") =>
+        channelByName(spark, configPath, ex,
+          decode(p.stripPrefix("/1.0/channels/all/by-name/")))
+      case ("GET", p) if p.startsWith("/1.0/channels/by-server/") &&
+          p.endsWith("/export") =>
+        val sid = decode(p.stripPrefix("/1.0/channels/by-server/")
+          .stripSuffix("/export"))
+        exportXml(spark, configPath, ex, sid)
+      case ("POST", p) if p.startsWith("/1.0/channels/by-server/") &&
+          p.endsWith("/import") =>
+        importXml(spark, configPath, ex)
+      case ("POST", "/1.0/run-archive-configuration-commands") =>
+        runCommands(spark, configPath, storePath, ex)
+      case ("GET", _) | ("POST", _) => send(ex, 404, "text/plain", "not found")
+      case _ => send(ex, 405, "text/plain", "GET/POST only")
+    }
+  }
+
+  // ---- reads ---------------------------------------------------------
+
+  private def channelJson(c: ChannelConfig): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("channelName", c.name)
+    o.put("channelDataId", c.channelDataId)
+    o.put("controlSystemType", c.controlSystemType)
+    o.put("enabled", c.enabled)
+    val lv = o.putObject("decimationLevelToRetentionPeriod")
+    c.levels.toSeq.sortBy(_._1).foreach { case (p, r) =>
+      lv.put(p.toString, r)
+    }
+    val op = o.putObject("options")
+    c.options.toSeq.sortBy(_._1).foreach { case (k, v) => op.put(k, v) }
+    o
+  }
+
+  private def channelsAll(spark: SparkSession, configPath: String,
+                          ex: HttpExchange): Unit = {
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("channels")
+    ConfigCommands.state(spark, configPath).configs.sortBy(_.name)
+      .foreach(c => arr.add(channelJson(c)))
+    send(ex, 200, "application/json; charset=UTF-8",
+      mapper.writeValueAsString(root))
+  }
+
+  private def channelByName(spark: SparkSession, configPath: String,
+                            ex: HttpExchange, name: String): Unit =
+    ConfigCommands.state(spark, configPath).config(name) match {
+      case Some(c) => send(ex, 200, "application/json; charset=UTF-8",
+        mapper.writeValueAsString(channelJson(c)))
+      case None => send(ex, 404, "text/plain", "not found")
+    }
+
+  private def exportXml(spark: SparkSession, configPath: String,
+                        ex: HttpExchange, serverId: String): Unit = {
+    val xml = ChannelConfigXml.exportXml(serverId,
+      ConfigCommands.state(spark, configPath).configs)
+    send(ex, 200, "application/xml; charset=UTF-8", xml)
+  }
+
+  // ---- writes --------------------------------------------------------
+
+  private def importXml(spark: SparkSession, configPath: String,
+                        ex: HttpExchange): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(),
+      StandardCharsets.UTF_8)
+    try {
+      val (_, channels) = ChannelConfigXml.importXml(body)
+      channels.foreach(c => ConfigCommands.addOrUpdateChannel(spark,
+        configPath, c))
+      val o = mapper.createObjectNode()
+      o.put("addedOrUpdatedChannels", channels.size)
+      send(ex, 200, "application/json; charset=UTF-8",
+        mapper.writeValueAsString(o))
+    } catch {
+      case e: Exception =>
+        send(ex, 400, "text/plain", s"import failed: ${e.getMessage}")
+    }
+  }
+
+  private def runCommands(spark: SparkSession, configPath: String,
+                          storePath: Option[String],
+                          ex: HttpExchange): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(),
+      StandardCharsets.UTF_8)
+    val root =
+      try mapper.readTree(body)
+      catch {
+        case e: Exception =>
+          send(ex, 400, "text/plain", s"bad JSON: ${e.getMessage}"); return
+      }
+    val cmds = Option(root.get("commands")).collect {
+      case a: ArrayNode => a.elements().asScala.toSeq
+    }
+    if (cmds.isEmpty) {
+      send(ex, 400, "text/plain", "missing 'commands' array"); return
+    }
+    val resp = mapper.createObjectNode()
+    resp.putNull("errorMessage")
+    val results = resp.putArray("results")
+    cmds.get.foreach { c =>
+      val r = results.addObject()
+      try {
+        applyCommand(spark, configPath, storePath, c)
+        r.put("success", true); r.putNull("errorMessage")
+      } catch {
+        case e: Exception =>
+          r.put("success", false)
+          r.put("errorMessage", Option(e.getMessage).getOrElse(e.toString))
+      }
+    }
+    send(ex, 200, "application/json; charset=UTF-8",
+      mapper.writeValueAsString(resp))
+  }
+
+  private def str(c: JsonNode, field: String): String = {
+    val n = c.get(field)
+    require(n != null && n.isTextual, s"missing required field '$field'")
+    n.asText()
+  }
+
+  /** decimationLevelToRetentionPeriod (period → retention seconds),
+    * merged with bare decimationLevels (retention 0), the reference's
+    * dual encoding. Absent both → raw only (normalize adds level 0).
+    */
+  private def levelsOf(c: JsonNode): Map[Long, Long] = {
+    val fromMap = Option(c.get("decimationLevelToRetentionPeriod"))
+      .filter(_.isObject)
+      .map(_.properties().asScala
+        .map(e => e.getKey.toLong -> e.getValue.asLong()).toMap)
+      .getOrElse(Map.empty[Long, Long])
+    val fromSet = Option(c.get("decimationLevels")).filter(_.isArray)
+      .map(_.elements().asScala.map(_.asLong() -> 0L).toMap)
+      .getOrElse(Map.empty[Long, Long])
+    fromSet ++ fromMap
+  }
+
+  private def optionsOf(c: JsonNode, field: String): Map[String, String] =
+    Option(c.get(field)).filter(_.isObject)
+      .map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty)
+
+  private def applyCommand(spark: SparkSession, configPath: String,
+                           storePath: Option[String], c: JsonNode): Unit =
+    str(c, "commandType") match {
+      case "add_channel" =>
+        ConfigCommands.addChannel(spark, configPath, ChannelConfig(
+          str(c, "channelName"),
+          // the reference generates the channel's permanent data id
+          // server-side on add (AddChannelCommand carries none)
+          java.util.UUID.randomUUID().toString,
+          str(c, "controlSystemType"),
+          Option(c.get("enabled")).forall(_.asBoolean(true)),
+          optionsOf(c, "options"), levelsOf(c)))
+      case "add_or_update_channel" =>
+        val name = str(c, "channelName")
+        val existing = ConfigCommands.state(spark, configPath).config(name)
+        ConfigCommands.addOrUpdateChannel(spark, configPath, ChannelConfig(
+          name,
+          existing.map(_.channelDataId)
+            .getOrElse(java.util.UUID.randomUUID().toString),
+          str(c, "controlSystemType"),
+          Option(c.get("enabled")).forall(_.asBoolean(true)),
+          optionsOf(c, "options"), levelsOf(c)))
+      case "update_channel" =>
+        val name = str(c, "channelName")
+        val old = ConfigCommands.state(spark, configPath).config(name)
+          .getOrElse(throw new NoSuchChannelException(name))
+        // partial-update semantics (UpdateChannelCommand.java:44-54):
+        // absent fields keep their value; set-replacement and
+        // add/remove deltas are both supported for levels and options
+        val enabled = Option(c.get("enabled")).filter(_.isBoolean)
+          .map(_.asBoolean()).getOrElse(old.enabled)
+        val baseLevels =
+          if (c.has("decimationLevels") ||
+              c.has("decimationLevelToRetentionPeriod")) levelsOf(c)
+          else old.levels
+        val levels = (baseLevels ++
+          Option(c.get("addDecimationLevels")).filter(_.isArray)
+            .map(_.elements().asScala.map(_.asLong() -> 0L).toMap)
+            .getOrElse(Map.empty)) --
+          Option(c.get("removeDecimationLevels")).filter(_.isArray)
+            .map(_.elements().asScala.map(_.asLong()).toSet)
+            .getOrElse(Set.empty[Long])
+        val baseOptions =
+          if (c.has("options")) optionsOf(c, "options") else old.options
+        val options = (baseOptions ++ optionsOf(c, "addOptions")) --
+          Option(c.get("removeOptions")).filter(_.isArray)
+            .map(_.elements().asScala.map(_.asText()).toSet)
+            .getOrElse(Set.empty[String])
+        ConfigCommands.updateChannel(spark, configPath, old.copy(
+          enabled = enabled, levels = levels, options = options))
+      case "rename_channel" =>
+        ConfigCommands.renameChannel(spark, configPath,
+          str(c, "oldChannelName"), str(c, "newChannelName"))
+      case "remove_channel" =>
+        ConfigCommands.removeChannel(spark, configPath,
+          str(c, "channelName"), storePath)
+      case other =>
+        throw new IllegalArgumentException(s"unknown commandType '$other'")
+    }
+
+  // ---- plumbing ------------------------------------------------------
+
+  private def decode(raw: String): String =
+    java.net.URLDecoder.decode(raw, StandardCharsets.UTF_8)
+
+  private def send(ex: HttpExchange, code: Int, ctype: String,
+                   body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", ctype)
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.getResponseBody.close()
+  }
+}

@@ -52,11 +52,12 @@ import org.apache.spark.sql.SparkSession
   * path (`serializeSampleToJsonV1`); scalar stores keep the scalar
   * serializer.
   *
-  * One deliberate divergence: the reference serves archived data for
-  * DISABLED channels (disabling stops archiving, not retrieval); this
-  * engine's [[ConfiguredArchive]] refuses them
-  * ([[ChannelDisabledException]]), which the edge maps to 403 so the
-  * refusal is visible rather than a lying 404.
+  * Disabled channels serve their archived history by default, exactly
+  * like the reference (Api10Controller.java:235-279 never consults the
+  * enabled flag — disabling stops archiving, not retrieval). A
+  * deployment that wants decommissioned channels dark starts the
+  * server with `refuseDisabled = true`, which maps the refusal to 403
+  * so it is visible rather than a lying 404.
   */
 object HttpArchiveServer {
 
@@ -78,22 +79,36 @@ object HttpArchiveServer {
     */
   def start(spark: SparkSession, configPath: String, storePath: String,
             backend: StoreBackend = ManifestBackend,
-            port: Int = 0, threads: Int = 8): Running = {
+            port: Int = 0, threads: Int = 8,
+            refuseDisabled: Boolean = false): Running = {
     // typed-union stores (the `vtype` discriminator on the raw level)
     // serve the FULL 21-type wire format — the reference has exactly
     // one serving path (serializeSampleToJsonV1 on typed samples);
     // the scalar path is this engine's simplification for
-    // scalar-double stores. Detected once, lazily (the store may be
-    // populated after the server starts).
-    lazy val typed =
-      try backend.read(spark, storePath, 0L).columns.contains("vtype")
-      catch { case _: Throwable => false }
+    // scalar-double stores. Re-detected per store version: a server
+    // started before the store is populated (or a transient read
+    // failure) must not pin the scalar path forever, so only a
+    // SUCCESSFUL detection is memoized, keyed on the backend's
+    // metaVersion like the level-state memo.
+    def typed: Boolean = detectTyped(spark, storePath, backend)
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext(ContextPath, (ex: HttpExchange) =>
-      try handle(spark, configPath, storePath, backend, typed, ex)
+      try handle(spark, configPath, storePath, backend, typed, ex,
+        refuseDisabled)
       catch {
         case e: Throwable =>
           // last-resort 500 — contract errors are mapped before this
+          try sendError(ex, 500, s"internal error: ${e.getMessage}")
+          catch { case _: Throwable => () }
+      } finally ex.close())
+    // the reference's admin configuration API on the same socket —
+    // channel add/update/rename/remove + XML import/export over
+    // [[ConfigCommands]] (the serving handlers above read the same
+    // config log, so an admin change is served on the next request)
+    server.createContext(HttpAdminApi.ContextPath, (ex: HttpExchange) =>
+      try HttpAdminApi.handle(spark, configPath, Some(storePath), ex)
+      catch {
+        case e: Throwable =>
           try sendError(ex, 500, s"internal error: ${e.getMessage}")
           catch { case _: Throwable => () }
       } finally ex.close())
@@ -103,9 +118,39 @@ object HttpArchiveServer {
     Running(server, pool)
   }
 
+  /** Typed-layout detection, memoized per (backend, store, version):
+    * the version check is one driver-side metadata read, and a failed
+    * detection (store not yet populated) is NOT memoized, so the next
+    * request re-detects instead of serving the wrong wire format
+    * forever. A backend without cheap versions re-detects every time.
+    */
+  private val typedMemo = new java.util.concurrent.ConcurrentHashMap[
+    (StoreBackend, String, Long), java.lang.Boolean]()
+
+  private def detectTyped(spark: SparkSession, storePath: String,
+                          backend: StoreBackend): Boolean = {
+    def probe: Option[Boolean] =
+      try Some(backend.read(spark, storePath, 0L).columns.contains("vtype"))
+      catch { case _: Throwable => None }
+    backend.metaVersion(spark, storePath) match {
+      case Some(v) =>
+        val key = (backend, storePath, v)
+        val hit = typedMemo.get(key)
+        if (hit != null) hit.booleanValue()
+        else probe match {
+          case Some(b) =>
+            if (typedMemo.size > 4096) typedMemo.clear()
+            typedMemo.put(key, b); b
+          case None => false
+        }
+      case None => probe.getOrElse(false)
+    }
+  }
+
   private def handle(spark: SparkSession, configPath: String,
                      storePath: String, backend: StoreBackend,
-                     typed: => Boolean, ex: HttpExchange): Unit = {
+                     typed: => Boolean, ex: HttpExchange,
+                     refuseDisabled: Boolean): Unit = {
     if (ex.getRequestMethod != "GET") { sendError(ex, 405, "GET only"); return }
     // RAW path: getPath percent-decodes, which would split an encoded
     // '/' inside a channel name into path segments — the reference
@@ -118,7 +163,7 @@ object HttpArchiveServer {
         """[{"key":1,"name":"Graft","description":"Spark Graft Archive"}]""")
       case p if p.startsWith("/1/samples/") =>
         samples(spark, configPath, storePath, backend, typed, ex,
-          decodePath(p.stripPrefix("/1/samples/")), params)
+          decodePath(p.stripPrefix("/1/samples/")), params, refuseDisabled)
       case p if p.startsWith("/1/channels-by-pattern/") =>
         val glob = decodePath(p.stripPrefix("/1/channels-by-pattern/"))
         listChannels(spark, configPath, ex, params,
@@ -135,10 +180,27 @@ object HttpArchiveServer {
     }
   }
 
+  /** Response cache for the chart-UI polling pattern (a panel
+    * re-requesting the same channel/range at 1 Hz): the serialized
+    * elements of a completed response, keyed by the FULL request plus
+    * both the store's metaVersion and the config log's version — any
+    * commit, retention pass, or config change bumps a version and the
+    * stale entry simply stops being addressable. Only version-capable
+    * backends cache (no version = no safe invalidation), and only
+    * responses small enough to hold (the unbounded-raw firehose keeps
+    * streaming uncached).
+    */
+  private val respMemo = new java.util.concurrent.ConcurrentHashMap[
+    (StoreBackend, String, String, Long, Long, String, Long, Long,
+      Option[Long], Boolean, Boolean), Vector[String]]()
+  private val RespCacheMaxElems = 20000
+  private val RespCacheMaxEntries = 1024
+
   private def samples(spark: SparkSession, configPath: String,
                       storePath: String, backend: StoreBackend,
                       typed: => Boolean, ex: HttpExchange, channel: String,
-                      params: Map[String, String]): Unit = {
+                      params: Map[String, String],
+                      refuseDisabled: Boolean): Unit = {
     if (channel.isEmpty) { sendError(ex, 404, "not found"); return }
     // parameter validation per Api10Controller.java:246-279: a missing
     // or non-numeric required param is 400 (Spring's @RequestParam
@@ -159,28 +221,57 @@ object HttpArchiveServer {
       sendError(ex, 400, "count must be positive")
       return
     }
+    val isTyped = typed
+    val pretty = params.contains("prettyPrint")
+    // cache probe: both versions are driver-side metadata reads
+    val cacheKey = backend.metaVersion(spark, storePath).map { mv =>
+      (backend, configPath, storePath,
+        ConfigCommands.state(spark, configPath).version, mv, channel,
+        start.get, end.get, count.flatten, isTyped, refuseDisabled)
+    }
+    val hit = cacheKey.flatMap(k => Option(respMemo.get(k)))
+    if (hit.isDefined) { streamJsonArray(ex, hit.get.iterator, pretty); return }
     val it =
       try {
-        if (typed)
+        if (isTyped)
           ConfiguredArchive.serveJsonTyped(spark, configPath, storePath,
-            channel, start.get, end.get, count.flatten, backend)
+            channel, start.get, end.get, count.flatten, backend,
+            refuseDisabled = refuseDisabled)
         else
           ConfiguredArchive.serveJson(spark, configPath, storePath, channel,
             start.get, end.get, count.flatten, backend,
             loMode = Some(ArchiveReader.AtOrWidened),
-            hiMode = Some(ArchiveReader.AtOrWidened))
+            hiMode = Some(ArchiveReader.AtOrWidened),
+            refuseDisabled = refuseDisabled)
       }
       catch {
         case _: NoSuchChannelException => sendError(ex, 404, "not found"); return
         case e: ChannelDisabledException =>
           sendError(ex, 403, e.getMessage); return
-        // a CONFIGURED channel with no stored data trips the engine's
-        // fail-fast require (unknown names already 404'd above via the
-        // config resolution) — the reference serves an empty array for
-        // a channel that exists but has no samples
-        case _: IllegalArgumentException => Iterator.empty[String]
+        // a CONFIGURED channel with no stored data (unknown names
+        // already 404'd above via the config resolution) — the
+        // reference serves an empty array for a channel that exists
+        // but has no samples. ONLY that typed signal maps here: any
+        // other IllegalArgumentException (planner misconfig, probe
+        // contract breach) falls through to the 500 handler instead of
+        // being silently masked as empty data.
+        case _: NoStoredDataException => Iterator.empty[String]
       }
-    streamJsonArray(ex, it, pretty = params.contains("prettyPrint"))
+    cacheKey match {
+      case Some(k) =>
+        // drain up to the cap: a bounded response is cached whole;
+        // anything larger streams through uncached
+        val buf = Vector.newBuilder[String]
+        var n = 0
+        while (it.hasNext && n <= RespCacheMaxElems) { buf += it.next(); n += 1 }
+        val head = buf.result()
+        if (!it.hasNext) {
+          if (respMemo.size > RespCacheMaxEntries) respMemo.clear()
+          respMemo.put(k, head)
+          streamJsonArray(ex, head.iterator, pretty)
+        } else streamJsonArray(ex, head.iterator ++ it, pretty)
+      case None => streamJsonArray(ex, it, pretty)
+    }
   }
 
   private def listChannels(spark: SparkSession, configPath: String,

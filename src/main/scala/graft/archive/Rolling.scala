@@ -38,11 +38,30 @@ case class ZOut(channel: String, ts: Long, value: Option[Double],
 object Rolling {
 
   /** One row per input sample: trailing-window mean/min/max/count of
-    * `value` per channel. Marker rows (`value IS NULL`) pass through
-    * the frame without contributing (count/avg skip nulls in Spark
-    * and ANSI SQL alike).
+    * `value` per channel. THE obvious-name API is the linear-time
+    * walker ([[trailingFast]]) — Spark's bounded RANGE frame
+    * re-evaluates the aggregate per row (O(n·frame) on dense
+    * channels), so the declarative form lives under
+    * [[trailingReference]] as the equivalence oracle, unreachable by
+    * the name a caller picks without reading the docs.
     */
-  def trailing(samples: DataFrame, windowSec: Long): DataFrame = {
+  def trailing(samples: DataFrame, windowSec: Long): DataFrame =
+    trailingFast(samples, windowSec)
+
+  /** Per-sample anomaly score, obvious name = linear path
+    * ([[zscoreFast]]); the RANGE-frame form is [[zscoreReference]].
+    */
+  def zscore(samples: DataFrame, windowSec: Long): DataFrame =
+    zscoreFast(samples, windowSec)
+
+  /** The declarative RANGE-frame form of [[trailing]] — kept as the
+    * equivalence REFERENCE (RollingSpec pins the walker byte-identical
+    * to this plan; the gate serves either path from the same oracle).
+    * Marker rows (`value IS NULL`) pass through the frame without
+    * contributing (count/avg skip nulls in Spark and ANSI SQL alike).
+    * O(n·frame): do not call on dense channels — use [[trailing]].
+    */
+  def trailingReference(samples: DataFrame, windowSec: Long): DataFrame = {
     val w = Window.partitionBy("channel").orderBy(col("ts"))
       .rangeBetween(-windowSec * Samples.NS, 0L)
     samples.select(col("channel"), col("ts"),
@@ -71,10 +90,11 @@ object Rolling {
     *
     * Scale note: this declarative form inherits the sliding-frame
     * re-evaluation cost ([[trailingFast]]'s doc — O(n·frame) on dense
-    * channels); [[zscoreFast]] is the linear path (same bytes, same
-    * oracle) for 1 Hz × 1 h frames corpus-wide.
+    * channels); it is the equivalence REFERENCE for the linear
+    * [[zscoreFast]] (same bytes, same oracle), which the obvious-name
+    * [[zscore]] delegates to.
     */
-  def zscore(samples: DataFrame, windowSec: Long): DataFrame = {
+  def zscoreReference(samples: DataFrame, windowSec: Long): DataFrame = {
     val w = Window.partitionBy("channel").orderBy(col("ts"))
       .rangeBetween(-windowSec * Samples.NS, 0L)
     val sx = sum(col("value").cast("decimal(38,12)")).over(w).cast("double")

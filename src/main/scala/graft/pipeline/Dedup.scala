@@ -228,8 +228,9 @@ object Dedup {
     * measured 2.5× faster than re-joining the signature table twice
     * (two shuffles saved for 16 extra ints per exploded row).
     */
-  def minHashCandidates(docs: DataFrame, k: Int = 3): DataFrame =
-    minHashCandidatesFromSignatures(minHashSignatures(docs, k))
+  def minHashCandidates(docs: DataFrame, k: Int = 3,
+                        maxBandSize: Option[Int] = None): DataFrame =
+    minHashCandidatesFromSignatures(minHashSignatures(docs, k), maxBandSize)
 
   /** (doc_id, sig, band, key): the banding frame both the in-corpus
     * candidate join and the persisted index build on — one definition
@@ -245,8 +246,31 @@ object Dedup {
         col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  private def minHashCandidatesFromSignatures(sigs: DataFrame): DataFrame = {
-    val bands = sigBands(sigs)
+  /** The banding join's quadratic-explosion guard, the band-level
+    * analog of [[capDocFreq]]: a (band, key) bucket of n docs emits
+    * n·(n−1)/2 candidate pairs, so ONE pathological key (boilerplate
+    * shared by 10% of a corpus) turns the equi-join quadratic no
+    * matter how well AQE splits the skewed partition. Buckets above
+    * `maxBandSize` are dropped whole via a broadcast anti-join — the
+    * hot keys are few by construction (they are the skew), and a
+    * same-signature boilerplate family is the capDocFreq story, not a
+    * near-dup discovery the cap could lose: any pair this filter
+    * hides shares ALL other bands too unless the docs differ, in
+    * which case a less-common band still pairs them.
+    */
+  def capBandSize(bands: DataFrame, maxBandSize: Option[Int]): DataFrame =
+    maxBandSize match {
+      case None => bands
+      case Some(cap) =>
+        val hot = bands.groupBy("band", "key")
+          .agg(count(lit(1)).as("n"))
+          .where(col("n") > cap).select("band", "key")
+        bands.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    }
+
+  private def minHashCandidatesFromSignatures(
+      sigs: DataFrame, maxBandSize: Option[Int] = None): DataFrame = {
+    val bands = capBandSize(sigBands(sigs), maxBandSize)
     val matches =
       expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))")
     bands.as("a").join(bands.as("b"),
@@ -374,10 +398,11 @@ object Dedup {
     * clustering / curation queries) should make.
     */
   def nearDupPairs(docs: DataFrame, k: Int = 3,
-                   minJaccard: Double = 0.15): DataFrame = {
+                   minJaccard: Double = 0.15,
+                   maxBandSize: Option[Int] = None): DataFrame = {
     val sh = shingles(docs, k).cache()
     val cands = minHashCandidatesFromSignatures(
-      minHashSignaturesFromShingles(sh))
+      minHashSignaturesFromShingles(sh), maxBandSize)
     verifyCandidatesFromShingles(sh, cands)
       .where(col("jaccard") >= minJaccard)
   }

@@ -593,6 +593,51 @@ object Similarity {
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(path + "/postings")
+    // freshness metadata: the corpus size this quantizer was trained
+    // over — the drift trigger compares live postings against it
+    corpus.sparkSession.range(1)
+      .select(lit(corpus.count()).as("base_count"), lit(k).as("k"))
+      .write.mode("overwrite").json(path + "/meta")
+  }
+
+  /** The index FRESHNESS policy ([[ivfIndexAppend]]'s other half):
+    * appends reuse the centroids the index was built with, so after
+    * heavy churn the coarse quantizer no longer reflects the corpus
+    * and recall drifts. This trigger compares the live postings count
+    * against the build-time `base_count`; once the appended fraction
+    * exceeds `maxAppendFraction`, the index is REBUILT over its own
+    * postings (re-seeded centroids + re-partitioned lists — the same
+    * deterministic build as [[ivfBuildIndex]], so a rebuilt index is
+    * bit-identical to one built fresh over the same vectors) and the
+    * meta resets. Returns whether a rebuild happened.
+    *
+    * Cost shape: the trigger itself is one metadata read + one count;
+    * the rebuild is one full postings rewrite — amortized over the
+    * ≥ `maxAppendFraction` growth that caused it, the same bound as a
+    * log-structured store's compaction.
+    */
+  def ivfRefreshIfDrifted(spark: org.apache.spark.sql.SparkSession,
+                          path: String,
+                          maxAppendFraction: Double = 0.5): Boolean = {
+    val meta =
+      try spark.read.json(path + "/meta").collect().headOption
+      catch { case _: Throwable => None }
+    if (meta.isEmpty) return false // pre-policy index: no baseline
+    val base = meta.get.getAs[Long]("base_count")
+    val k = meta.get.getAs[Long]("k").toInt
+    val total = spark.read.parquet(path + "/postings").count()
+    if (base <= 0L || (total - base).toDouble / base <= maxAppendFraction)
+      return false
+    // stage the corpus OUTSIDE the postings tree before overwriting it
+    // (reading and overwriting the same files races the scan)
+    val staging = path + "/rebuild_src"
+    spark.read.parquet(path + "/postings")
+      .select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(staging)
+    ivfBuildIndex(spark.read.parquet(staging), path, k)
+    val p = new org.apache.hadoop.fs.Path(staging)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    true
   }
 
   /** Probe a persisted IVF index — [[ivfSearch]] semantics without

@@ -460,6 +460,71 @@ object StreamingDecimation {
       }
       .start()
 
+  /** ST1 over a real NETWORK source — the live-monitor ingest edge the
+    * reference implements as EPICS Channel Access subscriptions
+    * (ChannelAccessControlSystemSupport.java: a CA monitor callback
+    * per channel feeding the archiver's queue). Protocol-level CA is
+    * out of scope; the transport contract it proves — samples arriving
+    * over a socket, parsed, and committed exactly like any other
+    * stream — is this source: Spark's TCP text source plus the wire
+    * format below, returning the canonical sample frame every sink in
+    * this engine accepts ([[writeRawStream]],
+    * [[writeRawStreamManifest]], [[writeRawStreamConfigured]],
+    * [[decimateStream]] after `.as[InSample]`).
+    *
+    * Wire format: one sample per line, TAB-separated
+    * `channel <TAB> ts_ns <TAB> value <TAB> sample_id` — an empty
+    * value field is a MARKER row (disconnected/disabled, value NULL),
+    * matching the reference's special sample types. Malformed lines
+    * are dropped, not poison: a flaky feeder must not kill the ingest
+    * query (the reference logs and continues on a bad CA event).
+    *
+    * Note Spark's socket source is at-most-once on reconnect (no
+    * offsets to replay) — the downstream manifest commit is still
+    * idempotent per micro-batch, so a restart never duplicates what
+    * it did receive. A production deployment needing replay puts a
+    * log (e.g. Kafka) between the control system and this edge; the
+    * parse/commit path is identical.
+    */
+  def socketSamples(spark: SparkSession, host: String, port: Int): DataFrame =
+    parseSampleLines(spark.readStream
+      .format("socket")
+      .option("host", host)
+      .option("port", port)
+      .load())
+
+  /** The wire-format parser, shared by [[socketSamples]] and any
+    * line-transport source (Kafka value column, file tail): expects a
+    * single string column `value`.
+    */
+  def parseSampleLines(lines: DataFrame): DataFrame = {
+    val f = split(col("value"), "\t")
+    lines
+      .select(f.as("f"))
+      .where(size(col("f")) >= 4)
+      .select(
+        element_at(col("f"), 1).as("channel"),
+        // try_cast, not cast: ANSI mode THROWS on a malformed number,
+        // and one bad line must not kill the ingest query
+        expr("try_cast(element_at(f, 2) AS LONG)").as("ts"),
+        // empty string → NULL double = marker row; a garbage number
+        // casts to NULL and the row drops below
+        expr("try_cast(nullif(element_at(f, 3), '') AS DOUBLE)")
+          .as("value"),
+        element_at(col("f"), 3).as("_rawv"),
+        expr("try_cast(element_at(f, 4) AS LONG)").as("sample_id"))
+      .where(col("channel").isNotNull && length(col("channel")) > 0 &&
+        col("ts").isNotNull && col("sample_id").isNotNull &&
+        // value parsed, or was genuinely empty (marker)
+        (col("value").isNotNull || col("_rawv") === ""))
+      .drop("_rawv")
+      .withColumn("str_value", lit(""))
+      .withColumn("severity", lit(0))
+      .withColumn("status", lit(0))
+      .select("channel", "ts", "value", "str_value", "severity", "status",
+        "sample_id")
+  }
+
   /** ST1/ST3 — ingest shaping: event-time column, watermark, and the
     * windowed pre-aggregation a monitoring sink consumes. (The raw
     * append path writes `samples` to ArchiveStore unchanged.)

@@ -1,0 +1,187 @@
+package graft
+
+import java.net.{HttpURLConnection, URI, URLEncoder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.archive.{ChannelConfig, ChannelConfigXml, ConfigCommands,
+  ConfiguredArchive, HttpAdminApi, HttpArchiveServer}
+
+/** Live-socket spec for the admin configuration API: every command
+  * drives [[graft.archive.ConfigCommands]] over HTTP and the SERVING
+  * path (the archive-access API on the same socket) reflects the
+  * change on the next request — the round-trip the reference's admin
+  * UI performs against ApiController.java.
+  */
+class HttpAdminApiSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+
+  private val NS = graft.core.Samples.NS
+  private val T0 = 1704067200L * NS
+
+  private lazy val fixture: (String, String, HttpArchiveServer.Running) = {
+    val cfgDir = Files.createTempDirectory("admcfg").toString
+    val store = Files.createTempDirectory("admstore").toString
+    val running = HttpArchiveServer.start(spark, cfgDir, store)
+    sys.addShutdownHook(running.stop())
+    (cfgDir, store, running)
+  }
+
+  private def cfgDir: String = fixture._1
+  private def storePath: String = fixture._2
+  private def serveBase: String = fixture._3.baseUrl
+  private def adminBase: String =
+    s"http://localhost:${fixture._3.port}${HttpAdminApi.ContextPath}"
+
+  private def http(method: String, url: String,
+                   body: Option[String] = None): (Int, String) = {
+    val conn = URI.create(url).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      val out = conn.getOutputStream
+      out.write(b.getBytes(StandardCharsets.UTF_8)); out.close()
+    }
+    val code = conn.getResponseCode
+    val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val text =
+      if (in == null) ""
+      else try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    conn.disconnect()
+    (code, text)
+  }
+
+  private def enc(s: String): String =
+    URLEncoder.encode(s, StandardCharsets.UTF_8).replace("+", "%20")
+
+  private def runCommands(json: String): (Int, String) =
+    http("POST", s"$adminBase/1.0/run-archive-configuration-commands",
+      Some(json))
+
+  test("add_channel over HTTP, then the serving path answers for it") {
+    import spark.implicits._
+    val (code, body) = runCommands(
+      """{"commands":[{"commandType":"add_channel",
+        |"channelName":"pv:adm","controlSystemType":"ca","enabled":true,
+        |"decimationLevelToRetentionPeriod":{"0":0,"3600":0},
+        |"options":{"monitor":"true"}}]}""".stripMargin)
+    assert(code == 200)
+    assert(body.contains("\"success\":true"))
+
+    // the channel is listed with its config
+    val (lc, lb) = http("GET", s"$adminBase/1.0/channels/all")
+    assert(lc == 200 && lb.contains("\"channelName\":\"pv:adm\""))
+    val (oc, ob) =
+      http("GET", s"$adminBase/1.0/channels/all/by-name/${enc("pv:adm")}")
+    assert(oc == 200 && ob.contains("\"monitor\":\"true\"")
+      && ob.contains("\"3600\":0"))
+
+    // ingest under the NEW config and serve over the SAME socket: the
+    // admin change governs the engine end to end
+    val raw = (1 to 120)
+      .map(i => ("pv:adm", T0 + i * 60L * NS, i.toDouble, "", 0, 0, i.toLong))
+      .toDF("channel", "ts", "value", "str_value", "severity", "status",
+        "sample_id")
+    ConfiguredArchive.ingestRaw(spark, cfgDir, storePath, raw)
+    val (sc, sb) = http("GET", s"$serveBase/1/samples/${enc("pv:adm")}" +
+      s"?start=$T0&end=${T0 + 200L * 60L * NS}")
+    assert(sc == 200 && "\\{\"time\":".r.findAllIn(sb).size == 120)
+  }
+
+  test("update_channel partial semantics: options delta, levels kept, enabled flip") {
+    val (code, body) = runCommands(
+      """{"commands":[{"commandType":"update_channel",
+        |"channelName":"pv:adm",
+        |"addOptions":{"rate":"10"},"removeOptions":["monitor"]}]}"""
+        .stripMargin)
+    assert(code == 200 && body.contains("\"success\":true"))
+    val cfg = ConfigCommands.state(spark, cfgDir).config("pv:adm").get
+    assert(cfg.options == Map("rate" -> "10"))
+    assert(cfg.levels.keySet == Set(0L, 3600L)) // untouched
+    assert(cfg.enabled) // untouched
+  }
+
+  test("rename_channel: same data serves under the new name, old name 404s") {
+    val before = http("GET", s"$serveBase/1/samples/${enc("pv:adm")}" +
+      s"?start=$T0&end=${T0 + 200L * 60L * NS}")._2
+    val (code, body) = runCommands(
+      """{"commands":[{"commandType":"rename_channel",
+        |"oldChannelName":"pv:adm","newChannelName":"pv:adm2"}]}"""
+        .stripMargin)
+    assert(code == 200 && body.contains("\"success\":true"))
+    val after = http("GET", s"$serveBase/1/samples/${enc("pv:adm2")}" +
+      s"?start=$T0&end=${T0 + 200L * 60L * NS}")._2
+    assert(after == before)
+    assert(http("GET", s"$serveBase/1/samples/${enc("pv:adm")}" +
+      s"?start=$T0&end=${T0 + 200L * 60L * NS}")._1 == 404)
+  }
+
+  test("command batch continues past a failure, results in order") {
+    val (code, body) = runCommands(
+      """{"commands":[
+        |{"commandType":"rename_channel",
+        | "oldChannelName":"pv:ghost","newChannelName":"pv:x"},
+        |{"commandType":"add_channel",
+        | "channelName":"pv:batch","controlSystemType":"ca","enabled":true}
+        |]}""".stripMargin)
+    assert(code == 200)
+    val successes = "\"success\":(true|false)".r
+      .findAllMatchIn(body).map(_.group(1)).toSeq
+    assert(successes == Seq("false", "true"))
+    assert(body.contains("pv:ghost"))
+    assert(ConfigCommands.state(spark, cfgDir).config("pv:batch").isDefined)
+  }
+
+  test("unknown commandType and malformed JSON are reported, not 500") {
+    val (c1, b1) = runCommands(
+      """{"commands":[{"commandType":"explode_channel"}]}""")
+    assert(c1 == 200 && b1.contains("\"success\":false")
+      && b1.contains("explode_channel"))
+    assert(runCommands("""{"nope":1}""")._1 == 400)
+    assert(runCommands("""{{{""")._1 == 400)
+  }
+
+  test("XML export/import round-trips the configuration over HTTP") {
+    val (ec, xml) = http("GET",
+      s"$adminBase/1.0/channels/by-server/${enc("srv-1")}/export")
+    assert(ec == 200 && xml.contains("pv:adm2"))
+    // import into a FRESH config log served by a second server
+    val cfg2 = Files.createTempDirectory("admcfg2").toString
+    val store2 = Files.createTempDirectory("admstore2").toString
+    val running2 = HttpArchiveServer.start(spark, cfg2, store2)
+    try {
+      val (ic, ib) = http("POST",
+        s"http://localhost:${running2.port}${HttpAdminApi.ContextPath}" +
+          s"/1.0/channels/by-server/${enc("srv-1")}/import", Some(xml))
+      assert(ic == 200 && ib.contains("addedOrUpdatedChannels"))
+      val a = ConfigCommands.state(spark, cfgDir).configs.sortBy(_.name)
+      val b = ConfigCommands.state(spark, cfg2).configs.sortBy(_.name)
+      assert(a == b)
+      // a malformed body is a 400, not a partial import
+      assert(http("POST",
+        s"http://localhost:${running2.port}${HttpAdminApi.ContextPath}" +
+          s"/1.0/channels/by-server/x/import", Some("<not-xml"))._1 == 400)
+    } finally running2.stop()
+  }
+
+  test("remove_channel: two-phase remove drops config AND archived data, serving 404s") {
+    import org.apache.spark.sql.functions.col
+    val id = ConfigCommands.state(spark, cfgDir).config("pv:adm2")
+      .get.channelDataId
+    val (code, body) = runCommands(
+      """{"commands":[{"commandType":"remove_channel",
+        |"channelName":"pv:adm2"}]}""".stripMargin)
+    assert(code == 200 && body.contains("\"success\":true"))
+    assert(http("GET", s"$serveBase/1/samples/${enc("pv:adm2")}" +
+      s"?start=$T0&end=${T0 + NS}")._1 == 404)
+    assert(ConfigCommands.state(spark, cfgDir).config("pv:adm2").isEmpty)
+    assert(graft.archive.ManifestStore.read(spark, storePath, 0L)
+      .where(col("channel") === id).count() == 0)
+  }
+}

@@ -47,12 +47,19 @@ class HttpArchiveServerSpec extends AnyFunSuite {
       ChannelConfig("pv:off", "id-off", "ca", enabled = false, Map(),
         Map(3600L -> 0L)),
       ChannelConfig("pv:empty", "id-empty", "ca", enabled = true, Map(),
+        Map(3600L -> 0L)),
+      ChannelConfig("pv:late", "id-late", "ca", enabled = true, Map(),
         Map(3600L -> 0L))
     ).foreach(c => ConfigCommands.addChannel(spark, cfgDir, c))
     ConfiguredArchive.materialize(spark, cfgDir, store,
       rawFor("pv:alpha", 1 to 600)
         .unionByName(rawFor("pv:beta", 1 to 60))
-        .unionByName(rawFor(Hairy, 1 to 60)))
+        .unionByName(rawFor(Hairy, 1 to 60))
+        .unionByName(rawFor("pv:late", 1 to 60)))
+    // pv:late: archived while enabled, then decommissioned — the
+    // disabled-with-history case the reference keeps serving
+    val late = ConfigCommands.state(spark, cfgDir).config("pv:late").get
+    ConfigCommands.updateChannel(spark, cfgDir, late.copy(enabled = false))
     val running = HttpArchiveServer.start(spark, cfgDir, store)
     sys.addShutdownHook(running.stop())
     (cfgDir, store, running)
@@ -150,21 +157,51 @@ class HttpArchiveServerSpec extends AnyFunSuite {
     assert(get(s"$base/1/samples/$ch?start=0&end=4&count=x")._1 == 400)
   }
 
-  test("route matrix: 404 unknown/empty channel and route, 403 disabled") {
+  test("route matrix: 404 unknown/empty channel and route") {
     assert(get(s"$base/1/samples/${enc("pv:nope")}?start=0&end=4")._1 == 404)
     assert(get(s"$base/1/samples/?start=0&end=4")._1 == 404)
     assert(get(s"$base/1/nonsense/x")._1 == 404)
-    assert(get(s"$base/1/samples/${enc("pv:off")}?start=0&end=4")._1 == 403)
+    // disabled and never archived: resolves, no stored data → empty
+    // array (the reference's answer for any known channel w/o samples)
+    assert(get(s"$base/1/samples/${enc("pv:off")}?start=0&end=4") ==
+      (200, "[]"))
     // configured but no stored data: an empty array, not an error
     assert(get(s"$base/1/samples/${enc("pv:empty")}?start=0&end=4") ==
       (200, "[]"))
+  }
+
+  test("disabled channel's archived history serves by default; refuseDisabled=true maps to 403") {
+    val lo = T0
+    val hi = T0 + 100L * 60L * NS
+    // default server: pv:late (archived, then disabled) serves bytes
+    // identical to the engine-boundary serve — Api10Controller never
+    // checks the enabled flag on retrieval
+    val (code, body) =
+      get(s"$base/1/samples/${enc("pv:late")}?start=$lo&end=$hi")
+    assert(code == 200)
+    val expected = ConfiguredArchive.serveJson(spark, cfgDir,
+        storePath, "pv:late", lo, hi, None,
+        loMode = Some(ArchiveReader.AtOrWidened),
+        hiMode = Some(ArchiveReader.AtOrWidened))
+      .mkString("[", ",", "]")
+    assert(body == expected)
+    assert(body.count(_ == '{') > 0)
+    // opt-in refusal: same store, refuseDisabled server → visible 403
+    val strict = HttpArchiveServer.start(spark, cfgDir, storePath,
+      refuseDisabled = true)
+    try {
+      val url = s"http://localhost:${strict.port}" +
+        s"${HttpArchiveServer.ContextPath}/1/samples/${enc("pv:late")}" +
+        s"?start=$lo&end=$hi"
+      assert(get(url)._1 == 403)
+    } finally strict.stop()
   }
 
   test("channels-by-pattern: case-insensitive glob, sorted, hairy included") {
     val (code, body) = get(s"$base/1/channels-by-pattern/${enc("PV*")}")
     assert(code == 200)
     assert(body ==
-      s"""["pv/room 1:a+b~c","pv:alpha","pv:beta","pv:empty","pv:off"]""")
+      s"""["pv/room 1:a+b~c","pv:alpha","pv:beta","pv:empty","pv:late","pv:off"]""")
     val (c2, b2) = get(s"$base/1/channels-by-pattern/${enc("pv:?lpha")}")
     assert(c2 == 200 && b2 == """["pv:alpha"]""")
   }
@@ -220,7 +257,7 @@ class HttpArchiveServerSpec extends AnyFunSuite {
       s"$base/1/channels-by-pattern/${enc("pv:*")}?prettyPrint")
     assert(code == 200)
     assert(body ==
-      "[\n  \"pv:alpha\",\n  \"pv:beta\",\n  \"pv:empty\",\n  \"pv:off\"\n]")
+      "[\n  \"pv:alpha\",\n  \"pv:beta\",\n  \"pv:empty\",\n  \"pv:late\",\n  \"pv:off\"\n]")
   }
 
 }

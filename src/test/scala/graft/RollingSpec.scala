@@ -17,7 +17,7 @@ class RollingSpec extends AnyFunSuite {
   private def compare(rows: Seq[(String, Long, Option[Double])],
                       windowSec: Long): Unit = {
     val df = rows.toDF("channel", "ts", "value")
-    val slow = Rolling.trailing(df, windowSec)
+    val slow = Rolling.trailingReference(df, windowSec)
       .collect().map(_.toSeq).toSeq
     val fast = Rolling.trailingFast(df, windowSec)
       .collect().map(_.toSeq).toSeq
@@ -121,7 +121,7 @@ class RollingSpec extends AnyFunSuite {
     }
     val df = rows.toDF("channel", "ts", "value")
     for (w <- Seq(1L, 90L, 100000L)) {
-      val slow = Rolling.zscore(df, w).collect().map(_.toSeq.toString).sorted
+      val slow = Rolling.zscoreReference(df, w).collect().map(_.toSeq.toString).sorted
       val fast = Rolling.zscoreFast(df, w).collect().map(_.toSeq.toString).sorted
       assert(slow.toSeq == fast.toSeq, s"windowSec=$w")
       val chunked = Rolling.zscoreFastChunked(df, w, w * 2)

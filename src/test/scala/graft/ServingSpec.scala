@@ -305,22 +305,36 @@ class ServingSpec extends AnyFunSuite {
       "pv:gov", t0, hi, None)
     val vals = got.select("channel", "value").collect()
     assert(vals.nonEmpty && vals.forall(_.getString(0) == "pv:gov"))
-    intercept[ChannelDisabledException] {
+    // pv:off is disabled and was therefore never ARCHIVED: the default
+    // serving contract (reference: disabling stops archiving, not
+    // retrieval) resolves it fine and finds no stored data; the
+    // opt-in refusal flag turns that into the disabled refusal
+    intercept[graft.archive.NoStoredDataException] {
       ConfiguredArchive.querySamples(spark, cfgDir, store, "pv:off",
         t0, hi, None)
+    }
+    intercept[ChannelDisabledException] {
+      ConfiguredArchive.querySamples(spark, cfgDir, store, "pv:off",
+        t0, hi, None, refuseDisabled = true)
     }
     intercept[NoSuchChannelException] {
       ConfiguredArchive.querySamples(spark, cfgDir, store, "pv:none",
         t0, hi, None)
     }
 
-    // disable → serving refuses; re-enable + rename → the SAME data
+    // disable → archived HISTORY still serves (the reference's
+    // contract: Api10Controller never checks the enabled flag), while
+    // the opt-in flag refuses; re-enable + rename → the SAME data
     // serves under the new name (id-keyed store: zero files touched)
     val gov = ConfigCommands.state(spark, cfgDir).config("pv:gov").get
     ConfigCommands.updateChannel(spark, cfgDir, gov.copy(enabled = false))
+    val disabledServed = ConfiguredArchive.querySamples(spark, cfgDir,
+      store, "pv:gov", t0, hi, None).select("value").collect()
+    assert(disabledServed.map(_.getDouble(0)).sorted.toSeq ==
+      vals.map(_.getDouble(1)).sorted.toSeq)
     intercept[ChannelDisabledException] {
       ConfiguredArchive.querySamples(spark, cfgDir, store, "pv:gov",
-        t0, hi, None)
+        t0, hi, None, refuseDisabled = true)
     }
     ConfigCommands.updateChannel(spark, cfgDir, gov.copy(enabled = true))
     ConfigCommands.renameChannel(spark, cfgDir, "pv:gov", "pv:gov2")
