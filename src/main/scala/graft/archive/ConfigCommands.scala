@@ -166,18 +166,37 @@ object ConfigCommands {
       }.sorted
   }
 
+  /** Parsed states, keyed by (log path, version): a version file is
+    * immutable once published (exclusive-create), so a parsed state
+    * can never go stale — the serving edge reads the state two or
+    * three times per HTTP request, and re-parsing a 1000-channel JSON
+    * log per read was measurable against the request latency floor.
+    * The version LIST stays uncached (it is the freshness check).
+    */
+  private val stateMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), ConfigState]()
+
   /** The latest committed configuration state (empty for a new store). */
   def state(spark: SparkSession, path: String): ConfigState = {
     val f = fs(spark, path)
     listVersions(f, path).lastOption match {
       case None => ConfigState(0L, Nil, Nil)
       case Some(v) =>
-        val in = f.open(versionFile(path, v))
-        try {
-          val out = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-          fromJson(out.toByteArray)
-        } finally in.close()
+        val key = (path, v)
+        val hit = stateMemo.get(key)
+        if (hit != null) hit
+        else {
+          val in = f.open(versionFile(path, v))
+          val st =
+            try {
+              val out = new java.io.ByteArrayOutputStream()
+              org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+              fromJson(out.toByteArray)
+            } finally in.close()
+          if (stateMemo.size > 1024) stateMemo.clear()
+          stateMemo.put(key, st)
+          st
+        }
     }
   }
 

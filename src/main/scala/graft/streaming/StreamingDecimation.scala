@@ -493,6 +493,67 @@ object StreamingDecimation {
       .option("port", port)
       .load())
 
+  /** High-rate network ingest: [[socketSamples]] rides Spark's
+    * built-in TCP text source, which is a TEST transport — per-line
+    * driver-side buffering under a lock caps it around 10k lines/s.
+    * This is the production shape instead: a SPOOLING receiver thread
+    * drains the socket in bulk and publishes atomic chunk files
+    * (temp-write + rename) into a directory the file source streams —
+    * the classic write-ahead spool every real archiver puts between
+    * the control system and the store. Beyond rate (the file source
+    * scans at parquet-class throughput), the spool upgrades the
+    * transport from the socket source's at-most-once to REPLAYABLE:
+    * the chunk files are the log, and the file source's checkpointed
+    * offsets resume through them exactly-once.
+    *
+    * Returns the receiver thread (daemon, already started); it exits
+    * when the peer closes the connection. Compose with
+    * [[spooledSamples]] for the query side.
+    */
+  def spoolSocket(host: String, port: Int, spoolDir: String,
+                  linesPerChunk: Int = 100000): Thread = {
+    val dir = java.nio.file.Paths.get(spoolDir)
+    java.nio.file.Files.createDirectories(dir)
+    val t = new Thread(() => {
+      val sock = new java.net.Socket(host, port)
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        sock.getInputStream, java.nio.charset.StandardCharsets.UTF_8),
+        1 << 20)
+      var chunk = 0L
+      var buf = new java.lang.StringBuilder(1 << 22)
+      var n = 0
+      def flush(): Unit = if (n > 0) {
+        val tmp = dir.resolve(s".spool-$chunk.txt.tmp")
+        java.nio.file.Files.write(tmp, buf.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // rename = atomic publish: the file source must never list a
+        // half-written chunk
+        java.nio.file.Files.move(tmp, dir.resolve(s"spool-$chunk.txt"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        chunk += 1; n = 0; buf = new java.lang.StringBuilder(1 << 22)
+      }
+      var line = in.readLine()
+      while (line != null) {
+        buf.append(line).append('\n')
+        n += 1
+        if (n >= linesPerChunk) flush()
+        line = if (in.ready()) in.readLine()
+               else { flush(); in.readLine() } // idle → publish partial
+      }
+      flush()
+      sock.close()
+    })
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  /** The query side of [[spoolSocket]]: stream the spool directory
+    * through the shared wire-format parser.
+    */
+  def spooledSamples(spark: SparkSession, spoolDir: String): DataFrame =
+    parseSampleLines(spark.readStream.text(spoolDir))
+
   /** The wire-format parser, shared by [[socketSamples]] and any
     * line-transport source (Kafka value column, file tail): expects a
     * single string column `value`.

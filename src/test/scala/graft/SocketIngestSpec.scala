@@ -116,5 +116,34 @@ class SocketIngestSpec extends AnyFunSuite {
     val direct = ManifestStore.read(spark, batchStore, 0L)
       .select(cols.map(col): _*).collect().map(_.toSeq.toString).sorted
     assert(streamed.toSeq == direct.toSeq)
+
+    // the HIGH-RATE transport (socket → write-ahead spool → file
+    // source) must land the same bytes as the direct socket source —
+    // small chunks force multiple atomic spool files
+    val spoolDir = Files.createTempDirectory("sockspool").toString + "/sp"
+    val store2 = Files.createTempDirectory("sockstore2").toString
+    val ckpt2 = Files.createTempDirectory("sockckpt2").toString
+    val server2 = new ServerSocket(0)
+    val feeder2 = new Thread(() => {
+      val sock = server2.accept()
+      val out = new PrintWriter(sock.getOutputStream, false)
+      rows.foreach(r => out.println(line(r)))
+      out.flush()
+      sock.close() // EOF ends the spool receiver
+    })
+    feeder2.setDaemon(true)
+    feeder2.start()
+    val receiver = StreamingDecimation.spoolSocket("localhost",
+      server2.getLocalPort, spoolDir, linesPerChunk = 64)
+    val q2 = StreamingDecimation.writeRawStreamManifest(
+      StreamingDecimation.spooledSamples(spark, spoolDir), store2, ckpt2)
+    try {
+      receiver.join(60000)
+      assert(!receiver.isAlive, "spool receiver did not finish")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val spooled = ManifestStore.read(spark, store2, 0L)
+      .select(cols.map(col): _*).collect().map(_.toSeq.toString).sorted
+    assert(spooled.toSeq == direct.toSeq)
   }
 }
