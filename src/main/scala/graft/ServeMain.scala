@@ -14,6 +14,10 @@ import graft.archive.{ArchiveBackend, HttpArchiveServer, ManifestBackend}
   *
   * `SPARK_GRAFT_BACKEND=archive` serves a raw-parquet [[ArchiveBackend]]
   * store instead of the default manifest-committed one.
+  * `SPARK_GRAFT_REFUSE_DISABLED=true` turns disabled-channel serving
+  * into 403 (default matches the reference: history serves).
+  * `SPARK_GRAFT_ADMIN_AUTH=user:password` puts HTTP Basic auth on the
+  * admin context (`/admin/api/...`); archive-access stays anonymous.
   */
 object ServeMain {
 
@@ -37,8 +41,16 @@ object ServeMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val refuseDisabled =
+      sys.env.get("SPARK_GRAFT_REFUSE_DISABLED").contains("true")
+    val adminAuth = sys.env.get("SPARK_GRAFT_ADMIN_AUTH").map { s =>
+      val i = s.indexOf(':')
+      require(i > 0, "SPARK_GRAFT_ADMIN_AUTH must be user:password")
+      s.take(i) -> s.drop(i + 1)
+    }
     val running = HttpArchiveServer.start(spark, configPath, storePath,
-      backend, port)
+      backend, port, refuseDisabled = refuseDisabled,
+      adminAuth = adminAuth)
     println(s"[graft] serving ${running.baseUrl}/ (Ctrl-C to stop)")
     sys.addShutdownHook { running.stop(); spark.stop() }
     Thread.currentThread().join()

@@ -55,9 +55,43 @@ object HttpAdminApi {
 
   private val mapper = new ObjectMapper()
 
+  /** HTTP Basic credential guard for the admin surface — the minimal
+    * re-expression of the reference's admin-side authentication
+    * (Spring Security over ArchiveUserDetailsManager.java; the
+    * archive-access API is anonymous there and stays anonymous here).
+    * `None` = open (test/dev parity with the pre-round-9 behavior);
+    * `Some(user -> password)` = every admin request must carry
+    * `Authorization: Basic base64(user:password)` or is answered 401
+    * with a WWW-Authenticate challenge. Constant-time comparison so
+    * the check does not leak prefix length.
+    */
+  private def authorized(ex: HttpExchange,
+                         auth: Option[(String, String)]): Boolean =
+    auth match {
+      case None => true
+      case Some((u, p)) =>
+        val expected = java.util.Base64.getEncoder.encodeToString(
+          s"$u:$p".getBytes(StandardCharsets.UTF_8))
+        Option(ex.getRequestHeaders.getFirst("Authorization")) match {
+          case Some(h) if h.startsWith("Basic ") =>
+            java.security.MessageDigest.isEqual(
+              h.stripPrefix("Basic ").trim
+                .getBytes(StandardCharsets.UTF_8),
+              expected.getBytes(StandardCharsets.UTF_8))
+          case _ => false
+        }
+    }
+
   private[archive] def handle(spark: SparkSession, configPath: String,
                               storePath: Option[String],
-                              ex: HttpExchange): Unit = {
+                              ex: HttpExchange,
+                              auth: Option[(String, String)] = None): Unit = {
+    if (!authorized(ex, auth)) {
+      ex.getResponseHeaders.set("WWW-Authenticate",
+        "Basic realm=\"graft-admin\"")
+      send(ex, 401, "text/plain", "authentication required")
+      return
+    }
     val rawPath = ex.getRequestURI.getRawPath.stripPrefix(ContextPath)
     (ex.getRequestMethod, rawPath) match {
       case ("GET", "/1.0/channels/all") =>
@@ -73,6 +107,10 @@ object HttpAdminApi {
       case ("POST", p) if p.startsWith("/1.0/channels/by-server/") &&
           p.endsWith("/import") =>
         importXml(spark, configPath, ex)
+      case ("GET", p) if p.startsWith("/1.0/channels/by-server/") =>
+        // single-server deployment: every configured channel belongs
+        // to this server (ApiController.java:341-472's by-server list)
+        channelsAll(spark, configPath, ex)
       case ("POST", "/1.0/run-archive-configuration-commands") =>
         runCommands(spark, configPath, storePath, ex)
       case ("GET", _) | ("POST", _) => send(ex, 404, "text/plain", "not found")

@@ -80,7 +80,8 @@ object HttpArchiveServer {
   def start(spark: SparkSession, configPath: String, storePath: String,
             backend: StoreBackend = ManifestBackend,
             port: Int = 0, threads: Int = 8,
-            refuseDisabled: Boolean = false): Running = {
+            refuseDisabled: Boolean = false,
+            adminAuth: Option[(String, String)] = None): Running = {
     // typed-union stores (the `vtype` discriminator on the raw level)
     // serve the FULL 21-type wire format — the reference has exactly
     // one serving path (serializeSampleToJsonV1 on typed samples);
@@ -105,8 +106,12 @@ object HttpArchiveServer {
     // channel add/update/rename/remove + XML import/export over
     // [[ConfigCommands]] (the serving handlers above read the same
     // config log, so an admin change is served on the next request)
+    // `adminAuth` guards ONLY this context with HTTP Basic — the
+    // reference secures its admin UI/API (Spring Security) while
+    // archive-access stays anonymous
     server.createContext(HttpAdminApi.ContextPath, (ex: HttpExchange) =>
-      try HttpAdminApi.handle(spark, configPath, Some(storePath), ex)
+      try HttpAdminApi.handle(spark, configPath, Some(storePath), ex,
+        adminAuth)
       catch {
         case e: Throwable =>
           try sendError(ex, 500, s"internal error: ${e.getMessage}")

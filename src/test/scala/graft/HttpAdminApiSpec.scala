@@ -170,6 +170,42 @@ class HttpAdminApiSpec extends AnyFunSuite {
     } finally running2.stop()
   }
 
+  test("adminAuth guards the admin context with HTTP Basic; serving stays anonymous") {
+    val cfgA = Files.createTempDirectory("authcfg").toString
+    val storeA = Files.createTempDirectory("authstore").toString
+    val secured = HttpArchiveServer.start(spark, cfgA, storeA,
+      adminAuth = Some("admin" -> "s3cret"))
+    try {
+      val adm = s"http://localhost:${secured.port}${HttpAdminApi.ContextPath}"
+      // no credentials → 401 + challenge; wrong credentials → 401
+      assert(http("GET", s"$adm/1.0/channels/all")._1 == 401)
+      val bad = java.util.Base64.getEncoder
+        .encodeToString("admin:wrong".getBytes(StandardCharsets.UTF_8))
+      val cb = URI.create(s"$adm/1.0/channels/all").toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      cb.setRequestProperty("Authorization", s"Basic $bad")
+      assert(cb.getResponseCode == 401); cb.disconnect()
+      // right credentials → 200
+      val ok = java.util.Base64.getEncoder
+        .encodeToString("admin:s3cret".getBytes(StandardCharsets.UTF_8))
+      val cg = URI.create(s"$adm/1.0/channels/all").toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      cg.setRequestProperty("Authorization", s"Basic $ok")
+      assert(cg.getResponseCode == 200); cg.disconnect()
+      // the archive-access context on the same socket stays anonymous
+      // (the reference's split: Spring Security on admin only)
+      assert(http("GET",
+        s"http://localhost:${secured.port}" +
+          s"${HttpArchiveServer.ContextPath}/")._1 == 200)
+      // by-server listing is the same channel set in a single-server
+      // deployment
+      val cl = URI.create(s"$adm/1.0/channels/by-server/srv-1").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      cl.setRequestProperty("Authorization", s"Basic $ok")
+      assert(cl.getResponseCode == 200); cl.disconnect()
+    } finally secured.stop()
+  }
+
   test("remove_channel: two-phase remove drops config AND archived data, serving 404s") {
     import org.apache.spark.sql.functions.col
     val id = ConfigCommands.state(spark, cfgDir).config("pv:adm2")
