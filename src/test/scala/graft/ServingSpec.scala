@@ -381,6 +381,54 @@ class ServingSpec extends AnyFunSuite {
     assert(json.nonEmpty && json.forall(_.startsWith("{\"time\":")))
   }
 
+  test("retention-fallback serve widens the EARLIEST segment's lower bound (reference AT_OR_BEFORE on fallback reads)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val NS = graft.core.Samples.NS
+    val Day = 86400L * NS
+    val t0 = 1704067200L * NS // day-aligned
+    val store = Files.createTempDirectory("fbstore").toString
+
+    // coarse 1h level holds days 0..20 every 6h; the raw level only
+    // retains days 10..20 (hourly) — the classic retention-fallback
+    // layout where old time serves from the coarser level
+    val coarse = (0 to 80).map(i => ("fb", t0 + i * 6L * 3600L * NS,
+        i.toDouble, i.toLong))
+      .toDF("channel", "ts", "mean", "sample_id")
+    val fine = (240 to 480).map(i => ("fb", t0 + i * 3600L * NS,
+        i.toDouble * 10, "", 0, 0, i.toLong))
+      .toDF("channel", "ts", "value", "str_value", "severity", "status",
+        "sample_id")
+    ManifestStore.commit(fine, store, 0L)
+    ManifestStore.commit(coarse, store, 3600L)
+
+    // start mid-day-5, strictly between two coarse samples, so the
+    // at-or-before-start boundary is a real widening, not an edge hit
+    val start = t0 + 5L * Day + 3L * 3600L * NS + 1L
+    val end = t0 + 20L * Day
+    val rows = graft.archive.ArchiveServer.querySamples(spark, store,
+        "fb", start, end, None, ManifestBackend)
+      .orderBy("ts").collect()
+
+    // exactly ONE row before the requested start — the coarse level's
+    // at-or-before boundary sample (the reference passes AT_OR_BEFORE
+    // on its fallback reads, Api10Controller.java:466-480); before the
+    // round-9 fix the widening sat on the FINE segment's interior
+    // joint instead and this row was dropped
+    val before = rows.filter(_.getAs[Long]("ts") < start)
+    assert(before.length == 1)
+    assert(before.head.getAs[Long]("level") == 3600L)
+    // start is day5+3h+1ns; the 6h coarse grid's last sample at-or-
+    // before it is the day5+0h one
+    assert(before.head.getAs[Long]("ts") == t0 + 5L * Day)
+    // no fine-level row leaks below the fine level's retention horizon
+    assert(!rows.exists(r => r.getAs[Long]("level") == 0L &&
+      r.getAs[Long]("ts") < t0 + 10L * Day))
+    // both levels actually served their ranges
+    assert(rows.exists(_.getAs[Long]("level") == 3600L))
+    assert(rows.exists(_.getAs[Long]("level") == 0L))
+  }
+
   test("a disabled channel's keep-forever retention vote still protects its data") {
     import java.nio.file.Files
     val cfgDir = Files.createTempDirectory("retvote").toString
