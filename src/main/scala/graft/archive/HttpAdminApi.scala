@@ -29,6 +29,12 @@ import org.apache.spark.sql.SparkSession
   *     edge takes the XML directly, the envelope being a Spring
   *     upload-form artifact, and applies its default switches:
   *     add + update)
+  *   - `GET  <ctx>/1.0/server-status/this-server` — live serving
+  *     counters (total/samples requests, response-cache hits, errors)
+  *     plus config/store versions (:804, ServerStatusResponse);
+  *     `GET <ctx>/1.0/cluster-status` — the single always-online
+  *     server (:726; Spark's runtime replaces the reference's
+  *     inter-node cluster half)
   *   - `POST <ctx>/1.0/run-archive-configuration-commands` — the
   *     command batch (:762-802): a JSON object
   *     `{"commands":[{"commandType":...}]}` using the reference's
@@ -85,7 +91,10 @@ object HttpAdminApi {
   private[archive] def handle(spark: SparkSession, configPath: String,
                               storePath: Option[String],
                               ex: HttpExchange,
-                              auth: Option[(String, String)] = None): Unit = {
+                              auth: Option[(String, String)] = None,
+                              stats: Option[HttpArchiveServer.Stats] = None,
+                              storeVersion: () => Option[Long] = () => None)
+      : Unit = {
     if (!authorized(ex, auth)) {
       ex.getResponseHeaders.set("WWW-Authenticate",
         "Basic realm=\"graft-admin\"")
@@ -94,6 +103,14 @@ object HttpAdminApi {
     }
     val rawPath = ex.getRequestURI.getRawPath.stripPrefix(ContextPath)
     (ex.getRequestMethod, rawPath) match {
+      case ("GET", "/1.0/server-status/this-server") =>
+        serverStatus(spark, configPath, ex, stats, storeVersion)
+      case ("GET", "/1.0/cluster-status") =>
+        // single-server deployment: Spark's own runtime replaces the
+        // reference's inter-node cluster half (SURVEY scope), so the
+        // cluster is this one always-online server
+        send(ex, 200, "application/json; charset=UTF-8",
+          """[{"serverId":"graft","serverName":"graft","online":true}]""")
       case ("GET", "/1.0/channels/all") =>
         channelsAll(spark, configPath, ex)
       case ("GET", p) if p.startsWith("/1.0/channels/all/by-name/") =>
@@ -152,6 +169,37 @@ object HttpAdminApi {
         mapper.writeValueAsString(channelJson(c)))
       case None => send(ex, 404, "text/plain", "not found")
     }
+
+  /** The reference's server-status endpoint (ApiController.java:804,
+    * ServerStatusResponse) with this edge's real serving counters —
+    * total/samples request counts, response-cache hits, 500s — plus
+    * the live config and store versions (what an operator checks when
+    * a dashboard goes stale: did anything commit?).
+    */
+  private def serverStatus(spark: SparkSession, configPath: String,
+                           ex: HttpExchange,
+                           stats: Option[HttpArchiveServer.Stats],
+                           storeVersion: () => Option[Long]): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("serverId", "graft")
+    o.put("serverName", "graft")
+    o.put("online", true)
+    o.put("channelsTotal",
+      ConfigCommands.state(spark, configPath).configs.size)
+    o.put("configVersion", ConfigCommands.state(spark, configPath).version)
+    storeVersion() match {
+      case Some(v) => o.put("storeVersion", v)
+      case None => o.putNull("storeVersion")
+    }
+    stats.foreach { s =>
+      o.put("totalRequests", s.requests.get())
+      o.put("samplesRequests", s.samplesRequests.get())
+      o.put("responseCacheHits", s.responseCacheHits.get())
+      o.put("errors", s.errors.get())
+    }
+    send(ex, 200, "application/json; charset=UTF-8",
+      mapper.writeValueAsString(o))
+  }
 
   private def exportXml(spark: SparkSession, configPath: String,
                         ex: HttpExchange, serverId: String): Unit = {

@@ -64,8 +64,20 @@ object HttpArchiveServer {
   /** The reference's servlet context for the API. */
   val ContextPath = "/archive-access/api/1.0/archive"
 
+  /** Serving counters for the status endpoint — one instance per
+    * [[Running]] server, so two servers in one JVM report their own
+    * traffic.
+    */
+  final class Stats {
+    val requests = new java.util.concurrent.atomic.AtomicLong()
+    val samplesRequests = new java.util.concurrent.atomic.AtomicLong()
+    val responseCacheHits = new java.util.concurrent.atomic.AtomicLong()
+    val errors = new java.util.concurrent.atomic.AtomicLong()
+  }
+
   final case class Running(server: HttpServer,
-                           pool: java.util.concurrent.ExecutorService) {
+                           pool: java.util.concurrent.ExecutorService,
+                           stats: Stats = new Stats) {
     def port: Int = server.getAddress.getPort
     def baseUrl: String = s"http://localhost:$port$ContextPath"
     def stop(): Unit = { server.stop(0); pool.shutdown() }
@@ -92,13 +104,17 @@ object HttpArchiveServer {
     // SUCCESSFUL detection is memoized, keyed on the backend's
     // metaVersion like the level-state memo.
     def typed: Boolean = detectTyped(spark, storePath, backend)
+    val stats = new Stats
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext(ContextPath, (ex: HttpExchange) =>
-      try handle(spark, configPath, storePath, backend, typed, ex,
-        refuseDisabled)
-      catch {
+      try {
+        stats.requests.incrementAndGet()
+        handle(spark, configPath, storePath, backend, typed, ex,
+          refuseDisabled, stats)
+      } catch {
         case e: Throwable =>
           // last-resort 500 — contract errors are mapped before this
+          stats.errors.incrementAndGet()
           try sendError(ex, 500, s"internal error: ${e.getMessage}")
           catch { case _: Throwable => () }
       } finally ex.close())
@@ -110,17 +126,21 @@ object HttpArchiveServer {
     // reference secures its admin UI/API (Spring Security) while
     // archive-access stays anonymous
     server.createContext(HttpAdminApi.ContextPath, (ex: HttpExchange) =>
-      try HttpAdminApi.handle(spark, configPath, Some(storePath), ex,
-        adminAuth)
-      catch {
+      try {
+        stats.requests.incrementAndGet()
+        HttpAdminApi.handle(spark, configPath, Some(storePath), ex,
+          adminAuth, Some(stats),
+          storeVersion = () => backend.metaVersion(spark, storePath))
+      } catch {
         case e: Throwable =>
+          stats.errors.incrementAndGet()
           try sendError(ex, 500, s"internal error: ${e.getMessage}")
           catch { case _: Throwable => () }
       } finally ex.close())
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     server.setExecutor(pool)
     server.start()
-    Running(server, pool)
+    Running(server, pool, stats)
   }
 
   /** Typed-layout detection, memoized per (backend, store, version):
@@ -155,7 +175,7 @@ object HttpArchiveServer {
   private def handle(spark: SparkSession, configPath: String,
                      storePath: String, backend: StoreBackend,
                      typed: => Boolean, ex: HttpExchange,
-                     refuseDisabled: Boolean): Unit = {
+                     refuseDisabled: Boolean, stats: Stats): Unit = {
     if (ex.getRequestMethod != "GET") { sendError(ex, 405, "GET only"); return }
     // RAW path: getPath percent-decodes, which would split an encoded
     // '/' inside a channel name into path segments — the reference
@@ -168,7 +188,8 @@ object HttpArchiveServer {
         """[{"key":1,"name":"Graft","description":"Spark Graft Archive"}]""")
       case p if p.startsWith("/1/samples/") =>
         samples(spark, configPath, storePath, backend, typed, ex,
-          decodePath(p.stripPrefix("/1/samples/")), params, refuseDisabled)
+          decodePath(p.stripPrefix("/1/samples/")), params, refuseDisabled,
+          stats)
       case p if p.startsWith("/1/channels-by-pattern/") =>
         val glob = decodePath(p.stripPrefix("/1/channels-by-pattern/"))
         listChannels(spark, configPath, ex, params,
@@ -205,7 +226,8 @@ object HttpArchiveServer {
                       storePath: String, backend: StoreBackend,
                       typed: => Boolean, ex: HttpExchange, channel: String,
                       params: Map[String, String],
-                      refuseDisabled: Boolean): Unit = {
+                      refuseDisabled: Boolean, stats: Stats): Unit = {
+    stats.samplesRequests.incrementAndGet()
     if (channel.isEmpty) { sendError(ex, 404, "not found"); return }
     // parameter validation per Api10Controller.java:246-279: a missing
     // or non-numeric required param is 400 (Spring's @RequestParam
@@ -235,7 +257,10 @@ object HttpArchiveServer {
         start.get, end.get, count.flatten, isTyped, refuseDisabled)
     }
     val hit = cacheKey.flatMap(k => Option(respMemo.get(k)))
-    if (hit.isDefined) { streamJsonArray(ex, hit.get.iterator, pretty); return }
+    if (hit.isDefined) {
+      stats.responseCacheHits.incrementAndGet()
+      streamJsonArray(ex, hit.get.iterator, pretty); return
+    }
     val it =
       try {
         if (isTyped)

@@ -549,10 +549,21 @@ object StreamingDecimation {
   }
 
   /** The query side of [[spoolSocket]]: stream the spool directory
-    * through the shared wire-format parser.
+    * through the shared wire-format parser. `cleanProcessed = true`
+    * turns on the file source's `cleanSource=delete` — processed chunk
+    * files are removed after their batch commits, so a continuous
+    * ingest's spool stays bounded by in-flight data instead of growing
+    * into a second copy of the archive (deletion is the source's
+    * post-commit best effort; exactly-once is the checkpoint's job
+    * either way, so a chunk deleted late is only disk, never dupes).
     */
-  def spooledSamples(spark: SparkSession, spoolDir: String): DataFrame =
-    parseSampleLines(spark.readStream.text(spoolDir))
+  def spooledSamples(spark: SparkSession, spoolDir: String,
+                     cleanProcessed: Boolean = false): DataFrame = {
+    val r = spark.readStream
+    parseSampleLines(
+      (if (cleanProcessed) r.option("cleanSource", "delete") else r)
+        .text(spoolDir))
+  }
 
   /** The wire-format parser, shared by [[socketSamples]] and any
     * line-transport source (Kafka value column, file tail): expects a

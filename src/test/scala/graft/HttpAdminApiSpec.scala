@@ -170,6 +170,27 @@ class HttpAdminApiSpec extends AnyFunSuite {
     } finally running2.stop()
   }
 
+  test("server-status reports live serving counters and versions; cluster-status lists this server") {
+    // drive one cacheable samples request twice: the second is a
+    // response-cache hit the counters must show
+    val lo = T0; val hi = T0 + 10L * 60L * NS
+    val url = s"$serveBase/1/samples/${enc("pv:batch")}?start=$lo&end=$hi"
+    http("GET", url); http("GET", url)
+    val (sc, sb) = http("GET", s"$adminBase/1.0/server-status/this-server")
+    assert(sc == 200)
+    assert(sb.contains("\"serverId\":\"graft\"") &&
+      sb.contains("\"online\":true"))
+    def counter(name: String): Long =
+      ("\"" + name + "\":(\\d+)").r.findFirstMatchIn(sb).get.group(1).toLong
+    assert(counter("totalRequests") >= 2L)
+    assert(counter("samplesRequests") >= 2L)
+    assert(counter("responseCacheHits") >= 1L)
+    assert(counter("channelsTotal") >= 1L)
+    assert(sb.contains("configVersion"))
+    val (cc, cb) = http("GET", s"$adminBase/1.0/cluster-status")
+    assert(cc == 200 && cb.contains("\"online\":true"))
+  }
+
   test("adminAuth guards the admin context with HTTP Basic; serving stays anonymous") {
     val cfgA = Files.createTempDirectory("authcfg").toString
     val storeA = Files.createTempDirectory("authstore").toString

@@ -45,6 +45,38 @@ class SocketIngestSpec extends AnyFunSuite {
     assert(got(2).getString(0) == "ch:b" && got(2).getDouble(2) == -3.25)
   }
 
+  test("wire format round-trips arbitrary samples (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // channel names: printable, no TAB/newline (the TSV framing's one
+    // reserved set — EPICS CA names are token-like and never carry
+    // either; the parser doc pins the restriction)
+    def chan(): String = {
+      val alphabet =
+        "abcXYZ019:/ +~#%&()[]{}?!.,;é中"
+      (0 until 1 + rnd.nextInt(12))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val rows = (0 until 300).map { i =>
+      val v: Option[Double] =
+        if (rnd.nextInt(10) == 0) None
+        else Some(java.lang.Double.longBitsToDouble(rnd.nextLong())) match {
+          case Some(d) if d.isNaN || d.isInfinite => Some(rnd.nextDouble())
+          case other => other
+        }
+      (chan(), rnd.nextLong().abs, v, i.toLong)
+    }
+    val lines = rows.map(r =>
+        s"${r._1}\t${r._2}\t${r._3.map(_.toString).getOrElse("")}\t${r._4}")
+      .toDF("value")
+    val parsed = StreamingDecimation.parseSampleLines(lines)
+      .select("channel", "ts", "value", "sample_id")
+      .as[(String, Long, Option[Double], Long)]
+      .collect().toSeq.sortBy(_._4)
+    assert(parsed == rows.sortBy(_._4),
+      "format→parse must be the identity on valid samples")
+  }
+
   test("socket → manifest store equals the batch-committed bytes") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
