@@ -1678,6 +1678,77 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |SELECT probe_id, vec_id, approx_dot, rank
          |FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
 
+    // IVF-PQ + exact rerank: the sim_ivf_search cluster pruning, the
+    // sim_pq_topk ADC scoring restricted to pruned candidates, then
+    // the exact-cosine rerank of the top-50 shortlist
+    "sim_ivfpq_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |seeds AS (SELECT vec_id AS cluster, v AS sv FROM e ORDER BY vec_id LIMIT 8),
+         |assigned AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT e.vec_id, seeds.cluster,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY round(list_cosine_similarity(e.v, seeds.sv), 6) DESC,
+         |                      cluster) AS rn
+         |    FROM e CROSS JOIN seeds) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+         |pclusters AS (
+         |  SELECT probe_id, cluster FROM (
+         |    SELECT p.probe_id, seeds.cluster,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY round(list_cosine_similarity(p.pv, seeds.sv), 6) DESC,
+         |                      cluster) AS rn
+         |    FROM probes p CROSS JOIN seeds) WHERE rn <= 2),
+         |cb AS (
+         |  SELECT u.m, vec_id::INT AS code, v[u.m*16+1 : u.m*16+16] AS cent
+         |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS vec_id, v
+         |        FROM e ORDER BY vec_id LIMIT 16) e16, UNNEST(range(4)) u(m)),
+         |sub AS (
+         |  SELECT vec_id, u.m, v[u.m*16+1 : u.m*16+16] AS sub
+         |  FROM e, UNNEST(range(4)) u(m)),
+         |enc AS (
+         |  SELECT s.vec_id, s.m, cb.code,
+         |    round(list_dot_product(cent, cent)
+         |          - 2.0 * list_dot_product(sub, cent), 6) AS d2
+         |  FROM sub s JOIN cb ON s.m = cb.m),
+         |codes AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d2, code) AS rn FROM enc) WHERE rn = 1),
+         |lut AS (
+         |  SELECT p.probe_id, cb.m, cb.code,
+         |    list_dot_product(p.pv[cb.m*16+1 : cb.m*16+16], cent) AS term
+         |  FROM probes p, cb),
+         |cand AS (
+         |  SELECT pc.probe_id, a.vec_id
+         |  FROM pclusters pc JOIN assigned a ON pc.cluster = a.cluster
+         |  WHERE pc.probe_id != a.vec_id),
+         |scored AS (
+         |  SELECT c.probe_id, c.vec_id,
+         |    round(CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6) AS approx_dot
+         |  FROM cand c
+         |  JOIN codes k ON c.vec_id = k.vec_id
+         |  JOIN lut ON c.probe_id = lut.probe_id
+         |         AND k.m = lut.m AND k.code = lut.code
+         |  GROUP BY 1, 2),
+         |shortlist AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY approx_dot DESC, vec_id) AS rn FROM scored)
+         |  WHERE rn <= 50),
+         |exact AS (
+         |  SELECT s.probe_id, s.vec_id,
+         |    round(list_cosine_similarity(p.pv, e.v), 6) AS cos_sim
+         |  FROM shortlist s
+         |  JOIN e ON s.vec_id = e.vec_id
+         |  JOIN probes p ON s.probe_id = p.probe_id)
+         |SELECT probe_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, vec_id) AS rank
+         |  FROM exact)
+         |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+
     "sim_pq_refined" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |cb AS (

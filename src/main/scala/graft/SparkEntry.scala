@@ -1946,6 +1946,16 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // the full billion-scale composition: IVF coarse pruning → ADC
+    // code scoring of ONLY the probed clusters' members → exact
+    // cosine rerank of the shortlist (FAISS IVFPQ+refine shape)
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfPqSearch(e, e.where(col("vec_id") < 5),
+          topK = 10, nProbe = 2, shortK = 50)
+        .orderBy("probe_id", "rank")
+    }),
+
     // multimodal plumbing: no SQL-expressible oracle (binary decode);
     // driver records a rows-only check, semantics are ScalaTest'd.
     "mm_features" -> ((s, dir) => {

@@ -842,6 +842,65 @@ object Similarity {
       .where(col("rank") <= topK)
   }
 
+  /** The full billion-scale composition — IVF-PQ with exact rerank
+    * (the FAISS `IVFPQ` + refine shape, which is what actually runs at
+    * 10⁹ vectors): the coarse quantizer prunes the search to `nProbe`
+    * clusters' postings, the ADC table lookups score ONLY those
+    * candidates from their 4-byte codes (no vector math per pair),
+    * and the exact cosine rerank of the `shortK` shortlist restores
+    * true final order. Scale ledger per probe: k tiny centroid dots +
+    * (corpus/k)·nProbe code-sum lookups + shortK exact cosines —
+    * versus [[pqSearch]]'s full-corpus code scan and
+    * [[bruteForceTopK]]'s full-corpus vector scan. Same determinism
+    * conventions as both halves (6dp scaled rounds, DECIMAL-routed
+    * ADC sums, id tie-breaks), so the composition is oracle-gateable
+    * end to end.
+    */
+  def ivfPqSearch(corpus: DataFrame, probes: DataFrame, topK: Int,
+                  nProbe: Int = 2, shortK: Int = 50,
+                  k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dot = graft.functions.VectorExpressions.vector_dot _
+    val seeds = seedFrame(corpus, k)
+    val probeClusters = nearestClusters(probes, seeds, nProbe)
+      .select(col("probe_id"), col("cluster"))
+    val assigned = ivfAssign(corpus, k).select(col("vec_id"), col("cluster"))
+    val cb = pqCodebooks(corpus)
+    val codes = pqEncode(corpus, cb)
+    val lut = probes
+      .select(col("vec_id").as("probe_id"),
+        asDouble(col("embedding")).as("pv"))
+      .crossJoin(broadcast(cb))
+      .select(col("probe_id"), col("m"), col("code"),
+        dot(slice(col("pv"), col("m") * PqSubDim + 1, lit(PqSubDim)),
+          col("cent")).as("term"))
+    // IVF pruning: candidates are only the probed clusters' members
+    val cand = broadcast(probeClusters).join(assigned, Seq("cluster"))
+      .where(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"))
+    val scored = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("probe_id", "m", "code"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(round(graft.archive.Decimation.exactSum(col("term")), 6)
+        .as("approx_dot"))
+    val wAdc = Window.partitionBy("probe_id")
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+    val shortlist = scored.withColumn("rn", row_number().over(wAdc))
+      .where(col("rn") <= shortK)
+      .select(col("probe_id"), col("vec_id"))
+    val exact = shortlist
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_emb"))), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(asDouble(col("probe_emb")), asDouble(col("embedding"))), 6)
+          .as("cos_sim"))
+    val wExact = Window.partitionBy("probe_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(wExact))
+      .where(col("rank") <= topK)
+  }
+
   /** Embedding-cosine near-dup: candidate pairs from shared LSH
     * buckets in ANY of `numTables` tables (OR-of-tables), kept when
     * exact cosine clears `minCos`. Same never-all-pairs shape as the
