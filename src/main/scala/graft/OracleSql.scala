@@ -330,6 +330,26 @@ object OracleSql {
          |SELECT channel, ts, value, severity, status, sample_id
          |FROM clean ORDER BY channel, sample_id""".stripMargin,
 
+    // per-channel F6-violation counters over the RAW arrival stream
+    // (lag by arrival order = sample_id); integer sums through the
+    // BIGINT cast (DuckDB sum widens to HUGEINT → float in pandas)
+    "arch_integrity_report" ->
+      s"""WITH $SAMPLES,
+         |l AS (
+         |  SELECT channel, ts,
+         |    lag(ts) OVER (PARTITION BY channel ORDER BY sample_id)
+         |      AS prev_ts
+         |  FROM samples)
+         |SELECT channel, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN ts = prev_ts THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_ts,
+         |  CAST(sum(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_backward,
+         |  CAST(sum(CASE WHEN ts = prev_ts THEN 1 ELSE 0 END)
+         |     + sum(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_violations
+         |FROM l GROUP BY channel ORDER BY channel""".stripMargin,
+
     "arch_decimate_1h" ->
       s"""${decPrelude(P1H)}
          |SELECT channel, win_start, round(mean, 6) AS mean, round(std, 6) AS std,

@@ -169,6 +169,50 @@ object Probe100x {
         "capped_docs" -> 500000, "cap" -> 64, "capped_sec" -> capped)
     }
 
+    if (mode == "ann" || mode == "all") {
+      // the ANN ladder at 2000× the gate corpus: 1M synthetic 64-dim
+      // vectors, 50 probes, top-10. Brute force is the recall oracle
+      // and the bandwidth ceiling; IVF prunes postings by cluster
+      // BEFORE any distance; IVF-PQ additionally scores candidates
+      // from 4-byte codes and exact-reranks the shortlist — the shape
+      // that holds at 10⁹ vectors. k=64 clusters / nProbe=4 keeps the
+      // scan fraction ~6%.
+      val vecs = spark.range(1000000L).select(
+          col("id").as("vec_id"),
+          expr("transform(sequence(0, 63), j -> " +
+            "cast(pmod(xxhash64(id * 64 + j), 2000) as double) / 1000.0" +
+            " - 1.0)").as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      vecs.count()
+      val probes = vecs.where(col("vec_id") < 50)
+      val brute = time(noop(
+        graft.pipeline.Similarity.bruteForceTopK(vecs, probes, 10)))
+      val ivf = time(noop(
+        graft.pipeline.Similarity.ivfSearch(vecs, probes, 10, k = 64,
+          nProbe = 4)))
+      val ivfpq = time(noop(
+        graft.pipeline.Similarity.ivfPqSearch(vecs, probes, 10,
+          nProbe = 4, shortK = 50, k = 64)))
+      // the SERVING shape: the in-query builds above pay the full
+      // corpus scan per query (assignment / PQ encoding) — production
+      // builds ONCE and probes the persisted cluster-partitioned
+      // postings, reading only nProbe/k of the corpus per query
+      val idxDir = java.nio.file.Files.createTempDirectory("annidx")
+        .toString
+      val b0 = System.nanoTime()
+      graft.pipeline.Similarity.ivfBuildIndex(vecs, idxDir, k = 64)
+      val buildSec = (System.nanoTime() - b0) / 1e9
+      val indexed = time(noop(
+        graft.pipeline.Similarity.ivfSearchIndexed(spark, idxDir, probes,
+          topK = 10, nProbe = 4)))
+      vecs.unpersist()
+      report("ann", "vectors" -> 1000000, "dims" -> 64, "probes" -> 50,
+        "brute_sec" -> brute, "ivf_inquery_k64_nprobe4_sec" -> ivf,
+        "ivfpq_inquery_k64_nprobe4_sec" -> ivfpq,
+        "ivf_index_build_sec" -> buildSec,
+        "ivf_indexed_probe_sec" -> indexed)
+    }
+
     docs.unpersist()
     spark.stop()
   }

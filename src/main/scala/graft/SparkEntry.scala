@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.archive.{Analytics, ArchiveReader, ChannelConfig, ChannelRegistry, ConfigCommands, ConfiguredArchive, Decimation, JsonV1, ManifestStore, TypedDecimation}
+import graft.archive.{Analytics, ArchiveReader, ChannelConfig, ChannelRegistry, ConfigCommands, ConfiguredArchive, Decimation, JsonV1, Maintenance, ManifestStore, TypedDecimation}
 import graft.core.{Samples, Tables, TypedSamples}
 import graft.pipeline.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
 import OracleSql._
@@ -381,6 +381,14 @@ object SparkEntry {
 
     "arch_monotonic_dedup" -> ((s, dir) =>
       clean(s, dir).select(coreCols: _*).orderBy("channel", "sample_id")),
+
+    // the admin-side ingest-health scan: per channel, F6 contract
+    // violations in the RAW arrival stream (duplicate canonical ts /
+    // arrival-order regressions) before monotonicDedup repairs them —
+    // one lag window + one aggregate, no second scan
+    "arch_integrity_report" -> ((s, dir) =>
+      Maintenance.integrityReport(raw(s, dir))
+        .orderBy("channel")),
 
     // trailing 1h sliding-window aggregates per channel (graft.archive
     // .Rolling): the window rides the full clean history, the output is

@@ -53,6 +53,35 @@ object Maintenance {
     Report(compacted, retained, vacuumed)
   }
 
+  /** Archive integrity report — the admin-side "is my ingest healthy"
+    * scan the reference's operators run as ad-hoc CQL: per channel,
+    * how many raw rows violate the F6 write contract (duplicate
+    * canonical timestamps, or arrival-order regressions against the
+    * per-channel monotonic rule) before [[graft.core.Samples
+    * .monotonicDedup]] repairs them. All three counters ride ONE
+    * channel-clustered pass (a lag window + one aggregate — no joins,
+    * no second scan), so at 100 TB the report costs the same as any
+    * per-channel aggregate. A healthy store reports zeros; non-zero
+    * `n_dup_ts` on a live ingest usually means a source replayed
+    * without its dedup sink, non-zero `n_backward` a clock step.
+    */
+  def integrityReport(samples: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("channel").orderBy("sample_id")
+    samples
+      .select(col("channel"), col("ts"),
+        lag(col("ts"), 1).over(w).as("prev_ts"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("ts") === col("prev_ts"), 1L).otherwise(0L))
+          .as("n_dup_ts"),
+        sum(when(col("ts") < col("prev_ts"), 1L).otherwise(0L))
+          .as("n_backward"))
+      .withColumn("n_violations", col("n_dup_ts") + col("n_backward"))
+  }
+
   /** [[run]] with the retention map derived from the committed
     * configuration ([[ConfigCommands]]) — the fully config-governed
     * upkeep loop.
