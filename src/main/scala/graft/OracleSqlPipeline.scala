@@ -122,6 +122,30 @@ object OracleSqlPipeline {
   private val sigMatches = (0 until NumMinHashes)
     .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END").mkString(" + ")
 
+  /** One definition of the MinHash-LSH candidate-pair oracle — the
+    * batch gate (`dedup_minhash_lsh`) and the streaming drain
+    * (`stream_dedup_minhash`) assert the SAME pair set, which is the
+    * streaming operator's whole contract. */
+  private lazy val MINHASH_LSH_SQL =
+    s"""WITH $TOKS,
+       |$SH3,
+       |hs AS (SELECT doc_id, ${md5HashM31Sql("shingle")} AS h FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM hs GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  round(($sigMatches)::DOUBLE / $NumMinHashes, 6) AS est_jaccard
+       |FROM pairs
+       |JOIN sig sa ON doc_a = sa.doc_id
+       |JOIN sig sb ON doc_b = sb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   private val bitSumCols = (0 until graft.pipeline.Dedup.SimHashBits)
     .map(b => s"sum(((h >> $b) & 1) * 2 - 1) AS b$b").mkString(",\n    ")
 
@@ -269,25 +293,12 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
         |WHERE NOT EXISTS (SELECT 1 FROM documents h WHERE h.text = b.text)
         |ORDER BY doc_id""".stripMargin,
 
-    "dedup_minhash_lsh" ->
-      s"""WITH $TOKS,
-         |$SH3,
-         |hs AS (SELECT doc_id, ${md5HashM31Sql("shingle")} AS h FROM sh),
-         |sig AS (SELECT doc_id,
-         |    $sigCols
-         |  FROM hs GROUP BY doc_id),
-         |bands AS (
-         |  $bandSelects),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b,
-         |  round(($sigMatches)::DOUBLE / $NumMinHashes, 6) AS est_jaccard
-         |FROM pairs
-         |JOIN sig sa ON doc_a = sa.doc_id
-         |JOIN sig sb ON doc_b = sb.doc_id
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash_lsh" -> MINHASH_LSH_SQL,
+
+    // the STREAMING near-dup drain serves the batch candidate set row
+    // for row (exactly-once cross-band emission via the first-shared-
+    // band rule), so the gate states that by sharing the batch oracle
+    "stream_dedup_minhash" -> MINHASH_LSH_SQL,
 
     // capBandSize guard parity: buckets of more than 4 docs are
     // removed from the banding frame before pairing — same filter,

@@ -485,6 +485,26 @@ object SparkEntry {
       detachSink(s, sink).select(col("text_hash")).orderBy("text_hash")
     }),
 
+    // streaming MinHash-LSH near-dup: per-row (shuffle-free)
+    // signatures → banding → ONE keyed-state operator per (band, key)
+    // bucket, exactly-once cross-band pair emission via the
+    // first-shared-band rule — the drained candidate set must equal
+    // the batch `dedup_minhash_lsh` pairs byte for byte, so the gate
+    // shares that oracle.
+    "stream_dedup_minhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val in = memoInput("sdmh-in", dir)(docs.write.parquet(_))
+      val stream = s.readStream.schema(docs.schema).parquet(in)
+      val sink = s"sdmh_out_${streamGateSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamingDedup.minhashStream(stream)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      detachSink(s, sink)
+        .select(col("doc_a"), col("doc_b"), r6("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // the FIFTH oracle-gated streaming path: per-channel keyed-state
     // trailing window — every sample emits its trailing stats once,
     // and the drained stream must serve the batch RANGE-frame bytes

@@ -205,6 +205,41 @@ object Dedup {
       .agg(min(perm(col("h"), 0)).as("s0"),
         (1 until NumMinHashes).map(i => min(perm(col("h"), i)).as(s"s$i")): _*)
 
+  /** The per-document MinHash signature as ONE array column — no
+    * shuffle. [[minHashSignatures]] computes the 16 component minima
+    * with a groupBy over exploded shingles (the right shape when a
+    * pipeline shares the cached shingle frame with exact
+    * verification); this form runs entirely inside the row's own
+    * projection, which is the only shape a STREAM can use before its
+    * stateful operator (a pre-state groupBy would itself become a
+    * streaming aggregation) — and when nothing else needs the
+    * shingles it is also the cheaper batch plan at 100 TB: the
+    * corpus-wide explode + shuffle disappears. Component-for-component
+    * bit-exact with [[minHashSignatures]] (pinned in PipelineSpec):
+    * same tokens, same k-shingles, same md5→M31 hash, same
+    * permutations — each shingle's md5 is computed ONCE and folded
+    * through a 16-wide running-min accumulator (`aggregate` +
+    * `zip_with`), never 16×. Documents with fewer than k tokens (no
+    * shingle) get null, the analog of having no signature row.
+    */
+  def signatureArray(textCol: String = "text", k: Int = 3): Column = {
+    val toks = tokens(textCol)
+    val sh = (1 until k).foldLeft(toks: Column) { (acc, o) =>
+      zip_with(acc, slice(toks, lit(o + 1), size(toks)),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    val hs = transform(filter(sh, s => s.isNotNull), s => md5HashM31(s))
+    // Running 16-wide min: init of M31 dominates every perm value
+    // (perms are mod M31, so <= M31-1) and is replaced by the first
+    // shingle of any non-empty document.
+    val init = array(Seq.fill(NumMinHashes)(lit(M31)): _*)
+    val folded = aggregate(hs, init, (acc, h) =>
+      zip_with(acc,
+        array((0 until NumMinHashes).map(i => perm(h, i)): _*),
+        (m, p) => least(m, p)))
+    when(size(toks) >= k, folded)
+  }
+
   /** LSH banding: (doc_id, band, key) — docs sharing any band key are
     * near-dup candidates. The band key concatenates the band's
     * signature rows.

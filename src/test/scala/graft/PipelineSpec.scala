@@ -339,6 +339,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(cand.head.getAs[Double]("est_jaccard") == 1.0)
   }
 
+  test("per-row signatureArray is bit-exact with the groupBy minHashSignatures") {
+    import org.apache.spark.sql.functions._
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val viaGroupBy = Dedup.minHashSignatures(corpus)
+      .select(col("doc_id"),
+        array((0 until graft.pipeline.Hashing.NumMinHashes)
+          .map(i => col(s"s$i")): _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val perRow = corpus
+      .select(col("doc_id"), Dedup.signatureArray().as("sig"))
+      .where(col("sig").isNotNull)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(perRow.keySet == viaGroupBy.keySet)
+    perRow.foreach { case (id, sig) => assert(sig == viaGroupBy(id), s"doc $id") }
+    // a sub-k-token doc has no signature on either path
+    val short = docs((9L, "two tokens", "en"))
+    assert(short.select(Dedup.signatureArray()).head().isNullAt(0))
+    assert(Dedup.minHashSignatures(short).isEmpty)
+  }
+
   test("simhash of identical docs is equal; hamming 0") {
     val d = docs(
       (1L, "alpha beta gamma delta epsilon", "en"),

@@ -197,6 +197,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup equals the batch candidate set, across micro-batches") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val expected = graft.pipeline.Dedup
+      .minHashCandidates(corpus.toDF("doc_id", "text"))
+      .select("doc_a", "doc_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect().sorted
+    assert(expected.nonEmpty) // the sf corpus has near-dup families
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup
+      .minhashStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sdmh_spec")
+      .outputMode("append").start()
+    try {
+      // three micro-batches: pairs must appear exactly once no matter
+      // where the two members land
+      corpus.grouped((corpus.size + 2) / 3).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      // replay the middle third: at-least-once delivery, no new pairs
+      mem.addData(corpus.slice(corpus.size / 3, 2 * corpus.size / 3))
+      q.processAllAvailable()
+      val got = spark.table("sdmh_spec")
+        .as[(Long, Long, Double)].collect().sorted
+      assert(got.toSeq == expected.toSeq)
+    } finally q.stop()
+  }
+
+  test("a saturated minhash bucket stops growing state and emitting pairs") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 8 identical docs: every band bucket saturates at cap 3 —
+    // pairs only among the first 3 arrivals (by doc_id), so C(3,2)=3
+    val boiler = (1L to 8L).map(i => (i, "the same boilerplate text repeated here"))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup
+      .minhashStream(mem.toDF().toDF("doc_id", "text"), maxBucketSize = 3)
+      .writeStream.format("memory").queryName("sdmh_cap")
+      .outputMode("append").start()
+    try {
+      mem.addData(boiler.take(4)); q.processAllAvailable()
+      mem.addData(boiler.drop(4)); q.processAllAvailable()
+      val got = spark.table("sdmh_cap")
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    } finally q.stop()
+  }
+
   test("stateless curation ops run unchanged on a stream and equal batch") {
     implicit val s: SparkSession = spark
     import s.implicits._
