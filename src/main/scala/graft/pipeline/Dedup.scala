@@ -267,6 +267,34 @@ object Dedup {
                         maxBandSize: Option[Int] = None): DataFrame =
     minHashCandidatesFromSignatures(minHashSignatures(docs, k), maxBandSize)
 
+  /** The (doc_id, sig, band, key) banding frame computed WITHOUT a
+    * shuffle: per-row signatures ([[signatureArray]]) + the banding
+    * explode, a pure projection pipeline producing the same columns
+    * and the same bytes as `sigBands(minHashSignatures(docs))`. This
+    * is the STREAMING banding stage ([[graft.streaming.StreamingDedup]]
+    * — a pre-state groupBy would itself become a stateful
+    * aggregation), NOT the batch default: measured at sf0.1, the
+    * groupBy form wins ~1.5× warm because its min aggregate is
+    * codegen'd with map-side partial aggregation (shuffle volume is
+    * 16 longs PER DOC, not per shingle — the exchange is never the
+    * bottleneck) while the per-row `aggregate`/`zip_with` fold is
+    * interpreted per shingle, and the batch self-join reuses the
+    * groupBy exchange across both sides where the projection form
+    * recomputes. Batch callers keep [[minHashSignatures]].
+    */
+  def minHashBandsPerRow(docs: DataFrame, k: Int = 3,
+                         textCol: String = "text"): DataFrame =
+    docs.withColumn("sig", signatureArray(textCol, k))
+      .where(col("sig").isNotNull)
+      .select(col("doc_id"), col("sig"),
+        explode(array((0 until NumBands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("_", (0 until RowsPerBand).map(r =>
+              element_at(col("sig"), b * RowsPerBand + r + 1)): _*).as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+
   /** (doc_id, sig, band, key): the banding frame both the in-corpus
     * candidate join and the persisted index build on — one definition
     * of the band-key format. */
@@ -304,8 +332,15 @@ object Dedup {
     }
 
   private def minHashCandidatesFromSignatures(
-      sigs: DataFrame, maxBandSize: Option[Int] = None): DataFrame = {
-    val bands = capBandSize(sigBands(sigs), maxBandSize)
+      sigs: DataFrame, maxBandSize: Option[Int] = None): DataFrame =
+    candidatePairs(sigBands(sigs), maxBandSize)
+
+  /** The LSH candidate equi-join over a (doc_id, sig, band, key)
+    * banding frame — shared by the shuffle-free per-row path and the
+    * shared-shingle groupBy path. */
+  private def candidatePairs(
+      bandsRaw: DataFrame, maxBandSize: Option[Int] = None): DataFrame = {
+    val bands = capBandSize(bandsRaw, maxBandSize)
     val matches =
       expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))")
     bands.as("a").join(bands.as("b"),

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.pipeline.Dedup
@@ -101,18 +100,10 @@ object StreamingDedup {
                     maxBucketSize: Int = 4096): Dataset[PairOut] = {
     val spark = stream.sparkSession
     import spark.implicits._
-    val sigs = stream
-      .withColumn("sig", Dedup.signatureArray(textCol, k))
-      .where(col("sig").isNotNull)
-    val bands = sigs.select(col("doc_id"), col("sig"),
-        explode(array((0 until NumBands).map { b =>
-          struct(lit(b).as("band"),
-            concat_ws("_", (0 until RowsPerBand).map(r =>
-              element_at(col("sig"), b * RowsPerBand + r + 1)): _*).as("key"))
-        }: _*)).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.key").as("key"),
-        col("doc_id"), col("sig"))
-      .as[BandIn]
+    // the batch banding projection runs unchanged on a stream — ONE
+    // definition of the (band, key) format for batch indexes, batch
+    // joins, and streamed state
+    val bands = Dedup.minHashBandsPerRow(stream, k, textCol).as[BandIn]
     bands.groupByKey(r => (r.band, r.key))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(processBucket(maxBucketSize))
