@@ -169,6 +169,68 @@ object Probe100x {
         "capped_docs" -> 500000, "cap" -> 64, "capped_sec" -> capped)
     }
 
+    if (mode == "stream_dedup" || mode == "all") {
+      // streaming MinHash-LSH at 40× the sf0.1 gate corpus: 200k docs
+      // with planted near-dup families (every 20th doc is a one-token
+      // append of its predecessor) replayed through ~10 micro-batches.
+      // Measures the three things that decide whether the operator
+      // holds on an unbounded crawl: end-to-end rows/s, bucket-state
+      // rows (8 band rows per doc — the state the stream carries
+      // forever), and that the saturation guard keeps an adversarial
+      // 10%-boilerplate stream linear (uncapped, its one hot bucket
+      // would hold 20k members and emit ~200M pairs).
+      def streamRun(df: DataFrame, name: String,
+                    maxBucket: Int): (Double, Long, Long) = {
+        val dir = s"/tmp/probe100x_sdup_$name"
+        df.repartition(20).write.mode("overwrite").parquet(dir)
+        val stream = spark.readStream.schema(df.schema)
+          .option("maxFilesPerTrigger", 2).parquet(dir)
+        val q = graft.streaming.StreamingDedup
+          .minhashStream(stream, maxBucketSize = maxBucket)
+          .writeStream.format("memory").queryName(s"sdup_$name")
+          .outputMode("append").start()
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val state = q.lastProgress.stateOperators.apply(0).numRowsTotal
+        q.stop()
+        val pairs = spark.table(s"sdup_$name").count()
+        (sec, pairs, state)
+      }
+      val n = 200000L
+      val effId = when(pmod(col("id"), lit(20)) === 1, col("id") - 1)
+        .otherwise(col("id"))
+      val ptok = (i: Int) => concat(lit("t"),
+        pmod(xxhash64(effId * lit(30) + lit(i)), lit(50000L)))
+      val ptext = concat_ws(" ", (0 until 30).map(ptok): _*)
+      val planted = spark.range(n).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(20)) === 1, concat(ptext, lit(" zz")))
+          .otherwise(ptext).as("text"))
+      val (sec, pairs, state) = streamRun(planted, "planted", 4096)
+      // same run on the RocksDB state store — the provider that holds
+      // at 10⁹-row state (HDFSBacked keeps every partition's full map
+      // on heap; RocksDB spills to native/disk and snapshots
+      // incrementally)
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val (rkSec, rkPairs, rkState) = streamRun(planted, "planted_rk", 4096)
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      require(rkPairs == pairs, s"state-store parity: $rkPairs != $pairs")
+      val boiler = spark.range(n).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(10)) === 0,
+            lit("all work and no play makes a boilerplate document " +
+              "that repeats across the whole crawl every single day"))
+          .otherwise(ptext).as("text"))
+      val (skSec, skPairs, skState) = streamRun(boiler, "boiler", 64)
+      report("stream_dedup", "docs" -> n,
+        "sec" -> sec, "rows_per_sec" -> (n / sec).toLong,
+        "pairs" -> pairs, "state_rows" -> state,
+        "rocksdb_sec" -> rkSec, "rocksdb_rows_per_sec" -> (n / rkSec).toLong,
+        "rocksdb_state_rows" -> rkState,
+        "skew_hot_frac" -> 0.1, "skew_cap" -> 64, "skew_sec" -> skSec,
+        "skew_pairs" -> skPairs, "skew_state_rows" -> skState)
+    }
+
     if (mode == "ann" || mode == "all") {
       // the ANN ladder at 2000× the gate corpus: 1M synthetic 64-dim
       // vectors, 50 probes, top-10. Brute force is the recall oracle
