@@ -173,6 +173,18 @@ object OracleSqlPipeline {
 
   private val enList = inList(TextAnalysis.Stopwords.head._2)
 
+  /** Full-corpus duplicate clusters — shared by the from-scratch gate
+    * (`dedup_clusters`) and the incremental-maintenance gate
+    * (`dedup_clusters_incremental`), which must serve the identical
+    * cluster set without re-banding the old corpus. */
+  private lazy val CLUSTERS_SQL =
+    s"""WITH RECURSIVE $CLUSTER_COMP,
+       |sizes AS (SELECT comp, count(*) AS cluster_size FROM comp GROUP BY 1)
+       |SELECT c.id AS doc_id, c.comp, s.cluster_size,
+       |       (c.id = c.comp) AS keep
+       |FROM comp c JOIN sizes s USING (comp)
+       |ORDER BY doc_id""".stripMargin
+
   /** The full verified-near-dup → connected-components pipeline through
     * the `comp` CTE (id → min-id component) — shared by the clustering
     * and leakage-safe-split oracles so both gate the identical graph.
@@ -386,13 +398,13 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
     // transitive closure + min-label in a recursive CTE mirrors the
     // Spark side's hash-min label propagation (both converge to
     // comp = min doc id of the connected component)
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $CLUSTER_COMP,
-         |sizes AS (SELECT comp, count(*) AS cluster_size FROM comp GROUP BY 1)
-         |SELECT c.id AS doc_id, c.comp, s.cluster_size,
-         |       (c.id = c.comp) AS keep
-         |FROM comp c JOIN sizes s USING (comp)
-         |ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> CLUSTERS_SQL,
+
+    // incremental cluster maintenance serves the FROM-SCRATCH cluster
+    // set (candidate-pair algebra: old-vs-old ∪ pairs-involving-new is
+    // exactly the full banding join), so the gate shares the
+    // full-corpus oracle
+    "dedup_clusters_incremental" -> CLUSTERS_SQL,
 
     // leakage-safe split: the SAME verified near-dup components, every
     // cluster hash-assigned atomically via its canonical (min-id)

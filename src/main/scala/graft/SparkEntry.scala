@@ -1164,6 +1164,26 @@ object SparkEntry {
       Dedup.duplicateClusters(Dedup.nearDupPairs(Tables.documents(s, dir)))
         .orderBy("doc_id")),
 
+    // daily-ingest cluster MAINTENANCE: the full corpus's clusters
+    // rebuilt without re-banding the old corpus — yesterday's verified
+    // pairs (persisted) ∪ today's batch banded against the persisted
+    // index (incrementalCandidates), exact-verified, re-clustered.
+    // Candidate algebra: band-sharing pairs partition into old-vs-old
+    // and pairs-involving-new, so the union feeds the identical graph
+    // and the gate shares the from-scratch dedup_clusters oracle.
+    "dedup_clusters_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val old = docs.where(col("doc_id") % 4 =!= 0)
+      val fresh = docs.where(col("doc_id") % 4 === 0)
+      val oldPairs = Dedup.nearDupPairs(old).select("doc_a", "doc_b")
+      val newPairs = Dedup
+        .verifyCandidates(docs, Dedup.incrementalCandidates(
+          Dedup.minHashIndex(old), fresh))
+        .where(col("jaccard") >= 0.15).select("doc_a", "doc_b")
+      Dedup.duplicateClusters(oldPairs.unionByName(newPairs))
+        .orderBy("doc_id")
+    }),
+
     // per-language data-card statistics with exact percentiles (already
     // 6dp-rounded engine-deterministically inside corpusStats)
     "corpus_stats" -> ((s, dir) =>

@@ -339,6 +339,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(cand.head.getAs[Double]("est_jaccard") == 1.0)
   }
 
+  test("old-corpus pairs plus incremental candidates equal the full banding join") {
+    import org.apache.spark.sql.functions._
+    // the candidate-pair algebra dedup_clusters_incremental rests on:
+    // band-sharing pairs partition cleanly into old-vs-old and
+    // pairs-involving-a-new-doc — nothing lost, nothing double-counted
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val old = corpus.where(col("doc_id") % 4 =!= 0)
+    val fresh = corpus.where(col("doc_id") % 4 === 0)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val full = pairSet(Dedup.minHashCandidates(corpus))
+    val oldP = pairSet(Dedup.minHashCandidates(old))
+    val inc = pairSet(Dedup.incrementalCandidates(Dedup.minHashIndex(old), fresh))
+    assert(full.nonEmpty)
+    assert((oldP & inc).isEmpty)
+    assert(oldP ++ inc == full)
+  }
+
   test("per-row signatureArray is bit-exact with the groupBy minHashSignatures") {
     import org.apache.spark.sql.functions._
     val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
