@@ -210,9 +210,7 @@ object ConfigCommands {
       s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
     val out = f.create(tmp, /* overwrite = */ false)
     try out.write(toJson(st)) finally out.close()
-    if (f.exists(target) || !f.rename(tmp, target)) {
-      f.delete(tmp, false); false
-    } else true
+    AtomicClaim.publish(f, tmp, target)
   }
 
   /** Optimistic CAS commit over the config log — `update` re-runs

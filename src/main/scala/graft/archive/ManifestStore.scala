@@ -227,10 +227,7 @@ object ManifestStore {
       s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
     val out = f.create(tmp, /* overwrite = */ false)
     try out.write(toJson(m)) finally out.close()
-    if (f.exists(target) || !f.rename(tmp, target)) {
-      f.delete(tmp, false)
-      false
-    } else true
+    AtomicClaim.publish(f, tmp, target)
   }
 
   /** Optimistic-retry commit: apply `update` to the latest manifest and
@@ -245,9 +242,25 @@ object ManifestStore {
     val f = fs(spark, path)
     var attempts = 0
     while (attempts < 50) {
-      val cur = latestManifest(spark, path).getOrElse(Manifest(0L, "", Nil))
-      val top = listVersions(f, path).lastOption.getOrElse(0L)
-      val next = update(cur).copy(version = math.max(cur.version, top) + 1)
+      // ONE listing feeds BOTH the base manifest and the claimed
+      // version. Reading "latest" and listing "top" as two separate
+      // filesystem round trips is a lost-update hole: a commit landing
+      // between them gets skipped over like a corrupt squatter and its
+      // file entries silently drop out of the merged manifest (caught
+      // by ManifestStoreSpec's 8-thread concurrent-writers race). With
+      // a single listing, anything published after it just makes the
+      // exclusive claim fail, and the loop re-reads.
+      val versions = listVersions(f, path)
+      val cur = versions.reverseIterator
+        .map(v => v -> scala.util.Try(readManifest(spark, path, v)))
+        .collectFirst {
+          case (_, scala.util.Success(m)) => m
+          case (v, scala.util.Failure(e)) if v == versions.min =>
+            throw new java.io.IOException(
+              s"no readable manifest under $path (last error on v$v)", e)
+        }.getOrElse(Manifest(0L, "", Nil))
+      val next = update(cur)
+        .copy(version = versions.lastOption.getOrElse(0L) + 1)
       if (writeExclusive(spark, path, next)) return next
       attempts += 1
     }

@@ -55,6 +55,46 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(ManifestStore.latestManifest(spark, dir).get.files.size == 2)
   }
 
+  test("concurrent writers never lose a commit: optimistic retry under real thread races") {
+    // 8 driver threads × 3 commits racing on ONE log — the shape of
+    // independent ingest jobs sharing a store. Every commit must land
+    // (exclusive-create loses → re-read → re-apply), the version chain
+    // must be gapless, and the union of rows must read back complete.
+    val dir = Files.createTempDirectory("mstore").toString
+    val nThreads = 8
+    val perThread = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val done = new java.util.concurrent.CountDownLatch(nThreads)
+    (0 until nThreads).foreach { t =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try {
+            latch.await() // all threads start committing together
+            (0 until perThread).foreach { i =>
+              ManifestStore.commit(
+                samples((s"c$t-$i", T0 + (t * perThread + i) * NS, t + i / 10.0)),
+                dir, levelSec = 0)
+            }
+          } catch { case e: Throwable => failures.add(e) }
+          finally done.countDown()
+      })
+    }
+    latch.countDown()
+    assert(done.await(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(failures.isEmpty, s"commit failures: ${failures.size}")
+    val m = ManifestStore.latestManifest(spark, dir).get
+    assert(m.version == (nThreads * perThread).toLong) // gapless chain
+    assert(m.files.size == nThreads * perThread)       // no lost file set
+    val chans = ManifestStore.read(spark, dir, 0)
+      .select("channel").as[String].collect().sorted.toSeq
+    val expected = (for (t <- 0 until nThreads; i <- 0 until perThread)
+      yield s"c$t-$i").sorted
+    assert(chans == expected) // every racing row is served
+  }
+
   test("schema union across levels: decimated stat columns read as null on raw files") {
     val dir = Files.createTempDirectory("mstore").toString
     ManifestStore.commit(samples(("c", T0 + 1 * NS, 1.0)), dir, 0)
