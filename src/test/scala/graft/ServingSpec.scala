@@ -225,6 +225,43 @@ class ServingSpec extends AnyFunSuite {
         i.toDouble, i))
       .toDF("channel", "ts", "value", "sample_id")
 
+  test("concurrent admin commits never lose a channel: config-log CAS under thread races") {
+    // 8 threads racing addChannel on one config log — the shape of
+    // concurrent admin-API requests. Every add must land (the CAS
+    // claims exactly cur.version+1 through AtomicClaim, retrying lost
+    // races), the version chain must be gapless, and the final state
+    // must hold all 24 channels.
+    import java.nio.file.Files
+    val cfgDir = Files.createTempDirectory("cfgrace").toString
+    val nThreads = 8
+    val perThread = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val done = new java.util.concurrent.CountDownLatch(nThreads)
+    (0 until nThreads).foreach { t =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try {
+            latch.await()
+            (0 until perThread).foreach { i =>
+              ConfigCommands.addChannel(spark, cfgDir,
+                ChannelConfig(s"pv:race-$t-$i", s"id-$t-$i", "ca",
+                  enabled = true, Map(), Map(3600L -> 0L)))
+            }
+          } catch { case e: Throwable => failures.add(e) }
+          finally done.countDown()
+      })
+    }
+    latch.countDown()
+    assert(done.await(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(failures.isEmpty, s"commit failures: ${failures.size} ${failures.peek()}")
+    val st = ConfigCommands.state(spark, cfgDir)
+    assert(st.version == (nThreads * perThread).toLong)
+    assert(st.configs.size == nThreads * perThread)
+  }
+
   test("channel lifecycle: add → write → query, update, rename") {
     import java.nio.file.Files
     val cfgDir = Files.createTempDirectory("cfglog").toString
