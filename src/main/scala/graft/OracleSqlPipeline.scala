@@ -214,7 +214,7 @@ vp AS (
   LEFT JOIN inter ON p.doc_a = inter.doc_a AND p.doc_b = inter.doc_b
   JOIN cnt ca ON p.doc_a = ca.doc_id
   JOIN cnt cb ON p.doc_b = cb.doc_id
-  WHERE coalesce(i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i, 0)) >= 0.15),
+  WHERE coalesce(i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i, 0)) >= ${graft.pipeline.Dedup.DefaultMinJaccard}),
 und AS (SELECT doc_a AS src, doc_b AS dst FROM vp
         UNION SELECT doc_b, doc_a FROM vp),
 nodes AS (SELECT DISTINCT src AS id FROM und),
@@ -367,7 +367,7 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |LEFT JOIN inter ON p.doc_a = inter.doc_a AND p.doc_b = inter.doc_b
          |JOIN cnt ca ON p.doc_a = ca.doc_id
          |JOIN cnt cb ON p.doc_b = cb.doc_id
-         |WHERE coalesce(i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i, 0)) >= 0.15
+         |WHERE coalesce(i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i, 0)) >= ${graft.pipeline.Dedup.DefaultMinJaccard}
          |ORDER BY p.doc_a, p.doc_b""".stripMargin,
 
     // incremental candidates ≡ all band-bucket pairs with at least one
@@ -985,7 +985,7 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |FROM inter
          |JOIN cnt ca ON doc_a = ca.doc_id
          |JOIN cnt cb ON doc_b = cb.doc_id
-         |WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.15
+         |WHERE i::DOUBLE / (ca.n + cb.n - i) >= ${graft.pipeline.Dedup.DefaultMinJaccard}
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "sample_stratified" ->
@@ -1585,7 +1585,7 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |  LEFT JOIN inter ON p.doc_a = inter.doc_a AND p.doc_b = inter.doc_b
          |  JOIN cnt ca ON p.doc_a = ca.doc_id
          |  JOIN cnt cb ON p.doc_b = cb.doc_id
-         |  WHERE coalesce(i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i, 0)) >= 0.15),
+         |  WHERE coalesce(i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i, 0)) >= ${graft.pipeline.Dedup.DefaultMinJaccard}),
          |und AS (SELECT doc_a AS src, doc_b AS dst FROM vp
          |        UNION SELECT doc_b, doc_a FROM vp),
          |nodes AS (SELECT DISTINCT src AS id FROM und),

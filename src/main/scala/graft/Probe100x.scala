@@ -213,8 +213,11 @@ object Probe100x {
       // incrementally)
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val (rkSec, rkPairs, rkState) = streamRun(planted, "planted_rk", 4096)
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      // finally, not post-hoc: a RocksDB init failure must not leak the
+      // provider into the later probes of an `all` run
+      val (rkSec, rkPairs, rkState) =
+        try streamRun(planted, "planted_rk", 4096)
+        finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       require(rkPairs == pairs, s"state-store parity: $rkPairs != $pairs")
       val boiler = spark.range(n).select(col("id").as("doc_id"),
         when(pmod(col("id"), lit(10)) === 0,

@@ -487,10 +487,12 @@ object SparkEntry {
 
     // streaming MinHash-LSH near-dup: per-row (shuffle-free)
     // signatures → banding → ONE keyed-state operator per (band, key)
-    // bucket, exactly-once cross-band pair emission via the
-    // first-shared-band rule — the drained candidate set must equal
-    // the batch `dedup_minhash_lsh` pairs byte for byte, so the gate
-    // shares that oracle.
+    // bucket. A pair is emitted by EVERY shared under-cap bucket
+    // (duplicates confined to one micro-batch); the drain's distinct
+    // is the production per-batch dedup, mirroring the batch
+    // operator's own trailing dropDuplicates — the deduped set must
+    // equal the batch `dedup_minhash_lsh` pairs byte for byte, so the
+    // gate shares that oracle.
     "stream_dedup_minhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val in = memoInput("sdmh-in", dir)(docs.write.parquet(_))
@@ -501,6 +503,7 @@ object SparkEntry {
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
       detachSink(s, sink)
+        .dropDuplicates("doc_a", "doc_b")
         .select(col("doc_a"), col("doc_b"), r6("est_jaccard"))
         .orderBy("doc_a", "doc_b")
     }),
@@ -1179,7 +1182,7 @@ object SparkEntry {
       val newPairs = Dedup
         .verifyCandidates(docs, Dedup.incrementalCandidates(
           Dedup.minHashIndex(old), fresh))
-        .where(col("jaccard") >= 0.15).select("doc_a", "doc_b")
+        .where(col("jaccard") >= Dedup.DefaultMinJaccard).select("doc_a", "doc_b")
       Dedup.duplicateClusters(oldPairs.unionByName(newPairs))
         .orderBy("doc_id")
     }),
@@ -1584,7 +1587,7 @@ object SparkEntry {
     }),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccard(Tables.documents(s, dir), k = 3, minJaccard = 0.15)
+      Dedup.ngramJaccard(Tables.documents(s, dir), k = 3, minJaccard = Dedup.DefaultMinJaccard)
         .select(col("doc_a"), col("doc_b"), r6("jaccard"))
         .orderBy("doc_a", "doc_b")),
 

@@ -26,8 +26,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * version.
   */
 object AtomicClaim {
-  def publish(f: FileSystem, tmp: Path, target: Path): Boolean = {
-    val won =
+  def publish(f: FileSystem, tmp: Path, target: Path): Boolean =
+    // finally, not post-hoc: a transient claim failure (HDFS rename
+    // IOException, local AccessDenied) must not orphan the .tmp file —
+    // nothing else ever collects it (vacuum only deletes v*.json) and
+    // leaked tmps grow the directory LIST every read pays
+    try {
       if (f.getScheme == "file") {
         try {
           java.nio.file.Files.createLink(
@@ -38,7 +42,5 @@ object AtomicClaim {
           case _: java.nio.file.FileAlreadyExistsException => false
         }
       } else !f.exists(target) && f.rename(tmp, target)
-    f.delete(tmp, false)
-    won
-  }
+    } finally f.delete(tmp, false)
 }

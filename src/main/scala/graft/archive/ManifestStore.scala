@@ -177,7 +177,18 @@ object ManifestStore {
     */
   def latestManifest(spark: SparkSession, path: String): Option[Manifest] = {
     val f = fs(spark, path)
-    val versions = listVersions(f, path)
+    latestAmong(spark, path, listVersions(f, path))
+  }
+
+  /** Newest READABLE manifest among a pre-fetched version listing —
+    * shared by readers ([[latestManifest]]) and the commit loop, which
+    * must base the next version and the base manifest on ONE listing
+    * (two listings are a lost-update race). Skips unreadable squatters
+    * from the top; throws only when even the oldest version is
+    * unreadable (a corrupt log must fail loudly, not silently reset).
+    */
+  private def latestAmong(spark: SparkSession, path: String,
+                          versions: Seq[Long]): Option[Manifest] = {
     if (versions.isEmpty) return None
     versions.reverseIterator
       .map(v => v -> scala.util.Try(readManifest(spark, path, v)))
@@ -251,14 +262,8 @@ object ManifestStore {
       // a single listing, anything published after it just makes the
       // exclusive claim fail, and the loop re-reads.
       val versions = listVersions(f, path)
-      val cur = versions.reverseIterator
-        .map(v => v -> scala.util.Try(readManifest(spark, path, v)))
-        .collectFirst {
-          case (_, scala.util.Success(m)) => m
-          case (v, scala.util.Failure(e)) if v == versions.min =>
-            throw new java.io.IOException(
-              s"no readable manifest under $path (last error on v$v)", e)
-        }.getOrElse(Manifest(0L, "", Nil))
+      val cur = latestAmong(spark, path, versions)
+        .getOrElse(Manifest(0L, "", Nil))
       val next = update(cur)
         .copy(version = versions.lastOption.getOrElse(0L) + 1)
       if (writeExclusive(spark, path, next)) return next

@@ -13,6 +13,13 @@ import Hashing._
   */
 object Dedup {
 
+  /** Default exact-Jaccard verification threshold — ONE definition for
+    * [[nearDupPairs]], [[ngramJaccard]], the gates that hand-compose
+    * verification (`dedup_clusters_incremental`), and the DuckDB
+    * oracle mirrors: a default drifting in one place must not silently
+    * diverge from the others. */
+  val DefaultMinJaccard = 0.15
+
   /** Exact dedup: group by content hash, keep the smallest doc_id.
     * One map-side-combinable aggregation; at 100 TB use
     * [[Hashing.fastHash64]] + a 128-bit md5 only on collisions.
@@ -468,7 +475,7 @@ object Dedup {
     * clustering / curation queries) should make.
     */
   def nearDupPairs(docs: DataFrame, k: Int = 3,
-                   minJaccard: Double = 0.15,
+                   minJaccard: Double = DefaultMinJaccard,
                    maxBandSize: Option[Int] = None): DataFrame = {
     val sh = shingles(docs, k).cache()
     val cands = minHashCandidatesFromSignatures(
@@ -899,7 +906,7 @@ object Dedup {
   }
 
   def ngramJaccard(docs: DataFrame, k: Int = 3,
-                   minJaccard: Double = 0.15,
+                   minJaccard: Double = DefaultMinJaccard,
                    maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
     val sh = capDocFreq(shingles(docs, k), maxDocFreq).cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))

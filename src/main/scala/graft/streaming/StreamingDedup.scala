@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.pipeline.Dedup
-import graft.pipeline.Hashing.{NumBands, NumMinHashes, RowsPerBand}
+import graft.pipeline.Hashing.NumMinHashes
 
 /** Streaming MinHash-LSH near-duplicate detection: the incremental
   * form of [[graft.pipeline.Dedup.minHashCandidates]] for a corpus
@@ -24,14 +24,30 @@ import graft.pipeline.Hashing.{NumBands, NumMinHashes, RowsPerBand}
   *      proportional to bucket co-membership, exactly the batch
   *      equi-join's output size, never all-pairs.
   *
-  * Exactly-once pair emission WITHOUT a second stateful dedup
-  * operator: a pair sharing several bands would be emitted by several
-  * buckets, but each bucket holds both FULL signatures, so every
-  * bucket computes the same [[firstSharedBand]] locally and only the
-  * bucket whose band equals it emits. The drained stream is therefore
-  * the batch candidate set row for row (same pairs, same
-  * est_jaccard), which is what lets `stream_dedup_minhash` share
-  * `dedup_minhash_lsh`'s DuckDB oracle.
+  * Emission contract — at-least-once per pair, duplicates confined to
+  * ONE micro-batch: a pair sharing several bands is emitted by EVERY
+  * shared under-cap bucket (mirroring the batch band self-join, whose
+  * output the trailing `dropDuplicates` collapses). All emissions of
+  * one pair land in the micro-batch where its LATER member arrives —
+  * every shared bucket sees that member in the same batch — so a
+  * per-batch distinct (foreachBatch `.dropDuplicates` on the way to a
+  * sink, or `dropDuplicatesWithinWatermark` when the stream carries
+  * event time) restores exactly-once without unbounded state. The
+  * deduped drain is then the batch candidate set row for row (same
+  * pairs, same est_jaccard — identical across emissions), which is
+  * what lets `stream_dedup_minhash` share `dedup_minhash_lsh`'s
+  * DuckDB oracle.
+  *
+  * Why not dedup inside the operator: an earlier form emitted only
+  * from the pair's [[firstSharedBand]] — exactly-once with no
+  * downstream dedup — but that rule interacts wrongly with the
+  * saturation guard: a pair whose first shared bucket is SATURATED
+  * but which co-resides in a later under-cap bucket was silently
+  * dropped there (the later bucket refused: "not my band"), losing
+  * pairs the capped BATCH path keeps. Emit-everywhere restores the
+  * batch cap's recall shape: a pair is lost only when EVERY shared
+  * bucket is saturated — the boilerplate-family case the cap
+  * deliberately drops.
   *
   * Scale guard (the streaming analog of
   * [[graft.pipeline.Dedup.capBandSize]]): a boilerplate (band, key)
@@ -41,13 +57,11 @@ import graft.pipeline.Hashing.{NumBands, NumMinHashes, RowsPerBand}
   * forever instead of quadratically exploding state and output. The
   * semantics necessarily differ from the batch cap (which drops
   * oversized buckets retroactively, pairs and all — a stream cannot
-  * un-emit), so saturation is prospective: the first `maxBucketSize`
-  * members pair normally, later arrivals are ignored by this bucket
-  * (a differing pair still meets in a less-common band, the same
-  * recall argument as the batch cap).
+  * un-emit): saturation is prospective — the first `maxBucketSize`
+  * members pair normally, later arrivals are ignored by this bucket.
   *
   * Replays are free: a doc_id already in bucket state is dropped, so
-  * at-least-once upstream delivery still yields exactly-once pairs.
+  * at-least-once upstream delivery adds no new emissions.
   */
 object StreamingDedup {
 
@@ -55,28 +69,6 @@ object StreamingDedup {
   case class Member(docId: Long, sig: Seq[Long])
   case class BucketState(members: List[Member], saturated: Boolean)
   case class PairOut(doc_a: Long, doc_b: Long, est_jaccard: Double)
-
-  /** Smallest band index whose RowsPerBand signature components all
-    * match (equal components ⇔ equal band key — the "_"-joined key is
-    * unambiguous). Both docs of a candidate pair share at least one
-    * band by construction, so this is always >= 0 for bucket
-    * co-members.
-    */
-  def firstSharedBand(a: Seq[Long], b: Seq[Long]): Int = {
-    var band = 0
-    while (band < NumBands) {
-      var r = 0
-      var same = true
-      while (same && r < RowsPerBand) {
-        val i = band * RowsPerBand + r
-        same = a(i) == b(i)
-        r += 1
-      }
-      if (same) return band
-      band += 1
-    }
-    -1
-  }
 
   /** Fraction of matching signature components — the LSH Jaccard
     * estimate, same formula as the batch candidate join's zip_with.
@@ -114,7 +106,6 @@ object StreamingDedup {
       state: GroupState[BucketState]): Iterator[PairOut] = {
     val st = state.getOption.getOrElse(BucketState(Nil, saturated = false))
     if (st.saturated) return Iterator.empty
-    val thisBand = bucket._1
     val seen = scala.collection.mutable.HashSet.empty[Long]
     st.members.foreach(m => seen += m.docId)
     // doc_id order is the canonical replay order inside a micro-batch
@@ -133,11 +124,13 @@ object StreamingDedup {
       var ms = members
       while (ms.nonEmpty) {
         val e = ms.head
-        if (firstSharedBand(n.sig, e.sig) == thisBand) {
-          val (a, b) =
-            if (e.docId < n.doc_id) (e.docId, n.doc_id) else (n.doc_id, e.docId)
-          out += PairOut(a, b, estJaccard(n.sig, e.sig))
-        }
+        // emit unconditionally: bucket co-membership IS band sharing;
+        // cross-band duplicates of this pair land in this same
+        // micro-batch (see the emission contract above) and the
+        // downstream per-batch distinct collapses them
+        val (a, b) =
+          if (e.docId < n.doc_id) (e.docId, n.doc_id) else (n.doc_id, e.docId)
+        out += PairOut(a, b, estJaccard(n.sig, e.sig))
         ms = ms.tail
       }
       members = Member(n.doc_id, n.sig) :: members
