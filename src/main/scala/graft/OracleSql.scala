@@ -37,6 +37,13 @@ object OracleSql {
   val AutoLevels: Seq[Long] = Seq(0L, 3600L, 21600L)
   val AutoCount: Long = 600L
 
+  /** The aligned-matrix export's channel list (= the corpus's five
+    * channels) — shared between the Spark gate and the oracle so the
+    * pivot columns match by construction.
+    */
+  val MatrixChannels: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
   /** The planned segments — computed by the SAME planner the Spark
     * query calls, so plan parity is by construction.
     */
@@ -404,6 +411,63 @@ object OracleSql {
          |FROM clean WHERE value IS NOT NULL AND NOT isnan(value)
          |GROUP BY 1, 2, 3 ORDER BY channel, bin""".stripMargin,
 
+    // parallel LTTB: neighbor-bucket-average anchors, 48 buckets,
+    // integer `//` bucketing ((ts−LO)·48 overflows the double grid),
+    // DECIMAL-routed anchor averages, the area expression mirrored
+    // op-for-op against Analytics.lttb
+    "arch_lttb" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |pts AS (
+         |  SELECT channel, ts, value,
+         |         least(47, ((ts - $LO) * 48) // ${HI - LO}) AS bucket
+         |  FROM clean
+         |  WHERE ts >= $LO AND ts < $HI AND value IS NOT NULL),
+         |summ AS (
+         |  SELECT channel, bucket,
+         |    CAST(sum(CAST(ts AS DECIMAL(38,0))) AS DOUBLE) / count(*)
+         |      AS avg_ts,
+         |    CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+         |      AS avg_v
+         |  FROM pts GROUP BY 1, 2),
+         |anch AS (
+         |  SELECT channel, bucket,
+         |    lag(avg_ts) OVER w AS prev_ts, lag(avg_v) OVER w AS prev_v,
+         |    lead(avg_ts) OVER w AS next_ts, lead(avg_v) OVER w AS next_v
+         |  FROM summ WINDOW w AS (PARTITION BY channel ORDER BY bucket)),
+         |scored AS (
+         |  SELECT p.channel, p.bucket, p.ts, p.value,
+         |    abs((a.prev_ts - a.next_ts) * (p.value - a.prev_v)
+         |      - (a.prev_ts - CAST(p.ts AS DOUBLE))
+         |        * (a.next_v - a.prev_v)) AS area,
+         |    p.bucket > 0 AND p.bucket < 47
+         |      AND a.prev_ts IS NOT NULL AND a.next_ts IS NOT NULL AS mid
+         |  FROM pts p JOIN anch a USING (channel, bucket)),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY channel, bucket
+         |    ORDER BY CASE WHEN mid THEN -area ELSE 0.0 END ASC,
+         |             CASE WHEN bucket = 47 THEN -ts ELSE ts END ASC) AS rn
+         |  FROM scored)
+         |SELECT channel, bucket, ts, value FROM ranked
+         |WHERE rn = 1 ORDER BY channel, bucket""".stripMargin,
+
+    // alarm dwell rollup: sample-and-hold severity intervals capped at
+    // HI, entries = transitions (first sample counts), exact integers
+    "arch_alarm_stats" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |iv AS (
+         |  SELECT channel, ts, severity,
+         |    lag(severity) OVER w AS prev_sev,
+         |    coalesce(lead(ts) OVER w, $HI) - ts AS dur
+         |  FROM clean WHERE ts >= $LO AND ts < $HI
+         |  WINDOW w AS (PARTITION BY channel ORDER BY ts))
+         |SELECT channel, severity, CAST(sum(dur) AS BIGINT) AS total_ns,
+         |  CAST(sum(CASE WHEN prev_sev IS NULL OR prev_sev <> severity
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_entries,
+         |  count(*) AS n_samples
+         |FROM iv GROUP BY 1, 2 ORDER BY channel, severity""".stripMargin,
+
     "arch_decimate_severity" ->
       s"""WITH $SAMPLES,
          |$CLEAN,
@@ -601,6 +665,45 @@ object OracleSql {
          |FROM grid ASOF LEFT JOIN clean s
          |  ON grid.channel = s.channel AND grid.g >= s.ts
          |ORDER BY grid.channel, grid.g""".stripMargin,
+
+    // aligned wide matrix: ASOF join per channel onto the shared 1h
+    // grid, pivoted via one conditional aggregate (exactly one held
+    // row per (g, channel), so max ≡ Spark's first)
+    "arch_aligned_matrix" -> {
+      val chans = MatrixChannels.map(c => s"('$c')").mkString(", ")
+      val cols = MatrixChannels.map(c =>
+        s"max(CASE WHEN channel = '$c' THEN value END) AS \"$c\"")
+        .mkString(",\n         |  ")
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |grid AS (SELECT c.channel, u.g
+         |         FROM (VALUES $chans) c(channel),
+         |         UNNEST(generate_series($LO, $HI, $P1H)) AS u(g)),
+         |a AS (SELECT grid.channel, grid.g, s.value
+         |      FROM grid ASOF LEFT JOIN clean s
+         |        ON grid.channel = s.channel AND grid.g >= s.ts)
+         |SELECT g AS ts,
+         |  $cols
+         |FROM a GROUP BY g ORDER BY ts""".stripMargin
+    },
+
+    // batch form of the streaming threshold-crossing detector: one
+    // lag window over value-bearing samples, raw-double comparisons
+    // (no arithmetic → engines cannot disagree), threshold 250
+    "stream_alerts" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |v AS (
+         |  SELECT channel, ts, value,
+         |    lag(value) OVER (PARTITION BY channel ORDER BY ts) AS pv
+         |  FROM clean WHERE value IS NOT NULL)
+         |SELECT channel, ts, value, pv AS prev_value,
+         |  CASE WHEN pv <= 250.0 AND value > 250.0
+         |       THEN 'rise' ELSE 'fall' END AS kind
+         |FROM v
+         |WHERE pv IS NOT NULL AND ((pv <= 250.0 AND value > 250.0)
+         |   OR (pv > 250.0 AND value <= 250.0))
+         |ORDER BY channel, ts""".stripMargin,
 
     "arch_multilevel_union" ->
       s"""${decPrelude(P1H)}

@@ -1330,6 +1330,46 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |    AS quality_score
          |FROM d ORDER BY doc_id""".stripMargin,
 
+    // mirror of TextAnalysis.gopherRules: every rule an exact integer
+    // comparison (3n ≤ Σlen ≤ 10n etc.), ratios 6dp scale-rounded at
+    // the edge only; stop list generated from TextAnalysis.GopherStops
+    "text_gopher_rules" -> {
+      def sr6(x: String) =
+        s"CAST(CAST(round(($x) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0"
+      val stops = inList(TextAnalysis.GopherStops)
+      s"""WITH $TOKS,
+         |d AS (SELECT t.doc_id,
+         |        CAST(len(toks) AS BIGINT) AS n,
+         |        CAST(coalesce(list_sum(list_transform(toks,
+         |          x -> length(x))), 0) AS BIGINT) AS sum_len,
+         |        CAST(len(list_filter(toks,
+         |          x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |        CAST(len(list_filter($stops,
+         |          w -> list_contains(toks, w))) AS BIGINT) AS n_stop,
+         |        CAST((length(text) - length(replace(text, '#', '')))
+         |          + (length(text) - length(regexp_replace(text,
+         |              '\\.\\.\\.', '', 'g'))) / 3 AS BIGINT) AS n_sym
+         |      FROM documents JOIN t ON documents.doc_id = t.doc_id)
+         |SELECT doc_id, n AS n_tokens,
+         |  ${sr6("CAST(sum_len AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE)")}
+         |    AS mean_token_len,
+         |  ${sr6("CAST(n_alpha AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE)")}
+         |    AS frac_alpha,
+         |  n_stop AS n_stop_distinct,
+         |  n_sym AS n_symbols,
+         |  CASE WHEN n >= 50 AND n <= 100000 THEN 1 ELSE 0 END AS ok_words,
+         |  CASE WHEN sum_len >= n * 3 AND sum_len <= n * 10
+         |       THEN 1 ELSE 0 END AS ok_mean_len,
+         |  CASE WHEN n_alpha * 5 >= n * 4 THEN 1 ELSE 0 END AS ok_alpha,
+         |  CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS ok_stop,
+         |  CASE WHEN n_sym * 10 <= n THEN 1 ELSE 0 END AS ok_symbol,
+         |  CASE WHEN n >= 50 AND n <= 100000
+         |        AND sum_len >= n * 3 AND sum_len <= n * 10
+         |        AND n_alpha * 5 >= n * 4 AND n_stop >= 2
+         |        AND n_sym * 10 <= n THEN 1 ELSE 0 END AS keep
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+
     // mirror of TextAnalysis.normalizeText over the unicode-injected
     // corpus: same op order (trim → collapse \s+ → NFC → lower);
     // chr(769) = U+0301 combining acute, chr(8491) = U+212B ANGSTROM

@@ -624,6 +624,17 @@ object SparkEntry {
       Analytics.histogram(clean(s, dir), bins = 20, lo = 0.0, hi = 500.0)
         .orderBy("channel", "bin")),
 
+    // chart downsampling: parallel LTTB (neighbor-bucket-average
+    // anchors) — 48 buckets over the full window, per channel
+    "arch_lttb" -> ((s, dir) =>
+      Analytics.lttb(clean(s, dir), LO, HI, k = 48)
+        .orderBy("channel", "bucket")),
+
+    // alarm dwell rollup: time-at-severity + entry counts per channel
+    "arch_alarm_stats" -> ((s, dir) =>
+      Analytics.alarmStats(clean(s, dir), LO, HI)
+        .orderBy("channel", "severity")),
+
     "arch_decimate_severity" -> ((s, dir) =>
       Decimation.decimateSeverity(raw(s, dir), P1H)
         .orderBy("channel", "win_start")),
@@ -894,6 +905,31 @@ object SparkEntry {
         .orderBy("channel", "gap_start")
     }),
 
+    // the NINTH oracle-gated streaming path: live threshold-crossing
+    // alerts — per-channel keyed state of (ts, last value), each
+    // rise/fall transition emitted exactly once; the drained stream
+    // must serve the batch lag-window bytes
+    "stream_alerts" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val m = clean(s, dir).select(col("channel"), col("ts"),
+        col("value"), col("sample_id").as("seq"))
+      // same frame as stream_rolling_window / stream_gap_report
+      val in = memoInput("sroll-in", dir)(m.write.parquet(_))
+      val ds = s.readStream.schema(m.schema).parquet(in)
+        .as[graft.streaming.StreamingDecimation.InSample]
+      val sink = s"salert_out_${streamGateSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamingDecimation
+        .alertStream(ds, 250.0)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      detachSink(s, sink)
+        .select(col("channel"), col("ts"), col("value"),
+          col("prev_value"), col("kind"))
+        .orderBy("channel", "ts")
+    }),
+
     // linear-interpolation resample onto the 6h grid: exact on-sample
     // hits, lerp between neighbors, NULL outside the sampled span —
     // the both-directions union-merge (no join, one shuffle)
@@ -910,6 +946,13 @@ object SparkEntry {
         .withColumn("g", explode(sequence(lit(LO), lit(HI), lit(P6H))))
       ArchiveReader.asOfLookup(clean(s, dir), grid).orderBy("channel", "g")
     }),
+
+    // the archive⇄ML bridge: five channels sampled-and-held onto the
+    // shared 1h grid and pivoted wide — one as-of union-merge + one
+    // known-values pivot (a single conditional aggregation)
+    "arch_aligned_matrix" -> ((s, dir) =>
+      Analytics.alignedMatrix(clean(s, dir), MatrixChannels, LO, HI, P1H)
+        .orderBy("ts")),
 
     "arch_multilevel_union" -> ((s, dir) => {
       val coarse = Decimation.decimate(marked(s, dir), P1H)
@@ -1668,6 +1711,11 @@ object SparkEntry {
 
     "text_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // the named Gopher rule battery (Rae et al. 2021): every rule an
+    // exact integer comparison, one shuffle-free projection
+    "text_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(Tables.documents(s, dir)).orderBy("doc_id")),
 
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),

@@ -1,6 +1,7 @@
 package graft.archive
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cross-channel analytics over the archive — the queries an archiver
@@ -79,4 +80,125 @@ object Analytics {
         (lit(lo) + col("bin").cast("double") * lit((hi - lo) / bins))
           .as("bin_lo"),
         col("n"))
+
+  /** Largest-Triangle-Three-Buckets chart downsampling (Steinarsson
+    * 2013) — the canonical "draw a month of raw data in 1000 pixels"
+    * reducer a chart UI wants where the reference only offers
+    * count-based decimation-level selection
+    * (Api10Controller.java:382-456 picks a coarser LEVEL; LTTB picks
+    * the k visually dominant RAW points). Classic LTTB is sequential
+    * (each bucket's pick anchors on the previous bucket's PICK); this
+    * is the standard parallel variant that anchors on the neighbor
+    * buckets' AVERAGES instead, making every bucket independent — the
+    * shape that runs on 1000 executors.
+    *
+    * Per channel over [lo, hi): k equal time buckets; bucket 0 keeps
+    * its first point, bucket k−1 its last, every middle bucket the
+    * point maximizing the triangle area spanned with the previous and
+    * next non-empty buckets' (avg ts, avg value) anchors (a bucket
+    * missing a neighbor keeps its first point; ties break to the
+    * earliest ts).
+    *
+    * Scale shape: one scan + one (channel, bucket) partial-merge
+    * aggregate for the anchors — channels × k rows, broadcast back —
+    * then a per-(channel, bucket) top-1. No all-pairs, no per-channel
+    * sort of raw data.
+    *
+    * Determinism: bucket ids are exact integer math (`div`, not a
+    * double floor — (ts−lo)·k overflows the 2⁵³ double grid); anchor
+    * averages route through DECIMAL sums; the area is one fixed-order
+    * double expression mirrored verbatim in the oracle, with exact
+    * integer-ts tie-breaks.
+    */
+  def lttb(samples: DataFrame, lo: Long, hi: Long, k: Int): DataFrame = {
+    require(k >= 3, "lttb needs at least 3 buckets")
+    val kL = k.toLong
+    val pts = samples
+      .where(col("ts") >= lo && col("ts") < hi && col("value").isNotNull)
+      .select(col("channel"), col("ts"), col("value"))
+      .withColumn("bucket",
+        least(lit(kL - 1), expr(s"((ts - ${lo}L) * ${kL}L) div ${hi - lo}L")))
+    val n = count(lit(1))
+    val summary = pts.groupBy("channel", "bucket").agg(
+      (sum(col("ts").cast("decimal(38,0)")).cast("double") / n).as("avg_ts"),
+      (sum(col("value").cast("decimal(38,12)")).cast("double") / n)
+        .as("avg_v"))
+    val w = Window.partitionBy("channel").orderBy("bucket")
+    val anchors = summary.select(col("channel"), col("bucket"),
+      lag("avg_ts", 1).over(w).as("prev_ts"),
+      lag("avg_v", 1).over(w).as("prev_v"),
+      lead("avg_ts", 1).over(w).as("next_ts"),
+      lead("avg_v", 1).over(w).as("next_v"))
+    val scored = pts.join(broadcast(anchors), Seq("channel", "bucket"))
+      .withColumn("area",
+        abs((col("prev_ts") - col("next_ts")) *
+            (col("value") - col("prev_v")) -
+          (col("prev_ts") - col("ts").cast("double")) *
+            (col("next_v") - col("prev_v"))))
+      .withColumn("mid",
+        col("bucket") > 0 && col("bucket") < (kL - 1) &&
+          col("prev_ts").isNotNull && col("next_ts").isNotNull)
+    val rw = Window.partitionBy("channel", "bucket").orderBy(
+      when(col("mid"), -col("area")).otherwise(lit(0.0)).asc,
+      when(col("bucket") === (kL - 1), -col("ts")).otherwise(col("ts")).asc)
+    scored.withColumn("rn", row_number().over(rw))
+      .where(col("rn") === 1)
+      .select(col("channel"), col("bucket"), col("ts"), col("value"))
+  }
+
+  /** Per-(channel, severity) alarm dwell statistics over [lo, hi):
+    * total nanoseconds spent at each severity (each sample's severity
+    * holds until the next sample, the last until `hi` — the same
+    * sample-and-hold validity the decimator uses), the number of
+    * ENTRIES into that severity (transitions from a different one;
+    * the first sample counts as an entry), and the sample count. The
+    * reference stores alarm severity on every sample
+    * (ChannelAccessDatabaseAccess.java:583-731) but offers no rollup —
+    * "how long was this PV in MAJOR last week" is a manual client-side
+    * walk there; here it is one lag/lead window + one partial-merge
+    * aggregate, all exact integer math.
+    */
+  /** Aligned multi-channel matrix export — the archive⇄ML bridge: N
+    * channels sampled-and-held onto one shared time grid and pivoted
+    * wide (ts, ch₁, …, chₙ), the input shape every downstream
+    * correlation/regression/training job wants. Composes the gated
+    * as-of union-merge ([[ArchiveReader.asOfLookup]] — one shuffle,
+    * no O(n·m) join) with a known-values pivot (no extra pass: with
+    * the channel list given, Spark plans it as one conditional
+    * aggregation). Grid is [lo, hi] inclusive every `stepNs`; a grid
+    * point before a channel's first sample reports null.
+    *
+    * Scale shape: grid rows = channels × points (metadata-sized
+    * vs the archive), the as-of rides the per-channel clustering the
+    * range scan already has, and the pivot shuffles only grid rows.
+    */
+  def alignedMatrix(samples: DataFrame, channels: Seq[String],
+                    lo: Long, hi: Long, stepNs: Long): DataFrame = {
+    require(channels.nonEmpty, "alignedMatrix needs a channel list")
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val grid = channels.toDF("channel")
+      .select(col("channel"),
+        explode(sequence(lit(lo), lit(hi), lit(stepNs))).as("g"))
+    ArchiveReader
+      .asOfLookup(samples.where(col("channel").isin(channels: _*)), grid)
+      .groupBy(col("g").as("ts"))
+      .pivot("channel", channels)
+      .agg(first(col("held_value")))
+  }
+
+  def alarmStats(samples: DataFrame, lo: Long, hi: Long): DataFrame = {
+    val w = Window.partitionBy("channel").orderBy("ts")
+    samples.where(col("ts") >= lo && col("ts") < hi)
+      .select(col("channel"), col("ts"), col("severity"))
+      .withColumn("prev_sev", lag("severity", 1).over(w))
+      .withColumn("next_ts", lead("ts", 1).over(w))
+      .withColumn("dur", coalesce(col("next_ts"), lit(hi)) - col("ts"))
+      .withColumn("entry",
+        col("prev_sev").isNull || col("prev_sev") =!= col("severity"))
+      .groupBy("channel", "severity")
+      .agg(sum(col("dur")).as("total_ns"),
+        sum(when(col("entry"), lit(1L)).otherwise(lit(0L))).as("n_entries"),
+        count(lit(1)).as("n_samples"))
+  }
 }

@@ -95,6 +95,57 @@ object TextAnalysis {
       round(score, 6).as("quality_score"))
   }
 
+  /** Gopher quality rules (Rae et al. 2021, appendix A1.1) — the
+    * named doc-level rule battery production corpora actually ship
+    * with, as one shuffle-free codegen'd projection. Per document:
+    * word count in [50, 100000], mean word length in [3, 10],
+    * ≥ 80% of words contain an alphabetic character, ≥ 2 distinct
+    * stopwords present, symbol-to-word ratio ('#'/ellipsis) ≤ 0.1;
+    * `keep` = all rules pass.
+    *
+    * Determinism: every rule evaluates as an EXACT integer comparison
+    * (3n ≤ Σlen ≤ 10n, 5·n_alpha ≥ 4n, 10·n_sym ≤ n) — no double
+    * ratio ever decides a boolean, so engines cannot disagree at a
+    * threshold tie; the reported ratios are 6dp scale-rounded at the
+    * edge only. Scale shape: a pure per-row projection — no shuffle,
+    * no state, embarrassingly parallel at 100 TB.
+    */
+  def gopherRules(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = toks(textCol)
+    val n = size(t).cast("long")
+    val sumLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+    val nAlpha = size(filter(t, x => x.rlike("[a-z]"))).cast("long")
+    val nStop = size(filter(
+      array(GopherStops.map(lit): _*), w => array_contains(t, w)))
+      .cast("long")
+    val nSym = ((length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))) +
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3)
+      .cast("long")
+    val n0 = greatest(n, lit(1L)).cast("double")
+    docs.select(col("doc_id"),
+      n.as("n_tokens"),
+      r6(sumLen.cast("double") / n0).as("mean_token_len"),
+      r6(nAlpha.cast("double") / n0).as("frac_alpha"),
+      nStop.as("n_stop_distinct"),
+      nSym.as("n_symbols"),
+      (n >= 50L && n <= 100000L).cast("int").as("ok_words"),
+      (sumLen >= n * 3L && sumLen <= n * 10L).cast("int").as("ok_mean_len"),
+      (nAlpha * 5L >= n * 4L).cast("int").as("ok_alpha"),
+      (nStop >= 2L).cast("int").as("ok_stop"),
+      (nSym * 10L <= n).cast("int").as("ok_symbol"),
+      (n >= 50L && n <= 100000L && sumLen >= n * 3L && sumLen <= n * 10L &&
+        nAlpha * 5L >= n * 4L && nStop >= 2L && nSym * 10L <= n)
+        .cast("int").as("keep"))
+  }
+
+  /** The Gopher stopword battery (rule: ≥2 distinct present). Shared
+    * with the oracle generator — keep in sync by construction.
+    */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Canonical text normalization — the first step of any corpus
     * cleaning pipeline: trim, collapse whitespace runs, Unicode NFC
     * (via the codegen'd [[graft.functions.NfcNormalize]] expression —

@@ -360,6 +360,55 @@ object StreamingDecimation {
         GroupStateTimeout.NoTimeout)(process)
   }
 
+  /** One threshold-crossing alert ([[alertStream]] output). */
+  case class AlertOut(channel: String, ts: Long, value: Double,
+                      prev_value: Double, kind: String)
+
+  /** Streaming threshold-crossing alerts — the live alarm-edge
+    * detector (the reference archives per-sample alarm SEVERITY but
+    * leaves value-threshold alarming to the EPICS layer; a monitoring
+    * deployment on this engine wants it at the ingest edge): emit
+    * `rise` when a channel's value crosses from ≤ threshold to >
+    * threshold, `fall` on the way back, each transition exactly once.
+    * Per-channel keyed state is (last accepted ts, last value) — 16
+    * bytes per channel, constant forever. Value-less marker samples
+    * advance the dedup clock but not the value chain. Same F6/ST5
+    * arrival contract as [[gapStream]] (in-batch replay by `seq`,
+    * cross-batch out-of-order/duplicate drops), so a monotonic drain
+    * is byte-identical to the batch lag-window form (the
+    * `stream_alerts` gate's DuckDB oracle).
+    */
+  def alertStream(samples: Dataset[InSample], threshold: Double)
+                 (implicit spark: SparkSession): Dataset[AlertOut] = {
+    import spark.implicits._
+    def process(channel: String, it: Iterator[InSample],
+                state: GroupState[(Long, Option[Double])])
+        : Iterator[AlertOut] = {
+      var (last, held) =
+        state.getOption.getOrElse((Long.MinValue, Option.empty[Double]))
+      val out = scala.collection.mutable.ArrayBuffer.empty[AlertOut]
+      for (s <- it.toSeq.sortBy(_.seq)) {
+        if (last == Long.MinValue || s.ts > last) { // F6/ST5
+          last = s.ts
+          s.value.foreach { v =>
+            held.foreach { pv =>
+              if (pv <= threshold && v > threshold)
+                out += AlertOut(channel, s.ts, v, pv, "rise")
+              else if (pv > threshold && v <= threshold)
+                out += AlertOut(channel, s.ts, v, pv, "fall")
+            }
+            held = Some(v)
+          }
+        }
+      }
+      state.update((last, held))
+      out.iterator
+    }
+    samples.groupByKey(_.channel)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(process)
+  }
+
   /** S9 streaming form — the continuous raw-append path: watermark the
     * stream and append it into the [[graft.archive.ArchiveStore]]
     * layout (level/day hive partitions). Exactly-once via the

@@ -54,4 +54,63 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(bins == Map(0 -> 3L, 1 -> 1L, 3 -> 2L))
     assert(got.filter(_._1 == "c").forall(t => t._3 == t._2 * 25.0))
   }
+
+  test("lttb: keeps first/last points, middle buckets pick max-area, one row per non-empty bucket") {
+    // 4 buckets of 10 s over [0, 40 s); two points per bucket so the
+    // argmax has a choice. Bucket 1's spike (100) dominates any
+    // triangle against flat neighbors; bucket 2 is flat so the tie
+    // breaks to its earliest point.
+    val df = frame(Seq(
+      ("c", 0L * S, 1.0), ("c", 5L * S, 2.0),            // bucket 0
+      ("c", 10L * S, 100.0), ("c", 15L * S, 1.0),        // bucket 1
+      ("c", 20L * S, 1.0), ("c", 25L * S, 1.0),          // bucket 2
+      ("c", 30L * S, 3.0), ("c", 39L * S, 4.0))          // bucket 3
+      .map { case (ch, t, v) => (ch, t, v, "", 0, 0, t) })
+    val got = Analytics.lttb(df, 0L, 40L * S, k = 4)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 4, "one pick per non-empty bucket")
+    assert(got(0) == (0L, 0L, 1.0), "bucket 0 keeps its FIRST point")
+    assert(got(1) == (1L, 10L * S, 100.0), "spike wins the area argmax")
+    assert(got(2)._2 == 20L * S, "flat bucket ties break to earliest ts")
+    assert(got(3) == (3L, 39L * S, 4.0), "last bucket keeps its LAST point")
+  }
+
+  test("lttb: null values dropped, empty buckets absent, missing neighbor falls back to first point") {
+    val df = Seq(
+      ("c", 1L * S, Option(5.0)),
+      ("c", 11L * S, Option(7.0)),
+      ("c", 12L * S, Option.empty[Double]), // null ignored
+      ("c", 31L * S, Option(9.0)), ("c", 35L * S, Option(8.0)),
+      // channel d starts at bucket 1 (bucket 0 empty): middle bucket 1
+      // has NO previous non-empty neighbor → first-point fallback, even
+      // though 17 s would win any area contest
+      ("d", 12L * S, Option(1.0)), ("d", 17L * S, Option(50.0)),
+      ("d", 21L * S, Option(2.0)))
+      .map { case (ch, t, v) => (ch, t, v, "", 0, 0, t) }
+      .toDF("channel", "ts", "value", "str_value", "severity", "status",
+        "sample_id")
+    val got = Analytics.lttb(df, 0L, 40L * S, k = 4)
+      .orderBy("channel", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.filter(_._1 == "c").map(_._2).toSeq == Seq(0L, 1L, 3L),
+      "empty bucket absent, null-only sample never picked")
+    assert(got.find(t => t._1 == "c" && t._2 == 3L).get._3 == 35L * S,
+      "last bucket keeps its LAST point")
+    assert(got.find(t => t._1 == "d" && t._2 == 1L).get._3 == 12L * S,
+      "middle bucket without a previous neighbor keeps its first point")
+  }
+
+  test("alarmStats: dwell times sample-and-hold to hi, entries count transitions") {
+    val S10 = 10L * S
+    val df = frame(Seq(
+      ("c", 0L, 0), ("c", S10, 2), ("c", 2 * S10, 2), ("c", 3 * S10, 0))
+      .map { case (ch, t, sev) => (ch, t, 1.0, "", sev, 0, t) })
+    val got = Analytics.alarmStats(df, 0L, 5 * S10)
+      .orderBy("severity").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // sev 0: [0,10s) + [30s,50s cap) = 30 s over 2 entries;
+    // sev 2: [10s,30s) = 20 s over ONE entry (no transition inside)
+    assert(got.toSeq == Seq((0, 3 * S10, 2L, 2L), (2, 2 * S10, 1L, 2L)))
+  }
 }

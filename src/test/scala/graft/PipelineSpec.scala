@@ -442,6 +442,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(t.getAs[Int]("n_bpe_tokens") == 7)
   }
 
+  test("gopherRules: each rule flips on its own violation, keep is the conjunction") {
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
+    val d = docs(
+      (1L, fifty + " the be of and", "en"),              // all rules pass
+      (2L, "the be of too short", "en"),                 // < 50 words
+      (3L, (1 to 50).map(_ => "a").mkString(" ") +
+        " the be", "en"),                                // mean len < 3
+      (4L, (1 to 26).map(_ => "### ###").mkString(" ") +
+        " the be", "en"),                                // symbols + alpha
+      (5L, fifty + " zz qq", "en"))                      // < 2 stopwords
+    val got = TextAnalysis.gopherRules(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("ok_words"), r.getAs[Int]("ok_mean_len"),
+          r.getAs[Int]("ok_alpha"), r.getAs[Int]("ok_stop"),
+          r.getAs[Int]("ok_symbol"), r.getAs[Int]("keep"))).toMap
+    assert(got(1L) == ((1, 1, 1, 1, 1, 1)))
+    assert(got(2L)._1 == 0 && got(2L)._6 == 0)
+    assert(got(3L)._2 == 0 && got(3L)._6 == 0)
+    assert(got(4L)._3 == 0 && got(4L)._5 == 0 && got(4L)._6 == 0)
+    assert(got(5L)._4 == 0 && got(5L)._6 == 0)
+  }
+
   test("fingerprint is order-sensitive") {
     val d = docs((1L, "a b c", "en"), (2L, "c b a", "en"), (3L, "a b c", "en"))
     val fp = TextAnalysis.fingerprint(d).collect()

@@ -431,4 +431,35 @@ class StreamingSpec extends AnyFunSuite {
         .select("channel").head.getString(0) == "id-s")
     } finally q.stop()
   }
+
+  test("alertStream: rise/fall emitted once each, across batches, replays and markers ignored") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[InSample]
+    val q = StreamingDecimation.alertStream(mem.toDS(), threshold = 10.0)
+      .writeStream.format("memory").queryName("alert_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: below → above (rise at 2 s); staying above is silent
+      mem.addData(Seq(
+        InSample("c", 1 * S, Some(5.0), 0),
+        InSample("c", 2 * S, Some(15.0), 1),
+        InSample("c", 3 * S, Some(20.0), 2)))
+      q.processAllAvailable()
+      // batch 2: a marker (no value) must not break the chain, then a
+      // fall; a cross-batch REPLAY of the rise sample must be dropped
+      mem.addData(Seq(
+        InSample("c", 2 * S, Some(15.0), 3),      // stale replay
+        InSample("c", 4 * S, None, 4),            // marker
+        InSample("c", 5 * S, Some(10.0), 5),      // fall (== threshold)
+        InSample("d", 6 * S, Some(50.0), 6)))     // first sample: silent
+      q.processAllAvailable()
+      val got = spark.table("alert_out")
+        .as[StreamingDecimation.AlertOut].collect().toSeq.sortBy(_.ts)
+      assert(got.map(a => (a.channel, a.ts, a.kind)) ==
+        Seq(("c", 2 * S, "rise"), ("c", 5 * S, "fall")))
+      assert(got.head.prev_value == 5.0 && got(1).prev_value == 20.0)
+    } finally q.stop()
+  }
 }
