@@ -1013,6 +1013,27 @@ object SparkEntry {
         .orderBy("channel", "ts")
     }),
 
+    // the chart-UI serving path: config-governed LTTB downsampling
+    // straight off the manifest store's raw level — one pruned scan +
+    // the bucket-parallel pick; must serve the arch_lttb bytes (store
+    // round-trip lossless, planner bypassed by design)
+    "arch_serve_lttb" -> ((s, dir) => {
+      val root = scratchDir("lttbsrv")
+      val cfgDir = root + "/config"; val store = root + "/store"
+      val names = raw(s, dir).select("channel").distinct()
+        .orderBy("channel").collect().map(_.getString(0)).toSeq
+      names.foreach { n =>
+        ConfigCommands.addChannel(s, cfgDir, ChannelConfig(n, s"id-$n",
+          "ca", enabled = true, Map(), Map(0L -> 0L)))
+      }
+      ConfiguredArchive.materialize(s, cfgDir, store, clean(s, dir))
+      names.map { n =>
+        ConfiguredArchive.queryLttb(s, cfgDir, store, n, LO, HI, k = 48)
+      }.reduce(_ unionByName _)
+        .select(col("channel"), col("bucket"), col("ts"), col("value"))
+        .orderBy("channel", "bucket")
+    }),
+
     // disabled-channel serving end to end (round-9): every channel
     // archived while enabled, then the lexicographically SECOND
     // channel decommissioned — the serving stack still answers for it
@@ -2169,6 +2190,9 @@ object SparkEntry {
       // serving through an XML-round-tripped config serves the same
       // bytes as the directly-committed config
       ("arch_xml_config_serve" -> base("arch_configured_serve")) +
+      // LTTB through the config+manifest serving stack picks the same
+      // points as LTTB over the raw frame (store round-trip lossless)
+      ("arch_serve_lttb" -> base("arch_lttb")) +
       // shard-sketch + cmsMerge serves the whole-corpus heavy hitters
       ("text_heavy_hitters_merged" -> base("text_heavy_hitters")) +
       // so does the streamed Complete-mode sketch

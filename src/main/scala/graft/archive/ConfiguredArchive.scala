@@ -177,6 +177,30 @@ object ConfiguredArchive {
     ArchiveServer.serializedIterator(JsonV1.serializeRaw(df), count)
   }
 
+  /** Config-governed LTTB serving — the chart-UI read path: instead
+    * of the planner picking a coarser LEVEL for `count`
+    * (Api10Controller.java:382-456's rule), serve the `k` visually
+    * dominant RAW points of [startNs, endNs) via
+    * [[Analytics.lttb]]. One pruned raw-level scan (ts range and
+    * channel pushed to the manifest/parquet file pruning) + the
+    * bucket-parallel downsample — no boundary probes, no level-state
+    * job, so the endpoint costs a single range-scan job plus the tiny
+    * anchor aggregate.
+    */
+  def queryLttb(spark: SparkSession, configPath: String,
+                storePath: String, name: String,
+                startNs: Long, endNs: Long, k: Int,
+                backend: StoreBackend = ManifestBackend,
+                refuseDisabled: Boolean = false): DataFrame = {
+    val cfg = resolveServable(spark, configPath, name, refuseDisabled)
+    val raw = backend.read(spark, storePath, 0L,
+        loNs = Some(startNs), hiNs = Some(endNs),
+        channel = Some(cfg.channelDataId))
+      .where(col("channel") === cfg.channelDataId)
+    Analytics.lttb(raw, startNs, endNs, k)
+      .withColumn("channel", lit(name))
+  }
+
   /** Config-governed TYPED serving — the full 21-type JSON v1 wire
     * from a typed-union store: resolve the current name to its id,
     * refuse unknown/disabled channels, pick the decimation level for

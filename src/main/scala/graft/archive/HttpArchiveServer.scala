@@ -6,6 +6,7 @@ import java.util.regex.{Pattern, PatternSyntaxException}
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit}
 
 /** The reference's archive-access HTTP API (version 1.0) as a real
   * process a user can curl — the layer the engine stopped short of
@@ -17,7 +18,7 @@ import org.apache.spark.sql.SparkSession
   *
   *   - `GET <ctx>/` — fixed one-archive info array
   *     (Api10Controller.java:122-137)
-  *   - `GET <ctx>/1/samples/<channel>?start=S&end=E[&count=N]` —
+  *   - `GET <ctx>/1/samples/<channel>?start=S&end=E[&count=N][&lttb=K]` —
   *     JSON v1 sample array. The channel is the URL-DECODED extra path
   *     (Api10Controller.extractExtraPathInfo → URLDecoder, :359-375),
   *     taken from the RAW request path so an encoded `/` (%2F) stays
@@ -26,7 +27,11 @@ import org.apache.spark.sql.SparkSession
   *     non-numeric, `start < 0`, `end < start`, `count <= 0` → 400
   *     (:246-279). Both bounds are served widened — AT_OR_BEFORE lower
   *     / AT_OR_AFTER upper — exactly the modes the reference's
-  *     controller passes on BOTH its raw and decimated paths
+  *     controller passes on BOTH its raw and decimated paths.
+  *     `lttb=K` (beyond the reference) serves the K visually dominant
+  *     raw points via [[Analytics.lttb]] instead of a planner-selected
+  *     level — the chart-UI path; `lttb` non-numeric or < 3, or a
+  *     typed-union store, → 400
   *     (:388-394, :455-462); `count` still drives resolution
   *     selection through [[ResolutionPlanner]].
   *   - `GET <ctx>/1/channels-by-pattern/<glob>` — case-insensitive
@@ -218,7 +223,7 @@ object HttpArchiveServer {
     */
   private val respMemo = new java.util.concurrent.ConcurrentHashMap[
     (StoreBackend, String, String, Long, Long, String, Long, Long,
-      Option[Long], Boolean, Boolean), Vector[String]]()
+      Option[Long], Boolean, Boolean, Option[Int]), Vector[String]]()
   private val RespCacheMaxElems = 20000
   private val RespCacheMaxEntries = 1024
 
@@ -248,13 +253,26 @@ object HttpArchiveServer {
       sendError(ex, 400, "count must be positive")
       return
     }
+    // lttb=<k>: serve the k visually dominant raw points instead of a
+    // planner-selected level (the chart-UI read path)
+    val lttbK = params.get("lttb").map(_.toIntOption)
+    if (lttbK.exists(_.isEmpty)) {
+      sendError(ex, 400, "lttb must be an integer"); return
+    }
+    if (lttbK.exists(_.exists(_ < 3))) {
+      sendError(ex, 400, "lttb must be at least 3"); return
+    }
     val isTyped = typed
+    if (lttbK.isDefined && isTyped) {
+      sendError(ex, 400, "lttb is not supported on typed stores"); return
+    }
     val pretty = params.contains("prettyPrint")
     // cache probe: both versions are driver-side metadata reads
     val cacheKey = backend.metaVersion(spark, storePath).map { mv =>
       (backend, configPath, storePath,
         ConfigCommands.state(spark, configPath).version, mv, channel,
-        start.get, end.get, count.flatten, isTyped, refuseDisabled)
+        start.get, end.get, count.flatten, isTyped, refuseDisabled,
+        lttbK.flatten)
     }
     val hit = cacheKey.flatMap(k => Option(respMemo.get(k)))
     if (hit.isDefined) {
@@ -263,7 +281,15 @@ object HttpArchiveServer {
     }
     val it =
       try {
-        if (isTyped)
+        if (lttbK.isDefined) {
+          val df = ConfiguredArchive.queryLttb(spark, configPath,
+              storePath, channel, start.get, end.get,
+              lttbK.flatten.get, backend, refuseDisabled = refuseDisabled)
+            .withColumn("severity", lit(0)).withColumn("status", lit(0))
+            .orderBy("ts")
+          ArchiveServer.serializedIterator(JsonV1.serializeRaw(df),
+            Some(lttbK.flatten.get.toLong))
+        } else if (isTyped)
           ConfiguredArchive.serveJsonTyped(spark, configPath, storePath,
             channel, start.get, end.get, count.flatten, backend,
             refuseDisabled = refuseDisabled)

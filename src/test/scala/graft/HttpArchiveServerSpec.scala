@@ -155,6 +155,33 @@ class HttpArchiveServerSpec extends AnyFunSuite {
     assert(get(s"$base/1/samples/$ch?end=4")._1 == 400) // missing start
     assert(get(s"$base/1/samples/$ch?start=0")._1 == 400) // missing end
     assert(get(s"$base/1/samples/$ch?start=0&end=4&count=x")._1 == 400)
+    assert(get(s"$base/1/samples/$ch?start=0&end=4&lttb=x")._1 == 400)
+    assert(get(s"$base/1/samples/$ch?start=0&end=4&lttb=2")._1 == 400)
+  }
+
+  test("lttb parameter serves the k dominant raw points in wire format") {
+    val lo = T0
+    val hi = T0 + 600L * 60L * NS
+    val k = 12
+    val (code, body) =
+      get(s"$base/1/samples/${enc("pv:alpha")}?start=$lo&end=$hi&lttb=$k")
+    assert(code == 200)
+    // exactly k elements (600 raw samples, every bucket non-empty)
+    assert(body.count(_ == '{') == 2 * k, // each element nests severity
+      s"expected $k elements")
+    // byte-compare against the engine boundary the handler wraps
+    import org.apache.spark.sql.functions.lit
+    val df = ConfiguredArchive.queryLttb(spark, cfgDir, storePath,
+        "pv:alpha", lo, hi, k)
+      .withColumn("severity", lit(0)).withColumn("status", lit(0))
+    val expected = graft.archive.JsonV1.serializeRaw(df)
+      .orderBy("ts").select("json").collect().map(_.getString(0))
+      .mkString("[", ",", "]")
+    assert(body == expected)
+    // first/last raw points survive (the LTTB edge contract; the
+    // range is [start, end) so the last in-range sample is minute 599)
+    assert(body.startsWith("""[{"time":""" + (T0 + 1L * 60L * NS)))
+    assert(body.contains(""""time":""" + (T0 + 599L * 60L * NS)))
   }
 
   test("route matrix: 404 unknown/empty channel and route") {
