@@ -411,6 +411,23 @@ object OracleSql {
          |FROM clean WHERE value IS NOT NULL AND NOT isnan(value)
          |GROUP BY 1, 2, 3 ORDER BY channel, bin""".stripMargin,
 
+    // per-channel percentile panel: quantile_cont ≡ Spark's exact
+    // interpolated percentile, 6dp scale-rounded at the edge
+    "arch_value_percentiles" -> {
+      def sq(x: String) =
+        s"CAST(CAST(round(($x) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0"
+      s"""WITH $SAMPLES,
+         |$CLEAN
+         |SELECT channel, count(*) AS n_samples,
+         |  min(value) AS v_min,
+         |  ${sq("quantile_cont(value, 0.5)")} AS p50,
+         |  ${sq("quantile_cont(value, 0.9)")} AS p90,
+         |  ${sq("quantile_cont(value, 0.99)")} AS p99,
+         |  max(value) AS v_max
+         |FROM clean WHERE value IS NOT NULL AND NOT isnan(value)
+         |GROUP BY 1 ORDER BY channel""".stripMargin
+    },
+
     // parallel LTTB: neighbor-bucket-average anchors, 48 buckets,
     // integer `//` bucketing ((ts−LO)·48 overflows the double grid),
     // DECIMAL-routed anchor averages, the area expression mirrored

@@ -1400,6 +1400,31 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |FROM documents JOIN t ON documents.doc_id = t.doc_id
          |ORDER BY t.doc_id""".stripMargin,
 
+    // mirror of TextAnalysis.fertility: exact integer sums per
+    // (lang, source), two double divisions 6dp scale-rounded
+    "text_fertility" -> {
+      def sq(x: String) =
+        s"CAST(CAST(round(($x) * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0"
+      s"""WITH $TOKS,
+         |d AS (SELECT t.doc_id, documents.lang, source,
+         |        CAST(length(text) AS BIGINT) AS n_chars,
+         |        CAST(len(toks) AS BIGINT) AS n_ws,
+         |        CAST(len(regexp_extract_all(lower(text),
+         |          '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe
+         |      FROM documents JOIN t ON documents.doc_id = t.doc_id),
+         |g AS (SELECT lang, source, count(*) AS n_docs,
+         |        CAST(sum(n_ws) AS BIGINT) AS n_words,
+         |        CAST(sum(n_bpe) AS BIGINT) AS n_subwords,
+         |        CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |      FROM d GROUP BY 1, 2)
+         |SELECT lang, source, n_docs, n_words, n_subwords, n_chars,
+         |  ${sq("CAST(n_subwords AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)")}
+         |    AS fertility,
+         |  ${sq("CAST(n_chars AS DOUBLE) / CAST(greatest(n_subwords, 1) AS DOUBLE)")}
+         |    AS chars_per_subword
+         |FROM g ORDER BY lang, source""".stripMargin
+    },
+
     // mirror of Multimodal.attachPngPayload's analytic pixel law —
     // the Spark side round-trips these through a real PNG codec, so a
     // value match proves lossless encode→decode, not just plumbing

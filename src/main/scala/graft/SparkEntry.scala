@@ -635,6 +635,11 @@ object SparkEntry {
       Analytics.alarmStats(clean(s, dir), LO, HI)
         .orderBy("channel", "severity")),
 
+    // archive-viewer distribution panel: exact interpolated p50/90/99
+    // per channel (percentile ≡ quantile_cont)
+    "arch_value_percentiles" -> ((s, dir) =>
+      Analytics.valuePercentiles(clean(s, dir)).orderBy("channel")),
+
     "arch_decimate_severity" -> ((s, dir) =>
       Decimation.decimateSeverity(raw(s, dir), P1H)
         .orderBy("channel", "win_start")),
@@ -1737,6 +1742,12 @@ object SparkEntry {
     // exact integer comparison, one shuffle-free projection
     "text_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // tokenizer fertility (subwords per word) + chars per subword per
+    // (lang, source) — the token-budget planning table
+    "text_fertility" -> ((s, dir) =>
+      TextAnalysis.fertility(Tables.documents(s, dir))
+        .orderBy("lang", "source")),
 
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),

@@ -158,6 +158,28 @@ object Analytics {
     * walk there; here it is one lag/lead window + one partial-merge
     * aggregate, all exact integer math.
     */
+  /** Per-channel value percentile panel — the distribution summary an
+    * archive viewer shows next to [[histogram]]: sample count, min,
+    * p50/p90/p99 (linear interpolation — Spark's exact `percentile`,
+    * mirrored by DuckDB's `quantile_cont`), max. Exact percentile is a
+    * per-channel sort aggregate riding the same channel clustering the
+    * decimation pass uses; at 100 TB swap `percentile_approx` (a
+    * mergeable Greenwald–Khanna sketch, no per-group sort) — the
+    * output contract is identical, the gate pins the exact form.
+    */
+  def valuePercentiles(samples: DataFrame): DataFrame = {
+    val sr6 = (c: Column) =>
+      round(c * lit(1e6)).cast("long").cast("double") / lit(1e6)
+    samples.where(col("value").isNotNull && !isnan(col("value")))
+      .groupBy("channel").agg(
+        count(lit(1)).as("n_samples"),
+        min("value").as("v_min"),
+        sr6(percentile(col("value"), lit(0.5))).as("p50"),
+        sr6(percentile(col("value"), lit(0.9))).as("p90"),
+        sr6(percentile(col("value"), lit(0.99))).as("p99"),
+        max("value").as("v_max"))
+  }
+
   /** Aligned multi-channel matrix export — the archive⇄ML bridge: N
     * channels sampled-and-held onto one shared time grid and pivoted
     * wide (ts, ch₁, …, chₙ), the input shape every downstream

@@ -146,6 +146,35 @@ object TextAnalysis {
   val GopherStops: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** Tokenizer fertility report per (lang, source) — the
+    * budget-planning table a training run reads before fixing its
+    * token counts: docs, whitespace words, BPE-ish subword tokens
+    * ([[tokenStats]]'s regex segmentation), characters; fertility =
+    * subwords per word (the standard tokenizer-efficiency metric) and
+    * chars per subword. Integer sums are exact (order-free), the two
+    * ratios are single double divisions 6dp scale-rounded at the edge.
+    * One shuffle on the tiny (lang, source) key space.
+    */
+  def fertility(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val stats = tokenStats(docs, textCol)
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .join(stats, Seq("doc_id"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws_tokens").cast("long")).as("n_words"),
+        sum(col("n_bpe_tokens").cast("long")).as("n_subwords"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("n_words"), col("n_subwords"), col("n_chars"),
+        r6(col("n_subwords").cast("double") /
+          greatest(col("n_words"), lit(1L)).cast("double"))
+          .as("fertility"),
+        r6(col("n_chars").cast("double") /
+          greatest(col("n_subwords"), lit(1L)).cast("double"))
+          .as("chars_per_subword"))
+  }
+
   /** Canonical text normalization — the first step of any corpus
     * cleaning pipeline: trim, collapse whitespace runs, Unicode NFC
     * (via the codegen'd [[graft.functions.NfcNormalize]] expression —

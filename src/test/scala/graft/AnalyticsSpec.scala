@@ -101,6 +101,18 @@ class AnalyticsSpec extends AnyFunSuite {
       "middle bucket without a previous neighbor keeps its first point")
   }
 
+  test("valuePercentiles: interpolated quantiles, nulls and NaN excluded") {
+    val df = frame(series("c", Seq(1.0, 2.0, 3.0, 4.0)))
+      .union(frame(series("n", Seq(1.0)))
+        .withColumn("value", lit(Double.NaN)))
+    val got = Analytics.valuePercentiles(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(6)))
+    assert(got.length == 1, "NaN-only channel excluded")
+    // p50 of {1,2,3,4} interpolates to 2.5
+    assert(got.head == (("c", 4L, 1.0, 2.5, 4.0)))
+  }
+
   test("alarmStats: dwell times sample-and-hold to hi, entries count transitions") {
     val S10 = 10L * S
     val df = frame(Seq(

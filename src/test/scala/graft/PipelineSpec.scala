@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, size, split, sum, when}
+import org.apache.spark.sql.functions.{col, lit, size, split, sum, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.pipeline.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
@@ -462,6 +462,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3L)._2 == 0 && got(3L)._6 == 0)
     assert(got(4L)._3 == 0 && got(4L)._5 == 0 && got(4L)._6 == 0)
     assert(got(5L)._4 == 0 && got(5L)._6 == 0)
+  }
+
+  test("fertility: subwords per word and chars per subword, grouped by (lang, source)") {
+    val d = Seq(
+      (1L, "don't stop", "en"),   // 2 words; subwords: don,',t,stop = 4
+      (2L, "ab cd", "en"))        // 2 words, 2 subwords
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s0"))
+    val got = TextAnalysis.fertility(d).collect().head
+    assert(got.getAs[Long]("n_words") == 4L)
+    assert(got.getAs[Long]("n_subwords") == 6L)
+    assert(got.getAs[Double]("fertility") == 1.5)
   }
 
   test("fingerprint is order-sensitive") {
