@@ -278,6 +278,30 @@ object Probe100x {
         "ivf_indexed_probe_sec" -> indexed)
     }
 
+    if (mode == "lttb" || mode == "all") {
+      // the chart-serving shape at 1000× the gate: 20M samples over
+      // 100 channels (200k samples/channel — a month of 12s data),
+      // downsampled to 1000 points per channel. LTTB's cost model is
+      // one scan + a (channels × k)-row broadcast + a per-bucket
+      // top-1 that reuses the channel partitioning (no extra
+      // exchange — WindowGroupLimit prunes the rank sort), so rows/s
+      // should sit near raw-scan bandwidth.
+      val n = 20000000L
+      val samples = spark.range(n).select(
+          concat(lit("pv"), pmod(col("id"), lit(100L))).as("channel"),
+          expr("(id div 100) * 1000000000L").as("ts"),
+          (pmod(xxhash64(col("id")), lit(1000L)).cast("double") /
+            lit(10.0)).as("value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      samples.count()
+      val hi = n / 100L * 1000000000L
+      val sec = time(noop(
+        graft.archive.Analytics.lttb(samples, 0L, hi, k = 1000)))
+      samples.unpersist()
+      report("lttb", "rows" -> n, "channels" -> 100, "k" -> 1000,
+        "sec" -> sec, "rows_per_sec" -> (n / sec).toLong)
+    }
+
     docs.unpersist()
     spark.stop()
   }

