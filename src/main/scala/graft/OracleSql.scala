@@ -633,6 +633,101 @@ object OracleSql {
          |FROM g WHERE pt IS NOT NULL
          |ORDER BY channel, ts""".stripMargin,
 
+    // M4 downsampling: first/min/max/last per (channel, bucket) with
+    // the EARLIEST ts attaining each extreme — the min/max window CTE
+    // + conditional min(ts) mirrors Spark's min_by over (value, ts)
+    "arch_m4" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |pts AS (
+         |  SELECT channel, ts, value,
+         |         least(47, ((ts - $LO) * 48) // ${HI - LO}) AS bucket
+         |  FROM clean
+         |  WHERE ts >= $LO AND ts < $HI AND value IS NOT NULL),
+         |x AS (
+         |  SELECT *,
+         |    min(value) OVER (PARTITION BY channel, bucket) AS bv_min,
+         |    max(value) OVER (PARTITION BY channel, bucket) AS bv_max
+         |  FROM pts)
+         |SELECT channel, bucket,
+         |  min(ts) AS t_first, arg_min(value, ts) AS v_first,
+         |  min(CASE WHEN value = bv_min THEN ts END) AS t_min,
+         |  min(value) AS v_min,
+         |  min(CASE WHEN value = bv_max THEN ts END) AS t_max,
+         |  max(value) AS v_max,
+         |  max(ts) AS t_last, arg_max(value, ts) AS v_last
+         |FROM x GROUP BY 1, 2 ORDER BY channel, bucket""".stripMargin,
+
+    // hour-of-day profile: pure integer ns hour (no calendar), DECIMAL
+    // sum / count, scaled 6dp round — op order mirrors seasonalProfile
+    "arch_seasonal_profile" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN
+         |SELECT channel,
+         |  CAST((ts // 3600000000000) % 24 AS INT) AS hour,
+         |  count(*) AS n,
+         |  CAST(CAST(round((CAST(sum(CAST(value AS DECIMAL(38,12)))
+         |      AS DOUBLE) / count(*)) * 1000000.0) AS BIGINT) AS DOUBLE)
+         |    / 1e6 AS mean,
+         |  min(value) AS v_min,
+         |  max(value) AS v_max
+         |FROM clean WHERE value IS NOT NULL AND NOT isnan(value)
+         |GROUP BY 1, 2 ORDER BY channel, hour""".stripMargin,
+
+    // threshold crossings at 250: lag comparisons + sample-and-hold
+    // time-above — every output an exact integer
+    "arch_crossings" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |g AS (
+         |  SELECT channel, ts, value,
+         |    lag(value) OVER w AS pv,
+         |    coalesce(lead(ts) OVER w, $HI) - ts AS dur
+         |  FROM clean
+         |  WHERE ts >= $LO AND ts < $HI AND value IS NOT NULL
+         |  WINDOW w AS (PARTITION BY channel ORDER BY ts))
+         |SELECT channel, count(*) AS n_samples,
+         |  CAST(coalesce(sum(CASE WHEN pv < 250.0 AND value >= 250.0
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_up,
+         |  CAST(coalesce(sum(CASE WHEN pv >= 250.0 AND value < 250.0
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_down,
+         |  min(CASE WHEN pv < 250.0 AND value >= 250.0 THEN ts END)
+         |    AS t_first_up,
+         |  max(CASE WHEN pv < 250.0 AND value >= 250.0 THEN ts END)
+         |    AS t_last_up,
+         |  CAST(coalesce(sum(CASE WHEN value >= 250.0 THEN dur ELSE 0 END),
+         |    0) AS BIGINT) AS above_ns
+         |FROM g GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // top movers: 6dp-quantized half means, exact integer-grid delta,
+    // rank by |Δq| desc then channel, top 5
+    "arch_top_movers" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |a AS (
+         |  SELECT channel,
+         |    count(CASE WHEN ts < ${LO + (HI - LO) / 2} THEN 1 END) AS n_a,
+         |    count(CASE WHEN ts >= ${LO + (HI - LO) / 2} THEN 1 END) AS n_b,
+         |    CAST(sum(CASE WHEN ts < ${LO + (HI - LO) / 2}
+         |      THEN CAST(value AS DECIMAL(38,12)) END) AS DOUBLE) AS s_a,
+         |    CAST(sum(CASE WHEN ts >= ${LO + (HI - LO) / 2}
+         |      THEN CAST(value AS DECIMAL(38,12)) END) AS DOUBLE) AS s_b
+         |  FROM clean
+         |  WHERE ts >= $LO AND ts < $HI AND value IS NOT NULL
+         |  GROUP BY 1),
+         |qq AS (
+         |  SELECT channel, n_a, n_b,
+         |    CAST(round(s_a / CAST(n_a AS DOUBLE) * 1000000.0) AS BIGINT)
+         |      AS qa,
+         |    CAST(round(s_b / CAST(n_b AS DOUBLE) * 1000000.0) AS BIGINT)
+         |      AS qb
+         |  FROM a WHERE n_a > 0 AND n_b > 0)
+         |SELECT channel, n_a, n_b,
+         |  CAST(qa AS DOUBLE) / 1e6 AS mean_a,
+         |  CAST(qb AS DOUBLE) / 1e6 AS mean_b,
+         |  CAST(qb - qa AS DOUBLE) / 1e6 AS delta
+         |FROM qq ORDER BY abs(qb - qa) DESC, channel LIMIT 5""".stripMargin,
+
     // linear-interpolation resample: the union-merge neighbor lookup
     // (samples sort before probes at equal ts), integer ts differences
     // cast to double for the one division — op order mirrors the Spark

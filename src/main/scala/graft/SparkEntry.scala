@@ -330,6 +330,22 @@ object SparkEntry {
       detachSink(s, sink).orderBy("channel", "bin")
     }),
 
+    // the live chart envelope: Complete-mode streaming M4 — every
+    // column is a min/max/min_by/max_by, so the state is one row per
+    // (channel, bucket) and each micro-batch merges partials; the
+    // drained sink must serve the batch arch_m4 bytes
+    "stream_m4" -> ((s, dir) => {
+      val r = clean(s, dir)
+      val in = memoInput("sm4-in", dir)(r.write.parquet(_))
+      val stream = s.readStream.schema(r.schema).parquet(in)
+      val sink = s"sm4_out_${streamGateSeq.incrementAndGet()}"
+      val q = Analytics.m4(stream, LO, HI, k = 48)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      detachSink(s, sink).orderBy("channel", "bucket")
+    }),
+
     // ST2 under the driver oracle: the SAME marked samples drain
     // through the streaming keyed-state decimator (file source →
     // flatMapGroupsWithState over DecimatorCore → append sink) and
@@ -634,6 +650,28 @@ object SparkEntry {
     "arch_alarm_stats" -> ((s, dir) =>
       Analytics.alarmStats(clean(s, dir), LO, HI)
         .orderBy("channel", "severity")),
+
+    // M4 chart downsampling: first/min/max/last per pixel bucket —
+    // the pixel-exact envelope reducer next to LTTB, one hash aggregate
+    "arch_m4" -> ((s, dir) =>
+      Analytics.m4(clean(s, dir), LO, HI, k = 48)
+        .orderBy("channel", "bucket")),
+
+    // hour-of-day seasonal baseline per channel (UTC, integer ns math)
+    "arch_seasonal_profile" -> ((s, dir) =>
+      Analytics.seasonalProfile(clean(s, dir))
+        .orderBy("channel", "hour")),
+
+    // threshold-crossing report at 250: up/down counts, first/last
+    // up-crossing ts, sample-and-hold time above — exact integers
+    "arch_crossings" -> ((s, dir) =>
+      Analytics.thresholdCrossings(clean(s, dir), LO, HI, threshold = 250.0)
+        .orderBy("channel")),
+
+    // incident triage: top-5 channels by |mean shift| between the two
+    // halves of the window, exact integer-grid delta ranking
+    "arch_top_movers" -> ((s, dir) =>
+      Analytics.topMovers(clean(s, dir), LO, HI, k = 5)),
 
     // archive-viewer distribution panel: exact interpolated p50/90/99
     // per channel (percentile ≡ quantile_cont)
@@ -1036,6 +1074,28 @@ object SparkEntry {
         ConfiguredArchive.queryLttb(s, cfgDir, store, n, LO, HI, k = 48)
       }.reduce(_ unionByName _)
         .select(col("channel"), col("bucket"), col("ts"), col("value"))
+        .orderBy("channel", "bucket")
+    }),
+
+    // M4 through the config-governed serving stack: id-keyed store,
+    // name resolution, single pruned range scan per channel — must
+    // serve the arch_m4 bytes
+    "arch_serve_m4" -> ((s, dir) => {
+      val root = scratchDir("m4srv")
+      val cfgDir = root + "/config"; val store = root + "/store"
+      val names = raw(s, dir).select("channel").distinct()
+        .orderBy("channel").collect().map(_.getString(0)).toSeq
+      names.foreach { n =>
+        ConfigCommands.addChannel(s, cfgDir, ChannelConfig(n, s"id-$n",
+          "ca", enabled = true, Map(), Map(0L -> 0L)))
+      }
+      ConfiguredArchive.materialize(s, cfgDir, store, clean(s, dir))
+      names.map { n =>
+        ConfiguredArchive.queryM4(s, cfgDir, store, n, LO, HI, k = 48)
+      }.reduce(_ unionByName _)
+        .select(col("channel"), col("bucket"), col("t_first"),
+          col("v_first"), col("t_min"), col("v_min"), col("t_max"),
+          col("v_max"), col("t_last"), col("v_last"))
         .orderBy("channel", "bucket")
     }),
 
@@ -2204,6 +2264,10 @@ object SparkEntry {
       // LTTB through the config+manifest serving stack picks the same
       // points as LTTB over the raw frame (store round-trip lossless)
       ("arch_serve_lttb" -> base("arch_lttb")) +
+      // M4 through the config-governed serving stack = the batch bytes
+      ("arch_serve_m4" -> base("arch_m4")) +
+      // the Complete-mode streaming M4 envelope = the batch bytes
+      ("stream_m4" -> base("arch_m4")) +
       // shard-sketch + cmsMerge serves the whole-corpus heavy hitters
       ("text_heavy_hitters_merged" -> base("text_heavy_hitters")) +
       // so does the streamed Complete-mode sketch

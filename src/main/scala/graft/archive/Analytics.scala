@@ -231,4 +231,138 @@ object Analytics {
         sum(when(col("entry"), lit(1L)).otherwise(lit(0L))).as("n_entries"),
         count(lit(1)).as("n_samples"))
   }
+
+  /** M4 chart downsampling (Jugel et al., VLDB 2014) — the OTHER
+    * canonical pixel-bucket reducer next to [[lttb]]: per channel and
+    * equal time bucket, the first, min, max and last points (with
+    * their timestamps), which is exactly the set of samples an
+    * error-free min/max line rendering needs. Where LTTB optimizes
+    * perceived shape, M4 guarantees the drawn envelope is pixel-exact.
+    *
+    * Scale shape: ONE map-side-combinable hash aggregate over the
+    * scan — every column is a min/max/min_by/max_by, so partial
+    * aggregation collapses each partition to ≤ channels × k rows
+    * before the shuffle. No window, no sort, no join.
+    *
+    * Determinism: bucket ids are exact integer `div`; the extrema
+    * timestamps are the EARLIEST ts attaining the extreme value
+    * (min_by over the lexicographic (value, ts) key — ts is unique per
+    * channel after monotonic dedup, so every pick is total-ordered).
+    */
+  def m4(samples: DataFrame, lo: Long, hi: Long, k: Int): DataFrame = {
+    require(k >= 1, "m4 needs at least 1 bucket")
+    val kL = k.toLong
+    samples
+      .where(col("ts") >= lo && col("ts") < hi && col("value").isNotNull)
+      .select(col("channel"), col("ts"), col("value"))
+      .withColumn("bucket",
+        least(lit(kL - 1), expr(s"((ts - ${lo}L) * ${kL}L) div ${hi - lo}L")))
+      .groupBy("channel", "bucket")
+      .agg(
+        min("ts").as("t_first"),
+        min_by(col("value"), col("ts")).as("v_first"),
+        min_by(col("ts"), struct(col("value"), col("ts"))).as("t_min"),
+        min("value").as("v_min"),
+        min_by(col("ts"), struct((-col("value")).as("nv"), col("ts")))
+          .as("t_max"),
+        max("value").as("v_max"),
+        max("ts").as("t_last"),
+        max_by(col("value"), col("ts")).as("v_last"))
+  }
+
+  /** Hour-of-day seasonal profile — "what does this PV normally do at
+    * 3am": per (channel, UTC hour 0–23) sample count, mean, min, max.
+    * The baseline panel an operator compares a live trace against.
+    * One shuffle-free hour projection (pure integer ns math, no
+    * calendar) + one partial-merge aggregate; output is channels × 24
+    * rows no matter the archive size. Mean routes through a DECIMAL
+    * sum so summation order cannot perturb the 6dp-rounded edge.
+    */
+  def seasonalProfile(samples: DataFrame): DataFrame = {
+    val hourNs = 3600L * 1000000000L
+    samples.where(col("value").isNotNull && !isnan(col("value")))
+      .select(col("channel"),
+        pmod(expr(s"ts div ${hourNs}L"), lit(24L)).cast("int").as("hour"),
+        col("value"))
+      .groupBy("channel", "hour")
+      .agg(count(lit(1)).as("n"),
+        (round((sum(col("value").cast("decimal(38,12)")).cast("double") /
+            count(lit(1))) * lit(1e6)).cast("long").cast("double") / lit(1e6))
+          .as("mean"),
+        min("value").as("v_min"),
+        max("value").as("v_max"))
+  }
+
+  /** Threshold-crossing report over [lo, hi) — the "how often did the
+    * pressure trip 250 and for how long" question: per channel the
+    * count of upward and downward crossings (previous sample strictly
+    * below/at-or-above the threshold), the first and last upward
+    * crossing timestamps, and the total nanoseconds spent at or above
+    * the threshold under the same sample-and-hold validity the
+    * decimator uses (each sample holds until the next, the last until
+    * `hi`). All outputs are exact integers — no float drift possible.
+    *
+    * Scale shape: one per-channel lag/lead window (rides the channel
+    * clustering every archive scan already has) + one partial-merge
+    * aggregate; output is one row per channel.
+    */
+  def thresholdCrossings(samples: DataFrame, lo: Long, hi: Long,
+                         threshold: Double): DataFrame = {
+    val w = Window.partitionBy("channel").orderBy("ts")
+    val t = lit(threshold)
+    val up = col("pv") < t && col("value") >= t
+    val down = col("pv") >= t && col("value") < t
+    samples
+      .where(col("ts") >= lo && col("ts") < hi && col("value").isNotNull)
+      .select(col("channel"), col("ts"), col("value"))
+      .withColumn("pv", lag("value", 1).over(w))
+      .withColumn("dur", coalesce(lead("ts", 1).over(w), lit(hi)) - col("ts"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_samples"),
+        sum(when(up, lit(1L)).otherwise(lit(0L))).as("n_up"),
+        sum(when(down, lit(1L)).otherwise(lit(0L))).as("n_down"),
+        min(when(up, col("ts"))).as("t_first_up"),
+        max(when(up, col("ts"))).as("t_last_up"),
+        sum(when(col("value") >= t, col("dur")).otherwise(lit(0L)))
+          .as("above_ns"))
+  }
+
+  /** Top-k channels by absolute mean shift between the two halves of
+    * [lo, hi) — the incident-triage "what changed the most" panel.
+    * Per channel: the 6dp-quantized mean of each half and their exact
+    * integer-grid delta; channels seen in only one half are excluded
+    * (no shift is defined). One conditional aggregation (no join, no
+    * pivot shuffle) + a top-k sort over one row per channel.
+    *
+    * Determinism: half means quantize to the 6dp long grid before the
+    * delta, so the ranking key |Δq| is an exact integer; ties break on
+    * channel name.
+    */
+  def topMovers(samples: DataFrame, lo: Long, hi: Long, k: Int): DataFrame = {
+    val mid = lo + (hi - lo) / 2
+    val inHalf = (c: Column) => when(c, col("value").cast("decimal(38,12)"))
+    val firstHalf = col("ts") < mid
+    val a = samples
+      .where(col("ts") >= lo && col("ts") < hi && col("value").isNotNull)
+      .select(col("channel"), col("ts"), col("value"))
+      .groupBy("channel")
+      .agg(
+        count(when(firstHalf, lit(1))).as("n_a"),
+        count(when(!firstHalf, lit(1))).as("n_b"),
+        sum(inHalf(firstHalf)).cast("double").as("s_a"),
+        sum(inHalf(!firstHalf)).cast("double").as("s_b"))
+      .where(col("n_a") > 0 && col("n_b") > 0)
+    val qa = round(col("s_a") / col("n_a").cast("double") * lit(1e6))
+      .cast("long")
+    val qb = round(col("s_b") / col("n_b").cast("double") * lit(1e6))
+      .cast("long")
+    a.select(col("channel"), col("n_a"), col("n_b"),
+        (qa.cast("double") / lit(1e6)).as("mean_a"),
+        (qb.cast("double") / lit(1e6)).as("mean_b"),
+        ((qb - qa).cast("double") / lit(1e6)).as("delta"),
+        abs(qb - qa).as("abs_q"))
+      .orderBy(col("abs_q").desc, col("channel"))
+      .limit(k)
+      .drop("abs_q")
+  }
 }

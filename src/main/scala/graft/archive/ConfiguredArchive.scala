@@ -201,6 +201,25 @@ object ConfiguredArchive {
       .withColumn("channel", lit(name))
   }
 
+  /** Config-governed M4 downsampling — [[queryLttb]]'s pixel-exact
+    * sibling ([[Analytics.m4]]): same single pruned range-scan job,
+    * but the reducer is one hash aggregate (no anchor window at all),
+    * returning the first/min/max/last corner points per bucket.
+    */
+  def queryM4(spark: SparkSession, configPath: String,
+              storePath: String, name: String,
+              startNs: Long, endNs: Long, k: Int,
+              backend: StoreBackend = ManifestBackend,
+              refuseDisabled: Boolean = false): DataFrame = {
+    val cfg = resolveServable(spark, configPath, name, refuseDisabled)
+    val raw = backend.read(spark, storePath, 0L,
+        loNs = Some(startNs), hiNs = Some(endNs),
+        channel = Some(cfg.channelDataId))
+      .where(col("channel") === cfg.channelDataId)
+    Analytics.m4(raw, startNs, endNs, k)
+      .withColumn("channel", lit(name))
+  }
+
   /** Config-governed TYPED serving — the full 21-type JSON v1 wire
     * from a typed-union store: resolve the current name to its id,
     * refuse unknown/disabled channels, pick the decimation level for

@@ -6,7 +6,7 @@ import java.util.regex.{Pattern, PatternSyntaxException}
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{array, col, explode, lit, struct}
 
 /** The reference's archive-access HTTP API (version 1.0) as a real
   * process a user can curl — the layer the engine stopped short of
@@ -33,7 +33,11 @@ import org.apache.spark.sql.functions.{col, lit}
   *     level — the chart-UI path; `lttb` non-numeric or < 3, or a
   *     typed-union store, → 400
   *     (:388-394, :455-462); `count` still drives resolution
-  *     selection through [[ResolutionPlanner]].
+  *     selection through [[ResolutionPlanner]]. `m4=K` serves the
+  *     pixel-exact alternative ([[Analytics.m4]]): the distinct
+  *     first/min/max/last corner points of K equal buckets,
+  *     time-ordered; `m4` non-numeric or < 1, combined with `lttb`,
+  *     or on a typed store, → 400.
   *   - `GET <ctx>/1/channels-by-pattern/<glob>` — case-insensitive
   *     `*`/`?` glob over the configured channel names, sorted
   *     (:160-175, compileGlobPattern :307-345).
@@ -223,7 +227,8 @@ object HttpArchiveServer {
     */
   private val respMemo = new java.util.concurrent.ConcurrentHashMap[
     (StoreBackend, String, String, Long, Long, String, Long, Long,
-      Option[Long], Boolean, Boolean, Option[Int]), Vector[String]]()
+      Option[Long], Boolean, Boolean, Option[(String, Int)]),
+    Vector[String]]()
   private val RespCacheMaxElems = 20000
   private val RespCacheMaxEntries = 1024
 
@@ -262,17 +267,32 @@ object HttpArchiveServer {
     if (lttbK.exists(_.exists(_ < 3))) {
       sendError(ex, 400, "lttb must be at least 3"); return
     }
-    val isTyped = typed
-    if (lttbK.isDefined && isTyped) {
-      sendError(ex, 400, "lttb is not supported on typed stores"); return
+    // m4=<k>: the pixel-exact min/max envelope reducer — serves the
+    // DISTINCT first/min/max/last corner points of k equal buckets
+    val m4K = params.get("m4").map(_.toIntOption)
+    if (m4K.exists(_.isEmpty)) {
+      sendError(ex, 400, "m4 must be an integer"); return
     }
+    if (m4K.exists(_.exists(_ < 1))) {
+      sendError(ex, 400, "m4 must be at least 1"); return
+    }
+    if (lttbK.isDefined && m4K.isDefined) {
+      sendError(ex, 400, "lttb and m4 are mutually exclusive"); return
+    }
+    val isTyped = typed
+    if ((lttbK.isDefined || m4K.isDefined) && isTyped) {
+      sendError(ex, 400, "downsampling is not supported on typed stores")
+      return
+    }
+    val downsample: Option[(String, Int)] =
+      lttbK.flatten.map(("lttb", _)).orElse(m4K.flatten.map(("m4", _)))
     val pretty = params.contains("prettyPrint")
     // cache probe: both versions are driver-side metadata reads
     val cacheKey = backend.metaVersion(spark, storePath).map { mv =>
       (backend, configPath, storePath,
         ConfigCommands.state(spark, configPath).version, mv, channel,
         start.get, end.get, count.flatten, isTyped, refuseDisabled,
-        lttbK.flatten)
+        downsample)
     }
     val hit = cacheKey.flatMap(k => Option(respMemo.get(k)))
     if (hit.isDefined) {
@@ -289,6 +309,28 @@ object HttpArchiveServer {
             .orderBy("ts")
           ArchiveServer.serializedIterator(JsonV1.serializeRaw(df),
             Some(lttbK.flatten.get.toLong))
+        } else if (m4K.isDefined) {
+          val m = ConfiguredArchive.queryM4(spark, configPath,
+            storePath, channel, start.get, end.get, m4K.flatten.get,
+            backend, refuseDisabled = refuseDisabled)
+          // the four corner points per bucket, deduplicated (a
+          // single-point bucket repeats one point four times) and
+          // time-ordered — dropDuplicates on ts is safe because ts is
+          // unique per channel, so duplicate rows are identical
+          val pts = m.select(col("channel"),
+              explode(array(
+                struct(col("t_first").as("ts"), col("v_first").as("value")),
+                struct(col("t_min").as("ts"), col("v_min").as("value")),
+                struct(col("t_max").as("ts"), col("v_max").as("value")),
+                struct(col("t_last").as("ts"), col("v_last").as("value"))))
+                .as("p"))
+            .select(col("channel"), col("p.ts").as("ts"),
+              col("p.value").as("value"))
+            .dropDuplicates("ts")
+            .withColumn("severity", lit(0)).withColumn("status", lit(0))
+            .orderBy("ts")
+          ArchiveServer.serializedIterator(JsonV1.serializeRaw(pts),
+            Some(4L * m4K.flatten.get))
         } else if (isTyped)
           ConfiguredArchive.serveJsonTyped(spark, configPath, storePath,
             channel, start.get, end.get, count.flatten, backend,

@@ -113,6 +113,94 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.head == (("c", 4L, 1.0, 2.5, 4.0)))
   }
 
+  test("m4: first/min/max/last per bucket with earliest-ts extreme picks") {
+    // one bucket of [0, 40 s); min value 1.0 occurs twice — the
+    // EARLIEST occurrence must win both t_min and (for the max) t_max
+    val df = frame(Seq(
+      ("c", 0L * S, 5.0), ("c", 10L * S, 1.0), ("c", 20L * S, 9.0),
+      ("c", 25L * S, 1.0), ("c", 30L * S, 9.0), ("c", 39L * S, 7.0))
+      .map { case (ch, t, v) => (ch, t, v, "", 0, 0, t) })
+    val got = Analytics.m4(df, 0L, 40L * S, k = 1).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("t_first") == 0L && r.getAs[Double]("v_first") == 5.0)
+    assert(r.getAs[Long]("t_min") == 10L * S && r.getAs[Double]("v_min") == 1.0,
+      "duplicate min value resolves to the earliest ts")
+    assert(r.getAs[Long]("t_max") == 20L * S && r.getAs[Double]("v_max") == 9.0,
+      "duplicate max value resolves to the earliest ts")
+    assert(r.getAs[Long]("t_last") == 39L * S && r.getAs[Double]("v_last") == 7.0)
+  }
+
+  test("m4: bucketing by integer div, nulls dropped, empty buckets absent") {
+    val df = Seq(
+      ("c", 0L * S, Option(1.0)), ("c", 9L * S, Option(3.0)),   // bucket 0
+      ("c", 12L * S, Option.empty[Double]),                      // dropped
+      ("c", 30L * S, Option(2.0)))                               // bucket 3
+      .map { case (ch, t, v) => (ch, t, v, "", 0, 0, t) }
+      .toDF("channel", "ts", "value", "str_value", "severity", "status",
+        "sample_id")
+    val got = Analytics.m4(df, 0L, 40L * S, k = 4)
+      .orderBy("bucket").collect()
+    assert(got.map(_.getAs[Long]("bucket")).toSeq == Seq(0L, 3L))
+    assert(got(0).getAs[Double]("v_min") == 1.0 &&
+      got(0).getAs[Double]("v_max") == 3.0)
+    // single-point bucket: all four corners are the same point
+    assert(got(1).getAs[Long]("t_first") == 30L * S &&
+      got(1).getAs[Long]("t_min") == 30L * S &&
+      got(1).getAs[Long]("t_max") == 30L * S &&
+      got(1).getAs[Long]("t_last") == 30L * S)
+  }
+
+  test("seasonalProfile: integer ns hour-of-day, DECIMAL-exact means") {
+    val H = 3600L * S
+    val df = frame(Seq(
+      ("c", 3L * H, 1.0), ("c", 27L * H, 3.0),   // hour 3 on two days
+      ("c", 5L * H + 7L * S, 10.0))               // hour 5
+      .map { case (ch, t, v) => (ch, t, v, "", 0, 0, t) })
+    val got = Analytics.seasonalProfile(df).orderBy("hour").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq((3, 2L, 2.0, 1.0, 3.0), (5, 1L, 10.0, 10.0, 10.0)))
+  }
+
+  test("thresholdCrossings: up/down counts, first/last up ts, hold-above time") {
+    val S10 = 10L * S
+    // values: 1 → 5 (up) → 5 → 1 (down) → 6 (up); threshold 4; window
+    // caps at 50 s so the final sample holds 10 s above
+    val df = frame(Seq(
+      ("c", 0L, 1.0), ("c", S10, 5.0), ("c", 2 * S10, 5.0),
+      ("c", 3 * S10, 1.0), ("c", 4 * S10, 6.0))
+      .map { case (ch, t, v) => (ch, t, v, "", 0, 0, t) })
+    val got = Analytics.thresholdCrossings(df, 0L, 5 * S10, 4.0).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_up") == 2L && r.getAs[Long]("n_down") == 1L)
+    assert(r.getAs[Long]("t_first_up") == S10 &&
+      r.getAs[Long]("t_last_up") == 4 * S10)
+    // above: [10s,30s) + [40s,50s cap) = 30 s
+    assert(r.getAs[Long]("above_ns") == 3 * S10)
+    // the first sample has no predecessor: never a crossing
+    assert(r.getAs[Long]("n_samples") == 5L)
+  }
+
+  test("topMovers: ranks by exact quantized |mean shift|, single-half channels excluded") {
+    val S10 = 10L * S
+    // window [0, 40 s), mid = 20 s
+    val df = frame(Seq(
+      ("big", 0L, 1.0), ("big", S10, 1.0),
+      ("big", 2 * S10, 9.0), ("big", 3 * S10, 9.0),      // Δ = +8
+      ("small", 0L, 5.0), ("small", 2 * S10, 4.0),       // Δ = -1
+      ("only_a", 0L, 3.0))                                // one half only
+      .map { case (ch, t, v) => (ch, t, v, "", 0, 0, (ch + t).hashCode.toLong) })
+    val got = Analytics.topMovers(df, 0L, 4 * S10, k = 5).collect()
+      .map(r => (r.getString(0), r.getAs[Double]("mean_a"),
+        r.getAs[Double]("mean_b"), r.getAs[Double]("delta")))
+    assert(got.map(_._1).toSeq == Seq("big", "small"),
+      "ranked by |delta| desc; single-half channel excluded")
+    assert(got(0) == (("big", 1.0, 9.0, 8.0)))
+    assert(got(1) == (("small", 5.0, 4.0, -1.0)))
+  }
+
   test("alarmStats: dwell times sample-and-hold to hi, entries count transitions") {
     val S10 = 10L * S
     val df = frame(Seq(

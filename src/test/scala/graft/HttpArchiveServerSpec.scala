@@ -157,6 +157,9 @@ class HttpArchiveServerSpec extends AnyFunSuite {
     assert(get(s"$base/1/samples/$ch?start=0&end=4&count=x")._1 == 400)
     assert(get(s"$base/1/samples/$ch?start=0&end=4&lttb=x")._1 == 400)
     assert(get(s"$base/1/samples/$ch?start=0&end=4&lttb=2")._1 == 400)
+    assert(get(s"$base/1/samples/$ch?start=0&end=4&m4=x")._1 == 400)
+    assert(get(s"$base/1/samples/$ch?start=0&end=4&m4=0")._1 == 400)
+    assert(get(s"$base/1/samples/$ch?start=0&end=4&lttb=4&m4=4")._1 == 400)
   }
 
   test("lttb parameter serves the k dominant raw points in wire format") {
@@ -180,6 +183,40 @@ class HttpArchiveServerSpec extends AnyFunSuite {
     assert(body == expected)
     // first/last raw points survive (the LTTB edge contract; the
     // range is [start, end) so the last in-range sample is minute 599)
+    assert(body.startsWith("""[{"time":""" + (T0 + 1L * 60L * NS)))
+    assert(body.contains(""""time":""" + (T0 + 599L * 60L * NS)))
+  }
+
+  test("m4 parameter serves the distinct bucket corner points in wire format") {
+    val lo = T0
+    val hi = T0 + 600L * 60L * NS
+    val k = 10
+    val (code, body) =
+      get(s"$base/1/samples/${enc("pv:alpha")}?start=$lo&end=$hi&m4=$k")
+    assert(code == 200)
+    // byte-compare against the engine boundary the handler wraps: the
+    // four corner points per bucket, ts-deduplicated, time-ordered
+    import org.apache.spark.sql.functions.{array, col, explode, lit, struct}
+    val m = ConfiguredArchive.queryM4(spark, cfgDir, storePath,
+      "pv:alpha", lo, hi, k)
+    val pts = m.select(explode(array(
+        struct(col("t_first").as("ts"), col("v_first").as("value")),
+        struct(col("t_min").as("ts"), col("v_min").as("value")),
+        struct(col("t_max").as("ts"), col("v_max").as("value")),
+        struct(col("t_last").as("ts"), col("v_last").as("value")))).as("p"))
+      .select(lit("pv:alpha").as("channel"), col("p.ts").as("ts"),
+        col("p.value").as("value"))
+      .dropDuplicates("ts")
+      .withColumn("severity", lit(0)).withColumn("status", lit(0))
+    val expected = graft.archive.JsonV1.serializeRaw(pts)
+      .orderBy("ts").select("json").collect().map(_.getString(0))
+      .mkString("[", ",", "]")
+    assert(body == expected)
+    // ≤ 4k corner points, ≥ k (every bucket non-empty here); elements
+    // nest one severity object each
+    val n = "\\{\"time\":".r.findAllIn(body).length
+    assert(n >= k && n <= 4 * k, s"got $n elements for k=$k")
+    // the envelope contract: first and last in-range raw points survive
     assert(body.startsWith("""[{"time":""" + (T0 + 1L * 60L * NS)))
     assert(body.contains(""""time":""" + (T0 + 599L * 60L * NS)))
   }
