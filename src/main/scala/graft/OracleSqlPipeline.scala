@@ -1227,6 +1227,42 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
     // sequential; the Spark side must reproduce it distributed),
     // shard = exclusive-prefix-sum div budget. sum(BIGINT) widens to
     // HUGEINT in DuckDB — cast back before the integer div
+    // mirror of Sampling.packSequences: the text_encode_ids vocab/id
+    // chain, doc offsets as a cumulative window (the sequential
+    // reference of the distributed prefix sum), EOS −2 per doc,
+    // gpos // 64 cut, ids string_agg'd in seq_pos order
+    "pack_sequences" ->
+      s"""WITH $TOKS,
+         |u AS (SELECT tok AS token, count(*) AS c
+         |      FROM t, UNNEST(toks) x(tok) GROUP BY 1),
+         |r AS (SELECT token,
+         |        CAST(row_number() OVER (ORDER BY c DESC, token) - 1
+         |          AS INT) AS token_id
+         |      FROM u QUALIFY token_id < 20),
+         |p AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i+1] AS token
+         |      FROM t, UNNEST(range(0, len(toks))) g(i)),
+         |ids AS (SELECT p.doc_id, p.pos,
+         |          CAST(coalesce(r.token_id, -1) AS INT) AS token_id
+         |        FROM p LEFT JOIN r USING (token)),
+         |cnt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) + 1 AS n_eff
+         |        FROM t),
+         |off AS (SELECT doc_id, n_eff,
+         |          CAST(coalesce(sum(n_eff) OVER (ORDER BY doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |            AS BIGINT) AS cb
+         |        FROM cnt),
+         |g AS (SELECT i.doc_id, o.cb + i.pos AS gpos, i.token_id
+         |      FROM ids i JOIN off o USING (doc_id)
+         |      UNION ALL
+         |      SELECT doc_id, cb + n_eff - 1 AS gpos,
+         |             CAST(-2 AS INT) AS token_id FROM off),
+         |s AS (SELECT gpos // 64 AS seq_id, gpos % 64 AS seq_pos,
+         |             token_id, doc_id FROM g)
+         |SELECT seq_id, count(*) AS n_tokens,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  string_agg(token_id::VARCHAR, ',' ORDER BY seq_pos) AS ids
+         |FROM s GROUP BY 1 ORDER BY seq_id""".stripMargin,
+
     "pack_sequential" ->
       s"""WITH tt AS (
          |  SELECT doc_id, source,

@@ -230,6 +230,24 @@ object OracleSqlTyped {
        |  n_samples""".stripMargin
 
   val all: Map[String, String] = Map(
+    // mirror of Analytics.waveformStats: posexplode over the array
+    // vtypes (UNNEST(range) + v[i+1] — this DuckDB has no WITH
+    // ORDINALITY), DECIMAL-routed means, scaled 6dp round
+    "arch_waveform_stats" ->
+      s"""WITH $TSAMPLES,
+         |w AS (SELECT channel, vtype, arr_num FROM tsamples
+         |      WHERE vtype IN ('array_double', 'array_long', 'array_float')),
+         |e AS (SELECT channel, vtype, CAST(i AS INT) AS idx,
+         |             arr_num[i+1] AS v
+         |      FROM w, UNNEST(range(0, len(arr_num))) g(i))
+         |SELECT channel, vtype, idx, count(*) AS n,
+         |  CAST(CAST(round((CAST(sum(CAST(v AS DECIMAL(38,12)))
+         |      AS DOUBLE) / count(*)) * 1000000.0) AS BIGINT) AS DOUBLE)
+         |    / 1e6 AS mean,
+         |  min(v) AS v_min,
+         |  max(v) AS v_max
+         |FROM e GROUP BY 1, 2, 3 ORDER BY channel, vtype, idx""".stripMargin,
+
     "arch_typed_roundtrip" ->
       s"""WITH $TSAMPLES
          |SELECT channel, ts, vtype, value, str_value, enum_value,

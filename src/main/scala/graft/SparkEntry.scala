@@ -673,6 +673,13 @@ object SparkEntry {
     "arch_top_movers" -> ((s, dir) =>
       Analytics.topMovers(clean(s, dir), LO, HI, k = 5)),
 
+    // element-wise waveform statistics over the array vtypes of the
+    // 21-type union: the cross-sample view the reference's opaque
+    // per-sample blobs cannot offer
+    "arch_waveform_stats" -> ((s, dir) =>
+      Analytics.waveformStats(TypedSamples.fromEvents(s, dir))
+        .orderBy("channel", "vtype", "idx")),
+
     // archive-viewer distribution panel: exact interpolated p50/90/99
     // per channel (percentile ≡ quantile_cont)
     "arch_value_percentiles" -> ((s, dir) =>
@@ -1750,6 +1757,14 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("rank_in_source"),
           col("train_ord"))
         .orderBy("train_ord")),
+
+    // fixed-length training-sequence packing: global token stream in
+    // doc_id order (EOS −2 between docs), cut every 64 ids — the
+    // prefix-sum offset kernel at TOKEN granularity
+    "pack_sequences" -> ((s, dir) =>
+      Sampling.packSequences(Tables.documents(s, dir),
+          vocabSize = 20, seqLen = 64L)
+        .orderBy("seq_id")),
 
     // sequential shard packing: distributed global prefix sum of
     // token counts in the interleaved training order, shard =

@@ -327,6 +327,30 @@ object Analytics {
           .as("above_ns"))
   }
 
+  /** Element-wise waveform statistics over the ARRAY-valued sample
+    * types of the 21-type union (the reference archives EPICS array
+    * PVs as opaque per-sample blobs,
+    * ChannelAccessSampleValueAccess.java:180, and offers no cross-
+    * sample view) — per (channel, array vtype, element index): sample
+    * count, mean, min, max. "What does the average beam-profile
+    * waveform look like" as one posexplode + one partial-merge
+    * aggregate; output is channels × element-count rows no matter how
+    * many samples the archive holds. Means route through DECIMAL sums
+    * (order-free), 6dp scale-rounded at the edge.
+    */
+  def waveformStats(typed: DataFrame): DataFrame =
+    typed
+      .where(col("vtype").isin("array_double", "array_long", "array_float"))
+      .select(col("channel"), col("vtype"),
+        posexplode(col("arr_num")).as(Seq("idx", "v")))
+      .groupBy("channel", "vtype", "idx")
+      .agg(count(lit(1)).as("n"),
+        (round((sum(col("v").cast("decimal(38,12)")).cast("double") /
+            count(lit(1))) * lit(1e6)).cast("long").cast("double") / lit(1e6))
+          .as("mean"),
+        min("v").as("v_min"),
+        max("v").as("v_max"))
+
   /** Top-k channels by absolute mean shift between the two halves of
     * [lo, hi) — the incident-triage "what changed the most" panel.
     * Per channel: the 6dp-quantized mean of each half and their exact

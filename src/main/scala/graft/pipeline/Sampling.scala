@@ -422,6 +422,55 @@ object Sampling {
         col("n_tokens"), col("shard"))
   }
 
+  /** Fixed-length TRAINING-SEQUENCE packing — the op that turns a
+    * curated corpus into the `seqLen`-token rows a trainer consumes
+    * (GPT-style "concat everything, split every L tokens"): documents
+    * are laid out in ascending `doc_id` order, each doc's token ids
+    * ([[TextAnalysis.encodeIds]] over a size-`vocabSize` vocabulary,
+    * OOV = −1) followed by ONE end-of-document sentinel (−2), and the
+    * resulting global token stream is cut into consecutive sequences
+    * of exactly `seqLen` ids (the final partial sequence is kept
+    * short). Output per sequence: `seq_id`, `n_tokens` (= seqLen
+    * except the last), `n_docs` (distinct documents contributing —
+    * the boundary-crossing diagnostic), and the `,`-joined ids (the
+    * cross-engine array contract).
+    *
+    * Scale shape: the doc-level global offset is [[packByOrder]]'s
+    * distributed prefix sum (metadata-sized per-partition subtotals,
+    * one seeded in-partition pass); token rows then get their global
+    * position with pure arithmetic (offset + pos — no token-level
+    * window), and the only token-level shuffle is the final
+    * groupBy(seq_id), whose groups are bounded at `seqLen` rows by
+    * construction — no skew possible. The assembled sequence is
+    * sort_array over ≤ seqLen in-group elements, not a global sort.
+    */
+  def packSequences(docs: DataFrame, vocabSize: Int, seqLen: Long,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(seqLen >= 1, "packSequences needs seqLen >= 1")
+    val ids = TextAnalysis.encodeIds(docs,
+      TextAnalysis.vocabulary(docs, vocabSize, textCol), textCol)
+    val counts = docs.select(col(idCol).as("doc_id"),
+      (size(Dedup.tokens(textCol)).cast("long") + 1L).as("n_eff"))
+    val off = packByOrder(counts, "doc_id", "n_eff", budgetTokens = seqLen)
+      .select(col("doc_id"), col("n_eff"), col("cum_before"))
+    val toksG = ids.join(off, Seq("doc_id"))
+      .select(col("doc_id"), (col("cum_before") + col("pos")).as("gpos"),
+        col("token_id"))
+    val eos = off.select(col("doc_id"),
+      (col("cum_before") + col("n_eff") - 1L).as("gpos"),
+      lit(-2).cast("int").as("token_id"))
+    toksG.unionByName(eos)
+      .select(col("doc_id"), expr(s"gpos div ${seqLen}L").as("seq_id"),
+        pmod(col("gpos"), lit(seqLen)).as("seq_pos"), col("token_id"))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seq_pos"), col("token_id")))),
+          x => x.getField("token_id").cast("string")), ",").as("ids"))
+  }
+
   /** The distributed prefix-sum packing kernel: given ANY frame with
     * a strict global order column and a token-count column, assign
     * `shard = tokens-before div budget` — see [[packSequential]] for

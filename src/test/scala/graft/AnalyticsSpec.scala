@@ -183,6 +183,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_samples") == 5L)
   }
 
+  test("waveformStats: element-wise stats over array vtypes only") {
+    val df = Seq(
+      ("w", "array_double", Seq(1.0, 10.0)),
+      ("w", "array_double", Seq(3.0, 20.0, 7.0)),  // ragged: idx 2 n=1
+      ("w", "scalar_double", Seq(99.0)),            // non-array: excluded
+      ("x", "array_long", Seq(4.0)))
+      .toDF("channel", "vtype", "arr_num")
+    val got = Analytics.waveformStats(df)
+      .orderBy("channel", "vtype", "idx").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.toSeq == Seq(
+      ("w", "array_double", 0, 2L, 2.0, 1.0, 3.0),
+      ("w", "array_double", 1, 2L, 15.0, 10.0, 20.0),
+      ("w", "array_double", 2, 1L, 7.0, 7.0, 7.0),
+      ("x", "array_long", 0, 1L, 4.0, 4.0, 4.0)))
+  }
+
   test("topMovers: ranks by exact quantized |mean shift|, single-half channels excluded") {
     val S10 = 10L * S
     // window [0, 40 s), mid = 20 s

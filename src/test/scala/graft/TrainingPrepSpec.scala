@@ -253,6 +253,33 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(out.forall { case (id, _, _, sh) => alt(id) == sh })
   }
 
+  // ---- fixed-length sequence packing (round 9) -----------------------
+
+  test("packSequences cuts the EOS-joined global token stream every seqLen ids") {
+    // doc 0: 5 tokens + EOS = 6; doc 1: 3 + EOS = 4; doc 2: 2 + EOS = 3
+    // stream (L=4): [d0t0 d0t1 d0t2 d0t3 | d0t4 EOS d1t0 d1t1 |
+    //                d1t2 EOS d2t0 d2t1 | EOS]
+    val d = docs(
+      0L -> "a b c d e",
+      1L -> "a b zz",   // zz is OOV with vocabSize 2 → −1
+      2L -> "b b")
+    val out = Sampling.packSequences(d, vocabSize = 2, seqLen = 4L)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    // every sequence but the last is exactly seqLen ids
+    assert(out.dropRight(1).forall(_._2 == 4L) && out.last._2 == 1L)
+    // vocab: b (4 occurrences) = 0, a (2) = 1; OOV −1; EOS −2
+    assert(out(0)._4 == "1,0,-1,-1") // a b c d (c,d OOV)
+    assert(out(1)._4 == "-1,-2,1,0") // e EOS a b
+    assert(out(2)._4 == "-1,-2,0,0") // zz EOS b b
+    assert(out(3)._4 == "-2")        // trailing EOS
+    // n_docs counts boundary crossings: seq 1 spans docs 0 and 1
+    assert(out.map(_._3).toSeq == Seq(1L, 2L, 2L, 1L))
+    // token conservation: Σ n_tokens = Σ (len + 1 EOS)
+    assert(out.map(_._2).sum == (5 + 1) + (3 + 1) + (2 + 1))
+  }
+
   // ---- hybrid RRF retrieval (round 8) --------------------------------
 
   test("hybridRrf fuses BM25 and cosine ranks by 1/(60+r) with doc_id ties") {
