@@ -1955,6 +1955,24 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |    ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
          |FROM exact QUALIFY rank <= 10 ORDER BY probe_id, rank""".stripMargin,
 
+    // mirror of Similarity.pairHistogram: probe slice by vec_id
+    // arithmetic, 6dp-rounded cosine, clamped [-1,1) 40-bin counts
+    "sim_pair_hist" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |p AS (SELECT * FROM e WHERE vec_id % 97 = 0),
+         |j AS (SELECT p.label = c.label AS same_label,
+         |        round(list_cosine_similarity(p.v, c.v), 6) AS cs
+         |      FROM p JOIN e c ON c.vec_id != p.vec_id),
+         |b AS (SELECT same_label,
+         |        least(39, greatest(0,
+         |          CAST(floor((cs + 1.0) * 40 / 2.0) AS INT))) AS bin
+         |      FROM j)
+         |SELECT same_label, bin,
+         |  -1.0 + CAST(bin AS DOUBLE) * (2.0 / 40) AS bin_lo,
+         |  count(*) AS n
+         |FROM b GROUP BY 1, 2 ORDER BY same_label, bin""".stripMargin,
+
     "sim_bruteforce_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |p AS (SELECT * FROM e WHERE vec_id < 5),

@@ -278,6 +278,20 @@ object Probe100x {
         "ivf_indexed_probe_sec" -> indexed)
     }
 
+    if (mode == "pack_sequences" || mode == "all") {
+      // token-level sequence packing over the full corpus: 20M tokens
+      // + 500k EOS sentinels cut into 2048-id sequences (~10k rows
+      // out). The cost model: one vocab top-k, one tokenize+join scan,
+      // the doc-level prefix sum (metadata-sized subtotals), then ONE
+      // token-level groupBy(seq_id) whose groups are bounded at 2048
+      // rows — the assembled-sequence sort is in-group, never global.
+      val sec = time(noop(graft.pipeline.Sampling.packSequences(
+        docs, vocabSize = 50000, seqLen = 2048L)))
+      report("pack_sequences", "docs" -> 500000, "tokens" -> 20000000,
+        "seq_len" -> 2048, "sec" -> sec,
+        "tokens_per_sec" -> (20500000L / sec).toLong)
+    }
+
     if (mode == "lttb" || mode == "all") {
       // the chart-serving shape at 1000× the gate: 20M samples over
       // 100 channels (200k samples/channel — a month of 12s data),
@@ -297,9 +311,15 @@ object Probe100x {
       val hi = n / 100L * 1000000000L
       val sec = time(noop(
         graft.archive.Analytics.lttb(samples, 0L, hi, k = 1000)))
+      // M4 on the same corpus: no anchor broadcast, no top-1 window —
+      // ONE map-side-combinable hash aggregate, so it should beat LTTB
+      // and sit at raw aggregate-scan bandwidth
+      val m4sec = time(noop(
+        graft.archive.Analytics.m4(samples, 0L, hi, k = 1000)))
       samples.unpersist()
       report("lttb", "rows" -> n, "channels" -> 100, "k" -> 1000,
-        "sec" -> sec, "rows_per_sec" -> (n / sec).toLong)
+        "sec" -> sec, "rows_per_sec" -> (n / sec).toLong,
+        "m4_sec" -> m4sec, "m4_rows_per_sec" -> (n / m4sec).toLong)
     }
 
     docs.unpersist()

@@ -1912,6 +1912,13 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // embedding-space QA: intra- vs inter-class cosine histograms over
+    // a deterministic probe slice — probe-vs-all, never all-pairs
+    "sim_pair_hist" -> ((s, dir) =>
+      Similarity.pairHistogram(Tables.embeddings(s, dir),
+          probeMod = 97L, bins = 40)
+        .orderBy("same_label", "bin")),
+
     // Matryoshka truncated-prefix tier: top-k on the first 16 of 64
     // dims — dims/Dim of the scan bandwidth; prefix order carries the
     // structure on MRL-trained embeddings

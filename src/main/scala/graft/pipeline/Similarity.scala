@@ -102,6 +102,38 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Embedding-space QA histogram — the "is this embedding space any
+    * good" report a curation pipeline runs before trusting ANN or
+    * semantic dedup over it: cosine-similarity distributions split
+    * into intra-class (same label) vs inter-class (different label)
+    * over a deterministic probe slice (`vec_id % probeMod == 0`). A
+    * healthy space shows the intra-class mass shifted right of the
+    * inter-class mass; overlap means label-conditioned operators
+    * (semantic decontamination, class-balanced sampling) will leak.
+    *
+    * Scale shape: probe-vs-all, never all-pairs — probes broadcast,
+    * one codegen'd cosine scan over the corpus, output 2 × bins rows.
+    * Sampling is arithmetic on vec_id (engine-portable, seedless).
+    */
+  def pairHistogram(emb: DataFrame, probeMod: Long, bins: Int): DataFrame = {
+    require(bins >= 1 && probeMod >= 1, "pairHistogram needs bins/probeMod >= 1")
+    val probes = emb.where(pmod(col("vec_id"), lit(probeMod)) === 0L)
+    emb.as("c")
+      .join(broadcast(probes.as("p")), col("c.vec_id") =!= col("p.vec_id"))
+      .select((col("p.label") === col("c.label")).as("same_label"),
+        round(cosine(asDouble(col("p.embedding")),
+          asDouble(col("c.embedding"))), 6).as("cs"))
+      .select(col("same_label"),
+        least(lit(bins - 1), greatest(lit(0),
+          floor((col("cs") + lit(1.0)) * lit(bins) / lit(2.0)).cast("int")))
+          .as("bin"))
+      .groupBy("same_label", "bin")
+      .agg(count(lit(1)).as("n"))
+      .select(col("same_label"), col("bin"),
+        (lit(-1.0) + col("bin").cast("double") * lit(2.0 / bins)).as("bin_lo"),
+        col("n"))
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|v| / 127,
     * q_i = round(v_i / scale) ∈ [−127, 127] — the standard 4×
     * memory/bandwidth cut for embedding search at scale (a 10⁹-vector

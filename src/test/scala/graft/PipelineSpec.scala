@@ -496,6 +496,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.head.getAs[Double]("cos_sim") == 1.0)
   }
 
+  test("pairHistogram splits intra/inter-class cosine mass, probe slice by modulo") {
+    // probeMod 2 → probes {0, 2}; vec 0 ∥ vec 1 (same label, cos 1),
+    // vec 0 ⊥ vec 2 (different label, cos 0)
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(2.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.pairHistogram(e, probeMod = 2L, bins = 4)
+      .orderBy("same_label", "bin").collect()
+      .map(r => (r.getBoolean(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    // pairs: probe0→1 (same, cos 1 → clamped bin 3), probe0→2 (diff,
+    // cos 0 → bin 2), probe2→0 and probe2→1 (diff, cos 0 → bin 2)
+    assert(got.toSeq == Seq(
+      (false, 2, 0.0, 3L),
+      (true, 3, 0.5, 1L)))
+  }
+
   test("multi-table LSH pairs identical vectors, keeps lonely ones, sizes planes") {
     val v1 = Array.tabulate(64)(i => math.sin(i + 1.0).toFloat)
     val e = Seq(
