@@ -286,6 +286,26 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
         |       count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
 
+    // mirror of Dedup.rateBySource: the exact-dedup groups joined back
+    // per source, exact integer counts, scaled 6dp removal rate
+    "dedup_rate_by_source" ->
+      """WITH g AS (
+        |  SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
+        |         count(*) AS n_copies
+        |  FROM documents GROUP BY 1),
+        |d AS (
+        |  SELECT source, doc_id, md5(text) AS text_hash FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(coalesce(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_duplicated,
+        |  CAST(coalesce(sum(CASE WHEN doc_id != keeper_id THEN 1 ELSE 0 END),
+        |    0) AS BIGINT) AS n_removed,
+        |  CAST(CAST(round(CAST(coalesce(sum(CASE WHEN doc_id != keeper_id
+        |      THEN 1 ELSE 0 END), 0) AS DOUBLE) / count(*) * 1000000.0)
+        |    AS BIGINT) AS DOUBLE) / 1e6 AS removal_rate
+        |FROM d JOIN g USING (text_hash)
+        |GROUP BY 1 ORDER BY source""".stripMargin,
+
     // SparkEntry doc_jsonl_roundtrip — the JSONL write+read must be
     // the identity, so the oracle is the parquet original
     "doc_jsonl_roundtrip" ->

