@@ -1363,6 +1363,22 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |  CAST(($langCase) = lang_actual AS INT) AS is_match
          |FROM h ORDER BY doc_id""".stripMargin,
 
+    // mirror of TextAnalysis.langIdConfusion: the langid CASE over
+    // stopword hits, grouped (actual, detected), scaled 6dp share
+    "text_langid_confusion" ->
+      s"""WITH $TOKS,
+         |h AS (SELECT doc_id, lang AS lang_actual,
+         |    $hitsCols
+         |  FROM t),
+         |c AS (SELECT lang_actual, $langCase AS lang_detected,
+         |        count(*) AS n
+         |      FROM h GROUP BY 1, 2)
+         |SELECT lang_actual, lang_detected, n,
+         |  CAST(CAST(round(CAST(n AS DOUBLE) /
+         |      CAST(sum(n) OVER (PARTITION BY lang_actual) AS DOUBLE)
+         |      * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS share
+         |FROM c ORDER BY lang_actual, lang_detected""".stripMargin,
+
     "text_quality" ->
       s"""WITH $TOKS,
          |d AS (SELECT t.doc_id, toks, text,

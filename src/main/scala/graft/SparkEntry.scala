@@ -1821,6 +1821,12 @@ object SparkEntry {
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // the classifier-quality report: (actual, detected) counts + the
+    // 6dp per-actual share — publish before routing a corpus on langid
+    "text_langid_confusion" -> ((s, dir) =>
+      TextAnalysis.langIdConfusion(Tables.documents(s, dir))
+        .orderBy("lang_actual", "lang_detected")),
+
     "text_quality" -> ((s, dir) =>
       TextAnalysis.quality(Tables.documents(s, dir)).orderBy("doc_id")),
 

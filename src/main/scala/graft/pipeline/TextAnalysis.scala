@@ -61,6 +61,23 @@ object TextAnalysis {
       .withColumn("is_match", (col("lang_detected") === col("lang_actual")).cast("int"))
   }
 
+  /** Language-ID confusion matrix — the measured-quality report for
+    * [[languageId]]: per (actual, detected) pair the document count
+    * and the 6dp share of the actual language's documents. The table
+    * every pipeline should publish before trusting a heuristic
+    * classifier to route a corpus; one partial-merge aggregate + a
+    * tiny per-actual window over languages² rows.
+    */
+  def langIdConfusion(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    languageId(docs, textCol)
+      .groupBy("lang_actual", "lang_detected")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", r6(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("lang_actual"))
+          .cast("double")))
+  }
+
   /** Quality signals: length, token counts, average token length,
     * stopword ratio, digit/punctuation ratios, and a composite score.
     */
