@@ -97,6 +97,15 @@ object HttpBench {
     // first hit
     val oneCh = measure(_ => s"$base/1/samples/ch7" +
       s"?start=${t0 + 86400L * NS}&end=${t0 + 2L * 86400L * NS}")
+    // shape E: chart downsampling over HTTP — the week window reduced
+    // server-side to k points per request (rotating channels, so every
+    // request pays its Spark jobs rather than the response cache);
+    // m4 is the one-hash-aggregate envelope, lttb adds the anchor
+    // broadcast + per-bucket top-1
+    val m4 = measure(i => s"$base/1/samples/ch${i % channels}" +
+      s"?start=$t0&end=${t0 + 7L * 86400L * NS}&m4=250")
+    val lttb = measure(i => s"$base/1/samples/ch${i % channels}" +
+      s"?start=$t0&end=${t0 + 7L * 86400L * NS}&lttb=1000")
     // shape D: CONCURRENT raw-day requests — 8 client threads, the
     // server's fixed pool interleaving their small Spark jobs; reports
     // aggregate requests/sec (the serving-throughput number, where the
@@ -119,7 +128,7 @@ object HttpBench {
     running.stop()
 
     val line =
-      s"""{"metric":"http_request_sec","reqs":$reqs,"channels":$channels,"rows":$rows,"raw_day":{${stats(day)}},"raw_day_same_channel":{${stats(oneCh)}},"decimated_week_count200":{${stats(week)}},"channel_listing":{${stats(list)}},"concurrent_raw_day":{"clients":$clients,"total_reqs":${clients * perClient},"wall_sec":$concSec,"req_per_sec":$concRps}}"""
+      s"""{"metric":"http_request_sec","reqs":$reqs,"channels":$channels,"rows":$rows,"raw_day":{${stats(day)}},"raw_day_same_channel":{${stats(oneCh)}},"decimated_week_count200":{${stats(week)}},"channel_listing":{${stats(list)}},"m4_week_k250":{${stats(m4)}},"lttb_week_k1000":{${stats(lttb)}},"concurrent_raw_day":{"clients":$clients,"total_reqs":${clients * perClient},"wall_sec":$concSec,"req_per_sec":$concRps}}"""
     spark.stop()
     println(line)
   }
