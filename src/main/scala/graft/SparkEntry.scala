@@ -264,6 +264,23 @@ object SparkEntry {
         .orderBy(col("channel"), col("ts"), col("sample_id"))
     }),
 
+    // zero-downtime migration: history split at the window midpoint
+    // across a frozen old store and a live store, read back through
+    // ONE FederatedBackend — must serve the arch_range_scan bytes
+    "arch_federated_scan" -> ((s, dir) => {
+      val root = scratchDir("fedstore")
+      val oldStore = root + "/old"; val liveStore = root + "/live"
+      val cut = LO + (HI - LO) / 2
+      val r = raw(s, dir)
+      ManifestStore.commit(r.where(col("ts") < cut), oldStore, levelSec = 0)
+      ManifestStore.commit(r.where(col("ts") >= cut), liveStore, levelSec = 0)
+      val fed = new graft.archive.FederatedBackend(
+        graft.archive.ManifestBackend, oldStore, cut)
+      fed.read(s, liveStore, 0, Some(LO), Some(HI), channel = None)
+        .select(coreCols: _*)
+        .orderBy(col("channel"), col("ts"), col("sample_id"))
+    }),
+
     // snapshot isolation through the gate: a later garbage commit must
     // be invisible when reading the earlier version
     "arch_time_travel" -> ((s, dir) => {
@@ -2284,6 +2301,8 @@ object SparkEntry {
     // the manifest store must serve the exact bytes the raw scan serves —
     // same oracle, different storage path
     base + ("arch_manifest_scan" -> base("arch_range_scan")) +
+      // the federated old+live split must reassemble the same bytes
+      ("arch_federated_scan" -> base("arch_range_scan")) +
       // the streaming file sink must land the exact bytes the batch
       // scan serves — same oracle, continuous ingest path
       ("stream_range_scan" -> base("arch_range_scan")) +

@@ -76,6 +76,85 @@ object ArchiveBackend extends StoreBackend {
     ArchiveStore.applyRetention(spark, path, levelSec, retentionNs)
 }
 
+/** Zero-downtime MIGRATION serving: one read surface over a FROZEN
+  * old store plus a live store, split at `cutoverNs` — the "we moved
+  * the archiver but ten years of history still live in the old
+  * cluster" shape. Reads union the old store clipped to
+  * `ts < cutoverNs` with the live store clipped to `ts >= cutoverNs`
+  * (each side keeps its own pruning: bound hints are tightened to the
+  * cutover before they reach the underlying backend, so neither store
+  * scans the other's half); a read entirely on one side never touches
+  * the other store at all. Writes (plain and token-deduplicated) go
+  * to the LIVE store only — the old store is read-only by contract.
+  *
+  * The `path` argument of every call is the LIVE store; the old store
+  * is bound at construction. `metaVersion` combines both counters
+  * (old << 32 | live — monotonic because manifest versions only
+  * grow), so serving caches stay correct even if someone violates the
+  * frozen-old contract: a compaction on the old store bumps the
+  * combined version and invalidates memoized plans, rather than
+  * serving stale state.
+  */
+final class FederatedBackend(val oldBackend: StoreBackend,
+                             val oldPath: String,
+                             val cutoverNs: Long,
+                             val liveBackend: StoreBackend = ManifestBackend)
+    extends StoreBackend {
+
+  def write(samples: DataFrame, path: String, levelSec: Long): Unit =
+    liveBackend.write(samples, path, levelSec)
+
+  override def writeTxn(samples: DataFrame, path: String, levelSec: Long,
+                        writerId: String, token: Long): Unit =
+    liveBackend.writeTxn(samples, path, levelSec, writerId, token)
+
+  def read(spark: SparkSession, path: String, levelSec: Long,
+           loNs: Option[Long], hiNs: Option[Long],
+           channel: Option[String]): DataFrame = {
+    // inclusive-bound hints, as everywhere in the read surface (F1)
+    val wantOld = loNs.forall(_ < cutoverNs)
+    val wantLive = hiNs.forall(_ >= cutoverNs)
+    val oldSide =
+      if (wantOld)
+        Some(oldBackend.read(spark, oldPath, levelSec, loNs,
+            Some(hiNs.fold(cutoverNs - 1)(math.min(_, cutoverNs - 1))),
+            channel)
+          .where(col("ts") < cutoverNs))
+      else None
+    val liveSide =
+      if (wantLive)
+        Some(liveBackend.read(spark, path, levelSec,
+            Some(loNs.fold(cutoverNs)(math.max(_, cutoverNs))), hiNs,
+            channel)
+          .where(col("ts") >= cutoverNs))
+      else None
+    (oldSide, liveSide) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None)    => a
+      case (None, Some(b))    => b
+      case (None, None)       =>
+        // lo > hi: an empty request — serve the live side's empty clip
+        liveBackend.read(spark, path, levelSec, loNs, hiNs, channel)
+          .where(lit(false))
+    }
+  }
+
+  def levels(spark: SparkSession, path: String): Seq[Long] =
+    (oldBackend.levels(spark, oldPath) ++ liveBackend.levels(spark, path))
+      .distinct.sorted
+
+  def applyRetention(spark: SparkSession, path: String, levelSec: Long,
+                     retentionNs: Long): Seq[String] =
+    oldBackend.applyRetention(spark, oldPath, levelSec, retentionNs) ++
+      liveBackend.applyRetention(spark, path, levelSec, retentionNs)
+
+  override def metaVersion(spark: SparkSession, path: String): Option[Long] =
+    for {
+      o <- oldBackend.metaVersion(spark, oldPath)
+      l <- liveBackend.metaVersion(spark, path)
+    } yield (o << 32) | (l & 0xffffffffL)
+}
+
 /** Manifest-committed store: every cascade hop is one atomic commit,
   * and the level listing is pure manifest metadata — no file I/O.
   */

@@ -5,9 +5,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.archive.{ChannelAlreadyExistsException, ChannelConfig,
   ChannelConfigXml, ChannelDisabledException, ChannelRegistry,
-  ConfigCommands, ConfiguredArchive, JsonV1, ManifestBackend, ManifestStore,
-  NoSuchChannelException, PendingChannelOperationException,
-  ResolutionPlanner}
+  ConfigCommands, ConfiguredArchive, FederatedBackend, JsonV1,
+  ManifestBackend, ManifestStore, NoSuchChannelException,
+  PendingChannelOperationException, ResolutionPlanner}
 
 class ServingSpec extends AnyFunSuite {
 
@@ -416,6 +416,49 @@ class ServingSpec extends AnyFunSuite {
     val json = ConfiguredArchive.serveJson(spark, cfgDir, store,
       "pv:gov2", t0, hi, None).toSeq
     assert(json.nonEmpty && json.forall(_.startsWith("{\"time\":")))
+  }
+
+  test("federated old+live stores serve byte-identical JSON to a single store") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val NS = graft.core.Samples.NS
+    val t0 = 1704067200L * NS
+    val root = Files.createTempDirectory("fedsrv").toString
+    val cfgDir = s"$root/config"
+    val one = s"$root/one"; val old = s"$root/old"; val live = s"$root/live"
+    ConfigCommands.addChannel(spark, cfgDir, ChannelConfig("pv:f", "id-f",
+      "ca", enabled = true, Map(), Map(0L -> 0L)))
+    val raw = (0L until 600L).map(i => ("id-f", t0 + i * 60L * NS,
+        math.sin(i * 0.1) * 100.0, "", 0, 0, i))
+      .toDF("channel", "ts", "value", "str_value", "severity", "status",
+        "sample_id")
+    val cut = t0 + 300L * 60L * NS
+    ManifestStore.commit(raw, one, levelSec = 0)
+    ManifestStore.commit(raw.where(col("ts") < cut), old, levelSec = 0)
+    ManifestStore.commit(raw.where(col("ts") >= cut), live, levelSec = 0)
+    val fed = new FederatedBackend(ManifestBackend, old, cut)
+    val lo = t0 + 60L * 60L * NS; val hi = t0 + 500L * 60L * NS
+    val single = ConfiguredArchive.serveJson(spark, cfgDir, one,
+      "pv:f", lo, hi, None).toSeq
+    val federated = ConfiguredArchive.serveJson(spark, cfgDir, live,
+      "pv:f", lo, hi, None, backend = fed).toSeq
+    assert(federated == single,
+      "the federated split must reassemble the single-store wire bytes")
+    // a request entirely before the cutover never touches the live
+    // store; entirely after never touches the old — both still serve
+    val before = ConfiguredArchive.serveJson(spark, cfgDir, live,
+      "pv:f", t0, cut - 1, None, backend = fed).toSeq
+    val after = ConfiguredArchive.serveJson(spark, cfgDir, live,
+      "pv:f", cut, t0 + 600L * 60L * NS, None, backend = fed).toSeq
+    // both sides serve; the sum covers all 600 samples (±2 for the
+    // serving stack's boundary-widening probes at the cut)
+    assert(before.nonEmpty && after.nonEmpty)
+    assert((before.size + after.size) >= 600 &&
+      (before.size + after.size) <= 602)
+    // combined metaVersion is defined (both manifest stores versioned)
+    assert(fed.metaVersion(spark, live).isDefined)
+    // levels union both sides
+    assert(fed.levels(spark, live) == Seq(0L))
   }
 
   test("retention-fallback serve widens the EARLIEST segment's lower bound (reference AT_OR_BEFORE on fallback reads)") {
