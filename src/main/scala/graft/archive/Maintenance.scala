@@ -24,6 +24,51 @@ object Maintenance {
         vacuumed.isEmpty
   }
 
+  /** Retire a [[FederatedBackend]] split: backfill the frozen old
+    * store's history into the live store, level by level, through the
+    * TOKEN-DEDUPLICATED write path — each level's token is the old
+    * store's pinned metaVersion, so a crash mid-migration re-runs
+    * safely (already-applied levels skip, the interrupted level's
+    * commit either landed atomically or re-runs whole) and a second
+    * invocation of the whole migration is a no-op. After this returns,
+    * reads of the live store alone serve the federation's bytes and
+    * the old store can be decommissioned.
+    *
+    * Scale shape: one pruned scan + one append commit per level —
+    * the same cost as the cascade hop that originally built each
+    * level; no shuffle beyond the write's own partitioning.
+    *
+    * Returns (levelSec → rows migrated); levels whose token already
+    * matched (a completed prior run) report 0.
+    */
+  def migrateStore(spark: SparkSession,
+                   oldBackend: StoreBackend, oldPath: String,
+                   liveBackend: StoreBackend, livePath: String,
+                   cutoverNs: Long): Map[Long, Long] = {
+    val token = oldBackend.metaVersion(spark, oldPath).getOrElse(
+      throw new IllegalArgumentException(
+        "migrateStore needs a versioned (manifest) old store — " +
+          "an unversioned source has no crash-safe migration token"))
+    oldBackend.levels(spark, oldPath).map { level =>
+      val rows = oldBackend
+        .read(spark, oldPath, level, hiNs = Some(cutoverNs - 1))
+        .where(org.apache.spark.sql.functions.col("ts") < cutoverNs)
+      val before = liveBackend match {
+        case ManifestBackend =>
+          ManifestStore.latestManifest(spark, livePath)
+            .flatMap(_.txns.get(s"migrate_$level"))
+        case _ => None
+      }
+      liveBackend.writeTxn(rows, livePath, level, s"migrate_$level", token)
+      val applied = liveBackend match {
+        case ManifestBackend =>
+          !before.contains(token) // skipped when the token already matched
+        case _ => true
+      }
+      level -> (if (applied) rows.count() else 0L)
+    }.toMap
+  }
+
   /** One upkeep pass over every level of `storePath`. `retentionSec`
     * maps levelSec → keep-duration seconds (absent / 0 = keep
     * forever). Retention runs FIRST: expired fragmented days would

@@ -459,6 +459,20 @@ class ServingSpec extends AnyFunSuite {
     assert(fed.metaVersion(spark, live).isDefined)
     // levels union both sides
     assert(fed.levels(spark, live) == Seq(0L))
+
+    // RETIRE the federation: token-deduplicated backfill of the old
+    // history into the live store — afterwards the live store ALONE
+    // serves the single-store bytes, and a re-run migrates 0 rows
+    val migrated = graft.archive.Maintenance.migrateStore(spark,
+      ManifestBackend, old, ManifestBackend, live, cut)
+    assert(migrated == Map(0L -> 300L))
+    val retired = ConfiguredArchive.serveJson(spark, cfgDir, live,
+      "pv:f", lo, hi, None).toSeq
+    assert(retired == single,
+      "post-migration the live store alone must serve the bytes")
+    val rerun = graft.archive.Maintenance.migrateStore(spark,
+      ManifestBackend, old, ManifestBackend, live, cut)
+    assert(rerun == Map(0L -> 0L), "a second migration must be a no-op")
   }
 
   test("retention-fallback serve widens the EARLIEST segment's lower bound (reference AT_OR_BEFORE on fallback reads)") {
