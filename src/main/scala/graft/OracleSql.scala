@@ -437,7 +437,8 @@ object OracleSql {
          |$CLEAN,
          |pts AS (
          |  SELECT channel, ts, value,
-         |         least(47, ((ts - $LO) * 48) // ${HI - LO}) AS bucket
+         |         least(47, CAST((CAST(ts - $LO AS HUGEINT) * 48)
+         |           // ${HI - LO} AS BIGINT)) AS bucket
          |  FROM clean
          |  WHERE ts >= $LO AND ts < $HI AND value IS NOT NULL),
          |summ AS (
@@ -641,7 +642,8 @@ object OracleSql {
          |$CLEAN,
          |pts AS (
          |  SELECT channel, ts, value,
-         |         least(47, ((ts - $LO) * 48) // ${HI - LO}) AS bucket
+         |         least(47, CAST((CAST(ts - $LO AS HUGEINT) * 48)
+         |           // ${HI - LO} AS BIGINT)) AS bucket
          |  FROM clean
          |  WHERE ts >= $LO AND ts < $HI AND value IS NOT NULL),
          |x AS (

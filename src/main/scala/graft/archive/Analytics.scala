@@ -110,14 +110,24 @@ object Analytics {
     * double expression mirrored verbatim in the oracle, with exact
     * integer-ts tie-breaks.
     */
+  /** Bucket id for [lo, hi) split into k equal parts — the product
+    * (ts−lo)·k overflows Long once window·k exceeds 2⁶³ (a 1-year
+    * window at k=1000 is 3.2·10¹⁹), so it routes through DECIMAL(38)
+    * where the integer `div` is exact at any realistic window. The
+    * oracle mirrors with HUGEINT.
+    */
+  private def bucketId(lo: Long, hi: Long, k: Long): Column =
+    least(lit(k - 1),
+      expr(s"(cast(ts - ${lo}L as decimal(38,0)) * ${k}L) div ${hi - lo}L")
+        .cast("long"))
+
   def lttb(samples: DataFrame, lo: Long, hi: Long, k: Int): DataFrame = {
     require(k >= 3, "lttb needs at least 3 buckets")
     val kL = k.toLong
     val pts = samples
       .where(col("ts") >= lo && col("ts") < hi && col("value").isNotNull)
       .select(col("channel"), col("ts"), col("value"))
-      .withColumn("bucket",
-        least(lit(kL - 1), expr(s"((ts - ${lo}L) * ${kL}L) div ${hi - lo}L")))
+      .withColumn("bucket", bucketId(lo, hi, kL))
     val n = count(lit(1))
     val summary = pts.groupBy("channel", "bucket").agg(
       (sum(col("ts").cast("decimal(38,0)")).cast("double") / n).as("avg_ts"),
@@ -255,20 +265,42 @@ object Analytics {
     samples
       .where(col("ts") >= lo && col("ts") < hi && col("value").isNotNull)
       .select(col("channel"), col("ts"), col("value"))
-      .withColumn("bucket",
-        least(lit(kL - 1), expr(s"((ts - ${lo}L) * ${kL}L) div ${hi - lo}L")))
+      .withColumn("bucket", bucketId(lo, hi, kL))
       .groupBy("channel", "bucket")
       .agg(
         min("ts").as("t_first"),
         min_by(col("value"), col("ts")).as("v_first"),
         min_by(col("ts"), struct(col("value"), col("ts"))).as("t_min"),
         min("value").as("v_min"),
-        min_by(col("ts"), struct((-col("value")).as("nv"), col("ts")))
+        // max_by over (value, −ts): greatest value, earliest ts on
+        // ties — NaN-consistent with max(value) (both engines order
+        // NaN greatest and NaN = NaN), unlike a −value min_by where
+        // −NaN stays NaN and the pair (t_max, v_max) could name two
+        // different rows
+        max_by(col("ts"), struct(col("value"), (-col("ts")).as("nts")))
           .as("t_max"),
         max("value").as("v_max"),
         max("ts").as("t_last"),
         max_by(col("value"), col("ts")).as("v_last"))
   }
+
+  /** The four M4 corner points flattened to a distinct, time-ordered
+    * (channel, ts, value) series — the wire shape a chart client
+    * consumes (a single-point bucket repeats one corner four times;
+    * dropDuplicates on ts is safe because ts is unique per channel, so
+    * duplicate rows are identical). Shared by the HTTP `m4=K` handler
+    * and its byte-parity spec.
+    */
+  def m4Points(m4Rows: DataFrame): DataFrame =
+    m4Rows.select(col("channel"),
+        explode(array(
+          struct(col("t_first").as("ts"), col("v_first").as("value")),
+          struct(col("t_min").as("ts"), col("v_min").as("value")),
+          struct(col("t_max").as("ts"), col("v_max").as("value")),
+          struct(col("t_last").as("ts"), col("v_last").as("value"))))
+          .as("p"))
+      .select(col("channel"), col("p.ts").as("ts"), col("p.value").as("value"))
+      .dropDuplicates("ts")
 
   /** Hour-of-day seasonal profile — "what does this PV normally do at
     * 3am": per (channel, UTC hour 0–23) sample count, mean, min, max.

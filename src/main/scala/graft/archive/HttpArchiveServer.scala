@@ -6,7 +6,7 @@ import java.util.regex.{Pattern, PatternSyntaxException}
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{array, col, explode, lit, struct}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** The reference's archive-access HTTP API (version 1.0) as a real
   * process a user can curl — the layer the engine stopped short of
@@ -313,20 +313,9 @@ object HttpArchiveServer {
           val m = ConfiguredArchive.queryM4(spark, configPath,
             storePath, channel, start.get, end.get, m4K.flatten.get,
             backend, refuseDisabled = refuseDisabled)
-          // the four corner points per bucket, deduplicated (a
-          // single-point bucket repeats one point four times) and
-          // time-ordered — dropDuplicates on ts is safe because ts is
-          // unique per channel, so duplicate rows are identical
-          val pts = m.select(col("channel"),
-              explode(array(
-                struct(col("t_first").as("ts"), col("v_first").as("value")),
-                struct(col("t_min").as("ts"), col("v_min").as("value")),
-                struct(col("t_max").as("ts"), col("v_max").as("value")),
-                struct(col("t_last").as("ts"), col("v_last").as("value"))))
-                .as("p"))
-            .select(col("channel"), col("p.ts").as("ts"),
-              col("p.value").as("value"))
-            .dropDuplicates("ts")
+          // the distinct time-ordered corner points (Analytics.m4Points
+          // — shared with the byte-parity spec)
+          val pts = Analytics.m4Points(m)
             .withColumn("severity", lit(0)).withColumn("status", lit(0))
             .orderBy("ts")
           ArchiveServer.serializedIterator(JsonV1.serializeRaw(pts),

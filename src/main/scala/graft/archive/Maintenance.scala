@@ -50,22 +50,34 @@ object Maintenance {
         "migrateStore needs a versioned (manifest) old store — " +
           "an unversioned source has no crash-safe migration token"))
     oldBackend.levels(spark, oldPath).map { level =>
-      val rows = oldBackend
-        .read(spark, oldPath, level, hiNs = Some(cutoverNs - 1))
-        .where(org.apache.spark.sql.functions.col("ts") < cutoverNs)
       val before = liveBackend match {
         case ManifestBackend =>
           ManifestStore.latestManifest(spark, livePath)
             .flatMap(_.txns.get(s"migrate_$level"))
         case _ => None
       }
-      liveBackend.writeTxn(rows, livePath, level, s"migrate_$level", token)
-      val applied = liveBackend match {
-        case ManifestBackend =>
-          !before.contains(token) // skipped when the token already matched
-        case _ => true
+      // a DIFFERENT prior token means the old store changed after a
+      // completed migration: re-appending would silently duplicate
+      // every pre-cutover sample, so refuse loudly instead
+      before.filter(_ != token).foreach { prev =>
+        throw new IllegalStateException(
+          s"live store already holds a level-$level migration with " +
+            s"token $prev but the old store now reads version $token " +
+            "— the frozen-old contract was violated; rebuild the live " +
+            "level instead of re-appending")
       }
-      level -> (if (applied) rows.count() else 0L)
+      if (before.contains(token)) level -> 0L
+      else {
+        val rows = oldBackend
+          .read(spark, oldPath, level, hiNs = Some(cutoverNs - 1))
+          .where(org.apache.spark.sql.functions.col("ts") < cutoverNs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          liveBackend.writeTxn(rows, livePath, level, s"migrate_$level",
+            token)
+          level -> rows.count() // served from the cached frame, not a rescan
+        } finally { rows.unpersist(); () }
+      }
     }.toMap
   }
 

@@ -143,10 +143,17 @@ final class FederatedBackend(val oldBackend: StoreBackend,
     (oldBackend.levels(spark, oldPath) ++ liveBackend.levels(spark, path))
       .distinct.sorted
 
+  /** Retention runs on the LIVE store only: the old store is
+    * read-only by contract (mutating it would also break
+    * [[Maintenance.migrateStore]]'s crash-safety token), and its own
+    * latest ts is pinned at the cutover forever, so a
+    * latest-minus-retention horizon computed over it would never
+    * advance with wall time anyway. Expiring old history is the
+    * migration/decommission workflow's job, not routine upkeep's.
+    */
   def applyRetention(spark: SparkSession, path: String, levelSec: Long,
                      retentionNs: Long): Seq[String] =
-    oldBackend.applyRetention(spark, oldPath, levelSec, retentionNs) ++
-      liveBackend.applyRetention(spark, path, levelSec, retentionNs)
+    liveBackend.applyRetention(spark, path, levelSec, retentionNs)
 
   override def metaVersion(spark: SparkSession, path: String): Option[Long] =
     for {

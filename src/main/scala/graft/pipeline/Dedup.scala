@@ -39,10 +39,14 @@ object Dedup {
     */
   def rateBySource(docs: DataFrame, textCol: String = "text",
                    sourceCol: String = "source"): DataFrame = {
-    val groups = exact(docs, textCol)
+    // ONE corpus scan + one md5 pass: the per-hash group stats ride a
+    // window over text_hash (the same shuffle [[exact]]'s groupBy
+    // would pay), instead of scanning + hashing twice and joining
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("text_hash")
     docs.select(col(sourceCol).as("source"), col("doc_id"),
         md5(col(textCol)).as("text_hash"))
-      .join(groups, Seq("text_hash"))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("keeper_id", min(col("doc_id")).over(w))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("n_copies") > 1L, lit(1L)).otherwise(lit(0L)))

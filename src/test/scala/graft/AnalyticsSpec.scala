@@ -151,6 +151,36 @@ class AnalyticsSpec extends AnyFunSuite {
       got(1).getAs[Long]("t_last") == 30L * S)
   }
 
+  test("m4/lttb bucket ids survive year-scale windows (no Long overflow)") {
+    // (ts − lo)·k at a 2-year window × k=1000 is ~6.3e19 > 2⁶³: the
+    // DECIMAL-routed bucket id must still land every sample in
+    // [0, k) and keep the last sample in the last bucket
+    val lo = 1704067200L * S
+    val hi = lo + 2L * 365L * 86400L * S
+    val df = frame(Seq(
+      ("c", lo, 1.0), ("c", lo + (hi - lo) / 2, 2.0), ("c", hi - 1, 3.0))
+      .map { case (ch, t, v) => (ch, t, v, "", 0, 0, t) })
+    val m = Analytics.m4(df, lo, hi, k = 1000).orderBy("bucket").collect()
+      .map(_.getAs[Long]("bucket"))
+    assert(m.toSeq == Seq(0L, 500L, 999L))
+    val l = Analytics.lttb(df, lo, hi, k = 1000).orderBy("bucket").collect()
+      .map(_.getAs[Long]("bucket"))
+    assert(l.toSeq == Seq(0L, 500L, 999L))
+  }
+
+  test("m4: NaN bucket keeps the (t_max, v_max) pair consistent") {
+    val df = frame(Seq(
+      ("c", 0L, 5.0), ("c", 10L * S, Double.NaN), ("c", 20L * S, 7.0))
+      .map { case (ch, t, v) => (ch, t, v, "", 0, 0, t) })
+    val r = Analytics.m4(df, 0L, 40L * S, k = 1).collect().head
+    // Spark orders NaN greatest: max(value) = NaN, and the t_max pick
+    // must name the SAME row (the earliest NaN), not a finite one
+    assert(r.getAs[Double]("v_max").isNaN)
+    assert(r.getAs[Long]("t_max") == 10L * S)
+    // the min side ignores NaN as both engines do
+    assert(r.getAs[Double]("v_min") == 5.0 && r.getAs[Long]("t_min") == 0L)
+  }
+
   test("seasonalProfile: integer ns hour-of-day, DECIMAL-exact means") {
     val H = 3600L * S
     val df = frame(Seq(

@@ -194,19 +194,22 @@ class HttpArchiveServerSpec extends AnyFunSuite {
     val (code, body) =
       get(s"$base/1/samples/${enc("pv:alpha")}?start=$lo&end=$hi&m4=$k")
     assert(code == 200)
-    // byte-compare against the engine boundary the handler wraps: the
-    // four corner points per bucket, ts-deduplicated, time-ordered
-    import org.apache.spark.sql.functions.{array, col, explode, lit, struct}
-    val m = ConfiguredArchive.queryM4(spark, cfgDir, storePath,
-      "pv:alpha", lo, hi, k)
-    val pts = m.select(explode(array(
-        struct(col("t_first").as("ts"), col("v_first").as("value")),
-        struct(col("t_min").as("ts"), col("v_min").as("value")),
-        struct(col("t_max").as("ts"), col("v_max").as("value")),
-        struct(col("t_last").as("ts"), col("v_last").as("value")))).as("p"))
-      .select(lit("pv:alpha").as("channel"), col("p.ts").as("ts"),
-        col("p.value").as("value"))
-      .dropDuplicates("ts")
+    // byte-compare against an INDEPENDENT flattening: collect the m4
+    // bucket rows and assemble the corner-point series driver-side
+    // (plain Scala, not the handler's m4Points plan), then serialize
+    // through the separately-gated JsonV1 writer
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val corners = ConfiguredArchive.queryM4(spark, cfgDir, storePath,
+        "pv:alpha", lo, hi, k).collect()
+      .flatMap(r => Seq(
+        r.getAs[Long]("t_first") -> r.getAs[Double]("v_first"),
+        r.getAs[Long]("t_min") -> r.getAs[Double]("v_min"),
+        r.getAs[Long]("t_max") -> r.getAs[Double]("v_max"),
+        r.getAs[Long]("t_last") -> r.getAs[Double]("v_last")))
+      .toMap.toSeq.sortBy(_._1)
+    val pts = corners.toDF("ts", "value")
+      .select(lit("pv:alpha").as("channel"), $"ts", $"value")
       .withColumn("severity", lit(0)).withColumn("status", lit(0))
     val expected = graft.archive.JsonV1.serializeRaw(pts)
       .orderBy("ts").select("json").collect().map(_.getString(0))
