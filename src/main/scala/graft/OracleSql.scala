@@ -676,6 +676,38 @@ object OracleSql {
          |FROM clean WHERE value IS NOT NULL AND NOT isnan(value)
          |GROUP BY 1, 2 ORDER BY channel, hour""".stripMargin,
 
+    // seasonal anomalies: per-(channel, hour) bands on the 6dp integer
+    // grid, exact-Long squared-term flag — mirrors seasonalAnomalies
+    "arch_seasonal_anomalies" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |b AS (
+         |  SELECT channel, ts,
+         |    CAST((ts // 3600000000000) % 24 AS INT) AS hour,
+         |    CAST(round(value * 1000000.0) AS BIGINT) AS q
+         |  FROM clean WHERE value IS NOT NULL AND NOT isnan(value)),
+         |prof AS (
+         |  SELECT channel, hour,
+         |    CAST(round(CAST(sum(CAST(q AS DECIMAL(19,0))) AS DOUBLE)
+         |      / count(*)) AS BIGINT) AS bmean_q,
+         |    CAST(round(CAST(sum(CAST(q AS DECIMAL(19,0))
+         |        * CAST(q AS DECIMAL(19,0))) AS DOUBLE)
+         |      / count(*)) AS BIGINT) AS bm2_q
+         |  FROM b GROUP BY 1, 2),
+         |p2 AS (
+         |  SELECT *, greatest(0, bm2_q - bmean_q * bmean_q) AS bvar_q
+         |  FROM prof),
+         |f AS (
+         |  SELECT b.channel, b.ts,
+         |    p2.bvar_q > 0 AND (b.q - p2.bmean_q) * (b.q - p2.bmean_q)
+         |      > 9 * p2.bvar_q AS is_anom
+         |  FROM b JOIN p2 USING (channel, hour))
+         |SELECT channel, count(*) AS n_samples,
+         |  CAST(coalesce(sum(CASE WHEN is_anom THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_anomalies,
+         |  min(CASE WHEN is_anom THEN ts END) AS t_first_anomaly
+         |FROM f GROUP BY 1 ORDER BY channel""".stripMargin,
+
     // threshold crossings at 250: lag comparisons + sample-and-hold
     // time-above — every output an exact integer
     "arch_crossings" ->

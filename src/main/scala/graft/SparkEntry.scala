@@ -703,6 +703,12 @@ object SparkEntry {
       Analytics.seasonalProfile(clean(s, dir))
         .orderBy("channel", "hour")),
 
+    // the baseline composed into detection: per-(channel, hour) band,
+    // |v − mean| > 3σ on quantized grid values, no sqrt anywhere
+    "arch_seasonal_anomalies" -> ((s, dir) =>
+      Analytics.seasonalAnomalies(clean(s, dir), nSigma = 3.0)
+        .orderBy("channel")),
+
     // threshold-crossing report at 250: up/down counts, first/last
     // up-crossing ts, sample-and-hold time above — exact integers
     "arch_crossings" -> ((s, dir) =>

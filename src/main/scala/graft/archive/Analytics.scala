@@ -325,6 +325,61 @@ object Analytics {
         max("value").as("v_max"))
   }
 
+  /** Seasonal-baseline anomaly report — [[seasonalProfile]] composed
+    * into detection: each sample is compared against ITS OWN hour-of-
+    * day band (|v − mean(channel, hour)| > nSigma · std(channel,
+    * hour)), which catches "3am value at a 3pm level" that a global
+    * z-score ([[Rolling.zscoreFast]], `healthReport`) averages away.
+    * Output per channel: samples checked, anomalies, and the first
+    * anomalous timestamp.
+    *
+    * Scale shape: the baseline is channels × 24 rows (broadcast into
+    * the flagging join no matter the archive size); the flagging pass
+    * is one shuffle-free scan. Determinism: band means and σ² are
+    * quantized to the 6dp grid from exact DECIMAL moment sums BEFORE
+    * the comparison, and the flag itself is evaluated on squared
+    * terms (no sqrt — engines can differ in the last ulp of a
+    * transcendental, never in multiplication of grid values).
+    * Constant bands (σ = 0) flag nothing, matching `healthReport`.
+    */
+  def seasonalAnomalies(samples: DataFrame, nSigma: Double): DataFrame = {
+    require(nSigma == math.rint(nSigma) && nSigma >= 1.0,
+      "nSigma must be a small positive integer (the flag stays in " +
+        "exact integer arithmetic)")
+    val n2 = (nSigma * nSigma).toLong
+    val hourNs = 3600L * 1000000000L
+    val d = (c: Column) => c.cast("decimal(19,0)")
+    // the whole comparison runs on the 6dp integer grid (q = value·1e6
+    // rounded): moment sums are exact DECIMAL integer sums, band mean
+    // and mean-square round back to longs, and the flag is pure Long
+    // arithmetic — bounds: |value| < 9·10³ keeps every term under 2⁶³
+    val base = samples.where(col("value").isNotNull && !isnan(col("value")))
+      .select(col("channel"), col("ts"),
+        pmod(expr(s"ts div ${hourNs}L"), lit(24L)).cast("int").as("hour"),
+        round(col("value") * lit(1e6)).cast("long").as("q"))
+    val prof = base.groupBy("channel", "hour")
+      .agg(count(lit(1)).as("bn"),
+        sum(d(col("q"))).cast("double").as("sx"),
+        sum(d(col("q")) * d(col("q"))).cast("double").as("sxx"))
+      .select(col("channel"), col("hour"),
+        round(col("sx") / col("bn").cast("double")).cast("long")
+          .as("bmean_q"),
+        round(col("sxx") / col("bn").cast("double")).cast("long")
+          .as("bm2_q"))
+      .withColumn("bvar_q",
+        greatest(lit(0L), col("bm2_q") - col("bmean_q") * col("bmean_q")))
+    val flagged = base.join(broadcast(prof), Seq("channel", "hour"))
+      .withColumn("dev_q", col("q") - col("bmean_q"))
+      .withColumn("is_anom",
+        col("bvar_q") > 0L &&
+          col("dev_q") * col("dev_q") > lit(n2) * col("bvar_q"))
+    flagged.groupBy("channel")
+      .agg(count(lit(1)).as("n_samples"),
+        sum(when(col("is_anom"), lit(1L)).otherwise(lit(0L)))
+          .as("n_anomalies"),
+        min(when(col("is_anom"), col("ts"))).as("t_first_anomaly"))
+  }
+
   /** Threshold-crossing report over [lo, hi) — the "how often did the
     * pressure trip 250 and for how long" question: per channel the
     * count of upward and downward crossings (previous sample strictly

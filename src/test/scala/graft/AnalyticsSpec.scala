@@ -193,6 +193,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((3, 2L, 2.0, 1.0, 3.0), (5, 1L, 10.0, 10.0, 10.0)))
   }
 
+  test("seasonalAnomalies flags against the hour band, not the global mean") {
+    val H = 3600L * S
+    // hour 3 band: {10, 12, 11, 100} over four days — 100 is the
+    // anomaly; hour 5 band is constant (σ = 0) → never flags, even
+    // though its value differs wildly from the global mean
+    val df = frame(Seq(
+      ("c", 3L * H, 10.0), ("c", 27L * H, 12.0), ("c", 51L * H, 11.0),
+      ("c", 75L * H, 100.0),
+      ("c", 5L * H, 500.0), ("c", 29L * H, 500.0))
+      .map { case (ch, t, v) => (ch, t, v, "", 0, 0, t) })
+    val got = Analytics.seasonalAnomalies(df, nSigma = 1.0).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_samples") == 6L)
+    assert(r.getAs[Long]("n_anomalies") == 1L,
+      "only the hour-3 outlier flags; the constant hour-5 band never does")
+    assert(r.getAs[Long]("t_first_anomaly") == 75L * H)
+  }
+
   test("thresholdCrossings: up/down counts, first/last up ts, hold-above time") {
     val S10 = 10L * S
     // values: 1 → 5 (up) → 5 → 1 (down) → 6 (up); threshold 4; window
