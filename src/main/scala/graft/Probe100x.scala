@@ -278,6 +278,47 @@ object Probe100x {
         "ivf_indexed_probe_sec" -> indexed)
     }
 
+    if (mode == "migrate" || mode == "all") {
+      // the federation/migration story measured at 20M rows: build an
+      // old store (first half of history) + a live store (second
+      // half), read the full range through FederatedBackend vs a
+      // single store holding everything, then retire the split with
+      // the token-deduplicated migration and re-check
+      import graft.archive.{FederatedBackend, ManifestBackend, ManifestStore,
+        Maintenance}
+      val n = 20000000L
+      val t00 = 1704067200L * 1000000000L
+      val mk = spark.range(n).select(
+        concat(lit("pv"), pmod(col("id"), lit(100L))).as("channel"),
+        (lit(t00) + expr("(id div 100) * 1000000000L")).as("ts"),
+        (pmod(xxhash64(col("id")), lit(1000L)).cast("double") / lit(10.0))
+          .as("value"),
+        lit("").as("str_value"), lit(0).as("severity"), lit(0).as("status"),
+        col("id").as("sample_id"))
+      val cut = t00 + (n / 100L / 2L) * 1000000000L
+      val root = java.nio.file.Files.createTempDirectory("migprobe").toString
+      val one = s"$root/one"; val old = s"$root/old"; val live = s"$root/live"
+      ManifestStore.commit(mk, one, levelSec = 0)
+      ManifestStore.commit(mk.where(col("ts") < cut), old, levelSec = 0)
+      ManifestStore.commit(mk.where(col("ts") >= cut), live, levelSec = 0)
+      val fed = new FederatedBackend(ManifestBackend, old, cut)
+      val singleSec = time(noop(
+        ManifestStore.read(spark, one, 0, Some(t00), Some(cut * 2))))
+      val fedSec = time(noop(
+        fed.read(spark, live, 0, Some(t00), Some(cut * 2), None)))
+      val m0 = System.nanoTime()
+      val migrated = Maintenance.migrateStore(spark, ManifestBackend, old,
+        ManifestBackend, live, cut)
+      val migSec = (System.nanoTime() - m0) / 1e9
+      val migRows = migrated.values.sum
+      val after = ManifestStore.read(spark, live, 0).count()
+      require(after == n, s"post-migration live store holds $after != $n")
+      report("migrate", "rows" -> n,
+        "single_read_sec" -> singleSec, "federated_read_sec" -> fedSec,
+        "migrated_rows" -> migRows, "migrate_sec" -> migSec,
+        "migrate_rows_per_sec" -> (migRows / migSec).toLong)
+    }
+
     if (mode == "pack_sequences" || mode == "all") {
       // token-level sequence packing over the full corpus: 20M tokens
       // + 500k EOS sentinels cut into 2048-id sequences (~10k rows
