@@ -111,7 +111,19 @@ final class FederatedBackend(val oldBackend: StoreBackend,
   def read(spark: SparkSession, path: String, levelSec: Long,
            loNs: Option[Long], hiNs: Option[Long],
            channel: Option[String]): DataFrame = {
-    // inclusive-bound hints, as everywhere in the read surface (F1)
+    // a level present on only ONE side is served whole from that side,
+    // UNCLIPPED: the cutover splits the raw history, but a derived
+    // (decimated) level built after the split lives only in the live
+    // store and covers ALL time — clipping it would drop every
+    // pre-cutover window
+    val oldHas = oldBackend.levels(spark, oldPath).contains(levelSec)
+    val liveHas = liveBackend.levels(spark, path).contains(levelSec)
+    if (oldHas && !liveHas)
+      return oldBackend.read(spark, oldPath, levelSec, loNs, hiNs, channel)
+    if (liveHas && !oldHas)
+      return liveBackend.read(spark, path, levelSec, loNs, hiNs, channel)
+    // both sides hold the level: the split applies. Inclusive-bound
+    // hints, as everywhere in the read surface (F1).
     val wantOld = loNs.forall(_ < cutoverNs)
     val wantLive = hiNs.forall(_ >= cutoverNs)
     val oldSide =
@@ -129,7 +141,13 @@ final class FederatedBackend(val oldBackend: StoreBackend,
           .where(col("ts") >= cutoverNs))
       else None
     (oldSide, liveSide) match {
-      case (Some(a), Some(b)) => a.unionByName(b)
+      // allowMissingColumns: a manifest store's read schema is the
+      // UNION across its levels (a live store that has grown decimated
+      // levels serves raw rows with null agg columns) — the old store,
+      // frozen before those levels existed, must union the same way a
+      // single store would: nulls where it has no column
+      case (Some(a), Some(b)) =>
+        a.unionByName(b, allowMissingColumns = true)
       case (Some(a), None)    => a
       case (None, Some(b))    => b
       case (None, None)       =>

@@ -320,6 +320,50 @@ class CascadeSpec extends AnyFunSuite {
     }
   }
 
+  test("cascade over a mid-migration federation equals a single store") {
+    import spark.implicits._
+    import graft.archive.{FederatedBackend, ManifestBackend, ManifestStore}
+    val events = Samples.fromEvents(spark, "/root/testdata/sf0.001")
+    val cut = events.agg(org.apache.spark.sql.functions.expr(
+      "percentile(ts, 0.5)")).head.getDouble(0).toLong
+
+    // raw history split across a frozen old store and a live store;
+    // the cascade runs through ONE FederatedBackend — reads union the
+    // halves, the new decimated levels land in the LIVE store only
+    val root = Files.createTempDirectory("casfed").toString
+    val old = s"$root/old"; val live = s"$root/live"
+    ManifestStore.commit(events.where($"ts" <= cut), old, 0)
+    ManifestStore.commit(
+      Samples.monotonicDedup(events).where($"ts" > cut), live, 0)
+    val fed = new FederatedBackend(ManifestBackend, old, cut + 1)
+    Cascade.materializeLevel(spark, live, 30L, fed)
+    Cascade.materializeLevel(spark, live, 300L, fed)
+    // a catch-up pass right after is a no-op, not a crash or a dup
+    Cascade.catchUp(spark, live, 30L, fed)
+
+    // single-store reference
+    val full = Files.createTempDirectory("casfedfull").toString
+    Cascade.materialize(spark, full, events, Seq(30L, 300L))
+
+    for (l <- Seq(30L, 300L)) {
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getLong(1)) ->
+          (math.round(r.getDouble(2) * 1e9),
+            math.round(r.getDouble(3) * 1e9), r.getLong(4))
+      val cols = Seq("channel", "ts", "mean", "covered_fraction", "n_samples")
+      // the decimated levels live ONLY in the live store
+      val a = ManifestStore.read(spark, live, l)
+        .selectExpr(cols: _*).collect().map(key).toMap
+      val b = ArchiveStore.read(spark, full, l)
+        .selectExpr(cols: _*).collect().map(key).toMap
+      assert(a.keySet == b.keySet, s"level $l window sets differ")
+      for (k <- a.keySet)
+        assert(a(k) == b(k), s"level $l at $k: ${a(k)} vs ${b(k)}")
+      assert(ManifestBackend.levels(spark, old) == Seq(0L),
+        "the frozen old store must not grow levels")
+    }
+  }
+
   test("write-triggered retention expires day buckets during cascade runs") {
     import org.apache.spark.sql.functions._
     val ns = Samples.NS
