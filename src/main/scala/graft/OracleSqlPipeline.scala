@@ -1379,6 +1379,32 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |      * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6 AS share
          |FROM c ORDER BY lang_actual, lang_detected""".stripMargin,
 
+    // mirror of TextAnalysis.c4Rules: \n line segments, terminal-punct
+    // + >=5-word line retention, exact integer page rules
+    "text_c4_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    string_split(text, chr(10)) AS lines,
+        |    CAST(length(text) - length(regexp_replace(text, '[.!?]', '',
+        |      'g')) AS BIGINT) AS n_sentences,
+        |    contains(text, '{') AS has_brace,
+        |    contains(lower(text), 'lorem ipsum') AS has_lorem
+        |  FROM documents),
+        |k AS (
+        |  SELECT *,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, l ->
+        |      regexp_matches(l, '[.!?]["'']?\s*$') AND
+        |      len(list_filter(string_split_regex(l, '\s+'),
+        |          w -> w <> '')) >= 5)) AS BIGINT) AS n_kept_lines
+        |  FROM d)
+        |SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+        |  CAST(has_brace AS INT) AS has_brace,
+        |  CAST(has_lorem AS INT) AS has_lorem,
+        |  CAST(n_sentences >= 3 AND NOT has_brace AND NOT has_lorem
+        |    AND n_kept_lines >= 1 AS INT) AS keep
+        |FROM k ORDER BY doc_id""".stripMargin,
+
     "text_quality" ->
       s"""WITH $TOKS,
          |d AS (SELECT t.doc_id, toks, text,

@@ -1853,6 +1853,12 @@ object SparkEntry {
     "text_quality" -> ((s, dir) =>
       TextAnalysis.quality(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // the C4 cleaning battery (Raffel et al. 2020 §2.2): line
+    // retention, sentence count, page flags, composite keep — all
+    // exact integer/boolean rules
+    "text_c4_rules" -> ((s, dir) =>
+      TextAnalysis.c4Rules(Tables.documents(s, dir)).orderBy("doc_id")),
+
     "text_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(Tables.documents(s, dir)).orderBy("doc_id")),
 

@@ -163,6 +163,37 @@ object TextAnalysis {
   val GopherStops: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** The C4 cleaning battery (Raffel et al. 2020 §2.2) next to
+    * [[gopherRules]] — the OTHER named filter set every curation
+    * pipeline cites. Per document: line statistics (a "line" is a
+    * `\n` segment; a line is RETAINED when it ends in terminal
+    * punctuation — . ! ? or a closing quote — and holds ≥ 5 words),
+    * sentence count (terminal-punctuation occurrences), the lorem-
+    * ipsum and curly-brace page flags, and the composite `keep` (≥ 3
+    * sentences, no brace, no lorem ipsum, ≥ 1 retained line). Every
+    * rule is an exact integer/boolean comparison — engines cannot
+    * disagree at ties; one shuffle-free codegen'd projection.
+    */
+  def c4Rules(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      l.rlike("""[.!?]["']?\s*$""") &&
+        size(filter(split(l, "\\s+"), w => w =!= "")) >= 5)
+    val lower = org.apache.spark.sql.functions.lower(col(textCol))
+    val nSent = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[.!?]", ""))).cast("long")
+    val hasBrace = col(textCol).contains("{")
+    val hasLorem = lower.contains("lorem ipsum")
+    docs.select(col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      nSent.as("n_sentences"),
+      hasBrace.cast("int").as("has_brace"),
+      hasLorem.cast("int").as("has_lorem"),
+      (nSent >= 3L && !hasBrace && !hasLorem && size(kept) >= 1)
+        .cast("int").as("keep"))
+  }
+
   /** Tokenizer fertility report per (lang, source) — the
     * budget-planning table a training run reads before fixing its
     * token counts: docs, whitespace words, BPE-ish subword tokens

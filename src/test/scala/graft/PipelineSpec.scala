@@ -482,6 +482,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(5L)._4 == 0 && got(5L)._6 == 0)
   }
 
+  test("c4Rules: line retention, sentence count, page flags, composite keep") {
+    val good = "This is a proper sentence here. Another full line follows it!\n" +
+      "And a third one closes the paragraph?"
+    val d = docs(
+      (1L, good, "en"),                                   // keeps
+      (2L, "Too short line.\nNo. Yes. Maybe.", "en"),     // no ≥5-word line… but sentences ok
+      (3L, good + " { code }", "en"),                     // brace page flag
+      (4L, good.replace("here.", "here") + " lorem ipsum dolor", "en"),
+      (5L, "One sentence only, no terminal", "en"))       // < 3 sentences
+    val got = TextAnalysis.c4Rules(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept_lines"),
+          r.getAs[Long]("n_sentences"), r.getAs[Int]("has_brace"),
+          r.getAs[Int]("has_lorem"), r.getAs[Int]("keep"))).toMap
+    assert(got(1L) == ((2L, 2L, 3L, 0, 0, 1)))
+    // doc 2: 4 sentences but every line fails the ≥5-word rule
+    assert(got(2L)._2 == 0L && got(2L)._6 == 0)
+    assert(got(3L)._4 == 1 && got(3L)._6 == 0)
+    assert(got(4L)._5 == 1 && got(4L)._6 == 0)
+    assert(got(5L)._3 == 0L && got(5L)._6 == 0)
+  }
+
   test("fertility: subwords per word and chars per subword, grouped by (lang, source)") {
     val d = Seq(
       (1L, "don't stop", "en"),   // 2 words; subwords: don,',t,stop = 4
