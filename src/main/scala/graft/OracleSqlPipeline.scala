@@ -1050,6 +1050,56 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
     // position → prefix-sum shard assignment, all in the oracle's
     // sequential windows (the Spark side's distributed ordinal +
     // prefix-sum recipes must land on exactly these rows)
+    // mirror of pipeline_curate5: word-count floor (Gopher rule) →
+    // exact-dedup keepers among the survivors → the pack_sequences
+    // chain over the surviving docs (vocab from survivors, EOS −2,
+    // 64-id cut)
+    "pipeline_curate5" ->
+      s"""WITH wc AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      CAST(len(list_filter(string_split_regex(lower(text),
+         |        '\\s+'), x -> x <> '')) AS BIGINT) AS n
+         |    FROM documents)
+         |  WHERE n >= 50 AND n <= 100000),
+         |kept AS (SELECT d.* FROM documents d JOIN wc USING (doc_id)),
+         |keepers AS (SELECT min(doc_id) AS doc_id
+         |            FROM kept GROUP BY md5(text)),
+         |surv AS (SELECT k.* FROM kept k JOIN keepers USING (doc_id)),
+         |t AS (SELECT doc_id,
+         |        list_filter(string_split_regex(lower(text), '\\s+'),
+         |                    x -> x <> '') AS toks
+         |      FROM surv),
+         |u AS (SELECT tok AS token, count(*) AS c
+         |      FROM t, UNNEST(toks) x(tok) GROUP BY 1),
+         |r AS (SELECT token,
+         |        CAST(row_number() OVER (ORDER BY c DESC, token) - 1
+         |          AS INT) AS token_id
+         |      FROM u QUALIFY token_id < 20),
+         |p AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i+1] AS token
+         |      FROM t, UNNEST(range(0, len(toks))) g(i)),
+         |ids AS (SELECT p.doc_id, p.pos,
+         |          CAST(coalesce(r.token_id, -1) AS INT) AS token_id
+         |        FROM p LEFT JOIN r USING (token)),
+         |cnt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) + 1 AS n_eff
+         |        FROM t),
+         |off AS (SELECT doc_id, n_eff,
+         |          CAST(coalesce(sum(n_eff) OVER (ORDER BY doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |            AS BIGINT) AS cb
+         |        FROM cnt),
+         |g AS (SELECT i.doc_id, o.cb + i.pos AS gpos, i.token_id
+         |      FROM ids i JOIN off o USING (doc_id)
+         |      UNION ALL
+         |      SELECT doc_id, cb + n_eff - 1 AS gpos,
+         |             CAST(-2 AS INT) AS token_id FROM off),
+         |s AS (SELECT gpos // 64 AS seq_id, gpos % 64 AS seq_pos,
+         |             token_id, doc_id FROM g)
+         |SELECT seq_id, count(*) AS n_tokens,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  string_agg(token_id::VARCHAR, ',' ORDER BY seq_pos) AS ids
+         |FROM s GROUP BY 1 ORDER BY seq_id""".stripMargin,
+
     "pipeline_curate4" ->
       s"""WITH $TOKS,
          |d AS (SELECT t.doc_id,

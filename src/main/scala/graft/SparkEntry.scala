@@ -371,6 +371,21 @@ object SparkEntry {
       detachSink(s, sink).orderBy("channel", "bin")
     }),
 
+    // the live ops-dashboard baseline: Complete-mode streaming
+    // seasonal profile — state is channels × 24 rows, each micro-batch
+    // merges DECIMAL partials; drains to the batch bytes
+    "stream_seasonal_profile" -> ((s, dir) => {
+      val r = clean(s, dir)
+      val in = memoInput("sseas-in", dir)(r.write.parquet(_))
+      val stream = s.readStream.schema(r.schema).parquet(in)
+      val sink = s"sseas_out_${streamGateSeq.incrementAndGet()}"
+      val q = Analytics.seasonalProfile(stream)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      detachSink(s, sink).orderBy("channel", "hour")
+    }),
+
     // the live chart envelope: Complete-mode streaming M4 — every
     // column is a min/max/min_by/max_by, so the state is one row per
     // (channel, bucket) and each micro-batch merges partials; the
@@ -1578,6 +1593,26 @@ object SparkEntry {
     // the same shuffle) → prefix-sum shard assignment in curriculum
     // order — the full "what do I actually feed the trainer" answer
     // in one composed, oracle-gated plan
+    // the fifth curation flagship — raw docs → TRAINER INPUT in one
+    // composed plan: length-floor filter (the Gopher word-count rule,
+    // the one battery rule this corpus discriminates on) →
+    // exact-dedup keepers among the survivors (keeper = min doc_id
+    // within the filtered set) → token-level fixed-length sequence
+    // packing (vocab from the survivors, EOS per doc, 64-id rows).
+    // The whole arc every training run performs, oracle-gated end to
+    // end.
+    "pipeline_curate5" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val kept = docs.join(
+        TextAnalysis.gopherRules(docs).where(col("ok_words") === 1)
+          .select("doc_id"), Seq("doc_id"))
+      val survivors = kept.join(
+        Dedup.exact(kept).select(col("keeper_id").as("doc_id")),
+        Seq("doc_id"))
+      Sampling.packSequences(survivors, vocabSize = 20, seqLen = 64L)
+        .orderBy("seq_id")
+    }),
+
     "pipeline_curate4" -> ((s, dir) => {
       val q = TextAnalysis.quality(Tables.documents(s, dir))
         .where(col("quality_score") >= 0.5)
@@ -2341,6 +2376,8 @@ object SparkEntry {
       ("arch_serve_m4" -> base("arch_m4")) +
       // the Complete-mode streaming M4 envelope = the batch bytes
       ("stream_m4" -> base("arch_m4")) +
+      // the Complete-mode streaming seasonal baseline = the batch bytes
+      ("stream_seasonal_profile" -> base("arch_seasonal_profile")) +
       // shard-sketch + cmsMerge serves the whole-corpus heavy hitters
       ("text_heavy_hitters_merged" -> base("text_heavy_hitters")) +
       // so does the streamed Complete-mode sketch
