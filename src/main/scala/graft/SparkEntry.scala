@@ -1138,6 +1138,20 @@ object SparkEntry {
         .orderBy("channel", "bucket")
     }),
 
+    // the dashboard's distribution panel through the config-governed
+    // serving stack — must serve the arch_value_percentiles bytes
+    "arch_serve_stats" -> ((s, dir) => {
+      val (cfgDir, store, names) = chartServeFixture(s, dir)
+      names.map { n =>
+        ConfiguredArchive.queryStats(s, cfgDir, store, n,
+          startNs = 0L, endNs = Long.MaxValue / 2, backend =
+            graft.archive.ManifestBackend)
+      }.reduce(_ unionByName _)
+        .select(col("channel"), col("n_samples"), col("v_min"),
+          col("p50"), col("p90"), col("p99"), col("v_max"))
+        .orderBy("channel")
+    }),
+
     // M4 through the config-governed serving stack: id-keyed store,
     // name resolution, single pruned range scan per channel — must
     // serve the arch_m4 bytes (same fixture as arch_serve_lttb: the
@@ -2374,6 +2388,8 @@ object SparkEntry {
       ("arch_serve_lttb" -> base("arch_lttb")) +
       // M4 through the config-governed serving stack = the batch bytes
       ("arch_serve_m4" -> base("arch_m4")) +
+      // the stats panel through the serving stack = the batch bytes
+      ("arch_serve_stats" -> base("arch_value_percentiles")) +
       // the Complete-mode streaming M4 envelope = the batch bytes
       ("stream_m4" -> base("arch_m4")) +
       // the Complete-mode streaming seasonal baseline = the batch bytes

@@ -201,6 +201,26 @@ object ConfiguredArchive {
       .withColumn("channel", lit(name))
   }
 
+  /** Config-governed distribution panel — the summary a dashboard
+    * shows next to the chart: sample count, min, exact interpolated
+    * p50/p90/p99, max over the requested range
+    * ([[Analytics.valuePercentiles]] on one pruned raw-level scan).
+    */
+  def queryStats(spark: SparkSession, configPath: String,
+                 storePath: String, name: String,
+                 startNs: Long, endNs: Long,
+                 backend: StoreBackend = ManifestBackend,
+                 refuseDisabled: Boolean = false): DataFrame = {
+    val cfg = resolveServable(spark, configPath, name, refuseDisabled)
+    val raw = backend.read(spark, storePath, 0L,
+        loNs = Some(startNs), hiNs = Some(endNs),
+        channel = Some(cfg.channelDataId))
+      .where(col("channel") === cfg.channelDataId &&
+        col("ts") >= startNs && col("ts") <= endNs)
+    Analytics.valuePercentiles(raw)
+      .withColumn("channel", lit(name))
+  }
+
   /** Config-governed M4 downsampling — [[queryLttb]]'s pixel-exact
     * sibling ([[Analytics.m4]]): same single pruned range-scan job,
     * but the reducer is one hash aggregate (no anchor window at all),

@@ -199,6 +199,9 @@ object HttpArchiveServer {
         samples(spark, configPath, storePath, backend, typed, ex,
           decodePath(p.stripPrefix("/1/samples/")), params, refuseDisabled,
           stats)
+      case p if p.startsWith("/1/stats/") =>
+        statsPanel(spark, configPath, storePath, backend, ex,
+          decodePath(p.stripPrefix("/1/stats/")), params, refuseDisabled)
       case p if p.startsWith("/1/channels-by-pattern/") =>
         val glob = decodePath(p.stripPrefix("/1/channels-by-pattern/"))
         listChannels(spark, configPath, ex, params,
@@ -404,6 +407,57 @@ object HttpArchiveServer {
           case Array(k) => decodePath(k) -> ""
         }
       }.toMap
+
+  /** `GET <ctx>/1/stats/<channel>?start=S&end=E` — the dashboard's
+    * distribution panel: one JSON object with the sample count, min,
+    * exact interpolated p50/p90/p99 and max over the inclusive range
+    * ([[ConfiguredArchive.queryStats]]). 400/404/403 mirror the
+    * samples endpoint; a configured channel with no samples in range
+    * answers `{"channel":…,"samples":0}`.
+    */
+  private def statsPanel(spark: SparkSession, configPath: String,
+                         storePath: String, backend: StoreBackend,
+                         ex: HttpExchange, channel: String,
+                         params: Map[String, String],
+                         refuseDisabled: Boolean): Unit = {
+    if (channel.isEmpty) { sendError(ex, 404, "not found"); return }
+    val start = params.get("start").flatMap(_.toLongOption)
+    val end = params.get("end").flatMap(_.toLongOption)
+    if (start.isEmpty || end.isEmpty) {
+      sendError(ex, 400, "start and end must be integers"); return
+    }
+    if (start.get < 0L || end.get < start.get) {
+      sendError(ex, 400, "require 0 <= start <= end"); return
+    }
+    val row =
+      try ConfiguredArchive.queryStats(spark, configPath, storePath,
+          channel, start.get, end.get, backend,
+          refuseDisabled = refuseDisabled)
+        .select("n_samples", "v_min", "p50", "p90", "p99", "v_max")
+        .collect().headOption
+      catch {
+        case _: NoSuchChannelException =>
+          sendError(ex, 404, "not found"); return
+        case e: ChannelDisabledException =>
+          sendError(ex, 403, e.getMessage); return
+        case _: NoStoredDataException => None
+      }
+    // integral doubles print without the trailing ".0" (the JSON a
+    // human reads on a dashboard); everything else is Double.toString
+    def num(d: Double): String =
+      if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+      else d.toString
+    val body = row match {
+      case None =>
+        s"""{"channel":${jsonString(channel)},"samples":0}"""
+      case Some(r) =>
+        s"""{"channel":${jsonString(channel)},"samples":${r.getLong(0)},""" +
+          s""""min":${num(r.getDouble(1))},"p50":${num(r.getDouble(2))},""" +
+          s""""p90":${num(r.getDouble(3))},"p99":${num(r.getDouble(4))},""" +
+          s""""max":${num(r.getDouble(5))}}"""
+    }
+    sendJson(ex, body)
+  }
 
   private def sendJson(ex: HttpExchange, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)

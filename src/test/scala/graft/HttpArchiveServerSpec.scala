@@ -224,6 +224,32 @@ class HttpArchiveServerSpec extends AnyFunSuite {
     assert(body.contains(""""time":""" + (T0 + 599L * 60L * NS)))
   }
 
+  test("stats endpoint serves the distribution panel with the samples error matrix") {
+    val lo = T0; val hi = T0 + 600L * 60L * NS
+    val ch = enc("pv:beta")
+    val (code, body) = get(s"$base/1/stats/$ch?start=$lo&end=$hi")
+    assert(code == 200)
+    // pv:beta holds values 1..60: count/min/max are exact, p50 of
+    // 1..60 interpolates to 30.5
+    assert(body.contains(""""channel":"pv:beta""""))
+    assert(body.contains(""""samples":60"""))
+    assert(body.contains("\"min\":1") && body.contains("\"max\":60"))
+    assert(body.contains(""""p50":30.5"""))
+    // range clipping: only the first 10 minutes → samples 1..10
+    val (c2, b2) =
+      get(s"$base/1/stats/$ch?start=$lo&end=${T0 + 10L * 60L * NS}")
+    assert(c2 == 200 && b2.contains(""""samples":10""") &&
+      b2.contains(""""max":10"""))
+    // error matrix mirrors the samples endpoint
+    assert(get(s"$base/1/stats/$ch?start=5&end=4")._1 == 400)
+    assert(get(s"$base/1/stats/$ch?end=4")._1 == 400)
+    assert(get(s"$base/1/stats/$ch?start=x&end=4")._1 == 400)
+    assert(get(s"$base/1/stats/${enc("pv:nope")}?start=0&end=4")._1 == 404)
+    // configured but nothing stored in range → a zero-sample object
+    assert(get(s"$base/1/stats/${enc("pv:empty")}?start=0&end=4") ==
+      (200, """{"channel":"pv:empty","samples":0}"""))
+  }
+
   test("route matrix: 404 unknown/empty channel and route") {
     assert(get(s"$base/1/samples/${enc("pv:nope")}?start=0&end=4")._1 == 404)
     assert(get(s"$base/1/samples/?start=0&end=4")._1 == 404)
