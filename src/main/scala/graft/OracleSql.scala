@@ -695,11 +695,16 @@ object OracleSql {
          |      / count(*)) AS BIGINT) AS bm2_q
          |  FROM b GROUP BY 1, 2),
          |p2 AS (
-         |  SELECT *, greatest(0, bm2_q - bmean_q * bmean_q) AS bvar_q
+         |  SELECT *, greatest(CAST(0 AS DECIMAL(38,0)),
+         |    CAST(bm2_q AS DECIMAL(38,0))
+         |      - CAST(bmean_q AS DECIMAL(19,0))
+         |        * CAST(bmean_q AS DECIMAL(19,0))) AS bvar_q
          |  FROM prof),
          |f AS (
          |  SELECT b.channel, b.ts,
-         |    p2.bvar_q > 0 AND (b.q - p2.bmean_q) * (b.q - p2.bmean_q)
+         |    p2.bvar_q > 0 AND
+         |      CAST(b.q - p2.bmean_q AS DECIMAL(19,0))
+         |      * CAST(b.q - p2.bmean_q AS DECIMAL(19,0))
          |      > 9 * p2.bvar_q AS is_anom
          |  FROM b JOIN p2 USING (channel, hour))
          |SELECT channel, count(*) AS n_samples,

@@ -349,10 +349,13 @@ object Analytics {
     val n2 = (nSigma * nSigma).toLong
     val hourNs = 3600L * 1000000000L
     val d = (c: Column) => c.cast("decimal(19,0)")
+    val dd = (c: Column) => c.cast("decimal(38,0)")
     // the whole comparison runs on the 6dp integer grid (q = value·1e6
-    // rounded): moment sums are exact DECIMAL integer sums, band mean
-    // and mean-square round back to longs, and the flag is pure Long
-    // arithmetic — bounds: |value| < 9·10³ keeps every term under 2⁶³
+    // rounded): moment sums are exact DECIMAL integer sums, the band
+    // mean and mean-square round back to longs, and EVERY squared term
+    // (bmean², dev², the flag comparison) stays in DECIMAL(38,0) — a
+    // q of 10⁹ squares to 10¹⁸ and a Long product would wrap right
+    // where the oracle's HUGEINT doesn't
     val base = samples.where(col("value").isNotNull && !isnan(col("value")))
       .select(col("channel"), col("ts"),
         pmod(expr(s"ts div ${hourNs}L"), lit(24L)).cast("int").as("hour"),
@@ -367,9 +370,10 @@ object Analytics {
         round(col("sxx") / col("bn").cast("double")).cast("long")
           .as("bm2_q"))
       .withColumn("bvar_q",
-        greatest(lit(0L), col("bm2_q") - col("bmean_q") * col("bmean_q")))
+        greatest(lit(0L).cast("decimal(38,0)"),
+          dd(col("bm2_q")) - d(col("bmean_q")) * d(col("bmean_q"))))
     val flagged = base.join(broadcast(prof), Seq("channel", "hour"))
-      .withColumn("dev_q", col("q") - col("bmean_q"))
+      .withColumn("dev_q", d(col("q")) - d(col("bmean_q")))
       .withColumn("is_anom",
         col("bvar_q") > 0L &&
           col("dev_q") * col("dev_q") > lit(n2) * col("bvar_q"))

@@ -191,14 +191,27 @@ object ConfiguredArchive {
                 storePath: String, name: String,
                 startNs: Long, endNs: Long, k: Int,
                 backend: StoreBackend = ManifestBackend,
-                refuseDisabled: Boolean = false): DataFrame = {
+                refuseDisabled: Boolean = false): DataFrame =
+    Analytics.lttb(rawScan(spark, configPath, storePath, name,
+        startNs, endNs, backend, refuseDisabled), startNs, endNs, k)
+      .withColumn("channel", lit(name))
+
+  /** The shared front half of every config-governed analytic read:
+    * resolve the current name to its permanent id (refusing unknown —
+    * and, when asked, disabled — channels), then ONE pruned raw-level
+    * scan of that channel's rows in the inclusive range.
+    */
+  private def rawScan(spark: SparkSession, configPath: String,
+                      storePath: String, name: String,
+                      startNs: Long, endNs: Long,
+                      backend: StoreBackend,
+                      refuseDisabled: Boolean): DataFrame = {
     val cfg = resolveServable(spark, configPath, name, refuseDisabled)
-    val raw = backend.read(spark, storePath, 0L,
+    backend.read(spark, storePath, 0L,
         loNs = Some(startNs), hiNs = Some(endNs),
         channel = Some(cfg.channelDataId))
-      .where(col("channel") === cfg.channelDataId)
-    Analytics.lttb(raw, startNs, endNs, k)
-      .withColumn("channel", lit(name))
+      .where(col("channel") === cfg.channelDataId &&
+        col("ts") >= startNs && col("ts") <= endNs)
   }
 
   /** Config-governed distribution panel — the summary a dashboard
@@ -210,16 +223,10 @@ object ConfiguredArchive {
                  storePath: String, name: String,
                  startNs: Long, endNs: Long,
                  backend: StoreBackend = ManifestBackend,
-                 refuseDisabled: Boolean = false): DataFrame = {
-    val cfg = resolveServable(spark, configPath, name, refuseDisabled)
-    val raw = backend.read(spark, storePath, 0L,
-        loNs = Some(startNs), hiNs = Some(endNs),
-        channel = Some(cfg.channelDataId))
-      .where(col("channel") === cfg.channelDataId &&
-        col("ts") >= startNs && col("ts") <= endNs)
-    Analytics.valuePercentiles(raw)
+                 refuseDisabled: Boolean = false): DataFrame =
+    Analytics.valuePercentiles(rawScan(spark, configPath, storePath,
+        name, startNs, endNs, backend, refuseDisabled))
       .withColumn("channel", lit(name))
-  }
 
   /** Config-governed M4 downsampling — [[queryLttb]]'s pixel-exact
     * sibling ([[Analytics.m4]]): same single pruned range-scan job,
@@ -230,15 +237,10 @@ object ConfiguredArchive {
               storePath: String, name: String,
               startNs: Long, endNs: Long, k: Int,
               backend: StoreBackend = ManifestBackend,
-              refuseDisabled: Boolean = false): DataFrame = {
-    val cfg = resolveServable(spark, configPath, name, refuseDisabled)
-    val raw = backend.read(spark, storePath, 0L,
-        loNs = Some(startNs), hiNs = Some(endNs),
-        channel = Some(cfg.channelDataId))
-      .where(col("channel") === cfg.channelDataId)
-    Analytics.m4(raw, startNs, endNs, k)
+              refuseDisabled: Boolean = false): DataFrame =
+    Analytics.m4(rawScan(spark, configPath, storePath, name,
+        startNs, endNs, backend, refuseDisabled), startNs, endNs, k)
       .withColumn("channel", lit(name))
-  }
 
   /** Config-governed TYPED serving — the full 21-type JSON v1 wire
     * from a typed-union store: resolve the current name to its id,

@@ -38,6 +38,12 @@ import org.apache.spark.sql.functions.{col, lit}
   *     first/min/max/last corner points of K equal buckets,
   *     time-ordered; `m4` non-numeric or < 1, combined with `lttb`,
   *     or on a typed store, → 400.
+  *   - `GET <ctx>/1/stats/<channel>?start=S&end=E` (beyond the
+  *     reference) — the dashboard's distribution panel: one JSON
+  *     object with samples/min/p50/p90/p99/max over the inclusive
+  *     range; the 400/404/403 matrix mirrors the samples endpoint,
+  *     and a configured channel with no samples in range answers
+  *     `{"channel":…,"samples":0}`.
   *   - `GET <ctx>/1/channels-by-pattern/<glob>` — case-insensitive
   *     `*`/`?` glob over the configured channel names, sorted
   *     (:160-175, compileGlobPattern :307-345).
@@ -200,7 +206,7 @@ object HttpArchiveServer {
           decodePath(p.stripPrefix("/1/samples/")), params, refuseDisabled,
           stats)
       case p if p.startsWith("/1/stats/") =>
-        statsPanel(spark, configPath, storePath, backend, ex,
+        statsPanel(spark, configPath, storePath, backend, typed, ex,
           decodePath(p.stripPrefix("/1/stats/")), params, refuseDisabled)
       case p if p.startsWith("/1/channels-by-pattern/") =>
         val glob = decodePath(p.stripPrefix("/1/channels-by-pattern/"))
@@ -415,10 +421,14 @@ object HttpArchiveServer {
     * samples endpoint; a configured channel with no samples in range
     * answers `{"channel":…,"samples":0}`.
     */
+  private val statsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (StoreBackend, String, String, Long, Long, String, Long, Long,
+      Boolean), String]()
+
   private def statsPanel(spark: SparkSession, configPath: String,
                          storePath: String, backend: StoreBackend,
-                         ex: HttpExchange, channel: String,
-                         params: Map[String, String],
+                         typed: => Boolean, ex: HttpExchange,
+                         channel: String, params: Map[String, String],
                          refuseDisabled: Boolean): Unit = {
     if (channel.isEmpty) { sendError(ex, 404, "not found"); return }
     val start = params.get("start").flatMap(_.toLongOption)
@@ -429,6 +439,20 @@ object HttpArchiveServer {
     if (start.get < 0L || end.get < start.get) {
       sendError(ex, 400, "require 0 <= start <= end"); return
     }
+    // scalar-value percentiles over a typed-union store would silently
+    // rank enum codes and drop string samples — refuse, like lttb/m4
+    if (typed) {
+      sendError(ex, 400, "stats is not supported on typed stores"); return
+    }
+    // the panel IS the 1 Hz polling pattern the response cache exists
+    // for: one row per request, keyed like respMemo on both versions
+    val cacheKey = backend.metaVersion(spark, storePath).map { mv =>
+      (backend, configPath, storePath,
+        ConfigCommands.state(spark, configPath).version, mv, channel,
+        start.get, end.get, refuseDisabled)
+    }
+    val hit = cacheKey.flatMap(k => Option(statsMemo.get(k)))
+    if (hit.isDefined) { sendJson(ex, hit.get); return }
     val row =
       try ConfiguredArchive.queryStats(spark, configPath, storePath,
           channel, start.get, end.get, backend,
@@ -443,9 +467,12 @@ object HttpArchiveServer {
         case _: NoStoredDataException => None
       }
     // integral doubles print without the trailing ".0" (the JSON a
-    // human reads on a dashboard); everything else is Double.toString
+    // human reads on a dashboard); non-finite values QUOTE (bare
+    // Infinity/NaN is not JSON — same rule Jackson applies on the
+    // samples path); everything else is Double.toString
     def num(d: Double): String =
-      if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+      if (d.isNaN || d.isInfinite) "\"" + d.toString + "\""
+      else if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
       else d.toString
     val body = row match {
       case None =>
@@ -455,6 +482,10 @@ object HttpArchiveServer {
           s""""min":${num(r.getDouble(1))},"p50":${num(r.getDouble(2))},""" +
           s""""p90":${num(r.getDouble(3))},"p99":${num(r.getDouble(4))},""" +
           s""""max":${num(r.getDouble(5))}}"""
+    }
+    cacheKey.foreach { k =>
+      if (statsMemo.size > RespCacheMaxEntries) statsMemo.clear()
+      statsMemo.put(k, body)
     }
     sendJson(ex, body)
   }

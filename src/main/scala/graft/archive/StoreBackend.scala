@@ -108,6 +108,25 @@ final class FederatedBackend(val oldBackend: StoreBackend,
                         writerId: String, token: Long): Unit =
     liveBackend.writeTxn(samples, path, levelSec, writerId, token)
 
+  /** Per-side level listings memoized on each side's metaVersion —
+    * every read needs both sets for routing, and re-listing manifests
+    * per request would put a metadata pass on the serving hot path.
+    * An unversioned backend is re-listed each time (no safe key).
+    */
+  private val levelsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Seq[Long]]()
+
+  private def levelsOf(spark: SparkSession, b: StoreBackend,
+                       p: String): Seq[Long] =
+    b.metaVersion(spark, p) match {
+      case Some(v) =>
+        levelsMemo.computeIfAbsent((p, v), _ => {
+          if (levelsMemo.size > 1024) levelsMemo.clear()
+          b.levels(spark, p)
+        })
+      case None => b.levels(spark, p)
+    }
+
   def read(spark: SparkSession, path: String, levelSec: Long,
            loNs: Option[Long], hiNs: Option[Long],
            channel: Option[String]): DataFrame = {
@@ -115,9 +134,10 @@ final class FederatedBackend(val oldBackend: StoreBackend,
     // UNCLIPPED: the cutover splits the raw history, but a derived
     // (decimated) level built after the split lives only in the live
     // store and covers ALL time — clipping it would drop every
-    // pre-cutover window
-    val oldHas = oldBackend.levels(spark, oldPath).contains(levelSec)
-    val liveHas = liveBackend.levels(spark, path).contains(levelSec)
+    // pre-cutover window. (Routing consults memoized level METADATA of
+    // both sides; the data read itself stays one-sided.)
+    val oldHas = levelsOf(spark, oldBackend, oldPath).contains(levelSec)
+    val liveHas = levelsOf(spark, liveBackend, path).contains(levelSec)
     if (oldHas && !liveHas)
       return oldBackend.read(spark, oldPath, levelSec, loNs, hiNs, channel)
     if (liveHas && !oldHas)
@@ -141,12 +161,24 @@ final class FederatedBackend(val oldBackend: StoreBackend,
           .where(col("ts") >= cutoverNs))
       else None
     (oldSide, liveSide) match {
-      // allowMissingColumns: a manifest store's read schema is the
-      // UNION across its levels (a live store that has grown decimated
-      // levels serves raw rows with null agg columns) — the old store,
-      // frozen before those levels existed, must union the same way a
-      // single store would: nulls where it has no column
+      // a live store that has grown decimated levels serves raw rows
+      // with null agg columns (its read schema is the union across its
+      // levels) — the old store, frozen before those levels existed,
+      // null-fills the SAME way a single store would. But ONLY the
+      // known decimation columns may differ: any other schema gap is a
+      // misconfiguration (e.g. federating a scalar old store under a
+      // typed live store) that must fail loudly, not null-fill into
+      // silently wrong wire records.
       case (Some(a), Some(b)) =>
+        val extra = (b.columns.toSet -- a.columns.toSet) ++
+          (a.columns.toSet -- b.columns.toSet)
+        val fillable = Set("mean", "std", "min_value", "max_value",
+          "covered_fraction", "n_samples", "level", "bucket_date")
+        require(extra.subsetOf(fillable),
+          s"federated stores have incompatible schemas — columns " +
+            s"${(extra -- fillable).toSeq.sorted.mkString(", ")} exist " +
+            "on only one side and are not null-fillable decimation " +
+            "columns")
         a.unionByName(b, allowMissingColumns = true)
       case (Some(a), None)    => a
       case (None, Some(b))    => b
