@@ -838,6 +838,164 @@ object OracleSql {
          |FROM a GROUP BY g ORDER BY ts""".stripMargin
     },
 
+    // derived (calculated) channel: click − view on the shared 1h
+    // grid — held values are exact copies, one IEEE subtraction is
+    // bit-identical across engines, no rounding
+    "arch_derived_channel" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |grid AS (SELECT c.channel, u.g
+         |         FROM (VALUES ('click'), ('view')) c(channel),
+         |         UNNEST(generate_series($LO, $HI, $P1H)) AS u(g)),
+         |a AS (SELECT grid.channel, grid.g, s.value
+         |      FROM grid ASOF LEFT JOIN clean s
+         |        ON grid.channel = s.channel AND grid.g >= s.ts),
+         |m AS (SELECT g AS ts,
+         |        max(CASE WHEN channel = 'click' THEN value END) AS av,
+         |        max(CASE WHEN channel = 'view' THEN value END) AS bv
+         |      FROM a GROUP BY g)
+         |SELECT 'calc:click-view' AS channel, ts, av - bv AS value
+         |FROM m WHERE av IS NOT NULL AND bv IS NOT NULL
+         |ORDER BY ts""".stripMargin,
+
+    // config-governed calculated channel: click − view on the 1h grid
+    // over the sources' span INTERSECTION (ceil-aligned lo, floor-
+    // aligned hi), archived, then the widened serve (inner rows +
+    // at-or-before-LO + at-or-after-HI boundaries)
+    "arch_calc_configured" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |b AS (SELECT
+         |  ((GREATEST((SELECT min(ts) FROM clean WHERE channel = 'click'),
+         |             (SELECT min(ts) FROM clean WHERE channel = 'view'))
+         |    + ${P1H} - 1) // ${P1H}) * ${P1H} AS glo,
+         |  (LEAST((SELECT max(ts) FROM clean WHERE channel = 'click'),
+         |         (SELECT max(ts) FROM clean WHERE channel = 'view'))
+         |    // ${P1H}) * ${P1H} AS ghi),
+         |grid AS (SELECT c.channel, u.g
+         |         FROM (VALUES ('click'), ('view')) c(channel), b,
+         |         UNNEST(generate_series(b.glo, b.ghi, ${P1H})) AS u(g)),
+         |h AS (SELECT grid.channel, grid.g, s.value
+         |      FROM grid ASOF LEFT JOIN clean s
+         |        ON grid.channel = s.channel AND grid.g >= s.ts),
+         |m AS (SELECT g AS ts,
+         |        max(CASE WHEN channel = 'click' THEN value END) AS av,
+         |        max(CASE WHEN channel = 'view' THEN value END) AS bv
+         |      FROM h GROUP BY g),
+         |d AS (SELECT ts, av - bv AS value FROM m
+         |      WHERE av IS NOT NULL AND bv IS NOT NULL),
+         |inner_rows AS (SELECT ts, value FROM d WHERE ts > $LO AND ts < $HI),
+         |lo_b AS (SELECT ts, value FROM (
+         |    SELECT ts, value,
+         |      row_number() OVER (ORDER BY ts DESC) AS k
+         |    FROM d WHERE ts <= $LO) WHERE k = 1),
+         |hi_b AS (SELECT ts, value FROM (
+         |    SELECT ts, value,
+         |      row_number() OVER (ORDER BY ts ASC) AS k
+         |    FROM d WHERE ts >= $HI) WHERE k = 1),
+         |uni AS (
+         |  SELECT * FROM inner_rows
+         |  UNION SELECT * FROM lo_b
+         |  UNION SELECT * FROM hi_b)
+         |SELECT 'calc:cv' AS channel, ts, value, CAST(0 AS BIGINT) AS level
+         |FROM uni ORDER BY ts""".stripMargin,
+
+    // the streaming calc record drained: the batch span-intersection
+    // derive (the arch_calc_configured grid WITHOUT the serve step)
+    "stream_derived" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |b AS (SELECT
+         |  ((GREATEST((SELECT min(ts) FROM clean WHERE channel = 'click'),
+         |             (SELECT min(ts) FROM clean WHERE channel = 'view'))
+         |    + ${P1H} - 1) // ${P1H}) * ${P1H} AS glo,
+         |  (LEAST((SELECT max(ts) FROM clean WHERE channel = 'click'),
+         |         (SELECT max(ts) FROM clean WHERE channel = 'view'))
+         |    // ${P1H}) * ${P1H} AS ghi),
+         |grid AS (SELECT c.channel, u.g
+         |         FROM (VALUES ('click'), ('view')) c(channel), b,
+         |         UNNEST(generate_series(b.glo, b.ghi, ${P1H})) AS u(g)),
+         |h AS (SELECT grid.channel, grid.g, s.value
+         |      FROM grid ASOF LEFT JOIN clean s
+         |        ON grid.channel = s.channel AND grid.g >= s.ts),
+         |m AS (SELECT g AS ts,
+         |        max(CASE WHEN channel = 'click' THEN value END) AS av,
+         |        max(CASE WHEN channel = 'view' THEN value END) AS bv
+         |      FROM h GROUP BY g)
+         |SELECT 'calc:cv' AS channel, ts, av - bv AS value FROM m
+         |WHERE av IS NOT NULL AND bv IS NOT NULL
+         |ORDER BY ts""".stripMargin,
+
+    // lead/lag scan: click held at t vs view held at t + ℓ·1h, ℓ ∈ ±6
+    // — 6dp-quantized held values, exact DECIMAL moment sums, the
+    // correlatedChannels closed form per lag
+    "arch_lag_correlation" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |grid AS (SELECT c.channel, u.g
+         |         FROM (VALUES ('click'), ('view')) c(channel),
+         |         UNNEST(generate_series($LO, $HI, $P1H)) AS u(g)),
+         |h AS (SELECT grid.channel, grid.g, s.value
+         |      FROM grid ASOF LEFT JOIN clean s
+         |        ON grid.channel = s.channel AND grid.g >= s.ts),
+         |m AS (SELECT g AS ts,
+         |        max(CASE WHEN channel = 'click' THEN value END) AS av,
+         |        max(CASE WHEN channel = 'view' THEN value END) AS bv
+         |      FROM h GROUP BY g),
+         |qa AS (SELECT ts, CAST(round(av * 1000000.0) AS BIGINT) AS qa
+         |       FROM m WHERE av IS NOT NULL),
+         |qb AS (SELECT ts AS ts_b, CAST(round(bv * 1000000.0) AS BIGINT) AS qb
+         |       FROM m WHERE bv IS NOT NULL),
+         |lags AS (SELECT u.l AS lag FROM UNNEST(generate_series(-6, 6)) u(l)),
+         |f AS (SELECT lags.lag, qa.qa AS x, qb.qb AS y
+         |      FROM lags CROSS JOIN qa
+         |      JOIN qb ON qb.ts_b = qa.ts + lags.lag * ${P1H}),
+         |a AS (SELECT lag, count(*) AS n,
+         |        CAST(sum(CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+         |        CAST(sum(CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+         |        CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
+         |        CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+         |        CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS syy
+         |      FROM f GROUP BY lag)
+         |SELECT CAST(lag AS INT) AS lag, n AS n_points,
+         |  CAST(CAST(round((CASE WHEN
+         |      sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+         |      sqrt(CAST(n AS DOUBLE) * syy - sy * sy) = 0
+         |    THEN 0.0
+         |    ELSE (CAST(n AS DOUBLE) * sxy - sx * sy) /
+         |      (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+         |       sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) END) * 1000000.0)
+         |    AS BIGINT) AS DOUBLE) / 1000000.0 AS corr
+         |FROM a ORDER BY lag""".stripMargin,
+
+    // the derived series rolled into 6h epoch-aligned windows: equal
+    // grid weights make the time-weighted mean the arithmetic mean
+    // (DECIMAL-routed like every gated mean)
+    "arch_derived_rollup" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |grid AS (SELECT c.channel, u.g
+         |         FROM (VALUES ('click'), ('view')) c(channel),
+         |         UNNEST(generate_series($LO, $HI, $P1H)) AS u(g)),
+         |a AS (SELECT grid.channel, grid.g, s.value
+         |      FROM grid ASOF LEFT JOIN clean s
+         |        ON grid.channel = s.channel AND grid.g >= s.ts),
+         |m AS (SELECT g AS ts,
+         |        max(CASE WHEN channel = 'click' THEN value END) AS av,
+         |        max(CASE WHEN channel = 'view' THEN value END) AS bv
+         |      FROM a GROUP BY g),
+         |d AS (SELECT ts, av - bv AS value FROM m
+         |      WHERE av IS NOT NULL AND bv IS NOT NULL)
+         |SELECT 'calc:click-view' AS channel,
+         |  ts - (ts % ${P6H}) AS win_start,
+         |  count(*) AS n,
+         |  CAST(CAST(round((CAST(sum(CAST(value AS DECIMAL(38,12)))
+         |      AS DOUBLE) / count(*)) * 1000000.0) AS BIGINT) AS DOUBLE)
+         |    / 1e6 AS mean,
+         |  min(value) AS v_min,
+         |  max(value) AS v_max
+         |FROM d GROUP BY 1, 2 ORDER BY win_start""".stripMargin,
+
     // batch form of the streaming threshold-crossing detector: one
     // lag window over value-bearing samples, raw-double comparisons
     // (no arithmetic → engines cannot disagree), threshold 250

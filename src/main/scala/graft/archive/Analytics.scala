@@ -227,6 +227,88 @@ object Analytics {
       .agg(first(col("held_value")))
   }
 
+  /** Derived ("calculated") channel — the EPICS calc-record analog:
+    * the reference archives what the control system computes
+    * (ChannelAccessControlSystemSupport.java consumes calc-record
+    * PVs like any other); this closes the loop engine-side so an
+    * operator can define `a − b` or `a / b` over two archived
+    * channels without touching the control system. Both sources are
+    * sampled-and-held onto one shared grid ([[alignedMatrix]]'s as-of
+    * union-merge — one shuffle, no O(n·m) join) and combined
+    * pointwise into a new named series. Grid points where either
+    * input has no history yet are dropped (a calc record is
+    * undefined until every input exists). Output is the canonical
+    * (channel, ts, value) frame, so the derived series feeds every
+    * downstream operator — decimation, M4/LTTB, stats, the store
+    * itself — unchanged.
+    *
+    * Scale shape: inherited from [[alignedMatrix]] — grid rows are
+    * metadata-sized next to the archive, the as-of rides the
+    * range-scan's per-channel clustering, and the pointwise combine
+    * is shuffle-free. Determinism: held values are exact copies and
+    * a single IEEE op on two doubles is bit-identical across
+    * engines, so `a − b` / `a / b` gates need no rounding.
+    */
+  def derivedChannel(samples: DataFrame, outName: String,
+                     chanA: String, chanB: String,
+                     f: (Column, Column) => Column,
+                     lo: Long, hi: Long, stepNs: Long): DataFrame =
+    alignedMatrix(samples, Seq(chanA, chanB), lo, hi, stepNs)
+      .where(col(chanA).isNotNull && col(chanB).isNotNull)
+      .select(lit(outName).as("channel"), col("ts"),
+        f(col(chanA), col(chanB)).as("value"))
+
+  /** Lead/lag scan between two channels — "does A lead B, and by how
+    * much": Pearson correlation of A's held grid value at t against
+    * B's at t + ℓ·step for every lag ℓ ∈ [−maxLagSteps, maxLagSteps].
+    * The delay-estimation primitive of incident analysis (a pressure
+    * wave reaches gauge B minutes after gauge A; the lag with max
+    * correlation names the transit time). Positive lag = A leads B.
+    *
+    * Scale shape: the grid is metadata-sized next to the archive, so
+    * the lag fan-out (grid × lags rows) stays tiny and the lag table
+    * broadcasts; the only archive-sized work is the one as-of
+    * union-merge that builds the grid. Determinism: held values
+    * quantize to the 6dp integer grid before exact DECIMAL moment
+    * sums (order-free), then one fixed-order closed form,
+    * scale-rounded at the edge — [[correlatedChannels]]' convention.
+    * A constant overlap (zero variance) reports corr 0, not NaN.
+    */
+  def lagCorrelation(samples: DataFrame, chanA: String, chanB: String,
+                     lo: Long, hi: Long, stepNs: Long,
+                     maxLagSteps: Int): DataFrame = {
+    require(maxLagSteps >= 1, "need at least one lag step")
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val m = alignedMatrix(samples, Seq(chanA, chanB), lo, hi, stepNs)
+    val a = m.where(col(chanA).isNotNull)
+      .select(col("ts"), round(col(chanA) * lit(1e6)).cast("long").as("qa"))
+    val b = m.where(col(chanB).isNotNull)
+      .select(col("ts").as("ts_b"),
+        round(col(chanB) * lit(1e6)).cast("long").as("qb"))
+    val lags = (-maxLagSteps to maxLagSteps).toDF("lag")
+    val d = (c: Column) => c.cast("decimal(19,0)")
+    val fan = a.crossJoin(broadcast(lags))
+      .withColumn("ts_b", col("ts") + col("lag").cast("long") * lit(stepNs))
+      .join(b, Seq("ts_b"))
+    val g = fan.groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("qa"))).cast("double").as("sx"),
+        sum(d(col("qb"))).cast("double").as("sy"),
+        sum(d(col("qa")) * d(col("qb"))).cast("double").as("sxy"),
+        sum(d(col("qa")) * d(col("qa"))).cast("double").as("sxx"),
+        sum(d(col("qb")) * d(col("qb"))).cast("double").as("syy"))
+    val n = col("n").cast("double")
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val den = sqrt(n * col("sxx") - col("sx") * col("sx")) *
+      sqrt(n * col("syy") - col("sy") * col("sy"))
+    val corr = when(den === 0.0, lit(0.0)).otherwise(num / den)
+    g.select(col("lag"), col("n").as("n_points"),
+        (round(corr * lit(1e6)).cast("long").cast("double") / lit(1e6))
+          .as("corr"))
+      .orderBy("lag")
+  }
+
   def alarmStats(samples: DataFrame, lo: Long, hi: Long): DataFrame = {
     val w = Window.partitionBy("channel").orderBy("ts")
     samples.where(col("ts") >= lo && col("ts") < hi)

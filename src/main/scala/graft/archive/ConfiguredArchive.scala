@@ -47,17 +47,90 @@ object ConfiguredArchive {
       .withColumnRenamed("channel_data_id", "channel")
 
   /** Full build: write raw and materialize every config-declared level
-    * with config-derived retention. Returns the config state that
-    * governed the build (its `version` is the build's provenance).
+    * with config-derived retention. Channels whose `controlSystemType`
+    * is `"calc"` are COMPUTED from their source channels first
+    * ([[withCalcChannels]]) and then archived like any other channel.
+    * Returns the config state that governed the build (its `version`
+    * is the build's provenance).
     */
   def materialize(spark: SparkSession, configPath: String,
                   storePath: String, raw: DataFrame,
                   backend: StoreBackend = ManifestBackend)
       : ConfigCommands.ConfigState = {
     val st = ConfigCommands.state(spark, configPath)
-    Cascade.materialize(spark, storePath, idKeyed(raw, st.enabledConfigs),
+    Cascade.materialize(spark, storePath,
+      idKeyed(withCalcChannels(raw, st), st.enabledConfigs),
       st.levelsSec, backend, st.retentionSec)
     st
+  }
+
+  /** Calculated channels — the engine-side analog of archiving an
+    * EPICS calc-record PV (the reference archives whatever series the
+    * control system computes; here the engine computes it): a channel
+    * configured with `controlSystemType = "calc"` is not ingested
+    * from the source frame but DERIVED from two other channels at
+    * materialize time ([[Analytics.derivedChannel]]), then archived
+    * under its own rename-stable id — decimation levels, retention,
+    * serving, JSON all apply unchanged downstream. Options:
+    * `calc.a` / `calc.b` (source channel names as they appear in the
+    * incoming frame), `calc.op` (add|sub|mul|div, default sub),
+    * `calc.step_s` (grid step in seconds). The series is defined on
+    * the epoch-aligned grid over the INTERSECTION of the two sources'
+    * sample spans (a calc record emits only while both inputs are
+    * live); `sample_id = ts` keeps the F6 monotonic invariant. Calc
+    * channels are folded in name order over the growing frame, so a
+    * calc channel may reference an earlier-named calc channel.
+    * Scalar-only — [[materializeTyped]] ignores them by construction
+    * (its input carries the typed union, never a "calc" source row).
+    */
+  private[graft] def withCalcChannels(raw: DataFrame,
+                                      st: ConfigCommands.ConfigState)
+      : DataFrame = {
+    val calcs = st.enabledConfigs.filter(_.controlSystemType == "calc")
+      .sortBy(_.name)
+    calcs.foldLeft(raw) { (acc, c) =>
+      val a = c.options.getOrElse("calc.a", throw new IllegalArgumentException(
+        s"channel '${c.name}': calc.a is required"))
+      val b = c.options.getOrElse("calc.b", throw new IllegalArgumentException(
+        s"channel '${c.name}': calc.b is required"))
+      val op = c.options.getOrElse("calc.op", "sub")
+      val f = DerivedOps.getOrElse(op, throw new IllegalArgumentException(
+        s"channel '${c.name}': unknown calc.op '$op'"))
+      val stepNs = c.options.getOrElse("calc.step_s",
+        throw new IllegalArgumentException(
+          s"channel '${c.name}': calc.step_s is required")).toLong * Samples.NS
+      require(stepNs > 0L, s"channel '${c.name}': calc.step_s must be positive")
+      require(a != b, s"channel '${c.name}': calc needs two distinct sources")
+      // metadata-sized: the two sources' first/last ts (one tiny agg)
+      val spans = acc.where(col("channel").isin(a, b))
+        .groupBy("channel").agg(min("ts").as("lo"), max("ts").as("hi"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      (spans.get(a), spans.get(b)) match {
+        case (Some((loA, hiA)), Some((loB, hiB))) =>
+          val lo = ((math.max(loA, loB) + stepNs - 1L) / stepNs) * stepNs
+          val hi = (math.min(hiA, hiB) / stepNs) * stepNs
+          if (lo > hi) acc
+          else {
+            val known: Map[String, org.apache.spark.sql.Column] = Map(
+              "channel" -> col("channel"), "ts" -> col("ts"),
+              "value" -> col("value"), "str_value" -> lit(""),
+              "severity" -> lit(0), "status" -> lit(0),
+              "sample_id" -> col("ts"))
+            val cols = acc.schema.fields.map { fld =>
+              known.get(fld.name)
+                .orElse(if (fld.name == "ts_raw")
+                  Some(Samples.rawTsFromNs(col("ts"), fld.dataType))
+                else None)
+                .getOrElse(lit(null).cast(fld.dataType)).as(fld.name)
+            }
+            acc.unionByName(Analytics
+              .derivedChannel(acc, c.name, a, b, f, lo, hi, stepNs)
+              .select(cols.toSeq: _*))
+          }
+        case _ => acc
+      }
+    }
   }
 
   /** [[materialize]] for the full 21-type value union: same config-
@@ -241,6 +314,51 @@ object ConfiguredArchive {
     Analytics.m4(rawScan(spark, configPath, storePath, name,
         startNs, endNs, backend, refuseDisabled), startNs, endNs, k)
       .withColumn("channel", lit(name))
+
+  /** The operator set [[queryDerived]] accepts — the HTTP edge checks
+    * membership BEFORE calling (an unknown op is a 400, not a 500).
+    */
+  val DerivedOps: Map[String, (org.apache.spark.sql.Column,
+    org.apache.spark.sql.Column) => org.apache.spark.sql.Column] = Map(
+    "add" -> (_ + _), "sub" -> (_ - _), "mul" -> (_ * _), "div" -> (_ / _))
+
+  /** Config-governed derived ("calculated") channel at the serving
+    * edge — the EPICS calc-record analog a chart UI can request
+    * directly: resolve BOTH names through the current config (the
+    * samples endpoint's 404/403 semantics apply to each), one pruned
+    * raw-level range scan per source, both held onto the shared
+    * [startNs, endNs] grid every `stepNs`, combined pointwise
+    * ([[Analytics.derivedChannel]]). Output channel is
+    * `calc:<op>(<a>,<b>)`. Grid points before either channel's first
+    * sample are dropped (a calc record is undefined until every input
+    * exists).
+    */
+  def queryDerived(spark: SparkSession, configPath: String,
+                   storePath: String, nameA: String, nameB: String,
+                   op: String, startNs: Long, endNs: Long, stepNs: Long,
+                   backend: StoreBackend = ManifestBackend,
+                   refuseDisabled: Boolean = false): DataFrame = {
+    val f = DerivedOps.getOrElse(op,
+      throw new IllegalArgumentException(s"unknown derived op '$op'"))
+    require(nameA != nameB, "derived channel needs two distinct sources")
+    require(stepNs > 0L, "step must be positive")
+    // the hold must reach BACK past startNs (a grid point at startNs
+    // takes the last sample at-or-before it — the samples endpoint's
+    // AT_OR_BEFORE widening, Api10Controller.java:466-480), so the
+    // scan keeps no lower bound; channel + upper-bound pruning still
+    // applies. A hotter path would swap the open scan for the
+    // boundary-probe walk-back (ArchiveServer.boundaryProbe) unioned
+    // with the in-range scan.
+    def scan(name: String): DataFrame = {
+      val cfg = resolveServable(spark, configPath, name, refuseDisabled)
+      backend.read(spark, storePath, 0L, loNs = None, hiNs = Some(endNs),
+          channel = Some(cfg.channelDataId))
+        .where(col("channel") === cfg.channelDataId && col("ts") <= endNs)
+        .withColumn("channel", lit(name))
+    }
+    Analytics.derivedChannel(scan(nameA).unionByName(scan(nameB)),
+      s"calc:$op($nameA,$nameB)", nameA, nameB, f, startNs, endNs, stepNs)
+  }
 
   /** Config-governed TYPED serving — the full 21-type JSON v1 wire
     * from a typed-union store: resolve the current name to its id,

@@ -44,6 +44,14 @@ import org.apache.spark.sql.functions.{col, lit}
   *     range; the 400/404/403 matrix mirrors the samples endpoint,
   *     and a configured channel with no samples in range answers
   *     `{"channel":…,"samples":0}`.
+  *   - `GET <ctx>/1/derived/<chanA>?other=<chanB>&op=add|sub|mul|div&
+  *     start=S&end=E&step=NS` (beyond the reference) — derived
+  *     (calculated) channel serving, the EPICS calc-record analog:
+  *     both sources held onto the shared grid and combined pointwise
+  *     ([[ConfiguredArchive.queryDerived]]), served as a JSON v1 raw
+  *     array named `calc:<op>(<a>,<b>)`. Unknown op, missing/equal
+  *     `other`, or a non-positive `step` → 400; either source
+  *     unknown → 404; `op` defaults to `sub`.
   *   - `GET <ctx>/1/channels-by-pattern/<glob>` — case-insensitive
   *     `*`/`?` glob over the configured channel names, sorted
   *     (:160-175, compileGlobPattern :307-345).
@@ -208,6 +216,9 @@ object HttpArchiveServer {
       case p if p.startsWith("/1/stats/") =>
         statsPanel(spark, configPath, storePath, backend, typed, ex,
           decodePath(p.stripPrefix("/1/stats/")), params, refuseDisabled)
+      case p if p.startsWith("/1/derived/") =>
+        derived(spark, configPath, storePath, backend, typed, ex,
+          decodePath(p.stripPrefix("/1/derived/")), params, refuseDisabled)
       case p if p.startsWith("/1/channels-by-pattern/") =>
         val glob = decodePath(p.stripPrefix("/1/channels-by-pattern/"))
         listChannels(spark, configPath, ex, params,
@@ -368,6 +379,70 @@ object HttpArchiveServer {
         } else streamJsonArray(ex, head.iterator ++ it, pretty)
       case None => streamJsonArray(ex, it, pretty)
     }
+  }
+
+  /** `GET <ctx>/1/derived/<chanA>?other=<chanB>&op=add|sub|mul|div&
+    * start=S&end=E&step=NS` — derived (calculated) channel serving,
+    * the EPICS calc-record analog a chart UI requests directly: both
+    * channels resolved through the current config (the samples
+    * endpoint's 404/403 semantics apply to each source), held onto
+    * the shared [start, end] grid every `step` ns (holds reach back
+    * past `start` — AT_OR_BEFORE widening), combined pointwise, and
+    * served as a JSON v1 raw sample array named
+    * `calc:<op>(<a>,<b>)`. Grid points before either channel's first
+    * sample are dropped. Responses are grid-sized (bounded by
+    * construction), so the array collects in one job like the
+    * count-driven samples path.
+    */
+  private def derived(spark: SparkSession, configPath: String,
+                      storePath: String, backend: StoreBackend,
+                      typed: => Boolean, ex: HttpExchange, channel: String,
+                      params: Map[String, String],
+                      refuseDisabled: Boolean): Unit = {
+    if (channel.isEmpty) { sendError(ex, 404, "not found"); return }
+    val start = params.get("start").flatMap(_.toLongOption)
+    val end = params.get("end").flatMap(_.toLongOption)
+    val step = params.get("step").flatMap(_.toLongOption)
+    if (start.isEmpty || end.isEmpty || step.isEmpty) {
+      sendError(ex, 400, "start, end and step must be integers"); return
+    }
+    if (start.get < 0L || end.get < start.get) {
+      sendError(ex, 400, "require 0 <= start <= end"); return
+    }
+    if (step.get <= 0L) { sendError(ex, 400, "step must be positive"); return }
+    val other = params.getOrElse("other", "")
+    if (other.isEmpty) { sendError(ex, 400, "other is required"); return }
+    if (other == channel) {
+      sendError(ex, 400, "derived channel needs two distinct sources"); return
+    }
+    val op = params.getOrElse("op", "sub")
+    if (!ConfiguredArchive.DerivedOps.contains(op)) {
+      sendError(ex, 400, "op must be one of " +
+        ConfiguredArchive.DerivedOps.keys.toSeq.sorted.mkString(", "))
+      return
+    }
+    if (typed) {
+      sendError(ex, 400, "derived channels are not supported on typed stores")
+      return
+    }
+    val gridPoints = (end.get - start.get) / step.get + 1L
+    val it =
+      try {
+        val df = ConfiguredArchive.queryDerived(spark, configPath,
+            storePath, channel, other, op, start.get, end.get, step.get,
+            backend, refuseDisabled = refuseDisabled)
+          .withColumn("severity", lit(0)).withColumn("status", lit(0))
+          .orderBy("ts")
+        ArchiveServer.serializedIterator(JsonV1.serializeRaw(df),
+          Some(gridPoints))
+      }
+      catch {
+        case _: NoSuchChannelException => sendError(ex, 404, "not found"); return
+        case e: ChannelDisabledException =>
+          sendError(ex, 403, e.getMessage); return
+        case _: NoStoredDataException => Iterator.empty[String]
+      }
+    streamJsonArray(ex, it, params.contains("prettyPrint"))
   }
 
   private def listChannels(spark: SparkSession, configPath: String,

@@ -646,6 +646,111 @@ object StreamingDecimation {
         "sample_id")
   }
 
+  /** One emitted point of the streaming calc record. */
+  case class DerivedOut(channel: String, ts: Long, value: Double)
+
+  /** Per-source cursor of the streaming calc record: first/last
+    * accepted ts, the hold at the consumed grid frontier, and the
+    * pending samples not yet consumed by it.
+    */
+  case class SrcCursor(first: Long, last: Long, hasHold: Boolean,
+                       hold: Double, pending: List[(Long, Double)])
+
+  case class DerivedState(a: Option[SrcCursor], b: Option[SrcCursor],
+                          nextG: Long, started: Boolean)
+
+  /** Streaming derived ("calculated") channel — the CROSS-CHANNEL
+    * keyed-state op (every other streaming core here is per-channel):
+    * both sources' samples route to ONE key, the state keeps a cursor
+    * per source, and a grid point `g` (epoch-aligned multiples of
+    * `stepNs`, starting at the ceil of the LATER source's first
+    * sample) is emitted as soon as BOTH sources have advanced past it
+    * — per-source monotonic arrival makes the hold at `g` (the last
+    * sample ≤ g) final exactly then. A drained bounded stream
+    * therefore emits precisely the batch grid over the sources' span
+    * intersection ([[graft.archive.ConfiguredArchive]]'s calc-channel
+    * rule), with no end-of-stream sentinel: the last grid point
+    * finalizes when the slower source reaches it, exactly like batch.
+    *
+    * State size: each cursor buffers only samples newer than the grid
+    * frontier, so the buffer is bounded by the TIME SKEW between the
+    * two sources (the same bound a watermarked stream-stream join
+    * buffer has) — two in-sync 1 Hz sources at a 10 s step hold ≤ ~10
+    * samples each. Value-less marker samples advance the per-source
+    * dedup clock but not the value chain (same contract as
+    * [[alertStream]]); F6/ST5 drops apply per SOURCE.
+    */
+  def derivedStream(samples: Dataset[InSample], outName: String,
+                    chanA: String, chanB: String, op: String,
+                    stepNs: Long)
+                   (implicit spark: SparkSession): Dataset[DerivedOut] = {
+    import spark.implicits._
+    require(stepNs > 0L, "step must be positive")
+    require(chanA != chanB, "derived channel needs two distinct sources")
+    val f: (Double, Double) => Double = op match {
+      case "add" => _ + _
+      case "sub" => _ - _
+      case "mul" => _ * _
+      case "div" => _ / _
+      case other =>
+        throw new IllegalArgumentException(s"unknown derived op '$other'")
+    }
+    def consume(c: SrcCursor, g: Long): SrcCursor = {
+      val (done, keep) = c.pending.span(_._1 <= g)
+      if (done.isEmpty) c
+      else c.copy(hasHold = true, hold = done.last._2, pending = keep)
+    }
+    def process(key: String, it: Iterator[InSample],
+                state: GroupState[DerivedState]): Iterator[DerivedOut] = {
+      var st = state.getOption.getOrElse(
+        DerivedState(None, None, 0L, started = false))
+      val out = scala.collection.mutable.ArrayBuffer.empty[DerivedOut]
+      for (s <- it.toSeq.sortBy(_.seq)) {
+        val isA = s.channel == chanA
+        val cur = if (isA) st.a else st.b
+        val fresh = cur.forall(s.ts > _.last) // F6/ST5 per source
+        if (fresh) {
+          val upd = cur match {
+            case None =>
+              // markers before the first value do not define the span
+              s.value.map(v => SrcCursor(s.ts, s.ts, hasHold = false, 0.0,
+                List(s.ts -> v)))
+            case Some(c) =>
+              Some(s.value.fold(c.copy(last = s.ts))(v =>
+                c.copy(last = s.ts, pending = c.pending :+ (s.ts -> v))))
+          }
+          st = if (isA) st.copy(a = upd.orElse(st.a))
+               else st.copy(b = upd.orElse(st.b))
+          (st.a, st.b) match {
+            case (Some(ca), Some(cb)) =>
+              if (!st.started) {
+                val lo = math.max(ca.first, cb.first)
+                st = st.copy(
+                  nextG = ((lo + stepNs - 1L) / stepNs) * stepNs,
+                  started = true)
+              }
+              var a = ca; var b = cb
+              while (st.nextG <= math.min(a.last, b.last)) {
+                a = consume(a, st.nextG); b = consume(b, st.nextG)
+                // both holds exist: nextG >= max(first_a, first_b)
+                out += DerivedOut(outName, st.nextG, f(a.hold, b.hold))
+                st = st.copy(nextG = st.nextG + stepNs)
+              }
+              st = st.copy(a = Some(a), b = Some(b))
+            case _ => ()
+          }
+        }
+      }
+      state.update(st)
+      out.iterator
+    }
+    samples
+      .filter(s => s.channel == chanA || s.channel == chanB)
+      .groupByKey(_ => outName)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(process)
+  }
+
   /** ST1/ST3 — ingest shaping: event-time column, watermark, and the
     * windowed pre-aggregation a monitoring sink consumes. (The raw
     * append path writes `samples` to ArchiveStore unchanged.)

@@ -280,4 +280,54 @@ class AnalyticsSpec extends AnyFunSuite {
     // sev 2: [10s,30s) = 20 s over ONE entry (no transition inside)
     assert(got.toSeq == Seq((0, 3 * S10, 2L, 2L), (2, 2 * S10, 1L, 2L)))
   }
+
+  test("derivedChannel: pointwise combine of held values, undefined until both inputs exist") {
+    // grid every 10 s over [0, 40 s]; b starts at 20 s so the first
+    // two grid points are undefined (calc records need every input)
+    val df = frame(
+      Seq(("a", 0L, 10.0), ("a", 15 * S, 20.0),
+          ("b", 20 * S, 3.0), ("b", 30 * S, 4.0))
+        .map { case (ch, t, v) => (ch, t, v, "", 0, 0, (ch + t).hashCode.toLong) })
+    val got = Analytics.derivedChannel(df, "calc:a-b", "a", "b",
+      _ - _, 0L, 40 * S, P).orderBy("ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.forall(_._1 == "calc:a-b"))
+    // t=20: a holds 20 (from 15 s), b = 3 → 17; t=30: 20 − 4 = 16;
+    // t=40: both hold → 16
+    assert(got.toSeq.map(t => (t._2, t._3)) ==
+      Seq((20 * S, 17.0), (30 * S, 16.0), (40 * S, 16.0)))
+  }
+
+  test("lagCorrelation: a delayed copy peaks at its transit lag, positive lag = A leads B") {
+    // b is a delayed-by-2-steps copy of a: b(t + 2·step) = a(t), so
+    // pairing A at t with B at t + 2·step reproduces (a_t, a_t) → the
+    // +2 lag must read corr 1.0; zero lag pairs shifted values and
+    // must read strictly less
+    val base = Seq(1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 7.0)
+    val rows =
+      base.zipWithIndex.map { case (v, i) => ("a", i * P, v) } ++
+        base.zipWithIndex.map { case (v, i) => ("b", (i + 2) * P, v) }
+    val df = frame(rows.map { case (ch, t, v) =>
+      (ch, t, v, "", 0, 0, (ch + t).hashCode.toLong)
+    })
+    val got = Analytics.lagCorrelation(df, "a", "b",
+        0L, (base.size + 2) * P, P, maxLagSteps = 3)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(got(2) == 1.0, s"transit lag must read 1.0, got $got")
+    assert(got(0) < 1.0 && got(-2) < 1.0)
+    assert(got.keySet == (-3 to 3).toSet)
+  }
+
+  test("derivedChannel: ratio expression feeds downstream ops unchanged") {
+    val df = frame(
+      Seq(("a", 0L, 8.0), ("b", 0L, 2.0), ("a", 10 * S, 9.0),
+          ("b", 10 * S, 3.0))
+        .map { case (ch, t, v) => (ch, t, v, "", 0, 0, (ch + t).hashCode.toLong) })
+    val d = Analytics.derivedChannel(df, "r", "a", "b", _ / _, 0L, 10 * S, P)
+    // canonical frame: the derived series drops straight into m4
+    val m4 = Analytics.m4(d, 0L, 20 * S, k = 1).collect()
+    assert(m4.length == 1)
+    val r = m4.head
+    assert(r.getAs[Double]("v_min") == 3.0 && r.getAs[Double]("v_max") == 4.0)
+  }
 }

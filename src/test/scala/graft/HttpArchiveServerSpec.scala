@@ -345,6 +345,62 @@ class HttpArchiveServerSpec extends AnyFunSuite {
     } finally running2.stop()
   }
 
+  test("derived endpoint serves the calc-record series in wire format") {
+    val lo = T0
+    val hi = T0 + 120L * 60L * NS
+    val step = 10L * 60L * NS
+    val other = URLEncoder.encode("pv:beta", "UTF-8")
+    val (code, body) = get(s"$base/1/derived/${enc("pv:alpha")}" +
+      s"?other=$other&op=sub&start=$lo&end=$hi&step=$step")
+    assert(code == 200)
+    // independent semantics check, plain Scala: alpha/beta both carry
+    // value i at minute i (alpha 1..600, beta 1..60); held at grid
+    // point t = m minutes, alpha holds min(m, 600), beta min(m, 60) —
+    // undefined before minute 1 (neither has a sample at T0)
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val expectedRows = (0 to 12).map(_ * 10).filter(_ >= 1).map { m =>
+      (T0 + m * 60L * NS, (math.min(m, 600) - math.min(m, 60)).toDouble)
+    }
+    val pts = expectedRows.toDF("ts", "value")
+      .select(lit("calc:sub(pv:alpha,pv:beta)").as("channel"),
+        $"ts", $"value")
+      .withColumn("severity", lit(0)).withColumn("status", lit(0))
+    val expected = graft.archive.JsonV1.serializeRaw(pts)
+      .orderBy("ts").select("json").collect().map(_.getString(0))
+      .mkString("[", ",", "]")
+    assert(body == expected)
+    // and byte-parity with the engine boundary the handler wraps
+    val df = ConfiguredArchive.queryDerived(spark, cfgDir, storePath,
+        "pv:alpha", "pv:beta", "sub", lo, hi, step)
+      .withColumn("severity", lit(0)).withColumn("status", lit(0))
+    val engine = graft.archive.JsonV1.serializeRaw(df)
+      .orderBy("ts").select("json").collect().map(_.getString(0))
+      .mkString("[", ",", "]")
+    assert(body == engine)
+  }
+
+  test("derived endpoint: 400/404 matrix") {
+    val lo = T0; val hi = T0 + 3600L * NS; val step = 600L * NS
+    val a = enc("pv:alpha")
+    val other = URLEncoder.encode("pv:beta", "UTF-8")
+    // unknown op, missing other, same source twice, missing step,
+    // bad range — all 400
+    assert(get(s"$base/1/derived/$a?other=$other&op=pow&start=$lo&end=$hi&step=$step")._1 == 400)
+    assert(get(s"$base/1/derived/$a?op=sub&start=$lo&end=$hi&step=$step")._1 == 400)
+    assert(get(s"$base/1/derived/$a?other=${URLEncoder.encode("pv:alpha", "UTF-8")}&op=sub&start=$lo&end=$hi&step=$step")._1 == 400)
+    assert(get(s"$base/1/derived/$a?other=$other&op=sub&start=$lo&end=$hi")._1 == 400)
+    assert(get(s"$base/1/derived/$a?other=$other&op=sub&start=$hi&end=$lo&step=$step")._1 == 400)
+    assert(get(s"$base/1/derived/$a?other=$other&op=sub&start=$lo&end=$hi&step=0")._1 == 400)
+    // unknown source channel (either side) — 404 like samples
+    assert(get(s"$base/1/derived/$a?other=nope&op=sub&start=$lo&end=$hi&step=$step")._1 == 404)
+    assert(get(s"$base/1/derived/nope?other=$other&op=sub&start=$lo&end=$hi&step=$step")._1 == 404)
+    // op defaults to sub: same bytes as the explicit form
+    val (c1, b1) = get(s"$base/1/derived/$a?other=$other&start=$lo&end=$hi&step=$step")
+    val (c2, b2) = get(s"$base/1/derived/$a?other=$other&op=sub&start=$lo&end=$hi&step=$step")
+    assert(c1 == 200 && c2 == 200 && b1 == b2)
+  }
+
   test("prettyPrint puts each element on its own line") {
     val (code, body) = get(
       s"$base/1/channels-by-pattern/${enc("pv:*")}?prettyPrint")

@@ -225,6 +225,63 @@ class ServingSpec extends AnyFunSuite {
         i.toDouble, i))
       .toDF("channel", "ts", "value", "sample_id")
 
+  test("calculated channel: config-defined calc archives the derived series first-class") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val NS = graft.core.Samples.NS
+    val T0 = 1704067200L * NS
+    val cfgDir = Files.createTempDirectory("calccfg").toString
+    val store = Files.createTempDirectory("calcstore").toString
+    // a: value i at minute i (1..120); b: value 2i at minute i (5..60)
+    // → intersection span [minute 5, minute 60]; 10-min grid → points
+    // at minutes 10..60, value a−b = m − 2m = −m
+    def series(name: String, ids: Seq[Long], f: Long => Double) =
+      ids.map(i => (name, T0 + i * 60L * NS, f(i), "", 0, 0, i))
+        .toDF("channel", "ts", "value", "str_value", "severity",
+          "status", "sample_id")
+    val raw = series("pv:a", 1L to 120L, _.toDouble)
+      .unionByName(series("pv:b", 5L to 60L, i => 2.0 * i))
+    Seq(
+      ChannelConfig("pv:a", "id-a", "ca", enabled = true, Map(),
+        Map(0L -> 0L)),
+      ChannelConfig("pv:b", "id-b", "ca", enabled = true, Map(),
+        Map(0L -> 0L)),
+      ChannelConfig("calc:diff", "id-calc", "calc", enabled = true,
+        Map("calc.a" -> "pv:a", "calc.b" -> "pv:b", "calc.op" -> "sub",
+          "calc.step_s" -> "600"), Map(0L -> 0L))
+    ).foreach(c => ConfigCommands.addChannel(spark, cfgDir, c))
+    ConfiguredArchive.materialize(spark, cfgDir, store, raw)
+    // the derived series is archived and serves like any channel
+    val got = ConfiguredArchive.querySamples(spark, cfgDir, store,
+        "calc:diff", T0, T0 + 120L * 60L * NS, None)
+      .select("ts", "value").orderBy("ts").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val expected = (1 to 6).map(_ * 10).map { m =>
+      (T0 + m * 60L * NS, -m.toDouble)
+    }
+    assert(got.toSeq == expected, s"got ${got.toSeq}")
+    // rename is metadata-only for calc channels too
+    ConfigCommands.renameChannel(spark, cfgDir, "calc:diff", "calc:d2")
+    val renamed = ConfiguredArchive.querySamples(spark, cfgDir, store,
+        "calc:d2", T0, T0 + 120L * 60L * NS, None)
+      .select("ts", "value").orderBy("ts").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(renamed.toSeq == expected)
+    // misconfigured calc fails loudly at materialize, not silently
+    val badCfg = Files.createTempDirectory("calcbad").toString
+    Seq(
+      ChannelConfig("pv:a", "id-a", "ca", enabled = true, Map(),
+        Map(0L -> 0L)),
+      ChannelConfig("calc:bad", "id-bad", "calc", enabled = true,
+        Map("calc.a" -> "pv:a", "calc.b" -> "pv:a", "calc.op" -> "pow",
+          "calc.step_s" -> "600"), Map(0L -> 0L))
+    ).foreach(c => ConfigCommands.addChannel(spark, badCfg, c))
+    intercept[IllegalArgumentException] {
+      ConfiguredArchive.materialize(spark, badCfg,
+        Files.createTempDirectory("calcbadstore").toString, raw)
+    }
+  }
+
   test("concurrent admin commits never lose a channel: config-log CAS under thread races") {
     // 8 threads racing addChannel on one config log — the shape of
     // concurrent admin-API requests. Every add must land (the CAS

@@ -462,4 +462,61 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.head.prev_value == 5.0 && got(1).prev_value == 20.0)
     } finally q.stop()
   }
+
+  test("streaming derived channel: emits at the slower source's frontier, drained equals batch grid") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[InSample]
+    val q = StreamingDecimation
+      .derivedStream(mem.toDS(), "calc:x", "a", "b", "sub", P10)
+      .writeStream.format("memory").queryName("der_out")
+      .outputMode("append").start()
+    def emitted(): Seq[(Long, Double)] =
+      spark.table("der_out").collect()
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)
+    try {
+      // a races ahead (5,15,35); b has only reached ts 8 — grid starts
+      // at ceil(max(5,8)/10)·10 = 10, nothing finalizable yet
+      mem.addData(withSeq(Seq(
+        InSample("a", 5 * S, Some(1.0), 0), InSample("a", 15 * S, Some(2.0), 0),
+        InSample("a", 35 * S, Some(4.0), 0), InSample("b", 8 * S, Some(10.0), 0))))
+      q.processAllAvailable()
+      assert(emitted().isEmpty)
+      // b reaches 22: grids 10 (1−10) and 20 (2−10) finalize — grid 20
+      // takes b's hold FROM ts 8 (the 22 s sample is after the point)
+      mem.addData(withSeq(Seq(InSample("b", 22 * S, Some(20.0), 0))))
+      q.processAllAvailable()
+      assert(emitted() == Seq((10 * S, -9.0), (20 * S, -8.0)))
+      // out-of-order b arrival dropped (ST5 per source); a value-less
+      // marker advances b's frontier to 31 without touching the hold —
+      // grid 30 finalizes as 2 − 20
+      mem.addData(withSeq(Seq(
+        InSample("b", 9 * S, Some(99.0), 0),
+        InSample("b", 31 * S, None, 0))))
+      q.processAllAvailable()
+      assert(emitted() ==
+        Seq((10 * S, -9.0), (20 * S, -8.0), (30 * S, -18.0)))
+      // both advance past 40: 4 − 20 (b's 44 s sample is after grid 40)
+      mem.addData(withSeq(Seq(InSample("b", 44 * S, Some(30.0), 0),
+        InSample("a", 47 * S, Some(5.0), 0))))
+      q.processAllAvailable()
+      assert(emitted() == Seq((10 * S, -9.0), (20 * S, -8.0),
+        (30 * S, -18.0), (40 * S, -16.0)))
+    } finally q.stop()
+    // the drained stream equals the batch operator on the same values
+    // over the span-intersection grid (lo = ceil(max firsts) = 10,
+    // hi = floor(min lasts) = 40)
+    val rows = Seq(("a", 5, 1.0), ("a", 15, 2.0), ("a", 35, 4.0),
+      ("a", 47, 5.0), ("b", 8, 10.0), ("b", 22, 20.0), ("b", 44, 30.0))
+      .map { case (c, t, v) => (c, t.toLong * S, v, "", 0, 0, t.toLong) }
+      .toDF("channel", "ts", "value", "str_value", "severity", "status",
+        "sample_id")
+    val batch = graft.archive.Analytics
+      .derivedChannel(rows, "calc:x", "a", "b", _ - _, 10 * S, 40 * S, P10)
+      .orderBy("ts").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(batch == Seq((10 * S, -9.0), (20 * S, -8.0), (30 * S, -18.0),
+      (40 * S, -16.0)))
+  }
 }
