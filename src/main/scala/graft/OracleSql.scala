@@ -900,6 +900,46 @@ object OracleSql {
          |SELECT 'calc:cv' AS channel, ts, value, CAST(0 AS BIGINT) AS level
          |FROM uni ORDER BY ts""".stripMargin,
 
+    // calc catch-up parity: the incremental build must serve the
+    // EXACT all-at-once bytes, so the oracle IS arch_calc_configured's
+    "arch_calc_catchup" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |b AS (SELECT
+         |  ((GREATEST((SELECT min(ts) FROM clean WHERE channel = 'click'),
+         |             (SELECT min(ts) FROM clean WHERE channel = 'view'))
+         |    + ${P1H} - 1) // ${P1H}) * ${P1H} AS glo,
+         |  (LEAST((SELECT max(ts) FROM clean WHERE channel = 'click'),
+         |         (SELECT max(ts) FROM clean WHERE channel = 'view'))
+         |    // ${P1H}) * ${P1H} AS ghi),
+         |grid AS (SELECT c.channel, u.g
+         |         FROM (VALUES ('click'), ('view')) c(channel), b,
+         |         UNNEST(generate_series(b.glo, b.ghi, ${P1H})) AS u(g)),
+         |h AS (SELECT grid.channel, grid.g, s.value
+         |      FROM grid ASOF LEFT JOIN clean s
+         |        ON grid.channel = s.channel AND grid.g >= s.ts),
+         |m AS (SELECT g AS ts,
+         |        max(CASE WHEN channel = 'click' THEN value END) AS av,
+         |        max(CASE WHEN channel = 'view' THEN value END) AS bv
+         |      FROM h GROUP BY g),
+         |d AS (SELECT ts, av - bv AS value FROM m
+         |      WHERE av IS NOT NULL AND bv IS NOT NULL),
+         |inner_rows AS (SELECT ts, value FROM d WHERE ts > $LO AND ts < $HI),
+         |lo_b AS (SELECT ts, value FROM (
+         |    SELECT ts, value,
+         |      row_number() OVER (ORDER BY ts DESC) AS k
+         |    FROM d WHERE ts <= $LO) WHERE k = 1),
+         |hi_b AS (SELECT ts, value FROM (
+         |    SELECT ts, value,
+         |      row_number() OVER (ORDER BY ts ASC) AS k
+         |    FROM d WHERE ts >= $HI) WHERE k = 1),
+         |uni AS (
+         |  SELECT * FROM inner_rows
+         |  UNION SELECT * FROM lo_b
+         |  UNION SELECT * FROM hi_b)
+         |SELECT 'calc:cv' AS channel, ts, value, CAST(0 AS BIGINT) AS level
+         |FROM uni ORDER BY ts""".stripMargin,
+
     // the streaming calc record drained: the batch span-intersection
     // derive (the arch_calc_configured grid WITHOUT the serve step)
     "stream_derived" ->

@@ -1326,6 +1326,37 @@ object SparkEntry {
         .orderBy("ts")
     }),
 
+    // calc-channel CATCH-UP parity: build on the first slice of
+    // history (ts ≤ CUT), append the remainder raw, run the config
+    // catch-up — the extended calc grid must serve the EXACT bytes of
+    // the all-at-once build (the arch_calc_configured oracle), so a
+    // frontier bug (re-emitted point, clipped look-back, stale span)
+    // reds a hash, not just a spec
+    "arch_calc_catchup" -> ((s, dir) => {
+      val root = scratchDir("calccu")
+      val cfgDir = root + "/config"; val store = root + "/store"
+      val m = clean(s, dir)
+      val names = m.select("channel").distinct()
+        .orderBy("channel").collect().map(_.getString(0)).toSeq
+      names.foreach { n =>
+        ConfigCommands.addChannel(s, cfgDir, ChannelConfig(n, s"id-$n",
+          "ca", enabled = true, Map(), Map(0L -> 0L)))
+      }
+      ConfigCommands.addChannel(s, cfgDir, ChannelConfig("calc:cv",
+        "id-calc-cv", "calc", enabled = true,
+        Map("calc.a" -> "click", "calc.b" -> "view", "calc.op" -> "sub",
+          "calc.step_s" -> "3600"), Map(0L -> 0L)))
+      ConfiguredArchive.materialize(s, cfgDir, store,
+        m.where(col("ts") <= lit(CUT)))
+      ConfiguredArchive.ingestRaw(s, cfgDir, store,
+        m.where(col("ts") > lit(CUT)))
+      ConfiguredArchive.catchUp(s, cfgDir, store)
+      ConfiguredArchive.querySamples(s, cfgDir, store, "calc:cv",
+          LO, HI, None)
+        .select(col("channel"), col("ts"), col("value"), col("level"))
+        .orderBy("ts")
+    }),
+
     // disabled-channel serving end to end (round-9): every channel
     // archived while enabled, then the lexicographically SECOND
     // channel decommissioned — the serving stack still answers for it

@@ -195,6 +195,9 @@ object ConfiguredArchive {
   def catchUp(spark: SparkSession, configPath: String, storePath: String,
               backend: StoreBackend = ManifestBackend): Unit = {
     val st = ConfigCommands.state(spark, configPath)
+    // calc channels first: their extended raw grid then feeds the
+    // level catch-up below like any other channel's appended raw data
+    catchUpCalc(spark, st, storePath, backend)
     val known = st.enabledConfigs.map(_.channelDataId)
     for (level <- st.levelsSec) {
       if (!Cascade.hasWatermarks(spark, storePath, level))
@@ -203,6 +206,87 @@ object ConfiguredArchive {
       else
         Cascade.catchUp(spark, storePath, level, backend, st.retentionSec,
           knownChannels = Some(known))
+    }
+  }
+
+  /** Extend every calc channel's archived grid over source data that
+    * arrived since the last build — calc extension rides [[catchUp]]
+    * exactly the way decimation catch-up does: raw source appends land
+    * via [[ingestRaw]] (which never carries calc rows — the calc name
+    * exists only in configuration), then catch-up recomputes the
+    * deterministic grid from the STORED sources and appends only the
+    * points past the calc channel's stored frontier. Recompute-and-
+    * filter keeps the extension byte-identical to an all-at-once build
+    * (same holds, same grid) and makes the append idempotent by
+    * frontier: a crashed run re-runs with the same result, and the
+    * manifest backend's token dedup ([[StoreBackend.writeTxn]], token =
+    * new frontier) skips the re-write entirely. A hotter path would
+    * bound the re-scan with a boundary argmax at the frontier; the
+    * hold look-back is the only reason the scan is open-ended.
+    * Options reference sources by CURRENT name — renaming a source
+    * without updating its dependents' `calc.a`/`calc.b` severs the
+    * reference (the extension is skipped, loudly impossible to
+    * confuse with data).
+    */
+  private def catchUpCalc(spark: SparkSession,
+                          st: ConfigCommands.ConfigState,
+                          storePath: String, backend: StoreBackend): Unit = {
+    val byName = st.configs.map(c => c.name -> c).toMap
+    val calcs = st.enabledConfigs.filter(_.controlSystemType == "calc")
+      .sortBy(_.name)
+    for (c <- calcs) {
+      val aName = c.options("calc.a"); val bName = c.options("calc.b")
+      (byName.get(aName), byName.get(bName)) match {
+        case (Some(ca), Some(cb)) =>
+          val stepNs = c.options("calc.step_s").toLong * Samples.NS
+          val f = DerivedOps(c.options.getOrElse("calc.op", "sub"))
+          def chanRows(id: String, label: String) =
+            backend.read(spark, storePath, 0L, channel = Some(id))
+              .where(col("channel") === id)
+              .withColumn("channel", lit(label))
+          // stored frontier of the calc channel's own raw grid
+          val gLast = chanRows(c.channelDataId, c.name)
+            .agg(max("ts")).collect().head match {
+              case r if r.isNullAt(0) => Long.MinValue
+              case r => r.getLong(0)
+            }
+          val u = chanRows(ca.channelDataId, aName)
+            .unionByName(chanRows(cb.channelDataId, bName))
+          val spans = u.groupBy("channel")
+            .agg(min("ts").as("lo"), max("ts").as("hi"))
+            .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+            .toMap
+          (spans.get(aName), spans.get(bName)) match {
+            case (Some((loA, hiA)), Some((loB, hiB))) =>
+              val lo = ((math.max(loA, loB) + stepNs - 1L) / stepNs) * stepNs
+              val hi = (math.min(hiA, hiB) / stepNs) * stepNs
+              if (hi > gLast && lo <= hi) {
+                val known: Map[String, org.apache.spark.sql.Column] = Map(
+                  "channel" -> lit(c.channelDataId), "ts" -> col("ts"),
+                  "value" -> col("value"), "str_value" -> lit(""),
+                  "severity" -> lit(0), "status" -> lit(0),
+                  "sample_id" -> col("ts"))
+                val cols = u.schema.fields
+                  .filterNot(fld => fld.name == "level" ||
+                    fld.name == "bucket_date")
+                  .map { fld =>
+                    known.get(fld.name)
+                      .orElse(if (fld.name == "ts_raw")
+                        Some(Samples.rawTsFromNs(col("ts"), fld.dataType))
+                      else None)
+                      .getOrElse(lit(null).cast(fld.dataType)).as(fld.name)
+                  }
+                val ext = Analytics
+                  .derivedChannel(u, c.name, aName, bName, f, lo, hi, stepNs)
+                  .where(col("ts") > lit(gLast))
+                  .select(cols.toSeq: _*)
+                backend.writeTxn(ext, storePath, 0L,
+                  writerId = s"calc-${c.channelDataId}", token = hi)
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
     }
   }
 

@@ -282,6 +282,54 @@ class ServingSpec extends AnyFunSuite {
     }
   }
 
+  test("calc catch-up: incremental grid extension equals all-at-once, idempotent") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val NS = graft.core.Samples.NS
+    val T0 = 1704067200L * NS
+    def series(name: String, ids: Seq[Long], f: Long => Double) =
+      ids.map(i => (name, T0 + i * 60L * NS, f(i), "", 0, 0, i))
+        .toDF("channel", "ts", "value", "str_value", "severity",
+          "status", "sample_id")
+    def cfgFor(dir: String): Unit = Seq(
+      ChannelConfig("pv:a", "id-a", "ca", enabled = true, Map(),
+        Map(0L -> 0L)),
+      ChannelConfig("pv:b", "id-b", "ca", enabled = true, Map(),
+        Map(0L -> 0L)),
+      ChannelConfig("calc:diff", "id-calc", "calc", enabled = true,
+        Map("calc.a" -> "pv:a", "calc.b" -> "pv:b", "calc.op" -> "sub",
+          "calc.step_s" -> "600"), Map(0L -> 0L))
+    ).foreach(c => ConfigCommands.addChannel(spark, dir, c))
+    val all = series("pv:a", 1L to 120L, _.toDouble)
+      .unionByName(series("pv:b", 5L to 110L, i => 2.0 * i))
+    val cut = T0 + 60L * 60L * NS
+    // incremental: first hour, then the rest + catch-up (twice)
+    val cfg1 = Files.createTempDirectory("cucfg").toString
+    val st1 = Files.createTempDirectory("custore").toString
+    cfgFor(cfg1)
+    ConfiguredArchive.materialize(spark, cfg1, st1,
+      all.where(col("ts") <= cut))
+    ConfiguredArchive.ingestRaw(spark, cfg1, st1,
+      all.where(col("ts") > cut))
+    ConfiguredArchive.catchUp(spark, cfg1, st1)
+    ConfiguredArchive.catchUp(spark, cfg1, st1) // idempotent by frontier
+    // all-at-once reference
+    val cfg2 = Files.createTempDirectory("cucfg2").toString
+    val st2 = Files.createTempDirectory("custore2").toString
+    cfgFor(cfg2)
+    ConfiguredArchive.materialize(spark, cfg2, st2, all)
+    def serve(cfg: String, st: String) =
+      ConfiguredArchive.querySamples(spark, cfg, st, "calc:diff",
+          T0, T0 + 200L * 60L * NS, None)
+        .select("ts", "value").orderBy("ts").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inc = serve(cfg1, st1); val once = serve(cfg2, st2)
+    assert(inc == once, s"incremental ${inc.size} rows vs ${once.size}")
+    // grid reaches the intersection end (minute 110 floor → 110? 600 s
+    // grid → minute 110 exactly), values −m throughout
+    assert(inc.nonEmpty && inc.last == (T0 + 110L * 60L * NS, -110.0))
+  }
+
   test("concurrent admin commits never lose a channel: config-log CAS under thread races") {
     // 8 threads racing addChannel on one config log — the shape of
     // concurrent admin-API requests. Every add must land (the CAS
