@@ -363,6 +363,80 @@ object Probe100x {
         "m4_sec" -> m4sec, "m4_rows_per_sec" -> (n / m4sec).toLong)
     }
 
+    if (mode == "derived_stream" || mode == "all") {
+      // the cross-channel streaming calc record at ~40× the gate: two
+      // 2.5M-sample channels (1 s cadence) drained through a 10 s
+      // derived grid in ~10 micro-batches. Measures end-to-end rows/s
+      // and the state the stream carries — pending buffers bounded by
+      // the SKEW between the sources, not by data size — in two
+      // shapes: sources arriving in lockstep (pending ≈ one grid
+      // step), and source B arriving a full quarter-corpus late
+      // (pending peaks near the lag, then drains: the observed analog
+      // of a watermarked stream-stream join buffer).
+      val n = 2500000L
+      val stepNs = 10L * 1000000000L
+      def run(name: String, seqLagB: Long): (Double, Long, Long) = {
+        val dir = s"/tmp/probe100x_der_$name"
+        val df = spark.range(2L * n).select(
+          when(pmod(col("id"), lit(2)) === 0, lit("a")).otherwise(lit("b"))
+            .as("channel"),
+          expr("(id div 2) * 1000000000L").as("ts"),
+          (pmod(xxhash64(col("id")), lit(1000L)).cast("double") / lit(10.0))
+            .as("value"),
+          // arrival order: interleaved, except B lags by seqLagB slots
+          (expr("id div 2") +
+            when(pmod(col("id"), lit(2)) === 1, lit(seqLagB))
+              .otherwise(lit(0L))).as("seq"))
+        // ONE file per contiguous seq slice, written sequentially: the
+        // file source replays oldest-modTime first, so per-source
+        // arrival order survives the multi-batch split (a single
+        // parallel write gives all parts the same modTime and the
+        // replay order scrambles — 10% of rows then arrive "late" and
+        // the ST5 drop eats them, caught by the emitted-count guard)
+        val dfp = df.persist(org.apache.spark.storage.StorageLevel
+          .MEMORY_AND_DISK)
+        val maxSeq = 2L * n + seqLagB
+        val slice = maxSeq / 20L + 1L
+        (0 until 20).foreach { i =>
+          dfp.where(col("seq") >= i * slice && col("seq") < (i + 1) * slice)
+            .coalesce(1).write.mode("overwrite").parquet(f"$dir/f$i%02d")
+        }
+        dfp.unpersist()
+        val stream = spark.readStream.schema(df.schema)
+          .option("maxFilesPerTrigger", 2)
+          .option("recursiveFileLookup", "true").parquet(dir)
+          .as(org.apache.spark.sql.Encoders
+            .product[graft.streaming.StreamingDecimation.InSample])
+        implicit val s: SparkSession = spark
+        val q = graft.streaming.StreamingDecimation
+          .derivedStream(stream, "calc", "a", "b", "sub", stepNs)
+          .writeStream.format("memory").queryName(s"der_$name")
+          .outputMode("append").start()
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val stateBytes = q.lastProgress.stateOperators.apply(0)
+          .memoryUsedBytes
+        q.stop()
+        val emitted = spark.table(s"der_$name").count()
+        (sec, emitted, stateBytes)
+      }
+      val expected = (n - 1L) * 1000000000L / stepNs + 1L // grid [0, floor]
+      val (sec, emitted, stateB) = run("sync", 0L)
+      require(emitted == expected, s"sync emitted $emitted != $expected")
+      // B lags by 50k arrival slots (500 s of data): A's pending
+      // buffer must carry the skew until B catches up each batch
+      val lagSlots = 50000L
+      val (lagSec, lagEmitted, lagStateB) = run("lag", lagSlots)
+      require(lagEmitted == expected, s"lag emitted $lagEmitted != $expected")
+      report("derived_stream", "rows" -> 2 * n, "step_s" -> 10,
+        "grid_points" -> expected,
+        "sec" -> sec, "rows_per_sec" -> (2 * n / sec).toLong,
+        "state_bytes" -> stateB,
+        "lag_slots" -> lagSlots, "lag_sec" -> lagSec,
+        "lag_state_bytes" -> lagStateB)
+    }
+
     docs.unpersist()
     spark.stop()
   }

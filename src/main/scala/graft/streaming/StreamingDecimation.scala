@@ -695,53 +695,66 @@ object StreamingDecimation {
       case other =>
         throw new IllegalArgumentException(s"unknown derived op '$other'")
     }
-    def consume(c: SrcCursor, g: Long): SrcCursor = {
-      val (done, keep) = c.pending.span(_._1 <= g)
-      if (done.isEmpty) c
-      else c.copy(hasHold = true, hold = done.last._2, pending = keep)
-    }
+    // mutable in-batch mirror of SrcCursor: appends are amortized O(1)
+    // and grid consumption walks an index instead of re-building the
+    // list — the immutable `pending :+ x` form was O(n) PER SAMPLE and
+    // went quadratic the moment one source lagged (caught by the
+    // derived_stream skew probe, not by correctness: bytes identical)
+    final class Cur(var first: Long, var last: Long, var hasHold: Boolean,
+                    var hold: Double,
+                    val pending: scala.collection.mutable.ArrayBuffer[(Long, Double)],
+                    var pi: Int)
+    def consume(c: Cur, g: Long): Unit =
+      while (c.pi < c.pending.length && c.pending(c.pi)._1 <= g) {
+        c.hasHold = true; c.hold = c.pending(c.pi)._2; c.pi += 1
+      }
     def process(key: String, it: Iterator[InSample],
                 state: GroupState[DerivedState]): Iterator[DerivedOut] = {
-      var st = state.getOption.getOrElse(
+      val st0 = state.getOption.getOrElse(
         DerivedState(None, None, 0L, started = false))
+      def thaw(o: Option[SrcCursor]): Cur = o match {
+        case Some(c) => new Cur(c.first, c.last, c.hasHold, c.hold,
+          scala.collection.mutable.ArrayBuffer.from(c.pending), 0)
+        case None => null
+      }
+      var a = thaw(st0.a); var b = thaw(st0.b)
+      var nextG = st0.nextG; var started = st0.started
       val out = scala.collection.mutable.ArrayBuffer.empty[DerivedOut]
       for (s <- it.toSeq.sortBy(_.seq)) {
         val isA = s.channel == chanA
-        val cur = if (isA) st.a else st.b
-        val fresh = cur.forall(s.ts > _.last) // F6/ST5 per source
+        val cur = if (isA) a else b
+        val fresh = cur == null || s.ts > cur.last // F6/ST5 per source
         if (fresh) {
-          val upd = cur match {
-            case None =>
-              // markers before the first value do not define the span
-              s.value.map(v => SrcCursor(s.ts, s.ts, hasHold = false, 0.0,
-                List(s.ts -> v)))
-            case Some(c) =>
-              Some(s.value.fold(c.copy(last = s.ts))(v =>
-                c.copy(last = s.ts, pending = c.pending :+ (s.ts -> v))))
+          if (cur == null) {
+            // markers before the first value do not define the span
+            s.value.foreach { v =>
+              val c = new Cur(s.ts, s.ts, hasHold = false, 0.0,
+                scala.collection.mutable.ArrayBuffer(s.ts -> v), 0)
+              if (isA) a = c else b = c
+            }
+          } else {
+            cur.last = s.ts
+            s.value.foreach(v => cur.pending += (s.ts -> v))
           }
-          st = if (isA) st.copy(a = upd.orElse(st.a))
-               else st.copy(b = upd.orElse(st.b))
-          (st.a, st.b) match {
-            case (Some(ca), Some(cb)) =>
-              if (!st.started) {
-                val lo = math.max(ca.first, cb.first)
-                st = st.copy(
-                  nextG = ((lo + stepNs - 1L) / stepNs) * stepNs,
-                  started = true)
-              }
-              var a = ca; var b = cb
-              while (st.nextG <= math.min(a.last, b.last)) {
-                a = consume(a, st.nextG); b = consume(b, st.nextG)
-                // both holds exist: nextG >= max(first_a, first_b)
-                out += DerivedOut(outName, st.nextG, f(a.hold, b.hold))
-                st = st.copy(nextG = st.nextG + stepNs)
-              }
-              st = st.copy(a = Some(a), b = Some(b))
-            case _ => ()
+          if (a != null && b != null) {
+            if (!started) {
+              val lo = math.max(a.first, b.first)
+              nextG = ((lo + stepNs - 1L) / stepNs) * stepNs
+              started = true
+            }
+            while (nextG <= math.min(a.last, b.last)) {
+              consume(a, nextG); consume(b, nextG)
+              // both holds exist: nextG >= max(first_a, first_b)
+              out += DerivedOut(outName, nextG, f(a.hold, b.hold))
+              nextG += stepNs
+            }
           }
         }
       }
-      state.update(st)
+      def freeze(c: Cur): Option[SrcCursor] =
+        Option(c).map(c => SrcCursor(c.first, c.last, c.hasHold, c.hold,
+          c.pending.drop(c.pi).toList))
+      state.update(DerivedState(freeze(a), freeze(b), nextG, started))
       out.iterator
     }
     samples

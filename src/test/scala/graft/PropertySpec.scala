@@ -345,4 +345,48 @@ class PropertySpec extends AnyFunSuite {
       assert(out.map(_._2).sum == sizes.map(_.toLong).sum)
     }
   }
+
+  test("derivedChannel == a sequential hold walk for random two-channel layouts") {
+    val gen = for {
+      na <- Gen.choose(1, 25)
+      nb <- Gen.choose(1, 25)
+      tsA <- Gen.listOfN(na, Gen.choose(0L, 100L)).map(_.distinct.sorted)
+      tsB <- Gen.listOfN(nb, Gen.choose(0L, 100L)).map(_.distinct.sorted)
+      vsA <- Gen.listOfN(tsA.size, Gen.choose(-50.0, 50.0))
+      vsB <- Gen.listOfN(tsB.size, Gen.choose(-50.0, 50.0))
+      step <- Gen.oneOf(5L, 10L, 20L)
+      opIdx <- Gen.choose(0, 2) // div excluded: a random zero divisor
+    } yield (tsA.zip(vsA), tsB.zip(vsB), step, opIdx)
+    val ops: Seq[(String, (Double, Double) => Double)] =
+      Seq("add" -> (_ + _), "sub" -> (_ - _), "mul" -> (_ * _))
+    for (i <- 0 until 6;
+         (a, b, stepS, opIdx) <- gen(Gen.Parameters.default, Seed(900 + i))) {
+      val step = stepS * S
+      val (opName, f) = ops(opIdx)
+      val df = (a.map { case (t, v) => ("A", t * S, v) } ++
+        b.map { case (t, v) => ("B", t * S, v) }).zipWithIndex
+        .map { case ((c, t, v), j) => (c, t, v, "", 0, 0, j.toLong) }
+        .toDF("channel", "ts", "value", "str_value", "severity",
+          "status", "sample_id")
+      val lo = 0L; val hi = 100L * S
+      val colF: (org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+        opName match {
+          case "add" => _ + _
+          case "sub" => _ - _
+          case _ => _ * _
+        }
+      val got = graft.archive.Analytics
+        .derivedChannel(df, "calc", "A", "B", colF, lo, hi, step)
+        .orderBy("ts").collect()
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      // sequential reference: plain-Scala hold walk over the grid
+      def hold(src: Seq[(Long, Double)], g: Long): Option[Double] =
+        src.filter(_._1 * S <= g).lastOption.map(_._2)
+      val expected = (lo to hi by step).flatMap { g =>
+        for (x <- hold(a, g); y <- hold(b, g)) yield (g, f(x, y))
+      }
+      assert(got == expected, s"seed ${900 + i} op $opName step $stepS")
+    }
+  }
 }
