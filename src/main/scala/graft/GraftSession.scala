@@ -116,6 +116,18 @@ object GraftSession {
     archive.Rolling.trailing(
         Samples.monotonicDedup(Samples.fromEvents(spark, sfDir)), 3600L)
       .createOrReplaceTempView("samples_rolling_1h")
+    // round-9 analytics: the derived (calculated) channel and the
+    // lead/lag scan, same parameters as their oracle gates
+    archive.Analytics.derivedChannel(
+        Samples.monotonicDedup(Samples.fromEvents(spark, sfDir)),
+        "calc:click-view", "click", "view", _ - _,
+        OracleSql.LO, OracleSql.HI, OracleSql.P1H)
+      .createOrReplaceTempView("derived_click_view")
+    archive.Analytics.lagCorrelation(
+        Samples.monotonicDedup(Samples.fromEvents(spark, sfDir)),
+        "click", "view", OracleSql.LO, OracleSql.HI, OracleSql.P1H,
+        maxLagSteps = 6)
+      .createOrReplaceTempView("lag_correlation_click_view")
     streaming.Sessionize.sessions(core.Tables.events(spark, sfDir), 43200L)
       .createOrReplaceTempView("event_sessions")
     // round-5 text analytics: CMS heavy hitters and PMI collocations

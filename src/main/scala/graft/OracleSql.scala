@@ -1008,6 +1008,27 @@ object OracleSql {
          |    AS BIGINT) AS DOUBLE) / 1000000.0 AS corr
          |FROM a ORDER BY lag""".stripMargin,
 
+    // n-ary derived channel: mean of three held sources — identical
+    // left-to-right float program on both engines, no rounding
+    "arch_derived_nary" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |grid AS (SELECT c.channel, u.g
+         |         FROM (VALUES ('click'), ('view'), ('error')) c(channel),
+         |         UNNEST(generate_series($LO, $HI, $P1H)) AS u(g)),
+         |h AS (SELECT grid.channel, grid.g, s.value
+         |      FROM grid ASOF LEFT JOIN clean s
+         |        ON grid.channel = s.channel AND grid.g >= s.ts),
+         |m AS (SELECT g AS ts,
+         |        max(CASE WHEN channel = 'click' THEN value END) AS v1,
+         |        max(CASE WHEN channel = 'view' THEN value END) AS v2,
+         |        max(CASE WHEN channel = 'error' THEN value END) AS v3
+         |      FROM h GROUP BY g)
+         |SELECT 'calc:mean3' AS channel, ts,
+         |  ((v1 + v2) + v3) / 3.0 AS value
+         |FROM m WHERE v1 IS NOT NULL AND v2 IS NOT NULL AND v3 IS NOT NULL
+         |ORDER BY ts""".stripMargin,
+
     // the derived series rolled into 6h epoch-aligned windows: equal
     // grid weights make the time-weighted mean the arithmetic mean
     // (DECIMAL-routed like every gated mean)

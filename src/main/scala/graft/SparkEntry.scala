@@ -1205,6 +1205,14 @@ object SparkEntry {
         LO, HI, P1H, maxLagSteps = 6)
         .orderBy("lag")),
 
+    // n-ary derived channel — the aggregate-PV shape: mean of three
+    // held sources on the shared grid; fixed-order IEEE reduction
+    // (left-to-right adds, one division), so no rounding
+    "arch_derived_nary" -> ((s, dir) =>
+      Analytics.derivedChannelN(clean(s, dir), "calc:mean3",
+        Seq("click", "view", "error"), "mean", LO, HI, P1H)
+        .orderBy("ts")),
+
     // the derived series rolled into 6h epoch-aligned windows: on a
     // regular grid every held point carries equal weight, so the
     // time-weighted mean IS the arithmetic mean — DECIMAL-routed like

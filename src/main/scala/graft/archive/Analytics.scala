@@ -258,6 +258,37 @@ object Analytics {
       .select(lit(outName).as("channel"), col("ts"),
         f(col(chanA), col(chanB)).as("value"))
 
+  /** N-ary derived channel — the aggregate-PV shape ("total beam
+    * current = the sum of the segment currents"): every source held
+    * onto the shared grid, combined by a fixed-order reduction.
+    * `op` ∈ sum | mean | min | max. Grid points where ANY source has
+    * no history yet are dropped (same undefined-until-all-inputs rule
+    * as [[derivedChannel]]). Determinism: the reduction runs in the
+    * caller's source ORDER as a single row-wise expression —
+    * left-to-right IEEE adds, one division for mean — so both engines
+    * evaluate the identical float program and gates need no rounding.
+    */
+  def derivedChannelN(samples: DataFrame, outName: String,
+                      sources: Seq[String], op: String,
+                      lo: Long, hi: Long, stepNs: Long): DataFrame = {
+    require(sources.size >= 2, "an n-ary calc needs at least two sources")
+    require(sources.distinct.size == sources.size,
+      "n-ary calc sources must be distinct")
+    val cols = sources.map(col)
+    val combined = op match {
+      case "sum"  => cols.reduceLeft(_ + _)
+      case "mean" => cols.reduceLeft(_ + _) / lit(sources.size.toDouble)
+      case "min"  => least(cols: _*)
+      case "max"  => greatest(cols: _*)
+      case other =>
+        throw new IllegalArgumentException(s"unknown n-ary op '$other'")
+    }
+    alignedMatrix(samples, sources, lo, hi, stepNs)
+      .where(cols.map(_.isNotNull).reduceLeft(_ && _))
+      .select(lit(outName).as("channel"), col("ts"),
+        combined.as("value"))
+  }
+
   /** Lead/lag scan between two channels — "does A lead B, and by how
     * much": Pearson correlation of A's held grid value at t against
     * B's at t + ℓ·step for every lag ℓ ∈ [−maxLagSteps, maxLagSteps].

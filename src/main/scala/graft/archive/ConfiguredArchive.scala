@@ -89,48 +89,75 @@ object ConfiguredArchive {
     val calcs = st.enabledConfigs.filter(_.controlSystemType == "calc")
       .sortBy(_.name)
     calcs.foldLeft(raw) { (acc, c) =>
-      val a = c.options.getOrElse("calc.a", throw new IllegalArgumentException(
-        s"channel '${c.name}': calc.a is required"))
-      val b = c.options.getOrElse("calc.b", throw new IllegalArgumentException(
-        s"channel '${c.name}': calc.b is required"))
-      val op = c.options.getOrElse("calc.op", "sub")
-      val f = DerivedOps.getOrElse(op, throw new IllegalArgumentException(
-        s"channel '${c.name}': unknown calc.op '$op'"))
-      val stepNs = c.options.getOrElse("calc.step_s",
-        throw new IllegalArgumentException(
-          s"channel '${c.name}': calc.step_s is required")).toLong * Samples.NS
-      require(stepNs > 0L, s"channel '${c.name}': calc.step_s must be positive")
-      require(a != b, s"channel '${c.name}': calc needs two distinct sources")
-      // metadata-sized: the two sources' first/last ts (one tiny agg)
-      val spans = acc.where(col("channel").isin(a, b))
+      val (sources, stepNs, derive) = calcPlan(c)
+      // metadata-sized: the sources' first/last ts (one tiny agg)
+      val spans = acc.where(col("channel").isin(sources: _*))
         .groupBy("channel").agg(min("ts").as("lo"), max("ts").as("hi"))
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
         .toMap
-      (spans.get(a), spans.get(b)) match {
-        case (Some((loA, hiA)), Some((loB, hiB))) =>
-          val lo = ((math.max(loA, loB) + stepNs - 1L) / stepNs) * stepNs
-          val hi = (math.min(hiA, hiB) / stepNs) * stepNs
-          if (lo > hi) acc
-          else {
-            val known: Map[String, org.apache.spark.sql.Column] = Map(
-              "channel" -> col("channel"), "ts" -> col("ts"),
-              "value" -> col("value"), "str_value" -> lit(""),
-              "severity" -> lit(0), "status" -> lit(0),
-              "sample_id" -> col("ts"))
-            val cols = acc.schema.fields.map { fld =>
-              known.get(fld.name)
-                .orElse(if (fld.name == "ts_raw")
-                  Some(Samples.rawTsFromNs(col("ts"), fld.dataType))
-                else None)
-                .getOrElse(lit(null).cast(fld.dataType)).as(fld.name)
-            }
-            acc.unionByName(Analytics
-              .derivedChannel(acc, c.name, a, b, f, lo, hi, stepNs)
-              .select(cols.toSeq: _*))
+      if (!sources.forall(spans.contains)) acc
+      else {
+        val lo = ((sources.map(spans(_)._1).max + stepNs - 1L) / stepNs) * stepNs
+        val hi = (sources.map(spans(_)._2).min / stepNs) * stepNs
+        if (lo > hi) acc
+        else {
+          val known: Map[String, org.apache.spark.sql.Column] = Map(
+            "channel" -> col("channel"), "ts" -> col("ts"),
+            "value" -> col("value"), "str_value" -> lit(""),
+            "severity" -> lit(0), "status" -> lit(0),
+            "sample_id" -> col("ts"))
+          val cols = acc.schema.fields.map { fld =>
+            known.get(fld.name)
+              .orElse(if (fld.name == "ts_raw")
+                Some(Samples.rawTsFromNs(col("ts"), fld.dataType))
+              else None)
+              .getOrElse(lit(null).cast(fld.dataType)).as(fld.name)
           }
-        case _ => acc
+          acc.unionByName(derive(acc, lo, hi).select(cols.toSeq: _*))
+        }
       }
     }
+  }
+
+  /** Resolve one calc channel's configuration into (source names, grid
+    * step, derive function). Two forms: the binary expression
+    * (`calc.a`/`calc.b`/`calc.op`) and the n-ary aggregate
+    * (`calc.sources` CSV + `calc.nary` ∈ sum|mean|min|max — the
+    * "total beam current = sum of segment currents" shape). Fails
+    * loudly on a misconfigured channel; silence here would archive a
+    * wrong series.
+    */
+  private def calcPlan(c: ChannelConfig)
+      : (Seq[String], Long, (DataFrame, Long, Long) => DataFrame) = {
+    val stepNs = c.options.getOrElse("calc.step_s",
+      throw new IllegalArgumentException(
+        s"channel '${c.name}': calc.step_s is required")).toLong * Samples.NS
+    require(stepNs > 0L, s"channel '${c.name}': calc.step_s must be positive")
+    val (sources, derive) = c.options.get("calc.sources") match {
+      case Some(csv) =>
+        val srcs = csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val nary = c.options.getOrElse("calc.nary", "sum")
+        require(Set("sum", "mean", "min", "max")(nary),
+          s"channel '${c.name}': unknown calc.nary '$nary'")
+        (srcs, (in: DataFrame, lo: Long, hi: Long) =>
+          Analytics.derivedChannelN(in, c.name, srcs, nary, lo, hi, stepNs))
+      case None =>
+        val a = c.options.getOrElse("calc.a",
+          throw new IllegalArgumentException(
+            s"channel '${c.name}': calc.a is required"))
+        val b = c.options.getOrElse("calc.b",
+          throw new IllegalArgumentException(
+            s"channel '${c.name}': calc.b is required"))
+        val op = c.options.getOrElse("calc.op", "sub")
+        val f = DerivedOps.getOrElse(op, throw new IllegalArgumentException(
+          s"channel '${c.name}': unknown calc.op '$op'"))
+        require(a != b, s"channel '${c.name}': calc needs two distinct sources")
+        (Seq(a, b), (in: DataFrame, lo: Long, hi: Long) =>
+          Analytics.derivedChannel(in, c.name, a, b, f, lo, hi, stepNs))
+    }
+    require(sources.size >= 2 && sources.distinct.size == sources.size,
+      s"channel '${c.name}': calc needs >= 2 distinct sources")
+    (sources, stepNs, derive)
   }
 
   /** [[materialize]] for the full 21-type value union: same config-
@@ -235,57 +262,52 @@ object ConfiguredArchive {
     val calcs = st.enabledConfigs.filter(_.controlSystemType == "calc")
       .sortBy(_.name)
     for (c <- calcs) {
-      val aName = c.options("calc.a"); val bName = c.options("calc.b")
-      (byName.get(aName), byName.get(bName)) match {
-        case (Some(ca), Some(cb)) =>
-          val stepNs = c.options("calc.step_s").toLong * Samples.NS
-          val f = DerivedOps(c.options.getOrElse("calc.op", "sub"))
-          def chanRows(id: String, label: String) =
-            backend.read(spark, storePath, 0L, channel = Some(id))
-              .where(col("channel") === id)
-              .withColumn("channel", lit(label))
-          // stored frontier of the calc channel's own raw grid
-          val gLast = chanRows(c.channelDataId, c.name)
-            .agg(max("ts")).collect().head match {
-              case r if r.isNullAt(0) => Long.MinValue
-              case r => r.getLong(0)
-            }
-          val u = chanRows(ca.channelDataId, aName)
-            .unionByName(chanRows(cb.channelDataId, bName))
-          val spans = u.groupBy("channel")
-            .agg(min("ts").as("lo"), max("ts").as("hi"))
-            .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
-            .toMap
-          (spans.get(aName), spans.get(bName)) match {
-            case (Some((loA, hiA)), Some((loB, hiB))) =>
-              val lo = ((math.max(loA, loB) + stepNs - 1L) / stepNs) * stepNs
-              val hi = (math.min(hiA, hiB) / stepNs) * stepNs
-              if (hi > gLast && lo <= hi) {
-                val known: Map[String, org.apache.spark.sql.Column] = Map(
-                  "channel" -> lit(c.channelDataId), "ts" -> col("ts"),
-                  "value" -> col("value"), "str_value" -> lit(""),
-                  "severity" -> lit(0), "status" -> lit(0),
-                  "sample_id" -> col("ts"))
-                val cols = u.schema.fields
-                  .filterNot(fld => fld.name == "level" ||
-                    fld.name == "bucket_date")
-                  .map { fld =>
-                    known.get(fld.name)
-                      .orElse(if (fld.name == "ts_raw")
-                        Some(Samples.rawTsFromNs(col("ts"), fld.dataType))
-                      else None)
-                      .getOrElse(lit(null).cast(fld.dataType)).as(fld.name)
-                  }
-                val ext = Analytics
-                  .derivedChannel(u, c.name, aName, bName, f, lo, hi, stepNs)
-                  .where(col("ts") > lit(gLast))
-                  .select(cols.toSeq: _*)
-                backend.writeTxn(ext, storePath, 0L,
-                  writerId = s"calc-${c.channelDataId}", token = hi)
-              }
-            case _ => ()
+      val (sources, stepNs, derive) = calcPlan(c)
+      val resolved = sources.flatMap(n => byName.get(n).map(n -> _))
+      if (resolved.size == sources.size) {
+        def chanRows(id: String, label: String) =
+          backend.read(spark, storePath, 0L, channel = Some(id))
+            .where(col("channel") === id)
+            .withColumn("channel", lit(label))
+        // stored frontier of the calc channel's own raw grid
+        val gLast = chanRows(c.channelDataId, c.name)
+          .agg(max("ts")).collect().head match {
+            case r if r.isNullAt(0) => Long.MinValue
+            case r => r.getLong(0)
           }
-        case _ => ()
+        val u = resolved.map { case (n, cfg) =>
+          chanRows(cfg.channelDataId, n)
+        }.reduce(_ unionByName _)
+        val spans = u.groupBy("channel")
+          .agg(min("ts").as("lo"), max("ts").as("hi"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        if (sources.forall(spans.contains)) {
+          val lo = ((sources.map(spans(_)._1).max + stepNs - 1L) / stepNs) * stepNs
+          val hi = (sources.map(spans(_)._2).min / stepNs) * stepNs
+          if (hi > gLast && lo <= hi) {
+            val known: Map[String, org.apache.spark.sql.Column] = Map(
+              "channel" -> lit(c.channelDataId), "ts" -> col("ts"),
+              "value" -> col("value"), "str_value" -> lit(""),
+              "severity" -> lit(0), "status" -> lit(0),
+              "sample_id" -> col("ts"))
+            val cols = u.schema.fields
+              .filterNot(fld => fld.name == "level" ||
+                fld.name == "bucket_date")
+              .map { fld =>
+                known.get(fld.name)
+                  .orElse(if (fld.name == "ts_raw")
+                    Some(Samples.rawTsFromNs(col("ts"), fld.dataType))
+                  else None)
+                  .getOrElse(lit(null).cast(fld.dataType)).as(fld.name)
+              }
+            val ext = derive(u, lo, hi)
+              .where(col("ts") > lit(gLast))
+              .select(cols.toSeq: _*)
+            backend.writeTxn(ext, storePath, 0L,
+              writerId = s"calc-${c.channelDataId}", token = hi)
+          }
+        }
       }
     }
   }

@@ -127,6 +127,15 @@ class ServingSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT count(*) FROM emb_decontaminated WHERE max_eval_cos >= -1")
       .head.getLong(0) > 0)
+    // round-9 views: derived channel + lead/lag scan
+    assert(spark.sql(
+      """SELECT count(*) FROM derived_click_view
+        |WHERE channel = 'calc:click-view' AND value IS NOT NULL""".stripMargin)
+      .head.getLong(0) > 0)
+    assert(spark.sql(
+      """SELECT count(*) FROM lag_correlation_click_view
+        |WHERE corr BETWEEN -1 AND 1""".stripMargin)
+      .head.getLong(0) == 13L)
   }
 
   test("name→dataId resolution via broadcast config join survives renames") {
@@ -280,6 +289,45 @@ class ServingSpec extends AnyFunSuite {
       ConfiguredArchive.materialize(spark, badCfg,
         Files.createTempDirectory("calcbadstore").toString, raw)
     }
+  }
+
+  test("n-ary calc channel: configured sum of three sources archives and catches up") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val NS = graft.core.Samples.NS
+    val T0 = 1704067200L * NS
+    def series(name: String, ids: Seq[Long], f: Long => Double) =
+      ids.map(i => (name, T0 + i * 60L * NS, f(i), "", 0, 0, i))
+        .toDF("channel", "ts", "value", "str_value", "severity",
+          "status", "sample_id")
+    val all = series("pv:a", 1L to 90L, _.toDouble)
+      .unionByName(series("pv:b", 1L to 90L, i => 2.0 * i))
+      .unionByName(series("pv:c", 10L to 80L, i => 3.0 * i))
+    val cfgDir = Files.createTempDirectory("narycfg").toString
+    val store = Files.createTempDirectory("narystore").toString
+    (Seq("pv:a", "pv:b", "pv:c").map(n =>
+      ChannelConfig(n, s"id-$n", "ca", enabled = true, Map(),
+        Map(0L -> 0L))) :+
+      ChannelConfig("calc:total", "id-total", "calc", enabled = true,
+        Map("calc.sources" -> "pv:a, pv:b, pv:c", "calc.nary" -> "sum",
+          "calc.step_s" -> "600"), Map(0L -> 0L)))
+      .foreach(c => ConfigCommands.addChannel(spark, cfgDir, c))
+    // two-phase: first 40 minutes, then the rest through catch-up
+    val cut = T0 + 40L * 60L * NS
+    ConfiguredArchive.materialize(spark, cfgDir, store,
+      all.where(col("ts") <= cut))
+    ConfiguredArchive.ingestRaw(spark, cfgDir, store,
+      all.where(col("ts") > cut))
+    ConfiguredArchive.catchUp(spark, cfgDir, store)
+    val got = ConfiguredArchive.querySamples(spark, cfgDir, store,
+        "calc:total", T0, T0 + 200L * 60L * NS, None)
+      .select("ts", "value").orderBy("ts").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // intersection span [minute 10, minute 80]; sum = m + 2m + 3m = 6m
+    val expected = (1 to 8).map(_ * 10).map { m =>
+      (T0 + m * 60L * NS, 6.0 * m)
+    }
+    assert(got == expected, s"got $got")
   }
 
   test("calc catch-up: incremental grid extension equals all-at-once, idempotent") {
