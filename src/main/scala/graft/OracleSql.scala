@@ -131,6 +131,57 @@ object OracleSql {
   def decChain(p: Long, sfx: String): String =
     s"${validity("marked", sfx)},\n${slices(p, sfx)},\n${decAgg(p, sfx)}"
 
+  /** The span-intersection calc grid (click − view held onto the 1h
+    * grid over the sources' span intersection) — the CTE chain ONE
+    * definition of the calc semantics feeds: `d(ts, value)` is the
+    * derived series. Shared so the three calc gates cannot drift.
+    */
+  private val CalcGridCtes: String =
+    s"""$SAMPLES,
+       |$CLEAN,
+       |b AS (SELECT
+       |  ((GREATEST((SELECT min(ts) FROM clean WHERE channel = 'click'),
+       |             (SELECT min(ts) FROM clean WHERE channel = 'view'))
+       |    + ${P1H} - 1) // ${P1H}) * ${P1H} AS glo,
+       |  (LEAST((SELECT max(ts) FROM clean WHERE channel = 'click'),
+       |         (SELECT max(ts) FROM clean WHERE channel = 'view'))
+       |    // ${P1H}) * ${P1H} AS ghi),
+       |grid AS (SELECT c.channel, u.g
+       |         FROM (VALUES ('click'), ('view')) c(channel), b,
+       |         UNNEST(generate_series(b.glo, b.ghi, ${P1H})) AS u(g)),
+       |h AS (SELECT grid.channel, grid.g, s.value
+       |      FROM grid ASOF LEFT JOIN clean s
+       |        ON grid.channel = s.channel AND grid.g >= s.ts),
+       |m AS (SELECT g AS ts,
+       |        max(CASE WHEN channel = 'click' THEN value END) AS av,
+       |        max(CASE WHEN channel = 'view' THEN value END) AS bv
+       |      FROM h GROUP BY g),
+       |d AS (SELECT ts, av - bv AS value FROM m
+       |      WHERE av IS NOT NULL AND bv IS NOT NULL)""".stripMargin
+
+  /** The widened serve of the archived calc series — the oracle for
+    * BOTH arch_calc_configured and arch_calc_catchup: the incremental
+    * catch-up build must serve the EXACT all-at-once bytes, so the two
+    * gates share one query by construction.
+    */
+  private val CalcConfiguredOracle: String =
+    s"""WITH $CalcGridCtes,
+       |inner_rows AS (SELECT ts, value FROM d WHERE ts > $LO AND ts < $HI),
+       |lo_b AS (SELECT ts, value FROM (
+       |    SELECT ts, value,
+       |      row_number() OVER (ORDER BY ts DESC) AS k
+       |    FROM d WHERE ts <= $LO) WHERE k = 1),
+       |hi_b AS (SELECT ts, value FROM (
+       |    SELECT ts, value,
+       |      row_number() OVER (ORDER BY ts ASC) AS k
+       |    FROM d WHERE ts >= $HI) WHERE k = 1),
+       |uni AS (
+       |  SELECT * FROM inner_rows
+       |  UNION SELECT * FROM lo_b
+       |  UNION SELECT * FROM hi_b)
+       |SELECT 'calc:cv' AS channel, ts, value, CAST(0 AS BIGINT) AS level
+       |FROM uni ORDER BY ts""".stripMargin
+
   val all: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -862,108 +913,17 @@ object OracleSql {
     // over the sources' span INTERSECTION (ceil-aligned lo, floor-
     // aligned hi), archived, then the widened serve (inner rows +
     // at-or-before-LO + at-or-after-HI boundaries)
-    "arch_calc_configured" ->
-      s"""WITH $SAMPLES,
-         |$CLEAN,
-         |b AS (SELECT
-         |  ((GREATEST((SELECT min(ts) FROM clean WHERE channel = 'click'),
-         |             (SELECT min(ts) FROM clean WHERE channel = 'view'))
-         |    + ${P1H} - 1) // ${P1H}) * ${P1H} AS glo,
-         |  (LEAST((SELECT max(ts) FROM clean WHERE channel = 'click'),
-         |         (SELECT max(ts) FROM clean WHERE channel = 'view'))
-         |    // ${P1H}) * ${P1H} AS ghi),
-         |grid AS (SELECT c.channel, u.g
-         |         FROM (VALUES ('click'), ('view')) c(channel), b,
-         |         UNNEST(generate_series(b.glo, b.ghi, ${P1H})) AS u(g)),
-         |h AS (SELECT grid.channel, grid.g, s.value
-         |      FROM grid ASOF LEFT JOIN clean s
-         |        ON grid.channel = s.channel AND grid.g >= s.ts),
-         |m AS (SELECT g AS ts,
-         |        max(CASE WHEN channel = 'click' THEN value END) AS av,
-         |        max(CASE WHEN channel = 'view' THEN value END) AS bv
-         |      FROM h GROUP BY g),
-         |d AS (SELECT ts, av - bv AS value FROM m
-         |      WHERE av IS NOT NULL AND bv IS NOT NULL),
-         |inner_rows AS (SELECT ts, value FROM d WHERE ts > $LO AND ts < $HI),
-         |lo_b AS (SELECT ts, value FROM (
-         |    SELECT ts, value,
-         |      row_number() OVER (ORDER BY ts DESC) AS k
-         |    FROM d WHERE ts <= $LO) WHERE k = 1),
-         |hi_b AS (SELECT ts, value FROM (
-         |    SELECT ts, value,
-         |      row_number() OVER (ORDER BY ts ASC) AS k
-         |    FROM d WHERE ts >= $HI) WHERE k = 1),
-         |uni AS (
-         |  SELECT * FROM inner_rows
-         |  UNION SELECT * FROM lo_b
-         |  UNION SELECT * FROM hi_b)
-         |SELECT 'calc:cv' AS channel, ts, value, CAST(0 AS BIGINT) AS level
-         |FROM uni ORDER BY ts""".stripMargin,
+    "arch_calc_configured" -> CalcConfiguredOracle,
 
     // calc catch-up parity: the incremental build must serve the
     // EXACT all-at-once bytes, so the oracle IS arch_calc_configured's
-    "arch_calc_catchup" ->
-      s"""WITH $SAMPLES,
-         |$CLEAN,
-         |b AS (SELECT
-         |  ((GREATEST((SELECT min(ts) FROM clean WHERE channel = 'click'),
-         |             (SELECT min(ts) FROM clean WHERE channel = 'view'))
-         |    + ${P1H} - 1) // ${P1H}) * ${P1H} AS glo,
-         |  (LEAST((SELECT max(ts) FROM clean WHERE channel = 'click'),
-         |         (SELECT max(ts) FROM clean WHERE channel = 'view'))
-         |    // ${P1H}) * ${P1H} AS ghi),
-         |grid AS (SELECT c.channel, u.g
-         |         FROM (VALUES ('click'), ('view')) c(channel), b,
-         |         UNNEST(generate_series(b.glo, b.ghi, ${P1H})) AS u(g)),
-         |h AS (SELECT grid.channel, grid.g, s.value
-         |      FROM grid ASOF LEFT JOIN clean s
-         |        ON grid.channel = s.channel AND grid.g >= s.ts),
-         |m AS (SELECT g AS ts,
-         |        max(CASE WHEN channel = 'click' THEN value END) AS av,
-         |        max(CASE WHEN channel = 'view' THEN value END) AS bv
-         |      FROM h GROUP BY g),
-         |d AS (SELECT ts, av - bv AS value FROM m
-         |      WHERE av IS NOT NULL AND bv IS NOT NULL),
-         |inner_rows AS (SELECT ts, value FROM d WHERE ts > $LO AND ts < $HI),
-         |lo_b AS (SELECT ts, value FROM (
-         |    SELECT ts, value,
-         |      row_number() OVER (ORDER BY ts DESC) AS k
-         |    FROM d WHERE ts <= $LO) WHERE k = 1),
-         |hi_b AS (SELECT ts, value FROM (
-         |    SELECT ts, value,
-         |      row_number() OVER (ORDER BY ts ASC) AS k
-         |    FROM d WHERE ts >= $HI) WHERE k = 1),
-         |uni AS (
-         |  SELECT * FROM inner_rows
-         |  UNION SELECT * FROM lo_b
-         |  UNION SELECT * FROM hi_b)
-         |SELECT 'calc:cv' AS channel, ts, value, CAST(0 AS BIGINT) AS level
-         |FROM uni ORDER BY ts""".stripMargin,
+    "arch_calc_catchup" -> CalcConfiguredOracle,
 
     // the streaming calc record drained: the batch span-intersection
     // derive (the arch_calc_configured grid WITHOUT the serve step)
     "stream_derived" ->
-      s"""WITH $SAMPLES,
-         |$CLEAN,
-         |b AS (SELECT
-         |  ((GREATEST((SELECT min(ts) FROM clean WHERE channel = 'click'),
-         |             (SELECT min(ts) FROM clean WHERE channel = 'view'))
-         |    + ${P1H} - 1) // ${P1H}) * ${P1H} AS glo,
-         |  (LEAST((SELECT max(ts) FROM clean WHERE channel = 'click'),
-         |         (SELECT max(ts) FROM clean WHERE channel = 'view'))
-         |    // ${P1H}) * ${P1H} AS ghi),
-         |grid AS (SELECT c.channel, u.g
-         |         FROM (VALUES ('click'), ('view')) c(channel), b,
-         |         UNNEST(generate_series(b.glo, b.ghi, ${P1H})) AS u(g)),
-         |h AS (SELECT grid.channel, grid.g, s.value
-         |      FROM grid ASOF LEFT JOIN clean s
-         |        ON grid.channel = s.channel AND grid.g >= s.ts),
-         |m AS (SELECT g AS ts,
-         |        max(CASE WHEN channel = 'click' THEN value END) AS av,
-         |        max(CASE WHEN channel = 'view' THEN value END) AS bv
-         |      FROM h GROUP BY g)
-         |SELECT 'calc:cv' AS channel, ts, av - bv AS value FROM m
-         |WHERE av IS NOT NULL AND bv IS NOT NULL
+      s"""WITH $CalcGridCtes
+         |SELECT 'calc:cv' AS channel, ts, value FROM d
          |ORDER BY ts""".stripMargin,
 
     // lead/lag scan: click held at t vs view held at t + ℓ·1h, ℓ ∈ ±6

@@ -395,7 +395,10 @@ object Probe100x {
         // the ST5 drop eats them, caught by the emitted-count guard)
         val dfp = df.persist(org.apache.spark.storage.StorageLevel
           .MEMORY_AND_DISK)
-        val maxSeq = 2L * n + seqLagB
+        // seq = id div 2 (+ lag for B) → max is n−1+lag, NOT 2n: an
+        // overestimate halves the data-bearing file count and the
+        // replay runs in 5 double-width batches instead of ~10
+        val maxSeq = (n - 1L) + seqLagB
         val slice = maxSeq / 20L + 1L
         (0 until 20).foreach { i =>
           dfp.where(col("seq") >= i * slice && col("seq") < (i + 1) * slice)

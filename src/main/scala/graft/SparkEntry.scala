@@ -94,133 +94,90 @@ object SparkEntry {
       write(p); p
     })
 
-  /** Shared all-channels-enabled config+manifest-store fixture for the
-    * chart-serving gates (arch_serve_lttb / arch_serve_m4 build the
-    * IDENTICAL store; the measured operator is the serve, not the
-    * setup). Built once per (JVM, sfDir); returns (configDir,
-    * storePath, sorted channel names).
+  /** ONE parameterized builder behind every memoized config+store
+    * serving fixture (gate setup built once per (JVM, sfDir); the
+    * measured operator is the SERVE): add a ChannelConfig per event
+    * channel via `mkConfig(name, index)` (plus any `extraConfigs`),
+    * materialize the id-keyed manifest store from the clean samples,
+    * then run `post` (rename/disable commands — driver-side
+    * version-file writes). Returns (configDir, storePath, names).
     */
-  private val chartFixMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, String, Seq[String])]()
+  private val serveFixMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (String, String, Seq[String])]()
 
-  private def chartServeFixture(s: SparkSession,
-                                dir: String): (String, String, Seq[String]) =
-    chartFixMemo.computeIfAbsent(dir, _ => {
-      val root = scratchDir("chartsrv")
-      val cfgDir = root + "/config"; val store = root + "/store"
-      val names = raw(s, dir).select("channel").distinct()
-        .orderBy("channel").collect().map(_.getString(0)).toSeq
-      names.foreach { n =>
-        ConfigCommands.addChannel(s, cfgDir, ChannelConfig(n, s"id-$n",
-          "ca", enabled = true, Map(), Map(0L -> 0L)))
-      }
-      ConfiguredArchive.materialize(s, cfgDir, store, clean(s, dir))
-      (cfgDir, store, names)
-    })
-
-  /** Shared post-rename config+store fixture for arch_configured_serve
-    * / arch_xml_config_serve (they serve the IDENTICAL store: channel
-    * index 1 disabled at ADD time so its rows drop at ingest, first
-    * channel renamed AFTER the build). The measured operator is the
-    * config-governed serve; the XML gate re-runs its codec round trip
-    * per invocation (driver-side, milliseconds) into its own log and
-    * serves from this same store.
-    */
-  private val cfgSrvFixMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, String, Seq[String])]()
-
-  private def configuredServeFixture(
-      s: SparkSession, dir: String): (String, String, Seq[String]) =
-    cfgSrvFixMemo.computeIfAbsent(dir, _ => {
-      val root = scratchDir("cfgsrv")
+  private def serveFixture(tag: String, s: SparkSession, dir: String,
+                           mkConfig: (String, Int) => ChannelConfig,
+                           extraConfigs: Seq[ChannelConfig] = Nil,
+                           post: (String, Seq[String]) => Unit = (_, _) => ())
+      : (String, String, Seq[String]) =
+    serveFixMemo.computeIfAbsent((tag, dir), _ => {
+      val root = scratchDir(tag)
       val cfgDir = root + "/config"; val store = root + "/store"
       val names = raw(s, dir).select("channel").distinct()
         .orderBy("channel").collect().map(_.getString(0)).toSeq
       names.zipWithIndex.foreach { case (n, i) =>
-        ConfigCommands.addChannel(s, cfgDir, ChannelConfig(n, s"id-$n",
-          "ca", enabled = i != 1, Map(), Map(0L -> 0L)))
+        ConfigCommands.addChannel(s, cfgDir, mkConfig(n, i))
       }
-      // build BEFORE the rename: rename-stability means zero data
-      // files change when the name does
+      extraConfigs.foreach(c => ConfigCommands.addChannel(s, cfgDir, c))
       ConfiguredArchive.materialize(s, cfgDir, store, clean(s, dir))
-      ConfigCommands.renameChannel(s, cfgDir, names.head,
-        names.head + "#renamed")
+      post(cfgDir, names)
       (cfgDir, store, names)
     })
 
-  /** arch_disabled_serve's fixture: the chart fixture's all-enabled
-    * store (byte-identical build — every channel archived while
-    * enabled, raw level only, same id-keyed layout) with its OWN
-    * config log in which the lexicographically second channel is
-    * decommissioned after archiving. Config commands are driver-side
-    * version-file writes (milliseconds), so only the store is shared.
+  private def rawChan(n: String, enabled: Boolean = true,
+                      levels: Map[Long, Long] = Map(0L -> 0L)) =
+    ChannelConfig(n, s"id-$n", "ca", enabled, Map(), levels)
+
+  /** All-channels-enabled raw store for the chart-serving gates
+    * (arch_serve_lttb / arch_serve_m4 / arch_serve_stats /
+    * arch_serve_limit_modes serve the IDENTICAL store).
     */
-  private val disFixMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, String, Seq[String])]()
+  private def chartServeFixture(s: SparkSession, dir: String) =
+    serveFixture("chartsrv", s, dir, (n, _) => rawChan(n))
 
-  private def disabledServeFixture(
-      s: SparkSession, dir: String): (String, String, Seq[String]) =
-    disFixMemo.computeIfAbsent(dir, _ => {
-      val (_, store, names) = chartServeFixture(s, dir)
-      val cfgDir = scratchDir("cfgdis") + "/config"
-      names.foreach { n =>
-        ConfigCommands.addChannel(s, cfgDir, ChannelConfig(n, s"id-$n",
-          "ca", enabled = true, Map(), Map(0L -> 0L)))
-      }
-      val victim = ConfigCommands.state(s, cfgDir).config(names(1)).get
-      ConfigCommands.updateChannel(s, cfgDir, victim.copy(enabled = false))
-      (cfgDir, store, names)
-    })
+  /** Post-rename fixture for arch_configured_serve /
+    * arch_xml_config_serve: channel index 1 disabled at ADD time so
+    * its rows drop at ingest, first channel renamed AFTER the build
+    * (rename-stability: zero data files change). The XML gate re-runs
+    * its codec round trip per invocation into its own log and serves
+    * from this same store.
+    */
+  private def configuredServeFixture(s: SparkSession, dir: String) =
+    serveFixture("cfgsrv", s, dir,
+      (n, i) => rawChan(n, enabled = i != 1),
+      post = (cfgDir, names) => ConfigCommands.renameChannel(s, cfgDir,
+        names.head, names.head + "#renamed"))
 
-  /** arch_calc_configured's fixture: every event channel enabled on
-    * the raw level PLUS a config-defined calculated channel
-    * (calc.a=click − calc.b=view on the 1 h grid) — materialize
+  /** arch_disabled_serve: every channel archived while enabled, the
+    * lexicographically second decommissioned AFTER the build —
+    * retrieval must still answer for it (the reference's contract).
+    */
+  private def disabledServeFixture(s: SparkSession, dir: String) =
+    serveFixture("cfgdis", s, dir, (n, _) => rawChan(n),
+      post = (cfgDir, names) => {
+        val victim = ConfigCommands.state(s, cfgDir).config(names(1)).get
+        ConfigCommands.updateChannel(s, cfgDir, victim.copy(enabled = false))
+      })
+
+  /** arch_calc_configured: the raw channels PLUS a config-defined
+    * calculated channel (click − view on the 1 h grid) — materialize
     * computes and archives the derived series under its own id; the
     * measured operator is the widened serve of the calc channel.
     */
-  private val calcFixMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, String)]()
-
-  private def calcServeFixture(
-      s: SparkSession, dir: String): (String, String) =
-    calcFixMemo.computeIfAbsent(dir, _ => {
-      val root = scratchDir("calccfg")
-      val cfgDir = root + "/config"; val store = root + "/store"
-      val names = raw(s, dir).select("channel").distinct()
-        .orderBy("channel").collect().map(_.getString(0)).toSeq
-      names.foreach { n =>
-        ConfigCommands.addChannel(s, cfgDir, ChannelConfig(n, s"id-$n",
-          "ca", enabled = true, Map(), Map(0L -> 0L)))
-      }
-      ConfigCommands.addChannel(s, cfgDir, ChannelConfig("calc:cv",
-        "id-calc-cv", "calc", enabled = true,
+  private def calcServeFixture(s: SparkSession, dir: String) =
+    serveFixture("calccfg", s, dir, (n, _) => rawChan(n),
+      extraConfigs = Seq(ChannelConfig("calc:cv", "id-calc-cv", "calc",
+        enabled = true,
         Map("calc.a" -> "click", "calc.b" -> "view", "calc.op" -> "sub",
-          "calc.step_s" -> "3600"), Map(0L -> 0L)))
-      ConfiguredArchive.materialize(s, cfgDir, store, clean(s, dir))
-      (cfgDir, store)
-    })
+          "calc.step_s" -> "3600"), Map(0L -> 0L))))
 
-  /** arch_serve_decimated_widened's fixture: config-governed store
-    * whose only level is the 1 h decimation (the COUNT-path serving
-    * plan is the measured operator, not the cascade build).
+  /** arch_serve_decimated_widened: config-governed store whose only
+    * level is the 1 h decimation (the COUNT-path serving plan is the
+    * measured operator, not the cascade build).
     */
-  private val dwFixMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, String, Seq[String])]()
-
-  private def decimatedServeFixture(
-      s: SparkSession, dir: String): (String, String, Seq[String]) =
-    dwFixMemo.computeIfAbsent(dir, _ => {
-      val root = scratchDir("cfgdw")
-      val cfgDir = root + "/config"; val store = root + "/store"
-      val names = raw(s, dir).select("channel").distinct()
-        .orderBy("channel").collect().map(_.getString(0)).toSeq
-      names.foreach { n =>
-        ConfigCommands.addChannel(s, cfgDir, ChannelConfig(n, s"id-$n",
-          "ca", enabled = true, Map(), Map(3600L -> 0L)))
-      }
-      ConfiguredArchive.materialize(s, cfgDir, store, clean(s, dir))
-      (cfgDir, store, names)
-    })
+  private def decimatedServeFixture(s: SparkSession, dir: String) =
+    serveFixture("cfgdw", s, dir,
+      (n, _) => rawChan(n, levels = Map(3600L -> 0L)))
 
   /** Detach a drained memory-sink table and delete the gate's scratch
     * inputs NOW (not at JVM exit): the returned frame keeps the sink's
@@ -1327,7 +1284,7 @@ object SparkEntry {
     // parse, the span-intersection grid, the id-keyed store write, or
     // the serve reds this hash
     "arch_calc_configured" -> ((s, dir) => {
-      val (cfgDir, store) = calcServeFixture(s, dir)
+      val (cfgDir, store, _) = calcServeFixture(s, dir)
       ConfiguredArchive.querySamples(s, cfgDir, store, "calc:cv",
           LO, HI, None)
         .select(col("channel"), col("ts"), col("value"), col("level"))

@@ -212,9 +212,19 @@ object Analytics {
     * vs the archive), the as-of rides the per-channel clustering the
     * range scan already has, and the pivot shuffles only grid rows.
     */
+  /** Address a PIVOTED channel column by its literal name: `col(name)`
+    * parses dots as struct access (EPICS-style `rec.FIELD` names are
+    * routine), so every reference to a channel-named column must go
+    * through backtick quoting, with embedded backticks doubled.
+    */
+  private[archive] def chanCol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   def alignedMatrix(samples: DataFrame, channels: Seq[String],
                     lo: Long, hi: Long, stepNs: Long): DataFrame = {
     require(channels.nonEmpty, "alignedMatrix needs a channel list")
+    require(!channels.contains("ts"),
+      "a channel literally named 'ts' would collide with the grid column")
     val spark = samples.sparkSession
     import spark.implicits._
     val grid = channels.toDF("channel")
@@ -254,9 +264,9 @@ object Analytics {
                      f: (Column, Column) => Column,
                      lo: Long, hi: Long, stepNs: Long): DataFrame =
     alignedMatrix(samples, Seq(chanA, chanB), lo, hi, stepNs)
-      .where(col(chanA).isNotNull && col(chanB).isNotNull)
+      .where(chanCol(chanA).isNotNull && chanCol(chanB).isNotNull)
       .select(lit(outName).as("channel"), col("ts"),
-        f(col(chanA), col(chanB)).as("value"))
+        f(chanCol(chanA), chanCol(chanB)).as("value"))
 
   /** N-ary derived channel — the aggregate-PV shape ("total beam
     * current = the sum of the segment currents"): every source held
@@ -274,7 +284,7 @@ object Analytics {
     require(sources.size >= 2, "an n-ary calc needs at least two sources")
     require(sources.distinct.size == sources.size,
       "n-ary calc sources must be distinct")
-    val cols = sources.map(col)
+    val cols = sources.map(chanCol)
     val combined = op match {
       case "sum"  => cols.reduceLeft(_ + _)
       case "mean" => cols.reduceLeft(_ + _) / lit(sources.size.toDouble)
@@ -312,11 +322,11 @@ object Analytics {
     val spark = samples.sparkSession
     import spark.implicits._
     val m = alignedMatrix(samples, Seq(chanA, chanB), lo, hi, stepNs)
-    val a = m.where(col(chanA).isNotNull)
-      .select(col("ts"), round(col(chanA) * lit(1e6)).cast("long").as("qa"))
-    val b = m.where(col(chanB).isNotNull)
+    val a = m.where(chanCol(chanA).isNotNull)
+      .select(col("ts"), round(chanCol(chanA) * lit(1e6)).cast("long").as("qa"))
+    val b = m.where(chanCol(chanB).isNotNull)
       .select(col("ts").as("ts_b"),
-        round(col(chanB) * lit(1e6)).cast("long").as("qb"))
+        round(chanCol(chanB) * lit(1e6)).cast("long").as("qb"))
     val lags = (-maxLagSteps to maxLagSteps).toDF("lag")
     val d = (c: Column) => c.cast("decimal(19,0)")
     val fan = a.crossJoin(broadcast(lags))

@@ -88,13 +88,32 @@ object ConfiguredArchive {
       : DataFrame = {
     val calcs = st.enabledConfigs.filter(_.controlSystemType == "calc")
       .sortBy(_.name)
-    calcs.foldLeft(raw) { (acc, c) =>
+    if (calcs.isEmpty) return raw
+    val configured = st.configs.map(_.name).toSet ++ calcs.map(_.name)
+    // derive from the F6-DEDUPLICATED view: Cascade.materialize dedups
+    // before writing, so holds computed over the raw arrival frame
+    // could see out-of-order rows the STORE never keeps — catch-up's
+    // recompute (which reads the store) would then disagree with the
+    // build, breaking the byte-identical frontier contract. Dedup is
+    // idempotent, so the cascade's own pass downstream is a no-op.
+    calcs.foldLeft(Samples.monotonicDedup(raw): DataFrame) { (acc, c) =>
       val (sources, stepNs, derive) = calcPlan(c)
+      // a source that is not a configured channel (nor an earlier calc)
+      // is a misconfiguration, not "no data yet" — fail the build, a
+      // silent skip would serve an empty series indistinguishable from
+      // an empty archive
+      sources.filterNot(configured.contains).foreach { missing =>
+        throw new IllegalArgumentException(
+          s"channel '${c.name}': calc source '$missing' is not a " +
+            "configured channel")
+      }
       // metadata-sized: the sources' first/last ts (one tiny agg)
       val spans = acc.where(col("channel").isin(sources: _*))
         .groupBy("channel").agg(min("ts").as("lo"), max("ts").as("hi"))
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
         .toMap
+      // a configured source with no rows YET is legitimate (data can
+      // arrive later; catch-up extends the grid then)
       if (!sources.forall(spans.contains)) acc
       else {
         val lo = ((sources.map(spans(_)._1).max + stepNs - 1L) / stepNs) * stepNs
@@ -264,6 +283,15 @@ object ConfiguredArchive {
     for (c <- calcs) {
       val (sources, stepNs, derive) = calcPlan(c)
       val resolved = sources.flatMap(n => byName.get(n).map(n -> _))
+      // an unresolvable source name is a misconfiguration (e.g. a
+      // source renamed without updating its dependents) — fail loudly,
+      // a silently stalled calc frontier is invisible until a user
+      // notices the flat line
+      sources.filterNot(byName.contains).foreach { missing =>
+        throw new IllegalArgumentException(
+          s"channel '${c.name}': calc source '$missing' is not a " +
+            "configured channel")
+      }
       if (resolved.size == sources.size) {
         def chanRows(id: String, label: String) =
           backend.read(spark, storePath, 0L, channel = Some(id))

@@ -250,6 +250,8 @@ object HttpArchiveServer {
       Option[Long], Boolean, Boolean, Option[(String, Int)]),
     Vector[String]]()
   private val RespCacheMaxElems = 20000
+  /** Upper bound on /1/derived grid cardinality per request. */
+  private val MaxDerivedGridPoints = 1000000L
   private val RespCacheMaxEntries = 1024
 
   private def samples(spark: SparkSession, configPath: String,
@@ -426,6 +428,16 @@ object HttpArchiveServer {
       return
     }
     val gridPoints = (end.get - start.get) / step.get + 1L
+    // unlike /1/samples, this endpoint MANUFACTURES rows from request
+    // parameters (explode(sequence(...))) — an uncapped step=1 over a
+    // wide range would allocate a multi-billion-element array on an
+    // executor and collect it on the server JVM. Same class of guard
+    // as the reference's count validation (Api10Controller.java:269).
+    if (gridPoints > MaxDerivedGridPoints) {
+      sendError(ex, 400, s"step too small for the range: " +
+        s"$gridPoints grid points exceeds the $MaxDerivedGridPoints cap")
+      return
+    }
     val it =
       try {
         val df = ConfiguredArchive.queryDerived(spark, configPath,

@@ -650,11 +650,14 @@ object StreamingDecimation {
   case class DerivedOut(channel: String, ts: Long, value: Double)
 
   /** Per-source cursor of the streaming calc record: first/last
-    * accepted ts, the hold at the consumed grid frontier, and the
-    * pending samples not yet consumed by it.
+    * accepted ts, the hold at the consumed grid frontier (`holdValued`
+    * false = the hold is a marker — the source is disconnected and the
+    * grid point is undefined), and the pending samples not yet
+    * consumed by it (`valued` false = marker).
     */
   case class SrcCursor(first: Long, last: Long, hasHold: Boolean,
-                       hold: Double, pending: List[(Long, Double)])
+                       hold: Double, holdValued: Boolean,
+                       pending: List[(Long, Double, Boolean)])
 
   case class DerivedState(a: Option[SrcCursor], b: Option[SrcCursor],
                           nextG: Long, started: Boolean)
@@ -676,9 +679,14 @@ object StreamingDecimation {
     * frontier, so the buffer is bounded by the TIME SKEW between the
     * two sources (the same bound a watermarked stream-stream join
     * buffer has) — two in-sync 1 Hz sources at a 10 s step hold ≤ ~10
-    * samples each. Value-less marker samples advance the per-source
-    * dedup clock but not the value chain (same contract as
-    * [[alertStream]]); F6/ST5 drops apply per SOURCE.
+    * samples each. Value-less marker samples BREAK the hold exactly
+    * like batch ([[graft.archive.ArchiveReader.asOfLookup]] holds the
+    * marker's null): a grid point whose held sample on either side is
+    * a marker is undefined and NOT emitted — a calc record is
+    * undefined while an input is disconnected. Markers also define
+    * the span and advance the per-source dedup clock (F6/ST5 drops
+    * apply per SOURCE), keeping stream ≡ batch on marker-bearing
+    * inputs too.
     */
   def derivedStream(samples: Dataset[InSample], outName: String,
                     chanA: String, chanB: String, op: String,
@@ -701,12 +709,15 @@ object StreamingDecimation {
     // went quadratic the moment one source lagged (caught by the
     // derived_stream skew probe, not by correctness: bytes identical)
     final class Cur(var first: Long, var last: Long, var hasHold: Boolean,
-                    var hold: Double,
-                    val pending: scala.collection.mutable.ArrayBuffer[(Long, Double)],
+                    var hold: Double, var holdValued: Boolean,
+                    val pending: scala.collection.mutable.ArrayBuffer[(Long, Double, Boolean)],
                     var pi: Int)
     def consume(c: Cur, g: Long): Unit =
       while (c.pi < c.pending.length && c.pending(c.pi)._1 <= g) {
-        c.hasHold = true; c.hold = c.pending(c.pi)._2; c.pi += 1
+        c.hasHold = true
+        c.hold = c.pending(c.pi)._2
+        c.holdValued = c.pending(c.pi)._3
+        c.pi += 1
       }
     def process(key: String, it: Iterator[InSample],
                 state: GroupState[DerivedState]): Iterator[DerivedOut] = {
@@ -714,6 +725,7 @@ object StreamingDecimation {
         DerivedState(None, None, 0L, started = false))
       def thaw(o: Option[SrcCursor]): Cur = o match {
         case Some(c) => new Cur(c.first, c.last, c.hasHold, c.hold,
+          c.holdValued,
           scala.collection.mutable.ArrayBuffer.from(c.pending), 0)
         case None => null
       }
@@ -725,16 +737,17 @@ object StreamingDecimation {
         val cur = if (isA) a else b
         val fresh = cur == null || s.ts > cur.last // F6/ST5 per source
         if (fresh) {
+          val entry = (s.ts, s.value.getOrElse(0.0), s.value.isDefined)
           if (cur == null) {
-            // markers before the first value do not define the span
-            s.value.foreach { v =>
-              val c = new Cur(s.ts, s.ts, hasHold = false, 0.0,
-                scala.collection.mutable.ArrayBuffer(s.ts -> v), 0)
-              if (isA) a = c else b = c
-            }
+            // markers define the span too (batch spans are min/max ts
+            // over ALL rows) and start the dedup clock
+            val c = new Cur(s.ts, s.ts, hasHold = false, 0.0,
+              holdValued = false,
+              scala.collection.mutable.ArrayBuffer(entry), 0)
+            if (isA) a = c else b = c
           } else {
             cur.last = s.ts
-            s.value.foreach(v => cur.pending += (s.ts -> v))
+            cur.pending += entry
           }
           if (a != null && b != null) {
             if (!started) {
@@ -744,8 +757,11 @@ object StreamingDecimation {
             }
             while (nextG <= math.min(a.last, b.last)) {
               consume(a, nextG); consume(b, nextG)
-              // both holds exist: nextG >= max(first_a, first_b)
-              out += DerivedOut(outName, nextG, f(a.hold, b.hold))
+              // both holds exist (nextG >= max firsts); a point whose
+              // held sample on either side is a MARKER is undefined
+              // and skipped — exactly the batch null-hold drop
+              if (a.holdValued && b.holdValued)
+                out += DerivedOut(outName, nextG, f(a.hold, b.hold))
               nextG += stepNs
             }
           }
@@ -753,7 +769,7 @@ object StreamingDecimation {
       }
       def freeze(c: Cur): Option[SrcCursor] =
         Option(c).map(c => SrcCursor(c.first, c.last, c.hasHold, c.hold,
-          c.pending.drop(c.pi).toList))
+          c.holdValued, c.pending.drop(c.pi).toList))
       state.update(DerivedState(freeze(a), freeze(b), nextG, started))
       out.iterator
     }

@@ -489,26 +489,32 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(emitted() == Seq((10 * S, -9.0), (20 * S, -8.0)))
       // out-of-order b arrival dropped (ST5 per source); a value-less
-      // marker advances b's frontier to 31 without touching the hold —
-      // grid 30 finalizes as 2 − 20
+      // marker at 31 s advances b's frontier AND becomes the held
+      // sample past 31 s (disconnected = undefined, the batch
+      // null-hold rule) — grid 30 still finalizes as 2 − 20 (the
+      // marker is after the point)
       mem.addData(withSeq(Seq(
         InSample("b", 9 * S, Some(99.0), 0),
         InSample("b", 31 * S, None, 0))))
       q.processAllAvailable()
       assert(emitted() ==
         Seq((10 * S, -9.0), (20 * S, -8.0), (30 * S, -18.0)))
-      // both advance past 40: 4 − 20 (b's 44 s sample is after grid 40)
+      // both advance past 40, but b's held sample at 40 is the 31 s
+      // MARKER (the 44 s value is after the point) — grid 40 is
+      // undefined and NOT emitted, exactly like the batch null hold
       mem.addData(withSeq(Seq(InSample("b", 44 * S, Some(30.0), 0),
         InSample("a", 47 * S, Some(5.0), 0))))
       q.processAllAvailable()
       assert(emitted() == Seq((10 * S, -9.0), (20 * S, -8.0),
-        (30 * S, -18.0), (40 * S, -16.0)))
+        (30 * S, -18.0)))
     } finally q.stop()
-    // the drained stream equals the batch operator on the same values
-    // over the span-intersection grid (lo = ceil(max firsts) = 10,
-    // hi = floor(min lasts) = 40)
-    val rows = Seq(("a", 5, 1.0), ("a", 15, 2.0), ("a", 35, 4.0),
-      ("a", 47, 5.0), ("b", 8, 10.0), ("b", 22, 20.0), ("b", 44, 30.0))
+    // the drained stream equals the batch operator on the same rows —
+    // INCLUDING the marker — over the span-intersection grid
+    // (lo = ceil(max firsts) = 10, hi = floor(min lasts) = 40)
+    val rows = Seq(
+      ("a", 5, Some(1.0)), ("a", 15, Some(2.0)), ("a", 35, Some(4.0)),
+      ("a", 47, Some(5.0)), ("b", 8, Some(10.0)), ("b", 22, Some(20.0)),
+      ("b", 31, Option.empty[Double]), ("b", 44, Some(30.0)))
       .map { case (c, t, v) => (c, t.toLong * S, v, "", 0, 0, t.toLong) }
       .toDF("channel", "ts", "value", "str_value", "severity", "status",
         "sample_id")
@@ -516,7 +522,6 @@ class StreamingSpec extends AnyFunSuite {
       .derivedChannel(rows, "calc:x", "a", "b", _ - _, 10 * S, 40 * S, P10)
       .orderBy("ts").collect()
       .map(r => (r.getLong(1), r.getDouble(2))).toSeq
-    assert(batch == Seq((10 * S, -9.0), (20 * S, -8.0), (30 * S, -18.0),
-      (40 * S, -16.0)))
+    assert(batch == Seq((10 * S, -9.0), (20 * S, -8.0), (30 * S, -18.0)))
   }
 }
