@@ -132,25 +132,26 @@ object OracleSql {
     s"${validity("marked", sfx)},\n${slices(p, sfx)},\n${decAgg(p, sfx)}"
 
   /** The span-intersection calc grid (click − view held onto the 1h
-    * grid over the sources' span intersection) — the CTE chain ONE
-    * definition of the calc semantics feeds: `d(ts, value)` is the
-    * derived series. Shared so the three calc gates cannot drift.
+    * grid over the sources' span intersection) over source CTE `src`
+    * — the CTE chain ONE definition of the calc semantics feeds:
+    * `d(ts, value)` is the derived series. Shared so the calc gates
+    * cannot drift. With a marker-bearing `src` the held value may be
+    * the marker's NULL, and `d` drops the point — a calc record is
+    * undefined while an input is disconnected.
     */
-  private val CalcGridCtes: String =
-    s"""$SAMPLES,
-       |$CLEAN,
-       |b AS (SELECT
-       |  ((GREATEST((SELECT min(ts) FROM clean WHERE channel = 'click'),
-       |             (SELECT min(ts) FROM clean WHERE channel = 'view'))
+  private def calcGridCtes(src: String): String =
+    s"""b AS (SELECT
+       |  ((GREATEST((SELECT min(ts) FROM $src WHERE channel = 'click'),
+       |             (SELECT min(ts) FROM $src WHERE channel = 'view'))
        |    + ${P1H} - 1) // ${P1H}) * ${P1H} AS glo,
-       |  (LEAST((SELECT max(ts) FROM clean WHERE channel = 'click'),
-       |         (SELECT max(ts) FROM clean WHERE channel = 'view'))
+       |  (LEAST((SELECT max(ts) FROM $src WHERE channel = 'click'),
+       |         (SELECT max(ts) FROM $src WHERE channel = 'view'))
        |    // ${P1H}) * ${P1H} AS ghi),
        |grid AS (SELECT c.channel, u.g
        |         FROM (VALUES ('click'), ('view')) c(channel), b,
        |         UNNEST(generate_series(b.glo, b.ghi, ${P1H})) AS u(g)),
        |h AS (SELECT grid.channel, grid.g, s.value
-       |      FROM grid ASOF LEFT JOIN clean s
+       |      FROM grid ASOF LEFT JOIN $src s
        |        ON grid.channel = s.channel AND grid.g >= s.ts),
        |m AS (SELECT g AS ts,
        |        max(CASE WHEN channel = 'click' THEN value END) AS av,
@@ -158,6 +159,9 @@ object OracleSql {
        |      FROM h GROUP BY g),
        |d AS (SELECT ts, av - bv AS value FROM m
        |      WHERE av IS NOT NULL AND bv IS NOT NULL)""".stripMargin
+
+  private val CalcGridCtes: String =
+    s"$SAMPLES,\n$CLEAN,\n${calcGridCtes("clean")}"
 
   /** The widened serve of the archived calc series — the oracle for
     * BOTH arch_calc_configured and arch_calc_catchup: the incremental
@@ -923,6 +927,18 @@ object OracleSql {
     // derive (the arch_calc_configured grid WITHOUT the serve step)
     "stream_derived" ->
       s"""WITH $CalcGridCtes
+         |SELECT 'calc:cv' AS channel, ts, value FROM d
+         |ORDER BY ts""".stripMargin,
+
+    // the streaming calc record over MARKER-BEARING input: a held
+    // marker (disconnected source) makes the grid point undefined —
+    // the drained stream must drop exactly the points the batch
+    // null-hold drops
+    "stream_derived_marked" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |$MARKED,
+         |${calcGridCtes("marked")}
          |SELECT 'calc:cv' AS channel, ts, value FROM d
          |ORDER BY ts""".stripMargin,
 

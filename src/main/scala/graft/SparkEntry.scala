@@ -1096,6 +1096,30 @@ object SparkEntry {
         .orderBy("ts")
     }),
 
+    // the streaming calc record over MARKER-BEARING input: severity-3
+    // rows become value-less markers that BREAK the hold — a grid
+    // point held by a marker on either side is undefined and the
+    // drained stream must drop exactly the points the batch null-hold
+    // drops (the semantics the review fixed, now oracle-pinned)
+    "stream_derived_marked" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val m = marked(s, dir).select(col("channel"), col("ts"),
+        col("value"), col("sample_id").as("seq"))
+      val in = memoInput("sdermk-in", dir)(m.write.parquet(_))
+      val ds = s.readStream.schema(m.schema).parquet(in)
+        .as[graft.streaming.StreamingDecimation.InSample]
+      val sink = s"sdermk_out_${streamGateSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamingDecimation
+        .derivedStream(ds, "calc:cv", "click", "view", "sub", P1H)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      detachSink(s, sink)
+        .select(col("channel"), col("ts"), col("value"))
+        .orderBy("ts")
+    }),
+
     // the NINTH oracle-gated streaming path: live threshold-crossing
     // alerts — per-channel keyed state of (ts, last value), each
     // rise/fall transition emitted exactly once; the drained stream
