@@ -329,7 +329,27 @@ object ConfiguredArchive {
                   else None)
                   .getOrElse(lit(null).cast(fld.dataType)).as(fld.name)
               }
-            val ext = derive(u, lo, hi)
+            // bounded re-scan: the holds for grid points PAST the
+            // frontier need only each source's last sample AT-OR-BEFORE
+            // the frontier (one partial-merge argmax — the boundary
+            // lookup shape) plus the rows after it, not the full
+            // history the all-at-once build shuffles. Byte-identity
+            // with the full recompute is construction + the
+            // arch_calc_catchup hash gate.
+            val input =
+              if (gLast == Long.MinValue) u
+              else {
+                val srcCols = u.columns.map(col).toSeq
+                val boundary = u.where(col("ts") <= lit(gLast))
+                  .groupBy(col("channel").as("ch"))
+                  .agg(max_by(struct(srcCols: _*), col("ts")).as("r"))
+                  .select(col("r.*"))
+                u.where(col("ts") > lit(gLast)).unionByName(boundary)
+              }
+            val extLo =
+              if (gLast == Long.MinValue) lo
+              else math.max(lo, gLast + stepNs)
+            val ext = derive(input, extLo, hi)
               .where(col("ts") > lit(gLast))
               .select(cols.toSeq: _*)
             backend.writeTxn(ext, storePath, 0L,
