@@ -179,6 +179,54 @@ object SparkEntry {
     serveFixture("cfgdw", s, dir,
       (n, _) => rawChan(n, levels = Map(3600L -> 0L)))
 
+  /** One PRE-MUTATION fixture store per (tag, sfDir) per JVM, COPIED
+    * per invocation: gates whose measured operator MUTATES a store
+    * (compaction, maintenance, catch-up) would otherwise measure the
+    * fixture build twice per bench. Manifest stores are copy-safe by
+    * design (entry paths are root-relative — ManifestStoreSpec pins
+    * relocation), and the copy is a driver-side file walk of a
+    * gate-scale store — milliseconds next to the Spark commit jobs it
+    * replaces. Copies land under runScratch (deleted at JVM exit).
+    */
+  private val storeFixMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), String]()
+
+  private def mutableStoreFixture(tag: String, dir: String)
+                                 (build: String => Unit): String = {
+    val src = storeFixMemo.computeIfAbsent((tag, dir), _ => {
+      val p = scratchDir(tag) + "/store"; build(p); p
+    })
+    val dst = scratchDir(tag + "cp") + "/store"
+    copyTree(src, dst)
+    dst
+  }
+
+  /** arch_time_travel's immutable fixture: (store path, v1 handle). */
+  private val ttFixMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Long)]()
+
+  /** arch_calc_catchup's immutable config log (the store copies per
+    * invocation; the config is never mutated by catch-up).
+    */
+  private val calcCuCfgMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, String]()
+
+  private def copyTree(src: String, dst: String): Unit = {
+    val sp = java.nio.file.Paths.get(src)
+    val dp = java.nio.file.Paths.get(dst)
+    val walk = java.nio.file.Files.walk(sp)
+    try walk.forEach { p =>
+      val t = dp.resolve(sp.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else {
+        java.nio.file.Files.createDirectories(t.getParent)
+        java.nio.file.Files.copy(p, t)
+      }
+      ()
+    } finally walk.close()
+  }
+
   /** Detach a drained memory-sink table and delete the gate's scratch
     * inputs NOW (not at JVM exit): the returned frame keeps the sink's
     * MemoryPlan alive until the caller is done with it, but dropping
@@ -344,27 +392,36 @@ object SparkEntry {
 
     // snapshot isolation through the gate: a later garbage commit must
     // be invisible when reading the earlier version
+    // versioned reads never mutate — the two-commit store memoizes
+    // whole (with its v1 handle); the measured operator is the
+    // snapshot-isolated read
     "arch_time_travel" -> ((s, dir) => {
-      val store = scratchDir("mtt")
-      val r = raw(s, dir)
-      val v1 = ManifestStore.commit(r, store, levelSec = 0)
-      ManifestStore.commit(
-        r.withColumn("value", col("value") + 1e9d)
-          .withColumn("sample_id", col("sample_id") + 10000000L),
-        store, levelSec = 0)
+      val (store, v1) = ttFixMemo.computeIfAbsent(dir, _ => {
+        val store = scratchDir("mtt")
+        val r = raw(s, dir)
+        val v1 = ManifestStore.commit(r, store, levelSec = 0)
+        ManifestStore.commit(
+          r.withColumn("value", col("value") + 1e9d)
+            .withColumn("sample_id", col("sample_id") + 10000000L),
+          store, levelSec = 0)
+        (store, v1)
+      })
       ManifestStore.readVersion(s, store, v1, 0, Some(LO), Some(HI))
         .select(coreCols: _*)
         .orderBy(col("channel"), col("ts"), col("sample_id"))
     }),
 
     // atomic compaction through the gate: three small commits collapsed
-    // per (level, day) must serve the exact same bytes
+    // per (level, day) must serve the exact same bytes. The fragmented
+    // store is setup (built once, copied per invocation — manifest
+    // stores relocate); the measured operator is compaction + the read
     "arch_compacted_scan" -> ((s, dir) => {
-      val store = scratchDir("mcomp")
-      val r = raw(s, dir)
-      (0 to 2).foreach(i =>
-        ManifestStore.commit(r.where(pmod(col("sample_id"), lit(3)) === i),
-          store, levelSec = 0))
+      val store = mutableStoreFixture("fragstore", dir) { p =>
+        val r = raw(s, dir)
+        (0 to 2).foreach(i =>
+          ManifestStore.commit(r.where(pmod(col("sample_id"), lit(3)) === i),
+            p, levelSec = 0))
+      }
       // every fragmented day in ONE job + ONE manifest swap
       ManifestStore.compactAll(s, store, levelSec = 0)
       ManifestStore.read(s, store, 0, Some(LO), Some(HI))
@@ -377,13 +434,15 @@ object SparkEntry {
     // (drops the pre-gate-range days; horizon rule = bucket end <
     // level max − retention), compaction of the fragmented
     // survivors, vacuum of the dead bytes — then the maintained store
-    // must serve the exact arch_range_scan bytes
+    // must serve the exact arch_range_scan bytes. Shares the
+    // fragmented fixture with arch_compacted_scan (same three commits)
     "arch_maintenance_scan" -> ((s, dir) => {
-      val store = scratchDir("maint")
-      val r = raw(s, dir)
-      (0 to 2).foreach(i =>
-        ManifestStore.commit(r.where(pmod(col("sample_id"), lit(3)) === i),
-          store, levelSec = 0))
+      val store = mutableStoreFixture("fragstore", dir) { p =>
+        val r = raw(s, dir)
+        (0 to 2).foreach(i =>
+          ManifestStore.commit(r.where(pmod(col("sample_id"), lit(3)) === i),
+            p, levelSec = 0))
+      }
       graft.archive.Maintenance.run(s, store,
         retentionSec = Map(0L -> (21L * 86400L)))
       ManifestStore.read(s, store, 0, Some(LO), Some(HI))
@@ -1322,23 +1381,32 @@ object SparkEntry {
     // frontier bug (re-emitted point, clipped look-back, stale span)
     // reds a hash, not just a spec
     "arch_calc_catchup" -> ((s, dir) => {
-      val root = scratchDir("calccu")
-      val cfgDir = root + "/config"; val store = root + "/store"
-      val m = clean(s, dir)
-      val names = m.select("channel").distinct()
-        .orderBy("channel").collect().map(_.getString(0)).toSeq
-      names.foreach { n =>
-        ConfigCommands.addChannel(s, cfgDir, ChannelConfig(n, s"id-$n",
-          "ca", enabled = true, Map(), Map(0L -> 0L)))
+      // setup = config log + first-slice materialize + raw append
+      // (built once; the store copies per invocation, the immutable
+      // config log is shared); the measured operator is the
+      // config-driven catch-up (incl. the calc frontier extension)
+      // and the widened serve
+      val cfgDir = calcCuCfgMemo.computeIfAbsent(dir, _ => {
+        val p = scratchDir("calccucfg") + "/config"
+        val names = raw(s, dir).select("channel").distinct()
+          .orderBy("channel").collect().map(_.getString(0)).toSeq
+        names.foreach { n =>
+          ConfigCommands.addChannel(s, p, ChannelConfig(n, s"id-$n",
+            "ca", enabled = true, Map(), Map(0L -> 0L)))
+        }
+        ConfigCommands.addChannel(s, p, ChannelConfig("calc:cv",
+          "id-calc-cv", "calc", enabled = true,
+          Map("calc.a" -> "click", "calc.b" -> "view", "calc.op" -> "sub",
+            "calc.step_s" -> "3600"), Map(0L -> 0L)))
+        p
+      })
+      val store = mutableStoreFixture("calccu", dir) { p =>
+        val m = clean(s, dir)
+        ConfiguredArchive.materialize(s, cfgDir, p,
+          m.where(col("ts") <= lit(CUT)))
+        ConfiguredArchive.ingestRaw(s, cfgDir, p,
+          m.where(col("ts") > lit(CUT)))
       }
-      ConfigCommands.addChannel(s, cfgDir, ChannelConfig("calc:cv",
-        "id-calc-cv", "calc", enabled = true,
-        Map("calc.a" -> "click", "calc.b" -> "view", "calc.op" -> "sub",
-          "calc.step_s" -> "3600"), Map(0L -> 0L)))
-      ConfiguredArchive.materialize(s, cfgDir, store,
-        m.where(col("ts") <= lit(CUT)))
-      ConfiguredArchive.ingestRaw(s, cfgDir, store,
-        m.where(col("ts") > lit(CUT)))
       ConfiguredArchive.catchUp(s, cfgDir, store)
       ConfiguredArchive.querySamples(s, cfgDir, store, "calc:cv",
           LO, HI, None)
@@ -1414,13 +1482,17 @@ object SparkEntry {
     // DuckDB, so a watermark-resume bug (clipped look-back, re-emitted
     // held window, dropped boundary window) reds a hash
     "arch_incremental_catchup" -> ((s, dir) => {
-      val store = scratchDir("inccat") + "/store"
-      val m = marked(s, dir)
-      graft.archive.Cascade.materialize(s, store,
-        m.where(col("ts") <= lit(CUT)), Seq(3600L),
-        graft.archive.ManifestBackend)
-      graft.archive.ManifestBackend.write(
-        m.where(col("ts") > lit(CUT)), store, 0L)
+      // the pre-catch-up state (first-slice build + raw append) is
+      // setup — built once, copied per invocation; the measured
+      // operator is the watermark-resumed catch-up + the read
+      val store = mutableStoreFixture("inccat", dir) { p =>
+        val m = marked(s, dir)
+        graft.archive.Cascade.materialize(s, p,
+          m.where(col("ts") <= lit(CUT)), Seq(3600L),
+          graft.archive.ManifestBackend)
+        graft.archive.ManifestBackend.write(
+          m.where(col("ts") > lit(CUT)), p, 0L)
+      }
       graft.archive.Cascade.catchUp(s, store, 3600L,
         graft.archive.ManifestBackend)
       ManifestStore.read(s, store, 3600L)
