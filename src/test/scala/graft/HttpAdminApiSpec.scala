@@ -241,4 +241,44 @@ class HttpAdminApiSpec extends AnyFunSuite {
     assert(graft.archive.ManifestStore.read(spark, storePath, 0L)
       .where(col("channel") === id).count() == 0)
   }
+
+  test("calc channel managed over the admin API: configured, computed at catch-up, served") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two fresh sources + a calc channel defined purely through the
+    // wire API (options carry the calc.* keys like any other option)
+    val (code, body) = runCommands(
+      """{"commands":[
+        |{"commandType":"add_channel","channelName":"pv:ca",
+        | "controlSystemType":"ca","enabled":true,
+        | "decimationLevelToRetentionPeriod":{"0":0}},
+        |{"commandType":"add_channel","channelName":"pv:cb",
+        | "controlSystemType":"ca","enabled":true,
+        | "decimationLevelToRetentionPeriod":{"0":0}},
+        |{"commandType":"add_channel","channelName":"calc:ab",
+        | "controlSystemType":"calc","enabled":true,
+        | "decimationLevelToRetentionPeriod":{"0":0},
+        | "options":{"calc.a":"pv:ca","calc.b":"pv:cb","calc.op":"sub",
+        |            "calc.step_s":"600"}}]}""".stripMargin)
+    assert(code == 200 &&
+      "\"success\":true".r.findAllIn(body).size == 3, body)
+    // ingest the sources, then the batch catch-up computes the calc
+    // grid (the upkeep loop an operator schedules)
+    def series(name: String, f: Long => Double) =
+      (1L to 60L).map(i =>
+        (name, T0 + i * 60L * NS, f(i), "", 0, 0, i))
+        .toDF("channel", "ts", "value", "str_value", "severity",
+          "status", "sample_id")
+    ConfiguredArchive.ingestRaw(spark, cfgDir, storePath,
+      series("pv:ca", _.toDouble)
+        .unionByName(series("pv:cb", i => 3.0 * i)))
+    ConfiguredArchive.catchUp(spark, cfgDir, storePath)
+    // the derived series serves over the same socket under its name:
+    // grid minutes 10..60, value m − 3m = −2m
+    val (sc, sb) = http("GET", s"$serveBase/1/samples/${enc("calc:ab")}" +
+      s"?start=$T0&end=${T0 + 200L * 60L * NS}")
+    assert(sc == 200, sb)
+    assert("\\{\"time\":".r.findAllIn(sb).size == 6, sb)
+    assert(sb.contains("\"value\":[-20.0]") && sb.contains("\"value\":[-120.0]"), sb)
+  }
 }
