@@ -25,6 +25,16 @@ object OracleSql {
   /** 7 days */
   val RET7D: Long = 7L * 86400L * NS
 
+  // ---- spectral / change-point gate parameters (shared with the
+  // Spark plans so both engines evaluate the identical program) ----
+  /** Candidate oscillation periods probed by the spectral gates. */
+  val SpectrumPeriods: Seq[Long] =
+    Seq(600L, 1800L, 3600L, 7200L, 21600L, 43200L, 86400L).map(_ * NS)
+  /** CUSUM slack k (value units) — drift below k/sample accumulates nothing. */
+  val CusumSlack: Double = 25.0
+  /** CUSUM decision threshold h (value units, cumulative). */
+  val CusumThreshold: Double = 150.0
+
   // ---- auto-resolution request (planner-driven query) ----
   /** 2024-01-03T00:00:00Z */
   val LO2: Long = 1704240000L * NS
@@ -185,6 +195,50 @@ object OracleSql {
        |  UNION SELECT * FROM hi_b)
        |SELECT 'calc:cv' AS channel, ts, value, CAST(0 AS BIGINT) AS level
        |FROM uni ORDER BY ts""".stripMargin
+
+  private def qList(a: Seq[Long]): String = a.mkString("[", ", ", "]")
+
+  /** Shared CTE chain for the spectral gates, ending in
+    * `spec(channel, period_s, n, sc, ss, power)` — the literal cos/sin
+    * tables come from [[graft.archive.Analytics.spectrumCosQ]] so both
+    * engines multiply the identical 6dp-grid integers, the phase index
+    * is exact integer arithmetic, and the projection sums are
+    * DECIMAL(38,0) (order-free).
+    */
+  private lazy val spectrumSql: String =
+    s"""WITH $SAMPLES,
+       |$CLEAN,
+       |b AS (
+       |  SELECT channel, ts, CAST(round(value * 1000000.0) AS BIGINT) AS q
+       |  FROM clean
+       |  WHERE ts >= $LO AND ts < $HI AND value IS NOT NULL
+       |    AND NOT isnan(value)),
+       |m AS (
+       |  SELECT channel,
+       |    CAST(round(CAST(sum(CAST(q AS DECIMAL(19,0))) AS DOUBLE)
+       |      / count(*)) AS BIGINT) AS mq,
+       |    count(*) AS n
+       |  FROM b GROUP BY 1),
+       |tab AS (SELECT ${qList(graft.archive.Analytics.spectrumCosQ.toSeq)} AS ct,
+       |               ${qList(graft.archive.Analytics.spectrumSinQ.toSeq)} AS st),
+       |p AS (SELECT unnest(${qList(SpectrumPeriods)}) AS period),
+       |e AS (
+       |  SELECT b.channel, m.n, p.period, b.q - m.mq AS qd,
+       |    CAST(((b.ts - $LO) % p.period)
+       |      * ${graft.archive.Analytics.SpectrumTableSize}
+       |      // p.period AS BIGINT) AS idx
+       |  FROM b JOIN m USING (channel) CROSS JOIN p),
+       |g AS (
+       |  SELECT channel, period, max(n) AS n,
+       |    CAST(sum(CAST(qd * ct[idx + 1] AS DECIMAL(38,0))) AS DOUBLE) AS sc,
+       |    CAST(sum(CAST(qd * st[idx + 1] AS DECIMAL(38,0))) AS DOUBLE) AS ss
+       |  FROM e CROSS JOIN tab GROUP BY 1, 2),
+       |spec AS (
+       |  SELECT channel, CAST(period // 1000000000 AS BIGINT) AS period_s, n,
+       |    sc, ss,
+       |    (sc * sc + ss * ss) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+       |      / 1e24 AS power
+       |  FROM g)""".stripMargin
 
   val all: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -792,6 +846,78 @@ object OracleSql {
          |  CAST(coalesce(sum(CASE WHEN value >= 250.0 THEN dur ELSE 0 END),
          |    0) AS BIGINT) AS above_ns
          |FROM g GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // spectral power at the candidate-period grid: demeaned 6dp-grid
+    // projection against the SHARED quantized cos/sin table, exact
+    // DECIMAL sums, fixed-order double power — mirrors Analytics.spectrum
+    "arch_spectrum" ->
+      (spectrumSql + "\nSELECT * FROM spec ORDER BY channel, period_s"),
+
+    // per-channel argmax of the spectrum; power share from 6dp-
+    // quantized per-period powers (exact integer total)
+    "arch_dominant_period" ->
+      (spectrumSql + "," +
+        s"""
+           |d AS (SELECT *, CAST(round(power * 1000000.0) AS BIGINT) AS pq
+           |      FROM spec),
+           |t AS (
+           |  SELECT channel, period_s, n, power, pq,
+           |    sum(pq) OVER (PARTITION BY channel) AS total_q,
+           |    row_number() OVER (PARTITION BY channel
+           |      ORDER BY power DESC, period_s) AS rn
+           |  FROM d)
+           |SELECT channel, period_s, n, power,
+           |  CASE WHEN total_q > 0
+           |    THEN CAST(pq AS DOUBLE) / CAST(total_q AS DOUBLE)
+           |    ELSE 0.0 END AS power_share
+           |FROM t WHERE rn = 1 ORDER BY channel""".stripMargin),
+
+    // two-sided CUSUM mean shifts: prefix sums minus running extrema
+    // in DECIMAL(38,0), exact integer flags — mirrors cusumShifts
+    "arch_cusum_shifts" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |b AS (
+         |  SELECT channel, ts, CAST(round(value * 1000000.0) AS BIGINT) AS q
+         |  FROM clean
+         |  WHERE ts >= $LO AND ts < $HI AND value IS NOT NULL
+         |    AND NOT isnan(value)),
+         |m AS (
+         |  SELECT channel,
+         |    CAST(round(CAST(sum(CAST(q AS DECIMAL(19,0))) AS DOUBLE)
+         |      / count(*)) AS BIGINT) AS mq
+         |  FROM b GROUP BY 1),
+         |j AS (
+         |  SELECT b.channel, b.ts,
+         |    CAST(b.q - m.mq - ${math.round(CusumSlack * 1e6)} AS DECIMAL(38,0)) AS dhi,
+         |    CAST(b.q - m.mq + ${math.round(CusumSlack * 1e6)} AS DECIMAL(38,0)) AS dlo
+         |  FROM b JOIN m USING (channel)),
+         |w AS (
+         |  SELECT channel, ts,
+         |    sum(dhi) OVER win AS p_hi,
+         |    sum(dlo) OVER win AS p_lo
+         |  FROM j WINDOW win AS (PARTITION BY channel ORDER BY ts
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |c AS (
+         |  SELECT channel, ts,
+         |    p_hi - least(CAST(0 AS DECIMAL(38,0)), min(p_hi) OVER win)
+         |      AS cusum_hi,
+         |    greatest(CAST(0 AS DECIMAL(38,0)), max(p_lo) OVER win) - p_lo
+         |      AS cusum_lo
+         |  FROM w WINDOW win AS (PARTITION BY channel ORDER BY ts
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT channel, count(*) AS n_samples,
+         |  CAST(coalesce(sum(CASE WHEN cusum_hi > ${math.round(CusumThreshold * 1e6)}
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hi,
+         |  CAST(coalesce(sum(CASE WHEN cusum_lo > ${math.round(CusumThreshold * 1e6)}
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_lo,
+         |  min(CASE WHEN cusum_hi > ${math.round(CusumThreshold * 1e6)} THEN ts END)
+         |    AS t_first_hi,
+         |  min(CASE WHEN cusum_lo > ${math.round(CusumThreshold * 1e6)} THEN ts END)
+         |    AS t_first_lo,
+         |  CAST(max(cusum_hi) AS DOUBLE) / 1000000.0 AS peak_hi,
+         |  CAST(max(cusum_lo) AS DOUBLE) / 1000000.0 AS peak_lo
+         |FROM c GROUP BY 1 ORDER BY channel""".stripMargin,
 
     // top movers: 6dp-quantized half means, exact integer-grid delta,
     // rank by |Δq| desc then channel, top 5

@@ -2151,6 +2151,21 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
     // mirror of Similarity.sourceOutliers: per-(source, dim) DECIMAL
     // mean scale-rounded to 6dp before the cosine (the ivf_refined
     // centroid discipline), bottom-5 cosines per source
+    // exact Gram triangle on the 6dp grid: the d²·N explode the Spark
+    // side exists to avoid is the oracle-side definition
+    "sim_gram_matrix" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |idx AS (SELECT unnest(generate_series(0,
+         |          ${graft.pipeline.Similarity.Dim - 1})) AS i),
+         |x AS (
+         |  SELECT e.vec_id, idx.i,
+         |    CAST(round(e.v[idx.i + 1] * 1000000.0) AS BIGINT) AS q
+         |  FROM e CROSS JOIN idx)
+         |SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+         |  CAST(sum(CAST(a.q * b.q AS DECIMAL(38,0))) AS DOUBLE) AS s
+         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+
     "sim_source_outliers" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |m AS (SELECT d.doc_id, d.source, e.v

@@ -723,6 +723,43 @@ object SparkEntry {
         .orderBy("channel", "ts")
     }),
 
+    // the streaming CUSUM detector: calibrate targets on the window
+    // (batch pass), monitor the replayed stream with per-channel keyed
+    // state, aggregate the drained per-sample statistics to the batch
+    // summary — must serve the arch_cusum_shifts oracle byte for byte
+    "stream_cusum" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val m = clean(s, dir)
+        .where(col("ts") >= LO && col("ts") < HI)
+        .select(col("channel"), col("ts"), col("value"),
+          col("sample_id").as("seq"))
+      val targets = Analytics.cusumTargets(clean(s, dir), LO, HI)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val in = memoInput("scusum-in", dir)(m.write.parquet(_))
+      val ds = s.readStream.schema(m.schema).parquet(in)
+        .as[graft.streaming.StreamingDecimation.InSample]
+      val sink = s"scusum_out_${streamGateSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamingCusum
+        .cusumStream(ds, targets, CusumSlack)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val hQ = math.round(CusumThreshold * 1e6)
+      detachSink(s, sink)
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_samples"),
+          sum(when(col("cusum_hi_q") > hQ, lit(1L)).otherwise(lit(0L)))
+            .as("n_hi"),
+          sum(when(col("cusum_lo_q") > hQ, lit(1L)).otherwise(lit(0L)))
+            .as("n_lo"),
+          min(when(col("cusum_hi_q") > hQ, col("ts"))).as("t_first_hi"),
+          min(when(col("cusum_lo_q") > hQ, col("ts"))).as("t_first_lo"),
+          (max(col("cusum_hi_q")).cast("double") / lit(1e6)).as("peak_hi"),
+          (max(col("cusum_lo_q")).cast("double") / lit(1e6)).as("peak_lo"))
+        .orderBy("channel")
+    }),
+
     // trailing-window anomaly scores: z = (value − mean)/std against
     // the channel's own 1h window, DECIMAL Σx/Σx² window sums, NULL
     // (never garbage) on degenerate frames
@@ -842,6 +879,26 @@ object SparkEntry {
     // |v − mean| > 3σ on quantized grid values, no sqrt anywhere
     "arch_seasonal_anomalies" -> ((s, dir) =>
       Analytics.seasonalAnomalies(clean(s, dir), nSigma = 3.0)
+        .orderBy("channel")),
+
+    // oscillation hunting: demeaned DFT power at the candidate-period
+    // grid — quantized-phase cos/sin table shared with the oracle,
+    // exact DECIMAL projection sums, fixed-order double power
+    "arch_spectrum" -> ((s, dir) =>
+      Analytics.spectrum(clean(s, dir), LO, HI, SpectrumPeriods)
+        .orderBy("channel", "period_s")),
+
+    // the spectrum reduced to its per-channel argmax + power share
+    "arch_dominant_period" -> ((s, dir) =>
+      Analytics.dominantPeriod(
+          Analytics.spectrum(clean(s, dir), LO, HI, SpectrumPeriods))
+        .orderBy("channel")),
+
+    // persistent-mean-shift detection: two-sided CUSUM as two running-
+    // extremum window passes over exact DECIMAL prefix sums
+    "arch_cusum_shifts" -> ((s, dir) =>
+      Analytics.cusumShifts(clean(s, dir), LO, HI,
+          CusumSlack, CusumThreshold)
         .orderBy("channel")),
 
     // threshold-crossing report at 250: up/down counts, first/last
@@ -2298,6 +2355,13 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // exact 6dp-grid Gram matrix (upper triangle) — the PCA/whitening
+    // raw material, computed as a one-pass outer-product fold (2080
+    // partial rows per partition, never a d²·N explode)
+    "sim_gram_matrix" -> ((s, dir) =>
+      Similarity.gramMatrix(Tables.embeddings(s, dir))
+        .orderBy("i", "j")),
+
     // embedding QA: the 5 farthest-from-centroid docs per source —
     // the mislabeled-data / embedding-drift detector
     "sim_source_outliers" -> ((s, dir) =>
@@ -2668,6 +2732,8 @@ object SparkEntry {
       ("arch_rolling_window_chunked" -> base("arch_rolling_window")) +
       // and the keyed-state streaming form
       ("stream_rolling_window" -> base("arch_rolling_window")) +
+      // the drained streaming CUSUM aggregates to the batch summary
+      ("stream_cusum" -> base("arch_cusum_shifts")) +
       // the linear z-score walker serves the declarative bytes
       ("arch_rolling_zscore_fast" -> base("arch_rolling_zscore")) +
       ("arch_rolling_zscore_chunked" -> base("arch_rolling_zscore")) +

@@ -603,4 +603,178 @@ object Analytics {
       .limit(k)
       .drop("abs_q")
   }
+
+  /** Phase-table size for [[spectrum]] — phases quantize to 1/256 of a
+    * cycle, so both engines index the SAME 6dp-quantized cos/sin
+    * constants with exact integer arithmetic and no transcendental is
+    * ever evaluated inside a query.
+    */
+  val SpectrumTableSize: Int = 256
+
+  /** cos(2πi/256) and sin(2πi/256) on the 6dp integer grid — generated
+    * once here and embedded verbatim into BOTH the Spark plan (literal
+    * array) and the DuckDB oracle SQL (list literal), so the two
+    * engines multiply identical integers.
+    */
+  lazy val spectrumCosQ: Array[Long] = Array.tabulate(SpectrumTableSize)(
+    i => math.round(math.cos(2.0 * math.Pi * i / SpectrumTableSize) * 1e6))
+  lazy val spectrumSinQ: Array[Long] = Array.tabulate(SpectrumTableSize)(
+    i => math.round(math.sin(2.0 * math.Pi * i / SpectrumTableSize) * 1e6))
+
+  /** Discrete Fourier power at a grid of CANDIDATE periods — "is this
+    * PV oscillating, and at what period": per (channel, period) the
+    * demeaned cos/sin projection sums and the normalized spectral
+    * power. The oscillation-hunting panel of accelerator diagnostics
+    * (the reference archives the raw samples and offers nothing
+    * cross-sample; this is what operators export them to MATLAB for).
+    *
+    * Built as a Goertzel-style direct projection, NOT an FFT: the
+    * candidate list is small (operators probe known suspects — mains
+    * harmonics, cooling cycles, day/night), samples are irregular so
+    * an FFT grid would need resampling first, and the projection is
+    * one scan × |periods| with a partial-merge aggregate — at 100 TB
+    * it is |periods| map-side-combined sums, no shuffle beyond the
+    * (channel, period) rollup, output channels × periods rows.
+    *
+    * Determinism: values quantize to the 6dp grid and demean against
+    * the channel's grid mean (exact integers); the phase quantizes to
+    * 1/256 of a cycle by integer division; each term is a Long product
+    * of grid integers summed in DECIMAL(38,0) (order-free, exact);
+    * `power` is then a fixed-order double expression over the exact
+    * casts. The demean kills the DC term a raw projection would leak
+    * into every candidate period.
+    */
+  def spectrum(samples: DataFrame, lo: Long, hi: Long,
+               periods: Seq[Long]): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ > 0), "periods must be positive")
+    val tbl = SpectrumTableSize.toLong
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val base = samples
+      .where(col("ts") >= lo && col("ts") < hi &&
+        col("value").isNotNull && !isnan(col("value")))
+      .select(col("channel"), col("ts"),
+        round(col("value") * lit(1e6)).cast("long").as("q"))
+    // channel grid means: one partial-merge aggregate, channels rows —
+    // broadcast into the projection scan no matter the archive size
+    val means = base.groupBy("channel")
+      .agg(round(sum(col("q").cast("decimal(19,0)")).cast("double") /
+          count(lit(1)).cast("double")).cast("long").as("mq"),
+        count(lit(1)).as("n"))
+    val e = base.join(broadcast(means), Seq("channel"))
+      .withColumn("qd", col("q") - col("mq"))
+      .withColumn("period", explode(typedLit(periods)))
+      .withColumn("idx",
+        expr(s"((ts - ${lo}L) % period) * ${tbl}L div period"))
+      .withColumn("c", element_at(typedLit(spectrumCosQ.toSeq), (col("idx") + 1).cast("int")))
+      .withColumn("s", element_at(typedLit(spectrumSinQ.toSeq), (col("idx") + 1).cast("int")))
+    val g = e.groupBy("channel", "period")
+      .agg(max(col("n")).as("n"),
+        sum(d(col("qd") * col("c"))).cast("double").as("sc"),
+        sum(d(col("qd") * col("s"))).cast("double").as("ss"))
+    // normalized power in value² units: |projection|² / n² / (1e6·1e6)²
+    // — a FIXED-ORDER double expression over exact casts (n² stays in
+    // doubles: a 100-TB channel's count squared overflows a long)
+    val nD = col("n").cast("double")
+    g.select(col("channel"),
+        expr(s"period div ${NsPerSec}L").as("period_s"),
+        col("n"),
+        col("sc"), col("ss"),
+        ((col("sc") * col("sc") + col("ss") * col("ss")) /
+          (nD * nD) / lit(1e24)).as("power"))
+  }
+
+  private val NsPerSec: Long = 1000000000L
+
+  /** The dominant candidate period per channel — [[spectrum]] reduced
+    * to its per-channel argmax (ties break toward the shorter period).
+    * One row per channel: the winning period and its share of the
+    * total candidate power (an SNR-ish "is this peak real" figure).
+    *
+    * The share's numerator/denominator quantize to the 6dp grid first
+    * so the cross-period total is an exact integer sum (a raw double
+    * sum would depend on which period arrives first at the reducer).
+    */
+  def dominantPeriod(spec: DataFrame): DataFrame = {
+    val w = Window.partitionBy("channel")
+      .orderBy(col("power").desc, col("period_s").asc)
+    val pq = round(col("power") * lit(1e6)).cast("long")
+    spec
+      .withColumn("pq", pq)
+      .withColumn("total_q",
+        sum(col("pq")).over(Window.partitionBy("channel")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("channel"), col("period_s"), col("n"), col("power"),
+        when(col("total_q") > 0L,
+          col("pq").cast("double") / col("total_q").cast("double"))
+          .otherwise(lit(0.0)).as("power_share"))
+  }
+
+  /** Two-sided CUSUM mean-shift detection — "when did this PV's level
+    * actually move": per channel the count of samples where the
+    * cumulative sum of (value − target ∓ slack) exceeds the decision
+    * threshold on the high/low side, the first excursion timestamps,
+    * and the peak CUSUM statistics. Complements [[seasonalAnomalies]]
+    * (point outliers) with the persistent-small-shift detector — a
+    * 0.5σ drift never trips a 3σ band but accumulates here.
+    *
+    * The textbook recursion s_i = max(0, s_{i−1} + dev_i) is not a
+    * window function, but its closed form is: s_i = p_i − min(0,
+    * min_{j≤i} p_j) over the prefix sums p — so the whole detector is
+    * two running-extremum window passes that ride the per-channel
+    * clustering every archive scan already has (same shape as
+    * [[thresholdCrossings]]; at 100 TB channels parallelize and a hot
+    * channel's pass is linear).
+    *
+    * Determinism: target is the channel's 6dp-grid mean, deviations
+    * are exact grid integers, prefix sums and extrema run in
+    * DECIMAL(38,0) — every comparison and output is exact.
+    */
+  /** CUSUM calibration: per-channel baseline target on the 6dp grid —
+    * the mean the detector monitors against. Split out so the
+    * streaming detector ([[graft.streaming.StreamingCusum]]) can
+    * calibrate on a baseline window and monitor the live stream with
+    * the identical targets.
+    */
+  def cusumTargets(samples: DataFrame, lo: Long, hi: Long): DataFrame =
+    cusumBase(samples, lo, hi).groupBy("channel")
+      .agg(round(sum(col("q").cast("decimal(19,0)")).cast("double") /
+          count(lit(1)).cast("double")).cast("long").as("mq"))
+
+  private def cusumBase(samples: DataFrame, lo: Long, hi: Long): DataFrame =
+    samples
+      .where(col("ts") >= lo && col("ts") < hi &&
+        col("value").isNotNull && !isnan(col("value")))
+      .select(col("channel"), col("ts"),
+        round(col("value") * lit(1e6)).cast("long").as("q"))
+
+  def cusumShifts(samples: DataFrame, lo: Long, hi: Long,
+                  slack: Double, threshold: Double): DataFrame = {
+    val slackQ = math.round(slack * 1e6)
+    val hQ = math.round(threshold * 1e6)
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val base = cusumBase(samples, lo, hi)
+    val means = cusumTargets(samples, lo, hi)
+    val w = Window.partitionBy("channel").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = base.join(broadcast(means), Seq("channel"))
+      .withColumn("p_hi", sum(d(col("q") - col("mq") - lit(slackQ))).over(w))
+      .withColumn("p_lo", sum(d(col("q") - col("mq") + lit(slackQ))).over(w))
+      .withColumn("cusum_hi",
+        col("p_hi") - least(lit(0L).cast("decimal(38,0)"),
+          min(col("p_hi")).over(w)))
+      .withColumn("cusum_lo",
+        greatest(lit(0L).cast("decimal(38,0)"),
+          max(col("p_lo")).over(w)) - col("p_lo"))
+    joined.groupBy("channel")
+      .agg(count(lit(1)).as("n_samples"),
+        sum(when(col("cusum_hi") > hQ, lit(1L)).otherwise(lit(0L)))
+          .as("n_hi"),
+        sum(when(col("cusum_lo") > hQ, lit(1L)).otherwise(lit(0L)))
+          .as("n_lo"),
+        min(when(col("cusum_hi") > hQ, col("ts"))).as("t_first_hi"),
+        min(when(col("cusum_lo") > hQ, col("ts"))).as("t_first_lo"),
+        (max(col("cusum_hi")).cast("double") / lit(1e6)).as("peak_hi"),
+        (max(col("cusum_lo")).cast("double") / lit(1e6)).as("peak_lo"))
+  }
 }

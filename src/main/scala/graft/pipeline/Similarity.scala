@@ -1214,4 +1214,119 @@ object Similarity {
       .select(col("vec_id"), col("max_eval_cos"),
         (col("max_eval_cos") >= minCos).as("contaminated"))
   }
+
+  /** Exact Gram matrix of the embedding corpus on the 6dp integer
+    * grid — the d×d second-moment matrix Σ qᵢqⱼ (upper triangle),
+    * the raw material of PCA whitening, covariance-based embedding QA,
+    * and explained-variance reports.
+    *
+    * Scale shape: the naive plan (explode to d²·N rows, shuffle,
+    * aggregate) moves a 4096× blowup through the exchange; this is the
+    * one-pass outer-product accumulation instead — each partition
+    * folds its rows into a d(d+1)/2 Long triangle (the justified
+    * imperative boundary: Catalyst has no outer-product aggregate) and
+    * emits ONE triangle per flush, so the shuffle carries
+    * partitions × 2080 rows of partial sums, merged by a DECIMAL sum.
+    * At 10⁹ vectors that is ~2080 rows per partition vs 4×10¹² — the
+    * difference between a broadcastable result and a dead stage.
+    *
+    * Exactness: components quantize to the 6dp grid (matching every
+    * other cross-engine contract in this file); partials flush every
+    * [[GramFlushRows]] rows so a Long accumulator cannot wrap (|q| ≤
+    * 10⁸ ⇒ |q·q| ≤ 10¹⁶; 512 rows ⇒ ≤ 5·10¹⁸ < 2⁶³); the cross-
+    * partition merge is an exact DECIMAL(38,0) sum. Output: (i, j ≥ i,
+    * s = Σ qᵢqⱼ as the exact-integer double cast).
+    */
+  def gramMatrix(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val d = Dim
+    val quantized = emb.select(
+      expr(s"transform(embedding, x -> cast(round(cast(x as double) " +
+        s"* 1000000.0d) as long))").as("q"))
+    val partials = quantized.as[Seq[Long]].mapPartitions { rows =>
+      val acc = new Array[Long](d * (d + 1) / 2)
+      var pending = 0
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+      def flush(): Unit = {
+        if (pending > 0) {
+          var i = 0; var k = 0
+          while (i < d) {
+            var j = i
+            while (j < d) {
+              if (acc(k) != 0L) out += ((i, j, acc(k)))
+              acc(k) = 0L; k += 1; j += 1
+            }
+            i += 1
+          }
+          pending = 0
+        }
+      }
+      rows.foreach { v =>
+        require(v.length == d, s"embedding dim ${v.length} != $d")
+        var i = 0; var k = 0
+        while (i < d) {
+          val qi = v(i)
+          var j = i
+          while (j < d) { acc(k) += qi * v(j); k += 1; j += 1 }
+          i += 1
+        }
+        pending += 1
+        if (pending >= GramFlushRows) flush()
+      }
+      flush()
+      out.iterator
+    }.toDF("i", "j", "p")
+    partials.groupBy("i", "j")
+      .agg(sum(col("p").cast("decimal(38,0)")).cast("double").as("s"))
+  }
+
+  /** Rows between Long-overflow flushes in [[gramMatrix]]: 512 rows ×
+    * max per-row |qᵢqⱼ| 10¹⁶ stays an order of magnitude under 2⁶³.
+    */
+  val GramFlushRows: Int = 512
+
+  /** Top principal component of the embedding covariance by power
+    * iteration over the COLLECTED Gram triangle — the Gram matrix is
+    * d(d+1)/2 rows (metadata-sized, 2080 doubles at d=64) no matter
+    * the corpus size, so the eigen step belongs on the driver; the
+    * expensive parts (Gram, mean) are the distributed passes above.
+    *
+    * Returns (eigenvector, eigenvalue λ₁, explained-variance share
+    * λ₁/trace). Deterministic: fixed start vector e₀, fixed 64
+    * iterations, no convergence-dependent branching.
+    */
+  def pcaTopComponent(gram: Array[(Int, Int, Double)], mean: Array[Double],
+                      n: Long): (Array[Double], Double, Double) = {
+    val d = Dim
+    require(n > 0, "empty corpus")
+    // covariance from the 6dp-grid Gram: C = S/n − m·mᵀ (grid units
+    // squared → value units via 1e12)
+    val c = Array.ofDim[Double](d, d)
+    gram.foreach { case (i, j, s) =>
+      val v = s / n / 1e12 - mean(i) * mean(j)
+      c(i)(j) = v; c(j)(i) = v
+    }
+    var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+    var lambda = 0.0
+    var it = 0
+    while (it < 64) {
+      val w = Array.tabulate(d)(i => {
+        var s = 0.0; var j = 0
+        while (j < d) { s += c(i)(j) * v(j); j += 1 }
+        s
+      })
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      if (norm == 0.0) return (v, 0.0, 0.0)
+      lambda = {
+        var s = 0.0; var i = 0
+        while (i < d) { s += v(i) * w(i); i += 1 }
+        s
+      }
+      v = w.map(_ / norm)
+      it += 1
+    }
+    val trace = (0 until d).map(i => c(i)(i)).sum
+    (v, lambda, if (trace > 0) lambda / trace else 0.0)
+  }
 }

@@ -318,6 +318,63 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.keySet == (-3 to 3).toSet)
   }
 
+  test("spectrum: a pure sinusoid concentrates power at its true period") {
+    // 600 samples at 1 s cadence, 100·sin(2πt/60) + DC offset 50 —
+    // the 60 s candidate must dominate and the demean must kill the
+    // DC leak a raw projection would spread over every candidate
+    val vs = (0 until 600).map(t =>
+      50.0 + 100.0 * math.sin(2 * math.Pi * t / 60.0))
+    val df = frame(vs.zipWithIndex.map { case (v, i) =>
+      ("c", i * S, v, "", 0, 0, 1000L + i) })
+    val periods = Seq(30L, 60L, 120L, 600L).map(_ * S)
+    val got = Analytics.spectrum(df, 0L, 600 * S, periods)
+      .collect().map(r => r.getLong(1) -> r.getDouble(5)).toMap
+    // ideal power = (A/2)² = 2500; quantized phase table costs a few %
+    assert(got(60L) > 2000.0, s"true-period power ${got(60L)}")
+    assert(Seq(30L, 120L, 600L).forall(p => got(p) < 300.0),
+      s"off-period leak: $got")
+    val dom = Analytics.dominantPeriod(
+        Analytics.spectrum(df, 0L, 600 * S, periods))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(4)))
+    assert(dom.toSeq == dom.toSeq.sortBy(_._1))
+    assert(dom.head._2 == 60L && dom.head._3 > 0.7,
+      s"dominant ${dom.head}")
+  }
+
+  test("spectrum: constant channel has zero power everywhere") {
+    val df = frame(series("flat", Seq.fill(50)(42.0)))
+    val got = Analytics.spectrum(df, 0L, 500 * S, Seq(30L * S, 60L * S))
+      .collect()
+    assert(got.length == 2 && got.forall(_.getDouble(5) == 0.0))
+  }
+
+  test("cusumShifts: a step change fires both sides of the detector") {
+    // 100 samples at 10 then 100 at 30 (global mean 20): the low side
+    // accumulates during the first half (level below target), the
+    // high side during the second — slack 5 leaves drift 5/sample, so
+    // threshold 200 trips after ~40 samples on each side
+    val vs = Seq.fill(100)(10.0) ++ Seq.fill(100)(30.0)
+    val df = frame(vs.zipWithIndex.map { case (v, i) =>
+      ("c", i * S, v, "", 0, 0, 2000L + i) })
+    val r = Analytics.cusumShifts(df, 0L, 200 * S,
+      slack = 5.0, threshold = 200.0).collect().head
+    val (nHi, nLo) = (r.getLong(2), r.getLong(3))
+    val (tHi, tLo) = (r.getLong(4), r.getLong(5))
+    assert(nHi > 0 && nLo > 0, s"both sides must fire: hi=$nHi lo=$nLo")
+    assert(tLo < 100 * S && tHi >= 100 * S,
+      s"low fires in the low half ($tLo), high after the step ($tHi)")
+    // peak of each side: 100 samples × |dev 10 − slack 5| = 500
+    assert(r.getDouble(6) == 500.0 && r.getDouble(7) == 500.0)
+  }
+
+  test("cusumShifts: constant channel never fires, peaks stay zero") {
+    val df = frame(series("flat", Seq.fill(60)(5.0)))
+    val r = Analytics.cusumShifts(df, 0L, 600 * S,
+      slack = 1.0, threshold = 10.0).collect().head
+    assert(r.getLong(2) == 0 && r.getLong(3) == 0)
+    assert(r.getDouble(6) == 0.0 && r.getDouble(7) == 0.0)
+  }
+
   test("derivedChannel: ratio expression feeds downstream ops unchanged") {
     val df = frame(
       Seq(("a", 0L, 8.0), ("b", 0L, 2.0), ("a", 10 * S, 9.0),

@@ -1393,6 +1393,53 @@ class PipelineSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getAs[Long]("n_pair") >= 5L))
   }
 
+  test("gramMatrix: one-pass fold equals the brute-force triangle, flush-size independent") {
+    import org.apache.spark.sql.functions._
+    val d = Similarity.Dim
+    // deterministic pseudo-random embeddings, values in [-2, 2)
+    val vecs = (0 until 37).map { id =>
+      (id.toLong, Array.tabulate(d)(i =>
+        (((id * 131 + i * 17) % 97) / 97.0 * 4.0 - 2.0).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.gramMatrix(emb.repartition(7))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // brute-force reference on the quantized grid
+    val q = vecs.map(_._2.map(x => math.round(x.toDouble * 1e6)))
+    val exp = (for { i <- 0 until d; j <- i until d } yield {
+      var s = BigInt(0)
+      q.foreach(v => s += BigInt(v(i)) * v(j))
+      (i, j) -> s.toDouble
+    }).toMap
+    assert(got.size == d * (d + 1) / 2)
+    exp.foreach { case (k, v) => assert(got(k) == v, s"mismatch at $k") }
+  }
+
+  test("pcaTopComponent recovers a planted dominant direction") {
+    import org.apache.spark.sql.functions._
+    val d = Similarity.Dim
+    // vectors = t · u + small deterministic noise, u = (1,1,0,...)/√2
+    val u = Array.tabulate(d)(i => if (i < 2) 1.0 / math.sqrt(2) else 0.0)
+    val vecs = (0 until 200).map { id =>
+      val t = (id % 21) - 10.0
+      (id.toLong, Array.tabulate(d)(i =>
+        (t * u(i) + ((id * 7 + i * 13) % 11 - 5) * 0.01).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val gram = Similarity.gramMatrix(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val mean = {
+      val sums = Array.fill(d)(0.0)
+      vecs.foreach(v => (0 until d).foreach(i => sums(i) += v._2(i)))
+      sums.map(_ / vecs.size)
+    }
+    val (v, lambda, share) =
+      Similarity.pcaTopComponent(gram, mean, vecs.size.toLong)
+    val align = math.abs((0 until d).map(i => v(i) * u(i)).sum)
+    assert(align > 0.999, s"eigvec misaligned: $align")
+    assert(lambda > 0 && share > 0.95, s"lambda=$lambda share=$share")
+  }
+
   private lazy val Tables_docs_sf0001 =
     graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.archive.Decimation
-import graft.streaming.StreamingDecimation
+import graft.streaming.{StreamingCusum, StreamingDecimation}
 import graft.streaming.StreamingDecimation.{AggOut, InSample}
 
 /** The streaming decimator must produce byte-identical aggregates to
@@ -523,5 +523,48 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("ts").collect()
       .map(r => (r.getLong(1), r.getDouble(2))).toSeq
     assert(batch == Seq((10 * S, -9.0), (20 * S, -8.0), (30 * S, -18.0)))
+  }
+
+  test("streaming CUSUM equals the batch closed form across micro-batches; out-of-order dropped; untargeted channels silent") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // step channel: 10 → 30 at sample 20 (target = the true mean 20);
+    // plus an untargeted channel that must emit nothing
+    val vs = Seq.fill(20)(10.0) ++ Seq.fill(20)(30.0)
+    val all = withSeq(
+      vs.zipWithIndex.map { case (v, i) =>
+        InSample("c", i * S, Some(v), 0L) } ++
+      (0 until 10).map(i => InSample("ghost", i * S, Some(5.0), 0L)) ++
+      // out-of-order straggler for "c": must be dropped by F6
+      Seq(InSample("c", 3 * S, Some(999.0), 0L)))
+    val targets = Map("c" -> math.round(20.0 * 1e6))
+    val mem = MemoryStream[InSample]
+    val q = StreamingCusum.cusumStream(mem.toDS(), targets, slack = 5.0)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append").start()
+    val got = try {
+      all.grouped(15).foreach { b => mem.addData(b); q.processAllAvailable() }
+      spark.table("cusum_out").as[StreamingCusum.CusumOut].collect().toSeq
+    } finally q.stop()
+    assert(!got.exists(_.channel == "ghost"), "untargeted channel emitted")
+    assert(!got.exists(r => r.channel == "c" && r.ts == 3 * S &&
+      got.count(x => x.channel == "c" && x.ts == 3 * S) > 1),
+      "out-of-order straggler re-emitted")
+    // batch closed form over the SAME kept rows
+    val rows = vs.zipWithIndex.map { case (v, i) =>
+      ("c", i * S, v, "", 0, 0, i.toLong)
+    }.toDF("channel", "ts", "value", "str_value", "severity", "status",
+      "sample_id")
+    val batch = graft.archive.Analytics
+      .cusumShifts(rows, 0L, 40 * S, slack = 5.0, threshold = 100.0)
+      .collect().head
+    val hQ = math.round(100.0 * 1e6)
+    val c = got.filter(_.channel == "c").sortBy(_.ts)
+    assert(c.size == batch.getLong(1), "n_samples")
+    assert(c.count(_.cusum_hi_q > hQ) == batch.getLong(2), "n_hi")
+    assert(c.count(_.cusum_lo_q > hQ) == batch.getLong(3), "n_lo")
+    assert(c.map(_.cusum_hi_q).max / 1e6 == batch.getDouble(6), "peak_hi")
+    assert(c.map(_.cusum_lo_q).max / 1e6 == batch.getDouble(7), "peak_lo")
   }
 }
