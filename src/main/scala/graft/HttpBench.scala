@@ -112,6 +112,13 @@ object HttpBench {
     val derived = measure(i => s"$base/1/derived/ch${i % channels}" +
       s"?other=ch${(i + 1) % channels}&op=sub" +
       s"&start=$t0&end=${t0 + 7L * 86400L * NS}&step=${3600L * NS}")
+    // shape G: analytics panels over HTTP (rotating channels, so each
+    // request pays its Spark jobs) — spectrum runs the 7-candidate
+    // projection over the week, cusum the two prefix-scan windows
+    val spectrum = measure(i => s"$base/1/spectrum/ch${i % channels}" +
+      s"?start=$t0&end=${t0 + 7L * 86400L * NS}")
+    val cusum = measure(i => s"$base/1/cusum/ch${i % channels}" +
+      s"?start=$t0&end=${t0 + 7L * 86400L * NS}")
     // shape D: CONCURRENT raw-day requests — 8 client threads, the
     // server's fixed pool interleaving their small Spark jobs; reports
     // aggregate requests/sec (the serving-throughput number, where the
@@ -134,7 +141,7 @@ object HttpBench {
     running.stop()
 
     val line =
-      s"""{"metric":"http_request_sec","reqs":$reqs,"channels":$channels,"rows":$rows,"raw_day":{${stats(day)}},"raw_day_same_channel":{${stats(oneCh)}},"decimated_week_count200":{${stats(week)}},"channel_listing":{${stats(list)}},"m4_week_k250":{${stats(m4)}},"lttb_week_k1000":{${stats(lttb)}},"derived_week_1h":{${stats(derived)}},"concurrent_raw_day":{"clients":$clients,"total_reqs":${clients * perClient},"wall_sec":$concSec,"req_per_sec":$concRps}}"""
+      s"""{"metric":"http_request_sec","reqs":$reqs,"channels":$channels,"rows":$rows,"raw_day":{${stats(day)}},"raw_day_same_channel":{${stats(oneCh)}},"decimated_week_count200":{${stats(week)}},"channel_listing":{${stats(list)}},"m4_week_k250":{${stats(m4)}},"lttb_week_k1000":{${stats(lttb)}},"derived_week_1h":{${stats(derived)}},"spectrum_week_p7":{${stats(spectrum)}},"cusum_week":{${stats(cusum)}},"concurrent_raw_day":{"clients":$clients,"total_reqs":${clients * perClient},"wall_sec":$concSec,"req_per_sec":$concRps}}"""
     spark.stop()
     println(line)
   }

@@ -29,11 +29,11 @@ object OracleSql {
   // Spark plans so both engines evaluate the identical program) ----
   /** Candidate oscillation periods probed by the spectral gates. */
   val SpectrumPeriods: Seq[Long] =
-    Seq(600L, 1800L, 3600L, 7200L, 21600L, 43200L, 86400L).map(_ * NS)
+    graft.archive.Analytics.DefaultSpectrumPeriods
   /** CUSUM slack k (value units) — drift below k/sample accumulates nothing. */
-  val CusumSlack: Double = 25.0
+  val CusumSlack: Double = graft.archive.Analytics.DefaultCusumSlack
   /** CUSUM decision threshold h (value units, cumulative). */
-  val CusumThreshold: Double = 150.0
+  val CusumThreshold: Double = graft.archive.Analytics.DefaultCusumThreshold
 
   // ---- auto-resolution request (planner-driven query) ----
   /** 2024-01-03T00:00:00Z */
@@ -871,6 +871,28 @@ object OracleSql {
            |    THEN CAST(pq AS DOUBLE) / CAST(total_q AS DOUBLE)
            |    ELSE 0.0 END AS power_share
            |FROM t WHERE rn = 1 ORDER BY channel""".stripMargin),
+
+    // staleness report as of HI: median inter-arrival gap (exact
+    // interpolated percentile ≡ quantile_cont on integer deltas),
+    // expected next arrival, integer-exact overdue flag
+    "arch_staleness_report" ->
+      s"""WITH $SAMPLES,
+         |$CLEAN,
+         |g AS (
+         |  SELECT channel, ts,
+         |    ts - lag(ts) OVER (PARTITION BY channel ORDER BY ts) AS gap
+         |  FROM clean WHERE ts <= $HI),
+         |a AS (
+         |  SELECT channel, count(*) AS n_samples, max(ts) AS t_last,
+         |    CAST(round(quantile_cont(gap, 0.5)) AS BIGINT) AS median_gap_ns
+         |  FROM g GROUP BY 1)
+         |SELECT channel, n_samples, t_last, median_gap_ns,
+         |  CASE WHEN median_gap_ns IS NOT NULL
+         |    THEN t_last + median_gap_ns END AS expected_next,
+         |  CASE WHEN median_gap_ns IS NOT NULL
+         |    THEN $HI > t_last + 3 * median_gap_ns
+         |    ELSE true END AS stale
+         |FROM a ORDER BY channel""".stripMargin,
 
     // two-sided CUSUM mean shifts: prefix sums minus running extrema
     // in DECIMAL(38,0), exact integer flags — mirrors cusumShifts

@@ -2151,6 +2151,36 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
     // mirror of Similarity.sourceOutliers: per-(source, dim) DECIMAL
     // mean scale-rounded to 6dp before the cosine (the ivf_refined
     // centroid discipline), bottom-5 cosines per source
+    // per-source unigram KL vs the corpus: exact integer counts, each
+    // ln on the same fixed-order double ratio quantized to a 12dp
+    // Long grid before the exact DECIMAL sum — mirrors sourceKl
+    "text_source_kl" ->
+      s"""WITH ts AS (
+         |  SELECT source,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |                x -> x <> '') AS toks
+         |  FROM documents),
+         |w AS (SELECT source, unnest(toks) AS tok FROM ts),
+         |st AS (SELECT source, tok, count(*) AS c_st FROM w GROUP BY 1, 2),
+         |ct AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_ct
+         |       FROM st GROUP BY 1),
+         |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+         |       FROM st GROUP BY 1),
+         |nc AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_c FROM ns),
+         |terms AS (
+         |  SELECT st.source, ns.n_s,
+         |    CAST(st.c_st AS DECIMAL(19,0)) *
+         |    CAST(CAST(round(ln(
+         |        (CAST(st.c_st AS DOUBLE) * CAST(nc.n_c AS DOUBLE))
+         |        / (CAST(ns.n_s AS DOUBLE) * CAST(c_ct AS DOUBLE)))
+         |      * 1000000000000.0) AS BIGINT) AS DECIMAL(19,0)) AS term
+         |  FROM st JOIN ct USING (tok) JOIN ns USING (source) CROSS JOIN nc)
+         |SELECT source, max(n_s) AS n_tokens,
+         |  CAST(CAST(round(CAST(sum(term) AS DOUBLE)
+         |      / CAST(max(n_s) AS DOUBLE) / 1000000000000.0
+         |      * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS kl
+         |FROM terms GROUP BY 1 ORDER BY source""".stripMargin,
+
     // exact Gram triangle on the 6dp grid: the d²·N explode the Spark
     // side exists to avoid is the oracle-side definition
     "sim_gram_matrix" ->

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * inverted index probe actually HAS corpus-wide hot keys for the
   * maxDf band to kill.
   *
-  * {{{ sbt -batch "runMain graft.Probe100x [inverted_index|interleave|chunks|pack|curriculum|lsh_skew|all]" }}}
+  * {{{ sbt -batch "runMain graft.Probe100x [inverted_index|interleave|chunks|pack|curriculum|lsh_skew|spectrum|all]" }}}
   */
 object Probe100x {
 
@@ -167,6 +167,37 @@ object Probe100x {
       report("lsh_skew", "hot_frac" -> 0.1,
         "uncapped_docs" -> 20000, "uncapped_sec" -> uncapped,
         "capped_docs" -> 500000, "cap" -> 64, "capped_sec" -> capped)
+    }
+
+    if (mode == "spectrum" || mode == "all") {
+      // spectral projection at 20M samples / 1000 channels: the probe
+      // measures the |periods|× explode through ONE partial-merge
+      // aggregate — 7 candidates (the serving default) and a dense
+      // 64-period sweep (the "scan the whole suspect range" shape).
+      // The CUSUM pass rides the same frame: two per-channel window
+      // scans, the same shape as the rolling z-score (channels
+      // parallelize; a single hot channel is the known straggler case
+      // the rolling family solves with chunking).
+      val n = 20000000L
+      val samples = spark.range(n).select(
+          concat(lit("ch"), pmod(col("id"), lit(1000L))).as("channel"),
+          expr("(id div 1000) * 1000000000L").as("ts"),
+          (sin(col("id").cast("double") / lit(97.0)) * lit(100.0) +
+            lit(250.0)).as("value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      samples.count()
+      val hiTs = (n / 1000L) * 1000000000L
+      val p7 = time(noop(graft.archive.Analytics.spectrum(
+        samples, 0L, hiTs, graft.archive.Analytics.DefaultSpectrumPeriods)))
+      val dense = (1 to 64).map(i => i * 300L * 1000000000L)
+      val p64 = time(noop(graft.archive.Analytics.spectrum(
+        samples, 0L, hiTs, dense)))
+      val cusum = time(noop(graft.archive.Analytics.cusumShifts(
+        samples, 0L, hiTs, graft.archive.Analytics.DefaultCusumSlack,
+        graft.archive.Analytics.DefaultCusumThreshold)))
+      samples.unpersist()
+      report("spectrum", "rows" -> n, "channels" -> 1000,
+        "p7_sec" -> p7, "p64_sec" -> p64, "cusum_sec" -> cusum)
     }
 
     if (mode == "stream_dedup" || mode == "all") {

@@ -760,6 +760,32 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // streaming spectral monitor: the identical stateless projection
+    // feeding an order-free Complete-mode aggregate — no keyed state
+    // machine needed (projection sums are commutative exact integers);
+    // the drained table must serve the batch spectrum bytes
+    "stream_spectrum" -> ((s, dir) => {
+      val base = Analytics.cusumBase(clean(s, dir), LO, HI)
+      val means = Analytics.spectrumMeans(base)
+      val in = memoInput("sspec-in", dir)(base.write.parquet(_))
+      val stream = s.readStream.schema(base.schema).parquet(in)
+      val d = (c: Column) => c.cast("decimal(38,0)")
+      val agg = Analytics.spectrumTerms(
+          stream.join(broadcast(means), Seq("channel")),
+          LO, SpectrumPeriods)
+        .groupBy("channel", "period")
+        .agg(sum(d(col("qdc"))).as("sc_d"), sum(d(col("qds"))).as("ss_d"))
+      val sink = s"sspec_out_${streamGateSeq.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      Analytics.spectrumPower(
+          detachSink(s, sink).join(broadcast(means), Seq("channel"))
+            .select(col("channel"), col("period"), col("n"),
+              col("sc_d"), col("ss_d")))
+        .orderBy("channel", "period_s")
+    }),
+
     // trailing-window anomaly scores: z = (value − mean)/std against
     // the channel's own 1h window, DECIMAL Σx/Σx² window sums, NULL
     // (never garbage) on degenerate frames
@@ -899,6 +925,20 @@ object SparkEntry {
     "arch_cusum_shifts" -> ((s, dir) =>
       Analytics.cusumShifts(clean(s, dir), LO, HI,
           CusumSlack, CusumThreshold)
+        .orderBy("channel")),
+
+    // the hot-channel skew path: prefix-scan cascade over per-chunk
+    // summaries — must serve the plain detector's bytes (1-day chunks
+    // split the 10-day window into ~10 chunks per channel)
+    "arch_cusum_chunked" -> ((s, dir) =>
+      Analytics.cusumShiftsChunked(clean(s, dir), LO, HI,
+          CusumSlack, CusumThreshold, chunkNs = 86400L * NS)
+        .orderBy("channel")),
+
+    // ops panel: which channels stopped updating as of HI — median
+    // inter-arrival cadence, expected next arrival, overdue flag
+    "arch_staleness_report" -> ((s, dir) =>
+      Analytics.stalenessReport(clean(s, dir), asOf = HI)
         .orderBy("channel")),
 
     // threshold-crossing report at 250: up/down counts, first/last
@@ -2362,6 +2402,12 @@ object SparkEntry {
       Similarity.gramMatrix(Tables.embeddings(s, dir))
         .orderBy("i", "j")),
 
+    // mixture-design QA: per-source unigram KL divergence from the
+    // corpus distribution — the quantity DSIR/temperature act on
+    "text_source_kl" -> ((s, dir) =>
+      TextAnalysis.sourceKl(Tables.documents(s, dir))
+        .orderBy("source")),
+
     // embedding QA: the 5 farthest-from-centroid docs per source —
     // the mislabeled-data / embedding-drift detector
     "sim_source_outliers" -> ((s, dir) =>
@@ -2734,6 +2780,10 @@ object SparkEntry {
       ("stream_rolling_window" -> base("arch_rolling_window")) +
       // the drained streaming CUSUM aggregates to the batch summary
       ("stream_cusum" -> base("arch_cusum_shifts")) +
+      // the chunk-parallel prefix-scan cascade serves the plain bytes
+      ("arch_cusum_chunked" -> base("arch_cusum_shifts")) +
+      // the drained Complete-mode spectral monitor serves batch bytes
+      ("stream_spectrum" -> base("arch_spectrum")) +
       // the linear z-score walker serves the declarative bytes
       ("arch_rolling_zscore_fast" -> base("arch_rolling_zscore")) +
       ("arch_rolling_zscore_chunked" -> base("arch_rolling_zscore")) +

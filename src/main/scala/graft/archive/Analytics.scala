@@ -646,44 +646,86 @@ object Analytics {
     */
   def spectrum(samples: DataFrame, lo: Long, hi: Long,
                periods: Seq[Long]): DataFrame = {
-    require(periods.nonEmpty && periods.forall(_ > 0), "periods must be positive")
-    val tbl = SpectrumTableSize.toLong
-    val d = (c: Column) => c.cast("decimal(38,0)")
-    val base = samples
-      .where(col("ts") >= lo && col("ts") < hi &&
-        col("value").isNotNull && !isnan(col("value")))
-      .select(col("channel"), col("ts"),
-        round(col("value") * lit(1e6)).cast("long").as("q"))
+    val base = cusumBase(samples, lo, hi)
     // channel grid means: one partial-merge aggregate, channels rows —
     // broadcast into the projection scan no matter the archive size
-    val means = base.groupBy("channel")
+    val means = spectrumMeans(base)
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val g = spectrumTerms(base.join(broadcast(means), Seq("channel")),
+        lo, periods)
+      .groupBy("channel", "period")
+      .agg(max(col("n")).as("n"),
+        sum(d(col("qdc"))).as("sc_d"),
+        sum(d(col("qds"))).as("ss_d"))
+    spectrumPower(g)
+  }
+
+  /** Calibration aggregate for [[spectrum]]: per-channel 6dp-grid mean
+    * and sample count — channels rows, broadcast-sized. Shared with
+    * the streaming projection so both evaluate identical integers.
+    */
+  def spectrumMeans(base: DataFrame): DataFrame =
+    base.groupBy("channel")
       .agg(round(sum(col("q").cast("decimal(19,0)")).cast("double") /
           count(lit(1)).cast("double")).cast("long").as("mq"),
         count(lit(1)).as("n"))
-    val e = base.join(broadcast(means), Seq("channel"))
+
+  /** The STATELESS projection stage of [[spectrum]] — input rows carry
+    * (channel, ts, q, mq), output one row per (sample, period) with
+    * the exact Long products qd·cos and qd·sin. Split out so the
+    * streaming form can run the identical projection ahead of an
+    * order-free streaming sum.
+    */
+  def spectrumTerms(withMeans: DataFrame, lo: Long,
+                    periods: Seq[Long]): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ > 0), "periods must be positive")
+    val tbl = SpectrumTableSize.toLong
+    withMeans
       .withColumn("qd", col("q") - col("mq"))
       .withColumn("period", explode(typedLit(periods)))
       .withColumn("idx",
         expr(s"((ts - ${lo}L) % period) * ${tbl}L div period"))
-      .withColumn("c", element_at(typedLit(spectrumCosQ.toSeq), (col("idx") + 1).cast("int")))
-      .withColumn("s", element_at(typedLit(spectrumSinQ.toSeq), (col("idx") + 1).cast("int")))
-    val g = e.groupBy("channel", "period")
-      .agg(max(col("n")).as("n"),
-        sum(d(col("qd") * col("c"))).cast("double").as("sc"),
-        sum(d(col("qd") * col("s"))).cast("double").as("ss"))
-    // normalized power in value² units: |projection|² / n² / (1e6·1e6)²
-    // — a FIXED-ORDER double expression over exact casts (n² stays in
-    // doubles: a 100-TB channel's count squared overflows a long)
+      .withColumn("c", element_at(typedLit(spectrumCosQ.toSeq),
+        (col("idx") + 1).cast("int")))
+      .withColumn("s", element_at(typedLit(spectrumSinQ.toSeq),
+        (col("idx") + 1).cast("int")))
+      .withColumn("qdc", col("qd") * col("c"))
+      .withColumn("qds", col("qd") * col("s"))
+  }
+
+  /** Output stage of [[spectrum]]: exact DECIMAL projection sums →
+    * fixed-order double power. Normalized power in value² units:
+    * |projection|² / n² / (1e6·1e6)² — n² stays in doubles (a 100-TB
+    * channel's count squared overflows a long).
+    */
+  def spectrumPower(g: DataFrame): DataFrame = {
     val nD = col("n").cast("double")
     g.select(col("channel"),
         expr(s"period div ${NsPerSec}L").as("period_s"),
         col("n"),
-        col("sc"), col("ss"),
-        ((col("sc") * col("sc") + col("ss") * col("ss")) /
-          (nD * nD) / lit(1e24)).as("power"))
+        col("sc_d").cast("double").as("sc"),
+        col("ss_d").cast("double").as("ss"))
+      .withColumn("power",
+        (col("sc") * col("sc") + col("ss") * col("ss")) /
+          (nD * nD) / lit(1e24))
   }
 
   private val NsPerSec: Long = 1000000000L
+
+  /** Default candidate-period grid (ns): the suspects an operator
+    * probes first — fast oscillation (10 min), cooling/regulation
+    * cycles (30 min–2 h), shift structure (6/12 h), day/night.
+    */
+  val DefaultSpectrumPeriods: Seq[Long] =
+    Seq(600L, 1800L, 3600L, 7200L, 21600L, 43200L, 86400L)
+      .map(_ * NsPerSec)
+
+  /** Default CUSUM tuning (value units): slack ≈ half a typical σ of
+    * the corpus channels, threshold ≈ the smallest shift worth an
+    * alarm sustained long enough to matter.
+    */
+  val DefaultCusumSlack: Double = 25.0
+  val DefaultCusumThreshold: Double = 150.0
 
   /** The dominant candidate period per channel — [[spectrum]] reduced
     * to its per-channel argmax (ties break toward the shorter period).
@@ -741,7 +783,11 @@ object Analytics {
       .agg(round(sum(col("q").cast("decimal(19,0)")).cast("double") /
           count(lit(1)).cast("double")).cast("long").as("mq"))
 
-  private def cusumBase(samples: DataFrame, lo: Long, hi: Long): DataFrame =
+  /** Shared 6dp-grid base frame for the CUSUM and spectral families:
+    * range-filtered, null/NaN-dropped, value quantized to the grid.
+    */
+  private[graft] def cusumBase(samples: DataFrame, lo: Long,
+                               hi: Long): DataFrame =
     samples
       .where(col("ts") >= lo && col("ts") < hi &&
         col("value").isNotNull && !isnan(col("value")))
@@ -766,7 +812,11 @@ object Analytics {
       .withColumn("cusum_lo",
         greatest(lit(0L).cast("decimal(38,0)"),
           max(col("p_lo")).over(w)) - col("p_lo"))
-    joined.groupBy("channel")
+    cusumSummary(joined, hQ)
+  }
+
+  private def cusumSummary(flagged: DataFrame, hQ: Long): DataFrame =
+    flagged.groupBy("channel")
       .agg(count(lit(1)).as("n_samples"),
         sum(when(col("cusum_hi") > hQ, lit(1L)).otherwise(lit(0L)))
           .as("n_hi"),
@@ -776,5 +826,117 @@ object Analytics {
         min(when(col("cusum_lo") > hQ, col("ts"))).as("t_first_lo"),
         (max(col("cusum_hi")).cast("double") / lit(1e6)).as("peak_hi"),
         (max(col("cusum_lo")).cast("double") / lit(1e6)).as("peak_lo"))
+
+  /** Channel-staleness report as of `asOf` — the ops panel "which PVs
+    * stopped updating": per channel the sample count, last timestamp,
+    * the channel's MEDIAN inter-arrival gap (robust to bursts where a
+    * mean cadence is not), the expected next arrival, and a stale flag
+    * (overdue by more than `graceFactor` median gaps at `asOf`).
+    * Channels with a single sample report no cadence and flag stale
+    * only by absolute silence (no expectation can be formed).
+    *
+    * Scale shape: one per-channel lag window (rides the channel
+    * clustering) + one partial-merge aggregate; output one row per
+    * channel. Median gap interpolates on exact integer deltas (the
+    * same Spark `percentile` ≡ DuckDB `quantile_cont` bridge as
+    * [[valuePercentiles]]); the flag compares exact ns integers
+    * (expected_next computed in longs, `graceFactor` an integer).
+    */
+  def stalenessReport(samples: DataFrame, asOf: Long,
+                      graceFactor: Long = 3L): DataFrame = {
+    require(graceFactor >= 1L, "graceFactor must be a positive integer")
+    val w = Window.partitionBy("channel").orderBy("ts")
+    val g = samples
+      .where(col("ts") <= asOf)
+      .select(col("channel"), col("ts"))
+      .withColumn("gap", col("ts") - lag("ts", 1).over(w))
+    val agg = g.groupBy("channel")
+      .agg(count(lit(1)).as("n_samples"),
+        max("ts").as("t_last"),
+        // exact interpolated median over integer gaps: ties land on
+        // x.5 exactly (representable), same contract both engines
+        percentile(col("gap"), lit(0.5)).as("median_gap_d"))
+    agg.select(col("channel"), col("n_samples"), col("t_last"),
+        round(col("median_gap_d")).cast("long").as("median_gap_ns"))
+      .withColumn("expected_next",
+        when(col("median_gap_ns").isNotNull,
+          col("t_last") + col("median_gap_ns")))
+      .withColumn("stale",
+        when(col("median_gap_ns").isNotNull,
+          lit(asOf) > col("t_last") + lit(graceFactor) * col("median_gap_ns"))
+          .otherwise(lit(true)))
+  }
+
+  /** Skew-proof [[cusumShifts]] for hot channels — the plain version
+    * runs one prefix-scan window per channel, which serializes a 1 kHz
+    * channel's year (31M rows) into a single task. Here the scan runs
+    * per (channel, time-chunk) so one channel parallelizes across
+    * chunks, and the cross-chunk hand-off is the prefix-scan cascade:
+    * each chunk's summary (total deviation sum, min/max of its local
+    * prefix) is tiny (channels × chunks rows), so the chunk OFFSETS
+    * (sum of all earlier chunks) and the PRIOR running extrema (over
+    * offset-shifted earlier-chunk extrema) come from two windows over
+    * the summary frame, broadcast back into the per-chunk pass — the
+    * same chunk-and-stitch pattern as
+    * [[graft.core.Samples.monotonicDedupChunked]] and
+    * [[Rolling.zscoreFastChunked]]. Everything stays in DECIMAL(38,0),
+    * so the output is byte-identical to [[cusumShifts]] (gated).
+    */
+  def cusumShiftsChunked(samples: DataFrame, lo: Long, hi: Long,
+                         slack: Double, threshold: Double,
+                         chunkNs: Long): DataFrame = {
+    require(chunkNs > 0, "chunkNs must be positive")
+    val slackQ = math.round(slack * 1e6)
+    val hQ = math.round(threshold * 1e6)
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val z = lit(0L).cast("decimal(38,0)")
+    val base = cusumBase(samples, lo, hi)
+    val means = cusumTargets(samples, lo, hi)
+    val chunked = base.join(broadcast(means), Seq("channel"))
+      .withColumn("_chunk", expr(s"(ts - ${lo}L) div ${chunkNs}L"))
+      .withColumn("dhi", d(col("q") - col("mq") - lit(slackQ)))
+      .withColumn("dlo", d(col("q") - col("mq") + lit(slackQ)))
+    val inChunk = Window.partitionBy("channel", "_chunk").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = chunked
+      .withColumn("lp_hi", sum(col("dhi")).over(inChunk))
+      .withColumn("lp_lo", sum(col("dlo")).over(inChunk))
+      .withColumn("lmin_hi", min(col("lp_hi")).over(inChunk))
+      .withColumn("lmax_lo", max(col("lp_lo")).over(inChunk))
+    // per-chunk summaries: total deviation sums + local prefix extrema
+    val byChunkPrev = Window.partitionBy("channel").orderBy("_chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // one summary aggregate over the already-(channel, chunk)-clustered
+    // windowed frame: chunk totals AND local-prefix extrema in a single
+    // pass — no second exchange of the base data, no summary join
+    val summaries = local.groupBy("channel", "_chunk")
+      .agg(sum(col("dhi")).as("s_hi"), sum(col("dlo")).as("s_lo"),
+        min(col("lp_hi")).as("cmin_hi"), max(col("lp_lo")).as("cmax_lo"))
+      .withColumn("off_hi",
+        coalesce(sum(col("s_hi")).over(byChunkPrev), z))
+      .withColumn("off_lo",
+        coalesce(sum(col("s_lo")).over(byChunkPrev), z))
+      // prior running extrema: min/max over earlier chunks of
+      // (that chunk's offset + its local extremum); null ⇔ first chunk
+      .withColumn("gmin_hi",
+        min(col("off_hi") + col("cmin_hi")).over(byChunkPrev))
+      .withColumn("gmax_lo",
+        max(col("off_lo") + col("cmax_lo")).over(byChunkPrev))
+      .select(col("channel").as("_sc"), col("_chunk").as("_sk"),
+        col("off_hi"), col("off_lo"), col("gmin_hi"), col("gmax_lo"))
+    val stitched = local
+      .join(broadcast(summaries),
+        col("channel") === col("_sc") && col("_chunk") === col("_sk"))
+      .withColumn("p_hi", col("off_hi") + col("lp_hi"))
+      .withColumn("p_lo", col("off_lo") + col("lp_lo"))
+      .withColumn("runmin_hi",
+        least(coalesce(col("gmin_hi"), col("off_hi") + col("lmin_hi")),
+          col("off_hi") + col("lmin_hi")))
+      .withColumn("runmax_lo",
+        greatest(coalesce(col("gmax_lo"), col("off_lo") + col("lmax_lo")),
+          col("off_lo") + col("lmax_lo")))
+      .withColumn("cusum_hi", col("p_hi") - least(z, col("runmin_hi")))
+      .withColumn("cusum_lo", greatest(z, col("runmax_lo")) - col("p_lo"))
+    cusumSummary(stitched, hQ)
   }
 }

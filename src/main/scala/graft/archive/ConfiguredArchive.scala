@@ -455,6 +455,36 @@ object ConfiguredArchive {
         name, startNs, endNs, backend, refuseDisabled))
       .withColumn("channel", lit(name))
 
+  /** Config-governed spectral panel — [[Analytics.spectrum]] over the
+    * channel's pruned raw range scan: power at each candidate period
+    * plus the 6dp-quantized per-channel power share (the
+    * [[Analytics.dominantPeriod]] normalization, inlined here since
+    * the panel shows the whole candidate grid).
+    */
+  def querySpectrum(spark: SparkSession, configPath: String,
+                    storePath: String, name: String,
+                    startNs: Long, endNs: Long, periods: Seq[Long],
+                    backend: StoreBackend = ManifestBackend,
+                    refuseDisabled: Boolean = false): DataFrame =
+    Analytics.spectrum(rawScan(spark, configPath, storePath, name,
+        startNs, endNs, backend, refuseDisabled), startNs, endNs, periods)
+      .withColumn("channel", lit(name))
+
+  /** Config-governed CUSUM panel — [[Analytics.cusumShifts]] over the
+    * channel's pruned raw range scan (target self-calibrates to the
+    * window mean, the batch operator's contract).
+    */
+  def queryCusum(spark: SparkSession, configPath: String,
+                 storePath: String, name: String,
+                 startNs: Long, endNs: Long,
+                 slack: Double, threshold: Double,
+                 backend: StoreBackend = ManifestBackend,
+                 refuseDisabled: Boolean = false): DataFrame =
+    Analytics.cusumShifts(rawScan(spark, configPath, storePath, name,
+        startNs, endNs, backend, refuseDisabled), startNs, endNs,
+        slack, threshold)
+      .withColumn("channel", lit(name))
+
   /** Config-governed M4 downsampling — [[queryLttb]]'s pixel-exact
     * sibling ([[Analytics.m4]]): same single pruned range-scan job,
     * but the reducer is one hash aggregate (no anchor window at all),

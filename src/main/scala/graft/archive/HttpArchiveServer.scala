@@ -52,6 +52,14 @@ import org.apache.spark.sql.functions.{col, lit}
   *     array named `calc:<op>(<a>,<b>)`. Unknown op, missing/equal
   *     `other`, or a non-positive `step` → 400; either source
   *     unknown → 404; `op` defaults to `sub`.
+  *   - `GET <ctx>/1/spectrum/<channel>?start=S&end=E[&periods=600,…]`
+  *     (beyond the reference) — the oscillation panel: power at each
+  *     candidate period in seconds ([[ConfiguredArchive.querySpectrum]])
+  *     plus the dominant period; same 400/404/403 matrix as stats.
+  *   - `GET <ctx>/1/cusum/<channel>?start=S&end=E[&slack=K]
+  *     [&threshold=H]` (beyond the reference) — the mean-shift panel:
+  *     two-sided CUSUM excursion counts/timestamps/peaks
+  *     ([[ConfiguredArchive.queryCusum]]); invalid tuning → 400.
   *   - `GET <ctx>/1/channels-by-pattern/<glob>` — case-insensitive
   *     `*`/`?` glob over the configured channel names, sorted
   *     (:160-175, compileGlobPattern :307-345).
@@ -219,6 +227,12 @@ object HttpArchiveServer {
       case p if p.startsWith("/1/derived/") =>
         derived(spark, configPath, storePath, backend, typed, ex,
           decodePath(p.stripPrefix("/1/derived/")), params, refuseDisabled)
+      case p if p.startsWith("/1/spectrum/") =>
+        spectrumPanel(spark, configPath, storePath, backend, typed, ex,
+          decodePath(p.stripPrefix("/1/spectrum/")), params, refuseDisabled)
+      case p if p.startsWith("/1/cusum/") =>
+        cusumPanel(spark, configPath, storePath, backend, typed, ex,
+          decodePath(p.stripPrefix("/1/cusum/")), params, refuseDisabled)
       case p if p.startsWith("/1/channels-by-pattern/") =>
         val glob = decodePath(p.stripPrefix("/1/channels-by-pattern/"))
         listChannels(spark, configPath, ex, params,
@@ -573,6 +587,182 @@ object HttpArchiveServer {
     cacheKey.foreach { k =>
       if (statsMemo.size > RespCacheMaxEntries) statsMemo.clear()
       statsMemo.put(k, body)
+    }
+    sendJson(ex, body)
+  }
+
+  // integral doubles print without the trailing ".0"; non-finite
+  // values QUOTE (bare Infinity/NaN is not JSON) — the statsPanel rule
+  private def jsonNum(d: Double): String =
+    if (d.isNaN || d.isInfinite) "\"" + d.toString + "\""
+    else if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
+
+  /** Upper bound on /1/spectrum candidate periods per request (each
+    * period multiplies the projection scan).
+    */
+  private val MaxSpectrumPeriods = 64
+
+  private val spectrumMemo = new java.util.concurrent.ConcurrentHashMap[
+    (StoreBackend, String, String, Long, Long, String, Long, Long,
+      String, Boolean), String]()
+
+  /** `GET <ctx>/1/spectrum/<channel>?start=S&end=E[&periods=600,3600]`
+    * — the oscillation panel: power at each candidate period (seconds,
+    * default grid [[Analytics.DefaultSpectrumPeriods]]) over the
+    * inclusive range, plus the dominant period. 400/404/403 mirror the
+    * stats endpoint; no samples in range answers an empty panel.
+    */
+  private def spectrumPanel(spark: SparkSession, configPath: String,
+                            storePath: String, backend: StoreBackend,
+                            typed: => Boolean, ex: HttpExchange,
+                            channel: String, params: Map[String, String],
+                            refuseDisabled: Boolean): Unit = {
+    if (channel.isEmpty) { sendError(ex, 404, "not found"); return }
+    val start = params.get("start").flatMap(_.toLongOption)
+    val end = params.get("end").flatMap(_.toLongOption)
+    if (start.isEmpty || end.isEmpty) {
+      sendError(ex, 400, "start and end must be integers"); return
+    }
+    if (start.get < 0L || end.get < start.get) {
+      sendError(ex, 400, "require 0 <= start <= end"); return
+    }
+    if (typed) {
+      sendError(ex, 400, "spectrum is not supported on typed stores"); return
+    }
+    val periodsSec: Seq[Long] = params.get("periods") match {
+      case None => Analytics.DefaultSpectrumPeriods.map(_ / 1000000000L)
+      case Some(csv) =>
+        val parsed = csv.split(",").toSeq.map(_.trim.toLongOption)
+        // upper bound keeps the ns conversion inside a Long (292 years)
+        if (parsed.exists(p => p.isEmpty || p.get <= 0L ||
+            p.get > 9000000000L)) {
+          sendError(ex, 400, "periods must be positive integer seconds")
+          return
+        }
+        if (parsed.size > MaxSpectrumPeriods) {
+          sendError(ex, 400, s"at most $MaxSpectrumPeriods periods"); return
+        }
+        parsed.flatten.distinct.sorted
+    }
+    val cacheKey = backend.metaVersion(spark, storePath).map { mv =>
+      (backend, configPath, storePath,
+        ConfigCommands.state(spark, configPath).version, mv, channel,
+        start.get, end.get, periodsSec.mkString(","), refuseDisabled)
+    }
+    val hit = cacheKey.flatMap(k => Option(spectrumMemo.get(k)))
+    if (hit.isDefined) { sendJson(ex, hit.get); return }
+    val rows =
+      try ConfiguredArchive.querySpectrum(spark, configPath, storePath,
+          channel, start.get, end.get,
+          periodsSec.map(_ * 1000000000L), backend,
+          refuseDisabled = refuseDisabled)
+        .select("period_s", "n", "power")
+        .orderBy("period_s")
+        .collect()
+      catch {
+        case _: NoSuchChannelException =>
+          sendError(ex, 404, "not found"); return
+        case e: ChannelDisabledException =>
+          sendError(ex, 403, e.getMessage); return
+        case _: NoStoredDataException => Array.empty[org.apache.spark.sql.Row]
+      }
+    val items = rows.map { r =>
+      s"""{"period_s":${r.getLong(0)},"n":${r.getLong(1)},""" +
+        s""""power":${jsonNum(r.getDouble(2))}}"""
+    }
+    // dominant: max power, ties toward the shorter period — the
+    // dominantPeriod contract, computed over the already-collected rows
+    val dominant =
+      if (rows.isEmpty) ""
+      else {
+        val d = rows.minBy(r => (-r.getDouble(2), r.getLong(0)))
+        s""","dominant_period_s":${d.getLong(0)}"""
+      }
+    val body = s"""{"channel":${jsonString(channel)},""" +
+      s""""periods":[${items.mkString(",")}]$dominant}"""
+    cacheKey.foreach { k =>
+      if (spectrumMemo.size > RespCacheMaxEntries) spectrumMemo.clear()
+      spectrumMemo.put(k, body)
+    }
+    sendJson(ex, body)
+  }
+
+  private val cusumMemo = new java.util.concurrent.ConcurrentHashMap[
+    (StoreBackend, String, String, Long, Long, String, Long, Long,
+      Long, Long, Boolean), String]()
+
+  /** `GET <ctx>/1/cusum/<channel>?start=S&end=E[&slack=K][&threshold=H]`
+    * — the mean-shift panel: two-sided CUSUM excursion counts, first
+    * excursion timestamps, and peak statistics over the inclusive
+    * range (target self-calibrates to the window mean). 400/404/403
+    * mirror the stats endpoint.
+    */
+  private def cusumPanel(spark: SparkSession, configPath: String,
+                         storePath: String, backend: StoreBackend,
+                         typed: => Boolean, ex: HttpExchange,
+                         channel: String, params: Map[String, String],
+                         refuseDisabled: Boolean): Unit = {
+    if (channel.isEmpty) { sendError(ex, 404, "not found"); return }
+    val start = params.get("start").flatMap(_.toLongOption)
+    val end = params.get("end").flatMap(_.toLongOption)
+    if (start.isEmpty || end.isEmpty) {
+      sendError(ex, 400, "start and end must be integers"); return
+    }
+    if (start.get < 0L || end.get < start.get) {
+      sendError(ex, 400, "require 0 <= start <= end"); return
+    }
+    if (typed) {
+      sendError(ex, 400, "cusum is not supported on typed stores"); return
+    }
+    val slack = params.get("slack").map(_.toDoubleOption)
+      .getOrElse(Some(Analytics.DefaultCusumSlack))
+    val threshold = params.get("threshold").map(_.toDoubleOption)
+      .getOrElse(Some(Analytics.DefaultCusumThreshold))
+    if (slack.isEmpty || slack.get < 0.0 || !slack.get.isFinite) {
+      sendError(ex, 400, "slack must be a non-negative number"); return
+    }
+    if (threshold.isEmpty || threshold.get <= 0.0 || !threshold.get.isFinite) {
+      sendError(ex, 400, "threshold must be a positive number"); return
+    }
+    val cacheKey = backend.metaVersion(spark, storePath).map { mv =>
+      (backend, configPath, storePath,
+        ConfigCommands.state(spark, configPath).version, mv, channel,
+        start.get, end.get, math.round(slack.get * 1e6),
+        math.round(threshold.get * 1e6), refuseDisabled)
+    }
+    val hit = cacheKey.flatMap(k => Option(cusumMemo.get(k)))
+    if (hit.isDefined) { sendJson(ex, hit.get); return }
+    val row =
+      try ConfiguredArchive.queryCusum(spark, configPath, storePath,
+          channel, start.get, end.get, slack.get, threshold.get, backend,
+          refuseDisabled = refuseDisabled)
+        .select("n_samples", "n_hi", "n_lo", "t_first_hi", "t_first_lo",
+          "peak_hi", "peak_lo")
+        .collect().headOption
+      catch {
+        case _: NoSuchChannelException =>
+          sendError(ex, 404, "not found"); return
+        case e: ChannelDisabledException =>
+          sendError(ex, 403, e.getMessage); return
+        case _: NoStoredDataException => None
+      }
+    def tsOrNull(r: org.apache.spark.sql.Row, i: Int): String =
+      if (r.isNullAt(i)) "null" else r.getLong(i).toString
+    val body = row match {
+      case None =>
+        s"""{"channel":${jsonString(channel)},"samples":0}"""
+      case Some(r) =>
+        s"""{"channel":${jsonString(channel)},"samples":${r.getLong(0)},""" +
+          s""""n_hi":${r.getLong(1)},"n_lo":${r.getLong(2)},""" +
+          s""""t_first_hi":${tsOrNull(r, 3)},""" +
+          s""""t_first_lo":${tsOrNull(r, 4)},""" +
+          s""""peak_hi":${jsonNum(r.getDouble(5))},""" +
+          s""""peak_lo":${jsonNum(r.getDouble(6))}}"""
+    }
+    cacheKey.foreach { k =>
+      if (cusumMemo.size > RespCacheMaxEntries) cusumMemo.clear()
+      cusumMemo.put(k, body)
     }
     sendJson(ex, body)
   }

@@ -1068,4 +1068,50 @@ object TextAnalysis {
   def vocabEstimate(sketches: DataFrame): DataFrame =
     sketches.select(col("lang"),
       hll_sketch_estimate(col("sketch")).as("est_distinct"))
+
+  /** Per-source unigram KL divergence from the corpus distribution —
+    * the mixture-design QA panel: "how far does each source's token
+    * distribution sit from the corpus average", the quantity DSIR
+    * weighting and temperature mixing act on (a source at KL ≈ 0 is
+    * interchangeable with the average; a high-KL source is the one a
+    * mixture must up/down-weight deliberately).
+    *
+    * KL(p_s‖p_c) = Σ_t (c_st/N_s)·ln(c_st·N_c / (N_s·c_ct)), summed
+    * over the source's own support (c_st > 0 ⇒ c_ct > 0 — no
+    * smoothing needed; KL against the corpus a source is PART of is
+    * always finite).
+    *
+    * Scale shape: one corpus scan → (source, token) counts; corpus
+    * token counts derive from THAT table (vocabulary-sized, not a
+    * second corpus pass); source totals and the corpus total are
+    * broadcast. Cross-engine contract: each ln evaluates on the same
+    * fixed-order double ratio and quantizes to a 12dp Long grid
+    * before the exact DECIMAL sum ([[bigramScore]]'s precedent);
+    * output rounds at the 6dp edge.
+    */
+  def sourceKl(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(19,0)")
+    val st = docs.select(col("source"), explode(toks(textCol)).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
+    val ct = st.groupBy("tok").agg(sum(col("c_st")).as("c_ct"))
+    val ns = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
+    val nc = ns.agg(sum(col("n_s")).as("n_c"))
+    // ln of the exact ratio, fixed operand order, 12dp Long grid
+    val lnq = round(log(
+        (col("c_st").cast("double") * col("n_c").cast("double")) /
+          (col("n_s").cast("double") * col("c_ct").cast("double")))
+        * lit(1e12)).cast("long")
+    st.join(ct, Seq("tok"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(nc))
+      .select(col("source"), col("n_s"),
+        (d(col("c_st")) * d(lnq)).as("term"))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_tokens"),
+        sum(col("term")).as("s"))
+      .select(col("source"), col("n_tokens"),
+        (round(col("s").cast("double") / col("n_tokens").cast("double") /
+            lit(1e12) * lit(1e6)).cast("long").cast("double") / lit(1e6))
+          .as("kl"))
+  }
 }

@@ -55,7 +55,10 @@ object StreamingCusum {
         for (s <- it.toSeq.sortBy(_.seq)) {
           if (lastTs == Long.MinValue || s.ts > lastTs) { // F6
             lastTs = s.ts
-            s.value.filter(v => java.lang.Double.isFinite(v)).foreach { v =>
+            // match the batch filter EXACTLY: null and NaN drop, but an
+            // Infinity (which the batch grid would clamp) flows through
+            // the same math.round clamp Spark's cast applies
+            s.value.filter(v => !java.lang.Double.isNaN(v)).foreach { v =>
               val q = BigInt(math.round(v * 1e6))
               pHi += q - tq - slackQ
               if (pHi < minPHi) minPHi = pHi

@@ -367,6 +367,49 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getDouble(6) == 500.0 && r.getDouble(7) == 500.0)
   }
 
+  test("cusumShiftsChunked equals the plain detector across chunk sizes, including chunk-straddling excursions") {
+    // sawtooth + step so excursions straddle chunk boundaries; two
+    // channels with different phases; 1 s cadence over 300 s
+    val mk = (ch: String, phase: Int) => (0 until 300).map { i =>
+      val v = if (i < 150) 10.0 + ((i + phase) % 7) else 30.0 + (i % 5)
+      (ch, i.toLong * S, v, "", 0, 0, (ch.hashCode.toLong << 20) + i)
+    }
+    val df = frame(mk("a", 0) ++ mk("b", 3))
+    val plain = Analytics.cusumShifts(df, 0L, 300 * S,
+      slack = 3.0, threshold = 50.0).orderBy("channel").collect().toSeq
+    for (chunkSec <- Seq(7L, 64L, 1000L)) {
+      val chunked = Analytics.cusumShiftsChunked(df, 0L, 300 * S,
+        slack = 3.0, threshold = 50.0, chunkNs = chunkSec * S)
+        .orderBy("channel").collect().toSeq
+      assert(chunked == plain, s"chunkSec=$chunkSec")
+    }
+  }
+
+  test("stalenessReport: median cadence, expected next, overdue flag, single-sample degenerate") {
+    // "live": 10 s cadence, last at 90 s, asOf 100 s → not overdue
+    // "dead": 10 s cadence but silent since 40 s → overdue at 100 s
+    // "lone": one sample → no cadence, stale by definition
+    // "burst": gaps 1,1,1,50 → median 1 s (robust), silent → stale
+    val live = series("live", (0 to 9).map(_.toDouble))
+    val dead = (0 to 4).map(i => ("dead", i * P, 1.0, "", 0, 0, 100L + i))
+    val lone = Seq(("lone", 0L, 1.0, "", 0, 0, 200L))
+    val burst = Seq(0L, 1L, 2L, 3L, 53L).zipWithIndex.map { case (t, i) =>
+      ("burst", t * S, 1.0, "", 0, 0, 300L + i) }
+    val asOf = 100 * S
+    val got = Analytics.stalenessReport(
+        frame(live ++ dead ++ lone ++ burst), asOf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!got("live").getBoolean(5) &&
+      got("live").getLong(3) == 10 * S &&
+      got("live").getLong(4) == 100 * S)
+    assert(got("dead").getBoolean(5) &&
+      got("dead").getLong(4) == 50 * S)
+    assert(got("lone").getBoolean(5) && got("lone").isNullAt(3) &&
+      got("lone").isNullAt(4))
+    assert(got("burst").getLong(3) == 1 * S, "median must resist the burst gap")
+    assert(got("burst").getBoolean(5))
+  }
+
   test("cusumShifts: constant channel never fires, peaks stay zero") {
     val df = frame(series("flat", Seq.fill(60)(5.0)))
     val r = Analytics.cusumShifts(df, 0L, 600 * S,

@@ -250,6 +250,71 @@ class HttpArchiveServerSpec extends AnyFunSuite {
       (200, """{"channel":"pv:empty","samples":0}"""))
   }
 
+  test("spectrum endpoint serves the oscillation panel; custom periods; error matrix") {
+    val lo = T0; val hi = T0 + 600L * 60L * NS
+    val ch = enc("pv:beta")
+    val (code, body) = get(s"$base/1/spectrum/$ch?start=$lo&end=$hi")
+    assert(code == 200)
+    assert(body.contains(""""channel":"pv:beta""""))
+    // default grid = 7 candidates, every row carries the sample count
+    assert(body.split("\"period_s\":").length - 1 == 7)
+    assert(body.contains(""""n":60"""))
+    assert(body.contains(""""dominant_period_s":"""))
+    // the served numbers are the engine's own querySpectrum values
+    val eng = graft.archive.ConfiguredArchive.querySpectrum(spark, cfgDir,
+        storePath, "pv:beta", lo, hi,
+        graft.archive.Analytics.DefaultSpectrumPeriods)
+      .orderBy("period_s").collect()
+      .map(r => (r.getAs[Long]("period_s"), r.getAs[Double]("power")))
+    eng.foreach { case (p, pw) =>
+      assert(body.contains(s""""period_s":$p"""), s"missing period $p")
+      val printed = if (pw == math.rint(pw) && math.abs(pw) < 1e15)
+        pw.toLong.toString else pw.toString
+      assert(body.contains(s""""power":$printed"""), s"power $p=$printed")
+    }
+    // custom periods: parsed, deduped, sorted; two entries
+    val (c2, b2) =
+      get(s"$base/1/spectrum/$ch?start=$lo&end=$hi&periods=240,120,240")
+    assert(c2 == 200 && b2.split("\"period_s\":").length - 1 == 2)
+    assert(b2.indexOf("\"period_s\":120") < b2.indexOf("\"period_s\":240"))
+    // error matrix
+    assert(get(s"$base/1/spectrum/$ch?start=5&end=4")._1 == 400)
+    assert(get(s"$base/1/spectrum/$ch?end=4")._1 == 400)
+    assert(get(s"$base/1/spectrum/$ch?start=$lo&end=$hi&periods=abc")._1 == 400)
+    assert(get(s"$base/1/spectrum/$ch?start=$lo&end=$hi&periods=0")._1 == 400)
+    assert(get(s"$base/1/spectrum/${enc("pv:nope")}?start=0&end=4")._1 == 404)
+    assert(get(s"$base/1/spectrum/${enc("pv:empty")}?start=0&end=4") ==
+      (200, """{"channel":"pv:empty","periods":[]}"""))
+  }
+
+  test("cusum endpoint serves the mean-shift panel; tuning params; error matrix") {
+    val lo = T0; val hi = T0 + 600L * 60L * NS
+    val ch = enc("pv:beta")
+    // the ramp 1..60 against its own mean: low side fires early, high
+    // side late — slack 0, threshold 5 make both sides certain
+    val (code, body) =
+      get(s"$base/1/cusum/$ch?start=$lo&end=$hi&slack=0&threshold=5")
+    assert(code == 200)
+    val eng = graft.archive.ConfiguredArchive.queryCusum(spark, cfgDir,
+        storePath, "pv:beta", lo, hi, 0.0, 5.0).collect().head
+    assert(body.contains(""""samples":60"""))
+    assert(body.contains(s""""n_hi":${eng.getAs[Long]("n_hi")}"""))
+    assert(body.contains(s""""n_lo":${eng.getAs[Long]("n_lo")}"""))
+    assert(eng.getAs[Long]("n_hi") > 0 && eng.getAs[Long]("n_lo") > 0)
+    assert(body.contains(s""""t_first_hi":${eng.getAs[Long]("t_first_hi")}"""))
+    assert(body.contains(s""""t_first_lo":${eng.getAs[Long]("t_first_lo")}"""))
+    // defaults: no tuning params is still a valid panel
+    assert(get(s"$base/1/cusum/$ch?start=$lo&end=$hi")._1 == 200)
+    // error matrix
+    assert(get(s"$base/1/cusum/$ch?start=5&end=4")._1 == 400)
+    assert(get(s"$base/1/cusum/$ch?start=$lo&end=$hi&slack=-1")._1 == 400)
+    assert(get(s"$base/1/cusum/$ch?start=$lo&end=$hi&threshold=0")._1 == 400)
+    assert(get(s"$base/1/cusum/$ch?start=$lo&end=$hi&threshold=x")._1 == 400)
+    assert(get(s"$base/1/cusum/${enc("pv:nope")}?start=0&end=4")._1 == 404)
+    assert(get(s"$base/1/cusum/${enc("pv:empty")}?start=0&end=4") ==
+      (200, """{"channel":"pv:empty","samples":0}"""))
+  }
+
   test("route matrix: 404 unknown/empty channel and route") {
     assert(get(s"$base/1/samples/${enc("pv:nope")}?start=0&end=4")._1 == 404)
     assert(get(s"$base/1/samples/?start=0&end=4")._1 == 404)

@@ -1393,6 +1393,26 @@ class PipelineSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getAs[Long]("n_pair") >= 5L))
   }
 
+  test("sourceKl: hand-computed divergence, symmetric corpus, zero for a proportional source") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "x x x y", "en", "A"),
+      (2L, "y y y x", "en", "B"),
+      (3L, "x y x y", "en", "C") // exactly the corpus distribution? see below
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    // corpus: x=6, y=6 → p_c = (.5, .5); A = (.75, .25), B = (.25, .75),
+    // C = (.5, .5) → KL(C) = 0, KL(A) = KL(B) by symmetry
+    val got = graft.pipeline.TextAnalysis.sourceKl(df)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val exp = 0.75 * math.log(1.5) + 0.25 * math.log(0.5)
+    assert(got("A")._1 == 4 && got("B")._1 == 4 && got("C")._1 == 4)
+    assert(math.abs(got("A")._2 - exp) <= 1e-6, s"A: ${got("A")._2} vs $exp")
+    assert(got("A")._2 == got("B")._2, "symmetric sources must match")
+    assert(got("C")._2 == 0.0, "proportional source has zero divergence")
+  }
+
   test("gramMatrix: one-pass fold equals the brute-force triangle, flush-size independent") {
     import org.apache.spark.sql.functions._
     val d = Similarity.Dim
