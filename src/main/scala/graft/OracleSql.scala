@@ -30,6 +30,10 @@ object OracleSql {
   /** Candidate oscillation periods probed by the spectral gates. */
   val SpectrumPeriods: Seq[Long] =
     graft.archive.Analytics.DefaultSpectrumPeriods
+  /** Periods probed by the DECIMATED spectrum (all ≥ 2× the 1 h level). */
+  val DecSpectrumPeriods: Seq[Long] =
+    Seq(7200L, 21600L, 43200L, 86400L).map(_ * NS)
+
   /** CUSUM slack k (value units) — drift below k/sample accumulates nothing. */
   val CusumSlack: Double = graft.archive.Analytics.DefaultCusumSlack
   /** CUSUM decision threshold h (value units, cumulative). */
@@ -205,15 +209,12 @@ object OracleSql {
     * is exact integer arithmetic, and the projection sums are
     * DECIMAL(38,0) (order-free).
     */
-  private lazy val spectrumSql: String =
-    s"""WITH $SAMPLES,
-       |$CLEAN,
-       |b AS (
-       |  SELECT channel, ts, CAST(round(value * 1000000.0) AS BIGINT) AS q
-       |  FROM clean
-       |  WHERE ts >= $LO AND ts < $HI AND value IS NOT NULL
-       |    AND NOT isnan(value)),
-       |m AS (
+  /** The projection/power CTE chain over a prelude-defined
+    * `b(channel, ts, q)`, ending in `spec` — composable so the raw
+    * and decimated-level spectra share one definition.
+    */
+  private def spectrumChain(lo: Long, periods: Seq[Long]): String =
+    s"""m AS (
        |  SELECT channel,
        |    CAST(round(CAST(sum(CAST(q AS DECIMAL(19,0))) AS DOUBLE)
        |      / count(*)) AS BIGINT) AS mq,
@@ -221,10 +222,10 @@ object OracleSql {
        |  FROM b GROUP BY 1),
        |tab AS (SELECT ${qList(graft.archive.Analytics.spectrumCosQ.toSeq)} AS ct,
        |               ${qList(graft.archive.Analytics.spectrumSinQ.toSeq)} AS st),
-       |p AS (SELECT unnest(${qList(SpectrumPeriods)}) AS period),
+       |p AS (SELECT unnest(${qList(periods)}) AS period),
        |e AS (
        |  SELECT b.channel, m.n, p.period, b.q - m.mq AS qd,
-       |    CAST(((b.ts - $LO) % p.period)
+       |    CAST(((b.ts - $lo) % p.period)
        |      * ${graft.archive.Analytics.SpectrumTableSize}
        |      // p.period AS BIGINT) AS idx
        |  FROM b JOIN m USING (channel) CROSS JOIN p),
@@ -239,6 +240,16 @@ object OracleSql {
        |    (sc * sc + ss * ss) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
        |      / 1e24 AS power
        |  FROM g)""".stripMargin
+
+  private lazy val spectrumSql: String =
+    s"""WITH $SAMPLES,
+       |$CLEAN,
+       |b AS (
+       |  SELECT channel, ts, CAST(round(value * 1000000.0) AS BIGINT) AS q
+       |  FROM clean
+       |  WHERE ts >= $LO AND ts < $HI AND value IS NOT NULL
+       |    AND NOT isnan(value)),
+       |${spectrumChain(LO, SpectrumPeriods)}""".stripMargin
 
   val all: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -853,6 +864,21 @@ object OracleSql {
     "arch_spectrum" ->
       (spectrumSql + "\nSELECT * FROM spec ORDER BY channel, period_s"),
 
+    // resolution-aware spectrum: the identical projection chain over
+    // the 1 h DECIMATED level's means (quantized like every other
+    // decimated consumer) — the cheap path when the suspect periods
+    // are all ≫ the level period
+    "arch_spectrum_decimated" ->
+      s"""${decPrelude(P1H)},
+         |b AS (
+         |  SELECT channel, win_start AS ts,
+         |    CAST(round(mean * 1000000.0) AS BIGINT) AS q
+         |  FROM dec
+         |  WHERE win_start >= $LO AND win_start < $HI
+         |    AND mean IS NOT NULL AND NOT isnan(mean)),
+         |${spectrumChain(LO, DecSpectrumPeriods)}
+         |SELECT * FROM spec ORDER BY channel, period_s""".stripMargin,
+
     // per-channel argmax of the spectrum; power share from 6dp-
     // quantized per-period powers (exact integer total)
     "arch_dominant_period" ->
@@ -871,6 +897,61 @@ object OracleSql {
            |    THEN CAST(pq AS DOUBLE) / CAST(total_q AS DOUBLE)
            |    ELSE 0.0 END AS power_share
            |FROM t WHERE rn = 1 ORDER BY channel""".stripMargin),
+
+    // day-cohort retention: exact integer day indices, distinct
+    // (user, day) activity, scale-rounded rate — mirrors retentionCohorts
+    "events_retention_cohorts" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+         |  FROM events),
+         |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+         |a AS (SELECT DISTINCT f.cohort_day, e.day - f.cohort_day AS day_offset,
+         |             e.user_id
+         |      FROM e JOIN f ON e.user_id = f.user_id),
+         |c AS (SELECT cohort_day, day_offset, count(*) AS users
+         |      FROM a GROUP BY 1, 2),
+         |z AS (SELECT cohort_day, users AS cohort_size FROM c
+         |      WHERE day_offset = 0)
+         |SELECT c.cohort_day, c.day_offset, CAST(c.users AS BIGINT) AS users,
+         |  CAST(CAST(round(CAST(c.users AS DOUBLE)
+         |    / CAST(z.cohort_size AS DOUBLE) * 1000000.0) AS BIGINT)
+         |    AS DOUBLE) / 1000000.0 AS retention
+         |FROM c JOIN z ON c.cohort_day = z.cohort_day
+         |ORDER BY c.cohort_day, c.day_offset""".stripMargin,
+
+    // ordered funnel: chained conditional-min CTEs (the sequential
+    // form of the Spark side's greedy sorted fold — equal because the
+    // first qualifying event in ascending order IS the minimum)
+    "events_funnel" -> {
+      val W = 3L * 86400L * NS
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events
+         |  WHERE event_type IN ('view', 'click', 'purchase')),
+         |s0 AS (SELECT user_id, min(ts) AS t0 FROM e
+         |       WHERE event_type = 'view' GROUP BY 1),
+         |s1 AS (SELECT e.user_id, min(e.ts) AS t1
+         |       FROM e JOIN s0 ON e.user_id = s0.user_id
+         |       WHERE e.event_type = 'click' AND e.ts > s0.t0
+         |         AND e.ts - s0.t0 <= $W GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+         |       FROM e JOIN s0 ON e.user_id = s0.user_id
+         |            JOIN s1 ON e.user_id = s1.user_id
+         |       WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+         |         AND e.ts - s0.t0 <= $W GROUP BY 1),
+         |c AS (
+         |  SELECT 0 AS step, 'view' AS step_name,
+         |         (SELECT count(*) FROM s0) AS users
+         |  UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+         |  UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2))
+         |SELECT CAST(step AS INT) AS step, step_name,
+         |  CAST(users AS BIGINT) AS users,
+         |  CASE WHEN (SELECT count(*) FROM s0) > 0
+         |    THEN CAST(CAST(round(CAST(users AS DOUBLE)
+         |      / (SELECT count(*) FROM s0) * 1000000.0) AS BIGINT)
+         |      AS DOUBLE) / 1000000.0
+         |    ELSE 0.0 END AS conversion
+         |FROM c ORDER BY step""".stripMargin
+    },
 
     // staleness report as of HI: median inter-arrival gap (exact
     // interpolated percentile ≡ quantile_cont on integer deltas),

@@ -822,6 +822,20 @@ object SparkEntry {
           col("roll_min"), col("roll_max"), col("roll_n"))
         .orderBy("channel", "ts")),
 
+    // day-cohort retention matrix: distinct users active k days after
+    // their cohort's first day, rate against the cohort size
+    "events_retention_cohorts" -> ((s, dir) =>
+      graft.streaming.Sessionize.retentionCohorts(Tables.events(s, dir))
+        .orderBy("cohort_day", "day_offset")),
+
+    // ordered funnel over the events stream: earliest strictly-ordered
+    // view→click→purchase completion within 3 days of the first view —
+    // greedy per-user fold ≡ the oracle's chained conditional minima
+    "events_funnel" -> ((s, dir) =>
+      graft.streaming.Sessionize.funnel(Tables.events(s, dir),
+          Seq("view", "click", "purchase"), windowNs = 3L * 86400L * NS)
+        .orderBy("step")),
+
     // gap-based sessionization of the raw events stream (graft
     // .streaming.Sessionize, 12h gap — the corpus' median per-user
     // inter-event gap is ~7.3h, so sessions genuinely merge AND split)
@@ -912,6 +926,17 @@ object SparkEntry {
     // exact DECIMAL projection sums, fixed-order double power
     "arch_spectrum" -> ((s, dir) =>
       Analytics.spectrum(clean(s, dir), LO, HI, SpectrumPeriods)
+        .orderBy("channel", "period_s")),
+
+    // resolution-aware spectrum: the projection over the 1 h level's
+    // means instead of raw — 1/cadence the scan for periods ≫ 1 h
+    // (the planner logic a spectral dashboard would use)
+    "arch_spectrum_decimated" -> ((s, dir) =>
+      Analytics.spectrum(
+          Decimation.decimate(marked(s, dir), P1H)
+            .select(col("channel"), col("win_start").as("ts"),
+              col("mean").as("value")),
+          LO, HI, DecSpectrumPeriods)
         .orderBy("channel", "period_s")),
 
     // the spectrum reduced to its per-channel argmax + power share

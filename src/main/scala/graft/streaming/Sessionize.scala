@@ -97,4 +97,101 @@ object Sessionize {
         sum(col("value").cast("decimal(38,12)")).cast("double").as("sum_value"))
       .drop("session_window", "_ts")
   }
+
+  /** Ordered-funnel analysis over the events frame — "of the users who
+    * did step 1, how many went on to step 2 … within `windowNs` of the
+    * first step": per step the distinct users whose earliest
+    * STRICTLY-ORDERED completion exists, with the conversion rate
+    * against step 1.
+    *
+    * Earliest-completion semantics: t₀ = the user's first step-1
+    * event; tᵢ = the first step-(i+1) event with ts > tᵢ₋₁ and
+    * ts − t₀ ≤ windowNs. The implementation is a greedy fold over the
+    * user's time-sorted events (a codegen'd `aggregate` whose state is
+    * the k reached-times), which equals the sequential conditional
+    * minima because the first qualifying event in ascending order IS
+    * the minimum — the DuckDB oracle computes it the other way
+    * (chained conditional-min CTEs) precisely to pin that equivalence.
+    *
+    * Scale shape: ONE shuffle on user_id; the per-user array is
+    * bounded by that user's event count (the [[sessions]]
+    * justification) and the fold is O(events · k) with k tiny; the
+    * final frame is k rows. All comparisons are exact integers; the
+    * conversion ratio is scale-rounded at the edge.
+    */
+  /** Day-cohort retention over the events frame — the classic "of the
+    * users first seen on day D, how many came back on day D+k" matrix:
+    * one row per (cohort day, day offset) with distinct active users
+    * and the retention rate against the cohort's size.
+    *
+    * Scale shape: one user-keyed aggregation (first day), one
+    * distinct over (user, day) that rides the same user_id shuffle,
+    * one cohort-keyed rollup whose output is cohorts × horizon rows;
+    * cohort sizes (day-offset-0 rows) broadcast back for the rate.
+    * Day indices are exact integer ns division; the rate scale-rounds
+    * at the edge.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val e = events.select(col("user_id"),
+      expr(s"ts div ${dayNs}L").as("day"))
+    val firstDay = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    val activity = e.join(firstDay, Seq("user_id"))
+      .select(col("cohort_day"), (col("day") - col("cohort_day"))
+        .as("day_offset"), col("user_id"))
+      .distinct()
+    val counts = activity.groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("users"))
+    val sizes = counts.where(col("day_offset") === 0L)
+      .select(col("cohort_day"), col("users").as("cohort_size"))
+    counts.join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("users"),
+        (round(col("users").cast("double") /
+            col("cohort_size").cast("double") * lit(1e6))
+          .cast("long").cast("double") / lit(1e6)).as("retention"))
+  }
+
+  def funnel(events: DataFrame, steps: Seq[String],
+             windowNs: Long): DataFrame = {
+    require(steps.size >= 2 && steps.distinct.size == steps.size,
+      "funnel needs at least two distinct steps")
+    require(steps.forall(s => !s.contains("'")), "step names must be quote-free")
+    val k = steps.size
+    val stepArr = steps.map(s => s"'$s'").mkString("array(", ", ", ")")
+    val ev = events.where(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("ts"), col("event_type"))
+    // state = k reached-times; CASE branches keep every element_at
+    // lazily guarded (ANSI mode throws on an out-of-range index)
+    val walked = ev.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_type"))))
+        .as("seq"))
+      .withColumn("reached", expr(
+        s"""aggregate(seq,
+           |  array_repeat(cast(null as bigint), $k),
+           |  (st, e) -> transform(st, (t, i) ->
+           |    CASE WHEN t IS NOT NULL THEN t
+           |         WHEN e.event_type != element_at($stepArr, i + 1)
+           |           THEN CAST(NULL AS BIGINT)
+           |         WHEN i = 0 THEN e.ts
+           |         WHEN element_at(st, i) IS NOT NULL
+           |              AND e.ts > element_at(st, i)
+           |              AND e.ts - element_at(st, 1) <= ${windowNs}L
+           |           THEN e.ts
+           |         END))""".stripMargin))
+    val counts = walked
+      .select(posexplode(col("reached")).as(Seq("step", "t")))
+      .groupBy("step")
+      .agg(count(col("t")).as("users"))
+    val w = Window.orderBy("step")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("step_name",
+        element_at(typedLit(steps), col("step") + 1))
+      .withColumn("u0", first(col("users")).over(w))
+      .select(col("step"), col("step_name"), col("users"),
+        when(col("u0") > 0L,
+          round(col("users").cast("double") / col("u0").cast("double")
+            * lit(1e6)).cast("long").cast("double") / lit(1e6))
+          .otherwise(lit(0.0)).as("conversion"))
+  }
 }

@@ -80,4 +80,64 @@ class SessionizeSpec extends AnyFunSuite {
       assert(got == canon(Sessionize.sessions(eventsDf, Gap)))
     } finally q.stop()
   }
+
+  test("retentionCohorts: first-day cohorts, distinct per-day users, rate vs cohort size") {
+    import spark.implicits._
+    val D = 86400L * S
+    // cohort day 0: users 1,2 (user 1 returns day 1 twice — distinct;
+    // user 2 returns day 2); cohort day 1: user 3, never returns
+    val ev = Seq(
+      (1L, 0L), (1L, D + S), (1L, D + 2 * S), (2L, 10L), (2L, 2 * D),
+      (3L, D + 5L))
+      .map { case (u, t) => (u, t, "view", 1.0) }
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = Sessionize.retentionCohorts(ev)
+      .orderBy("cohort_day", "day_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 2L, 1.0),
+      (0L, 1L, 1L, 0.5),
+      (0L, 2L, 1L, 0.5),
+      (1L, 0L, 1L, 1.0)))
+  }
+
+  test("funnel: strict ordering, window cutoff, ties excluded, conversion vs step one") {
+    import spark.implicits._
+    val W = 100L * S
+    // u1 completes; u2's click precedes its view (stops at view); u3's
+    // purchase falls past the window (stops at click); u4 never views
+    // (absent from step 1's denominator); u5's click TIES its view
+    // (strict > excludes it)
+    val ev = Seq(
+      (1L, 0L, "view"), (1L, 10L, "click"), (1L, 20L, "purchase"),
+      (2L, 0L, "click"), (2L, 10L, "view"),
+      (3L, 0L, "view"), (3L, 5L, "click"), (3L, 150L, "purchase"),
+      (4L, 0L, "purchase"),
+      (5L, 0L, "view"), (5L, 0L, "click"))
+      .map { case (u, t, e) => (u, t * S, e, 1.0) }
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = Sessionize.funnel(ev, Seq("view", "click", "purchase"), W)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (0, "view", 4L, 1.0),
+      (1, "click", 2L, 0.5),
+      (2, "purchase", 1L, 0.25)))
+  }
+
+  test("funnel: out-of-order arrival irrelevant (sort inside), step list validated") {
+    import spark.implicits._
+    val ev = Seq((1L, 20L, "purchase"), (1L, 0L, "view"), (1L, 10L, "click"))
+      .map { case (u, t, e) => (u, t * S, e, 1.0) }
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = Sessionize.funnel(ev, Seq("view", "click", "purchase"), 100L * S)
+      .orderBy("step").collect().map(_.getLong(2)).toSeq
+    assert(got == Seq(1L, 1L, 1L))
+    intercept[IllegalArgumentException] {
+      Sessionize.funnel(ev, Seq("view"), 100L * S)
+    }
+    intercept[IllegalArgumentException] {
+      Sessionize.funnel(ev, Seq("view", "view"), 100L * S)
+    }
+  }
 }
