@@ -202,16 +202,14 @@ object OracleSql {
 
   private def qList(a: Seq[Long]): String = a.mkString("[", ", ", "]")
 
-  /** Shared CTE chain for the spectral gates, ending in
-    * `spec(channel, period_s, n, sc, ss, power)` — the literal cos/sin
-    * tables come from [[graft.archive.Analytics.spectrumCosQ]] so both
-    * engines multiply the identical 6dp-grid integers, the phase index
-    * is exact integer arithmetic, and the projection sums are
-    * DECIMAL(38,0) (order-free).
-    */
   /** The projection/power CTE chain over a prelude-defined
-    * `b(channel, ts, q)`, ending in `spec` — composable so the raw
-    * and decimated-level spectra share one definition.
+    * `b(channel, ts, q)`, ending in `spec(channel, period_s, n, sc,
+    * ss, power)` — composable so the raw and decimated-level spectra
+    * share one definition. The literal cos/sin tables come from
+    * [[graft.archive.Analytics.spectrumCosQ]] so both engines multiply
+    * the identical 6dp-grid integers, the phase index is exact integer
+    * arithmetic, and the projection sums are DECIMAL(38,0)
+    * (order-free).
     */
   private def spectrumChain(lo: Long, periods: Seq[Long]): String =
     s"""m AS (

@@ -2148,9 +2148,6 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
     // quantization, exact integer dot, rescale by the two scales,
     // multiply→scale-0-round→divide 6dp rounding (identical IEEE
     // sequence to the Spark side)
-    // mirror of Similarity.sourceOutliers: per-(source, dim) DECIMAL
-    // mean scale-rounded to 6dp before the cosine (the ivf_refined
-    // centroid discipline), bottom-5 cosines per source
     // per-source unigram KL vs the corpus: exact integer counts, each
     // ln on the same fixed-order double ratio quantized to a 12dp
     // Long grid before the exact DECIMAL sum — mirrors sourceKl
@@ -2196,6 +2193,9 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
          |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
 
+    // mirror of Similarity.sourceOutliers: per-(source, dim) DECIMAL
+    // mean scale-rounded to 6dp before the cosine (the ivf_refined
+    // centroid discipline), bottom-5 cosines per source
     "sim_source_outliers" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |m AS (SELECT d.doc_id, d.source, e.v

@@ -752,26 +752,6 @@ object Analytics {
           .otherwise(lit(0.0)).as("power_share"))
   }
 
-  /** Two-sided CUSUM mean-shift detection — "when did this PV's level
-    * actually move": per channel the count of samples where the
-    * cumulative sum of (value − target ∓ slack) exceeds the decision
-    * threshold on the high/low side, the first excursion timestamps,
-    * and the peak CUSUM statistics. Complements [[seasonalAnomalies]]
-    * (point outliers) with the persistent-small-shift detector — a
-    * 0.5σ drift never trips a 3σ band but accumulates here.
-    *
-    * The textbook recursion s_i = max(0, s_{i−1} + dev_i) is not a
-    * window function, but its closed form is: s_i = p_i − min(0,
-    * min_{j≤i} p_j) over the prefix sums p — so the whole detector is
-    * two running-extremum window passes that ride the per-channel
-    * clustering every archive scan already has (same shape as
-    * [[thresholdCrossings]]; at 100 TB channels parallelize and a hot
-    * channel's pass is linear).
-    *
-    * Determinism: target is the channel's 6dp-grid mean, deviations
-    * are exact grid integers, prefix sums and extrema run in
-    * DECIMAL(38,0) — every comparison and output is exact.
-    */
   /** CUSUM calibration: per-channel baseline target on the 6dp grid —
     * the mean the detector monitors against. Split out so the
     * streaming detector ([[graft.streaming.StreamingCusum]]) can
@@ -794,6 +774,26 @@ object Analytics {
       .select(col("channel"), col("ts"),
         round(col("value") * lit(1e6)).cast("long").as("q"))
 
+  /** Two-sided CUSUM mean-shift detection — "when did this PV's level
+    * actually move": per channel the count of samples where the
+    * cumulative sum of (value − target ∓ slack) exceeds the decision
+    * threshold on the high/low side, the first excursion timestamps,
+    * and the peak CUSUM statistics. Complements [[seasonalAnomalies]]
+    * (point outliers) with the persistent-small-shift detector — a
+    * 0.5σ drift never trips a 3σ band but accumulates here.
+    *
+    * The textbook recursion s_i = max(0, s_{i−1} + dev_i) is not a
+    * window function, but its closed form is: s_i = p_i − min(0,
+    * min_{j≤i} p_j) over the prefix sums p — so the whole detector is
+    * two running-extremum window passes that ride the per-channel
+    * clustering every archive scan already has (same shape as
+    * [[thresholdCrossings]]; at 100 TB channels parallelize and a hot
+    * channel's pass is linear).
+    *
+    * Determinism: target is the channel's 6dp-grid mean, deviations
+    * are exact grid integers, prefix sums and extrema run in
+    * DECIMAL(38,0) — every comparison and output is exact.
+    */
   def cusumShifts(samples: DataFrame, lo: Long, hi: Long,
                   slack: Double, threshold: Double): DataFrame = {
     val slackQ = math.round(slack * 1e6)

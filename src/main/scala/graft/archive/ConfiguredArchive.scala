@@ -456,18 +456,21 @@ object ConfiguredArchive {
       .withColumn("channel", lit(name))
 
   /** Config-governed spectral panel — [[Analytics.spectrum]] over the
-    * channel's pruned raw range scan: power at each candidate period
-    * plus the 6dp-quantized per-channel power share (the
-    * [[Analytics.dominantPeriod]] normalization, inlined here since
-    * the panel shows the whole candidate grid).
+    * channel's pruned raw range scan: per candidate period the
+    * projection sums and normalized power (the HTTP edge derives the
+    * dominant period from these rows).
     */
   def querySpectrum(spark: SparkSession, configPath: String,
                     storePath: String, name: String,
                     startNs: Long, endNs: Long, periods: Seq[Long],
                     backend: StoreBackend = ManifestBackend,
                     refuseDisabled: Boolean = false): DataFrame =
+    // the serving contract is END-INCLUSIVE like rawScan and /1/stats;
+    // Analytics.spectrum's internal bound is exclusive, so widen it by
+    // one ns (saturating) or the sample AT endNs silently drops
     Analytics.spectrum(rawScan(spark, configPath, storePath, name,
-        startNs, endNs, backend, refuseDisabled), startNs, endNs, periods)
+        startNs, endNs, backend, refuseDisabled), startNs,
+        if (endNs == Long.MaxValue) endNs else endNs + 1, periods)
       .withColumn("channel", lit(name))
 
   /** Config-governed CUSUM panel — [[Analytics.cusumShifts]] over the
@@ -480,8 +483,10 @@ object ConfiguredArchive {
                  slack: Double, threshold: Double,
                  backend: StoreBackend = ManifestBackend,
                  refuseDisabled: Boolean = false): DataFrame =
+    // end-INCLUSIVE at the serving edge, like querySpectrum above
     Analytics.cusumShifts(rawScan(spark, configPath, storePath, name,
-        startNs, endNs, backend, refuseDisabled), startNs, endNs,
+        startNs, endNs, backend, refuseDisabled), startNs,
+        if (endNs == Long.MaxValue) endNs else endNs + 1,
         slack, threshold)
       .withColumn("channel", lit(name))
 

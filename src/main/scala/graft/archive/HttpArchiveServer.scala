@@ -567,14 +567,8 @@ object HttpArchiveServer {
           sendError(ex, 403, e.getMessage); return
         case _: NoStoredDataException => None
       }
-    // integral doubles print without the trailing ".0" (the JSON a
-    // human reads on a dashboard); non-finite values QUOTE (bare
-    // Infinity/NaN is not JSON — same rule Jackson applies on the
-    // samples path); everything else is Double.toString
-    def num(d: Double): String =
-      if (d.isNaN || d.isInfinite) "\"" + d.toString + "\""
-      else if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
-      else d.toString
+    // shared integral-double / non-finite JSON rendering rule
+    def num(d: Double): String = jsonNum(d)
     val body = row match {
       case None =>
         s"""{"channel":${jsonString(channel)},"samples":0}"""
@@ -591,8 +585,10 @@ object HttpArchiveServer {
     sendJson(ex, body)
   }
 
-  // integral doubles print without the trailing ".0"; non-finite
-  // values QUOTE (bare Infinity/NaN is not JSON) — the statsPanel rule
+  // integral doubles print without the trailing ".0" (the JSON a human
+  // reads on a dashboard); non-finite values QUOTE (bare Infinity/NaN
+  // is not JSON — the rule Jackson applies on the samples path).
+  // Shared by the stats / spectrum / cusum panels.
   private def jsonNum(d: Double): String =
     if (d.isNaN || d.isInfinite) "\"" + d.toString + "\""
     else if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
@@ -634,8 +630,11 @@ object HttpArchiveServer {
       case None => Analytics.DefaultSpectrumPeriods.map(_ / 1000000000L)
       case Some(csv) =>
         val parsed = csv.split(",").toSeq.map(_.trim.toLongOption)
-        // upper bound keeps the ns conversion inside a Long (292 years)
-        if (parsed.exists(p => p.isEmpty || p.get <= 0L ||
+        // upper bound keeps the ns conversion inside a Long (292 years);
+        // Java split drops all-empty tokens, so "," parses to an EMPTY
+        // list — reject it here or the engine's nonEmpty require
+        // surfaces as a 500
+        if (parsed.isEmpty || parsed.exists(p => p.isEmpty || p.get <= 0L ||
             p.get > 9000000000L)) {
           sendError(ex, 400, "periods must be positive integer seconds")
           return

@@ -1245,28 +1245,32 @@ object Similarity {
       expr(s"transform(embedding, x -> cast(round(cast(x as double) " +
         s"* 1000000.0d) as long))").as("q"))
     val partials = quantized.as[Seq[Long]].mapPartitions { rows =>
+      // fast path: Long accumulators, guarded against wrap by the
+      // component-magnitude bound × flush cadence; every flush folds
+      // into an UNBOUNDED BigInt triangle, so the partition emits
+      // exactly ONE triangle (zeros included — the oracle emits every
+      // pair, a dead dimension must not drop its rows) and per-
+      // partition memory is O(d²) regardless of row count
       val acc = new Array[Long](d * (d + 1) / 2)
+      val big = Array.fill(d * (d + 1) / 2)(BigInt(0))
       var pending = 0
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
-      def flush(): Unit = {
-        if (pending > 0) {
-          var i = 0; var k = 0
-          while (i < d) {
-            var j = i
-            while (j < d) {
-              if (acc(k) != 0L) out += ((i, j, acc(k)))
-              acc(k) = 0L; k += 1; j += 1
-            }
-            i += 1
-          }
-          pending = 0
+      var any = false
+      def flush(): Unit = if (pending > 0) {
+        var k = 0
+        while (k < acc.length) {
+          if (acc(k) != 0L) { big(k) += acc(k); acc(k) = 0L }
+          k += 1
         }
+        pending = 0
       }
       rows.foreach { v =>
         require(v.length == d, s"embedding dim ${v.length} != $d")
+        any = true
         var i = 0; var k = 0
         while (i < d) {
           val qi = v(i)
+          require(qi >= -GramMaxQ && qi <= GramMaxQ,
+            s"component magnitude ${qi / 1e6} exceeds the Gram grid bound")
           var j = i
           while (j < d) { acc(k) += qi * v(j); k += 1; j += 1 }
           i += 1
@@ -1275,16 +1279,31 @@ object Similarity {
         if (pending >= GramFlushRows) flush()
       }
       flush()
-      out.iterator
+      if (!any) Iterator.empty
+      else {
+        var i = 0; var k = 0
+        val out = new Array[(Int, Int, String)](d * (d + 1) / 2)
+        while (i < d) {
+          var j = i
+          while (j < d) { out(k) = (i, j, big(k).toString); k += 1; j += 1 }
+          i += 1
+        }
+        out.iterator
+      }
     }.toDF("i", "j", "p")
     partials.groupBy("i", "j")
       .agg(sum(col("p").cast("decimal(38,0)")).cast("double").as("s"))
   }
 
-  /** Rows between Long-overflow flushes in [[gramMatrix]]: 512 rows ×
-    * max per-row |qᵢqⱼ| 10¹⁶ stays an order of magnitude under 2⁶³.
+  /** Rows between Long→BigInt folds in [[gramMatrix]], paired with
+    * [[GramMaxQ]]: 512 rows × (1.34·10⁸)² stays under 2⁶³.
     */
   val GramFlushRows: Int = 512
+
+  /** Per-component 6dp-grid magnitude bound for [[gramMatrix]]'s Long
+    * fast path (|value| ≤ 134) — enforced loudly, never wrapped.
+    */
+  val GramMaxQ: Long = 134000000L
 
   /** Top principal component of the embedding covariance by power
     * iteration over the COLLECTED Gram triangle — the Gram matrix is

@@ -98,27 +98,6 @@ object Sessionize {
       .drop("session_window", "_ts")
   }
 
-  /** Ordered-funnel analysis over the events frame — "of the users who
-    * did step 1, how many went on to step 2 … within `windowNs` of the
-    * first step": per step the distinct users whose earliest
-    * STRICTLY-ORDERED completion exists, with the conversion rate
-    * against step 1.
-    *
-    * Earliest-completion semantics: t₀ = the user's first step-1
-    * event; tᵢ = the first step-(i+1) event with ts > tᵢ₋₁ and
-    * ts − t₀ ≤ windowNs. The implementation is a greedy fold over the
-    * user's time-sorted events (a codegen'd `aggregate` whose state is
-    * the k reached-times), which equals the sequential conditional
-    * minima because the first qualifying event in ascending order IS
-    * the minimum — the DuckDB oracle computes it the other way
-    * (chained conditional-min CTEs) precisely to pin that equivalence.
-    *
-    * Scale shape: ONE shuffle on user_id; the per-user array is
-    * bounded by that user's event count (the [[sessions]]
-    * justification) and the fold is O(events · k) with k tiny; the
-    * final frame is k rows. All comparisons are exact integers; the
-    * conversion ratio is scale-rounded at the edge.
-    */
   /** Day-cohort retention over the events frame — the classic "of the
     * users first seen on day D, how many came back on day D+k" matrix:
     * one row per (cohort day, day offset) with distinct active users
@@ -140,8 +119,13 @@ object Sessionize {
       .select(col("cohort_day"), (col("day") - col("cohort_day"))
         .as("day_offset"), col("user_id"))
       .distinct()
+    // the sizes branch re-reads counts: truncate the lineage so the
+    // user-scale subtree (two scans + three shuffles) runs ONCE and
+    // both consumers read the cohorts × horizon result (the same lazy
+    // localCheckpoint pattern as the curation flagships)
     val counts = activity.groupBy("cohort_day", "day_offset")
       .agg(count(lit(1)).as("users"))
+      .localCheckpoint(false)
     val sizes = counts.where(col("day_offset") === 0L)
       .select(col("cohort_day"), col("users").as("cohort_size"))
     counts.join(broadcast(sizes), Seq("cohort_day"))
@@ -151,6 +135,27 @@ object Sessionize {
           .cast("long").cast("double") / lit(1e6)).as("retention"))
   }
 
+  /** Ordered-funnel analysis over the events frame — "of the users who
+    * did step 1, how many went on to step 2 … within `windowNs` of the
+    * first step": per step the distinct users whose earliest
+    * STRICTLY-ORDERED completion exists, with the conversion rate
+    * against step 1.
+    *
+    * Earliest-completion semantics: t₀ = the user's first step-1
+    * event; tᵢ = the first step-(i+1) event with ts > tᵢ₋₁ and
+    * ts − t₀ ≤ windowNs. The implementation is a greedy fold over the
+    * user's time-sorted events (a codegen'd `aggregate` whose state is
+    * the k reached-times), which equals the sequential conditional
+    * minima because the first qualifying event in ascending order IS
+    * the minimum — the DuckDB oracle computes it the other way
+    * (chained conditional-min CTEs) precisely to pin that equivalence.
+    *
+    * Scale shape: ONE shuffle on user_id; the per-user array is
+    * bounded by that user's event count (the [[sessions]]
+    * justification) and the fold is O(events · k) with k tiny; the
+    * final frame is k rows. All comparisons are exact integers; the
+    * conversion ratio is scale-rounded at the edge.
+    */
   def funnel(events: DataFrame, steps: Seq[String],
              windowNs: Long): DataFrame = {
     require(steps.size >= 2 && steps.distinct.size == steps.size,
@@ -178,10 +183,18 @@ object Sessionize {
            |              AND e.ts - element_at(st, 1) <= ${windowNs}L
            |           THEN e.ts
            |         END))""".stripMargin))
-    val counts = walked
+    val counted = walked
       .select(posexplode(col("reached")).as(Seq("step", "t")))
       .groupBy("step")
       .agg(count(col("t")).as("users"))
+    // skeleton left-join so a corpus with NO matching events still
+    // reports every step at zero (the oracle's UNION of scalar counts
+    // always emits k rows)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val counts = steps.indices.toDF("step")
+      .join(counted, Seq("step"), "left")
+      .withColumn("users", coalesce(col("users"), lit(0L)))
     val w = Window.orderBy("step")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     counts

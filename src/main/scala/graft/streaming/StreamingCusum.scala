@@ -55,11 +55,16 @@ object StreamingCusum {
         for (s <- it.toSeq.sortBy(_.seq)) {
           if (lastTs == Long.MinValue || s.ts > lastTs) { // F6
             lastTs = s.ts
-            // match the batch filter EXACTLY: null and NaN drop, but an
-            // Infinity (which the batch grid would clamp) flows through
-            // the same math.round clamp Spark's cast applies
+            // match the batch filter EXACTLY: null and NaN drop; the
+            // quantization replays Spark's round() (BigDecimal HALF_UP
+            // on the canonical double string) — scala math.round is
+            // floor(x+0.5), which differs on NEGATIVE half-grid values
+            // (-2.5 → -2 vs the batch/oracle -3). An Infinity throws
+            // here exactly as loudly as the batch's ANSI cast would.
             s.value.filter(v => !java.lang.Double.isNaN(v)).foreach { v =>
-              val q = BigInt(math.round(v * 1e6))
+              val q = BigInt(java.math.BigDecimal.valueOf(v * 1e6)
+                .setScale(0, java.math.RoundingMode.HALF_UP)
+                .toBigInteger)
               pHi += q - tq - slackQ
               if (pHi < minPHi) minPHi = pHi
               pLo += q - tq + slackQ

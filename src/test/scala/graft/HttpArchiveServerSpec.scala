@@ -277,11 +277,20 @@ class HttpArchiveServerSpec extends AnyFunSuite {
       get(s"$base/1/spectrum/$ch?start=$lo&end=$hi&periods=240,120,240")
     assert(c2 == 200 && b2.split("\"period_s\":").length - 1 == 2)
     assert(b2.indexOf("\"period_s\":120") < b2.indexOf("\"period_s\":240"))
+    // INCLUSIVE end: a window ending exactly on a sample counts it
+    // (the stats/rawScan contract — two samples at +60 s and +120 s)
+    val (ci, bi) = get(s"$base/1/spectrum/$ch?start=${T0 + 60L * NS}" +
+      s"&end=${T0 + 120L * NS}&periods=60")
+    assert(ci == 200 && bi.contains(""""n":2"""), bi)
     // error matrix
     assert(get(s"$base/1/spectrum/$ch?start=5&end=4")._1 == 400)
     assert(get(s"$base/1/spectrum/$ch?end=4")._1 == 400)
     assert(get(s"$base/1/spectrum/$ch?start=$lo&end=$hi&periods=abc")._1 == 400)
     assert(get(s"$base/1/spectrum/$ch?start=$lo&end=$hi&periods=0")._1 == 400)
+    // Java split drops all-empty tokens: "," must be a 400, not a 500
+    assert(get(s"$base/1/spectrum/$ch?start=$lo&end=$hi&periods=,")._1 == 400)
+    assert(get(s"$base/1/spectrum/$ch?start=$lo&end=$hi&periods=9999999999")
+      ._1 == 400)
     assert(get(s"$base/1/spectrum/${enc("pv:nope")}?start=0&end=4")._1 == 404)
     assert(get(s"$base/1/spectrum/${enc("pv:empty")}?start=0&end=4") ==
       (200, """{"channel":"pv:empty","periods":[]}"""))
@@ -305,6 +314,10 @@ class HttpArchiveServerSpec extends AnyFunSuite {
     assert(body.contains(s""""t_first_lo":${eng.getAs[Long]("t_first_lo")}"""))
     // defaults: no tuning params is still a valid panel
     assert(get(s"$base/1/cusum/$ch?start=$lo&end=$hi")._1 == 200)
+    // INCLUSIVE end, like stats: [+60 s, +120 s] holds two samples
+    val (ci, bi) = get(s"$base/1/cusum/$ch?start=${T0 + 60L * NS}" +
+      s"&end=${T0 + 120L * NS}")
+    assert(ci == 200 && bi.contains(""""samples":2"""), bi)
     // error matrix
     assert(get(s"$base/1/cusum/$ch?start=5&end=4")._1 == 400)
     assert(get(s"$base/1/cusum/$ch?start=$lo&end=$hi&slack=-1")._1 == 400)

@@ -1435,6 +1435,34 @@ class PipelineSpec extends AnyFunSuite {
     exp.foreach { case (k, v) => assert(got(k) == v, s"mismatch at $k") }
   }
 
+  test("gramMatrix: dead dimensions still emit their zero rows (full triangle)") {
+    import org.apache.spark.sql.functions._
+    val d = Similarity.Dim
+    // dimension 0 quantizes to zero for EVERY vector — its 64 pairs
+    // must still appear with s = 0 (the oracle's cross join emits them)
+    val vecs = (0 until 11).map { id =>
+      (id.toLong, Array.tabulate(d)(i =>
+        if (i == 0) 1e-9f else (id + i).toFloat))
+    }
+    val got = Similarity.gramMatrix(vecs.toDF("vec_id", "embedding")
+        .repartition(3))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == d * (d + 1) / 2, s"triangle incomplete: ${got.size}")
+    (0 until d).foreach(j => assert(got((0, j)) == 0.0))
+    assert(got((1, 1)) > 0.0)
+  }
+
+  test("gramMatrix refuses component magnitudes beyond the Long-safe grid bound") {
+    import org.apache.spark.sql.functions._
+    val d = Similarity.Dim
+    val bad = Seq((0L, Array.tabulate(d)(_ => 200.0f)))
+    val ex = intercept[org.apache.spark.SparkException] {
+      Similarity.gramMatrix(bad.toDF("vec_id", "embedding")).collect()
+    }
+    assert(ex.getMessage.contains("Gram grid bound") ||
+      Option(ex.getCause).exists(_.getMessage.contains("Gram grid bound")))
+  }
+
   test("pcaTopComponent recovers a planted dominant direction") {
     import org.apache.spark.sql.functions._
     val d = Similarity.Dim

@@ -125,6 +125,16 @@ class SessionizeSpec extends AnyFunSuite {
       (2, "purchase", 1L, 0.25)))
   }
 
+  test("funnel: a corpus with no matching events still reports every step at zero") {
+    import spark.implicits._
+    val ev = Seq((1L, 0L, "error", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = Sessionize.funnel(ev, Seq("view", "click"), 100L * S)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((0, "view", 0L, 0.0), (1, "click", 0L, 0.0)))
+  }
+
   test("funnel: out-of-order arrival irrelevant (sort inside), step list validated") {
     import spark.implicits._
     val ev = Seq((1L, 20L, "purchase"), (1L, 0L, "view"), (1L, 10L, "click"))

@@ -525,6 +525,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == Seq((10 * S, -9.0), (20 * S, -8.0), (30 * S, -18.0)))
   }
 
+  test("streaming CUSUM quantization matches the batch HALF_UP grid on half-grid values, both signs") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // values landing exactly on x.5 of the 6dp grid: scala math.round
+    // would send -2.5 → -2 where the batch/oracle HALF_UP gives -3
+    val vs = Seq(-0.0000025, 0.0000025, -0.0000015, 1.0000005, -1.0000005)
+    val rows = vs.zipWithIndex.map { case (v, i) =>
+      ("c", i * S, v, "", 0, 0, i.toLong)
+    }.toDF("channel", "ts", "value", "str_value", "severity", "status",
+      "sample_id")
+    val target = graft.archive.Analytics
+      .cusumTargets(rows, 0L, 10 * S).collect().head.getLong(1)
+    val mem = MemoryStream[InSample]
+    val q = StreamingCusum.cusumStream(mem.toDS(),
+        Map("c" -> target), slack = 0.0)
+      .writeStream.format("memory").queryName("cusum_q_out")
+      .outputMode("append").start()
+    val got = try {
+      mem.addData(withSeq(vs.zipWithIndex.map { case (v, i) =>
+        InSample("c", i * S, Some(v), 0L) }))
+      q.processAllAvailable()
+      spark.table("cusum_q_out").as[StreamingCusum.CusumOut]
+        .collect().toSeq.sortBy(_.ts)
+    } finally q.stop()
+    val batch = graft.archive.Analytics
+      .cusumShifts(rows, 0L, 10 * S, slack = 0.0, threshold = 1e-6)
+      .collect().head
+    assert(got.size == batch.getLong(1))
+    assert(got.map(_.cusum_hi_q).max / 1e6 == batch.getDouble(6),
+      "peak_hi must match the batch grid exactly")
+    assert(got.map(_.cusum_lo_q).max / 1e6 == batch.getDouble(7),
+      "peak_lo must match the batch grid exactly")
+  }
+
   test("streaming CUSUM equals the batch closed form across micro-batches; out-of-order dropped; untargeted channels silent") {
     implicit val s: SparkSession = spark
     import s.implicits._
