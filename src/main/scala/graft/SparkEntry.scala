@@ -966,6 +966,15 @@ object SparkEntry {
       Analytics.stalenessReport(clean(s, dir), asOf = HI)
         .orderBy("channel")),
 
+    // the same panel through the config-governed serving stack: ONE
+    // store-wide pruned read, ids mapped back to configured names —
+    // must serve the direct report's bytes (shared oracle)
+    "arch_fleet_staleness" -> ((s, dir) => {
+      val (cfg, store, _) = chartServeFixture(s, dir)
+      ConfiguredArchive.queryStaleness(s, cfg, store, asOf = HI)
+        .orderBy("channel")
+    }),
+
     // threshold-crossing report at 250: up/down counts, first/last
     // up-crossing ts, sample-and-hold time above — exact integers
     "arch_crossings" -> ((s, dir) =>
@@ -2809,6 +2818,9 @@ object SparkEntry {
       ("arch_cusum_chunked" -> base("arch_cusum_shifts")) +
       // the drained Complete-mode spectral monitor serves batch bytes
       ("stream_spectrum" -> base("arch_spectrum")) +
+      // the config-governed fleet panel serves the direct report's
+      // bytes (the fixture stores exactly the clean frame)
+      ("arch_fleet_staleness" -> base("arch_staleness_report")) +
       // the linear z-score walker serves the declarative bytes
       ("arch_rolling_zscore_fast" -> base("arch_rolling_zscore")) +
       ("arch_rolling_zscore_chunked" -> base("arch_rolling_zscore")) +

@@ -441,6 +441,33 @@ object ConfiguredArchive {
         col("ts") >= startNs && col("ts") <= endNs)
   }
 
+  /** Fleet staleness panel — [[Analytics.stalenessReport]] over EVERY
+    * configured channel's stored raw data as of `asOf`: ONE store-wide
+    * read (hi bound pushed down), per-channel cadence windows, data
+    * ids mapped back to configured names through a broadcast of the
+    * config-sized name table. Channels configured but with nothing
+    * stored still report (n_samples = 0, stale) — the ops panel must
+    * SHOW the channel that never archived, not drop it.
+    */
+  def queryStaleness(spark: SparkSession, configPath: String,
+                     storePath: String, asOf: Long,
+                     graceFactor: Long = 3L,
+                     backend: StoreBackend = ManifestBackend): DataFrame = {
+    import spark.implicits._
+    val st = ConfigCommands.state(spark, configPath)
+    val names = st.configs.map(c => (c.channelDataId, c.name))
+      .toDF("channel", "name")
+    val stored = backend.read(spark, storePath, 0L,
+        loNs = None, hiNs = Some(asOf), channel = None)
+      .where(col("ts") <= asOf)
+    val report = Analytics.stalenessReport(stored, asOf, graceFactor)
+    names.join(broadcast(report), Seq("channel"), "left")
+      .select(col("name").as("channel"),
+        coalesce(col("n_samples"), lit(0L)).as("n_samples"),
+        col("t_last"), col("median_gap_ns"), col("expected_next"),
+        coalesce(col("stale"), lit(true)).as("stale"))
+  }
+
   /** Config-governed distribution panel — the summary a dashboard
     * shows next to the chart: sample count, min, exact interpolated
     * p50/p90/p99, max over the requested range

@@ -60,6 +60,10 @@ import org.apache.spark.sql.functions.{col, lit}
   *     [&threshold=H]` (beyond the reference) — the mean-shift panel:
   *     two-sided CUSUM excursion counts/timestamps/peaks
   *     ([[ConfiguredArchive.queryCusum]]); invalid tuning → 400.
+  *   - `GET <ctx>/1/staleness?asOf=NS[&grace=G]` (beyond the
+  *     reference) — the fleet ops panel: every configured channel's
+  *     last arrival, median cadence, expected next, and overdue flag
+  *     ([[ConfiguredArchive.queryStaleness]]).
   *   - `GET <ctx>/1/channels-by-pattern/<glob>` — case-insensitive
   *     `*`/`?` glob over the configured channel names, sorted
   *     (:160-175, compileGlobPattern :307-345).
@@ -233,6 +237,8 @@ object HttpArchiveServer {
       case p if p.startsWith("/1/cusum/") =>
         cusumPanel(spark, configPath, storePath, backend, typed, ex,
           decodePath(p.stripPrefix("/1/cusum/")), params, refuseDisabled)
+      case "/1/staleness" =>
+        stalenessPanel(spark, configPath, storePath, backend, ex, params)
       case p if p.startsWith("/1/channels-by-pattern/") =>
         val glob = decodePath(p.stripPrefix("/1/channels-by-pattern/"))
         listChannels(spark, configPath, ex, params,
@@ -683,6 +689,56 @@ object HttpArchiveServer {
     cacheKey.foreach { k =>
       if (spectrumMemo.size > RespCacheMaxEntries) spectrumMemo.clear()
       spectrumMemo.put(k, body)
+    }
+    sendJson(ex, body)
+  }
+
+  private val stalenessMemo = new java.util.concurrent.ConcurrentHashMap[
+    (StoreBackend, String, String, Long, Long, Long, Long), String]()
+
+  /** `GET <ctx>/1/staleness?asOf=NS[&grace=G]` — the fleet ops panel:
+    * every configured channel's last arrival, median cadence, expected
+    * next arrival, and overdue flag as of `asOf`
+    * ([[ConfiguredArchive.queryStaleness]]); a configured channel with
+    * nothing stored reports samples 0 and stale. Missing/invalid
+    * `asOf` or a non-positive integer `grace` → 400.
+    */
+  private def stalenessPanel(spark: SparkSession, configPath: String,
+                             storePath: String, backend: StoreBackend,
+                             ex: HttpExchange,
+                             params: Map[String, String]): Unit = {
+    val asOf = params.get("asOf").flatMap(_.toLongOption)
+    if (asOf.isEmpty || asOf.get < 0L) {
+      sendError(ex, 400, "asOf must be a non-negative integer"); return
+    }
+    val grace = params.get("grace").map(_.toLongOption)
+      .getOrElse(Some(3L))
+    if (grace.isEmpty || grace.get < 1L) {
+      sendError(ex, 400, "grace must be a positive integer"); return
+    }
+    val cacheKey = backend.metaVersion(spark, storePath).map { mv =>
+      (backend, configPath, storePath,
+        ConfigCommands.state(spark, configPath).version, mv,
+        asOf.get, grace.get)
+    }
+    val hit = cacheKey.flatMap(k => Option(stalenessMemo.get(k)))
+    if (hit.isDefined) { sendJson(ex, hit.get); return }
+    val rows = ConfiguredArchive.queryStaleness(spark, configPath,
+        storePath, asOf.get, grace.get, backend)
+      .orderBy("channel").collect()
+    def optLong(r: org.apache.spark.sql.Row, i: Int): String =
+      if (r.isNullAt(i)) "null" else r.getLong(i).toString
+    val items = rows.map { r =>
+      s"""{"channel":${jsonString(r.getString(0))},""" +
+        s""""samples":${r.getLong(1)},"t_last":${optLong(r, 2)},""" +
+        s""""median_gap_ns":${optLong(r, 3)},""" +
+        s""""expected_next":${optLong(r, 4)},"stale":${r.getBoolean(5)}}"""
+    }
+    val body =
+      s"""{"asOf":${asOf.get},"channels":[${items.mkString(",")}]}"""
+    cacheKey.foreach { k =>
+      if (stalenessMemo.size > RespCacheMaxEntries) stalenessMemo.clear()
+      stalenessMemo.put(k, body)
     }
     sendJson(ex, body)
   }

@@ -328,6 +328,38 @@ class HttpArchiveServerSpec extends AnyFunSuite {
       (200, """{"channel":"pv:empty","samples":0}"""))
   }
 
+  test("staleness endpoint: fleet panel with never-archived channels, grace tuning, error matrix") {
+    // pv:beta last archived at T0+60 min with a 1-min cadence
+    val lastBeta = T0 + 60L * 60L * NS
+    val (code, body) = get(s"$base/1/staleness?asOf=${lastBeta + 60L * NS}")
+    assert(code == 200)
+    assert(body.contains(s""""asOf":${lastBeta + 60L * NS}"""))
+    // engine cross-check: the served numbers are queryStaleness's own
+    val eng = graft.archive.ConfiguredArchive.queryStaleness(spark, cfgDir,
+        storePath, lastBeta + 60L * NS).orderBy("channel").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val beta = eng("pv:beta")
+    assert(!beta.getBoolean(5), "one cadence past last is not overdue")
+    assert(body.contains(
+      s""""channel":"pv:beta","samples":${beta.getLong(1)},""" +
+        s""""t_last":${beta.getLong(2)}"""))
+    // never-archived channel: present, zero samples, stale
+    assert(body.contains(""""channel":"pv:empty","samples":0"""))
+    assert(body.replaceAll(""".*"pv:empty","samples":0,[^}]*"stale":""", "")
+      .startsWith("true"))
+    // far-future asOf: beta becomes overdue
+    val (c2, b2) = get(s"$base/1/staleness?asOf=${lastBeta + 7L * 86400L * NS}")
+    assert(c2 == 200 && b2.contains(
+      s""""t_last":${beta.getLong(2)},"median_gap_ns":${beta.getLong(3)}"""))
+    val betaObj2 = b2.split("""\{"channel":""").find(_.startsWith("\"pv:beta\"")).get
+    assert(betaObj2.contains(""""stale":true"""))
+    // error matrix
+    assert(get(s"$base/1/staleness")._1 == 400)
+    assert(get(s"$base/1/staleness?asOf=x")._1 == 400)
+    assert(get(s"$base/1/staleness?asOf=-1")._1 == 400)
+    assert(get(s"$base/1/staleness?asOf=5&grace=0")._1 == 400)
+  }
+
   test("route matrix: 404 unknown/empty channel and route") {
     assert(get(s"$base/1/samples/${enc("pv:nope")}?start=0&end=4")._1 == 404)
     assert(get(s"$base/1/samples/?start=0&end=4")._1 == 404)
