@@ -877,6 +877,27 @@ object OracleSql {
          |${spectrumChain(LO, DecSpectrumPeriods)}
          |SELECT * FROM spec ORDER BY channel, period_s""".stripMargin,
 
+    // cross-spectral density vs the 'click' probe: fixed-order double
+    // products of the exact projection casts — mirrors crossSpectrum
+    "arch_cross_spectrum" ->
+      (spectrumSql + "," +
+        s"""
+           |a AS (SELECT period_s, n AS n_a, sc AS sc_a, ss AS ss_a,
+           |             power AS power_a
+           |      FROM spec WHERE channel = 'click'),
+           |bb AS (SELECT channel, period_s, n, sc, ss, power FROM spec
+           |       WHERE channel <> 'click')
+           |SELECT bb.channel, bb.period_s,
+           |  (a.sc_a * bb.sc + a.ss_a * bb.ss)
+           |    / (CAST(a.n_a AS DOUBLE) * CAST(bb.n AS DOUBLE))
+           |    / 1e24 AS cross_re,
+           |  (a.ss_a * bb.sc - a.sc_a * bb.ss)
+           |    / (CAST(a.n_a AS DOUBLE) * CAST(bb.n AS DOUBLE))
+           |    / 1e24 AS cross_im,
+           |  a.power_a, bb.power AS power_b
+           |FROM bb JOIN a USING (period_s)
+           |ORDER BY channel, period_s""".stripMargin),
+
     // per-channel argmax of the spectrum; power share from 6dp-
     // quantized per-period powers (exact integer total)
     "arch_dominant_period" ->

@@ -836,6 +836,31 @@ object SparkEntry {
           Seq("view", "click", "purchase"), windowNs = 3L * 86400L * NS)
         .orderBy("step")),
 
+    // the funnel as a LIVE detector: per-user keyed state emits each
+    // step completion once; the drained reached-set summarized by the
+    // shared tail must serve the batch funnel's bytes
+    "stream_funnel" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val steps = Seq("view", "click", "purchase")
+      val ev = Tables.events(s, dir)
+        .where(col("event_type").isin(steps: _*))
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .orderBy("ts")
+      val in = memoInput("sfunnel-in", dir)(ev.write.parquet(_))
+      val ds = s.readStream.schema(ev.schema).parquet(in)
+        .as[graft.streaming.StreamingFunnel.InEvent]
+      val sink = s"sfunnel_out_${streamGateSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamingFunnel
+        .funnelStream(ds, steps, windowNs = 3L * 86400L * NS)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.Sessionize.funnelSummary(
+          detachSink(s, sink).select(col("step")), steps)
+        .orderBy("step")
+    }),
+
     // gap-based sessionization of the raw events stream (graft
     // .streaming.Sessionize, 12h gap — the corpus' median per-user
     // inter-event gap is ~7.3h, so sessions genuinely merge AND split)
@@ -937,6 +962,13 @@ object SparkEntry {
             .select(col("channel"), col("win_start").as("ts"),
               col("mean").as("value")),
           LO, HI, DecSpectrumPeriods)
+        .orderBy("channel", "period_s")),
+
+    // frequency-domain correlated-channel search: cross-spectral
+    // density of every channel against the 'click' probe
+    "arch_cross_spectrum" -> ((s, dir) =>
+      Analytics.crossSpectrum(clean(s, dir), LO, HI,
+          SpectrumPeriods, probe = "click")
         .orderBy("channel", "period_s")),
 
     // the spectrum reduced to its per-channel argmax + power share
@@ -2821,6 +2853,8 @@ object SparkEntry {
       // the config-governed fleet panel serves the direct report's
       // bytes (the fixture stores exactly the clean frame)
       ("arch_fleet_staleness" -> base("arch_staleness_report")) +
+      // the drained streaming funnel summarizes to the batch bytes
+      ("stream_funnel" -> base("events_funnel")) +
       // the linear z-score walker serves the declarative bytes
       ("arch_rolling_zscore_fast" -> base("arch_rolling_zscore")) +
       ("arch_rolling_zscore_chunked" -> base("arch_rolling_zscore")) +

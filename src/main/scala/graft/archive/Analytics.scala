@@ -827,6 +827,38 @@ object Analytics {
         (max(col("cusum_hi")).cast("double") / lit(1e6)).as("peak_hi"),
         (max(col("cusum_lo")).cast("double") / lit(1e6)).as("peak_lo"))
 
+  /** Cross-spectral scan against a probe channel — "which PVs
+    * oscillate WITH this one, at which period, in or out of phase":
+    * per (other channel, candidate period) the complex cross-spectral
+    * density against the probe (re/im, normalized like [[spectrum]]'s
+    * power) plus both auto-powers. Large |re| with matching sign =
+    * in-phase oscillation at that period; negative re = anti-phase —
+    * the frequency-domain sibling of [[lagCorrelation]].
+    *
+    * Scale shape: ONE [[spectrum]] pass (channels × periods rows) +
+    * a broadcast self-join on the probe's period rows — probe-vs-all
+    * is linear in channels, the all-pairs matrix is never built (the
+    * [[correlatedChannels]] discipline). Determinism: the cross terms
+    * are fixed-order double products of the exact projection casts.
+    */
+  def crossSpectrum(samples: DataFrame, lo: Long, hi: Long,
+                    periods: Seq[Long], probe: String): DataFrame = {
+    val spec = spectrum(samples, lo, hi, periods)
+    val a = spec.where(col("channel") === probe)
+      .select(col("period_s"), col("n").as("n_a"),
+        col("sc").as("sc_a"), col("ss").as("ss_a"),
+        col("power").as("power_a"))
+    val b = spec.where(col("channel") =!= probe)
+    val nn = col("n_a").cast("double") * col("n").cast("double")
+    b.join(broadcast(a), Seq("period_s"))
+      .select(col("channel"), col("period_s"),
+        ((col("sc_a") * col("sc") + col("ss_a") * col("ss")) / nn /
+          lit(1e24)).as("cross_re"),
+        ((col("ss_a") * col("sc") - col("sc_a") * col("ss")) / nn /
+          lit(1e24)).as("cross_im"),
+        col("power_a"), col("power").as("power_b"))
+  }
+
   /** Channel-staleness report as of `asOf` — the ops panel "which PVs
     * stopped updating": per channel the sample count, last timestamp,
     * the channel's MEDIAN inter-arrival gap (robust to bursts where a

@@ -183,14 +183,22 @@ object Sessionize {
            |              AND e.ts - element_at(st, 1) <= ${windowNs}L
            |           THEN e.ts
            |         END))""".stripMargin))
-    val counted = walked
+    funnelSummary(walked
       .select(posexplode(col("reached")).as(Seq("step", "t")))
-      .groupBy("step")
-      .agg(count(col("t")).as("users"))
-    // skeleton left-join so a corpus with NO matching events still
-    // reports every step at zero (the oracle's UNION of scalar counts
-    // always emits k rows)
-    val spark = events.sparkSession
+      .where(col("t").isNotNull)
+      .select(col("step")), steps)
+  }
+
+  /** The funnel's counting tail over one row per (user, reached step):
+    * per-step user counts on a k-row skeleton (a corpus with NO
+    * matching events still reports every step at zero — the oracle's
+    * UNION of scalar counts always emits k rows) and the scale-rounded
+    * conversion against step 1. Shared by the batch fold and the
+    * drained streaming detector so the two paths cannot drift.
+    */
+  def funnelSummary(stepRows: DataFrame, steps: Seq[String]): DataFrame = {
+    val counted = stepRows.groupBy("step").agg(count(lit(1)).as("users"))
+    val spark = stepRows.sparkSession
     import spark.implicits._
     val counts = steps.indices.toDF("step")
       .join(counted, Seq("step"), "left")

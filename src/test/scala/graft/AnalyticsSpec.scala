@@ -341,6 +341,29 @@ class AnalyticsSpec extends AnyFunSuite {
       s"dominant ${dom.head}")
   }
 
+  test("crossSpectrum: in-phase, anti-phase, and quadrature channels resolve against the probe") {
+    val mk = (ch: String, f: Int => Double) =>
+      (0 until 600).map(t => (ch, t.toLong * S, f(t), "", 0, 0,
+        (ch.hashCode.toLong << 20) + t))
+    val w = (t: Int) => 2 * math.Pi * t / 60.0
+    val df = frame(
+      mk("probe", t => 100 * math.sin(w(t))) ++
+        mk("inphase", t => 100 * math.sin(w(t))) ++
+        mk("anti", t => -100 * math.sin(w(t))) ++
+        mk("quad", t => 100 * math.cos(w(t))))
+    val got = Analytics.crossSpectrum(df, 0L, 600 * S,
+        Seq(60L * S), probe = "probe")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    // ideal |cross| = (A/2)² = 2500 at the shared period
+    assert(got("inphase")._1 > 2000 && math.abs(got("inphase")._2) < 300,
+      s"in-phase: ${got("inphase")}")
+    assert(got("anti")._1 < -2000 && math.abs(got("anti")._2) < 300,
+      s"anti-phase: ${got("anti")}")
+    assert(math.abs(got("quad")._2) > 2000 && math.abs(got("quad")._1) < 300,
+      s"quadrature: ${got("quad")}")
+  }
+
   test("spectrum: constant channel has zero power everywhere") {
     val df = frame(series("flat", Seq.fill(50)(42.0)))
     val got = Analytics.spectrum(df, 0L, 500 * S, Seq(30L * S, 60L * S))

@@ -125,6 +125,46 @@ class SessionizeSpec extends AnyFunSuite {
       (2, "purchase", 1L, 0.25)))
   }
 
+  test("streaming funnel equals the batch fold across micro-batches; each step emits once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.{FunnelHit, InEvent}
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val W = 100L * S
+    // u1 converts ACROSS batches (view in batch 1, click+purchase in
+    // batch 2); u3's purchase lands past the window; u5 ties
+    val b1 = Seq(InEvent(1L, 0L, "view"),
+      InEvent(3L, 0L, "view"), InEvent(3L, 5 * S, "click"),
+      InEvent(5L, 0L, "view"), InEvent(5L, 0L, "click"))
+    val b2 = Seq(InEvent(1L, 10 * S, "click"), InEvent(1L, 20 * S, "purchase"),
+      InEvent(3L, 150 * S, "purchase"),
+      InEvent(2L, 30 * S, "click"), InEvent(2L, 40 * S, "view"))
+    val steps = Seq("view", "click", "purchase")
+    val mem = MemoryStream[InEvent]
+    val q = StreamingFunnel.funnelStream(mem.toDS(), steps, W)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    val hits = try {
+      Seq(b1, b2).foreach { b => mem.addData(b); q.processAllAvailable() }
+      spark.table("funnel_out").as[FunnelHit].collect().toSeq
+    } finally q.stop()
+    // each (user, step) at most once
+    assert(hits.map(h => (h.user_id, h.step)).distinct.size == hits.size)
+    val summary = graft.streaming.Sessionize.funnelSummary(
+        hits.map(_.step).toDF("step"), steps)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getDouble(3))).toSeq
+    val batch = graft.streaming.Sessionize.funnel(
+        (b1 ++ b2).map(e => (e.user_id, e.ts, e.event_type, 1.0))
+          .toDF("user_id", "ts", "event_type", "value"), steps, W)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getDouble(3))).toSeq
+    assert(summary == batch, s"stream $summary vs batch $batch")
+    assert(batch.map(_._2) == Seq(4L, 2L, 1L))
+  }
+
   test("funnel: a corpus with no matching events still reports every step at zero") {
     import spark.implicits._
     val ev = Seq((1L, 0L, "error", 1.0))
