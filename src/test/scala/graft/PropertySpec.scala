@@ -389,4 +389,53 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expected, s"seed ${900 + i} op $opName step $stepS")
     }
   }
+
+  test("CUSUM closed form == the textbook recursion; chunked == plain on random layouts") {
+    import graft.archive.Analytics
+    val hi = 121L * S
+    for ((layout, i) <- layouts(6, seed = 1700L).zipWithIndex) {
+      val df = frame(layout)
+      val slack = 5.0; val threshold = 40.0
+      val plain = Analytics.cusumShifts(df, 0L, hi, slack, threshold)
+        .collect().toSeq
+      // textbook recursion in plain Scala over the SAME 6dp grid:
+      // s_i = max(0, s_{i-1} + dev_i), two-sided, target = grid mean
+      val qs = layout.collect { case (t, Some(v)) if !v.isNaN =>
+        (t, java.math.BigDecimal.valueOf(v * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue) }
+      if (qs.nonEmpty) {
+        // Spark's round(double): BigDecimal HALF_UP on the canonical
+        // string — math.round would drift on negative half values
+        val mq = java.math.BigDecimal.valueOf(
+            qs.map(_._2).map(BigDecimal(_)).sum.toDouble / qs.size)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+        val sq = math.round(slack * 1e6); val hq = math.round(threshold * 1e6)
+        var sHi = BigInt(0); var sLo = BigInt(0)
+        var nHi = 0L; var nLo = 0L
+        var tHi = Option.empty[Long]; var tLo = Option.empty[Long]
+        var pkHi = BigInt(0); var pkLo = BigInt(0)
+        qs.foreach { case (t, q) =>
+          sHi = (sHi + (q - mq - sq)).max(0)
+          sLo = (sLo - (q - mq + sq)).max(0)
+          if (sHi > hq) { nHi += 1; if (tHi.isEmpty) tHi = Some(t) }
+          if (sLo > hq) { nLo += 1; if (tLo.isEmpty) tLo = Some(t) }
+          pkHi = pkHi.max(sHi); pkLo = pkLo.max(sLo)
+        }
+        val r = plain.head
+        assert(r.getLong(1) == qs.size, s"seed ${1700 + i} n")
+        assert(r.getLong(2) == nHi && r.getLong(3) == nLo,
+          s"seed ${1700 + i} flags: ${r.getLong(2)}/${r.getLong(3)} vs $nHi/$nLo")
+        val gotTHi = if (r.isNullAt(4)) None else Some(r.getLong(4))
+        assert(gotTHi == tHi, s"seed ${1700 + i} tHi")
+        assert(r.getDouble(6) == pkHi.toDouble / 1e6 &&
+          r.getDouble(7) == pkLo.toDouble / 1e6, s"seed ${1700 + i} peaks")
+      }
+      // the chunk-parallel cascade must be byte-identical for ANY chunk
+      for (chunkSec <- Seq(3L, 17L, 500L)) {
+        val chunked = Analytics.cusumShiftsChunked(df, 0L, hi, slack,
+          threshold, chunkNs = chunkSec * S).collect().toSeq
+        assert(chunked == plain, s"seed ${1700 + i} chunk $chunkSec")
+      }
+    }
+  }
 }
