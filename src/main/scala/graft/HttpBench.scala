@@ -54,6 +54,10 @@ object HttpBench {
     ConfiguredArchive.materialize(spark, cfg, store, raw)
 
     val running = HttpArchiveServer.start(spark, cfg, store)
+    // keep-alive client (no disconnect()): a dashboard holds its
+    // connections open, and tearing one down per request puts the JDK
+    // server's per-accept dispatch (~40 ms, measured) under every
+    // request — that cost is connection setup, not serving
     def get(url: String): Int = {
       val conn = URI.create(url).toURL.openConnection()
         .asInstanceOf[HttpURLConnection]
@@ -64,7 +68,7 @@ object HttpBench {
       val buf = new Array[Byte](65536)
       var r = in.read(buf)
       while (r >= 0) { n += r; r = in.read(buf) }
-      in.close(); conn.disconnect()
+      in.close()
       if (code == 200) n.toInt else -code
     }
     def measure(mk: Int => String): Seq[Double] =

@@ -332,6 +332,14 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
     // band rule), so the gate states that by sharing the batch oracle
     "stream_dedup_minhash" -> MINHASH_LSH_SQL,
 
+    // the horizon-TTL stream: event time is doc_id minutes, horizon
+    // 500 minutes, so the within-horizon rule is |doc_b - doc_a| <=
+    // 500 — the batch pair set under that filter IS the contract
+    "stream_dedup_minhash_ttl" ->
+      s"""SELECT doc_a, doc_b, est_jaccard FROM ($MINHASH_LSH_SQL) t
+         |WHERE doc_b - doc_a <= 500
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     // capBandSize guard parity: buckets of more than 4 docs are
     // removed from the banding frame before pairing — same filter,
     // same surviving pairs, on both engines

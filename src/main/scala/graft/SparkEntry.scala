@@ -700,6 +700,29 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // the HORIZON-TTL streaming near-dup: event time rides doc_id (one
+    // minute per id), the horizon admits pairs within 500 ids — the
+    // drained stream must serve the batch candidate set FILTERED to
+    // the horizon (the operator's whole semantics; state eviction is
+    // hygiene the StreamingDedupTtlSpec probes separately)
+    "stream_dedup_minhash_ttl" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val in = memoInput("sdmh-in", dir)(docs.write.parquet(_))
+      val stream = s.readStream.schema(docs.schema).parquet(in)
+        .withColumn("event_time",
+          timestamp_seconds(lit(1704067200L) + col("doc_id") * 60L))
+      val sink = s"sdmt_out_${streamGateSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamingDedup.minhashStreamTtl(stream,
+          horizonMs = 500L * 60L * 1000L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      detachSink(s, sink)
+        .dropDuplicates("doc_a", "doc_b")
+        .select(col("doc_a"), col("doc_b"), r6("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // the FIFTH oracle-gated streaming path: per-channel keyed-state
     // trailing window — every sample emits its trailing stats once,
     // and the drained stream must serve the batch RANGE-frame bytes

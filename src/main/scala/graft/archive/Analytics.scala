@@ -679,9 +679,26 @@ object Analytics {
   def spectrumTerms(withMeans: DataFrame, lo: Long,
                     periods: Seq[Long]): DataFrame = {
     require(periods.nonEmpty && periods.forall(_ > 0), "periods must be positive")
+    // the output (and crossSpectrum's join) is keyed by
+    // period_s = period div 1e9 — two candidates truncating to the
+    // same second would collide into duplicate keys and wrong
+    // cross-pairings, so the collision is refused HERE, not just at
+    // the HTTP edge (which already enforces integer seconds)
+    require(periods.map(_ / NsPerSec).distinct.size == periods.size,
+      "periods must remain distinct after truncation to whole seconds " +
+        "(period_s keys the spectrum output)")
     val tbl = SpectrumTableSize.toLong
+    val qdRaw = col("q") - col("mq")
     withMeans
-      .withColumn("qd", col("q") - col("mq"))
+      // |qd| bound: the qd*cos/sin products below are Long multiplies
+      // against 6dp table values (|c| <= 1e6); a demeaned magnitude
+      // past ~9.2e12 on the grid (~9.2e6 in value units) would
+      // overflow — refuse loudly per row, like gramMatrix's GramMaxQ
+      .withColumn("qd",
+        when(abs(qdRaw) > lit(MaxSpectrumQd), raise_error(concat(
+          lit("spectrum: |value - mean| exceeds the Long-safe bound " +
+            "of 9.2e6 for channel "), col("channel"))))
+          .otherwise(qdRaw))
       .withColumn("period", explode(typedLit(periods)))
       .withColumn("idx",
         expr(s"((ts - ${lo}L) % period) * ${tbl}L div period"))
@@ -711,6 +728,12 @@ object Analytics {
   }
 
   private val NsPerSec: Long = 1000000000L
+
+  /** 6dp-grid bound for [[spectrumTerms]]'s Long products: qd times a
+    * 1e6-scaled table value must stay under 2⁶³ (9.2e12 × 1e6 ≈
+    * 9.2e18), mirroring [[graft.pipeline.Similarity.GramMaxQ]].
+    */
+  val MaxSpectrumQd: Long = 9200000000000L
 
   /** Default candidate-period grid (ns): the suspects an operator
     * probes first — fast oscillation (10 min), cooling/regulation

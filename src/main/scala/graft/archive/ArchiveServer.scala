@@ -169,9 +169,16 @@ object ArchiveServer {
     if (states.isEmpty) throw new NoStoredDataException(channel)
     val chosen = ResolutionPlanner.selectLevel(
       states.map(_.periodSec), startNs, endNs, count)
-    val segments = ResolutionPlanner.fallbackSegments(chosen,
+    val segments0 = ResolutionPlanner.fallbackSegments(chosen,
       states.map(s => s.periodSec -> s.earliestTs).toMap,
       states.map(_.periodSec).filter(_ > chosen), startNs, endNs)
+    // a request entirely before the channel's first sample plans to
+    // ZERO segments (no level's earliest is <= end) — serve the empty
+    // range at the chosen level instead of crashing on an empty union,
+    // so a widened upper bound still returns its at-or-after boundary
+    // sample, like the reference's AT_OR_AFTER contract
+    val segments =
+      if (segments0.isEmpty) Seq((chosen, startNs, endNs)) else segments0
     val defaultMode = if (count.isEmpty) AtOrWidened else Exact
     // the request's lower-bound mode applies to whichever segment
     // actually holds the request's lower edge: with retention fallback

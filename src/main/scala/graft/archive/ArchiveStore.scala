@@ -95,7 +95,14 @@ object ArchiveStore {
     withBucketDate(samples)
       .withColumn("level", lit(levelSec))
       .repartition(col("bucket_date"), col("channel"))
-      .sortWithinPartitions("channel", "ts")
+      // bucket_date leads the sort (and the constant `level` must NOT):
+      // the V1 file writer requires ordering by its partition columns
+      // (level folds to a constant, leaving [bucket_date]); only a
+      // prefix-matching plan ordering survives — otherwise the
+      // optimizer swaps in the writer's own partition-only sort and
+      // shreds the (channel, ts) clustering the read path's row-group
+      // stats rely on (see ManifestStore.commitTxn's note)
+      .sortWithinPartitions("bucket_date", "channel", "ts")
       .write
       .partitionBy("level", "bucket_date")
       .mode(mode)
@@ -117,7 +124,8 @@ object ArchiveStore {
     withBucketDate(samples.drop("channel"))
       .withColumn("level", lit(levelSec))
       .repartition(col("bucket_date"), col("channel_data_id"))
-      .sortWithinPartitions("channel_data_id", "ts")
+      // bucket_date leads — see write()'s ordering note
+      .sortWithinPartitions("bucket_date", "channel_data_id", "ts")
       .write
       .partitionBy("level", "bucket_date")
       .mode(mode)

@@ -217,17 +217,42 @@ object ConfigCommands {
     * against the refreshed state on a lost race, so its validations
     * (exists / pending) hold against what was actually committed.
     */
+  /** Versions kept behind the latest when a commit prunes the log. A
+    * version file carries the COMPLETE state (not a delta), so old
+    * versions serve no reconstruction purpose — they only grow the
+    * directory LIST that every `state` read pays (measured: a
+    * 1000-commit log put ~15 ms of LIST on every serving request).
+    * The tail protects readers that listed just before the prune.
+    */
+  private val KeepVersions = 16
+
   private def commit(spark: SparkSession, path: String)
                     (update: ConfigState => ConfigState): ConfigState = {
     var attempts = 0
     while (attempts < 50) {
       val cur = state(spark, path)
       val next = update(cur).copy(version = cur.version + 1)
-      if (writeExclusive(spark, path, next)) return next
+      if (writeExclusive(spark, path, next)) {
+        pruneLog(spark, path, next.version)
+        return next
+      }
       attempts += 1
     }
     throw new java.io.IOException(
       s"config commit to $path lost $attempts races — giving up")
+  }
+
+  private def pruneLog(spark: SparkSession, path: String,
+                       latest: Long): Unit = {
+    val f = fs(spark, path)
+    listVersions(f, path)
+      .filter(_ < latest - KeepVersions)
+      .foreach { v =>
+        // best-effort: a lost race or IO hiccup just leaves the file
+        // for the next commit's prune
+        try { f.delete(versionFile(path, v), false); () }
+        catch { case _: java.io.IOException => () }
+      }
   }
 
   private def requireFree(st: ConfigState, name: String): Unit =

@@ -397,6 +397,27 @@ object ConfiguredArchive {
                 backend: StoreBackend = ManifestBackend,
                 loMode: Option[ArchiveReader.LimitMode] = None,
                 hiMode: Option[ArchiveReader.LimitMode] = None,
+                refuseDisabled: Boolean = false): Iterator[String] =
+    // single-segment scalar serves answer from driver-side manifest-
+    // pruned row-group reads — zero Spark jobs (the cold-path latency
+    // fix); anything out of that envelope falls back to the engine.
+    // Byte-identity between the two paths is gated by DirectServeSpec.
+    DirectServe.tryServe(spark, configPath, storePath, name, startNs,
+        endNs, count, backend, loMode, hiMode, refuseDisabled)
+      .getOrElse(serveJsonSpark(spark, configPath, storePath, name,
+        startNs, endNs, count, backend, loMode, hiMode, refuseDisabled))
+
+  /** The DataFrame serve path — [[serveJson]] without the direct-read
+    * dispatch; the fallback for out-of-envelope requests and the
+    * byte-parity oracle for [[DirectServe]].
+    */
+  private[graft] def serveJsonSpark(spark: SparkSession, configPath: String,
+                storePath: String,
+                name: String, startNs: Long, endNs: Long,
+                count: Option[Long],
+                backend: StoreBackend = ManifestBackend,
+                loMode: Option[ArchiveReader.LimitMode] = None,
+                hiMode: Option[ArchiveReader.LimitMode] = None,
                 refuseDisabled: Boolean = false): Iterator[String] = {
     val df = querySamples(spark, configPath, storePath, name, startNs,
         endNs, count, backend, loMode, hiMode, refuseDisabled)
@@ -602,9 +623,9 @@ object ConfiguredArchive {
       startNs, endNs, level, backend)
   }
 
-  private def resolveServable(spark: SparkSession, configPath: String,
-                              name: String,
-                              refuseDisabled: Boolean): ChannelConfig = {
+  private[archive] def resolveServable(spark: SparkSession,
+                                       configPath: String, name: String,
+                                       refuseDisabled: Boolean): ChannelConfig = {
     val cfg = ConfigCommands.state(spark, configPath).config(name)
       .getOrElse(throw new NoSuchChannelException(name))
     if (refuseDisabled && !cfg.enabled)

@@ -61,30 +61,67 @@ object HttpAdminApi {
 
   private val mapper = new ObjectMapper()
 
-  /** HTTP Basic credential guard for the admin surface — the minimal
-    * re-expression of the reference's admin-side authentication
-    * (Spring Security over ArchiveUserDetailsManager.java; the
-    * archive-access API is anonymous there and stays anonymous here).
-    * `None` = open (test/dev parity with the pre-round-9 behavior);
-    * `Some(user -> password)` = every admin request must carry
-    * `Authorization: Basic base64(user:password)` or is answered 401
-    * with a WWW-Authenticate challenge. Constant-time comparison so
-    * the check does not leak prefix length.
+  /** An authenticated admin-surface principal. `admin = false` is the
+    * reference's archive-user tier: read-only on the admin surface
+    * (GETs allowed, mutating requests 403), with the one self-service
+    * exception of changing one's OWN password.
     */
-  private def authorized(ex: HttpExchange,
-                         auth: Option[(String, String)]): Boolean =
-    auth match {
-      case None => true
-      case Some((u, p)) =>
-        val expected = java.util.Base64.getEncoder.encodeToString(
-          s"$u:$p".getBytes(StandardCharsets.UTF_8))
-        Option(ex.getRequestHeaders.getFirst("Authorization")) match {
-          case Some(h) if h.startsWith("Basic ") =>
-            java.security.MessageDigest.isEqual(
-              h.stripPrefix("Basic ").trim
-                .getBytes(StandardCharsets.UTF_8),
-              expected.getBytes(StandardCharsets.UTF_8))
-          case _ => false
+  private final case class Principal(name: String, admin: Boolean)
+
+  /** Decode the Basic Authorization header into (user, password). */
+  private def basicCreds(ex: HttpExchange): Option[(String, String)] =
+    Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .filter(_.startsWith("Basic "))
+      .flatMap { h =>
+        try {
+          val s = new String(java.util.Base64.getDecoder.decode(
+            h.stripPrefix("Basic ").trim), StandardCharsets.UTF_8)
+          val i = s.indexOf(':')
+          if (i < 0) None else Some(s.substring(0, i) -> s.substring(i + 1))
+        } catch { case _: IllegalArgumentException => None }
+      }
+
+  private val seededStores =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Authentication for the admin surface — the re-expression of the
+    * reference's admin-side security (Spring Security over
+    * ArchiveUserDetailsManager.java; archive-access is anonymous
+    * there and stays anonymous here). Three modes, by configuration:
+    *
+    *  - `users` (a [[UserStore]] log path): PERSISTED users with
+    *    roles — add/remove/password-change over the API, effective on
+    *    the next request, seeded `admin`/`admin` on first start like
+    *    the reference;
+    *  - `auth` (a static pair, the round-9 surface): that one
+    *    credential, with the admin role (constant-time compare);
+    *  - neither: open, admin (test/dev parity).
+    */
+  private def resolvePrincipal(spark: SparkSession, ex: HttpExchange,
+                               auth: Option[(String, String)],
+                               users: Option[String]): Option[Principal] =
+    users match {
+      case Some(path) =>
+        if (seededStores.add(path)) UserStore.ensureSeeded(spark, path)
+        basicCreds(ex).flatMap { case (u, p) =>
+          UserStore.authenticate(spark, path, u, p)
+            .map(user => Principal(user.name, user.isAdmin))
+        }
+      case None =>
+        auth match {
+          case None => Some(Principal("anonymous", admin = true))
+          case Some((u, p)) =>
+            val expected = java.util.Base64.getEncoder.encodeToString(
+              s"$u:$p".getBytes(StandardCharsets.UTF_8))
+            Option(ex.getRequestHeaders.getFirst("Authorization")) match {
+              case Some(h) if h.startsWith("Basic ") &&
+                  java.security.MessageDigest.isEqual(
+                    h.stripPrefix("Basic ").trim
+                      .getBytes(StandardCharsets.UTF_8),
+                    expected.getBytes(StandardCharsets.UTF_8)) =>
+                Some(Principal(u, admin = true))
+              case _ => None
+            }
         }
     }
 
@@ -93,15 +130,38 @@ object HttpAdminApi {
                               ex: HttpExchange,
                               auth: Option[(String, String)] = None,
                               stats: Option[HttpArchiveServer.Stats] = None,
-                              storeVersion: () => Option[Long] = () => None)
+                              storeVersion: () => Option[Long] = () => None,
+                              users: Option[String] = None)
       : Unit = {
-    if (!authorized(ex, auth)) {
-      ex.getResponseHeaders.set("WWW-Authenticate",
-        "Basic realm=\"graft-admin\"")
-      send(ex, 401, "text/plain", "authentication required")
-      return
+    val principal = resolvePrincipal(spark, ex, auth, users) match {
+      case Some(p) => p
+      case None =>
+        ex.getResponseHeaders.set("WWW-Authenticate",
+          "Basic realm=\"graft-admin\"")
+        send(ex, 401, "text/plain", "authentication required")
+        return
     }
     val rawPath = ex.getRequestURI.getRawPath.stripPrefix(ContextPath)
+    // role gate: mutations need the admin role — except the
+    // self-service password change, handled inside userRoutes
+    val selfPasswordChange =
+      ex.getRequestMethod == "POST" &&
+        rawPath.startsWith("/1.0/users/") && rawPath.endsWith("/password")
+    if (ex.getRequestMethod != "GET" && !principal.admin &&
+        !selfPasswordChange) {
+      send(ex, 403, "text/plain",
+        s"role '${UserStore.AdminRole}' required")
+      return
+    }
+    if (rawPath.startsWith("/1.0/users")) {
+      users match {
+        case Some(path) =>
+          userRoutes(spark, path, ex, rawPath, principal)
+        case None => send(ex, 404, "text/plain",
+          "user management requires a configured user store")
+      }
+      return
+    }
     (ex.getRequestMethod, rawPath) match {
       case ("GET", "/1.0/server-status/this-server") =>
         serverStatus(spark, configPath, ex, stats, storeVersion)
@@ -350,6 +410,91 @@ object HttpAdminApi {
       case other =>
         throw new IllegalArgumentException(s"unknown commandType '$other'")
     }
+
+  // ---- user management ----------------------------------------------
+
+  /** The reference's user CRUD (ArchiveUserDetailsManager.java) as
+    * admin-API routes over the [[UserStore]] log:
+    *
+    *   - `GET    <ctx>/1.0/users` — names + roles (admin only; the
+    *     list of who can administer is itself admin information)
+    *   - `POST   <ctx>/1.0/users` —
+    *     `{"userName":…,"password":…,"roles":["archive-admin"|…]}`
+    *   - `DELETE <ctx>/1.0/users/<name>` — remove (last admin refused)
+    *   - `POST   <ctx>/1.0/users/<name>/password` — `{"password":…}`;
+    *     admins rotate anyone, any user rotates their OWN — effective
+    *     on the next request, no restart
+    *   - `POST   <ctx>/1.0/users/<name>/roles` — `{"roles":[…]}`
+    */
+  private def userRoutes(spark: SparkSession, path: String,
+                         ex: HttpExchange, rawPath: String,
+                         principal: Principal): Unit = {
+    def body: JsonNode = mapper.readTree(
+      new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+    def rolesOf(n: JsonNode): Set[String] =
+      Option(n.get("roles")).filter(_.isArray)
+        .map(_.elements().asScala.map(_.asText()).toSet)
+        .getOrElse(Set(UserStore.UserRole))
+    try {
+      (ex.getRequestMethod, rawPath) match {
+        case ("GET", "/1.0/users") =>
+          if (!principal.admin) {
+            send(ex, 403, "text/plain",
+              s"role '${UserStore.AdminRole}' required"); return
+          }
+          val root = mapper.createObjectNode()
+          val arr = root.putArray("users")
+          UserStore.state(spark, path).users.sortBy(_.name).foreach { u =>
+            val o = arr.addObject()
+            o.put("userName", u.name)
+            val r = o.putArray("roles")
+            u.roles.toSeq.sorted.foreach(r.add)
+          }
+          send(ex, 200, "application/json; charset=UTF-8",
+            mapper.writeValueAsString(root))
+        case ("POST", "/1.0/users") =>
+          val b = body
+          UserStore.addUser(spark, path, str(b, "userName"),
+            str(b, "password"), rolesOf(b))
+          send(ex, 200, "application/json; charset=UTF-8",
+            """{"success":true}""")
+        case ("DELETE", p) if p.startsWith("/1.0/users/") =>
+          UserStore.removeUser(spark, path,
+            decode(p.stripPrefix("/1.0/users/")))
+          send(ex, 200, "application/json; charset=UTF-8",
+            """{"success":true}""")
+        case ("POST", p) if p.startsWith("/1.0/users/") &&
+            p.endsWith("/password") =>
+          val name = decode(p.stripPrefix("/1.0/users/")
+            .stripSuffix("/password"))
+          // the role gate upstream admits admins and the self-change;
+          // re-check here so the route can never be reached for
+          // another user's password by a non-admin
+          if (!principal.admin && name != principal.name) {
+            send(ex, 403, "text/plain", "may only change own password")
+            return
+          }
+          UserStore.setPassword(spark, path, name, str(body, "password"))
+          send(ex, 200, "application/json; charset=UTF-8",
+            """{"success":true}""")
+        case ("POST", p) if p.startsWith("/1.0/users/") &&
+            p.endsWith("/roles") =>
+          val name = decode(p.stripPrefix("/1.0/users/")
+            .stripSuffix("/roles"))
+          UserStore.setRoles(spark, path, name, rolesOf(body))
+          send(ex, 200, "application/json; charset=UTF-8",
+            """{"success":true}""")
+        case ("GET", _) | ("POST", _) | ("DELETE", _) =>
+          send(ex, 404, "text/plain", "not found")
+        case _ => send(ex, 405, "text/plain", "GET/POST/DELETE only")
+      }
+    } catch {
+      case e: IllegalArgumentException =>
+        send(ex, 400, "text/plain", Option(e.getMessage).getOrElse("bad request"))
+      case e: NoSuchElementException =>
+        send(ex, 404, "text/plain", Option(e.getMessage).getOrElse("not found"))
+    }
+  }
 
   // ---- plumbing ------------------------------------------------------
 

@@ -96,6 +96,14 @@ import org.apache.spark.sql.functions.{col, lit}
   */
 object HttpArchiveServer {
 
+  // TCP_NODELAY on the JDK server's sockets: the response headers and
+  // the first body chunk are separate small writes, and Nagle holding
+  // the second until the client's delayed ACK put a flat ~40 ms under
+  // EVERY response (measured — even the driver-side channel listing).
+  // ServerConfig reads the property once at class-load, so set it
+  // before any HttpServer.create in this JVM.
+  System.setProperty("sun.net.httpserver.nodelay", "true")
+
   /** The reference's servlet context for the API. */
   val ContextPath = "/archive-access/api/1.0/archive"
 
@@ -124,11 +132,17 @@ object HttpArchiveServer {
     * requests interleave their small jobs instead of queueing behind
     * one another's scheduling round trips (measured: HTTPLAT row).
     */
+  /** `adminUsers`: path to a [[UserStore]] log — persisted users with
+    * roles (admin vs read-only), seeded admin/admin on first start,
+    * all mutable over the API without a restart; takes precedence over
+    * the static `adminAuth` pair when both are given.
+    */
   def start(spark: SparkSession, configPath: String, storePath: String,
             backend: StoreBackend = ManifestBackend,
             port: Int = 0, threads: Int = 8,
             refuseDisabled: Boolean = false,
-            adminAuth: Option[(String, String)] = None): Running = {
+            adminAuth: Option[(String, String)] = None,
+            adminUsers: Option[String] = None): Running = {
     // typed-union stores (the `vtype` discriminator on the raw level)
     // serve the FULL 21-type wire format — the reference has exactly
     // one serving path (serializeSampleToJsonV1 on typed samples);
@@ -165,7 +179,8 @@ object HttpArchiveServer {
         stats.requests.incrementAndGet()
         HttpAdminApi.handle(spark, configPath, Some(storePath), ex,
           adminAuth, Some(stats),
-          storeVersion = () => backend.metaVersion(spark, storePath))
+          storeVersion = () => backend.metaVersion(spark, storePath),
+          users = adminUsers)
       } catch {
         case e: Throwable =>
           stats.errors.incrementAndGet()
@@ -841,14 +856,18 @@ object HttpArchiveServer {
 
   /** Chunked-streamed JSON array: one element written per iterator
     * step, nothing materialized — length 0 in sendResponseHeaders is
-    * the JDK server's chunked-transfer mode.
+    * the JDK server's chunked-transfer mode. The stream is BUFFERED:
+    * per-element writes each became a tiny TCP chunk, and the
+    * small-segment chatter put a ~40 ms delayed-ACK floor under every
+    * response (measured — even the driver-side channel listing paid
+    * it); 64 KB buffering restores full-segment writes.
     */
   private def streamJsonArray(ex: HttpExchange, elems: Iterator[String],
                               pretty: Boolean): Unit = {
     ex.getResponseHeaders.set("Content-Type",
       "application/json; charset=UTF-8")
     ex.sendResponseHeaders(200, 0L)
-    val out = ex.getResponseBody
+    val out = new java.io.BufferedOutputStream(ex.getResponseBody, 65536)
     def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.UTF_8))
     w("[")
     var first = true

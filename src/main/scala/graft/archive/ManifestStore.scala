@@ -85,6 +85,43 @@ object ManifestStore {
 
   private val mapper = new ObjectMapper()
 
+  /** Every `CheckpointInterval`-th version is a FULL manifest
+    * (checkpoint); the rest are DELTAS carrying only the commit's file
+    * adds/removes plus a parent pointer. A whole-log rewrite per
+    * commit is O(live files) — fine to ~10⁴ entries, then each
+    * streaming micro-batch pays the entire history (the round-9 MLOG
+    * probe's knee); with deltas a commit writes O(its own change) and
+    * a cold read folds at most one checkpoint + interval-1 deltas.
+    * The cadence is DETERMINISTIC in the version number, so two
+    * writers racing for the same version always produce the same
+    * kind and the exclusive-create arbitrates as before.
+    */
+  private[graft] val CheckpointInterval = 32L
+
+  /** Log files older than this many versions behind the head are
+    * auto-deleted when a checkpoint commits (the Delta-Lake
+    * log-retention rule): without it the manifest directory LIST —
+    * paid by every read AND every commit's CAS — grows O(commits)
+    * forever (measured: 26 → 80 ms/commit across 5 k commits from the
+    * LIST alone). Time travel reaches back this many versions; beyond
+    * that is [[vacuum]]'s domain, same contract as production table
+    * formats.
+    */
+  private[graft] val LogRetentionVersions = 512L
+
+  /** One log record: a full manifest (chain end) or a delta against
+    * `base` (0 = the empty manifest). Deltas carry the full (small)
+    * schema/txns maps; only the file list — the part that grows with
+    * the store — is differential.
+    */
+  private sealed trait LogRecord
+  private final case class FullRecord(m: Manifest) extends LogRecord
+  private final case class DeltaRecord(version: Long, base: Long,
+                                       schemaDdl: String,
+                                       txns: Map[String, Long],
+                                       adds: Seq[FileEntry],
+                                       removes: Seq[String]) extends LogRecord
+
   private def manifestDir(path: String) = s"$path/_manifests"
   private def versionFile(path: String, v: Long) =
     new Path(manifestDir(path), f"v$v%012d.json")
@@ -108,14 +145,8 @@ object ManifestStore {
 
   // ---- manifest serialization ----
 
-  private def toJson(m: Manifest): Array[Byte] = {
-    val root: ObjectNode = mapper.createObjectNode()
-    root.put("version", m.version)
-    root.put("schema_ddl", m.schemaDdl)
-    val txns: ObjectNode = root.putObject("txns")
-    m.txns.foreach { case (k, v) => txns.put(k, v) }
-    val arr: ArrayNode = root.putArray("files")
-    m.files.foreach { f =>
+  private def writeEntries(arr: ArrayNode, files: Seq[FileEntry]): Unit =
+    files.foreach { f =>
       val n = arr.addObject()
       n.put("path", f.path)
       n.put("level", f.levelSec)
@@ -127,13 +158,10 @@ object ManifestStore {
       f.chMin.foreach(v => n.put("ch_min", v))
       f.chMax.foreach(v => n.put("ch_max", v))
     }
-    mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
-  }
 
-  private def fromJson(bytes: Array[Byte]): Manifest = {
-    val root = mapper.readTree(bytes)
+  private def readEntries(node: JsonNode): Seq[FileEntry] = {
     val files = ArrayBuffer.empty[FileEntry]
-    val it = root.get("files").elements()
+    val it = node.elements()
     while (it.hasNext) {
       val n: JsonNode = it.next()
       files += FileEntry(n.get("path").asText(), n.get("level").asLong(),
@@ -143,6 +171,15 @@ object ManifestStore {
         if (n.has("ch_min")) Some(n.get("ch_min").asText()) else None,
         if (n.has("ch_max")) Some(n.get("ch_max").asText()) else None)
     }
+    files.toSeq
+  }
+
+  private def writeTxns(root: ObjectNode, txns: Map[String, Long]): Unit = {
+    val t: ObjectNode = root.putObject("txns")
+    txns.foreach { case (k, v) => t.put(k, v) }
+  }
+
+  private def readTxns(root: JsonNode): Map[String, Long] = {
     val txns = scala.collection.mutable.Map.empty[String, Long]
     val tn = root.get("txns")
     if (tn != null) {
@@ -152,8 +189,50 @@ object ManifestStore {
         txns += e.getKey -> e.getValue.asLong()
       }
     }
-    Manifest(root.get("version").asLong(), root.get("schema_ddl").asText(),
-      files.toSeq, txns.toMap)
+    txns.toMap
+  }
+
+  private def toJson(rec: LogRecord): Array[Byte] = {
+    val root: ObjectNode = mapper.createObjectNode()
+    rec match {
+      case FullRecord(m) =>
+        // the checkpoint format IS the historical full format — logs
+        // written before the delta protocol read as all-checkpoints
+        root.put("version", m.version)
+        root.put("schema_ddl", m.schemaDdl)
+        writeTxns(root, m.txns)
+        writeEntries(root.putArray("files"), m.files)
+      case d: DeltaRecord =>
+        root.put("version", d.version)
+        root.put("delta", true)
+        root.put("base", d.base)
+        root.put("schema_ddl", d.schemaDdl)
+        writeTxns(root, d.txns)
+        writeEntries(root.putArray("files_add"), d.adds)
+        val rm = root.putArray("files_remove")
+        d.removes.foreach(rm.add)
+    }
+    rec match {
+      // deltas stay pretty (small, human-debuggable); checkpoints
+      // serialize the whole file list — compact halves their bytes
+      case _: DeltaRecord =>
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
+      case _ => mapper.writeValueAsBytes(root)
+    }
+  }
+
+  private def fromJson(bytes: Array[Byte]): LogRecord = {
+    val root = mapper.readTree(bytes)
+    if (root.has("delta") && root.get("delta").asBoolean()) {
+      val removes = ArrayBuffer.empty[String]
+      root.get("files_remove").forEach(n => removes += n.asText())
+      DeltaRecord(root.get("version").asLong(), root.get("base").asLong(),
+        root.get("schema_ddl").asText(), readTxns(root),
+        readEntries(root.get("files_add")), removes.toSeq)
+    } else
+      FullRecord(Manifest(root.get("version").asLong(),
+        root.get("schema_ddl").asText(),
+        readEntries(root.get("files")), readTxns(root)))
   }
 
   /** All committed version numbers, ascending. Foreign files in the
@@ -208,7 +287,16 @@ object ManifestStore {
   def latestVersion(spark: SparkSession, path: String): Option[Long] =
     listVersions(fs(spark, path), path).lastOption
 
-  def readManifest(spark: SparkSession, path: String, version: Long): Manifest = {
+  /** Assembled manifests memoized per (path, version) — a version
+    * file is immutable once published, so the fold can never go
+    * stale; without the memo every read of a delta-logged store would
+    * re-fold its chain.
+    */
+  private val assembledMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Manifest]()
+
+  private def readRecord(spark: SparkSession, path: String,
+                         version: Long): LogRecord = {
     val f = fs(spark, path)
     val in = f.open(versionFile(path, version))
     try {
@@ -216,6 +304,51 @@ object ManifestStore {
       org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
       fromJson(out.toByteArray)
     } finally in.close()
+  }
+
+  /** The manifest AT `version`: a checkpoint reads directly; a delta
+    * folds its parent chain (bounded by [[CheckpointInterval]] — the
+    * cadence is version-deterministic). The chain follows explicit
+    * `base` pointers, so a skipped-over unreadable squatter version
+    * never breaks assembly.
+    */
+  def readManifest(spark: SparkSession, path: String, version: Long): Manifest = {
+    val key = (path, version)
+    val hit = assembledMemo.get(key)
+    if (hit != null) return hit
+    val m = readRecord(spark, path, version) match {
+      case FullRecord(full) => full
+      case d: DeltaRecord =>
+        val base =
+          if (d.base == 0L) Manifest(0L, "", Nil)
+          else readManifest(spark, path, d.base)
+        val removed = d.removes.toSet
+        Manifest(d.version, d.schemaDdl,
+          base.files.filterNot(f => removed.contains(f.path)) ++ d.adds,
+          d.txns)
+    }
+    if (assembledMemo.size > 128) assembledMemo.clear()
+    assembledMemo.put(key, m)
+    m
+  }
+
+  /** Version numbers in `target`'s parent chain (inclusive) — what a
+    * vacuum must keep for the latest manifest to stay assemblable.
+    */
+  private def chainVersions(spark: SparkSession, path: String,
+                            target: Long): Set[Long] = {
+    var out = Set(target)
+    var v = target
+    var done = false
+    while (!done) {
+      readRecord(spark, path, v) match {
+        case _: FullRecord => done = true
+        case d: DeltaRecord =>
+          if (d.base == 0L) done = true
+          else { out += d.base; v = d.base }
+      }
+    }
+    out
   }
 
   /** Publish one manifest version: write the full content to a hidden
@@ -229,15 +362,15 @@ object ManifestStore {
     * log-structured-table caveat.
     */
   private def writeExclusive(spark: SparkSession, path: String,
-                             m: Manifest): Boolean = {
+                             version: Long, rec: LogRecord): Boolean = {
     val f = fs(spark, path)
     f.mkdirs(new Path(manifestDir(path)))
-    val target = versionFile(path, m.version)
+    val target = versionFile(path, version)
     if (f.exists(target)) return false
     val tmp = new Path(manifestDir(path),
       s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
     val out = f.create(tmp, /* overwrite = */ false)
-    try out.write(toJson(m)) finally out.close()
+    try out.write(toJson(rec)) finally out.close()
     AtomicClaim.publish(f, tmp, target)
   }
 
@@ -266,7 +399,50 @@ object ManifestStore {
         .getOrElse(Manifest(0L, "", Nil))
       val next = update(cur)
         .copy(version = versions.lastOption.getOrElse(0L) + 1)
-      if (writeExclusive(spark, path, next)) return next
+      // checkpoint cadence is deterministic in the version number, so
+      // racing writers produce the same record KIND for a version and
+      // the exclusive-create arbitrates exactly as before
+      val rec: LogRecord =
+        if (next.version % CheckpointInterval == 0L) FullRecord(next)
+        else {
+          // append fast path: most commits only extend the file list,
+          // and the update built next.files as cur.files ++ adds — the
+          // prefix is the SAME instances, so a reference scan beats
+          // building two path maps per commit
+          val isAppend = next.files.length >= cur.files.length &&
+            cur.files.iterator.zip(next.files.iterator)
+              .forall { case (a, b) => a eq b }
+          if (isAppend)
+            DeltaRecord(next.version, cur.version, next.schemaDdl,
+              next.txns, next.files.drop(cur.files.length), Nil)
+          else {
+            val curByPath = cur.files.map(f => f.path -> f).toMap
+            val nextByPath = next.files.map(f => f.path -> f).toMap
+            // a changed entry (same path, different stats) is a
+            // remove+add, so the fold replaces it
+            val adds = next.files.filter(f =>
+              !curByPath.get(f.path).contains(f))
+            val removes = cur.files.map(_.path).filter(p =>
+              !nextByPath.get(p).contains(curByPath(p)))
+            DeltaRecord(next.version, cur.version, next.schemaDdl,
+              next.txns, adds, removes)
+          }
+        }
+      if (writeExclusive(spark, path, next.version, rec)) {
+        // Delta-style log retention, paid only at checkpoints: with
+        // the new checkpoint published, versions beyond the retention
+        // window can no longer be needed by any chain the head
+        // reaches — prune them so the directory LIST stays bounded
+        if (rec.isInstanceOf[FullRecord] &&
+            next.version > LogRetentionVersions) {
+          val cutoff = next.version - LogRetentionVersions
+          versions.filter(_ < cutoff).foreach { v =>
+            try { f.delete(versionFile(path, v), false); () }
+            catch { case _: java.io.IOException => () }
+          }
+        }
+        return next
+      }
       attempts += 1
     }
     throw new java.io.IOException(
@@ -339,6 +515,23 @@ object ManifestStore {
       .toSeq
   }
 
+  /** Metadata-only commit of pre-computed entries — the protocol
+    * benchmark's hook ([[graft.ManifestLogBench]]): measures the LOG,
+    * not parquet staging. Private to the library; data commits go
+    * through [[commit]].
+    */
+  private[graft] def commitEntries(spark: SparkSession, path: String,
+                                   entries: Seq[FileEntry],
+                                   schema: StructType): Long =
+    commitLoop(spark, path) { cur =>
+      cur.copy(schemaDdl = mergeSchema(cur.schemaDdl, schema).toDDL,
+        files = cur.files ++ entries)
+    }.version
+
+  /** Drop the process-wide assembled-manifest memo — benchmark hook
+    * for measuring a COLD chain fold. */
+  private[graft] def clearAssembledMemo(): Unit = assembledMemo.clear()
+
   /** S9 as a transaction: append one level's samples and commit a new
     * manifest version. Returns the committed version. Layout matches
     * [[ArchiveStore.write]] (day × channel clustering, (channel, ts)
@@ -402,9 +595,19 @@ object ManifestStore {
       // RANGE partitioning, not hash: each output file then covers a
       // contiguous (day, clustering-key) range, so the manifest's
       // per-file key ranges are tight and disjoint — hash scattering
-      // would give every file the full key range and nothing to prune
+      // would give every file the full key range and nothing to prune.
+      // The sort leads with bucket_date and NOT with the constant
+      // `level` column: the V1 file writer requires ordering by its
+      // partition columns (level folds away as a constant, leaving
+      // [bucket_date]) and only when the plan's ordering PREFIX-matches
+      // does the user sort survive — otherwise the optimizer replaces
+      // it with the writer's own partition-only sort, shredding the
+      // (key, ts) clustering into interleaved runs (measured before
+      // this fix: chMin/chMax spanning nearly the whole fleet, page
+      // stats useless; after: pages span ~15 keys).
       .repartitionByRange(col("bucket_date"), clusterCol(samples))
-      .sortWithinPartitions(clusterCol(samples), col("ts"))
+      .sortWithinPartitions(col("bucket_date"), clusterCol(samples),
+        col("ts"))
       .write.partitionBy("level", "bucket_date").parquet(staged)
     // partitionBy strips level/bucket_date, so the files' schema IS the
     // input frame's — no footer read needed to learn it
@@ -555,7 +758,8 @@ object ManifestStore {
       .parquet(victims.map(v => resolveEntry(path, v.path)): _*)
     vf.withColumn("bucket_date", ArchiveStore.bucketDateCol(col("ts")))
       .repartition(col("bucket_date"))
-      .sortWithinPartitions(clusterCol(vf), col("ts"))
+      // bucket_date first — see commitTxn's writer-ordering note
+      .sortWithinPartitions(col("bucket_date"), clusterCol(vf), col("ts"))
       .write.partitionBy("bucket_date").parquet(staged)
     val entries = statsFor(spark, path, staged, levelSec)
       .map(_.copy(levelSec = levelSec))
@@ -665,7 +869,9 @@ object ManifestStore {
         withBucketDate(kept)
           .withColumn("level", lit(lvl))
           .repartitionByRange(col("bucket_date"), clusterCol(kept))
-          .sortWithinPartitions(clusterCol(kept), col("ts"))
+          // bucket_date first — see commitTxn's ordering note
+          .sortWithinPartitions(col("bucket_date"), clusterCol(kept),
+            col("ts"))
           .write.partitionBy("level", "bucket_date").parquet(staged)
         statsFor(spark, path, staged, lvl)
       }
@@ -714,13 +920,18 @@ object ManifestStore {
       }
     }
     // a streaming sink commits one version per micro-batch — without
-    // this the manifest dir LIST (paid on every read) grows forever
+    // this the manifest dir LIST (paid on every read) grows forever.
+    // With the delta log, the LATEST version's parent chain must
+    // survive (deleting a mid-chain delta would brick assembly), so
+    // the protected set is the chain, not just the head.
+    val keep = chainVersions(spark, path, m.version)
     val dir = new Path(manifestDir(path))
     if (f.exists(dir)) {
       f.listStatus(dir).foreach { st =>
         val v = st.getPath.getName.stripPrefix("v").stripSuffix(".json")
           .toLongOption
-        if (v.exists(_ < m.version) && st.getModificationTime <= cutoff)
+        if (v.exists(x => x < m.version && !keep.contains(x)) &&
+            st.getModificationTime <= cutoff)
           f.delete(st.getPath, false)
       }
     }

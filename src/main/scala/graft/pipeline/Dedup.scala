@@ -321,17 +321,20 @@ object Dedup {
     * recomputes. Batch callers keep [[minHashSignatures]].
     */
   def minHashBandsPerRow(docs: DataFrame, k: Int = 3,
-                         textCol: String = "text"): DataFrame =
+                         textCol: String = "text",
+                         carry: Seq[String] = Nil): DataFrame = {
+    val extra = carry.map(col)
     docs.withColumn("sig", signatureArray(textCol, k))
       .where(col("sig").isNotNull)
-      .select(col("doc_id"), col("sig"),
+      .select(col("doc_id") +: col("sig") +: extra :+
         explode(array((0 until NumBands).map { b =>
           struct(lit(b).as("band"),
             concat_ws("_", (0 until RowsPerBand).map(r =>
               element_at(col("sig"), b * RowsPerBand + r + 1)): _*).as("key"))
-        }: _*)).as("bk"))
-      .select(col("doc_id"), col("sig"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+        }: _*)).as("bk"): _*)
+      .select(col("doc_id") +: col("sig") +:
+        col("bk.band").as("band") +: col("bk.key").as("key") +: extra: _*)
+  }
 
   /** (doc_id, sig, band, key): the banding frame both the in-corpus
     * candidate join and the persisted index build on — one definition
@@ -936,9 +939,24 @@ object Dedup {
         (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Exact all-co-shingled-pairs n-gram Jaccard — the BASELINE oracle
+    * the LSH→verify path ([[nearDupPairs]]) is measured against. It is
+    * deliberately quadratic in co-shingled documents and must never
+    * sit on a scale path; `maxDocs` enforces that contract loudly (the
+    * gramMatrix discipline: a guard, not a doc comment) — pass None
+    * only from a caller that has already bounded the corpus.
+    */
   def ngramJaccard(docs: DataFrame, k: Int = 3,
                    minJaccard: Double = DefaultMinJaccard,
-                   maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
+                   maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq),
+                   maxDocs: Option[Long] = Some(200000L)): DataFrame = {
+    maxDocs.foreach { cap =>
+      val n = docs.count()
+      require(n <= cap,
+        s"ngramJaccard is the quadratic exact baseline: $n documents " +
+          s"exceeds the $cap cap — use the LSH->verify production path " +
+          "(nearDupPairs) or pass maxDocs = None from a bounded caller")
+    }
     val sh = capDocFreq(shingles(docs, k), maxDocFreq).cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),

@@ -160,7 +160,11 @@ object Sessionize {
              windowNs: Long): DataFrame = {
     require(steps.size >= 2 && steps.distinct.size == steps.size,
       "funnel needs at least two distinct steps")
-    require(steps.forall(s => !s.contains("'")), "step names must be quote-free")
+    // the names are interpolated into a SQL string literal below: a
+    // quote would break out of it, and a backslash acts as an escape
+    // (\t silently becomes a tab and never matches event_type)
+    require(steps.forall(s => !s.contains("'") && !s.contains("\\")),
+      "step names must be free of quotes and backslashes")
     val k = steps.size
     val stepArr = steps.map(s => s"'$s'").mkString("array(", ", ", ")")
     val ev = events.where(col("event_type").isin(steps: _*))

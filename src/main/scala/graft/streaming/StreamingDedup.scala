@@ -101,6 +101,112 @@ object StreamingDedup {
         GroupStateTimeout.NoTimeout)(processBucket(maxBucketSize))
   }
 
+  // ---- horizon-TTL variant ------------------------------------------
+
+  case class BandTsIn(band: Int, key: String, doc_id: Long,
+                      sig: Seq[Long], event_time: java.sql.Timestamp)
+  case class MemberT(docId: Long, sig: Seq[Long], tsMs: Long)
+  case class BucketTState(members: List[MemberT], saturatedUntilMs: Long)
+
+  /** [[minhashStream]] with a DEDUP HORIZON — the state-TTL form for
+    * unbounded streams (the plain operator's band state grows with
+    * every distinct under-cap document forever; SDUP100X documents
+    * it). Semantics: a pair is a candidate iff its members' event
+    * times lie within `horizonMs` of each other — the "near-dup
+    * within a rolling window" contract a perpetual ingest pipeline
+    * actually wants. State hygiene falls out of the semantics: a
+    * member older than `watermark − horizon` can never pair with any
+    * future arrival, so it is EVICTED on the bucket's next activity,
+    * and an idle bucket's whole state is removed by an event-time
+    * timeout at `newest member + horizon` — total state is bounded by
+    * the docs of one horizon window, not the stream's lifetime.
+    * Saturation recovers for the same reason: the cap marks the
+    * bucket saturated only until its horizon passes.
+    *
+    * Input must carry an event-time TIMESTAMP column; the watermark
+    * (`watermarkDelay` behind max event time) is applied here.
+    * Within-horizon pairs are byte-identical to the batch candidate
+    * set filtered to the horizon — the `stream_dedup_minhash_ttl`
+    * gate's contract.
+    */
+  def minhashStreamTtl(stream: DataFrame, horizonMs: Long,
+                       k: Int = 3, textCol: String = "text",
+                       tsCol: String = "event_time",
+                       watermarkDelay: String = "10 seconds",
+                       maxBucketSize: Int = 4096): Dataset[PairOut] = {
+    require(horizonMs > 0, "horizonMs must be positive")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val bands = Dedup.minHashBandsPerRow(
+        stream.withWatermark(tsCol, watermarkDelay), k, textCol,
+        carry = Seq(tsCol))
+      .withColumnRenamed(tsCol, "event_time").as[BandTsIn]
+    bands.groupByKey(r => (r.band, r.key))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        processBucketTtl(maxBucketSize, horizonMs))
+  }
+
+  private def processBucketTtl(maxBucketSize: Int, horizonMs: Long)(
+      bucket: (Int, String), rows: Iterator[BandTsIn],
+      state: GroupState[BucketTState]): Iterator[PairOut] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val st = state.getOption.getOrElse(BucketTState(Nil, 0L))
+    val wm = state.getCurrentWatermarkMs()
+    // eviction: a member whose horizon has passed the watermark can
+    // never pair with a future arrival — state hygiene, not semantics
+    var members = st.members.filter(_.tsMs >= wm - horizonMs)
+    val saturated = st.saturatedUntilMs > wm
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    members.foreach(m => seen += m.docId)
+    val fresh = rows
+      .filter(r => !seen.contains(r.doc_id) && seen.add(r.doc_id))
+      .toArray.sortBy(_.doc_id)
+    var nMembers = members.size
+    var nowSaturated = saturated
+    var satUntil = st.saturatedUntilMs
+    val out = List.newBuilder[PairOut]
+    var i = 0
+    while (i < fresh.length && !nowSaturated) {
+      val n = fresh(i)
+      val nMs = n.event_time.getTime
+      var ms = members
+      while (ms.nonEmpty) {
+        val e = ms.head
+        // the horizon IS the pairing rule, applied symmetrically —
+        // eviction above only makes it cheap, never decides it
+        if (math.abs(nMs - e.tsMs) <= horizonMs) {
+          val (a, b) =
+            if (e.docId < n.doc_id) (e.docId, n.doc_id)
+            else (n.doc_id, e.docId)
+          out += PairOut(a, b, estJaccard(n.sig, e.sig))
+        }
+        ms = ms.tail
+      }
+      members = MemberT(n.doc_id, n.sig, nMs) :: members
+      nMembers += 1
+      if (nMembers >= maxBucketSize) {
+        nowSaturated = true
+        satUntil = nMs + horizonMs
+        members = Nil
+      }
+      i += 1
+    }
+    if (members.isEmpty && !nowSaturated) state.remove()
+    else {
+      state.update(BucketTState(members,
+        if (nowSaturated) satUntil else 0L))
+      val newest =
+        if (nowSaturated) satUntil
+        else members.map(_.tsMs).max + horizonMs
+      // idle-bucket GC: when the watermark passes every member's
+      // horizon the state is removed without any arrival
+      if (newest > wm) state.setTimeoutTimestamp(newest)
+      else state.setTimeoutTimestamp(wm + 1)
+    }
+    out.result().iterator
+  }
+
   private def processBucket(maxBucketSize: Int)(
       bucket: (Int, String), rows: Iterator[BandIn],
       state: GroupState[BucketState]): Iterator[PairOut] = {

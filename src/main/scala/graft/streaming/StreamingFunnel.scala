@@ -22,8 +22,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingFunnel {
 
-  /** Per-user reached-times; Long.MinValue = step not reached. */
-  case class FunnelState(reached: Seq[Long])
+  /** Per-user reached-times (Long.MinValue = step not reached) plus
+    * the newest event timestamp processed — the F6-style cross-batch
+    * out-of-order guard: the time-ordered-source contract is ENFORCED,
+    * not just documented, by dropping any later-batch event older than
+    * what this user's fold has already consumed (processing it as if
+    * in order would silently diverge from the batch fold).
+    */
+  case class FunnelState(reached: Seq[Long],
+                         lastTs: Long = Long.MinValue)
 
   case class InEvent(user_id: Long, ts: Long, event_type: String)
 
@@ -33,20 +40,29 @@ object StreamingFunnel {
       user: Long, it: Iterator[InEvent],
       state: GroupState[FunnelState]): Iterator[FunnelHit] = {
     val k = steps.length
-    val reached = state.getOption.map(_.reached.toArray)
+    val st = state.getOption
+    val reached = st.map(_.reached.toArray)
       .getOrElse(Array.fill(k)(Long.MinValue))
+    var lastTs = st.map(_.lastTs).getOrElse(Long.MinValue)
     val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
     for (e <- it.toSeq.sortBy(ev => (ev.ts, ev.event_type))) {
-      val i = steps.indexOf(e.event_type)
-      if (i >= 0 && reached(i) == Long.MinValue) {
-        val ok =
-          if (i == 0) true
-          else reached(i - 1) != Long.MinValue && e.ts > reached(i - 1) &&
-            e.ts - reached(0) <= windowNs
-        if (ok) { reached(i) = e.ts; out += FunnelHit(user, i, e.ts) }
+      if (e.ts < lastTs) {
+        // cross-batch straggler: an earlier-ts event arriving after a
+        // later one was folded — dropped (same-ts replays pass through
+        // harmlessly, each (user, step) emits at most once)
+      } else {
+        lastTs = e.ts
+        val i = steps.indexOf(e.event_type)
+        if (i >= 0 && reached(i) == Long.MinValue) {
+          val ok =
+            if (i == 0) true
+            else reached(i - 1) != Long.MinValue && e.ts > reached(i - 1) &&
+              e.ts - reached(0) <= windowNs
+          if (ok) { reached(i) = e.ts; out += FunnelHit(user, i, e.ts) }
+        }
       }
     }
-    state.update(FunnelState(reached.toSeq))
+    state.update(FunnelState(reached.toSeq, lastTs))
     out.iterator
   }
 

@@ -227,6 +227,93 @@ class HttpAdminApiSpec extends AnyFunSuite {
     } finally secured.stop()
   }
 
+  test("persisted users + roles: seeded admin, role-denied mutation, " +
+      "password rotation without restart") {
+    val cfgU = Files.createTempDirectory("usrcfg").toString
+    val storeU = Files.createTempDirectory("usrstore").toString
+    val usersDir = Files.createTempDirectory("usrlog").toString
+    val secured = HttpArchiveServer.start(spark, cfgU, storeU,
+      adminUsers = Some(usersDir))
+    def authed(method: String, url: String, user: String, pass: String,
+               body: Option[String] = None): (Int, String) = {
+      val conn = URI.create(url).toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod(method)
+      conn.setRequestProperty("Authorization", "Basic " +
+        java.util.Base64.getEncoder.encodeToString(
+          s"$user:$pass".getBytes(StandardCharsets.UTF_8)))
+      body.foreach { b =>
+        conn.setDoOutput(true)
+        val out = conn.getOutputStream
+        out.write(b.getBytes(StandardCharsets.UTF_8)); out.close()
+      }
+      val code = conn.getResponseCode
+      val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val text =
+        if (in == null) ""
+        else try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      conn.disconnect()
+      (code, text)
+    }
+    try {
+      val adm = s"http://localhost:${secured.port}${HttpAdminApi.ContextPath}"
+      // anonymous → 401; the first-start seeded admin/admin works
+      assert(http("GET", s"$adm/1.0/channels/all")._1 == 401)
+      val (lc, lb) = authed("GET", s"$adm/1.0/users", "admin", "admin")
+      assert(lc == 200 && lb.contains("\"userName\":\"admin\"") &&
+        lb.contains("archive-admin"))
+      // admin adds a read-only user
+      assert(authed("POST", s"$adm/1.0/users", "admin", "admin",
+        Some("""{"userName":"reader","password":"pw1",
+          |"roles":["archive-user"]}""".stripMargin))._1 == 200)
+      // the read-only role: admin GETs pass, mutations are 403
+      assert(authed("GET", s"$adm/1.0/channels/all",
+        "reader", "pw1")._1 == 200)
+      val (mc, mb) = authed("POST",
+        s"$adm/1.0/run-archive-configuration-commands", "reader", "pw1",
+        Some("""{"commands":[{"commandType":"add_channel",
+          |"channelName":"x","controlSystemType":"ca"}]}""".stripMargin))
+      assert(mc == 403 && mb.contains("archive-admin"))
+      // the user list is admin information
+      assert(authed("GET", s"$adm/1.0/users", "reader", "pw1")._1 == 403)
+      // a user may NOT rotate someone else's password...
+      assert(authed("POST", s"$adm/1.0/users/admin/password",
+        "reader", "pw1", Some("""{"password":"hacked"}"""))._1 == 403)
+      // ...but rotates their OWN, effective immediately, no restart
+      assert(authed("POST", s"$adm/1.0/users/reader/password",
+        "reader", "pw1", Some("""{"password":"pw2"}"""))._1 == 200)
+      assert(authed("GET", s"$adm/1.0/channels/all",
+        "reader", "pw1")._1 == 401)
+      assert(authed("GET", s"$adm/1.0/channels/all",
+        "reader", "pw2")._1 == 200)
+      // admin rotation without restart, same contract
+      assert(authed("POST", s"$adm/1.0/users/admin/password",
+        "admin", "admin", Some("""{"password":"s3cret"}"""))._1 == 200)
+      assert(authed("GET", s"$adm/1.0/users", "admin", "admin")._1 == 401)
+      assert(authed("GET", s"$adm/1.0/users", "admin", "s3cret")._1 == 200)
+      // the last admin cannot be removed (a store nobody can
+      // administer is a locked door with the key inside)
+      assert(authed("DELETE", s"$adm/1.0/users/admin",
+        "admin", "s3cret")._1 == 400)
+      // promote, then the old admin CAN go
+      assert(authed("POST", s"$adm/1.0/users", "admin", "s3cret",
+        Some("""{"userName":"root2","password":"pw",
+          |"roles":["archive-admin"]}""".stripMargin))._1 == 200)
+      assert(authed("DELETE", s"$adm/1.0/users/admin",
+        "root2", "pw")._1 == 200)
+      assert(authed("GET", s"$adm/1.0/users", "admin", "s3cret")._1 == 401)
+      // role change: reader promoted to admin can now mutate
+      assert(authed("POST", s"$adm/1.0/users/reader/roles", "root2", "pw",
+        Some("""{"roles":["archive-admin"]}"""))._1 == 200)
+      assert(authed("POST",
+        s"$adm/1.0/run-archive-configuration-commands", "reader", "pw2",
+        Some("""{"commands":[{"commandType":"add_channel",
+          |"channelName":"pv:byreader","controlSystemType":"ca"}]}"""
+          .stripMargin))._1 == 200)
+    } finally secured.stop()
+  }
+
   test("remove_channel: two-phase remove drops config AND archived data, serving 404s") {
     import org.apache.spark.sql.functions.col
     val id = ConfigCommands.state(spark, cfgDir).config("pv:adm2")
