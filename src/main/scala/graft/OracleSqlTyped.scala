@@ -230,6 +230,47 @@ object OracleSqlTyped {
        |  n_samples""".stripMargin
 
   val all: Map[String, String] = Map(
+    // mirror of the EPICS Archiver Appliance JSON ingest fixture
+    // (EpicsArchiverJson.writeFixture): 8 PVs x 60 samples, vtype by
+    // p%8, engine-portable quarter/half arithmetic, EGU/PREC on the
+    // even numeric PVs — the decoded rows must equal this regeneration
+    "epics_json_ingest" ->
+      s"""WITH g AS (
+         |  SELECT p.p, j.j
+         |  FROM generate_series(0, 7) AS p(p),
+         |       generate_series(0, 59) AS j(j))
+         |SELECT
+         |  'epics:pv' || p AS channel,
+         |  CAST((1704067200 + j*60 + p) * 1000000000 + j*1000 AS BIGINT)
+         |    AS ts,
+         |  CASE p % 8 WHEN 0 THEN 'scalar_double' WHEN 1 THEN 'scalar_float'
+         |    WHEN 2 THEN 'scalar_long' WHEN 3 THEN 'scalar_short'
+         |    WHEN 4 THEN 'scalar_char' WHEN 5 THEN 'scalar_enum'
+         |    WHEN 6 THEN 'scalar_string' ELSE 'array_double' END AS vtype,
+         |  CASE p % 8 WHEN 0 THEN (p*1000 + j) * 0.25
+         |    WHEN 1 THEN (p*1000 + j) * 0.5
+         |    WHEN 2 THEN CAST(p*1000 + j - 500 AS DOUBLE)
+         |    WHEN 3 THEN CAST((p*13 + j) % 200 - 100 AS DOUBLE)
+         |    WHEN 4 THEN CAST((p*7 + j) % 256 - 128 AS DOUBLE)
+         |    END AS value,
+         |  CASE WHEN p % 8 = 6 THEN 's' || p || '_' || j END AS str_value,
+         |  CASE WHEN p % 8 = 5 THEN CAST(j % 3 AS INT) END AS enum_value,
+         |  CASE WHEN p % 8 = 5 THEN '[Off,On,Fault]' END AS labels,
+         |  CASE WHEN p % 8 = 7 THEN '[' ||
+         |    CAST(CAST(round((p*1000 + j) * 0.25, 6) AS DECIMAL(18,6)) AS VARCHAR)
+         |    || ',' ||
+         |    CAST(CAST(round((p*1000 + j) * 0.125, 6) AS DECIMAL(18,6)) AS VARCHAR)
+         |    || ',' ||
+         |    CAST(CAST(round(-(p*1000 + j) * 0.25, 6) AS DECIMAL(18,6)) AS VARCHAR)
+         |    || ']' END AS arr_num,
+         |  CAST(j % 4 AS INT) AS severity,
+         |  CAST(j % 8 AS INT) AS status,
+         |  CASE WHEN p % 2 = 0 AND p % 8 <> 6 THEN 'mm' END AS meta_units,
+         |  CASE WHEN p % 2 = 0 AND p % 8 IN (0, 1, 7) THEN CAST(2 AS INT)
+         |    END AS meta_precision
+         |FROM g
+         |ORDER BY channel, ts""".stripMargin,
+
     // mirror of Analytics.waveformStats: posexplode over the array
     // vtypes (UNNEST(range) + v[i+1] — this DuckDB has no WITH
     // ORDINALITY), DECIMAL-routed means, scaled 6dp round

@@ -700,6 +700,25 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // EPICS migration ingest: the Archiver Appliance's documented JSON
+    // retrieval format decoded onto the 21-type union — the bridge a
+    // real EPICS site migrates its archive in through. The fixture is
+    // deterministic, the oracle regenerates it by formula.
+    "epics_json_ingest" -> ((s, dir) => {
+      val in = memoInput("epicsjson", dir)(p =>
+        graft.sources.EpicsArchiverJson.writeFixture(p))
+      graft.sources.EpicsArchiverJson.read(s, in)
+        .select(col("channel"), col("ts"), col("vtype"), col("value"),
+          col("str_value"), col("enum_value"),
+          graft.core.TypedSamples.strArrayToString(col("labels"))
+            .as("labels"),
+          graft.core.TypedSamples.numArrayToString(col("arr_num"))
+            .as("arr_num"),
+          col("severity"), col("status"),
+          col("meta_units"), col("meta_precision"))
+        .orderBy("channel", "ts")
+    }),
+
     // the HORIZON-TTL streaming near-dup: event time rides doc_id (one
     // minute per id), the horizon admits pairs within 500 ids — the
     // drained stream must serve the batch candidate set FILTERED to

@@ -169,7 +169,7 @@ class TwoProcessServeSpec extends AnyFunSuite {
       while ((countOf(baseA) < nAfter || countOf(baseB) < nAfter) &&
           System.nanoTime() < deadline) Thread.sleep(200)
       stop.set(true); hammer.join()
-      assert(failures.get() == null, failures.get())
+      assert(failures.get() == null, s"${failures.get()}")
       assert(countOf(baseA) == nAfter && countOf(baseB) == nAfter,
         "data commit not visible through both processes")
       val distinct = counts.asScala.toSet
