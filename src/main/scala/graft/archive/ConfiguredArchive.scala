@@ -559,6 +559,19 @@ object ConfiguredArchive {
     org.apache.spark.sql.Column) => org.apache.spark.sql.Column] = Map(
     "add" -> (_ + _), "sub" -> (_ - _), "mul" -> (_ * _), "div" -> (_ / _))
 
+  /** The same operator set as scalar doubles — the driver-side panel
+    * path ([[DirectPanels.derived]]) evaluates the identical IEEE
+    * program Spark's Column arithmetic runs — including ANSI mode's
+    * divide-by-zero refusal (Spark throws even for doubles; a fast
+    * path returning Infinity where the engine 500s would be a
+    * divergence). */
+  val DerivedOpsD: Map[String, (Double, Double) => Double] = Map(
+    "add" -> (_ + _), "sub" -> (_ - _), "mul" -> (_ * _),
+    "div" -> ((a, b) =>
+      if (b == 0.0) throw new ArithmeticException(
+        "[DIVIDE_BY_ZERO] Division by zero")
+      else a / b))
+
   /** Config-governed derived ("calculated") channel at the serving
     * edge — the EPICS calc-record analog a chart UI can request
     * directly: resolve BOTH names through the current config (the

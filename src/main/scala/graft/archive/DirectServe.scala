@@ -178,6 +178,48 @@ object DirectServe {
     }
   }
 
+  /** Raw-level rows of a config-resolved channel with `ts <= hi` (and
+    * `>= lo` when given), ts-ascending, duplicates across commits KEPT
+    * (the DataFrame scan keeps them too — the panels' aggregates must
+    * see identical multiplicity). None = out of the fast-path
+    * envelope; throws the same typed signals as the engine resolution.
+    * The driver-side row source for [[DirectPanels]].
+    */
+  private[archive] def tryRawRows(spark: SparkSession, configPath: String,
+                                  storePath: String, name: String,
+                                  lo: Option[Long], hi: Long,
+                                  backend: StoreBackend,
+                                  refuseDisabled: Boolean)
+      : Option[IndexedSeq[(Long, java.lang.Double)]] = {
+    if (!(backend eq ManifestBackend)) return None
+    val version = ManifestStore.latestVersion(spark, storePath)
+      .getOrElse(return None)
+    val manifest = manifestMemo.computeIfAbsent((storePath, version), _ => {
+      if (manifestMemo.size > 256) manifestMemo.clear()
+      ManifestStore.readManifest(spark, storePath, version)
+    })
+    val schema = manifest.schema
+    val names = schema.fieldNames.toSet
+    if (names.contains("vtype") || !names.contains("channel") ||
+        !names.contains("ts") || !names.contains("value")) return None
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    if (schema("value").dataType != DoubleType ||
+        schema("ts").dataType != LongType ||
+        schema("channel").dataType != StringType) return None
+    val cfg = ConfiguredArchive.resolveServable(spark, configPath, name,
+      refuseDisabled)
+    val ctx = new Ctx(spark.sparkContext.hadoopConfiguration, storePath,
+      cfg.channelDataId)
+    try {
+      val entries = manifest.files.filter(_.levelSec == 0L)
+      val rows = rangeRows(ctx, entries, "value",
+        lo.getOrElse(Long.MinValue), hi)
+      Some(rows.sortBy(_._1).toIndexedSeq)
+    } catch {
+      case _: FallbackException => None
+    }
+  }
+
   // ---- planning ------------------------------------------------------
 
   /** Exact per-channel availability per level, from direct file walks:
@@ -421,7 +463,7 @@ object DirectServe {
     * writeNumber(double) emits, with non-finite values quoted exactly
     * like Jackson's QUOTE_NON_NUMERIC_NUMBERS).
     */
-  private def jsonOf(ts: Long, v: java.lang.Double): String = {
+  private[archive] def jsonOf(ts: Long, v: java.lang.Double): String = {
     val sb = new java.lang.StringBuilder(96)
     sb.append("{\"time\":").append(ts)
     sb.append(",\"severity\":{\"level\":\"OK\",\"hasValue\":")

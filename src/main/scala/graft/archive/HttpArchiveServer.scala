@@ -356,27 +356,42 @@ object HttpArchiveServer {
       stats.responseCacheHits.incrementAndGet()
       streamJsonArray(ex, hit.get.iterator, pretty); return
     }
+    // driver-side downsample fast path: the manifest-pruned rows fold
+    // on the driver (DirectPanels — exact replicas of the engine
+    // reducers), zero Spark jobs; out-of-envelope stores fall through
+    def fastPoints(k: Int, f: (IndexedSeq[(Long, java.lang.Double)], Int)
+        => Vector[(Long, Double)]): Option[Iterator[String]] =
+      DirectServe.tryRawRows(spark, configPath, storePath, channel,
+          Some(start.get), end.get, backend, refuseDisabled)
+        .map(rows => f(rows, k).iterator.map(p =>
+          DirectServe.jsonOf(p._1, p._2)))
     val it =
       try {
         if (lttbK.isDefined) {
-          val df = ConfiguredArchive.queryLttb(spark, configPath,
-              storePath, channel, start.get, end.get,
-              lttbK.flatten.get, backend, refuseDisabled = refuseDisabled)
-            .withColumn("severity", lit(0)).withColumn("status", lit(0))
-            .orderBy("ts")
-          ArchiveServer.serializedIterator(JsonV1.serializeRaw(df),
-            Some(lttbK.flatten.get.toLong))
+          fastPoints(lttbK.flatten.get, (rows, k) =>
+            DirectPanels.lttb(rows, start.get, end.get, k)).getOrElse {
+            val df = ConfiguredArchive.queryLttb(spark, configPath,
+                storePath, channel, start.get, end.get,
+                lttbK.flatten.get, backend, refuseDisabled = refuseDisabled)
+              .withColumn("severity", lit(0)).withColumn("status", lit(0))
+              .orderBy("ts")
+            ArchiveServer.serializedIterator(JsonV1.serializeRaw(df),
+              Some(lttbK.flatten.get.toLong))
+          }
         } else if (m4K.isDefined) {
-          val m = ConfiguredArchive.queryM4(spark, configPath,
-            storePath, channel, start.get, end.get, m4K.flatten.get,
-            backend, refuseDisabled = refuseDisabled)
-          // the distinct time-ordered corner points (Analytics.m4Points
-          // — shared with the byte-parity spec)
-          val pts = Analytics.m4Points(m)
-            .withColumn("severity", lit(0)).withColumn("status", lit(0))
-            .orderBy("ts")
-          ArchiveServer.serializedIterator(JsonV1.serializeRaw(pts),
-            Some(4L * m4K.flatten.get))
+          fastPoints(m4K.flatten.get, (rows, k) =>
+            DirectPanels.m4Points(rows, start.get, end.get, k)).getOrElse {
+            val m = ConfiguredArchive.queryM4(spark, configPath,
+              storePath, channel, start.get, end.get, m4K.flatten.get,
+              backend, refuseDisabled = refuseDisabled)
+            // the distinct time-ordered corner points
+            // (Analytics.m4Points — shared with the byte-parity spec)
+            val pts = Analytics.m4Points(m)
+              .withColumn("severity", lit(0)).withColumn("status", lit(0))
+              .orderBy("ts")
+            ArchiveServer.serializedIterator(JsonV1.serializeRaw(pts),
+              Some(4L * m4K.flatten.get))
+          }
         } else if (isTyped)
           ConfiguredArchive.serveJsonTyped(spark, configPath, storePath,
             channel, start.get, end.get, count.flatten, backend,
@@ -475,13 +490,27 @@ object HttpArchiveServer {
     }
     val it =
       try {
-        val df = ConfiguredArchive.queryDerived(spark, configPath,
-            storePath, channel, other, op, start.get, end.get, step.get,
-            backend, refuseDisabled = refuseDisabled)
-          .withColumn("severity", lit(0)).withColumn("status", lit(0))
-          .orderBy("ts")
-        ArchiveServer.serializedIterator(JsonV1.serializeRaw(df),
-          Some(gridPoints))
+        // driver-side hold+combine (DirectPanels.derived) when both
+        // sources read fast — both resolve through the config so the
+        // 404/403 matrix is path-independent
+        val fast = for {
+          a <- DirectServe.tryRawRows(spark, configPath, storePath,
+            channel, None, end.get, backend, refuseDisabled)
+          b <- DirectServe.tryRawRows(spark, configPath, storePath,
+            other, None, end.get, backend, refuseDisabled)
+        } yield DirectPanels.derived(a, b,
+            ConfiguredArchive.DerivedOpsD(op), start.get, end.get,
+            step.get)
+          .iterator.map(p => DirectServe.jsonOf(p._1, p._2))
+        fast.getOrElse {
+          val df = ConfiguredArchive.queryDerived(spark, configPath,
+              storePath, channel, other, op, start.get, end.get, step.get,
+              backend, refuseDisabled = refuseDisabled)
+            .withColumn("severity", lit(0)).withColumn("status", lit(0))
+            .orderBy("ts")
+          ArchiveServer.serializedIterator(JsonV1.serializeRaw(df),
+            Some(gridPoints))
+        }
       }
       catch {
         case _: NoSuchChannelException => sendError(ex, 404, "not found"); return
@@ -575,12 +604,21 @@ object HttpArchiveServer {
     }
     val hit = cacheKey.flatMap(k => Option(statsMemo.get(k)))
     if (hit.isDefined) { sendJson(ex, hit.get); return }
-    val row =
-      try ConfiguredArchive.queryStats(spark, configPath, storePath,
-          channel, start.get, end.get, backend,
-          refuseDisabled = refuseDisabled)
-        .select("n_samples", "v_min", "p50", "p90", "p99", "v_max")
-        .collect().headOption
+    val row: Option[(Long, Double, Double, Double, Double, Double)] =
+      try DirectServe.tryRawRows(spark, configPath, storePath, channel,
+          Some(start.get), end.get, backend, refuseDisabled) match {
+        // driver-side percentile fold (DirectPanels.stats) — zero
+        // Spark jobs on the panel's cold path
+        case Some(rows) => DirectPanels.stats(rows)
+        case None =>
+          ConfiguredArchive.queryStats(spark, configPath, storePath,
+              channel, start.get, end.get, backend,
+              refuseDisabled = refuseDisabled)
+            .select("n_samples", "v_min", "p50", "p90", "p99", "v_max")
+            .collect().headOption
+            .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+              r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      }
       catch {
         case _: NoSuchChannelException =>
           sendError(ex, 404, "not found"); return
@@ -593,11 +631,11 @@ object HttpArchiveServer {
     val body = row match {
       case None =>
         s"""{"channel":${jsonString(channel)},"samples":0}"""
-      case Some(r) =>
-        s"""{"channel":${jsonString(channel)},"samples":${r.getLong(0)},""" +
-          s""""min":${num(r.getDouble(1))},"p50":${num(r.getDouble(2))},""" +
-          s""""p90":${num(r.getDouble(3))},"p99":${num(r.getDouble(4))},""" +
-          s""""max":${num(r.getDouble(5))}}"""
+      case Some((n, mn, p50, p90, p99, mx)) =>
+        s"""{"channel":${jsonString(channel)},"samples":$n,""" +
+          s""""min":${num(mn)},"p50":${num(p50)},""" +
+          s""""p90":${num(p90)},"p99":${num(p99)},""" +
+          s""""max":${num(mx)}}"""
     }
     cacheKey.foreach { k =>
       if (statsMemo.size > RespCacheMaxEntries) statsMemo.clear()
@@ -672,32 +710,41 @@ object HttpArchiveServer {
     }
     val hit = cacheKey.flatMap(k => Option(spectrumMemo.get(k)))
     if (hit.isDefined) { sendJson(ex, hit.get); return }
-    val rows =
-      try ConfiguredArchive.querySpectrum(spark, configPath, storePath,
-          channel, start.get, end.get,
-          periodsSec.map(_ * 1000000000L), backend,
-          refuseDisabled = refuseDisabled)
-        .select("period_s", "n", "power")
-        .orderBy("period_s")
-        .collect()
+    val rows: Seq[(Long, Long, Double)] =
+      try DirectServe.tryRawRows(spark, configPath, storePath, channel,
+          Some(start.get), end.get, backend, refuseDisabled) match {
+        // driver-side projection fold (DirectPanels.spectrum) — the
+        // serving contract's end-inclusive bound is the engine's +1
+        case Some(raw) => DirectPanels.spectrum(raw, start.get,
+          if (end.get == Long.MaxValue) end.get else end.get + 1,
+          periodsSec.map(_ * 1000000000L))
+        case None =>
+          ConfiguredArchive.querySpectrum(spark, configPath, storePath,
+              channel, start.get, end.get,
+              periodsSec.map(_ * 1000000000L), backend,
+              refuseDisabled = refuseDisabled)
+            .select("period_s", "n", "power")
+            .orderBy("period_s")
+            .collect()
+            .toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
       catch {
         case _: NoSuchChannelException =>
           sendError(ex, 404, "not found"); return
         case e: ChannelDisabledException =>
           sendError(ex, 403, e.getMessage); return
-        case _: NoStoredDataException => Array.empty[org.apache.spark.sql.Row]
+        case _: NoStoredDataException => Nil
       }
-    val items = rows.map { r =>
-      s"""{"period_s":${r.getLong(0)},"n":${r.getLong(1)},""" +
-        s""""power":${jsonNum(r.getDouble(2))}}"""
+    val items = rows.map { case (p, n, pw) =>
+      s"""{"period_s":$p,"n":$n,"power":${jsonNum(pw)}}"""
     }
     // dominant: max power, ties toward the shorter period — the
     // dominantPeriod contract, computed over the already-collected rows
     val dominant =
       if (rows.isEmpty) ""
       else {
-        val d = rows.minBy(r => (-r.getDouble(2), r.getLong(0)))
-        s""","dominant_period_s":${d.getLong(0)}"""
+        val d = rows.minBy(r => (-r._3, r._1))
+        s""","dominant_period_s":${d._1}"""
       }
     val body = s"""{"channel":${jsonString(channel)},""" +
       s""""periods":[${items.mkString(",")}]$dominant}"""
@@ -803,13 +850,27 @@ object HttpArchiveServer {
     }
     val hit = cacheKey.flatMap(k => Option(cusumMemo.get(k)))
     if (hit.isDefined) { sendJson(ex, hit.get); return }
-    val row =
-      try ConfiguredArchive.queryCusum(spark, configPath, storePath,
-          channel, start.get, end.get, slack.get, threshold.get, backend,
-          refuseDisabled = refuseDisabled)
-        .select("n_samples", "n_hi", "n_lo", "t_first_hi", "t_first_lo",
-          "peak_hi", "peak_lo")
-        .collect().headOption
+    val row: Option[(Long, Long, Long, Option[Long], Option[Long],
+        Double, Double)] =
+      try DirectServe.tryRawRows(spark, configPath, storePath, channel,
+          Some(start.get), end.get, backend, refuseDisabled) match {
+        // driver-side exact-integer CUSUM fold (DirectPanels.cusum);
+        // end-inclusive serving bound = the engine's +1
+        case Some(raw) => DirectPanels.cusum(raw, start.get,
+          if (end.get == Long.MaxValue) end.get else end.get + 1,
+          slack.get, threshold.get)
+        case None =>
+          ConfiguredArchive.queryCusum(spark, configPath, storePath,
+              channel, start.get, end.get, slack.get, threshold.get,
+              backend, refuseDisabled = refuseDisabled)
+            .select("n_samples", "n_hi", "n_lo", "t_first_hi",
+              "t_first_lo", "peak_hi", "peak_lo")
+            .collect().headOption
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              if (r.isNullAt(3)) None else Some(r.getLong(3)),
+              if (r.isNullAt(4)) None else Some(r.getLong(4)),
+              r.getDouble(5), r.getDouble(6)))
+      }
       catch {
         case _: NoSuchChannelException =>
           sendError(ex, 404, "not found"); return
@@ -817,18 +878,17 @@ object HttpArchiveServer {
           sendError(ex, 403, e.getMessage); return
         case _: NoStoredDataException => None
       }
-    def tsOrNull(r: org.apache.spark.sql.Row, i: Int): String =
-      if (r.isNullAt(i)) "null" else r.getLong(i).toString
+    def tsOrNull(t: Option[Long]): String = t.fold("null")(_.toString)
     val body = row match {
       case None =>
         s"""{"channel":${jsonString(channel)},"samples":0}"""
-      case Some(r) =>
-        s"""{"channel":${jsonString(channel)},"samples":${r.getLong(0)},""" +
-          s""""n_hi":${r.getLong(1)},"n_lo":${r.getLong(2)},""" +
-          s""""t_first_hi":${tsOrNull(r, 3)},""" +
-          s""""t_first_lo":${tsOrNull(r, 4)},""" +
-          s""""peak_hi":${jsonNum(r.getDouble(5))},""" +
-          s""""peak_lo":${jsonNum(r.getDouble(6))}}"""
+      case Some((n, nHi, nLo, tHi, tLo, pkHi, pkLo)) =>
+        s"""{"channel":${jsonString(channel)},"samples":$n,""" +
+          s""""n_hi":$nHi,"n_lo":$nLo,""" +
+          s""""t_first_hi":${tsOrNull(tHi)},""" +
+          s""""t_first_lo":${tsOrNull(tLo)},""" +
+          s""""peak_hi":${jsonNum(pkHi)},""" +
+          s""""peak_lo":${jsonNum(pkLo)}}"""
     }
     cacheKey.foreach { k =>
       if (cusumMemo.size > RespCacheMaxEntries) cusumMemo.clear()
