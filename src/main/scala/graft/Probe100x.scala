@@ -256,13 +256,61 @@ object Probe100x {
               "that repeats across the whole crawl every single day"))
           .otherwise(ptext).as("text"))
       val (skSec, skPairs, skState) = streamRun(boiler, "boiler", 64)
+
+      // the HORIZON-TTL form at 2× the stream (400k docs): plain band
+      // state grows with every distinct doc forever (the `state` row
+      // count above, linear in docs); the TTL keeps only one horizon
+      // window. Chunks are written in event-time order with ascending
+      // mod times so the file source replays ~time-ordered, and the
+      // horizon spans two chunks — expected state ≈ 2-3 chunks' bands,
+      // NOT the full stream's.
+      val n2 = 2L * n
+      val chunks = 20
+      val perChunk = n2 / chunks
+      val horizonSec = 2L * perChunk // seconds; event ts = doc_id s
+      val effId2 = when(pmod(col("id"), lit(20)) === 1, col("id") - 1)
+        .otherwise(col("id"))
+      val ptok2 = (i: Int) => concat(lit("t"),
+        pmod(xxhash64(effId2 * lit(30) + lit(i)), lit(50000L)))
+      val ptext2 = concat_ws(" ", (0 until 30).map(ptok2): _*)
+      val base2 = spark.range(n2).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(20)) === 1, concat(ptext2, lit(" zz")))
+          .otherwise(ptext2).as("text"),
+        timestamp_seconds(lit(1704067200L) + col("id")).as("event_time"))
+      val dirT = "/tmp/probe100x_sdup_ttl"
+      val fsT = new org.apache.hadoop.fs.Path(dirT)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsT.delete(new org.apache.hadoop.fs.Path(dirT), true)
+      for (c <- 0 until chunks)
+        base2.where(col("doc_id") >= c * perChunk &&
+            col("doc_id") < (c + 1) * perChunk)
+          .coalesce(2)
+          .write.mode(if (c == 0) "overwrite" else "append").parquet(dirT)
+      val streamT = spark.readStream.schema(base2.schema)
+        .option("maxFilesPerTrigger", 4).parquet(dirT)
+      val qT = graft.streaming.StreamingDedup
+        .minhashStreamTtl(streamT, horizonMs = horizonSec * 1000L)
+        .writeStream.format("memory").queryName("sdup_ttl")
+        .outputMode("append").start()
+      val tT = System.nanoTime()
+      qT.processAllAvailable()
+      val ttlSec = (System.nanoTime() - tT) / 1e9
+      val ttlState = qT.lastProgress.stateOperators.apply(0).numRowsTotal
+      qT.stop()
+      val ttlPairs = spark.table("sdup_ttl").count()
+
       report("stream_dedup", "docs" -> n,
         "sec" -> sec, "rows_per_sec" -> (n / sec).toLong,
         "pairs" -> pairs, "state_rows" -> state,
         "rocksdb_sec" -> rkSec, "rocksdb_rows_per_sec" -> (n / rkSec).toLong,
         "rocksdb_state_rows" -> rkState,
         "skew_hot_frac" -> 0.1, "skew_cap" -> 64, "skew_sec" -> skSec,
-        "skew_pairs" -> skPairs, "skew_state_rows" -> skState)
+        "skew_pairs" -> skPairs, "skew_state_rows" -> skState,
+        "ttl_docs" -> n2, "ttl_horizon_docs" -> (2L * perChunk),
+        "ttl_sec" -> ttlSec, "ttl_rows_per_sec" -> (n2 / ttlSec).toLong,
+        "ttl_pairs" -> ttlPairs, "ttl_state_rows" -> ttlState,
+        "ttl_state_vs_plain_2x" ->
+          f"${ttlState.toDouble / (2.0 * state)}%.3f")
     }
 
     if (mode == "ann" || mode == "all") {

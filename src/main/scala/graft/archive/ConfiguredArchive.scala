@@ -624,6 +624,24 @@ object ConfiguredArchive {
                      storePath: String, name: String,
                      startNs: Long, endNs: Long, count: Option[Long],
                      backend: StoreBackend = ManifestBackend,
+                     refuseDisabled: Boolean = false): Iterator[String] =
+    // raw-level typed serves answer from driver-side direct reads
+    // (DirectServeTyped — zero Spark jobs); decimated-level plans and
+    // out-of-envelope stores run the engine. Byte-identity gated by
+    // DirectServeTypedSpec.
+    DirectServeTyped.tryServe(spark, configPath, storePath, name,
+        startNs, endNs, count, backend, refuseDisabled)
+      .getOrElse(serveJsonTypedSpark(spark, configPath, storePath, name,
+        startNs, endNs, count, backend, refuseDisabled))
+
+  /** The DataFrame typed serve — [[serveJsonTyped]] without the
+    * direct-read dispatch; the fallback and the parity oracle.
+    */
+  private[graft] def serveJsonTypedSpark(spark: SparkSession,
+                     configPath: String,
+                     storePath: String, name: String,
+                     startNs: Long, endNs: Long, count: Option[Long],
+                     backend: StoreBackend = ManifestBackend,
                      refuseDisabled: Boolean = false): Iterator[String] = {
     val cfg = resolveServable(spark, configPath, name, refuseDisabled)
     val states = ArchiveServer.levelStates(spark, storePath,

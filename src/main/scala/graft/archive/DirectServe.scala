@@ -48,9 +48,52 @@ object DirectServe {
   import ArchiveReader.{AtOrWidened, Exact, LimitMode}
 
   /** Abort signal: out of the fast path's envelope — caught by
-    * [[tryServe]], which returns None so the caller falls back. */
-  private final class FallbackException extends RuntimeException(
+    * [[tryServe]] (and [[DirectServeTyped]]), which returns None so
+    * the caller falls back. */
+  private[archive] final class FallbackException extends RuntimeException(
     null, null, false, false)
+
+  /** The engine boundary probe's geometric reach: spans of 1, 2, …,
+    * 2048 days (4096 would exceed the 3650-day default clamp), so a
+    * boundary farther than 2048 days from the bound is NOT found —
+    * the fast paths must stop at the same distance or they would
+    * serve a sample the engine's walk never reaches.
+    */
+  private[archive] val LimitReach: Long = 2048L * 86400L * 1000000000L
+
+  /** The memoized manifest at a version — shared with the typed path. */
+  private[archive] def manifestAt(spark: SparkSession, storePath: String,
+                                  version: Long): ManifestStore.Manifest =
+    manifestMemo.computeIfAbsent((storePath, version), _ => {
+      if (manifestMemo.size > 256) manifestMemo.clear()
+      ManifestStore.readManifest(spark, storePath, version)
+    })
+
+  /** Entry path → absolute data path (manifest entries are
+    * root-relative). */
+  private[archive] def resolveDataPath(root: String, p: String): String =
+    if (p.startsWith("/") || p.contains(":/")) p else s"$root/$p"
+
+  /** Exact per-channel level states, memoized per (store, version,
+    * channel) — shared planning metadata for the scalar and typed
+    * fast paths.
+    */
+  private[archive] def levelStatesOf(spark: SparkSession, storePath: String,
+                                     version: Long,
+                                     manifest: ManifestStore.Manifest,
+                                     channel: String): Seq[LevelState] = {
+    val key = (storePath, version, channel)
+    val hit = levelStatesMemo.get(key)
+    if (hit != null) hit
+    else {
+      val ctx = new Ctx(spark.sparkContext.hadoopConfiguration, storePath,
+        channel)
+      val computed = computeLevelStates(ctx, manifest)
+      if (levelStatesMemo.size > 8192) levelStatesMemo.clear()
+      levelStatesMemo.put(key, computed)
+      computed
+    }
+  }
 
   /** Decoded-row-group budget per request: a request that would decode
     * more groups than this (pathological fragmentation, or a window so
