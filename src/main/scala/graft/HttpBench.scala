@@ -123,6 +123,50 @@ object HttpBench {
       s"?start=$t0&end=${t0 + 7L * 86400L * NS}")
     val cusum = measure(i => s"$base/1/cusum/ch${i % channels}" +
       s"?start=$t0&end=${t0 + 7L * 86400L * NS}")
+    // shape H: TYPED-union serving (the reference's only wire format,
+    // and where EPICS migrations land) — rotating channels over a
+    // second, typed store; the driver-side typed decode+serialize
+    // path answers these
+    val typedDir = java.nio.file.Files.createTempDirectory("httpbtyped")
+      .toString
+    val tCfg = s"$typedDir/config"; val tStore = s"$typedDir/store"
+    val tChannels = 200
+    (0 until tChannels).foreach(i =>
+      ConfigCommands.addChannel(spark, tCfg, ChannelConfig(s"tpv$i",
+        s"tid$i", "ca", enabled = true, Map(), Map())))
+    val typedRaw = spark.range(tChannels.toLong * 1440L).select(
+      concat(lit("tpv"), col("id") % tChannels).as("channel"),
+      (lit(t0) + expr(s"id div $tChannels") * (60L * NS)).as("ts"),
+      lit("scalar_double").as("vtype"),
+      (col("id") % 997).cast("double").as("value"),
+      lit(null).cast("string").as("str_value"),
+      lit(null).cast("int").as("enum_value"),
+      lit(null).cast("array<string>").as("labels"),
+      lit(null).cast("array<double>").as("arr_num"),
+      lit(null).cast("array<string>").as("arr_str"),
+      lit(null).cast("double").as("agg_mean"),
+      lit(null).cast("double").as("agg_std"),
+      lit(null).cast("double").as("agg_min"),
+      lit(null).cast("double").as("agg_max"),
+      lit(null).cast("double").as("agg_cov"),
+      (col("id") % 4).cast("int").as("severity"),
+      (col("id") % 8).cast("int").as("status"),
+      lit("mm").as("meta_units"), lit(2).as("meta_precision"),
+      lit(-500.0).as("meta_display_low"), lit(500.0).as("meta_display_high"),
+      lit(-100.0).as("meta_warn_low"), lit(100.0).as("meta_warn_high"),
+      lit(-200.0).as("meta_alarm_low"), lit(200.0).as("meta_alarm_high"),
+      lit(null).cast("double").as("meta_control_low"),
+      lit(null).cast("double").as("meta_control_high"),
+      col("id").as("sample_id"))
+    graft.archive.ConfiguredArchive.materializeTyped(spark, tCfg, tStore,
+      typedRaw)
+    val typedRunning = HttpArchiveServer.start(spark, tCfg, tStore)
+    val tBase = typedRunning.baseUrl
+    get(s"$tBase/1/samples/tpv0?start=$t0&end=${t0 + 86400L * NS}")
+    val typedDay = measure(i => s"$tBase/1/samples/tpv${i % tChannels}" +
+      s"?start=$t0&end=${t0 + 86400L * NS}")
+    typedRunning.stop()
+
     // shape D: CONCURRENT raw-day requests — 8 client threads, the
     // server's fixed pool interleaving their small Spark jobs; reports
     // aggregate requests/sec (the serving-throughput number, where the
@@ -145,7 +189,7 @@ object HttpBench {
     running.stop()
 
     val line =
-      s"""{"metric":"http_request_sec","reqs":$reqs,"channels":$channels,"rows":$rows,"raw_day":{${stats(day)}},"raw_day_same_channel":{${stats(oneCh)}},"decimated_week_count200":{${stats(week)}},"channel_listing":{${stats(list)}},"m4_week_k250":{${stats(m4)}},"lttb_week_k1000":{${stats(lttb)}},"derived_week_1h":{${stats(derived)}},"spectrum_week_p7":{${stats(spectrum)}},"cusum_week":{${stats(cusum)}},"concurrent_raw_day":{"clients":$clients,"total_reqs":${clients * perClient},"wall_sec":$concSec,"req_per_sec":$concRps}}"""
+      s"""{"metric":"http_request_sec","reqs":$reqs,"channels":$channels,"rows":$rows,"raw_day":{${stats(day)}},"raw_day_same_channel":{${stats(oneCh)}},"decimated_week_count200":{${stats(week)}},"channel_listing":{${stats(list)}},"m4_week_k250":{${stats(m4)}},"lttb_week_k1000":{${stats(lttb)}},"derived_week_1h":{${stats(derived)}},"spectrum_week_p7":{${stats(spectrum)}},"cusum_week":{${stats(cusum)}},"typed_raw_day":{${stats(typedDay)}},"concurrent_raw_day":{"clients":$clients,"total_reqs":${clients * perClient},"wall_sec":$concSec,"req_per_sec":$concRps}}"""
     spark.stop()
     println(line)
   }

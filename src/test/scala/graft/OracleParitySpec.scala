@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Reproduce-then-guard probes for the documented Spark↔DuckDB oracle
-  * gotchas (.claude/skills/verify/SKILL.md): each class of engine
+  * gotchas (the engine's verification notes): each class of engine
   * divergence that once cost a red hash gate is pinned as a named test
   * against the SAME DuckDB the oracle gate runs (via python3, like
   * scripts/check.py), so a behavior change in either engine surfaces
