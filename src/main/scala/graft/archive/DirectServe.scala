@@ -133,10 +133,7 @@ object DirectServe {
     if (!(backend eq ManifestBackend)) return None
     val version = ManifestStore.latestVersion(spark, storePath)
       .getOrElse(return None)
-    val manifest = manifestMemo.computeIfAbsent((storePath, version), _ => {
-      if (manifestMemo.size > 256) manifestMemo.clear()
-      ManifestStore.readManifest(spark, storePath, version)
-    })
+    val manifest = manifestAt(spark, storePath, version)
     val schema = manifest.schema
     val names = schema.fieldNames.toSet
     // scalar stores only: the typed union serves through serveJsonTyped
@@ -156,15 +153,8 @@ object DirectServe {
     val ctx = new Ctx(spark.sparkContext.hadoopConfiguration, storePath,
       channel)
     try {
-      val key = (storePath, version, channel)
-      val states = levelStatesMemo.get(key) match {
-        case s if s != null => s
-        case _ =>
-          val computed = computeLevelStates(ctx, manifest)
-          if (levelStatesMemo.size > 8192) levelStatesMemo.clear()
-          levelStatesMemo.put(key, computed)
-          computed
-      }
+      val states = levelStatesOf(spark, storePath, version, manifest,
+        channel)
       val usable = states.filter(s => allowed.contains(s.periodSec))
       if (usable.isEmpty) throw new NoStoredDataException(name)
       val chosen = ResolutionPlanner.selectLevel(
@@ -237,10 +227,7 @@ object DirectServe {
     if (!(backend eq ManifestBackend)) return None
     val version = ManifestStore.latestVersion(spark, storePath)
       .getOrElse(return None)
-    val manifest = manifestMemo.computeIfAbsent((storePath, version), _ => {
-      if (manifestMemo.size > 256) manifestMemo.clear()
-      ManifestStore.readManifest(spark, storePath, version)
-    })
+    val manifest = manifestAt(spark, storePath, version)
     val schema = manifest.schema
     val names = schema.fieldNames.toSet
     if (names.contains("vtype") || !names.contains("channel") ||
