@@ -149,8 +149,13 @@ object Bench {
       (name, best)
     }
     val wallSec = (System.nanoTime() - wall0) / 1e9
+    // Locale.ROOT, never the f-interpolator: a comma-decimal default
+    // locale would render invalid JSON and silently disable the next
+    // run's baseline read (the round-4 locale gotcha)
+    def n3(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     val bandedJson = banded.map { case (k, (sec, com)) =>
-      f""""$k":{"sec":$sec%.3f,"committed":$com%.3f}"""
+      s""""$k":{"sec":${n3(sec)},"committed":${n3(com)}}"""
     }.mkString("{", ",", "}")
 
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

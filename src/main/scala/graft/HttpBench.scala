@@ -80,8 +80,10 @@ object HttpBench {
       }
     def stats(xs: Seq[Double]): String = {
       val s = xs.sorted
-      f""""mean":${xs.sum / xs.size}%.4f,"p50":${s(s.size / 2)}%.4f,"p95":${
-        s((s.size * 95) / 100 min (s.size - 1))}%.4f"""
+      def n4(x: Double): String =
+        String.format(java.util.Locale.ROOT, "%.4f", Double.box(x))
+      s""""mean":${n4(xs.sum / xs.size)},"p50":${n4(s(s.size / 2))},""" +
+        s""""p95":${n4(s((s.size * 95) / 100 min (s.size - 1)))}"""
     }
 
     val base = running.baseUrl

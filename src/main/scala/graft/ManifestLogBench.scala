@@ -57,10 +57,13 @@ object ManifestLogBench {
     val flat =
       if (windowMs.size < 2) true
       else windowMs.last <= windowMs.take(2).max * 2.0
+    def n3(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     val line =
       s"""{"metric":"manifest_commit_ms","commits":$n,"window":$window,""" +
-        s""""window_ms":[${windowMs.map(x => f"$x%.3f").mkString(",")}],""" +
-        s""""flat":$flat,"cold_read_ms":${f"$readMs%.1f"},""" +
+        s""""window_ms":[${windowMs.map(n3).mkString(",")}],""" +
+        s""""flat":$flat,"cold_read_ms":${
+          String.format(java.util.Locale.ROOT, "%.1f", Double.box(readMs))},""" +
         s""""log_files":$logFiles,"log_bytes":$logBytes,""" +
         s""""log_files_after_vacuum":$afterFiles,""" +
         s""""checkpoint_interval":${ManifestStore.CheckpointInterval}}"""

@@ -107,24 +107,30 @@ object DirectPanels {
     }
     if (pts.isEmpty) return Vector.empty
     // bucket summaries: avg_ts, avg_v (exact accumulation, double at
-    // the division like the engine)
-    final case class Sum(var n: Long, var ts: BigInt, var v: JBigDecimal)
+    // the division like the engine). Spark's double→decimal cast maps
+    // non-finite to NULL (even in ANSI) and sum skips nulls while
+    // count(1) still counts the row — so a partially-NaN bucket's
+    // anchor biases the same way, and an ALL-non-finite bucket's
+    // anchor value is SQL NULL (None here), not zero.
+    final case class Sum(var n: Long, var ts: BigInt, var v: JBigDecimal,
+                         var vAny: Boolean)
     val sums = mutable.LongMap.empty[Sum]
     pts.foreach { case (b, ts, v) =>
-      val s = sums.getOrElseUpdate(b, Sum(0L, BigInt(0), JBigDecimal.ZERO))
+      val s = sums.getOrElseUpdate(b,
+        Sum(0L, BigInt(0), JBigDecimal.ZERO, vAny = false))
       s.n += 1
       s.ts += ts
-      // Spark's double→decimal cast maps non-finite to NULL (even in
-      // ANSI), and sum skips nulls while count(1) still counts the
-      // row — the anchor average must bias the same way
-      if (!v.isNaN && !v.isInfinite)
+      if (!v.isNaN && !v.isInfinite) {
         s.v = s.v.add(JBigDecimal.valueOf(v).setScale(12,
           RoundingMode.HALF_UP))
+        s.vAny = true
+      }
     }
     val order = sums.keys.toArray.sorted
-    val avg = order.map { b =>
+    val avg: Map[Long, (Double, Option[Double])] = order.map { b =>
       val s = sums(b)
-      b -> (s.ts.doubleValue / s.n.toDouble, s.v.doubleValue / s.n.toDouble)
+      b -> (s.ts.doubleValue / s.n.toDouble,
+        if (s.vAny) Some(s.v.doubleValue / s.n.toDouble) else None)
     }.toMap
     val prevOf = order.zipWithIndex.map { case (b, i) =>
       b -> (if (i > 0) Some(avg(order(i - 1))) else None)
@@ -133,24 +139,35 @@ object DirectPanels {
       b -> (if (i < order.length - 1) Some(avg(order(i + 1))) else None)
     }.toMap
     // per-bucket pick: min (o1, o2); o1 = mid ? -area : 0.0, o2 =
-    // last-bucket ? -ts : ts — lexicographic with Spark double order
-    final case class Pick(var o1: Double, var o2: Long,
+    // last-bucket ? -ts : ts — lexicographic. o1 = None is the
+    // engine's NULL area (a null anchor value propagates), and SQL
+    // nulls sort FIRST ascending, below every double including -Inf.
+    final case class Pick(var o1: Option[Double], var o2: Long,
                           var ts: Long, var v: Double)
+    def o1Lt(a: Option[Double], b: Option[Double]): Int = (a, b) match {
+      case (None, None) => 0
+      case (None, _) => -1
+      case (_, None) => 1
+      case (Some(x), Some(y)) => java.lang.Double.compare(x, y)
+    }
     val picks = mutable.LongMap.empty[Pick]
     pts.foreach { case (b, ts, v) =>
       val mid = b > 0 && b < kL - 1 &&
         prevOf(b).isDefined && nextOf(b).isDefined
-      val o1 =
-        if (mid) {
+      val o1: Option[Double] =
+        if (!mid) Some(0.0)
+        else {
           val (pTs, pV) = prevOf(b).get
           val (nTs, nV) = nextOf(b).get
-          -math.abs((pTs - nTs) * (v - pV) - (pTs - ts.toDouble) * (nV - pV))
-        } else 0.0
+          if (pV.isEmpty || nV.isEmpty) None // NULL anchor → NULL area
+          else Some(-math.abs((pTs - nTs) * (v - pV.get) -
+            (pTs - ts.toDouble) * (nV.get - pV.get)))
+        }
       val o2 = if (b == kL - 1) -ts else ts
       picks.get(b) match {
         case None => picks(b) = Pick(o1, o2, ts, v)
         case Some(p) =>
-          val c = java.lang.Double.compare(o1, p.o1)
+          val c = o1Lt(o1, p.o1)
           if (c < 0 || (c == 0 && o2 < p.o2)) {
             p.o1 = o1; p.o2 = o2; p.ts = ts; p.v = v
           }

@@ -61,13 +61,20 @@ object DirectServe {
     */
   private[archive] val LimitReach: Long = 2048L * 86400L * 1000000000L
 
-  /** The memoized manifest at a version — shared with the typed path. */
+  /** The memoized manifest at a version — shared with the typed path.
+    * Eviction happens OUTSIDE the mapping function (CHM forbids
+    * mutating other mappings from inside computeIfAbsent).
+    */
   private[archive] def manifestAt(spark: SparkSession, storePath: String,
-                                  version: Long): ManifestStore.Manifest =
-    manifestMemo.computeIfAbsent((storePath, version), _ => {
-      if (manifestMemo.size > 256) manifestMemo.clear()
-      ManifestStore.readManifest(spark, storePath, version)
-    })
+                                  version: Long): ManifestStore.Manifest = {
+    val key = (storePath, version)
+    val hit = manifestMemo.get(key)
+    if (hit != null) return hit
+    val m = ManifestStore.readManifest(spark, storePath, version)
+    if (manifestMemo.size > 256) manifestMemo.clear()
+    manifestMemo.put(key, m)
+    m
+  }
 
   /** Entry path → absolute data path (manifest entries are
     * root-relative). */
@@ -346,18 +353,15 @@ object DirectServe {
   private def channelRows(ctx: Ctx, e: ManifestStore.FileEntry,
                           valueCol: Option[String])
       : IndexedSeq[(Long, java.lang.Double)] =
-    ctx.fileRows.getOrElseUpdate((e.path, valueCol), {
-      val abs =
-        if (e.path.startsWith("/") || e.path.contains(":/")) e.path
-        else s"${ctx.root}/${e.path}"
-      decodeFile(ctx, abs, valueCol)
-    })
+    ctx.fileRows.getOrElseUpdate((e.path, valueCol),
+      decodeFile(ctx, resolveDataPath(ctx.root, e.path), valueCol))
 
   /** Channel-match converter: with dictionary-encoded pages (the
     * normal case for a (channel, ts)-sorted file) the comparison runs
     * ONCE per dictionary entry, then per row is an array lookup.
+    * Shared with [[DirectServeTyped]].
     */
-  private final class ChannelConverter(target: Binary)
+  private[archive] final class ChannelConverter(target: Binary)
       extends PrimitiveConverter {
     var isMatch = false
     private var dictMatch: Array[Boolean] = _
@@ -370,13 +374,13 @@ object DirectServe {
     override def addBinary(b: Binary): Unit = isMatch = (b == target)
   }
 
-  private final class LongConverter extends PrimitiveConverter {
+  private[archive] final class LongConverter extends PrimitiveConverter {
     var set = false
     var v = 0L
     override def addLong(value: Long): Unit = { set = true; v = value }
   }
 
-  private final class DoubleConverter extends PrimitiveConverter {
+  private[archive] final class DoubleConverter extends PrimitiveConverter {
     var set = false
     var v = 0.0
     override def addDouble(value: Double): Unit = { set = true; v = value }

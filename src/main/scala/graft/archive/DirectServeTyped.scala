@@ -91,10 +91,15 @@ object DirectServeTyped {
       val entries = manifest.files.filter(_.levelSec == 0L)
       val conf = spark.sparkContext.hadoopConfiguration
       val cache = mutable.Map.empty[String, IndexedSeq[TRow]]
+      // decoded-row-group budget, like the scalar path's: a request
+      // whose window is a real scan belongs to the engine, not the
+      // serving driver
+      val groupsLeft = new java.util.concurrent.atomic.AtomicInteger(64)
       def fileRows(e: ManifestStore.FileEntry): IndexedSeq[TRow] =
         cache.getOrElseUpdate(e.path,
           decodeTypedFile(conf,
-            DirectServe.resolveDataPath(storePath, e.path), channel))
+            DirectServe.resolveDataPath(storePath, e.path), channel,
+            groupsLeft))
       def mayContain(e: ManifestStore.FileEntry): Boolean =
         e.chMin.forall(_ <= channel) && e.chMax.forall(_ >= channel)
 
@@ -157,31 +162,20 @@ object DirectServeTyped {
 
   // ---- typed parquet decode -----------------------------------------
 
+  // ChannelConverter / LongConverter / DoubleConverter are SHARED with
+  // the scalar path (one definition of the dictionary-aware channel
+  // match); only the string and int32 primitives are typed-only.
+  private type ChConv = DirectServe.ChannelConverter
+  private type LongConv = DirectServe.LongConverter
+  private type DblConv = DirectServe.DoubleConverter
+
   private final class StrConv extends PrimitiveConverter {
     var v: String = _
     override def addBinary(b: Binary): Unit = v = b.toStringUsingUTF8
   }
-  private final class ChConv(target: Binary) extends PrimitiveConverter {
-    var isMatch = false
-    private var dict: Array[Boolean] = _
-    override def hasDictionarySupport: Boolean = true
-    override def setDictionary(d: org.apache.parquet.column.Dictionary)
-        : Unit =
-      dict = Array.tabulate(d.getMaxId + 1)(i => d.decodeToBinary(i) == target)
-    override def addValueFromDictionary(id: Int): Unit = isMatch = dict(id)
-    override def addBinary(b: Binary): Unit = isMatch = (b == target)
-  }
-  private final class LongConv extends PrimitiveConverter {
-    var set = false; var v = 0L
-    override def addLong(x: Long): Unit = { set = true; v = x }
-  }
   private final class IntConv extends PrimitiveConverter {
     var set = false; var v = 0
     override def addInt(x: Int): Unit = { set = true; v = x }
-  }
-  private final class DblConv extends PrimitiveConverter {
-    var set = false; var v = 0.0
-    override def addDouble(x: Double): Unit = { set = true; v = x }
   }
 
   /** Spark's 3-level list layout: group (LIST) { repeated group list {
@@ -219,7 +213,9 @@ object DirectServeTyped {
     * as null. Row groups / pages without the channel never decode.
     */
   private def decodeTypedFile(conf: org.apache.hadoop.conf.Configuration,
-                              file: String, channel: String)
+                              file: String, channel: String,
+                              groupsLeft: java.util.concurrent.atomic
+                                .AtomicInteger)
       : IndexedSeq[TRow] = {
     val want = Seq("channel", "ts", "vtype", "value", "str_value",
       "enum_value", "labels", "arr_num", "arr_str",
@@ -348,6 +344,8 @@ object DirectServeTyped {
       while (pages != null) {
         val n = pages.getRowCount
         if (n > 0) {
+          if (groupsLeft.decrementAndGet() < 0)
+            throw new DirectServe.FallbackException
           val rr = io.getRecordReader(pages, mat)
           var r = 0L
           while (r < n) { rr.read(); r += 1 }

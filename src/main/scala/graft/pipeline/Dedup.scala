@@ -951,10 +951,12 @@ object Dedup {
                    maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq),
                    maxDocs: Option[Long] = Some(200000L)): DataFrame = {
     maxDocs.foreach { cap =>
-      val n = docs.count()
+      // limit(cap+1) bounds the guard's own scan — a full count over
+      // the corpus just to refuse it would cost what it guards against
+      val n = docs.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count()
       require(n <= cap,
-        s"ngramJaccard is the quadratic exact baseline: $n documents " +
-          s"exceeds the $cap cap — use the LSH->verify production path " +
+        s"ngramJaccard is the quadratic exact baseline: more than $cap " +
+          "documents — use the LSH->verify production path " +
           "(nearDupPairs) or pass maxDocs = None from a bounded caller")
     }
     val sh = capDocFreq(shingles(docs, k), maxDocFreq).cache()

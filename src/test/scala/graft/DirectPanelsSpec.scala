@@ -35,6 +35,12 @@ class DirectPanelsSpec extends AnyFunSuite {
       val v: Option[Double] = i match {
         case 5 => Some(Double.NaN)
         case 6 => None // held marker shape
+        // an ALL-NaN run wide enough to own whole buckets at every
+        // tested k — the engine's decimal sum of such a bucket is
+        // NULL, its LTTB anchor is NULL, and neighboring buckets'
+        // areas go NULL (nulls sort first): the fast path must bias
+        // identically, not treat the dead bucket's anchor as zero
+        case _ if i >= 300 && i < 360 => Some(Double.NaN)
         case _ =>
           val base = math.sin(i * 0.21) * 10.0 + (if (i >= 400) 15.0 else 0.0)
           // value ties inside a bucket every ~97 samples
