@@ -1707,6 +1707,33 @@ object SparkEntry {
         .orderBy("channel", "win_start")
     }),
 
+    // BACKFILL repair — catch-up's missing half: a two-day slice of
+    // history lands BEHIND every channel's frontier (the EPICS
+    // migration shape), so watermark-resumed catch-up would never see
+    // it; repairRange recomputes exactly the affected 1h windows and
+    // swaps them atomically. The repaired store must serve the SAME
+    // bytes as a from-scratch decimation of the complete history —
+    // the incremental-catchup oracle, shared.
+    "arch_backfill_repair" -> ((s, dir) => {
+      val gapLo = CUT - 3L * 86400L * NS
+      val gapHi = CUT - 1L * 86400L * NS
+      val store = mutableStoreFixture("backfill", dir) { p =>
+        val m = marked(s, dir)
+        graft.archive.Cascade.materialize(s, p,
+          m.where(col("ts") <= lit(gapLo) || col("ts") > lit(gapHi)),
+          Seq(3600L), graft.archive.ManifestBackend)
+        graft.archive.ManifestBackend.write(
+          m.where(col("ts") > lit(gapLo) && col("ts") <= lit(gapHi)),
+          p, 0L)
+      }
+      graft.archive.Cascade.repairRange(s, store, 3600L, gapLo + 1, gapHi)
+      ManifestStore.read(s, store, 3600L)
+        .select(col("channel"), col("ts").as("win_start"), r6("mean"),
+          r6("std"), col("min_value"), col("max_value"),
+          r6("covered_fraction"), col("n_samples"))
+        .orderBy("channel", "win_start")
+    }),
+
     "arch_retention" -> ((s, dir) =>
       ArchiveReader.retain(clean(s, dir), RET7D)
         .groupBy("channel")
@@ -2842,6 +2869,10 @@ object SparkEntry {
     // the manifest store must serve the exact bytes the raw scan serves —
     // same oracle, different storage path
     base + ("arch_manifest_scan" -> base("arch_range_scan")) +
+      // the backfill-repaired store must serve the exact bytes of a
+      // from-scratch decimation of the COMPLETE history — the
+      // incremental-catchup gate's oracle, shared
+      ("arch_backfill_repair" -> base("arch_decimate_1h")) +
       // the federated old+live split must reassemble the same bytes
       ("arch_federated_scan" -> base("arch_range_scan")) +
       // the streaming file sink must land the exact bytes the batch

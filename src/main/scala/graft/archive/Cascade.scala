@@ -194,6 +194,82 @@ object Cascade {
       watermarkPath(storePath, levelSec) + "._trash"))
   }
 
+  /** Backfill repair — incremental catch-up's missing half: catch-up
+    * extends each channel's FRONTIER, but source data landed BEHIND it
+    * (a migrated archive — the EPICS bridge's whole purpose — or a
+    * replayed outage) never reaches the decimated levels. This
+    * recomputes every target window a backfill into [loNs, hiNs] can
+    * have changed: from the window containing loNs through the window
+    * holding each channel's first source sample AFTER hiNs (the
+    * sample-and-hold entering later windows is unchanged beyond that),
+    * extended to whole day buckets so the swap is a lossless
+    * WHOLE-DAY file replacement ([[ManifestStore.replaceRange]], one
+    * atomic commit — windows in the edge days outside the repair range
+    * recompute to identical values). Watermarks are untouched (the
+    * frontier did not move); data past the frontier stays [[catchUp]]'s
+    * job. Repair levels fine-to-coarse so each coarser hop reads the
+    * repaired finer level — [[ConfiguredArchive.repairBackfill]] drives
+    * that order. Scalar stores; requires a manifest-backed store (the
+    * swap is a manifest operation).
+    *
+    * Dedup note: when the source is the raw level, the F6 view is
+    * recomputed over the FULL raw level (not a clipped prefix) — an
+    * out-of-order arrival's dominator can live outside any clipped
+    * window, and a partial view would keep rows the true dedup drops.
+    */
+  def repairRange(spark: SparkSession, storePath: String, targetSec: Long,
+                  loNs: Long, hiNs: Long): Unit = {
+    require(targetSec > 0, "repairRange targets a decimated level")
+    require(loNs <= hiNs, "repairRange needs loNs <= hiNs")
+    val backend = ManifestBackend
+    val levels = backend.levels(spark, storePath).filter(_ != targetSec)
+    val source = Decimation.selectSourcePeriod(targetSec, levels)
+    val targetP = targetSec * Samples.NS
+    val dayNs = 86400L * Samples.NS
+    val dayLo = ((loNs / targetP) * targetP / dayNs) * dayNs
+    // the last window whose ENTERING hold the backfill can change
+    val firstAfter = backend.read(spark, storePath, source,
+        Some(hiNs + 1), None)
+      .where(col("ts") > hiNs)
+      .groupBy("channel").agg(min("ts").as("fa"))
+      .agg(max("fa")).collect().head
+    val lastNeeded =
+      if (firstAfter.isNullAt(0)) hiNs else firstAfter.getLong(0)
+    val upWin = (lastNeeded / targetP + 1L) * targetP
+    val dayHi = ((upWin - 1L) / dayNs + 1L) * dayNs // exclusive
+    val srcAll0 = backend.read(spark, storePath, source)
+    val srcAll =
+      if (source == 0L) Samples.monotonicDedup(srcAll0) else srcAll0
+    val cols = srcAll.columns
+      .filterNot(c => c == "level" || c == "bucket_date").map(col).toSeq
+    // source upper edge: whole windows (srcHi == dayHi when the period
+    // divides a day; the window straddling dayHi otherwise)
+    val srcHi = ((dayHi - 1L) / targetP + 1L) * targetP
+    val inRange = srcAll.where(col("ts") >= dayLo && col("ts") < srcHi)
+      .select(cols: _*)
+    // per-channel held boundary: the last source row before the range
+    val boundary = srcAll.where(col("ts") < dayLo)
+      .groupBy(col("channel").as("_ch"))
+      .agg(max_by(struct(cols: _*), col("ts")).as("_r"))
+      .select(col("_r.*"))
+    // per-channel FORWARD boundary: without a row past the range the
+    // decimator stops at the channel's last in-range sample and the
+    // gap-hold windows between it and dayHi never regenerate — the
+    // full build emits them because later samples exist
+    val forward = srcAll.where(col("ts") >= srcHi)
+      .groupBy(col("channel").as("_ch"))
+      .agg(min_by(struct(cols: _*), col("ts")).as("_r"))
+      .select(col("_r.*"))
+    val input = inRange.unionByName(boundary).unionByName(forward)
+    val recomputed = hop(input, source, targetSec)
+      .where(col("win_start") >= dayLo && col("win_start") < dayHi)
+    val dates = Iterator.iterate(dayLo)(_ + dayNs).takeWhile(_ < dayHi)
+      .map(d => java.time.LocalDate.ofEpochDay(d / dayNs).toString)
+      .toSet
+    ManifestStore.replaceRange(spark, storePath, targetSec, dates,
+      asStoreRows(recomputed))
+  }
+
   /** Build ONE level from the best available source over FULL history
     * — the [[materialize]] loop body as a standalone call, for levels
     * a configuration change adds to an already-materialized store.

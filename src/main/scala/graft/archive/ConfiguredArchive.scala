@@ -214,6 +214,21 @@ object ConfiguredArchive {
     }
   }
 
+  /** Backfill repair across every config-declared level, fine to
+    * coarse — so each coarser hop reads the repaired finer level. Run
+    * after landing history BEHIND the archive's frontier (an EPICS
+    * migration via [[graft.sources.EpicsArchiverJson]] + [[ingestRaw]],
+    * a replayed outage): [[Cascade.repairRange]] recomputes exactly the
+    * windows the backfill can have changed and swaps them atomically.
+    * Data past the frontier stays [[catchUp]]'s job.
+    */
+  def repairBackfill(spark: SparkSession, configPath: String,
+                     storePath: String, loNs: Long, hiNs: Long): Unit = {
+    val st = ConfigCommands.state(spark, configPath)
+    for (level <- st.levelsSec.filter(_ > 0L).sorted)
+      Cascade.repairRange(spark, storePath, level, loNs, hiNs)
+  }
+
   /** Incremental ingest: append new raw samples (enabled channels
     * only, id-keyed, F6-deduplicated) and apply the config's raw-level
     * retention — the batch analog of the streaming sink's per-batch

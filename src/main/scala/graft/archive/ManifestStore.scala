@@ -772,6 +772,37 @@ object ManifestStore {
     cands
   }
 
+  /** Atomic whole-day replacement of one level's rows: every file of
+    * (levelSec, date ∈ dates) leaves the manifest and `replacement`'s
+    * staged files (which must lie within those dates) take their place
+    * in ONE commit — the swap primitive behind the cascade's backfill
+    * repair ([[Cascade.repairRange]]). Readers on the old snapshot are
+    * untouched; replaced bytes go at [[vacuum]].
+    */
+  def replaceRange(spark: SparkSession, path: String, levelSec: Long,
+                   dates: Set[String], replacement: DataFrame): Unit = {
+    if (dates.isEmpty) return
+    val staged =
+      s"$path/data/repair-${java.util.UUID.randomUUID().toString.take(12)}"
+    withBucketDate(replacement)
+      .withColumn("level", lit(levelSec))
+      .repartitionByRange(col("bucket_date"), clusterCol(replacement))
+      // bucket_date first — commitTxn's writer-ordering note
+      .sortWithinPartitions(col("bucket_date"), clusterCol(replacement),
+        col("ts"))
+      .write.partitionBy("level", "bucket_date").parquet(staged)
+    val entries = statsFor(spark, path, staged, levelSec)
+    val stray = entries.filterNot(e => dates.contains(e.bucketDate))
+    require(stray.isEmpty,
+      s"replaceRange: replacement rows land outside the replaced days " +
+        s"(${stray.map(_.bucketDate).distinct.sorted.mkString(", ")})")
+    commitLoop(spark, path) { cur =>
+      cur.copy(files = cur.files.filterNot(f =>
+        f.levelSec == levelSec && dates.contains(f.bucketDate)) ++ entries)
+    }
+    ()
+  }
+
   /** One (level, day)'s compaction urgency, from manifest stats. */
   case class CompactionCandidate(levelSec: Long, bucketDate: String,
                                  files: Int, bytes: Long, rows: Long)
