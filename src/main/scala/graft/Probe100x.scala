@@ -309,8 +309,8 @@ object Probe100x {
         "ttl_docs" -> n2, "ttl_horizon_docs" -> (2L * perChunk),
         "ttl_sec" -> ttlSec, "ttl_rows_per_sec" -> (n2 / ttlSec).toLong,
         "ttl_pairs" -> ttlPairs, "ttl_state_rows" -> ttlState,
-        "ttl_state_vs_plain_2x" ->
-          f"${ttlState.toDouble / (2.0 * state)}%.3f")
+        "ttl_state_vs_plain_2x" -> String.format(java.util.Locale.ROOT,
+          "%.3f", Double.box(ttlState.toDouble / (2.0 * state))))
     }
 
     if (mode == "ann" || mode == "all") {
