@@ -218,7 +218,24 @@ object Cascade {
     * window, and a partial view would keep rows the true dedup drops.
     */
   def repairRange(spark: SparkSession, storePath: String, targetSec: Long,
-                  loNs: Long, hiNs: Long): Unit = {
+                  loNs: Long, hiNs: Long): Unit =
+    repairRangeImpl(spark, storePath, targetSec, loNs, hiNs, hop,
+      asStoreRows)
+
+  /** [[repairRange]] for typed-union stores — what an EPICS migration
+    * ([[graft.sources.EpicsArchiverJson]] → [[materializeTyped]])
+    * actually needs repaired: same window algebra, typed dispatch in
+    * the hop.
+    */
+  def repairRangeTyped(spark: SparkSession, storePath: String,
+                       targetSec: Long, loNs: Long, hiNs: Long): Unit =
+    repairRangeImpl(spark, storePath, targetSec, loNs, hiNs, typedHop,
+      asTypedStoreRows)
+
+  private def repairRangeImpl(spark: SparkSession, storePath: String,
+                              targetSec: Long, loNs: Long, hiNs: Long,
+                              hopFn: (DataFrame, Long, Long) => DataFrame,
+                              toStore: DataFrame => DataFrame): Unit = {
     require(targetSec > 0, "repairRange targets a decimated level")
     require(loNs <= hiNs, "repairRange needs loNs <= hiNs")
     val backend = ManifestBackend
@@ -261,13 +278,13 @@ object Cascade {
       .agg(min_by(struct(cols: _*), col("ts")).as("_r"))
       .select(col("_r.*"))
     val input = inRange.unionByName(boundary).unionByName(forward)
-    val recomputed = hop(input, source, targetSec)
+    val recomputed = hopFn(input, source, targetSec)
       .where(col("win_start") >= dayLo && col("win_start") < dayHi)
     val dates = Iterator.iterate(dayLo)(_ + dayNs).takeWhile(_ < dayHi)
       .map(d => java.time.LocalDate.ofEpochDay(d / dayNs).toString)
       .toSet
     ManifestStore.replaceRange(spark, storePath, targetSec, dates,
-      asStoreRows(recomputed))
+      toStore(recomputed))
   }
 
   /** Build ONE level from the best available source over FULL history

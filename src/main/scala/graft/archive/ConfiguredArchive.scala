@@ -225,8 +225,15 @@ object ConfiguredArchive {
   def repairBackfill(spark: SparkSession, configPath: String,
                      storePath: String, loNs: Long, hiNs: Long): Unit = {
     val st = ConfigCommands.state(spark, configPath)
+    // typed-union stores (the EPICS bridge's output) repair through
+    // the typed dispatch — detected like the serving edge does
+    val typed =
+      try ManifestBackend.read(spark, storePath, 0L).columns
+        .contains("vtype")
+      catch { case _: Throwable => false }
     for (level <- st.levelsSec.filter(_ > 0L).sorted)
-      Cascade.repairRange(spark, storePath, level, loNs, hiNs)
+      if (typed) Cascade.repairRangeTyped(spark, storePath, level, loNs, hiNs)
+      else Cascade.repairRange(spark, storePath, level, loNs, hiNs)
   }
 
   /** Incremental ingest: append new raw samples (enabled channels

@@ -454,13 +454,36 @@ object ManifestStore {
     * so far held only raw columns. A same-name type conflict is a
     * corrupt store and fails loudly.
     */
+  /** Structural type equality modulo nullability — a recomputed frame
+    * may carry `array<double> containsNull=false` where the store
+    * holds the nullable form; that is the SAME storage type (the old,
+    * more-nullable field is kept), not a conflict.
+    */
+  private def sameTypeIgnoreNullability(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = (a, b) match {
+    case (x: org.apache.spark.sql.types.ArrayType,
+          y: org.apache.spark.sql.types.ArrayType) =>
+      sameTypeIgnoreNullability(x.elementType, y.elementType)
+    case (x: org.apache.spark.sql.types.MapType,
+          y: org.apache.spark.sql.types.MapType) =>
+      sameTypeIgnoreNullability(x.keyType, y.keyType) &&
+        sameTypeIgnoreNullability(x.valueType, y.valueType)
+    case (x: StructType, y: StructType) =>
+      x.fields.length == y.fields.length &&
+        x.fields.zip(y.fields).forall { case (f, g) =>
+          f.name == g.name && sameTypeIgnoreNullability(f.dataType, g.dataType)
+        }
+    case _ => a == b
+  }
+
   private def mergeSchema(oldDdl: String, newSchema: StructType): StructType = {
     if (oldDdl.isEmpty) return newSchema
     val old = StructType.fromDDL(oldDdl)
     val byName = old.fields.map(f => f.name -> f).toMap
     newSchema.fields.foreach { f =>
       byName.get(f.name).foreach { o =>
-        require(o.dataType == f.dataType,
+        require(sameTypeIgnoreNullability(o.dataType, f.dataType),
           s"schema conflict on '${f.name}': ${o.dataType} vs ${f.dataType}")
       }
     }

@@ -62,6 +62,31 @@ class BackfillRepairSpec extends AnyFunSuite {
         s"level $l diverges from the from-scratch build")
   }
 
+  test("typed repaired cascade equals a from-scratch typed build " +
+      "(the migrated-store shape)") {
+    val export = Files.createTempDirectory("bfexp").toString
+    graft.sources.EpicsArchiverJson.writeFixture(export, pvs = 4, n = 300)
+    val full = graft.sources.EpicsArchiverJson.read(spark, export)
+    val gapLo = T0 + 100L * 60L * NS
+    val gapHi = T0 + 200L * 60L * NS
+    val dirA = Files.createTempDirectory("bfTA").toString
+    val dirB = Files.createTempDirectory("bfTB").toString
+    Cascade.materializeTyped(spark, dirA,
+      full.where(col("ts") < gapLo || col("ts") >= gapHi),
+      Seq(3600L), ManifestBackend)
+    ManifestBackend.write(
+      full.where(col("ts") >= gapLo && col("ts") < gapHi), dirA, 0L)
+    Cascade.repairRangeTyped(spark, dirA, 3600L, gapLo, gapHi - 1)
+    Cascade.materializeTyped(spark, dirB, full, Seq(3600L), ManifestBackend)
+    def rows(p: String): Vector[String] =
+      ManifestStore.read(spark, p, 3600L)
+        .orderBy("channel", "ts", "vtype")
+        .collect().map(_.toString).toVector
+    val (a, b) = (rows(dirA), rows(dirB))
+    assert(a.nonEmpty && a == b,
+      s"typed repair diverges: ${a.size} vs ${b.size} rows")
+  }
+
   test("EPICS migration end to end: export -> ingest behind the " +
       "frontier -> repairBackfill -> decimated serving sees it") {
     import spark.implicits._
