@@ -76,6 +76,12 @@ object ArchiveServer {
   private val levelStatesMemo = new java.util.concurrent.ConcurrentHashMap[
     (StoreBackend, String, Long, String), Seq[LevelState]]()
 
+  // purge on store-recreate (version regression): see
+  // ManifestStore.onVersionRegression
+  ManifestStore.onVersionRegression { path =>
+    levelStatesMemo.keySet.removeIf(_._2 == path)
+  }
+
   private def computeLevelStates(spark: SparkSession, storePath: String,
                                  channel: String,
                                  backend: StoreBackend): Seq[LevelState] = {

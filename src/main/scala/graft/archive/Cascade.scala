@@ -244,19 +244,21 @@ object Cascade {
     val targetP = targetSec * Samples.NS
     val dayNs = 86400L * Samples.NS
     val dayLo = ((loNs / targetP) * targetP / dayNs) * dayNs
-    // the last window whose ENTERING hold the backfill can change
-    val firstAfter = backend.read(spark, storePath, source,
-        Some(hiNs + 1), None)
-      .where(col("ts") > hiNs)
+    val srcAll0 = backend.read(spark, storePath, source)
+    val srcAll =
+      if (source == 0L) Samples.monotonicDedup(srcAll0) else srcAll0
+    // the last window whose ENTERING hold the backfill can change —
+    // derived from the DEDUPLICATED view: the first raw arrival past
+    // hiNs may be a row F6 drops, and anchoring on it would leave
+    // gap-hold windows between dayHi and the first SURVIVING sample
+    // holding their stale pre-backfill value
+    val firstAfter = srcAll.where(col("ts") > hiNs)
       .groupBy("channel").agg(min("ts").as("fa"))
       .agg(max("fa")).collect().head
     val lastNeeded =
       if (firstAfter.isNullAt(0)) hiNs else firstAfter.getLong(0)
     val upWin = (lastNeeded / targetP + 1L) * targetP
     val dayHi = ((upWin - 1L) / dayNs + 1L) * dayNs // exclusive
-    val srcAll0 = backend.read(spark, storePath, source)
-    val srcAll =
-      if (source == 0L) Samples.monotonicDedup(srcAll0) else srcAll0
     val cols = srcAll.columns
       .filterNot(c => c == "level" || c == "bucket_date").map(col).toSeq
     // source upper edge: whole windows (srcHi == dayHi when the period

@@ -113,6 +113,14 @@ object DirectServe {
   private val levelStatesMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, String), Seq[LevelState]]()
 
+  // a store deleted and recreated at the same path restarts version
+  // numbering — (path, version) keys would serve the DEAD store's
+  // manifest; ManifestStore detects the regression and purges us
+  ManifestStore.onVersionRegression { path =>
+    manifestMemo.keySet.removeIf(_._1 == path)
+    levelStatesMemo.keySet.removeIf(_._1 == path)
+  }
+
   /** One request's decode state: per-(file, projection) row cache (the
     * inner scan and both boundary lookups often hit the same day file)
     * plus the decoded-group budget.
@@ -291,7 +299,7 @@ object DirectServe {
     }
 
   private def mayContain(e: ManifestStore.FileEntry, ch: String): Boolean =
-    e.chMin.forall(_ <= ch) && e.chMax.forall(_ >= ch)
+    ManifestStore.chRangeContains(e.chMin, e.chMax, ch)
 
   // ---- row assembly --------------------------------------------------
 

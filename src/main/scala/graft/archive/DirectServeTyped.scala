@@ -101,7 +101,7 @@ object DirectServeTyped {
             DirectServe.resolveDataPath(storePath, e.path), channel,
             groupsLeft))
       def mayContain(e: ManifestStore.FileEntry): Boolean =
-        e.chMin.forall(_ <= channel) && e.chMax.forall(_ >= channel)
+        ManifestStore.chRangeContains(e.chMin, e.chMax, channel)
 
       // inner strict bounds + unconditional walk-back boundaries with
       // the engine probe's geometric reach (spans 1,2,…,2048 days —

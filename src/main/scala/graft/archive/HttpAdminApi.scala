@@ -102,7 +102,12 @@ object HttpAdminApi {
                                users: Option[String]): Option[Principal] =
     users match {
       case Some(path) =>
-        if (seededStores.add(path)) UserStore.ensureSeeded(spark, path)
+        // mark seeded only AFTER ensureSeeded succeeds — a transient IO
+        // failure must retry on the next request, not 401 until restart
+        if (!seededStores.contains(path)) {
+          UserStore.ensureSeeded(spark, path)
+          seededStores.add(path)
+        }
         basicCreds(ex).flatMap { case (u, p) =>
           UserStore.authenticate(spark, path, u, p)
             .map(user => Principal(user.name, user.isAdmin))

@@ -72,6 +72,34 @@ object ManifestStore {
                        chMin: Option[String] = None,
                        chMax: Option[String] = None)
 
+  /** Unsigned UTF-8 byte comparison — the order Spark's min/max used to
+    * compute `chMin`/`chMax` (UTF8String compares raw UTF-8 bytes).
+    * Java's `String.compareTo` orders UTF-16 code units, which diverges
+    * for supplementary-plane channel ids (surrogates sort BELOW
+    * U+E000..U+FFFF in UTF-16 but above in UTF-8); pruning with the
+    * JVM order could drop a file that contains the channel. Every
+    * chMin/chMax prune must go through this.
+    */
+  def utf8Leq(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length <= y.length
+  }
+
+  /** [[utf8Leq]]-ordered containment of `ch` in a file's clustering-key
+    * range; None bounds (pre-field manifests) never prune.
+    */
+  def chRangeContains(chMin: Option[String], chMax: Option[String],
+                      ch: String): Boolean =
+    chMin.forall(utf8Leq(_, ch)) && chMax.forall(utf8Leq(ch, _))
+
   /** `txns` records one long per idempotent writer: the highest applied
     * batch id for in-order streaming sinks ([[commitIdempotent]]), or
     * the last applied input-state token for re-runnable jobs
@@ -235,6 +263,35 @@ object ManifestStore {
         readEntries(root.get("files")), readTxns(root)))
   }
 
+  /** Highest version number this JVM has observed per store path. A
+    * version listing that REGRESSES (new latest < prior max) means the
+    * store was deleted and recreated at the same path — version
+    * numbers restart at 1, so every (path, version)-keyed memo in the
+    * process now addresses the DEAD store's metadata and must be
+    * purged before the new store's identical version numbers can be
+    * served stale manifests, level states, or user credentials.
+    */
+  private val maxSeenVersion =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private val regressionPurgers =
+    new java.util.concurrent.CopyOnWriteArrayList[String => Unit]()
+
+  /** Register a purge callback run with the store path whenever a
+    * version regression (store recreate) is observed — DirectServe /
+    * ArchiveServer register their own (path, version)-keyed memos.
+    */
+  private[archive] def onVersionRegression(purge: String => Unit): Unit =
+    regressionPurgers.add(purge)
+
+  private def noteObservedVersion(path: String, v: Long): Unit = {
+    val prev = maxSeenVersion.put(path, v)
+    if (prev != null && v < prev.longValue()) {
+      assembledMemo.keySet.removeIf(_._1 == path)
+      regressionPurgers.forEach(p => p(path))
+    }
+  }
+
   /** All committed version numbers, ascending. Foreign files in the
     * manifest dir (backups, editor copies) are ignored, not fatal. */
   private def listVersions(f: FileSystem, path: String): Seq[Long] = {
@@ -245,7 +302,11 @@ object ManifestStore {
         if (n.startsWith("v") && n.endsWith(".json"))
           n.stripPrefix("v").stripSuffix(".json").toLongOption
         else None
-      }.sorted
+      }.sorted match {
+      case vs =>
+        vs.lastOption.foreach(noteObservedVersion(path, _))
+        vs
+    }
   }
 
   /** The latest committed manifest, or None for an empty/new store.
@@ -699,6 +760,30 @@ object ManifestStore {
     readManifestFrame(spark, path, m, levelSec, loNs, hiNs, channel)
   }
 
+  /** Frame over an EXPLICIT file-entry subset of one level — the
+    * Spark SQL connector's read path ([[graft.sources.GraftDataSource]]):
+    * its ScanBuilder prunes entries driver-side from manifest stats
+    * (level / ts-range / clustering-key range), and this materializes
+    * exactly those files through Spark's vectorized parquet reader,
+    * with the residual ts clip still reaching row-group stats. Shape
+    * matches [[read]] (`level` + `bucket_date` re-derived).
+    */
+  private[graft] def readFiles(spark: SparkSession, path: String,
+                               schema: StructType, entries: Seq[FileEntry],
+                               levelSec: Long, loNs: Option[Long],
+                               hiNs: Option[Long]): DataFrame = {
+    val base =
+      if (entries.isEmpty) emptyFrame(spark, schema)
+      else spark.read.schema(schema)
+        .parquet(entries.map(e => resolveEntry(path, e.path)): _*)
+    var df = base
+      .withColumn("level", lit(levelSec))
+      .withColumn("bucket_date", ArchiveStore.bucketDateCol(col("ts")))
+    loNs.foreach(lo => df = df.where(col("ts") >= lo))
+    hiNs.foreach(hi => df = df.where(col("ts") <= hi))
+    df
+  }
+
   private def readManifestFrame(spark: SparkSession, path: String,
                                 m: Manifest,
                                 levelSec: Long, loNs: Option[Long],
@@ -710,7 +795,7 @@ object ManifestStore {
       // clustering-key range prune: a file whose [chMin, chMax] cannot
       // contain the requested channel is skipped without being opened —
       // legacy entries without the stats are conservatively kept
-      channel.forall(c => f.chMin.forall(_ <= c) && f.chMax.forall(_ >= c)))
+      channel.forall(c => chRangeContains(f.chMin, f.chMax, c)))
     val base =
       if (live.isEmpty) emptyFrame(spark, schema)
       else spark.read.schema(schema)
@@ -904,7 +989,7 @@ object ManifestStore {
     val m = latestManifest(spark, path)
       .getOrElse(return -1L)
     val touches = m.files.filter(f =>
-      f.chMin.forall(_ <= key) && f.chMax.forall(_ >= key))
+      chRangeContains(f.chMin, f.chMax, key))
     if (touches.isEmpty) return m.version
     val owned = touches
       .filter(f => f.chMin.contains(key) && f.chMax.contains(key)).toSet

@@ -122,12 +122,28 @@ object UserStore {
   private def listVersions(f: FileSystem, path: String): Seq[Long] = {
     val dir = new Path(userDir(path))
     if (!f.exists(dir)) return Nil
-    f.listStatus(dir).map(_.getPath.getName).toSeq
+    val vs = f.listStatus(dir).map(_.getPath.getName).toSeq
       .flatMap { n =>
         if (n.startsWith("v") && n.endsWith(".json"))
           n.stripPrefix("v").stripSuffix(".json").toLongOption
         else None
       }.sorted
+    vs.lastOption.foreach(noteObservedVersion(path, _))
+    vs
+  }
+
+  // a user store deleted and recreated at the same path restarts
+  // version numbering — without a purge, (path, version) memo keys
+  // would keep serving the DEAD store's credentials
+  private val maxSeenVersion =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def noteObservedVersion(path: String, v: Long): Unit = {
+    val prev = maxSeenVersion.put(path, v)
+    if (prev != null && v < prev.longValue()) {
+      stateMemo.keySet.removeIf(_._1 == path)
+      verifiedMemo.keySet.removeIf(_._1 == path)
+    }
   }
 
   private val stateMemo = new java.util.concurrent.ConcurrentHashMap[
@@ -269,18 +285,31 @@ object UserStore {
 
   // ---- per-request authentication -----------------------------------
 
-  /** Successful verifications memoized per (user, password sha-256,
-    * store version): the steady-state per-request cost is the version
-    * LIST, not a KDF run; any commit bumps the version and the stale
-    * entry stops being addressable. Failures are NOT cached (an
-    * attacker probing passwords pays the full KDF every time).
+  /** Successful verifications memoized per (user, password HMAC, store
+    * version): the steady-state per-request cost is the version LIST,
+    * not a KDF run; any commit bumps the version and the stale entry
+    * stops being addressable (entries for superseded versions are also
+    * actively evicted). Failures are NOT cached (an attacker probing
+    * passwords pays the full KDF every time). The cache key is an HMAC
+    * of the password under a per-process RANDOM key, not a bare
+    * SHA-256: a heap dump must not expose fast-crackable unsalted
+    * digests of active admin passwords next to the PBKDF2 records the
+    * store keeps at rest.
     */
   private val verifiedMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, String, String, Long), User]()
 
-  private def pwDigest(pw: String): String =
-    hex(java.security.MessageDigest.getInstance("SHA-256")
-      .digest(pw.getBytes(StandardCharsets.UTF_8)))
+  private val memoHmacKey: javax.crypto.spec.SecretKeySpec = {
+    val k = new Array[Byte](32)
+    new java.security.SecureRandom().nextBytes(k)
+    new javax.crypto.spec.SecretKeySpec(k, "HmacSHA256")
+  }
+
+  private def pwDigest(pw: String): String = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(memoHmacKey)
+    hex(mac.doFinal(pw.getBytes(StandardCharsets.UTF_8)))
+  }
 
   /** Authenticate a name/password pair against the CURRENT store
     * state; returns the user (with roles) on success.
@@ -294,6 +323,14 @@ object UserStore {
       if (hit != null) Some(hit)
       else if (verify(u, password)) {
         if (verifiedMemo.size > 1024) verifiedMemo.clear()
+        // a version advance invalidates every cached credential of the
+        // store — old-version entries are unreachable anyway; drop them
+        // so rotated passwords don't linger in memory
+        val it = verifiedMemo.keySet.iterator()
+        while (it.hasNext) {
+          val k = it.next()
+          if (k._1 == path && k._4 != st.version) it.remove()
+        }
         verifiedMemo.put(key, u)
         Some(u)
       } else None

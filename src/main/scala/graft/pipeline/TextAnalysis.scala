@@ -636,7 +636,7 @@ object TextAnalysis {
       .select(col("u"), col("w"),
         log(col("c2").cast("double") / col("c1"))
           .cast("decimal(38,12)").as("w_bi"))
-    val backoff = uni.crossJoin(tot)
+    val backoff = uni.crossJoin(broadcast(tot))
       .select(col("tok").as("w"),
         log(lit(alpha) * (col("c1") + lit(1L)) / (col("t") + col("v")))
           .cast("decimal(38,12)").as("w_back"))
