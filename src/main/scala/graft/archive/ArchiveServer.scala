@@ -3,6 +3,7 @@ package graft.archive
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The serving edge — the reference's archive-access read path
@@ -128,11 +129,16 @@ object ArchiveServer {
     while (span <= maxSpanNs) {
       val (lo, hi) =
         if (forward) (tNs, tNs + span) else (math.max(tNs - span, 0L), tNs)
-      val probe = backend.read(spark, storePath, levelSec,
+      val base = backend.read(spark, storePath, levelSec,
           Some(lo), Some(hi), Some(channel))
         .where(col("channel") === channel)
-        .orderBy(if (forward) col("ts").asc else col("ts").desc)
-        .limit(1)
+      // duplicate-timestamp tiebreak at the boundary: first arrival
+      // (min sample_id) — the querySamples survivor rule
+      val ord =
+        Seq(if (forward) col("ts").asc else col("ts").desc) ++
+          (if (base.columns.contains("sample_id"))
+            Seq(col("sample_id").asc) else Nil)
+      val probe = base.orderBy(ord: _*).limit(1)
       // the probe's job already fetched the boundary ROW — return it
       // as a LocalRelation so the final serving job unions a literal
       // instead of RE-EXECUTING the probe scan (one fewer store read
@@ -195,6 +201,12 @@ object ArchiveServer {
     // Interior segment joints stay exact (widening them would re-serve
     // the adjacent segment's rows).
     val earliestFrom = segments.map(_._2).min
+    // the upper-bound mode belongs to the FINEST segment actually
+    // planned — normally the chosen level, but a request entirely
+    // before the chosen level's earliest sample plans coarser-only
+    // segments, and keying on `chosen` dropped the widened
+    // at-or-after boundary there (found by DirectParityFuzzSpec)
+    val finestPlanned = segments.map(_._1).min
     val parts = segments.flatMap { case (period, from, to) =>
       // upper-bound widening only on the finest (most recent) segment —
       // the coarser prepended history ends at an interior joint
@@ -204,13 +216,20 @@ object ArchiveServer {
       // no unclipped history scan.
       val effLo = if (from == earliestFrom) loMode.getOrElse(defaultMode)
                   else Exact
-      val effHi = if (period == chosen) hiMode.getOrElse(defaultMode) else Exact
+      val effHi = if (period == finestPlanned) hiMode.getOrElse(defaultMode)
+                  else Exact
       val base = backend.read(spark, storePath, period,
           Some(from), Some(to), Some(channel))
         .where(col("channel") === channel)
       val valueCol = if (period == 0L) col("value") else col("mean")
+      // arrival id for the duplicate-timestamp survivor rule (below);
+      // decimated levels have unique window starts, so a constant is
+      // fine there
+      val sidCol =
+        if (base.columns.contains("sample_id")) col("sample_id")
+        else lit(0L)
       val project = (df: DataFrame) => df.select(col("channel"), col("ts"),
-        valueCol.as("value"), lit(period).as("level"))
+        valueCol.as("value"), lit(period).as("level"), sidCol.as("_sid"))
       if (effLo == Exact && effHi == Exact)
         Seq(project(base.where(col("ts").between(from, to))))
       else {
@@ -254,8 +273,21 @@ object ArchiveServer {
     }
     parts.reduce(_ unionByName _)
       // a sample exactly at a bound satisfies both its boundary probe
-      // and the inner range of an adjacent segment
-      .dropDuplicates("channel", "ts", "level")
+      // and the inner range of an adjacent segment; and a re-sent
+      // timestamp from a LATER commit can coexist with the original in
+      // the raw level (per-batch write dedup cannot see across
+      // commits). Survivor rule: FIRST ARRIVAL (minimum sample_id) —
+      // the same F6 discipline the decimation cascade applies, and the
+      // reference's ingest rule (ArchivingService drops time <=
+      // lastSampleTime, so the first arrival is THE sample). A plain
+      // dropDuplicates here picked an arbitrary survivor — found by
+      // DirectParityFuzzSpec as a direct-vs-engine byte divergence.
+      // min over (sid, value) structs = the min-sid row, null value
+      // preserved (struct ordering is by the leading field)
+      .groupBy("channel", "ts", "level")
+      .agg(min(struct(col("_sid"), col("value"))).as("_sv"))
+      .select(col("channel"), col("ts"), col("_sv.value").as("value"),
+        col("level"))
       .orderBy("ts")
   }
 
@@ -308,9 +340,16 @@ object ArchiveServer {
       startNs, forward = false, backend = backend)
     val upper = boundaryProbe(spark, storePath, levelSec, channel,
       endNs, forward = true, backend = backend)
-    val widened = (Seq(inner) ++ lower ++ upper)
-      .reduce(_ unionByName _)
-      .dropDuplicates("channel", "ts")
+    val unioned = (Seq(inner) ++ lower ++ upper).reduce(_ unionByName _)
+    // duplicate-timestamp survivor: first arrival (min sample_id), the
+    // querySamples rule — dropDuplicates picked an arbitrary row when a
+    // later commit re-sent a timestamp with different content
+    val widened = (if (unioned.columns.contains("sample_id")) {
+      val w = Window.partitionBy("channel", "ts")
+        .orderBy(col("sample_id").asc)
+      unioned.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1).drop("_rn")
+    } else unioned.dropDuplicates("channel", "ts"))
       .orderBy("ts")
     // decimated levels store the typed union too (the typed cascade,
     // Cascade.materializeTyped) but in decimation-output shape:

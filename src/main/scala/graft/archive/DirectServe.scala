@@ -125,10 +125,17 @@ object DirectServe {
     * inner scan and both boundary lookups often hit the same day file)
     * plus the decoded-group budget.
     */
+  /** Decoded row: (ts, value, sample_id). sample_id participates only
+    * as the duplicate-timestamp tiebreak (first arrival = min
+    * sample_id wins — the querySamples survivor rule); 0 when the
+    * projection doesn't decode it (planning) or the file lacks it.
+    */
+  private[archive] type DRow = (Long, java.lang.Double, Long)
+
   private final class Ctx(val conf: Configuration, val root: String,
                           val channel: String) {
     val fileRows = mutable.Map.empty[
-      (String, Option[String]), IndexedSeq[(Long, java.lang.Double)]]
+      (String, Option[String]), IndexedSeq[DRow]]
     var groupsDecoded = 0
   }
 
@@ -137,8 +144,40 @@ object DirectServe {
     * ([[NoSuchChannelException]], [[ChannelDisabledException]],
     * [[NoStoredDataException]]) so HTTP error mapping stays
     * path-independent.
+    *
+    * Vacuum race: a concurrent maintenance process can delete a data
+    * file between this request's version resolution and its page read
+    * (only possible when the file aged past the vacuum GRACE while the
+    * request ran — [[ManifestStore.vacuum]]'s reference protection
+    * covers anything younger). On a missing file the serve purges the
+    * store's memos, re-resolves the LATEST version, and retries once —
+    * the fresh manifest no longer references the deleted file.
     */
   def tryServe(spark: SparkSession, configPath: String, storePath: String,
+               name: String, startNs: Long, endNs: Long,
+               count: Option[Long],
+               backend: StoreBackend,
+               loMode: Option[LimitMode],
+               hiMode: Option[LimitMode],
+               refuseDisabled: Boolean): Option[Iterator[String]] =
+    try tryServeOnce(spark, configPath, storePath, name, startNs, endNs,
+      count, backend, loMode, hiMode, refuseDisabled)
+    catch {
+      case _: java.io.FileNotFoundException =>
+        invalidateStore(storePath)
+        tryServeOnce(spark, configPath, storePath, name, startNs, endNs,
+          count, backend, loMode, hiMode, refuseDisabled)
+    }
+
+  /** Drop this JVM's cached planning metadata for one store — the
+    * missing-file re-resolve path. */
+  private[archive] def invalidateStore(storePath: String): Unit = {
+    manifestMemo.keySet.removeIf(_._1 == storePath)
+    levelStatesMemo.keySet.removeIf(_._1 == storePath)
+  }
+
+  private def tryServeOnce(spark: SparkSession, configPath: String,
+               storePath: String,
                name: String, startNs: Long, endNs: Long,
                count: Option[Long],
                backend: StoreBackend,
@@ -196,7 +235,7 @@ object DirectServe {
       val st = usable.find(_.periodSec == period)
       val entries = manifest.files.filter(_.levelSec == period)
 
-      val rows = mutable.ArrayBuffer.empty[(Long, java.lang.Double)]
+      val rows = mutable.ArrayBuffer.empty[DRow]
       if (effLo == Exact && effHi == Exact)
         rows ++= rangeRows(ctx, entries, valueCol, from, to)
       else {
@@ -212,9 +251,10 @@ object DirectServe {
         if (effHi == AtOrWidened && st.exists(_.latestTs >= to))
           rows ++= firstAtOrAfter(ctx, entries, valueCol, to)
       }
-      val sorted = rows.sortBy(_._1)
-      // multi-commit duplicate timestamps collapse like dropDuplicates
-      val out = mutable.ArrayBuffer.empty[(Long, java.lang.Double)]
+      // multi-commit duplicate timestamps collapse to the FIRST ARRIVAL
+      // (min sample_id) — the engine path's survivor rule
+      val sorted = rows.sortBy(r => (r._1, r._3))
+      val out = mutable.ArrayBuffer.empty[DRow]
       var lastTs = Long.MinValue
       var any = false
       sorted.foreach { r =>
@@ -259,7 +299,10 @@ object DirectServe {
       val entries = manifest.files.filter(_.levelSec == 0L)
       val rows = rangeRows(ctx, entries, "value",
         lo.getOrElse(Long.MinValue), hi)
-      Some(rows.sortBy(_._1).toIndexedSeq)
+      // duplicates kept (panel multiplicity); (ts, arrival) order makes
+      // equal-ts neighborhoods deterministic
+      Some(rows.sortBy(r => (r._1, r._3)).map(r => (r._1, r._2))
+        .toIndexedSeq)
     } catch {
       case _: FallbackException => None
     }
@@ -305,62 +348,103 @@ object DirectServe {
 
   private def rangeRows(ctx: Ctx, entries: Seq[ManifestStore.FileEntry],
                         valueCol: String, lo: Long, hi: Long)
-      : Seq[(Long, java.lang.Double)] =
+      : Seq[DRow] =
     entries.filter(e => mayContain(e, ctx.channel) &&
         e.maxTs >= lo && e.minTs <= hi)
       .flatMap(e => channelRows(ctx, e, Some(valueCol))
         .filter(r => r._1 >= lo && r._1 <= hi))
 
+  /** `h` beats `best` as the at-or-before boundary: later ts wins;
+    * equal ts → earlier arrival (min sample_id), the survivor rule. */
+  private def beatsBack(h: DRow, best: Option[DRow]): Boolean =
+    best.forall(b => h._1 > b._1 || (h._1 == b._1 && h._3 < b._3))
+
+  private def beatsFwd(h: DRow, best: Option[DRow]): Boolean =
+    best.forall(b => h._1 < b._1 || (h._1 == b._1 && h._3 < b._3))
+
   /** The boundary lookup, manifest-pruned: files that can hold a
     * sample at-or-before `t`, newest ts-stat first, stopping as soon
     * as no remaining file can beat the best hit — the walk-back
-    * probe's result without its geometric job chain.
+    * probe's result without its geometric job chain. Stop conditions
+    * are STRICT: a file whose ts range merely ties the best may still
+    * hold an earlier arrival at the same timestamp.
     */
   private def lastAtOrBefore(ctx: Ctx, entries: Seq[ManifestStore.FileEntry],
                              valueCol: String, t: Long)
-      : Option[(Long, java.lang.Double)] = {
-    var best: Option[(Long, java.lang.Double)] = None
+      : Option[DRow] = {
+    var best: Option[DRow] = None
     val it = entries.filter(e => mayContain(e, ctx.channel) && e.minTs <= t)
       .sortBy(f => -f.maxTs).iterator
     var done = false
     while (it.hasNext && !done) {
       val e = it.next()
-      if (best.exists(_._1 >= e.maxTs)) done = true
-      else channelRows(ctx, e, Some(valueCol)).reverseIterator
-        .find(_._1 <= t).foreach { h =>
-          if (best.forall(_._1 < h._1)) best = Some(h)
+      if (best.exists(_._1 > e.maxTs)) done = true
+      else {
+        val rows = channelRows(ctx, e, Some(valueCol))
+        // all rows at the candidate boundary ts (a compacted file can
+        // hold same-ts rows from several source commits)
+        val i = lastIndexAtOrBefore(rows, t)
+        if (i >= 0) {
+          val bt = rows(i)._1
+          var j = i
+          while (j >= 0 && rows(j)._1 == bt) {
+            if (beatsBack(rows(j), best)) best = Some(rows(j))
+            j -= 1
+          }
         }
+      }
     }
     best
   }
 
+  /** Index of the LAST row with ts <= t in a ts-ascending seq, -1 if
+    * none. */
+  private def lastIndexAtOrBefore(rows: IndexedSeq[DRow], t: Long): Int = {
+    var lo = 0; var hi = rows.length - 1; var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (rows(mid)._1 <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+    }
+    ans
+  }
+
   private def firstAtOrAfter(ctx: Ctx, entries: Seq[ManifestStore.FileEntry],
                              valueCol: String, t: Long)
-      : Option[(Long, java.lang.Double)] = {
-    var best: Option[(Long, java.lang.Double)] = None
+      : Option[DRow] = {
+    var best: Option[DRow] = None
     val it = entries.filter(e => mayContain(e, ctx.channel) && e.maxTs >= t)
       .sortBy(_.minTs).iterator
     var done = false
     while (it.hasNext && !done) {
       val e = it.next()
-      if (best.exists(_._1 <= e.minTs)) done = true
-      else channelRows(ctx, e, Some(valueCol)).iterator
-        .find(_._1 >= t).foreach { h =>
-          if (best.forall(_._1 > h._1)) best = Some(h)
+      if (best.exists(_._1 < e.minTs)) done = true
+      else {
+        val rows = channelRows(ctx, e, Some(valueCol))
+        // first index with ts >= t; then all rows at that ts (see
+        // lastAtOrBefore)
+        var i = lastIndexAtOrBefore(rows, t - 1) + 1
+        if (i < rows.length) {
+          val bt = rows(i)._1
+          while (i < rows.length && rows(i)._1 == bt) {
+            if (beatsFwd(rows(i), best)) best = Some(rows(i))
+            i += 1
+          }
         }
+      }
     }
     best
   }
 
   // ---- parquet decode ------------------------------------------------
 
-  /** One channel's (ts, value) rows in one file, ts-ascending, cached
-    * per request per projection (`valueCol` None = planning, ts only).
-    * Row groups whose channel stats exclude the channel never decode.
+  /** One channel's (ts, value, sample_id) rows in one file,
+    * ts-ascending, cached per request per projection (`valueCol` None =
+    * planning: ts only, sample_id not decoded). Row groups whose
+    * channel stats exclude the channel never decode.
     */
   private def channelRows(ctx: Ctx, e: ManifestStore.FileEntry,
                           valueCol: Option[String])
-      : IndexedSeq[(Long, java.lang.Double)] =
+      : IndexedSeq[DRow] =
     ctx.fileRows.getOrElseUpdate((e.path, valueCol),
       decodeFile(ctx, resolveDataPath(ctx.root, e.path), valueCol))
 
@@ -398,22 +482,27 @@ object DirectServe {
     * `end()` appends the row iff the channel matched — no per-row
     * Group objects (the example GroupRecordConverter was the decode
     * bottleneck: ~300 k materialized rows to keep ~1 k).
+    * Projection order: channel, ts, [value], [sample_id].
     */
   private final class RowsMaterializer(chBin: Binary, hasValue: Boolean,
-      out: mutable.ArrayBuffer[(Long, java.lang.Double)])
+      hasSid: Boolean, out: mutable.ArrayBuffer[DRow])
       extends RecordMaterializer[java.lang.Void] {
     private val ch = new ChannelConverter(chBin)
     private val ts = new LongConverter
     private val dv = new DoubleConverter
+    private val sid = new LongConverter
+    private val sidIdx = if (hasValue) 3 else 2
     private val root: GroupConverter = new GroupConverter {
       def getConverter(i: Int): Converter =
-        if (i == 0) ch else if (i == 1) ts else dv
+        if (i == 0) ch else if (i == 1) ts
+        else if (hasSid && i == sidIdx) sid else dv
       def start(): Unit = { ch.isMatch = false; ts.set = false
-        dv.set = false }
+        dv.set = false; sid.set = false }
       def end(): Unit =
         if (ch.isMatch && ts.set)
           out += ((ts.v,
-            if (hasValue && dv.set) java.lang.Double.valueOf(dv.v) else null))
+            if (hasValue && dv.set) java.lang.Double.valueOf(dv.v) else null,
+            if (hasSid && sid.set) sid.v else 0L))
     }
     def getCurrentRecord: java.lang.Void = null
     def getRootConverter: GroupConverter = root
@@ -422,11 +511,11 @@ object DirectServe {
   private val debugTiming = sys.env.contains("GRAFT_DIRECT_DEBUG")
 
   private def decodeFile(ctx: Ctx, file: String, valueCol: Option[String])
-      : IndexedSeq[(Long, java.lang.Double)] = {
+      : IndexedSeq[DRow] = {
     val dbg0 = if (debugTiming) System.nanoTime() else 0L
     var dbgOpened = 0L
     var dbgRows = 0L
-    val out = mutable.ArrayBuffer.empty[(Long, java.lang.Double)]
+    val out = mutable.ArrayBuffer.empty[DRow]
     val chBin = Binary.fromString(ctx.channel)
     val path = new Path(file)
     // the record filter drives row-group stats AND column-index page
@@ -449,8 +538,17 @@ object DirectServe {
         throw new FallbackException
       def fieldOf(n: String): org.apache.parquet.schema.Type =
         fileSchema.getFields.get(fileSchema.getFieldIndex(n))
+      // sample_id rides along on serving reads (valueCol defined) as
+      // the duplicate-ts survivor tiebreak; planning stays two-column
+      val hasSid = valueCol.isDefined &&
+        fileSchema.containsField("sample_id") && {
+          val t = fieldOf("sample_id")
+          t.isPrimitive && t.asPrimitiveType().getPrimitiveTypeName ==
+            PrimitiveType.PrimitiveTypeName.INT64
+        }
       val fields = Seq(fieldOf("channel"), fieldOf("ts")) ++
-        valueCol.map(fieldOf)
+        valueCol.map(fieldOf) ++
+        (if (hasSid) Seq(fieldOf("sample_id")) else Nil)
       val proj = new MessageType("proj", fields: _*)
       // the decoder reads exactly these shapes; anything else (legacy
       // layouts, repeated fields) belongs to the engine path
@@ -463,7 +561,7 @@ object DirectServe {
         throw new FallbackException
       reader.setRequestedSchema(proj)
       val io = new ColumnIOFactory().getColumnIO(proj)
-      val mat = new RowsMaterializer(chBin, valueCol.isDefined, out)
+      val mat = new RowsMaterializer(chBin, valueCol.isDefined, hasSid, out)
       var pages = reader.readNextFilteredRowGroup()
       while (pages != null) {
         val n = pages.getRowCount
@@ -493,7 +591,8 @@ object DirectServe {
       if (out(i - 1)._1 > out(i)._1) asc = false
       i += 1
     }
-    if (asc) out.toIndexedSeq else out.sortBy(_._1).toIndexedSeq
+    if (asc) out.toIndexedSeq
+    else out.sortBy(r => (r._1, r._3)).toIndexedSeq
   }
 
   // ---- wire format ---------------------------------------------------

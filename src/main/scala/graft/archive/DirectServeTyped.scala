@@ -54,13 +54,33 @@ object DirectServeTyped {
       metaUnits: String, metaPrecision: java.lang.Integer,
       dLow: java.lang.Double, dHigh: java.lang.Double,
       wLow: java.lang.Double, wHigh: java.lang.Double,
-      aLow: java.lang.Double, aHigh: java.lang.Double)
+      aLow: java.lang.Double, aHigh: java.lang.Double,
+      // arrival id — only the duplicate-timestamp survivor tiebreak
+      // (first arrival = min sample_id, the engine rule); 0 when the
+      // file predates the column
+      sid: Long = 0L)
 
   /** The full config-governed typed serve
     * ([[ConfiguredArchive.serveJsonTyped]]'s contract), or None when
     * out of envelope. Same typed error signals as the engine path.
     */
   def tryServe(spark: SparkSession, configPath: String, storePath: String,
+               name: String, startNs: Long, endNs: Long,
+               count: Option[Long], backend: StoreBackend,
+               refuseDisabled: Boolean): Option[Iterator[String]] =
+    // vacuum race: re-resolve the latest version and retry once on a
+    // missing data file (see DirectServe.tryServe)
+    try tryServeOnce(spark, configPath, storePath, name, startNs, endNs,
+      count, backend, refuseDisabled)
+    catch {
+      case _: java.io.FileNotFoundException =>
+        DirectServe.invalidateStore(storePath)
+        tryServeOnce(spark, configPath, storePath, name, startNs, endNs,
+          count, backend, refuseDisabled)
+    }
+
+  private def tryServeOnce(spark: SparkSession, configPath: String,
+               storePath: String,
                name: String, startNs: Long, endNs: Long,
                count: Option[Long], backend: StoreBackend,
                refuseDisabled: Boolean): Option[Iterator[String]] = {
@@ -113,6 +133,10 @@ object DirectServeTyped {
         .foreach(e => rows ++= fileRows(e)
           .filter(r => r.ts > startNs && r.ts < endNs))
       val reach = LimitReach
+      // boundary tiebreak at equal ts: first arrival (min sample_id) —
+      // the engine survivor rule; stop conditions strict so a file that
+      // merely TIES the best ts still gets scanned for an earlier
+      // arrival
       def lastAtOrBefore(t: Long): Option[TRow] = {
         var best: Option[TRow] = None
         val it = entries.filter(e => mayContain(e) && e.minTs <= t &&
@@ -121,11 +145,22 @@ object DirectServeTyped {
         var done = false
         while (it.hasNext && !done) {
           val e = it.next()
-          if (best.exists(_.ts >= e.maxTs)) done = true
-          else fileRows(e).reverseIterator
-            .find(r => r.ts <= t && r.ts >= t - reach).foreach { h =>
-              if (best.forall(_.ts < h.ts)) best = Some(h)
+          if (best.exists(_.ts > e.maxTs)) done = true
+          else {
+            // walk back to the boundary ts, then sweep ITS cluster only
+            val rit = fileRows(e).reverseIterator
+              .dropWhile(r => r.ts > t)
+            if (rit.hasNext) {
+              val first = rit.next()
+              if (first.ts >= t - reach) {
+                val bt = first.ts
+                (Iterator(first) ++ rit.takeWhile(_.ts == bt)).foreach { h =>
+                  if (best.forall(b => h.ts > b.ts ||
+                      (h.ts == b.ts && h.sid < b.sid))) best = Some(h)
+                }
+              }
             }
+          }
         }
         best
       }
@@ -137,17 +172,28 @@ object DirectServeTyped {
         var done = false
         while (it.hasNext && !done) {
           val e = it.next()
-          if (best.exists(_.ts <= e.minTs)) done = true
-          else fileRows(e).iterator
-            .find(r => r.ts >= t && r.ts <= t + reach).foreach { h =>
-              if (best.forall(_.ts > h.ts)) best = Some(h)
+          if (best.exists(_.ts < e.minTs)) done = true
+          else {
+            val fit = fileRows(e).iterator.dropWhile(r => r.ts < t)
+            if (fit.hasNext) {
+              val first = fit.next()
+              if (first.ts <= t + reach) {
+                val bt = first.ts
+                (Iterator(first) ++ fit.takeWhile(_.ts == bt)).foreach { h =>
+                  if (best.forall(b => h.ts < b.ts ||
+                      (h.ts == b.ts && h.sid < b.sid))) best = Some(h)
+                }
+              }
             }
+          }
         }
         best
       }
       rows ++= lastAtOrBefore(startNs)
       rows ++= firstAtOrAfter(endNs)
-      val sorted = rows.sortBy(_.ts)
+      // duplicate timestamps collapse to the first arrival (min
+      // sample_id) — the engine path's survivor rule
+      val sorted = rows.sortBy(r => (r.ts, r.sid))
       val out = mutable.ArrayBuffer.empty[TRow]
       var lastTs = Long.MinValue
       var any = false
@@ -222,7 +268,7 @@ object DirectServeTyped {
       "agg_mean", "agg_min", "agg_max", "severity", "status",
       "meta_units", "meta_precision", "meta_display_low",
       "meta_display_high", "meta_warn_low", "meta_warn_high",
-      "meta_alarm_low", "meta_alarm_high")
+      "meta_alarm_low", "meta_alarm_high", "sample_id")
     val chBin = Binary.fromString(channel)
     val path = new Path(file)
     val opts = HadoopReadOptions.builder(conf, path)
@@ -291,6 +337,7 @@ object DirectServeTyped {
       val wHiC = prim[DblConv]("meta_warn_high")
       val aLoC = prim[DblConv]("meta_alarm_low")
       val aHiC = prim[DblConv]("meta_alarm_high")
+      val sidC = prim[LongConv]("sample_id")
       // set-flag reset per row: primitives track via set/v; strings &
       // lists via null/None. A repetition the row lacks never calls
       // its converter, so reset in start().
@@ -315,6 +362,7 @@ object DirectServeTyped {
             precC.foreach(_.set = false)
             Seq(dLoC, dHiC, wLoC, wHiC, aLoC, aHiC)
               .foreach(_.foreach(_.set = false))
+            sidC.foreach(_.set = false)
             listCols.foreach {
               case Left(c) => c.buf = null
               case Right(c) => c.buf = null
@@ -333,7 +381,8 @@ object DirectServeTyped {
                 arrStrC.flatMap(c => Option(c.buf)).map(_.toIndexedSeq).orNull,
                 d(aggMeanC), d(aggMinC), d(aggMaxC),
                 i(sevC), i(stC), unitsC.map(_.v).orNull, i(precC),
-                d(dLoC), d(dHiC), d(wLoC), d(wHiC), d(aLoC), d(aHiC))
+                d(dLoC), d(dHiC), d(wLoC), d(wHiC), d(aLoC), d(aHiC),
+                sidC.filter(_.set).map(_.v).getOrElse(0L))
             }
         }
         def getCurrentRecord: java.lang.Void = null
@@ -359,7 +408,7 @@ object DirectServeTyped {
         if (out(i - 1).ts > out(i).ts) asc = false
         i += 1
       }
-      if (!asc) return out.sortBy(_.ts).toIndexedSeq
+      if (!asc) return out.sortBy(r => (r.ts, r.sid)).toIndexedSeq
     }
     out.toIndexedSeq
   }
