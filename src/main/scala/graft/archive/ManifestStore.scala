@@ -1034,6 +1034,16 @@ object ManifestStore {
     * still draining an old snapshot — pass 0 only when no concurrent
     * writer/reader can exist. Time travel to vacuumed versions is gone
     * afterwards. Returns deleted data-file paths.
+    *
+    * Reference protection (the two-process deployment's contract): a
+    * file referenced by ANY manifest version still inside the grace
+    * window is NOT deletable, even when the file's own mtime is old —
+    * an hours-old file that compaction dereferenced one second ago
+    * must survive a full grace measured from DEREFERENCE, or a serving
+    * JVM that resolved the pre-compaction version moments ago reads
+    * deleted bytes. (The file mtime check alone misses this: it
+    * measures age since write.) Belt-and-braces on the serving side:
+    * [[DirectServe]] re-resolves and retries once on a missing file.
     */
   def vacuum(spark: SparkSession, path: String,
              graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
@@ -1046,7 +1056,22 @@ object ManifestStore {
     val dataDir = new Path(s"$path/data")
     if (f.exists(dataDir)) {
       def norm(p: String): String = new Path(p).toUri.getPath
-      val live = m.files.map(e => norm(resolveEntry(path, e.path))).toSet
+      // versions a reader inside the grace window may have pinned:
+      // every version file younger than the cutoff (the latest is
+      // always protected regardless of age)
+      val mdir = new Path(manifestDir(path))
+      val recentVersions: Seq[Long] =
+        if (!f.exists(mdir)) Nil
+        else f.listStatus(mdir).toSeq.flatMap { st =>
+          val v = st.getPath.getName.stripPrefix("v")
+            .stripSuffix(".json").toLongOption
+          v.filter(x => x != m.version &&
+            st.getModificationTime > cutoff)
+        }
+      val live = (m.files.map(_.path) ++ recentVersions.flatMap { v =>
+        scala.util.Try(readManifest(spark, path, v)).toOption
+          .map(_.files.map(_.path)).getOrElse(Nil)
+      }).map(p => norm(resolveEntry(path, p))).toSet
       val it = f.listFiles(dataDir, /* recursive = */ true)
       while (it.hasNext) {
         val st = it.next()

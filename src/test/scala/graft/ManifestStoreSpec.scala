@@ -178,6 +178,41 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(ManifestStore.read(spark, dir, 0).count() == 3)
   }
 
+  test("vacuum reference-grace: an OLD file dereferenced one moment ago " +
+      "survives a full grace measured from dereference, not write") {
+    val dir = Files.createTempDirectory("mstore").toString
+    ManifestStore.commit(samples(("c", T0 + 1 * NS, 1.0)), dir, 0)
+    ManifestStore.commit(samples(("c", T0 + 2 * NS, 2.0)), dir, 0)
+    val preCompaction = ManifestStore.latestManifest(spark, dir).get
+    // age the DATA files an hour into the past — the grace's file-mtime
+    // check alone would see them as long-expired the moment compaction
+    // dereferences them, and a serving process that resolved the
+    // pre-compaction version moments ago would read deleted bytes
+    val dataDir = new java.io.File(s"$dir/data")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val old = System.currentTimeMillis() - 3600L * 1000
+    walk(dataDir).foreach(f => assert(f.setLastModified(old)))
+    ManifestStore.compactAll(spark, dir, levelSec = 0)
+    // a reader pinned on the (seconds-old) pre-compaction version
+    val held = ManifestStore.readVersion(spark, dir, preCompaction.version, 0)
+    // grace 30 min: the pre-compaction VERSION file is younger than the
+    // cutoff, so its files stay protected despite their 1 h mtime
+    val gone = ManifestStore.vacuum(spark, dir, graceMs = 1800L * 1000)
+    // _SUCCESS markers are never manifest-referenced — deleting them is
+    // the janitor working as intended; DATA bytes must all survive
+    assert(gone.filterNot(_.endsWith("_SUCCESS")).isEmpty,
+      s"reference-grace violated: deleted $gone")
+    assert(held.select("value").collect().map(_.getDouble(0)).sorted.toSeq
+      == Seq(1.0, 2.0))
+    // once the VERSIONS age past the grace too, the bytes reclaim
+    val mdir = new java.io.File(s"$dir/_manifests")
+    walk(mdir).foreach(f => assert(f.setLastModified(old)))
+    val gone2 = ManifestStore.vacuum(spark, dir, graceMs = 1800L * 1000)
+    assert(gone2.nonEmpty, "aged-out pre-compaction bytes never reclaimed")
+    assert(ManifestStore.read(spark, dir, 0).count() == 2)
+  }
+
   test("retention drops expired days from the manifest without a data scan; vacuum deletes bytes") {
     val dir = Files.createTempDirectory("mstore").toString
     ManifestStore.commit(samples(

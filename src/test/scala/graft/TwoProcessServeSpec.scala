@@ -209,4 +209,83 @@ class TwoProcessServeSpec extends AnyFunSuite {
       procA.waitFor(); procB.waitFor()
     }
   }
+
+  test("serving survives a hammering commit+compact+vacuum maintenance " +
+      "writer (vacuum reference-grace, cross-process)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vacproc").toString
+    val cfg = s"$dir/config"; val store = s"$dir/store"
+    ConfigCommands.addChannel(spark, cfg, ChannelConfig("ch0", "id0", "ca",
+      enabled = true, Map(), Map()))
+    val nBefore = 720
+    // materialize resolves channel NAMES; later direct commits land
+    // behind the config resolution by the rename-stable data id
+    def rows(ch: String, ids: Range) = ids.map(i =>
+        (ch, T0 + i * 60L * NS, i.toDouble, "", 0, 0, i.toLong))
+      .toDF("channel", "ts", "value", "str_value", "severity", "status",
+        "sample_id")
+    ConfiguredArchive.materialize(spark, cfg, store,
+      rows("ch0", 0 until nBefore))
+
+    val port = freePort()
+    val log = Files.createTempFile("srvV", ".log").toFile
+    val proc = forkServer(cfg, store, port, log)
+    try {
+      val base = s"http://localhost:$port${HttpArchiveServer.ContextPath}"
+      awaitUp(base, proc, log)
+      val rounds = 10
+      val q = s"/1/samples/ch0?start=$T0&end=${T0 + 2L * 86400L * NS}"
+      def countTimes(s: String): Int = {
+        val pat = "{\"time\":"
+        var i = s.indexOf(pat); var n = 0
+        while (i >= 0) { n += 1; i = s.indexOf(pat, i + 1) }
+        n
+      }
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val failures = new java.util.concurrent.atomic.AtomicReference[String]()
+      val served = new java.util.concurrent.atomic.AtomicInteger(0)
+      val hammers = (0 until 3).map { _ =>
+        val th = new Thread(() => {
+          while (!stop.get() && failures.get() == null) {
+            try {
+              val (c, b) = http("GET", s"$base$q")
+              val n = countTimes(b)
+              if (c != 200 || !b.startsWith("[") || !b.endsWith("]") ||
+                  n < nBefore || n > nBefore + rounds)
+                failures.compareAndSet(null, s"bad response under " +
+                  s"maintenance: code $c rows $n head ${b.take(60)}")
+              else served.incrementAndGet()
+            } catch {
+              case e: java.io.IOException =>
+                failures.compareAndSet(null, s"request failed: $e")
+            }
+          }
+        })
+        th.start(); th
+      }
+      // the maintenance writer: each round appends one sample (a fresh
+      // fragment), compacts every fragmented day (dereferencing the
+      // previous generation's files), and vacuums with a 2 s grace —
+      // the reference protection must keep any file a <2 s-old version
+      // still references, even though the FILE's own mtime is older,
+      // while the serving process hammers reads
+      var vacuumedTotal = 0
+      for (r <- 0 until rounds) {
+        ManifestStore.commit(rows("id0", nBefore + r until nBefore + r + 1),
+          store, 0L)
+        ManifestStore.compactAll(spark, store, levelSec = 0L)
+        vacuumedTotal += ManifestStore.vacuum(spark, store,
+          graceMs = 2000L).size
+        if (failures.get() != null) fail(failures.get())
+      }
+      stop.set(true); hammers.foreach(_.join())
+      assert(failures.get() == null, s"${failures.get()}")
+      assert(served.get() > 20, s"only ${served.get()} responses served")
+      assert(vacuumedTotal > 0,
+        "the maintenance loop never actually vacuumed a file — the " +
+          "test did not exercise deletion under load")
+      val (fc, fb) = http("GET", s"$base$q")
+      assert(fc == 200 && countTimes(fb) == nBefore + rounds)
+    } finally { proc.destroy(); proc.waitFor() }
+  }
 }
