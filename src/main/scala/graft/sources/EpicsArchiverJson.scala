@@ -177,8 +177,21 @@ object EpicsArchiverJson {
       case other =>
         throw new IllegalArgumentException(s"unmappable vtype '$other'")
     }
-    // enums carry states, never the numeric block
-    // (JsonV1SampleSerializer.java:373,451's split)
+    assemble(name, ts, vtype, value, strValue, enumValue, labels, arrNum,
+      arrStr, egu, prec, sev, st)
+  }
+
+  /** Typed payload → union row, the shared tail of both Appliance
+    * bridges (JSON and PB decode to identical rows by construction):
+    * enums carry states, never the numeric block
+    * (JsonV1SampleSerializer.java:373,451's split).
+    */
+  private[sources] def assemble(name: String, ts: Long, vtype: String,
+      value: Option[Double], strValue: Option[String],
+      enumValue: Option[Int], labels: Option[Seq[String]],
+      arrNum: Option[Seq[Double]], arrStr: Option[Seq[String]],
+      egu: Option[String], prec: Option[Int],
+      sev: Option[Int], st: Option[Int]): Sample = {
     val numeric = value.isDefined ||
       (arrNum.isDefined && vtype != "array_enum")
     val floating = Set("scalar_double", "scalar_float", "array_double",

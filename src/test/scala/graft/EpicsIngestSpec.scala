@@ -97,4 +97,53 @@ class EpicsIngestSpec extends AnyFunSuite {
     assert(wServed.size == 60)
     assert(wServed.head.contains("\"value\":[1750.0,875.0,-1750.0]"))
   }
+
+  test("PB wire round trip: escape/unescape and known-vector decode") {
+    import graft.sources.EpicsArchiverPb
+    // escaping: the three escaped bytes survive a round trip inside a
+    // payload
+    val raw = Array[Byte](0x01, 0x1B, 0x0A, 0x0D, 0x7F, 0x1B, 0x02)
+    val esc = EpicsArchiverPb.escape(raw)
+    assert(!esc.contains(0x0A.toByte), "escaped payload must not " +
+      "contain the line separator")
+    assert(EpicsArchiverPb.unescape(esc, 0, esc.length).toSeq == raw.toSeq)
+  }
+
+  test("JSON and PB exports of the same data land IDENTICAL typed " +
+      "stores (migration may take either path)") {
+    import graft.sources.EpicsArchiverPb
+    val dir = Files.createTempDirectory("epicsjp").toString
+    EpicsArchiverJson.writeFixture(s"$dir/json")
+    EpicsArchiverPb.writeFixture(s"$dir/pb")
+    val fromJson = EpicsArchiverJson.read(spark, s"$dir/json")
+    val fromPb = EpicsArchiverPb.read(spark, s"$dir/pb")
+    assert(fromJson.count() == 480 && fromPb.count() == 480)
+    val cols = fromJson.columns.sorted.toSeq
+    val a = fromJson.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .orderBy("channel", "ts").collect().toSeq
+    val b = fromPb.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .orderBy("channel", "ts").collect().toSeq
+    assert(a == b, {
+      val diff = a.zip(b).filter(p => p._1 != p._2).take(3)
+      s"decoded frames differ, first diffs: $diff"
+    })
+    // and the two stores serve identical bytes end-to-end
+    val (cfgJ, stJ) = (s"$dir/cfgj", s"$dir/stj")
+    val (cfgP, stP) = (s"$dir/cfgp", s"$dir/stp")
+    for (cfg <- Seq(cfgJ, cfgP); p <- 0 until 8)
+      ConfigCommands.addChannel(spark, cfg, ChannelConfig(s"epics:pv$p",
+        s"epics-id$p", "ca", enabled = true, Map(), Map()))
+    ConfiguredArchive.materializeTyped(spark, cfgJ, stJ, fromJson)
+    ConfiguredArchive.materializeTyped(spark, cfgP, stP, fromPb)
+    val lo = 1704067200L * 1000000000L - 1
+    val hi = lo + 4000L * 60L * 1000000000L
+    for (p <- 0 until 8) {
+      val sj = ConfiguredArchive.serveJsonTyped(spark, cfgJ, stJ,
+        s"epics:pv$p", lo, hi, None, ManifestBackend).toVector
+      val sp = ConfiguredArchive.serveJsonTyped(spark, cfgP, stP,
+        s"epics:pv$p", lo, hi, None, ManifestBackend).toVector
+      assert(sj == sp, s"pv$p served different bytes from the two bridges")
+      assert(sj.size == 60)
+    }
+  }
 }
