@@ -187,6 +187,12 @@ object HttpArchiveServer {
           try sendError(ex, 500, s"internal error: ${e.getMessage}")
           catch { case _: Throwable => () }
       } finally ex.close())
+    // the human-facing admin page — one static HTML document over the
+    // wsapi above (the reference's Thymeleaf admin UI surface)
+    server.createContext(AdminUi.ContextPath, (ex: HttpExchange) =>
+      try AdminUi.handle(ex)
+      catch { case _: Throwable => () }
+      finally ex.close())
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     server.setExecutor(pool)
     server.start()

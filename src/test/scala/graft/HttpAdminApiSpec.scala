@@ -64,6 +64,26 @@ class HttpAdminApiSpec extends AnyFunSuite {
     http("POST", s"$adminBase/1.0/run-archive-configuration-commands",
       Some(json))
 
+  test("admin UI: the static page serves and references only live API routes") {
+    val (code, page) = http("GET",
+      s"http://localhost:${fixture._3.port}${graft.archive.AdminUi.ContextPath}")
+    assert(code == 200)
+    assert(page.contains("<!doctype html>") &&
+      page.contains("graft archive admin"))
+    // every endpoint the page's script calls must exist on this server
+    // (GET probes answer something other than route-miss 404; the
+    // command endpoint rejects a GET with 405, which also proves the
+    // route exists)
+    for (p <- Seq("/1.0/server-status/this-server", "/1.0/channels/all",
+        "/1.0/channels/by-server/graft/export")) {
+      assert(page.contains(p), s"page no longer references $p")
+      val (c, _) = http("GET", s"$adminBase$p")
+      assert(c == 200, s"$p answered $c")
+    }
+    assert(page.contains("/1.0/run-archive-configuration-commands"))
+    assert(page.contains("/1.0/channels/all/by-name/"))
+  }
+
   test("add_channel over HTTP, then the serving path answers for it") {
     import spark.implicits._
     val (code, body) = runCommands(
