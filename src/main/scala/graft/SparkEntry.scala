@@ -336,8 +336,16 @@ object SparkEntry {
         .agg(
           moneySum(col("l_quantity"), 2).as("sum_qty"),
           moneySum(col("l_extendedprice"), 2).as("sum_base_price"),
-          moneySum(discPrice, 6).as("sum_disc_price"),
-          moneySum(charge, 6).as("sum_charge"),
+          // 2dp at the output edge, applied on the DECIMAL before the
+          // double cast: these totals reach 17 significant digits at
+          // sf1 (> double's 15.9), where the exact-DECIMAL → double
+          // conversion differs between engines by one ulp; the per-row
+          // DECIMAL(18,6) sums stay exact, only the edge is
+          // money-rounded (found by the sf1 sweep)
+          sum(discPrice.cast("decimal(18,6)")).cast("decimal(38,2)")
+            .cast("double").as("sum_disc_price"),
+          sum(charge.cast("decimal(18,6)")).cast("decimal(38,2)")
+            .cast("double").as("sum_charge"),
           round(moneySum(col("l_quantity"), 2) / count(lit(1)), 6).as("avg_qty"),
           round(moneySum(col("l_extendedprice"), 2) / count(lit(1)), 6).as("avg_price"),
           round(moneySum(col("l_discount"), 6) / count(lit(1)), 6).as("avg_disc"),
