@@ -124,9 +124,17 @@ object Analytics {
   def lttb(samples: DataFrame, lo: Long, hi: Long, k: Int): DataFrame = {
     require(k >= 3, "lttb needs at least 3 buckets")
     val kL = k.toLong
+    // arrival id: the duplicate-timestamp tiebreak for the per-bucket
+    // pick (the ord2 ts is unique only on F6-clean inputs; a raw store
+    // can hold a re-sent timestamp with different content, and the
+    // pick must then take the FIRST ARRIVAL — the serving survivor
+    // rule, found by DirectParityFuzzSpec)
+    val sid =
+      if (samples.columns.contains("sample_id")) col("sample_id")
+      else lit(0L)
     val pts = samples
       .where(col("ts") >= lo && col("ts") < hi && col("value").isNotNull)
-      .select(col("channel"), col("ts"), col("value"))
+      .select(col("channel"), col("ts"), col("value"), sid.as("_sid"))
       .withColumn("bucket", bucketId(lo, hi, kL))
     val n = count(lit(1))
     val summary = pts.groupBy("channel", "bucket").agg(
@@ -159,7 +167,8 @@ object Analytics {
       .agg(min_by(struct(col("ts"), col("value")), struct(
         when(col("mid"), -col("area")).otherwise(lit(0.0)).as("o1"),
         when(col("bucket") === (kL - 1), -col("ts")).otherwise(col("ts"))
-          .as("o2"))).as("pick"))
+          .as("o2"),
+        col("_sid").as("o3"))).as("pick"))
       .select(col("channel"), col("bucket"),
         col("pick.ts").as("ts"), col("pick.value").as("value"))
   }
@@ -385,14 +394,23 @@ object Analytics {
   def m4(samples: DataFrame, lo: Long, hi: Long, k: Int): DataFrame = {
     require(k >= 1, "m4 needs at least 1 bucket")
     val kL = k.toLong
+    // duplicate-timestamp tiebreak for the first/last corners: first
+    // arrival (min sample_id) — the serving survivor rule; min_by over
+    // bare ts picked an ARBITRARY value when a later commit re-sent a
+    // timestamp with different content (found by DirectParityFuzzSpec).
+    // Inputs without an arrival id (derived/streaming frames with
+    // unique ts) tiebreak on a constant, which never fires.
+    val sid =
+      if (samples.columns.contains("sample_id")) col("sample_id")
+      else lit(0L)
     samples
       .where(col("ts") >= lo && col("ts") < hi && col("value").isNotNull)
-      .select(col("channel"), col("ts"), col("value"))
+      .select(col("channel"), col("ts"), col("value"), sid.as("_sid"))
       .withColumn("bucket", bucketId(lo, hi, kL))
       .groupBy("channel", "bucket")
       .agg(
         min("ts").as("t_first"),
-        min_by(col("value"), col("ts")).as("v_first"),
+        min_by(col("value"), struct(col("ts"), col("_sid"))).as("v_first"),
         min_by(col("ts"), struct(col("value"), col("ts"))).as("t_min"),
         min("value").as("v_min"),
         // max_by over (value, −ts): greatest value, earliest ts on
@@ -404,7 +422,8 @@ object Analytics {
           .as("t_max"),
         max("value").as("v_max"),
         max("ts").as("t_last"),
-        max_by(col("value"), col("ts")).as("v_last"))
+        max_by(col("value"), struct(col("ts"), (-col("_sid")).as("_ns")))
+          .as("v_last"))
   }
 
   /** The four M4 corner points flattened to a distinct, time-ordered

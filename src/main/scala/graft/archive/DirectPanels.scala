@@ -29,10 +29,26 @@ object DirectPanels {
   private def roundHalfUp(x: Double): Double =
     JBigDecimal.valueOf(x).setScale(0, RoundingMode.HALF_UP).doubleValue
 
+  /** The engine's ANSI double→long cast: non-finite or out-of-range
+    * values REFUSE instead of saturating — a fold must refuse exactly
+    * where its engine twin does (DirectParityFuzzSpec: a finite
+    * 1.5e300 sample made the engine quantization throw CAST_OVERFLOW
+    * while `Double.toLong` silently saturated). The 1-ulp fringe at
+    * exactly 2^63 is accepted like `toLong` — unreachable from the
+    * *1e6 grids these folds quantize on.
+    */
+  private def ansiToLong(d: Double): Long = {
+    if (d.isNaN || d.isInfinite || d < Long.MinValue.toDouble ||
+        d > Long.MaxValue.toDouble)
+      throw new ArithmeticException(
+        s"[CAST_OVERFLOW] $d cannot be cast to BIGINT")
+    d.toLong
+  }
+
   /** Spark's scaled 6dp round: round(x*1e6) cast long cast double /1e6. */
   private def sr6(x: Double): Double =
-    JBigDecimal.valueOf(x * 1e6).setScale(0, RoundingMode.HALF_UP)
-      .doubleValue.toLong.toDouble / 1e6
+    ansiToLong(JBigDecimal.valueOf(x * 1e6)
+      .setScale(0, RoundingMode.HALF_UP).doubleValue).toDouble / 1e6
 
   /** Spark's double ordering (Double.compare: NaN greatest). */
   private def dlt(a: Double, b: Double): Boolean =
@@ -121,6 +137,14 @@ object DirectPanels {
       s.n += 1
       s.ts += ts
       if (!v.isNaN && !v.isInfinite) {
+        // the engine's per-row value cast to DECIMAL(38,12) refuses
+        // finite magnitudes past its 26 integral digits (ANSI
+        // NUMERIC_VALUE_OUT_OF_RANGE) — refuse identically instead of
+        // accumulating in unbounded BigDecimal (DirectParityFuzzSpec)
+        if (math.abs(v) >= 1e26)
+          throw new ArithmeticException(
+            s"[NUMERIC_VALUE_OUT_OF_RANGE] $v cannot be represented " +
+              "as Decimal(38,12)")
         s.v = s.v.add(JBigDecimal.valueOf(v).setScale(12,
           RoundingMode.HALF_UP))
         s.vAny = true
@@ -219,8 +243,12 @@ object DirectPanels {
         "(period_s keys the spectrum output)")
     val base = rows.collect {
       case (ts, v) if v != null && !v.isNaN && ts >= lo && ts < hi =>
-        (ts, JBigDecimal.valueOf(v.doubleValue * 1e6)
-          .setScale(0, RoundingMode.HALF_UP).doubleValue.toLong)
+        // ansiToLong: refuse where the engine's round(v*1e6) long
+        // cast refuses (non-finite / out-of-range)
+        (ts, ansiToLong(
+          if (v.doubleValue.isInfinite) v.doubleValue
+          else JBigDecimal.valueOf(v.doubleValue * 1e6)
+            .setScale(0, RoundingMode.HALF_UP).doubleValue))
     }
     if (base.isEmpty) return Nil
     val n = base.length.toLong
@@ -264,8 +292,12 @@ object DirectPanels {
     val hQ = math.round(threshold * 1e6)
     val base = rows.collect {
       case (ts, v) if v != null && !v.isNaN && ts >= lo && ts < hi =>
-        (ts, JBigDecimal.valueOf(v.doubleValue * 1e6)
-          .setScale(0, RoundingMode.HALF_UP).doubleValue.toLong)
+        // ansiToLong: refuse where the engine's round(v*1e6) long
+        // cast refuses (non-finite / out-of-range)
+        (ts, ansiToLong(
+          if (v.doubleValue.isInfinite) v.doubleValue
+          else JBigDecimal.valueOf(v.doubleValue * 1e6)
+            .setScale(0, RoundingMode.HALF_UP).doubleValue))
     }
     if (base.isEmpty) return None
     val n = base.length.toLong

@@ -197,6 +197,96 @@ class DirectParityFuzzSpec extends AnyFunSuite {
       s"direct path engaged only $engaged/$requests")
   }
 
+  // ---- panel reducers --------------------------------------------------
+
+  test("panel folds (m4/lttb/stats/spectrum/cusum) are bit-identical to " +
+      "their engine twins over generated layouts") {
+    def bits(d: Double): Long = java.lang.Double.doubleToLongBits(d)
+    // parity includes REFUSAL: the engine's exact-integer quantization
+    // (cusum, spectrum) throws on non-finite values by pinned design
+    // (ANSI cast) — the direct fold must refuse the same inputs. Both
+    // produce → compare bits; both throw → parity; mixed → bug.
+    def samely[A](tag: String)(eng: => A, fast: => A): Unit =
+      (Try(eng), Try(fast)) match {
+        case (Success(e), Success(f)) => assert(f == e, s"$tag diverged")
+        case (Failure(_), Failure(_)) => ()
+        case (e, f) => fail(s"$tag: one path refused, the other " +
+          s"answered: $e vs $f")
+      }
+    var layoutCount = 0
+    for (storeIdx <- 0 until 2) {
+      val layouts = (0 until 16).map(ci =>
+        gen(chanGen(s"pv:p$storeIdx:c$ci"), seed = 7000L * storeIdx + ci))
+      layoutCount += layouts.size
+      val (cfgDir, store) = buildScalarStore(layouts, withLevel = false)
+      layouts.foreach { l =>
+        if (l.rows.nonEmpty) {
+          val name = l.name
+          val ts = l.rows.map(_._1)
+          val (lo, hi) = (ts.min, ts.max max (ts.min + 60L * NS))
+          val rowsOpt = DirectServe.tryRawRows(spark, cfgDir, store, name,
+            Some(lo), hi, ManifestBackend, refuseDisabled = false)
+          assert(rowsOpt.isDefined, s"$name: raw row fetch declined")
+          val rows = rowsOpt.get
+          // m4 + lttb
+          for (k <- Seq(3, 11)) {
+            samely(s"$name m4 k=$k")(
+              Analytics.m4Points(ConfiguredArchive.queryM4(spark,
+                  cfgDir, store, name, lo, hi, k))
+                .orderBy("ts").collect()
+                .map(r => (r.getLong(r.fieldIndex("ts")),
+                  bits(r.getDouble(r.fieldIndex("value"))))).toVector,
+              DirectPanels.m4Points(rows, lo, hi, k)
+                .map(p => (p._1, bits(p._2))).toVector)
+            samely(s"$name lttb k=$k")(
+              ConfiguredArchive.queryLttb(spark, cfgDir, store,
+                  name, lo, hi, k)
+                .orderBy("ts").collect()
+                .map(r => (r.getLong(r.fieldIndex("ts")),
+                  bits(r.getDouble(r.fieldIndex("value"))))).toVector,
+              DirectPanels.lttb(rows, lo, hi, k)
+                .map(p => (p._1, bits(p._2))).toVector)
+          }
+          // stats — an all-null channel may answer n=0 on the engine
+          // side and None on the fold; both mean "no distribution"
+          samely(s"$name stats")(
+            ConfiguredArchive.queryStats(spark, cfgDir, store, name, lo,
+                hi)
+              .select("n_samples", "v_min", "p50", "p90", "p99", "v_max")
+              .collect().headOption
+              .filter(e => e.getLong(0) > 0L && !e.isNullAt(1))
+              .map(e => (e.getLong(0) +: (1 to 5)
+                .map(i => bits(e.getDouble(i)))).toVector),
+            DirectPanels.stats(rows).map(f =>
+              (f._1 +: Seq(f._2, f._3, f._4, f._5, f._6).map(bits))
+                .toVector))
+          // spectrum + cusum (exclusive upper on the fold side)
+          val periods = Seq(600L * NS, 3600L * NS)
+          samely(s"$name spectrum")(
+            ConfiguredArchive.querySpectrum(spark, cfgDir, store, name,
+                lo, hi, periods)
+              .select("period_s", "n", "power").orderBy("period_s")
+              .collect()
+              .map(r => (r.getLong(0), r.getLong(1), bits(r.getDouble(2))))
+              .toVector,
+            DirectPanels.spectrum(rows, lo, hi + 1, periods)
+              .map(t => (t._1, t._2, bits(t._3))).toVector)
+          samely(s"$name cusum")(
+            ConfiguredArchive.queryCusum(spark, cfgDir, store, name, lo,
+                hi, 0.5, 3.0)
+              .select("n_samples", "n_hi", "n_lo").collect().headOption
+              .filter(_.getLong(0) > 0L)
+              .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))),
+            DirectPanels.cusum(rows, lo, hi + 1, 0.5, 3.0)
+              .map(t => (t._1, t._2, t._3)))
+        }
+      }
+    }
+    info(s"panels: $layoutCount layouts x {m4,lttb}x2 + stats + " +
+      "spectrum + cusum")
+    assert(layoutCount >= 32)
+  }
+
   // ---- typed layouts --------------------------------------------------
 
   test("typed direct serve is byte-identical to the engine over " +
