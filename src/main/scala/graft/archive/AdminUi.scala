@@ -129,34 +129,55 @@ object AdminUi {
       |  $('xml').href = '/admin/api/1.0/channels/by-server/graft/export';
       |  renderChannels();
       |}
+      |// Rows and buttons are built with DOM APIs, with listeners closing
+      |// over the RAW channel name — never by splicing data into HTML or
+      |// JS source text, so a channel named  x');fetch(...);('  is just a
+      |// string (stored-XSS-safe by construction, no escaping to get wrong).
       |function renderChannels() {
       |  const f = $('filter').value.toLowerCase();
       |  const tb = $('chans').tBodies[0];
-      |  tb.innerHTML = channels
+      |  tb.textContent = '';
+      |  channels
       |    .filter(c => !f || c.channelName.toLowerCase().includes(f))
-      |    .map(c => '<tr onclick="detail(\'' +
-      |      encodeURIComponent(c.channelName) + '\')"><td>' +
-      |      esc(c.channelName) + '</td><td>' + esc(c.channelDataId || '') +
-      |      '</td><td>' + esc(c.controlSystemType || '') + '</td><td>' +
-      |      (c.enabled ? '<span class="pill on">enabled</span>'
-      |                 : '<span class="pill off">disabled</span>') +
-      |      '</td><td>' +
-      |      esc(Object.keys(c.decimationLevelToRetentionPeriod || {})
-      |        .join(', ')) + '</td></tr>')
-      |    .join('');
+      |    .forEach(c => {
+      |      const tr = document.createElement('tr');
+      |      const td = v => { const t = document.createElement('td');
+      |        t.textContent = v; tr.appendChild(t); return t; };
+      |      td(c.channelName);
+      |      td(c.channelDataId || '');
+      |      td(c.controlSystemType || '');
+      |      const st = td('');
+      |      const pill = document.createElement('span');
+      |      pill.className = 'pill ' + (c.enabled ? 'on' : 'off');
+      |      pill.textContent = c.enabled ? 'enabled' : 'disabled';
+      |      st.appendChild(pill);
+      |      td(Object.keys(c.decimationLevelToRetentionPeriod || {})
+      |        .join(', '));
+      |      tr.addEventListener('click', () => detail(c.channelName));
+      |      tb.appendChild(tr);
+      |    });
       |}
-      |async function detail(nameEnc) {
-      |  const name = decodeURIComponent(nameEnc);
+      |async function detail(name) {
       |  const c = await api('/1.0/channels/all/by-name/' +
       |    encodeURIComponent(name));
       |  $('dt').style.display = '';
-      |  $('detail').innerHTML =
-      |    '<button onclick="cmd(\'' + nameEnc + '\', this.textContent)">' +
-      |    (c.enabled ? 'disable' : 'enable') + '</button> ' +
-      |    '<button onclick="renameCh(\'' + nameEnc + '\')">rename</button> ' +
-      |    '<button class="warn" onclick="removeCh(\'' + nameEnc +
-      |    '\')">remove</button>' +
-      |    '<pre>' + esc(JSON.stringify(c, null, 2)) + '</pre>';
+      |  const d = $('detail');
+      |  d.textContent = '';
+      |  const btn = (label, fn, cls) => {
+      |    const b = document.createElement('button');
+      |    if (cls) b.className = cls;
+      |    b.textContent = label;
+      |    b.addEventListener('click', fn);
+      |    d.appendChild(b);
+      |    d.appendChild(document.createTextNode(' '));
+      |  };
+      |  btn(c.enabled ? 'disable' : 'enable',
+      |    ev => cmd(name, ev.target.textContent));
+      |  btn('rename', () => renameCh(name));
+      |  btn('remove', () => removeCh(name), 'warn');
+      |  const pre = document.createElement('pre');
+      |  pre.textContent = JSON.stringify(c, null, 2);
+      |  d.appendChild(pre);
       |  $('dt').scrollIntoView();
       |}
       |async function commands(list) {
@@ -167,21 +188,17 @@ object AdminUi {
       |    ? 'failed: ' + JSON.stringify(bad) : '';
       |  await loadAll();
       |}
-      |function cmd(nameEnc, action) {
-      |  const name = decodeURIComponent(nameEnc);
-      |  commands([{commandType: action === 'enable' ? 'update_channel'
-      |      : 'update_channel', channelName: name,
+      |function cmd(name, action) {
+      |  commands([{commandType: 'update_channel', channelName: name,
       |      enabled: action === 'enable'}])
-      |    .then(() => detail(nameEnc));
+      |    .then(() => detail(name));
       |}
-      |function renameCh(nameEnc) {
-      |  const name = decodeURIComponent(nameEnc);
+      |function renameCh(name) {
       |  const to = prompt('new name for ' + name);
       |  if (to) commands([{commandType: 'rename_channel',
       |    oldChannelName: name, newChannelName: to}]);
       |}
-      |function removeCh(nameEnc) {
-      |  const name = decodeURIComponent(nameEnc);
+      |function removeCh(name) {
       |  if (confirm('remove ' + name + '?'))
       |    commands([{commandType: 'remove_channel', channelName: name}]);
       |}

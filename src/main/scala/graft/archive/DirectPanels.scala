@@ -45,10 +45,20 @@ object DirectPanels {
     d.toLong
   }
 
-  /** Spark's scaled 6dp round: round(x*1e6) cast long cast double /1e6. */
-  private def sr6(x: Double): Double =
-    ansiToLong(JBigDecimal.valueOf(x * 1e6)
+  /** Spark's scaled 6dp round: round(x*1e6) cast long cast double /1e6.
+    * A non-finite product (x infinite, or |x| ≥ ~1.8e302 overflowing
+    * the *1e6) bypasses BigDecimal — `BigDecimal.valueOf(Infinity)`
+    * would throw NumberFormatException where the engine's ANSI cast
+    * refuses with CAST_OVERFLOW; feeding it straight to [[ansiToLong]]
+    * keeps the refusal class engine-exact (same guard as the
+    * spectrum/rate call sites).
+    */
+  private def sr6(x: Double): Double = {
+    val scaled = x * 1e6
+    if (scaled.isInfinite || scaled.isNaN) ansiToLong(scaled).toDouble / 1e6
+    else ansiToLong(JBigDecimal.valueOf(scaled)
       .setScale(0, RoundingMode.HALF_UP).doubleValue).toDouble / 1e6
+  }
 
   /** Spark's double ordering (Double.compare: NaN greatest). */
   private def dlt(a: Double, b: Double): Boolean =

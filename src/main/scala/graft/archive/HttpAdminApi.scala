@@ -81,8 +81,15 @@ object HttpAdminApi {
         } catch { case _: IllegalArgumentException => None }
       }
 
+  /** Stores whose first-start admin seed has SUCCEEDED. Seeding runs
+    * inside `computeIfAbsent`, which both serializes concurrent first
+    * requests on one path (no duplicate seed commits racing) and — by
+    * mapping the path only after [[UserStore.ensureSeeded]] returns —
+    * retries a transiently-failed seed on the next request instead of
+    * 401-ing until restart.
+    */
   private val seededStores =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Authentication for the admin surface — the re-expression of the
     * reference's admin-side security (Spring Security over
@@ -102,12 +109,10 @@ object HttpAdminApi {
                                users: Option[String]): Option[Principal] =
     users match {
       case Some(path) =>
-        // mark seeded only AFTER ensureSeeded succeeds — a transient IO
-        // failure must retry on the next request, not 401 until restart
-        if (!seededStores.contains(path)) {
+        seededStores.computeIfAbsent(path, _ => {
           UserStore.ensureSeeded(spark, path)
-          seededStores.add(path)
-        }
+          java.lang.Boolean.TRUE
+        })
         basicCreds(ex).flatMap { case (u, p) =>
           UserStore.authenticate(spark, path, u, p)
             .map(user => Principal(user.name, user.isAdmin))

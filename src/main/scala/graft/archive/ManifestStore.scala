@@ -1042,8 +1042,14 @@ object ManifestStore {
     * must survive a full grace measured from DEREFERENCE, or a serving
     * JVM that resolved the pre-compaction version moments ago reads
     * deleted bytes. (The file mtime check alone misses this: it
-    * measures age since write.) Belt-and-braces on the serving side:
-    * [[DirectServe]] re-resolves and retries once on a missing file.
+    * measures age since write.) A version is DEREFERENCED the instant
+    * its successor commits, so "in grace" keys on the SUCCESSOR's
+    * version-file mtime, not the version's own: an old version
+    * superseded a second ago (idle store, then one compaction) has an
+    * old mtime itself but a brand-new successor — it stays protected
+    * for a full grace after the supersession. Belt-and-braces on the
+    * serving side: [[DirectServe]] re-resolves and retries once on a
+    * missing file.
     */
   def vacuum(spark: SparkSession, path: String,
              graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
@@ -1053,21 +1059,33 @@ object ManifestStore {
     val f = fs(spark, path)
     val cutoff = System.currentTimeMillis() - graceMs
     val deleted = ArrayBuffer.empty[String]
+    // One mtime-annotated listing of the version log, shared by the
+    // data-file and manifest-file passes so both apply the SAME
+    // in-grace rule. A version is in grace while a reader that
+    // resolved it may still be draining it: until a full grace has
+    // passed since its SUCCESSOR's commit (= the successor version
+    // file's mtime) — its own mtime measures age since write, which
+    // says nothing about when it stopped being the latest. The
+    // own-mtime check stays as belt-and-braces against clock skew
+    // between the commit and the vacuum host.
+    val mdir = new Path(manifestDir(path))
+    val versionMtimes: Seq[(Long, Long)] =
+      if (!f.exists(mdir)) Nil
+      else f.listStatus(mdir).toSeq.flatMap { st =>
+        st.getPath.getName.stripPrefix("v").stripSuffix(".json")
+          .toLongOption.map(_ -> st.getModificationTime)
+      }.sortBy(_._1)
+    val successorMtime: Map[Long, Long] =
+      versionMtimes.zip(versionMtimes.drop(1))
+        .map { case ((v, _), (_, nextM)) => v -> nextM }.toMap
+    def inGrace(v: Long, ownMtime: Long): Boolean =
+      ownMtime > cutoff || successorMtime.get(v).forall(_ > cutoff)
     val dataDir = new Path(s"$path/data")
     if (f.exists(dataDir)) {
       def norm(p: String): String = new Path(p).toUri.getPath
-      // versions a reader inside the grace window may have pinned:
-      // every version file younger than the cutoff (the latest is
-      // always protected regardless of age)
-      val mdir = new Path(manifestDir(path))
-      val recentVersions: Seq[Long] =
-        if (!f.exists(mdir)) Nil
-        else f.listStatus(mdir).toSeq.flatMap { st =>
-          val v = st.getPath.getName.stripPrefix("v")
-            .stripSuffix(".json").toLongOption
-          v.filter(x => x != m.version &&
-            st.getModificationTime > cutoff)
-        }
+      val recentVersions: Seq[Long] = versionMtimes.collect {
+        case (v, mt) if v != m.version && inGrace(v, mt) => v
+      }
       val live = (m.files.map(_.path) ++ recentVersions.flatMap { v =>
         scala.util.Try(readManifest(spark, path, v)).toOption
           .map(_.files.map(_.path)).getOrElse(Nil)
@@ -1089,15 +1107,12 @@ object ManifestStore {
     // survive (deleting a mid-chain delta would brick assembly), so
     // the protected set is the chain, not just the head.
     val keep = chainVersions(spark, path, m.version)
-    val dir = new Path(manifestDir(path))
-    if (f.exists(dir)) {
-      f.listStatus(dir).foreach { st =>
-        val v = st.getPath.getName.stripPrefix("v").stripSuffix(".json")
-          .toLongOption
-        if (v.exists(x => x < m.version && !keep.contains(x)) &&
-            st.getModificationTime <= cutoff)
-          f.delete(st.getPath, false)
-      }
+    versionMtimes.foreach { case (v, mt) =>
+      // same in-grace rule as the data pass: a version a reader may
+      // still be draining keeps its manifest file too (time travel to
+      // it must outlive its data files, not the other way around)
+      if (v < m.version && !keep.contains(v) && !inGrace(v, mt))
+        f.delete(versionFile(path, v), false)
     }
     deleted.toSeq
   }

@@ -213,6 +213,45 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(ManifestStore.read(spark, dir, 0).count() == 2)
   }
 
+  test("vacuum dereference-grace: an idle store's OLD latest version stays " +
+      "protected for a full grace after a fresh commit supersedes it") {
+    val dir = Files.createTempDirectory("mstore").toString
+    ManifestStore.commit(samples(("c", T0 + 1 * NS, 1.0)), dir, 0)
+    ManifestStore.commit(samples(("c", T0 + 2 * NS, 2.0)), dir, 0)
+    val idleLatest = ManifestStore.latestManifest(spark, dir).get
+    // the store sits idle past the grace: BOTH the data files and the
+    // version files age out — under an own-mtime-only rule the idle
+    // latest is unprotected the instant anything supersedes it
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val old = System.currentTimeMillis() - 3600L * 1000
+    (walk(new java.io.File(s"$dir/data")) ++
+      walk(new java.io.File(s"$dir/_manifests")))
+      .foreach(f => assert(f.setLastModified(old)))
+    // a reader resolves the idle latest moments before compaction…
+    val held = ManifestStore.readVersion(spark, dir, idleLatest.version, 0)
+    // …which commits a FRESH successor, dereferencing it right now
+    ManifestStore.compactAll(spark, dir, levelSec = 0)
+    // grace 30 min, measured from DEREFERENCE (the successor's mtime):
+    // every pre-compaction data file has a 1 h mtime and so does the
+    // superseded version file, yet all must survive
+    val gone = ManifestStore.vacuum(spark, dir, graceMs = 1800L * 1000)
+    assert(gone.filterNot(_.endsWith("_SUCCESS")).isEmpty,
+      s"dereference-grace violated: deleted $gone")
+    // the superseded version stays fully readable — files AND manifest
+    assert(held.select("value").collect().map(_.getDouble(0)).sorted.toSeq
+      == Seq(1.0, 2.0))
+    assert(ManifestStore
+      .readVersion(spark, dir, idleLatest.version, 0).count() == 2)
+    // once the SUCCESSOR ages past the grace too, the bytes reclaim
+    walk(new java.io.File(s"$dir/_manifests"))
+      .foreach(f => assert(f.setLastModified(old)))
+    val gone2 = ManifestStore.vacuum(spark, dir, graceMs = 1800L * 1000)
+    assert(gone2.filterNot(_.endsWith("_SUCCESS")).nonEmpty,
+      "aged-out superseded bytes never reclaimed")
+    assert(ManifestStore.read(spark, dir, 0).count() == 2)
+  }
+
   test("retention drops expired days from the manifest without a data scan; vacuum deletes bytes") {
     val dir = Files.createTempDirectory("mstore").toString
     ManifestStore.commit(samples(
