@@ -46,13 +46,27 @@ object Bench {
       builder = builder.config("spark.executor.extraClassPath", cp))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // DAGScheduler's "Failed to update accumulator" ERROR is benign
+    // here (a late task update against a memoized fixture frame whose
+    // AQE accumulators are already GC'd) but it stack-traces over the
+    // artifact's tail and buries the one JSON line a last-line parser
+    // needs. A REAL scheduler failure still surfaces as the job's
+    // exception (the bench crashes and no JSON line is printed), so
+    // muting the logger hides noise, not failures.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.FATAL)
 
-    // warm-up: table footers + one tiny end-to-end plan
+    // warm-up: table footers + one tiny end-to-end plan, then the
+    // expensive memoized gate fixtures — built here so neither a
+    // first timed run nor a variance-guard clean-cache re-run ever
+    // includes a fixture construction job
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings")
       .foreach(t => graft.core.Tables.read(spark, sfDir, t).count())
     SparkEntry.queries.get("q1_pricing_summary")
       .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+    SparkEntry.primeBenchFixtures(spark, sfDir)
 
     // dedicated decimation-throughput measurement, run FIRST: the
     // round-6 driver artifact recorded 32 s min for the sf1 probe

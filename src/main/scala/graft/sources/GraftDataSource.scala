@@ -3,10 +3,12 @@ package graft.sources
 import java.util.OptionalLong
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max => AggMax, Min => AggMin}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{DateType, LongType, StructField, StructType}
@@ -47,9 +49,44 @@ import graft.archive.ManifestStore
   * public V1Scan bridge exists exactly for sources whose execution is
   * already a Spark plan).
   */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with StreamSourceProvider {
 
   override def shortName(): String = "graft"
+
+  // ---- streaming read: the manifest log as a changefeed ----
+  // `spark.readStream.format("graft").load(store)`. Implemented as a
+  // v1 streaming Source (getBatch returns a DataFrame) for the same
+  // reason the batch scan is a V1Scan — each micro-batch IS the
+  // vectorized parquet read over the new versions' files; see
+  // [[GraftChangefeed]]. DataStreamReader falls back to this provider
+  // when the DSv2 table declares no MICRO_BATCH_READ capability.
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) =
+    (shortName(), schema.getOrElse(
+      GraftDataSource.tableSchema(ctx.sparkSession,
+        pathParam(parameters))))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    new GraftChangefeed(ctx.sparkSession, pathParam(parameters),
+      schema.getOrElse(GraftDataSource.tableSchema(ctx.sparkSession,
+        pathParam(parameters))),
+      startingVersion = parameters.getOrElse("startingversion",
+        parameters.getOrElse("startingVersion", "0")),
+      ignoreDeletes = parameters.getOrElse("ignoredeletes",
+        parameters.getOrElse("ignoreDeletes", "false")).toBoolean)
+
+  private def pathParam(parameters: Map[String, String]): String = {
+    val ci = parameters.map { case (k, v) => k.toLowerCase -> v }
+    ci.getOrElse("path", throw new IllegalArgumentException(
+      "graft source needs a store path: .load(<store>) or OPTIONS (path '<store>')"))
+  }
 
   // CREATE TABLE stores the schema in the catalog; accept it back
   override def supportsExternalMetadata(): Boolean = true
@@ -95,7 +132,8 @@ object GraftDataSource {
                                        loNs: Option[Long] = None,
                                        hiNs: Option[Long] = None,
                                        channels: Option[Set[String]] = None,
-                                       pushed: Seq[Filter] = Nil) {
+                                       pushed: Seq[Filter] = Nil,
+                                       handled: Seq[Filter] = Nil) {
     def withLo(v: Long): Pushdown =
       copy(loNs = Some(loNs.fold(v)(math.max(_, v))))
     def withHi(v: Long): Pushdown =
@@ -123,10 +161,19 @@ object GraftDataSource {
         case LessThan("ts", v) => longOf(v).filter(_ != Long.MinValue)
           .foreach(t => pd = pd.withHi(t - 1))
         case LessThanOrEqual("ts", v) => longOf(v).foreach(t => pd = pd.withHi(t))
-        case EqualTo("level", v) => longOf(v).foreach(l => pd = pd.withLevels(Set(l)))
+        // level filters are EXACT under pruning (levelSec is per-file,
+        // every row of a surviving file carries exactly that level) —
+        // declared fully handled, so no residual Filter survives and
+        // aggregate pushdown over a level-filtered store stays legal
+        case EqualTo("level", v) => longOf(v).foreach { l =>
+          pd = pd.withLevels(Set(l)); pd = pd.copy(handled = pd.handled :+ f)
+        }
         case In("level", vs) =>
           val ls = vs.toSeq.flatMap(longOf)
-          if (ls.length == vs.length) pd = pd.withLevels(ls.toSet)
+          if (ls.length == vs.length) {
+            pd = pd.withLevels(ls.toSet)
+            pd = pd.copy(handled = pd.handled :+ f)
+          }
         case EqualTo("channel", v: String) => pd = pd.withChannels(Set(v))
         case In("channel", vs) if vs.forall(_.isInstanceOf[String]) =>
           pd = pd.withChannels(vs.map(_.asInstanceOf[String]).toSet)
@@ -139,33 +186,77 @@ object GraftDataSource {
 }
 
 private[sources] class GraftTable(val path: String, val tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft.`$path`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(SparkSession.active, path, tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(path)
+}
+
+/** `INSERT INTO … USING graft` / `df.writeTo(...)`: the write is a
+  * [[V1Write]] for the same reason the read is a [[V1Scan]] — the
+  * execution already IS a Spark plan ([[ManifestStore.commitMultiLevel]]
+  * stages range-clustered, (level, day, key, ts)-sorted parquet with
+  * the vectorized writer), so a row-by-row DSv2 `DataWriter` would
+  * only forfeit columnar encode and re-implement the staging job. The
+  * commit itself is the library's atomic manifest protocol: staged
+  * files then one exclusive-claim version publish — a failed insert
+  * leaves no new version, only vacuum-able orphans (the
+  * mid-write-failure case GraftSqlSpec pins). `truncate()` (SQL
+  * `INSERT OVERWRITE`) publishes a version listing only the new files.
+  *
+  * Rows must carry `level` (the resolution to write into — NULL
+  * refuses); `bucket_date` is derived from `ts` and any supplied value
+  * is ignored.
+  */
+private[sources] class GraftWriteBuilder(path: String,
+                                         overwrite: Boolean = false)
+    extends WriteBuilder with SupportsTruncate {
+
+  override def truncate(): WriteBuilder =
+    new GraftWriteBuilder(path, overwrite = true)
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwriteArg: Boolean): Unit = {
+          ManifestStore.commitMultiLevel(data, path,
+            overwrite || overwriteArg)
+          ()
+        }
+      }
+  }
 }
 
 private[sources] class GraftScanBuilder(spark: SparkSession, path: String,
                                         fullSchema: StructType)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pd = GraftDataSource.Pushdown()
+  private var agg: Option[Aggregation] = None
 
-  /** Every filter is returned for post-scan evaluation — pruning is
-    * OURS, predicate semantics stay Spark's (the pruned read is a
-    * superset of the matching rows by construction: manifest min/max
-    * stats are conservative).
+  /** Conservative filters (ts range, channel — file stats are min/max
+    * envelopes) are returned for post-scan evaluation: pruning is
+    * OURS, predicate semantics stay Spark's. Level filters are exact
+    * under pruning and are fully consumed — leaving them residual
+    * would park a Filter node over the scan and block aggregate
+    * pushdown on level-filtered stores.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pd = GraftDataSource.extractPushdown(filters)
-    filters
+    filters.filterNot(pd.handled.contains)
   }
 
   override def pushedFilters(): Array[Filter] = pd.pushed.toArray
@@ -173,7 +264,142 @@ private[sources] class GraftScanBuilder(spark: SparkSession, path: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftScan(spark, path, required, pd)
+  /** Aggregate pushdown from manifest stats: `COUNT(*)`, `MIN(ts)`,
+    * `MAX(ts)` — optionally grouped by `level` — are already exact in
+    * the manifest's per-file entries (rows, minTs, maxTs, levelSec),
+    * so a pure-stats query never touches parquet (the reference's
+    * `getSampleBucketState` metadata reads,
+    * `ChannelMetaDataDAOImpl.java:2081-2103`, as metadata-only SQL).
+    *
+    * Accepted ONLY when the answer is exact:
+    *  - every pushed filter must be fully answered by pruning —
+    *    `level` equality/IN is (levelSec is per-file exact); a ts
+    *    range or channel filter is NOT (file stats are conservative:
+    *    a surviving file may still hold non-matching rows, and the
+    *    residual filter cannot run when the scan returns aggregated
+    *    rows), so those fall back to the real scan;
+    *  - grouping is empty or exactly (`level`);
+    *  - aggregates are COUNT(*) / MIN(ts) / MAX(ts) only.
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    canPushAgg(aggregation)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val ok = canPushAgg(aggregation)
+    if (ok) agg = Some(aggregation)
+    ok
+  }
+
+  private def canPushAgg(a: Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    def isCol(e: org.apache.spark.sql.connector.expressions.Expression,
+              name: String): Boolean = e match {
+      case f: NamedReference =>
+        f.fieldNames.length == 1 && f.fieldNames()(0) == name
+      case _ => false
+    }
+    val filtersExact = pd.pushed.length ==
+      pd.pushed.count {
+        case EqualTo("level", _) | In("level", _) => true
+        case _ => false
+      } && pd.loNs.isEmpty && pd.hiNs.isEmpty && pd.channels.isEmpty
+    val groupOk = a.groupByExpressions.forall(isCol(_, "level"))
+    val aggsOk = a.aggregateExpressions.nonEmpty &&
+      a.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: AggMin => isCol(m.column, "ts")
+        case m: AggMax => isCol(m.column, "ts")
+        case _ => false
+      }
+    filtersExact && groupOk && aggsOk
+  }
+
+  override def build(): Scan = agg match {
+    case Some(a) => new GraftStatsScan(spark, path, pd, a)
+    case None => new GraftScan(spark, path, required, pd)
+  }
+}
+
+/** Metadata-only scan for a pushed aggregation: the rows are computed
+  * on the driver from the manifest's file entries — no parquet file is
+  * opened. Output schema follows the DSv2 pushed-aggregate contract:
+  * grouping columns first, then the aggregate values in call order.
+  */
+private[sources] class GraftStatsScan(spark: SparkSession, path: String,
+                                      pd: GraftDataSource.Pushdown,
+                                      agg: Aggregation)
+    extends Scan with V1Scan {
+
+  private val grouped = agg.groupByExpressions.nonEmpty
+
+  override def readSchema(): StructType = {
+    val gb = if (grouped)
+      Seq(StructField("level", LongType, nullable = false)) else Nil
+    val aggs = agg.aggregateExpressions.zipWithIndex.map {
+      case (_: CountStar, i) =>
+        StructField(s"count_star_$i", LongType, nullable = false)
+      case (_: AggMin, i) => StructField(s"min_ts_$i", LongType)
+      case (_: AggMax, i) => StructField(s"max_ts_$i", LongType)
+      case (other, _) => throw new IllegalStateException(
+        s"unpushable aggregate survived canPushAgg: $other")
+    }
+    StructType(gb ++ aggs)
+  }
+
+  override def description(): String = {
+    val lv = pd.levels.fold("*")(_.toSeq.sorted.mkString(","))
+    s"graft stats-only store=$path levels=$lv agg=$agg"
+  }
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new GraftStatsRelation(context, spark, path, pd, agg, readSchema())
+      .asInstanceOf[T]
+}
+
+/** Driver-computed aggregate rows over manifest entries (file-count
+  * work, zero data I/O), parallelized as a tiny local RDD.
+  */
+private[sources] class GraftStatsRelation(ctx: SQLContext,
+                                          spark: SparkSession, path: String,
+                                          pd: GraftDataSource.Pushdown,
+                                          agg: Aggregation,
+                                          out: StructType)
+    extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = out
+
+  override def toString: String = s"GraftStoreStats($path)"
+
+  override def buildScan(): RDD[Row] = {
+    val m = ManifestStore.latestManifest(spark, path)
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no committed manifest under $path"))
+    val entries = m.files.filter(e =>
+      pd.levels.forall(_.contains(e.levelSec)))
+    val grouped = agg.groupByExpressions.nonEmpty
+    def rowFor(lvl: Option[Long],
+               es: Seq[ManifestStore.FileEntry]): Row = {
+      val aggVals = agg.aggregateExpressions.map {
+        case _: CountStar => es.map(_.rows).sum: java.lang.Long
+        case _: AggMin =>
+          if (es.isEmpty) null else (es.map(_.minTs).min: java.lang.Long)
+        case _: AggMax =>
+          if (es.isEmpty) null else (es.map(_.maxTs).max: java.lang.Long)
+        case other => throw new IllegalStateException(s"unpushable: $other")
+      }
+      Row.fromSeq(lvl.toSeq ++ aggVals)
+    }
+    val rows =
+      if (grouped)
+        entries.groupBy(_.levelSec).toSeq.sortBy(_._1)
+          .map { case (l, es) => rowFor(Some(l), es) }
+      else
+        // global aggregation over an empty set is still ONE row
+        Seq(rowFor(None, entries))
+    spark.sparkContext.parallelize(rows, 1)
+  }
 }
 
 private[sources] class GraftScan(spark: SparkSession, path: String,

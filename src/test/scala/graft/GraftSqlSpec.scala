@@ -149,4 +149,177 @@ class GraftSqlSpec extends AnyFunSuite {
       .head.getLong(0)
     assert(c == ManifestStore.read(spark, store, 3600L).count())
   }
+
+  // ---- aggregate pushdown from manifest stats ----
+
+  test("COUNT/MIN(ts)/MAX(ts) group-by-level answers from manifest stats, no parquet scan") {
+    spark.read.format("graft").load(store).createOrReplaceTempView("g_agg")
+    val q = spark.sql(
+      """SELECT level, count(*) AS n, min(ts) AS mn, max(ts) AS mx
+        |FROM g_agg GROUP BY level ORDER BY level""".stripMargin)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftStoreStats"), plan)
+    assert(plan.contains("PushedAggregates: [COUNT(*), MIN(ts), MAX(ts)]"), plan)
+    assert(plan.contains("PushedGroupByExpressions: [level]"), plan)
+    assert(!plan.contains("GraftStore("), plan) // no data scan at all
+    val rows = q.collect()
+    val lib0 = ManifestStore.read(spark, store, 0L)
+      .agg(count(lit(1)), min("ts"), max("ts")).head
+    assert(rows(0).getLong(0) == 0L && rows(0).getLong(1) == lib0.getLong(0)
+      && rows(0).getLong(2) == lib0.getLong(1)
+      && rows(0).getLong(3) == lib0.getLong(2))
+    val lib1 = ManifestStore.read(spark, store, 3600L)
+      .agg(count(lit(1)), min("ts"), max("ts")).head
+    assert(rows(1).getLong(0) == 3600L && rows(1).getLong(1) == lib1.getLong(0)
+      && rows(1).getLong(2) == lib1.getLong(1)
+      && rows(1).getLong(3) == lib1.getLong(2))
+  }
+
+  test("a level-equality filter keeps the stats pushdown; a ts filter defeats it") {
+    spark.read.format("graft").load(store).createOrReplaceTempView("g_agg2")
+    val pushed = spark.sql(
+      "SELECT count(*) AS n FROM g_agg2 WHERE level = 3600")
+    assert(pushed.queryExecution.executedPlan.toString
+      .contains("GraftStoreStats"))
+    assert(pushed.head.getLong(0) ==
+      ManifestStore.read(spark, store, 3600L).count())
+    // a ts range is NOT exactly answerable by file stats — must fall
+    // back to the real scan and still be right
+    val lo = ManifestStore.read(spark, store, 0L)
+      .agg(min("ts")).head.getLong(0)
+    val defeated = spark.sql(
+      s"SELECT count(*) AS n FROM g_agg2 WHERE level = 0 AND ts > $lo")
+    val dplan = defeated.queryExecution.executedPlan.toString
+    assert(!dplan.contains("GraftStoreStats"), dplan)
+    assert(defeated.head.getLong(0) ==
+      ManifestStore.read(spark, store, 0L).where(col("ts") > lo).count())
+  }
+
+  // ---- write path: INSERT INTO … USING graft ----
+
+  private def freshWriteTable(name: String): (String, String) = {
+    val p = java.nio.file.Files.createTempDirectory("graftsqlw").toString
+    val r = Samples.fromEvents(spark, dir).limit(500)
+    r.createOrReplaceTempView(s"${name}_src")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(
+      s"CREATE TABLE $name (${r.schema.toDDL}, level BIGINT) " +
+        s"USING graft OPTIONS (path '$p')")
+    (p, name)
+  }
+
+  test("INSERT INTO commits through the manifest protocol; SQL and library reads agree") {
+    val (p, t) = freshWriteTable("gw_ins")
+    try {
+      spark.sql(
+        s"INSERT INTO $t SELECT *, CAST(0 AS BIGINT) FROM ${t}_src")
+      val v1 = ManifestStore.latestVersion(spark, p).get
+      val viaSql = spark.sql(
+          s"SELECT channel, ts, value, sample_id FROM $t WHERE level = 0")
+        .orderBy("channel", "ts", "sample_id").collect()
+      val viaLib = ManifestStore.read(spark, p, 0L)
+        .select("channel", "ts", "value", "sample_id")
+        .orderBy("channel", "ts", "sample_id").collect()
+      assert(viaSql.length == 500)
+      assert(viaSql.toSeq == viaLib.toSeq)
+      // second INSERT appends one new version, union visible
+      spark.sql(
+        s"""INSERT INTO $t SELECT channel, ts, value, str_value, severity,
+           |status, sample_id + 1000000, ts_raw, CAST(0 AS BIGINT)
+           |FROM ${t}_src""".stripMargin)
+      assert(ManifestStore.latestVersion(spark, p).get == v1 + 1)
+      assert(spark.table(t).count() == 1000)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("one INSERT can carry multiple levels; each lands in its level") {
+    val (p, t) = freshWriteTable("gw_ml")
+    try {
+      spark.sql(
+        s"""INSERT INTO $t
+           |SELECT *, CAST(0 AS BIGINT) FROM ${t}_src
+           |UNION ALL
+           |SELECT channel, ts, value, str_value, severity, status,
+           |       sample_id + 5000000, ts_raw, CAST(3600 AS BIGINT)
+           |FROM ${t}_src WHERE sample_id % 5 = 0""".stripMargin)
+      // ONE version commit for the whole statement
+      assert(ManifestStore.latestVersion(spark, p).get == 1L)
+      assert(ManifestStore.read(spark, p, 0L).count() == 500)
+      val dec = ManifestStore.read(spark, p, 3600L)
+      assert(dec.count() == spark.table(s"${t}_src")
+        .where(col("sample_id") % 5 === 0).count())
+      assert(dec.where(col("sample_id") < 5000000L).count() == 0)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("a failing INSERT publishes no version (atomicity); orphans are vacuum-able") {
+    val (p, t) = freshWriteTable("gw_fail")
+    try {
+      spark.sql(s"INSERT INTO $t SELECT *, CAST(0 AS BIGINT) FROM ${t}_src")
+      val v = ManifestStore.latestVersion(spark, p).get
+      val before = spark.table(t).count()
+      // NULL level refuses mid-stage: the staging job throws, no commit
+      intercept[Exception] {
+        spark.sql(
+          s"""INSERT INTO $t SELECT channel, ts, value, str_value, severity,
+             |status, sample_id + 9000000,
+             |ts_raw, CAST(NULL AS BIGINT) FROM ${t}_src""".stripMargin)
+      }
+      assert(ManifestStore.latestVersion(spark, p).get == v)
+      assert(spark.table(t).count() == before)
+      // the failed stage left only unreferenced files; vacuum at zero
+      // grace removes them and the committed read is untouched
+      ManifestStore.vacuum(spark, p, graceMs = 0L)
+      assert(spark.table(t).count() == before)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("INSERT OVERWRITE publishes a new-files-only version; old files stay for in-grace readers") {
+    val (p, t) = freshWriteTable("gw_ow")
+    try {
+      spark.sql(s"INSERT INTO $t SELECT *, CAST(0 AS BIGINT) FROM ${t}_src")
+      val v1 = ManifestStore.latestVersion(spark, p).get
+      val oldFiles = ManifestStore.latestManifest(spark, p).get.files
+      spark.sql(
+        s"""INSERT OVERWRITE $t SELECT channel, ts, value, str_value,
+           |severity, status, sample_id + 7000000, ts_raw,
+           |CAST(0 AS BIGINT) FROM ${t}_src WHERE sample_id % 2 = 0""".stripMargin)
+      val m2 = ManifestStore.latestManifest(spark, p).get
+      assert(m2.version == v1 + 1)
+      // file list is ONLY the overwrite's files
+      assert(m2.files.map(_.path).toSet.intersect(
+        oldFiles.map(_.path).toSet).isEmpty)
+      assert(spark.table(t).where(col("sample_id") < 7000000L).count() == 0)
+      // time travel to v1 still reads the pre-overwrite bytes (old
+      // files on disk until vacuum grace expires)
+      assert(ManifestStore.readVersion(spark, p, v1, 0L).count() == 500)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("SQL-written files keep sort-tight clustering: disjoint channel ranges per (level, day)") {
+    val (p, t) = freshWriteTable("gw_cl")
+    try {
+      // enough rows to force multiple range partitions per day
+      spark.sql(
+        s"""INSERT INTO $t
+           |SELECT channel, ts, value, str_value, severity, status,
+           |       sample_id * 10 + n, ts_raw, CAST(0 AS BIGINT)
+           |FROM ${t}_src LATERAL VIEW explode(sequence(0, 9)) AS n""".stripMargin)
+      val m = ManifestStore.latestManifest(spark, p).get
+      assert(m.files.forall(e => e.chMin.nonEmpty && e.chMax.nonEmpty))
+      m.files.groupBy(e => (e.levelSec, e.bucketDate)).foreach {
+        case (_, es) =>
+          val sorted = es.sortBy(_.chMin.get)
+          sorted.sliding(2).foreach {
+            case Seq(a, b) =>
+              // range partitioning on (level, day, channel) keeps a
+              // channel in exactly one partition: per-(level,day) file
+              // key ranges must not interleave
+              assert(a.chMax.get <= b.chMin.get,
+                s"overlapping ranges: $a vs $b")
+            case _ =>
+          }
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }
