@@ -210,12 +210,19 @@ object OracleSql {
     * the identical 6dp-grid integers, the phase index is exact integer
     * arithmetic, and the projection sums are DECIMAL(38,0)
     * (order-free).
+    *
+    * The sum→DOUBLE conversions route through VARCHAR: DuckDB's
+    * direct hugeint-decimal→double cast is NOT correctly rounded
+    * (upper·2⁶⁴ + lower, two roundings — measured 1 ulp off at sf1
+    * where |sum| > 2⁵³), while its string parse is, matching Spark's
+    * BigDecimal.doubleValue. Spectrum outputs raw full-precision
+    * doubles, so that ulp is a hash mismatch, not absorbed noise.
     */
   private def spectrumChain(lo: Long, periods: Seq[Long]): String =
     s"""m AS (
        |  SELECT channel,
-       |    CAST(round(CAST(sum(CAST(q AS DECIMAL(19,0))) AS DOUBLE)
-       |      / count(*)) AS BIGINT) AS mq,
+       |    CAST(round(CAST(CAST(sum(CAST(q AS DECIMAL(19,0))) AS VARCHAR)
+       |      AS DOUBLE) / count(*)) AS BIGINT) AS mq,
        |    count(*) AS n
        |  FROM b GROUP BY 1),
        |tab AS (SELECT ${qList(graft.archive.Analytics.spectrumCosQ.toSeq)} AS ct,
@@ -229,8 +236,10 @@ object OracleSql {
        |  FROM b JOIN m USING (channel) CROSS JOIN p),
        |g AS (
        |  SELECT channel, period, max(n) AS n,
-       |    CAST(sum(CAST(qd * ct[idx + 1] AS DECIMAL(38,0))) AS DOUBLE) AS sc,
-       |    CAST(sum(CAST(qd * st[idx + 1] AS DECIMAL(38,0))) AS DOUBLE) AS ss
+       |    CAST(CAST(sum(CAST(qd * ct[idx + 1] AS DECIMAL(38,0)))
+       |      AS VARCHAR) AS DOUBLE) AS sc,
+       |    CAST(CAST(sum(CAST(qd * st[idx + 1] AS DECIMAL(38,0)))
+       |      AS VARCHAR) AS DOUBLE) AS ss
        |  FROM e CROSS JOIN tab GROUP BY 1, 2),
        |spec AS (
        |  SELECT channel, CAST(period // 1000000000 AS BIGINT) AS period_s, n,
@@ -497,11 +506,13 @@ object OracleSql {
          |yy AS (SELECT channel AS other, win_start, q AS y FROM g
          |       WHERE channel <> 'click'),
          |a AS (SELECT other, count(*) AS n,
-         |        CAST(sum(CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sx,
-         |        CAST(sum(CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sy,
-         |        CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
-         |        CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
-         |        CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS syy
+         |        -- VARCHAR-routed decimal→double: DuckDB's direct
+         |        -- hugeint cast double-rounds (see spectrumChain)
+         |        CAST(CAST(sum(CAST(x AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS sx,
+         |        CAST(CAST(sum(CAST(y AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS sy,
+         |        CAST(CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS sxy,
+         |        CAST(CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS sxx,
+         |        CAST(CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS syy
          |      FROM yy JOIN x USING (win_start) GROUP BY other)
          |SELECT other AS channel, n AS n_windows,
          |  CAST(CAST(round((CASE WHEN
@@ -561,10 +572,12 @@ object OracleSql {
          |  WHERE ts >= $LO AND ts < $HI AND value IS NOT NULL),
          |summ AS (
          |  SELECT channel, bucket,
-         |    CAST(sum(CAST(ts AS DECIMAL(38,0))) AS DOUBLE) / count(*)
-         |      AS avg_ts,
-         |    CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / count(*)
-         |      AS avg_v
+         |    -- VARCHAR-routed decimal→double: DuckDB's direct
+         |    -- hugeint cast double-rounds (see spectrumChain)
+         |    CAST(CAST(sum(CAST(ts AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+         |      / count(*) AS avg_ts,
+         |    CAST(CAST(sum(CAST(value AS DECIMAL(38,12))) AS VARCHAR)
+         |      AS DOUBLE) / count(*) AS avg_v
          |  FROM pts GROUP BY 1, 2),
          |anch AS (
          |  SELECT channel, bucket,

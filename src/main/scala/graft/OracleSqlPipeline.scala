@@ -2197,7 +2197,12 @@ comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY 1)"""
          |    CAST(round(e.v[idx.i + 1] * 1000000.0) AS BIGINT) AS q
          |  FROM e CROSS JOIN idx)
          |SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
-         |  CAST(sum(CAST(a.q * b.q AS DECIMAL(38,0))) AS DOUBLE) AS s
+         |  -- VARCHAR-routed decimal→double: DuckDB's direct hugeint
+         |  -- cast double-rounds past 2⁵³ (see OracleSql.spectrumChain);
+         |  -- s is a raw full-precision double output, so a 1-ulp slip
+         |  -- is a hash mismatch
+         |  CAST(CAST(sum(CAST(a.q * b.q AS DECIMAL(38,0))) AS VARCHAR)
+         |    AS DOUBLE) AS s
          |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
          |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
 
