@@ -18,6 +18,16 @@ import graft.archive.{ArchiveBackend, HttpArchiveServer, ManifestBackend}
   * into 403 (default matches the reference: history serves).
   * `SPARK_GRAFT_ADMIN_AUTH=user:password` puts HTTP Basic auth on the
   * admin context (`/admin/api/...`); archive-access stays anonymous.
+  *
+  * Fleet bookkeeping: every instance registers in the server registry
+  * at `<configPath>/_servers` (override `SPARK_GRAFT_REGISTRY=<dir>`,
+  * disable `SPARK_GRAFT_REGISTRY=off`) with a 5 s renewal heartbeat —
+  * `GET /admin/api/1.0/cluster-status` then shows the live fleet.
+  * `SPARK_GRAFT_SERVER_ID` / `SPARK_GRAFT_SERVER_NAME` identify the
+  * instance (default: a random UUID / the hostname). Maintenance
+  * passes coordinate through the same registry's duty leases
+  * ([[graft.archive.ServerRegistry.withDuty]]), so N instances over
+  * one store run compaction/vacuum exactly once.
   */
 object ServeMain {
 
@@ -48,9 +58,20 @@ object ServeMain {
       require(i > 0, "SPARK_GRAFT_ADMIN_AUTH must be user:password")
       s.take(i) -> s.drop(i + 1)
     }
+    val registryDir = sys.env.get("SPARK_GRAFT_REGISTRY") match {
+      case Some("off") => None
+      case Some(dir) => Some(dir)
+      case None => Some(s"$configPath/_servers")
+    }
+    val serverId = sys.env.getOrElse("SPARK_GRAFT_SERVER_ID",
+      java.util.UUID.randomUUID().toString)
+    val serverName = sys.env.getOrElse("SPARK_GRAFT_SERVER_NAME",
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: java.net.UnknownHostException => "graft" })
     val running = HttpArchiveServer.start(spark, configPath, storePath,
       backend, port, refuseDisabled = refuseDisabled,
-      adminAuth = adminAuth)
+      adminAuth = adminAuth, registryDir = registryDir,
+      serverId = serverId, serverName = serverName)
     println(s"[graft] serving ${running.baseUrl}/ (Ctrl-C to stop)")
     sys.addShutdownHook { running.stop(); spark.stop() }
     Thread.currentThread().join()

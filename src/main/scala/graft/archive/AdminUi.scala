@@ -75,6 +75,9 @@ object AdminUi {
       |<main>
       |<div id="msg"></div>
       |<h2>Dashboard</h2><div id="status">loading…</div>
+      |<h2>Servers</h2>
+      |<table id="fleet"><thead><tr><th>server</th><th>name</th><th>url</th>
+      |  <th>state</th><th>renewed</th></tr></thead><tbody></tbody></table>
       |<h2>Channels <input id="filter" placeholder="filter…" oninput="renderChannels()">
       |  <button onclick="loadAll()">refresh</button>
       |  <a id="xml" href="#">export XML</a>
@@ -123,6 +126,28 @@ object AdminUi {
       |    ['errors', s.errors ?? '']];
       |  $('status').innerHTML = rows.map(r =>
       |    '<div>' + esc(r[0]) + '<b>' + esc(r[1] ?? '') + '</b></div>').join('');
+      |}
+      |// DOM-built like renderChannels: registry data (ids, names,
+      |// urls) never becomes HTML or JS source text
+      |async function loadFleet() {
+      |  const fleet = await api('/1.0/cluster-status');
+      |  const tb = $('fleet').tBodies[0];
+      |  tb.textContent = '';
+      |  fleet.forEach(s => {
+      |    const tr = document.createElement('tr');
+      |    const td = v => { const t = document.createElement('td');
+      |      t.textContent = v; tr.appendChild(t); return t; };
+      |    td(s.serverId + (s.thisServer ? ' (this)' : ''));
+      |    td(s.serverName || '');
+      |    td(s.url || '');
+      |    const st = td('');
+      |    const pill = document.createElement('span');
+      |    pill.className = 'pill ' + (s.online ? 'on' : 'off');
+      |    pill.textContent = s.online ? 'online' : 'offline';
+      |    st.appendChild(pill);
+      |    td(s.renewedAt ? new Date(s.renewedAt).toISOString() : '');
+      |    tb.appendChild(tr);
+      |  });
       |}
       |async function loadAll() {
       |  channels = (await api('/1.0/channels/all')).channels || [];
@@ -218,6 +243,7 @@ object AdminUi {
       |  await loadAll();
       |}
       |loadStatus().catch(e => $('msg').textContent = e);
+      |loadFleet().catch(e => $('msg').textContent = e);
       |loadAll().catch(e => $('msg').textContent = e);
       |</script></body></html>
       |""".stripMargin

@@ -141,7 +141,9 @@ object HttpAdminApi {
                               auth: Option[(String, String)] = None,
                               stats: Option[HttpArchiveServer.Stats] = None,
                               storeVersion: () => Option[Long] = () => None,
-                              users: Option[String] = None)
+                              users: Option[String] = None,
+                              registryDir: Option[String] = None,
+                              serverId: String = "graft")
       : Unit = {
     val principal = resolvePrincipal(spark, ex, auth, users) match {
       case Some(p) => p
@@ -176,11 +178,18 @@ object HttpAdminApi {
       case ("GET", "/1.0/server-status/this-server") =>
         serverStatus(spark, configPath, ex, stats, storeVersion)
       case ("GET", "/1.0/cluster-status") =>
-        // single-server deployment: Spark's own runtime replaces the
-        // reference's inter-node cluster half (SURVEY scope), so the
-        // cluster is this one always-online server
-        send(ex, 200, "application/json; charset=UTF-8",
-          """[{"serverId":"graft","serverName":"graft","online":true}]""")
+        registryDir match {
+          case Some(dir) =>
+            // fleet deployment: the live server registry (renewal-aged
+            // liveness, ClusterManagementService.java:93 semantics)
+            clusterStatus(spark, dir, serverId, ex)
+          case None =>
+            // single-server deployment: Spark's own runtime replaces
+            // the reference's inter-node cluster half (SURVEY scope),
+            // so the cluster is this one always-online server
+            send(ex, 200, "application/json; charset=UTF-8",
+              """[{"serverId":"graft","serverName":"graft","online":true}]""")
+        }
       case ("GET", "/1.0/channels/all") =>
         channelsAll(spark, configPath, ex)
       case ("GET", p) if p.startsWith("/1.0/channels/all/by-name/") =>
@@ -269,6 +278,27 @@ object HttpAdminApi {
     }
     send(ex, 200, "application/json; charset=UTF-8",
       mapper.writeValueAsString(o))
+  }
+
+  /** The fleet from the [[ServerRegistry]], the reference's
+    * cluster-status shape (ApiController.java:726) plus the registry's
+    * url/renewal detail; `thisServer` marks the answering instance.
+    */
+  private def clusterStatus(spark: SparkSession, registryDir: String,
+                            serverId: String, ex: HttpExchange): Unit = {
+    val arr = mapper.createArrayNode()
+    ServerRegistry.list(spark, registryDir).foreach { s =>
+      val o = arr.addObject()
+      o.put("serverId", s.serverId)
+      o.put("serverName", s.serverName)
+      o.put("url", s.url)
+      o.put("online", s.online)
+      o.put("startedAt", s.startedAt)
+      o.put("renewedAt", s.renewedAt)
+      o.put("thisServer", s.serverId == serverId)
+    }
+    send(ex, 200, "application/json; charset=UTF-8",
+      mapper.writeValueAsString(arr))
   }
 
   private def exportXml(spark: SparkSession, configPath: String,

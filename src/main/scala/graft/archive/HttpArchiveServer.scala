@@ -120,10 +120,15 @@ object HttpArchiveServer {
 
   final case class Running(server: HttpServer,
                            pool: java.util.concurrent.ExecutorService,
-                           stats: Stats = new Stats) {
+                           stats: Stats = new Stats,
+                           registration: Option[ServerRegistry.Registration] =
+                             None) {
     def port: Int = server.getAddress.getPort
     def baseUrl: String = s"http://localhost:$port$ContextPath"
-    def stop(): Unit = { server.stop(0); pool.shutdown() }
+    def stop(): Unit = {
+      registration.foreach(_.close())
+      server.stop(0); pool.shutdown()
+    }
   }
 
   /** Start serving `configPath`/`storePath` on `port` (0 = ephemeral).
@@ -137,12 +142,21 @@ object HttpArchiveServer {
     * all mutable over the API without a restart; takes precedence over
     * the static `adminAuth` pair when both are given.
     */
+  /** `registryDir`: a [[ServerRegistry]] directory — when given, the
+    * server registers itself (`serverId`/`serverName`) with a renewal
+    * heartbeat on start and deregisters on [[Running.stop]], and the
+    * admin cluster-status endpoint reports the live fleet instead of
+    * the single-server constant.
+    */
   def start(spark: SparkSession, configPath: String, storePath: String,
             backend: StoreBackend = ManifestBackend,
             port: Int = 0, threads: Int = 8,
             refuseDisabled: Boolean = false,
             adminAuth: Option[(String, String)] = None,
-            adminUsers: Option[String] = None): Running = {
+            adminUsers: Option[String] = None,
+            registryDir: Option[String] = None,
+            serverId: String = "graft",
+            serverName: String = "graft"): Running = {
     // typed-union stores (the `vtype` discriminator on the raw level)
     // serve the FULL 21-type wire format — the reference has exactly
     // one serving path (serializeSampleToJsonV1 on typed samples);
@@ -180,7 +194,8 @@ object HttpArchiveServer {
         HttpAdminApi.handle(spark, configPath, Some(storePath), ex,
           adminAuth, Some(stats),
           storeVersion = () => backend.metaVersion(spark, storePath),
-          users = adminUsers)
+          users = adminUsers, registryDir = registryDir,
+          serverId = serverId)
       } catch {
         case e: Throwable =>
           stats.errors.incrementAndGet()
@@ -196,7 +211,16 @@ object HttpArchiveServer {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     server.setExecutor(pool)
     server.start()
-    Running(server, pool, stats)
+    // register AFTER the socket binds so the advertised url answers
+    // the moment a peer reads the record
+    val registration = registryDir.map { dir =>
+      val host =
+        try java.net.InetAddress.getLocalHost.getHostName
+        catch { case _: java.net.UnknownHostException => "localhost" }
+      ServerRegistry.register(spark, dir, serverId, serverName,
+        s"http://$host:${server.getAddress.getPort}")
+    }
+    Running(server, pool, stats, registration)
   }
 
   /** Typed-layout detection, memoized per (backend, store, version):
