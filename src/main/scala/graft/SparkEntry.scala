@@ -539,6 +539,41 @@ object SparkEntry {
         .orderBy(col("channel"), col("ts"), col("sample_id"))
     }),
 
+    // the changefeed DRIVING decimation: the manifest log's
+    // version-ordered replay feeds the same keyed decimation state
+    // machine the socket/file streams use — the cascade hop riding the
+    // store's own commit history instead of separate watermark
+    // bookkeeping, serving the batch decimation bytes
+    "stream_changefeed_decimate" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val store = immutableStoreFixture("cfdec", dir) { p =>
+        val m = marked(s, dir)
+        val t1 = LO + (HI - LO) / 3
+        val t2 = LO + 2 * (HI - LO) / 3
+        ManifestStore.commit(m.where(col("ts") < t1), p, levelSec = 0)
+        ManifestStore.commit(
+          m.where(col("ts") >= t1 && col("ts") < t2), p, levelSec = 0)
+        ManifestStore.commit(m.where(col("ts") >= t2), p, levelSec = 0)
+        ()
+      }
+      val ds = s.readStream.format("graft").load(store)
+        .where(col("level") === 0L)
+        .select(col("channel"), col("ts"), col("value"),
+          col("sample_id").as("seq"))
+        .as[graft.streaming.StreamingDecimation.InSample]
+      val sink = s"cfdec_out_${streamGateSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamingDecimation.decimateStream(ds, P1H)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      detachSink(s, sink)
+        .select(col("channel"), col("win_start"), r6("mean"), r6("std"),
+          col("min_value"), col("max_value"), r6("covered_fraction"),
+          col("n_samples"))
+        .orderBy("channel", "win_start")
+    }),
+
     // two levels of ONE store joined in SQL — the connector exposes the
     // whole resolution cascade as a single relational table with
     // `level` an ordinary filterable column, so each join branch plans
@@ -3176,6 +3211,8 @@ object SparkEntry {
       // the drained changefeed over three appending commits must union
       // to the same bytes, each commit one micro-batch
       ("stream_sql_changefeed" -> base("arch_range_scan")) +
+      // decimation riding the changefeed serves the batch bytes
+      ("stream_changefeed_decimate" -> base("arch_decimate_1h")) +
       // metadata-only aggregates: per-level COUNT/MIN/MAX recomputed
       // from the source rows (level 0 = marked, level 3600 = dec)
       ("sql_stats_pushdown" ->
