@@ -2664,23 +2664,30 @@ object SparkEntry {
     // compose (every stage is itself oracle-gated standalone).
     "pipeline_curate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val exactKeep = Dedup.exact(docs)
-        .select(col("keeper_id").as("doc_id"))
       val clusterDrop = Dedup.duplicateClusters(Dedup.nearDupPairs(docs))
         .where(!col("keep")).select("doc_id")
-      val q = TextAnalysis.quality(docs)
-        .select(col("doc_id"), col("quality_score"))
-      val rep = TextAnalysis.repetition(docs)
-        .select(col("doc_id"), col("dup_token_frac"))
-      val ug = TextAnalysis.unigramScore(docs, vocabSize = 20)
-        .select(col("doc_id"), col("oov_frac"))
+      // r12 plan-shape rework, same result set (oracle unchanged):
+      // the exact-dup keeper rule is a window min over the content
+      // hash applied in place (the old groupBy + corpus re-join on
+      // doc_id selected exactly the same min-id-per-text rows); the
+      // quality filter is a pure per-row projection evaluated inline
+      // (the old join of quality(docs) back onto docs was a corpus
+      // self-join for a column the row itself determines); and the
+      // two token-level filter metrics come from ONE fused tokenize +
+      // aggregate (TextAnalysis.docFilterMetrics) instead of
+      // repetition + unigramScore separately (two explodes, a bigram
+      // pass the filter never reads, and two corpus joins).
+      val fm = TextAnalysis.docFilterMetrics(docs, vocabSize = 20)
+      val keeper = min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))))
       val kept = docs
-        .join(exactKeep, Seq("doc_id"))
+        .withColumn("_keeper", keeper)
+        .where(col("doc_id") === col("_keeper")).drop("_keeper")
         .join(broadcast(clusterDrop), Seq("doc_id"), "left_anti")
-        .join(q, Seq("doc_id")).join(rep, Seq("doc_id"))
-        .join(ug, Seq("doc_id"))
-        .where(col("quality_score") >= 0.3 && col("dup_token_frac") <= 0.9 &&
-          col("oov_frac") <= 0.42)
+        .join(fm, Seq("doc_id"))
+        .where(TextAnalysis.qualityScore("text") >= 0.3 &&
+          col("dup_token_frac") <= 0.9 && col("oov_frac") <= 0.42)
       val sampled = Sampling.stratifiedSample(kept,
         Map("en" -> 0.8, "de" -> 0.6), defaultRate = 0.5)
       val packed = Sampling.packGreedy(sampled, budgetTokens = 256L)

@@ -338,16 +338,19 @@ object Dedup {
 
   /** (doc_id, sig, band, key): the banding frame both the in-corpus
     * candidate join and the persisted index build on — one definition
-    * of the band-key format. */
-  private def sigBands(sigs: DataFrame): DataFrame = {
+    * of the band-key format. `carry` forwards extra per-doc columns
+    * (e.g. the shingle count `n_sh`) through the banding explode. */
+  private def sigBands(sigs: DataFrame,
+                       carry: Seq[String] = Nil): DataFrame = {
     val sigArr = array((0 until NumMinHashes).map(i => col(s"s$i")): _*)
-    sigs.select(col("doc_id"), sigArr.as("sig"),
+    val extra = carry.map(col)
+    sigs.select(col("doc_id") +: sigArr.as("sig") +:
       explode(array((0 until NumBands).map { b =>
         val ks = (0 until RowsPerBand).map(r => col(s"s${b * RowsPerBand + r}"))
         struct(lit(b).as("band"), concat_ws("_", ks: _*).as("key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("sig"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+      }: _*)).as("bk") +: extra: _*)
+      .select(col("doc_id") +: col("sig") +:
+        col("bk.band").as("band") +: col("bk.key").as("key") +: extra: _*)
   }
 
   /** The banding join's quadratic-explosion guard, the band-level
@@ -378,17 +381,26 @@ object Dedup {
 
   /** The LSH candidate equi-join over a (doc_id, sig, band, key)
     * banding frame — shared by the shuffle-free per-row path and the
-    * shared-shingle groupBy path. */
+    * shared-shingle groupBy path. `carryN = true` additionally expects
+    * an `n_sh` column (per-doc distinct-shingle count) on the banding
+    * frame and forwards it as (n_a, n_b) — [[nearDupPairs]]'s fast
+    * verification consumes those instead of re-aggregating the corpus
+    * shingle frame. */
   private def candidatePairs(
-      bandsRaw: DataFrame, maxBandSize: Option[Int] = None): DataFrame = {
+      bandsRaw: DataFrame, maxBandSize: Option[Int] = None,
+      carryN: Boolean = false): DataFrame = {
     val bands = capBandSize(bandsRaw, maxBandSize)
     val matches =
       expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))")
+    val base = Seq(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+      (matches.cast("double") / NumMinHashes).as("est_jaccard"))
+    val cols =
+      if (carryN) base ++ Seq(col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      else base
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (matches.cast("double") / NumMinHashes).as("est_jaccard"))
+      .select(cols: _*)
       .dropDuplicates("doc_a", "doc_b")
   }
 
@@ -511,10 +523,43 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, k: Int = 3,
                    minJaccard: Double = DefaultMinJaccard,
                    maxBandSize: Option[Int] = None): DataFrame = {
+    if (minJaccard <= 0.0) {
+      // a zero threshold must keep zero-intersection candidates, which
+      // only the left-join verification preserves
+      val sh = shingles(docs, k).cache()
+      val cands = minHashCandidatesFromSignatures(
+        minHashSignaturesFromShingles(sh), maxBandSize)
+      return verifyCandidatesFromShingles(sh, cands)
+        .where(col("jaccard") >= minJaccard)
+    }
+    // Fast verification (r12): the signature groupBy ALREADY aggregates
+    // once per document, so the per-doc distinct-shingle count rides it
+    // as one extra column (n_sh) through banding into the candidate
+    // pairs — the corpus-wide counts re-aggregation and the two
+    // per-side left joins of [[verifyCandidatesFromShingles]] drop out
+    // of the plan (guide §2.3/2.4: aggregate once, fewer shuffles).
+    // The intersection join turns inner: a candidate pair sharing no
+    // shingle has jaccard 0 < minJaccard and is filtered either way,
+    // and with inter ≥ 1 the union n_a + n_b − inter ≥ 1 needs no
+    // greatest() guard. Pair set and jaccard values are bit-identical
+    // to the left-join path for any minJaccard > 0.
     val sh = shingles(docs, k).cache()
-    val cands = minHashCandidatesFromSignatures(
-      minHashSignaturesFromShingles(sh), maxBandSize)
-    verifyCandidatesFromShingles(sh, cands)
+    val sigsN = sh.withColumn("h", md5HashM31(col("shingle")))
+      .groupBy("doc_id")
+      .agg(min(perm(col("h"), 0)).as("s0"),
+        (1 until NumMinHashes).map(i => min(perm(col("h"), i)).as(s"s$i")) :+
+          count(lit(1)).as("n_sh"): _*)
+    val cands = candidatePairs(sigBands(sigsN, carry = Seq("n_sh")),
+      maxBandSize, carryN = true)
+    cands.select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id") &&
+        col("a.shingle") === col("b.shingle"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }
 
@@ -604,11 +649,21 @@ object Dedup {
     * `comp` is the cluster's minimum doc id.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // No distinct: callers pass dropDuplicates'd (doc_a < doc_b) pairs,
+    // whose two directed halves are disjoint and dup-free by
+    // construction — the old edge-dedup shuffle bought nothing (and
+    // even under a caller's duplicate pairs the min-aggregation is
+    // multiset-insensitive, so the result is unchanged either way).
+    // The edge list IS hash-partitioned by dst before caching: the
+    // per-round message join keys on dst, so every iteration reuses
+    // this one layout instead of re-exchanging the (large) edge frame
+    // each round (guide §2.4 — operations keyed the same way share one
+    // exchange).
     val und = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"),
         col("doc_a").as("dst")))
-      .distinct().cache()
+      .repartition(col("dst")).cache()
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
@@ -666,8 +721,11 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val comp = connectedComponents(pairs, maxIter)
-    val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
-    comp.join(sizes, Seq("comp"))
+    // cluster size via a window over comp: one exchange, where the old
+    // groupBy + join back paid the aggregation exchange AND re-shuffled
+    // the label frame into the join (same rows, same counts)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("comp")
+    comp.withColumn("cluster_size", count(lit(1)).over(w))
       .select(col("id").as("doc_id"), col("comp"), col("cluster_size"),
         (col("id") === col("comp")).as("keep"))
   }

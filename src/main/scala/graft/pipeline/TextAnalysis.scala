@@ -81,6 +81,30 @@ object TextAnalysis {
   /** Quality signals: length, token counts, average token length,
     * stopword ratio, digit/punctuation ratios, and a composite score.
     */
+  /** The [[quality]] composite score as a reusable per-row Column —
+    * ONE definition shared by the quality report and pipeline
+    * compositions that only filter on the score: a consumer that
+    * joins the full [[quality]] frame back onto the corpus pays a
+    * corpus self-join for what is a pure projection of the row it
+    * already holds.
+    */
+  def qualityScore(textCol: String = "text"): Column = {
+    val t = toks(textCol)
+    val nTok = size(t).cast("double")
+    val nChars = length(col(textCol)).cast("double")
+    val nDigit = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[0-9]", ""))
+    val nTok0 = greatest(nTok, lit(1.0))
+    val nChars0 = greatest(nChars, lit(1.0))
+    val stopHits = hits(t, Stopwords.toMap.apply("en")).cast("double")
+    val stopRatio = stopHits / nTok0
+    round(
+      least(lit(1.0), stopRatio * 3) * 0.5 +
+        when(nTok.between(20, 80), 0.3).otherwise(0.0) +
+        when(nDigit / nChars0 < 0.2, 0.2).otherwise(0.0),
+      6)
+  }
+
   def quality(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = toks(textCol)
     val nTok = size(t).cast("double")
@@ -95,13 +119,8 @@ object TextAnalysis {
     // empty doc would kill the whole scan; with the guard every ratio
     // is 0 for empty docs (and unchanged otherwise)
     val nTok0 = greatest(nTok, lit(1.0))
-    val nChars0 = greatest(nChars, lit(1.0))
     val stopHits = hits(t, Stopwords.toMap.apply("en")).cast("double")
     val stopRatio = stopHits / nTok0
-    val score =
-      least(lit(1.0), stopRatio * 3) * 0.5 +
-        when(nTok.between(20, 80), 0.3).otherwise(0.0) +
-        when(nDigit / nChars0 < 0.2, 0.2).otherwise(0.0)
     docs.select(col("doc_id"),
       nChars.cast("long").as("n_chars"),
       size(t).as("n_tokens"),
@@ -109,7 +128,7 @@ object TextAnalysis {
       round(stopRatio, 6).as("stopword_ratio"),
       nDigit.cast("long").as("n_digits"),
       nPunct.cast("long").as("n_punct"),
-      round(score, 6).as("quality_score"))
+      qualityScore(textCol).as("quality_score"))
   }
 
   /** Gopher quality rules (Rae et al. 2021, appendix A1.1) — the
@@ -418,6 +437,48 @@ object TextAnalysis {
           .as("avg_token_count"),
         r6(sum(when(col("in_vocab").isNull, 1).otherwise(0))
           .cast("double") / count(lit(1))).as("oov_frac"))
+  }
+
+  /** Fused per-document filter metrics — [[repetition]]'s
+    * `dup_token_frac` and [[unigramScore]]'s `oov_frac` from ONE
+    * tokenize + ONE (doc_id, tok) aggregation, for pipelines that
+    * filter on both (the curation flagship): running the two operators
+    * separately explodes and shuffles every token occurrence twice
+    * (plus repetition's bigram pass, unused by the filter) and then
+    * pays two corpus joins to re-attach the columns. Here the
+    * (doc_id, tok, c) frame feeds both the corpus count table (a
+    * second, map-side-combinable aggregation over the already-reduced
+    * frame) and the per-doc regroup, and both metrics come back in one
+    * row per document.
+    *
+    * Bit-equivalence with the standalone operators (PipelineSpec):
+    * dup_token_frac = round(1 − n_distinct/n_tok, 6) over the same
+    * exact integers; oov_frac counts occurrences of out-of-vocab
+    * tokens as Σ c·[oov] — the same integer [[unigramScore]] reaches
+    * by counting exploded occurrences — over the same (count desc,
+    * tok asc) top-`vocabSize` vocabulary.
+    */
+  def docFilterMetrics(docs: DataFrame, vocabSize: Int = 1000,
+                       textCol: String = "text"): DataFrame = {
+    val docTok = docs
+      .select(col("doc_id"), explode(toks(textCol)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val counts = docTok.groupBy("tok").agg(sum(col("c")).as("cnt"))
+    val vocab = counts.orderBy(col("cnt").desc, col("tok").asc)
+      .limit(vocabSize)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    docTok.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_tok"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("in_vocab").isNull, col("c")).otherwise(lit(0L)))
+          .as("n_oov"))
+      .select(col("doc_id"),
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_tok").cast("double"), 6).as("dup_token_frac"),
+        r6(col("n_oov").cast("double") / col("n_tok").cast("double"))
+          .as("oov_frac"))
   }
 
   /** BPE pair statistics — the inner loop of tokenizer training: count

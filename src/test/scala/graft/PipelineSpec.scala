@@ -1488,6 +1488,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(lambda > 0 && share > 0.95, s"lambda=$lambda share=$share")
   }
 
+  test("docFilterMetrics == repetition + unigramScore joined, bit for bit") {
+    // the fused single-pass metrics (r12 pipeline_curate plan rework)
+    // must reproduce the standalone operators' columns exactly — same
+    // integers, same division order, same rounding
+    val d = Tables_docs_sf0001
+    val fused = TextAnalysis.docFilterMetrics(d, vocabSize = 20)
+    val expected = TextAnalysis.repetition(d)
+      .select($"doc_id", $"dup_token_frac".as("e_dup"))
+      .join(TextAnalysis.unigramScore(d, vocabSize = 20)
+        .select($"doc_id", $"oov_frac".as("e_oov")), Seq("doc_id"))
+    val diff = fused.join(expected, Seq("doc_id"), "full")
+      .where($"dup_token_frac".isNull || $"e_dup".isNull ||
+        $"dup_token_frac" =!= $"e_dup" || $"oov_frac" =!= $"e_oov")
+    assert(diff.count() == 0)
+    // and the reusable score column matches the quality report's
+    val qdiff = TextAnalysis.quality(d)
+      .join(d.select($"doc_id",
+        TextAnalysis.qualityScore("text").as("s2")), Seq("doc_id"))
+      .where($"quality_score" =!= $"s2")
+    assert(qdiff.count() == 0)
+  }
+
   private lazy val Tables_docs_sf0001 =
     graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
 }
