@@ -2339,12 +2339,22 @@ object SparkEntry {
     // end.
     "pipeline_curate5" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val kept = docs.join(
-        TextAnalysis.gopherRules(docs).where(col("ok_words") === 1)
-          .select("doc_id"), Seq("doc_id"))
-      val survivors = kept.join(
-        Dedup.exact(kept).select(col("keeper_id").as("doc_id")),
-        Seq("doc_id"))
+      // r12 plan-shape rework, same result set (oracle unchanged):
+      // gopherRules is a shuffle-free per-row projection and doc_id is
+      // unique, so the old docs ⋈ gopherRules(docs)[ok_words=1] self-
+      // join selected exactly docs.where(50 ≤ n_tokens ≤ 100000) — at
+      // the price of tokenizing the corpus twice plus a join exchange.
+      // Likewise kept ⋈ Dedup.exact(kept)[keeper_id] keeps precisely
+      // the min-doc_id row of each md5(text) group — an in-place
+      // window min (the pipeline_curate keeper rule), not a groupBy +
+      // re-join that evaluates the kept branch twice.
+      val nToks = size(Dedup.tokens("text")).cast("long")
+      val kept = docs.where(nToks >= 50L && nToks <= 100000L)
+      val keeper = min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))))
+      val survivors = kept.withColumn("_keeper", keeper)
+        .where(col("doc_id") === col("_keeper")).drop("_keeper")
       Sampling.packSequences(survivors, vocabSize = 20, seqLen = 64L)
         .orderBy("seq_id")
     }),
@@ -2371,10 +2381,13 @@ object SparkEntry {
       val kw = Retrieval.tfidfTopK(docs, k = 1)
         .select(col("doc_id"), col("tok").as("top_keyword"),
           col("score").as("kw_score"))
-      sd.join(kw, Seq("doc_id"))
-        .join(Sampling.hashSplit(docs,
-            Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
-          .select(col("doc_id"), col("split")), Seq("doc_id"))
+      // split is a pure per-row hash of doc_id and every sd⋈kw doc_id
+      // exists in docs, so the old third join (against
+      // hashSplit(docs)[doc_id, split]) attached a column the row
+      // itself determines while paying an extra corpus scan + join
+      // exchange. Project it in place; result set unchanged.
+      Sampling.hashSplit(sd.join(kw, Seq("doc_id")),
+          Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
         .orderBy("doc_id")
     }),
 
@@ -2691,10 +2704,16 @@ object SparkEntry {
       val sampled = Sampling.stratifiedSample(kept,
         Map("en" -> 0.8, "de" -> 0.6), defaultRate = 0.5)
       val packed = Sampling.packGreedy(sampled, budgetTokens = 256L)
-      packed
-        .join(Sampling.hashSplit(sampled,
-            Seq(("train", 0.9), ("val", 0.95), ("test", 1.0)))
-          .select(col("doc_id"), col("split")), Seq("doc_id"))
+      // split is a pure per-row hash of doc_id (hashSplit only adds a
+      // projection) and packGreedy is row-preserving, so joining
+      // hashSplit(sampled) back on doc_id selected exactly the per-row
+      // split of the packed rows — while paying a SECOND full
+      // evaluation of the curation chain (sampled is an unmaterialized
+      // LSH + verify pipeline; sibling branches do not CSE) plus a
+      // join exchange. Project it in place instead; result set
+      // unchanged (oracle-checked).
+      Sampling.hashSplit(packed,
+          Seq(("train", 0.9), ("val", 0.95), ("test", 1.0)))
         .select(col("doc_id"), col("lang"), col("shard"),
           col("n_tokens"), col("bin"), col("split"))
         .orderBy("doc_id")

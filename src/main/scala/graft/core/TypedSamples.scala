@@ -105,7 +105,34 @@ object TypedSamples {
     // ingest arrives pre-partitioned.
     val ev0 = Tables.events(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
-    val k0 = get_json_object(col("props"), "$.k").cast("int")
+    // The parse is staged in its OWN projection and FENCED (a value-
+    // preserving nondeterministic identity: shuffle of a 1-element
+    // array). Without the fence, a consumer's filter on any derived
+    // column (vtype, agg_std, ...) is pushed back through the staging
+    // projections, inlining the 16-branch CASE — and its JSON parse —
+    // once per conjunct into a Filter BELOW the spread repartition,
+    // where it runs serially on the single-row-group scan task;
+    // FilterExec does no common-subexpression elimination across an
+    // inlined predicate tree, so the pushed-down form re-parses the
+    // JSON ~6-20× per row (measured: 3.1 s of arch_waveform_stats'
+    // sf0.1 gate). PushPredicateThroughNonJoin refuses to cross a
+    // projection with a nondeterministic field, so predicates now
+    // evaluate right above this projection — over the materialized _k
+    // attribute, one parse per row, in parallel. The parse must sit
+    // ALONE in this stage: the dispatch columns derive from the _k
+    // attribute one stage up, because codegen subexpression
+    // elimination skips nondeterministic trees and would otherwise
+    // re-evaluate the fenced parse per staged column. Derived-column
+    // predicates could never reach the parquet scan anyway (pushable
+    // raw-column predicates ride ts_raw / channel via
+    // ArchiveReader.pushdownHint on the store path).
+    val rawTs0 =
+      if (ev0.columns.contains("ts_src")) col("ts_src") else col("ts")
+    val evK = ev0.select(col("event_type"), col("ts"), col("value"),
+      col("props"), col("event_id"), rawTs0.as("_ts_src"),
+      element_at(shuffle(array(
+        get_json_object(col("props"), "$.k").cast("int"))), 1).as("_k"))
+    val k0 = col("_k")
     val sev0 = pmod(k0, lit(4)).cast("int")
     val m0 = (k0 / 4).cast("int") % 16
     val marker0 = sev0 === 3
@@ -126,14 +153,12 @@ object TypedSamples {
         .when(m0 === 13, lit("aggregated_scalar_double"))
         .when(m0 === 14, lit("array_float"))
         .otherwise(lit("aggregated_scalar_long"))
-    // the untruncated source timestamp in its parquet-native type
-    // (Long ns legacy, timestamp µs current) — kept for ts_raw so
+    // _ts_src: the untruncated source timestamp in its parquet-native
+    // type (Long ns legacy, timestamp µs current) — kept for ts_raw so
     // range predicates stay pushable (ArchiveReader.pushdownHint)
-    val rawTs0 =
-      if (ev0.columns.contains("ts_src")) col("ts_src") else col("ts")
-    val ev = ev0.select(col("event_type"), col("ts"), col("value"),
-      col("props"), col("event_id"), rawTs0.as("_ts_src"),
-      k0.as("_k"), sev0.as("_sev"), marker0.as("_marker"),
+    val ev = evK.select(col("event_type"), col("ts"), col("value"),
+      col("props"), col("event_id"), col("_ts_src"),
+      col("_k"), sev0.as("_sev"), marker0.as("_marker"),
       vtype0.as("_vtype"))
 
     val k = col("_k")

@@ -463,14 +463,42 @@ object Dedup {
     * shingles-per-doc.
     */
   def verifyCandidates(docs: DataFrame, pairs: DataFrame,
-                       k: Int = 3): DataFrame =
-    verifyCandidatesFromShingles(shingles(docs, k).cache(), pairs)
+                       k: Int = 3): DataFrame = {
+    // shingle only documents that actually appear in a candidate pair:
+    // exact verification is candidate-bounded by definition, so
+    // tokenizing the rest of the corpus (and caching its shingles) is
+    // work the join below would discard anyway — at daily-ingest scale
+    // the candidate set is ≪ the corpus (guide §2.3: project/filter
+    // before the heavy pass). The pair-id branch reuses the candidate
+    // frame's exchange.
+    val p = pairs.select(col("doc_a"), col("doc_b")).cache()
+    val ids = p
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    verifyCandidatesFromShingles(
+      shingles(docs.join(ids, Seq("doc_id"), "left_semi"), k).cache(), p)
+  }
 
   /** [[verifyCandidates]] over an existing (cached) shingle frame. */
   def verifyCandidatesFromShingles(sh: DataFrame,
                                    pairs: DataFrame): DataFrame = {
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = pairs.select("doc_a", "doc_b")
+    // materialize the (candidate-bounded) pair list once: it feeds
+    // FOUR plan branches below (id set, intersection probe, and the
+    // left-join spine) and an unmaterialized candidate chain — an LSH
+    // banding join — would be recomputed per branch (column pruning
+    // makes the exchanges non-identical, so ReuseExchange cannot
+    // collapse them)
+    val p = pairs.select(col("doc_a"), col("doc_b")).cache()
+    // per-doc counts only for docs in a pair: the counts are consumed
+    // exclusively through the doc_a/doc_b joins below, so aggregating
+    // non-candidate documents' shingles is a wasted corpus shuffle
+    // when the caller hands a full-corpus shingle frame
+    val pairIds = p
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val counts = sh.join(pairIds, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = p
       .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
       .join(sh.as("b"), col("doc_b") === col("b.doc_id") &&
         col("a.shingle") === col("b.shingle"))
@@ -478,7 +506,7 @@ object Dedup {
     // LEFT joins: a candidate doc too short to have any k-shingle (a
     // SimHash pair can involve a 1-token doc) must surface as
     // jaccard 0, not silently vanish from the verification output
-    pairs.select("doc_a", "doc_b")
+    p
       .join(inter, Seq("doc_a", "doc_b"), "left")
       .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"), "left")
       .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"), "left")
@@ -616,7 +644,13 @@ object Dedup {
     */
   def incrementalCandidates(index: DataFrame, newDocs: DataFrame,
                             k: Int = 3): DataFrame = {
-    val nb = minHashIndex(newDocs, k)
+    // materialize the new batch's bands once: they feed BOTH join
+    // branches below (vs-index and within-new), and an unmaterialized
+    // band frame — a tokenize + minhash + band chain — would be
+    // re-computed per branch; with one cached copy the two (band, key)
+    // exchanges are also identical, so ReuseExchange shuffles the new
+    // batch once
+    val nb = minHashIndex(newDocs, k).cache()
     val matches =
       expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))")
     val pairCols = Seq(
@@ -659,10 +693,16 @@ object Dedup {
     // this one layout instead of re-exchanging the (large) edge frame
     // each round (guide §2.4 — operations keyed the same way share one
     // exchange).
+    // one explode, not a self-union: a union references the pair plan
+    // twice, and when `pairs` is an unmaterialized LSH+verify chain
+    // (the incremental-clusters shape) both branches recompute it —
+    // the explode emits the same two directed edges per pair from a
+    // single evaluation
     val und = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"),
-        col("doc_a").as("dst")))
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("dst")).cache()
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
@@ -922,11 +962,17 @@ object Dedup {
     require(k > 0, s"window length must be positive: $k")
     require(minOcc >= 2, s"minOcc below 2 would flag unique text: $minOcc")
     import org.apache.spark.sql.expressions.Window
+    // one pass over the window hashes: the corpus-wide occurrence
+    // count rides a window over h — the same shuffle the old
+    // groupBy(h) paid — instead of aggregating win and joining the
+    // result back onto a SECOND evaluation of win (windowHashes is an
+    // unmaterialized tokenize + k-gram + md5 chain; sibling plan
+    // branches do not CSE, so the join shape re-tokenized the corpus)
     val win = windowHashes(docs, k, textCol)
-    val dup = win.groupBy("h").agg(count(lit(1)).as("occ"))
-      .where(col("occ") >= minOcc).select("h")
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    win.join(dup, Seq("h"))
+    win
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("h")))
+      .where(col("occ") >= minOcc)
       .withColumn("grp", col("pos") - row_number().over(w))
       .groupBy("doc_id", "grp")
       .agg(min(col("pos")).as("span_start"),
@@ -967,19 +1013,28 @@ object Dedup {
                         textCol: String = "text"): DataFrame = {
     require(k > 0, s"window length must be positive: $k")
     require(minOcc >= 2, s"minOcc below 2 would cut unique text: $minOcc")
-    val win = windowHashes(docs, k, textCol)
-    val rep = win.groupBy("h")
-      .agg(count(lit(1)).as("occ"),
-        min(struct(col("doc_id"), col("pos"))).as("keeper"))
-      .where(col("occ") >= minOcc)
-      .select(col("h"), col("keeper"))
-    val removed = win.join(rep, Seq("h"))
-      .where(!(col("doc_id") === col("keeper.doc_id") &&
-        col("pos") === col("keeper.pos")))
+    import org.apache.spark.sql.expressions.Window
+    // one pass over the window hashes: occurrence count and the
+    // struct-min keeper ride a window over h — the same shuffle the
+    // old groupBy(h) paid — instead of aggregating win and joining the
+    // result back onto a SECOND evaluation of win (an unmaterialized
+    // tokenize + k-gram + md5 chain that the join shape re-computed).
+    // And no distinct on the covered positions: they only ever feed
+    // the left-anti cut below, and an anti join is insensitive to
+    // duplicate rows on its right side — deduplicating first paid a
+    // full shuffle of the exploded coverage for nothing (the anti
+    // join's own build side handles the ≤k-fold overlap)
+    val wh = Window.partitionBy("h")
+    val removed = windowHashes(docs, k, textCol)
+      .withColumn("occ", count(lit(1)).over(wh))
+      .withColumn("keeper",
+        min(struct(col("doc_id"), col("pos"))).over(wh))
+      .where(col("occ") >= minOcc &&
+        !(col("doc_id") === col("keeper.doc_id") &&
+          col("pos") === col("keeper.pos")))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(k.toLong - 1)))
           .as("p"))
-      .distinct()
     val toksPos = docs
       .select(col("doc_id"), posexplode(tokens(textCol)).as(Seq("p", "tok")))
       .select(col("doc_id"), col("p").cast("long").as("p"), col("tok"))

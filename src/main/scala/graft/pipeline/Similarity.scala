@@ -942,17 +942,31 @@ object Similarity {
   def embeddingNearDup(corpus: DataFrame, minCos: Double,
                        numPlanes: Int = NumPlanes,
                        numTables: Int = NumTables): DataFrame = {
+    // Decide with small rows, move the vectors once (guide §8): the
+    // old shape self-joined the bucketed frame WITH its embedding
+    // column, so every vector rode the (tbl, bucket) exchange
+    // numTables times per side and again through the pair-dedup
+    // exchange. Bucket ids alone are shuffled to find candidate pairs
+    // (cached: one hyperplane-hash pass feeds both self-join sides and
+    // ReuseExchange collapses the two identical exchanges); the
+    // deduplicated pair list — near-dup-sized, ≪ corpus — then
+    // re-attaches each side's embedding exactly once for the cosine.
     val b = bucketed(corpus, numPlanes, numTables)
-    b.as("a").join(b.as("bb"),
+      .select(col("vec_id"), col("tbl"), col("bucket")).cache()
+    val cand = b.as("a").join(b.as("bb"),
         col("a.tbl") === col("bb.tbl") &&
         col("a.bucket") === col("bb.bucket") &&
         col("a.vec_id") < col("bb.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("bb.vec_id").as("vec_b"),
-        col("a.embedding").as("ea"), col("bb.embedding").as("eb"))
+      .select(col("a.vec_id").as("vec_a"), col("bb.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+    val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("e").as("ea")),
+        Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("e").as("eb")),
+        Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(cosine(asDouble(col("ea")), asDouble(col("eb"))), 6)
-          .as("cos_sim"))
+        round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
       .where(col("cos_sim") >= minCos)
   }
 
