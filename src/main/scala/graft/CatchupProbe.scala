@@ -56,17 +56,21 @@ object CatchupProbe {
       }
     }
 
-    val fn = SparkEntry.queries(gate)
-    val times = (1 to 2).map { _ =>
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      sec
+    // SPARK_GRAFT_PROBE_GATE accepts a comma-separated list: one JVM,
+    // each gate timed like Bench (noop write, min-of-2, clearCache
+    // between runs), one JSON line per gate
+    val lines = gate.split(",").map(_.trim).filter(_.nonEmpty).map { g =>
+      val fn = SparkEntry.queries(g)
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        sec
+      }
+      s"""{"metric":"catchup_probe","gate":"$g","mode":"$mode","run_secs":${times.mkString("[", ",", "]")},"min_sec":${times.min},"sf":"$sfDir"}"""
     }
-    val line =
-      s"""{"metric":"catchup_probe","gate":"$gate","mode":"$mode","run_secs":${times.mkString("[", ",", "]")},"min_sec":${times.min},"sf":"$sfDir"}"""
     spark.stop()
-    println(line)
+    lines.foreach(println)
   }
 }

@@ -1123,10 +1123,17 @@ object Dedup {
     * fingerprints (boilerplate) are AQE-splittable like every LSH
     * family here.
     */
-  def winnowOverlapPairs(fps: DataFrame, minShared: Int = 2): DataFrame =
-    fps.as("a").join(fps.as("b"),
+  def winnowOverlapPairs(fps: DataFrame, minShared: Int = 2): DataFrame = {
+    // cache the fingerprint frame: `fps` is an unmaterialized
+    // tokenize → k-gram → window-min chain and self-join branches do
+    // not CSE — the uncached shape tokenized the corpus twice and
+    // exchanged each evaluation separately (cached, the two fp
+    // exchanges are identical and ReuseExchange collapses them)
+    val f = fps.cache()
+    f.as("a").join(f.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
+  }
 }

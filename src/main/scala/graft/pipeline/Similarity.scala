@@ -1064,17 +1064,30 @@ object Similarity {
     */
   def lshNearest(corpus: DataFrame, numPlanes: Int = NumPlanes,
                  numTables: Int = NumTables): DataFrame = {
+    // Decide with small rows, move the vectors once (guide §8, same
+    // rewrite as embeddingNearDup): the old shape self-joined the
+    // bucketed frame WITH both embedding columns, so every vector rode
+    // the (tbl, bucket) exchange numTables times per side and BOTH
+    // pair embeddings rode the (vec_id, mate_id) dedup exchange again.
+    // Bucket ids alone (cached: one hyperplane-hash pass feeds both
+    // self-join sides, ReuseExchange collapses the two identical
+    // exchanges) find the candidate mate list; the deduplicated pair
+    // list — candidate-sized, ≪ corpus × tables — re-attaches each
+    // side's embedding exactly once for the cosine.
     val b = bucketed(corpus, numPlanes, numTables)
+      .select(col("vec_id"), col("tbl"), col("bucket")).cache()
+    val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
     val cand = b.as("a").join(b.as("bb"),
         col("a.tbl") === col("bb.tbl") &&
         col("a.bucket") === col("bb.bucket") &&
         col("a.vec_id") =!= col("bb.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("bb.vec_id").as("mate_id"),
-        col("a.embedding").as("ea"), col("bb.embedding").as("eb"))
+      .select(col("a.vec_id").as("vec_id"), col("bb.vec_id").as("mate_id"))
       .dropDuplicates("vec_id", "mate_id")
+      .join(e.select(col("vec_id"), col("e").as("ea")), Seq("vec_id"))
+      .join(e.select(col("vec_id").as("mate_id"), col("e").as("eb")),
+        Seq("mate_id"))
       .select(col("vec_id"), col("mate_id"),
-        round(cosine(asDouble(col("ea")), asDouble(col("eb"))), 6)
-          .as("cos_sim"))
+        round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
     val best = cand.groupBy("vec_id").agg(
       count(lit(1)).as("n_candidates"),
       min_by(struct(col("mate_id"), col("cos_sim")),
