@@ -729,22 +729,37 @@ object Dedup {
       // the materialization also keeps the per-round plan O(1) deep
       val propagated = msgs.groupBy("id").agg(min(col("comp")).as("comp"))
         .localCheckpoint()
-      // pointer jumping: relabel through the current label OF the label
-      // (comp is itself a node id), halving chain depth every round —
-      // convergence in O(log diameter) instead of O(diameter), which is
-      // what keeps a sprawling low-threshold similarity graph (or an
-      // adversarial path) inside maxIter
-      val parents = propagated
-        .select(col("id").as("_pid"), col("comp").as("_pcomp"))
-      labels = propagated
-        .join(parents, col("comp") === col("_pid"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("_pcomp"), col("comp")))
-            .as("comp"))
-        .localCheckpoint()
-      val s = labelSum(labels)
-      converged = prevSum != null && s.compareTo(prevSum) == 0
-      prevSum = s
+      // convergence is detected on the PROPAGATE fixpoint (r12): labels
+      // are pointwise non-increasing through both the propagate and the
+      // jump step, so an unchanged sum here means propagate moved
+      // nothing — i.e. every label already equals the min over its
+      // closed neighbourhood, which is exactly the component-min
+      // fixpoint (any over-labelled node adjacent to the shortest path
+      // toward its component min would still decrease). The pointer
+      // jump is then a provable no-op (label[comp] = comp at the
+      // fixpoint), so the final round skips its self-join and second
+      // checkpoint outright — one fewer pass over the label frame per
+      // CC invocation at any scale.
+      val s = labelSum(propagated)
+      if (prevSum != null && s.compareTo(prevSum) == 0) {
+        labels = propagated
+        converged = true
+      } else {
+        // pointer jumping: relabel through the current label OF the
+        // label (comp is itself a node id), halving chain depth every
+        // round — convergence in O(log diameter) instead of
+        // O(diameter), which is what keeps a sprawling low-threshold
+        // similarity graph (or an adversarial path) inside maxIter
+        val parents = propagated
+          .select(col("id").as("_pid"), col("comp").as("_pcomp"))
+        labels = propagated
+          .join(parents, col("comp") === col("_pid"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("_pcomp"), col("comp")))
+              .as("comp"))
+          .localCheckpoint()
+        prevSum = s
+      }
       it += 1
     }
     und.unpersist()
@@ -1073,6 +1088,12 @@ object Dedup {
           "(nearDupPairs) or pass maxDocs = None from a bounded caller")
     }
     val sh = capDocFreq(shingles(docs, k), maxDocFreq).cache()
+    // NOTE (r12): carrying each doc's count through the pair join via
+    // a window over doc_id was probed and is SLOWER — it sorts the
+    // full shingle frame, while these two joins attach doc-sized
+    // counts onto the (near-dup-pair-sized) `inter` frame, which is
+    // cheap at any scale. The nearDupPairs carry-the-counts rewrite
+    // paid off because there the attach re-aggregated the corpus.
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

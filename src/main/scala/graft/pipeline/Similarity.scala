@@ -414,24 +414,56 @@ object Similarity {
   private def seedSet(corpus: DataFrame, k: Int): DataFrame =
     corpus.orderBy("vec_id").limit(k)
 
+  /** The k (cluster, seed) rows folded into ONE row carrying them as
+    * an array — the broadcast payload of the shuffle-free argmax
+    * assignment below. `seedEmb` is the caller's seed-vector
+    * expression, passed through untouched so each call site keeps its
+    * exact pre-rewrite cast behavior.
+    */
+  private def seedArray(seeds: DataFrame, seedEmb: Column): DataFrame =
+    seeds.agg(collect_list(
+      struct(col("cluster").as("cl"), seedEmb.as("s"))).as("cs"))
+
   /** Coarse-quantizer assignment against an arbitrary centroid frame
     * (cluster, seed_emb) — shared by the seed quantizer
-    * ([[ivfAssign]]) and the Lloyd-refined one
-    * ([[ivfSearchRefined]]), so their tie-break semantics can never
-    * diverge.
+    * ([[ivfAssign]]), the Lloyd-refined one ([[ivfSearchRefined]]),
+    * the index build/append, and the Lloyd iteration itself, so their
+    * tie-break semantics can never diverge.
+    *
+    * Shape (guide §2.4 — remove shuffles outright): the old form
+    * crossJoined k broadcast seed ROWS and ranked with a
+    * `row_number()` window partitioned by vec_id — a full corpus×k
+    * sort shuffle for what is a per-row argmax. Now the k seeds ride
+    * ONE broadcast row as an array and each corpus row picks its best
+    * cluster inline with `array_max` over (cos, ~cluster) structs:
+    * zero exchanges, and the corpus row keeps its embedding so
+    * downstream consumers (index build, search candidates) no longer
+    * re-join the corpus to get it back. Tie semantics are identical
+    * to the window sort: struct ordering uses the same nan-safe
+    * double comparator as SortOrder (max cos first), and
+    * `bitwise_not(cluster)` reverses the cluster order without the
+    * overflow a negation would risk (max ~cl = min cl — the window's
+    * ascending-cluster tie-break).
     */
-  private def assignWith(corpus: DataFrame, seeds: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val scored = corpus.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("cluster"),
-        round(cosine(asDouble(col("embedding")), asDouble(col("seed_emb"))), 6)
-          .as("cos_to_centroid"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cos_to_centroid").desc, col("cluster"))
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+  private def argmaxAssigned(corpus: DataFrame,
+                             seedsArr: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(seedsArr))
+      .withColumn("_best", array_max(transform(col("cs"), c =>
+        struct(
+          round(cosine(asDouble(col("embedding")), c.getField("s")), 6)
+            .as("cos"),
+          bitwise_not(c.getField("cl")).as("ncl"),
+          c.getField("cl").as("cl")))))
+      // an empty seed set assigned nothing in the old crossJoin shape;
+      // array_max over the empty array is null — drop it the same way
+      .where(col("_best").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        col("_best.cl").as("cluster"),
+        col("_best.cos").as("cos_to_centroid"))
+
+  private def assignWith(corpus: DataFrame, seeds: DataFrame): DataFrame =
+    argmaxAssigned(corpus, seedArray(seeds, asDouble(col("seed_emb"))))
       .select(col("vec_id"), col("cluster"), col("cos_to_centroid"))
-  }
 
   private def seedFrame(corpus: DataFrame, k: Int): DataFrame =
     seedSet(corpus, k)
@@ -474,15 +506,12 @@ object Similarity {
       .select(col("vec_id").as("cluster"),
         asDouble(col("embedding")).as("centroid"))
     for (_ <- 1 to iters) {
-      val scored = corpus.crossJoin(
-          broadcast(centroids.select(col("cluster"), col("centroid"))))
-        .select(col("vec_id"), col("embedding"), col("cluster"),
-          round(cosine(asDouble(col("embedding")), col("centroid")), 6)
-            .as("cos"))
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("cos").desc, col("cluster"))
-      val assigned = scored.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
+      // shuffle-free argmax assignment (see [[argmaxAssigned]]) — the
+      // centroid column is passed through uncast, exactly as the old
+      // crossJoin+window scored it
+      val assigned = argmaxAssigned(corpus,
+        seedArray(centroids.select(col("cluster"), col("centroid")),
+          col("centroid")))
       val mean =
         if (roundDims)
           TextAnalysis.r6(
@@ -583,10 +612,11 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     // probe → its nProbe nearest clusters
     val probeClusters = nearestClusters(probes, seeds, nProbe)
-    // corpus member → its cluster (the inverted-list assignment)
-    val assigned = assignWith(corpus, seeds)
-      .select(col("vec_id"), col("cluster"))
-      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    // corpus member → its cluster (the inverted-list assignment); the
+    // argmax keeps the embedding on the row, so no corpus re-join
+    val assigned = argmaxAssigned(corpus,
+        seedArray(seeds, asDouble(col("seed_emb"))))
+      .select(col("vec_id"), col("cluster"), col("embedding"))
     // serving-shaped probe sets are |probes|·nProbe rows — broadcast
     // by default so the corpus-sized assignment never shuffles for
     // the join (the planner can't infer the post-window size and was
@@ -619,17 +649,28 @@ object Similarity {
     seedSet(corpus, k)
       .select(col("vec_id").as("cluster"), col("embedding").as("seed_emb"))
       .write.mode("overwrite").parquet(path + "/centroids")
-    ivfAssign(corpus, k)
-      .select(col("vec_id"), col("cluster"))
-      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    // argmax assignment carries the embedding through — no corpus
+    // re-join before the partitioned write (guide §2.4)
+    argmaxAssigned(corpus, seedArray(seedFrame(corpus, k),
+        asDouble(col("seed_emb"))))
+      .select(col("vec_id"), col("cluster"), col("embedding"))
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(path + "/postings")
     // freshness metadata: the corpus size this quantizer was trained
-    // over — the drift trigger compares live postings against it
-    corpus.sparkSession.range(1)
-      .select(lit(corpus.count()).as("base_count"), lit(k).as("k"))
-      .write.mode("overwrite").json(path + "/meta")
+    // over — the drift trigger compares live postings against it.
+    // One JSON line written driver-side (metadata, not data): a
+    // 1-row Spark write was a whole scheduled job for a ~40-byte file
+    val fs = new org.apache.hadoop.fs.Path(path + "/meta")
+    val hfs = fs.getFileSystem(
+      corpus.sparkSession.sparkContext.hadoopConfiguration)
+    hfs.delete(fs, true) // same clean-slate semantics as mode(overwrite)
+    hfs.mkdirs(fs)
+    val out = hfs.create(
+      new org.apache.hadoop.fs.Path(path + "/meta/meta.json"), true)
+    out.write(s"""{"base_count":${corpus.count()},"k":$k}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
   }
 
   /** The index FRESHNESS policy ([[ivfIndexAppend]]'s other half):
@@ -651,12 +692,30 @@ object Similarity {
   def ivfRefreshIfDrifted(spark: org.apache.spark.sql.SparkSession,
                           path: String,
                           maxAppendFraction: Double = 0.5): Boolean = {
-    val meta =
-      try spark.read.json(path + "/meta").collect().headOption
-      catch { case _: Throwable => None }
+    // metadata read stays driver-side (one ~40-byte JSON file; a
+    // spark.read.json here paid a schema-inference job + a read job).
+    // Glob *.json so indexes written by the pre-r12 1-row Spark write
+    // (part-*.json) parse identically.
+    val meta: Option[(Long, Long)] =
+      try {
+        val dir = new org.apache.hadoop.fs.Path(path + "/meta")
+        val hfs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val kv = "\"(base_count|k)\"\\s*:\\s*(-?\\d+)".r
+        hfs.listStatus(dir).iterator
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+          .map { s =>
+            val in = hfs.open(s.getPath)
+            val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+            kv.findAllMatchIn(txt)
+              .map(m => m.group(1) -> m.group(2).toLong).toMap
+          }
+          .collectFirst { case m if m.contains("base_count") && m.contains("k") =>
+            (m("base_count"), m("k")) }
+      } catch { case _: Throwable => None }
     if (meta.isEmpty) return false // pre-policy index: no baseline
-    val base = meta.get.getAs[Long]("base_count")
-    val k = meta.get.getAs[Long]("k").toInt
+    val base = meta.get._1
+    val k = meta.get._2.toInt
     val total = spark.read.parquet(path + "/postings").count()
     if (base <= 0L || (total - base).toDouble / base <= maxAppendFraction)
       return false
@@ -688,9 +747,10 @@ object Similarity {
   def ivfIndexAppend(spark: org.apache.spark.sql.SparkSession,
                      path: String, newVecs: DataFrame): Unit = {
     val seeds = spark.read.parquet(path + "/centroids")
-    nearestClusters(newVecs, seeds, nProbe = 1)
-      .select(col("probe_id").as("vec_id"),
-        col("probe_emb").as("embedding"), col("cluster"))
+    // nProbe=1 routing IS the argmax assignment — same shuffle-free
+    // shape (and identical tie-break) as the build-side assign
+    argmaxAssigned(newVecs, seedArray(seeds, asDouble(col("seed_emb"))))
+      .select(col("vec_id"), col("embedding"), col("cluster"))
       .repartition(col("cluster"))
       .write.mode("append").partitionBy("cluster")
       .parquet(path + "/postings")
@@ -985,7 +1045,15 @@ object Similarity {
     val keyed = corpus
       .join(broadcast(comp), Seq("vec_id"), "left")
       .withColumn("comp", coalesce(col("comp"), col("vec_id")))
-    val members = keyed.groupBy("comp")
+    // member counts come from the (small, checkpointed) component
+    // frame, not a second full corpus scan: every pair-graph member is
+    // a corpus row (vec_id unique), so count-per-comp over `comp` IS
+    // the corpus member count; vectors absent from the graph are
+    // singletons (n_members = 1) — guide §2.3, don't re-scan the
+    // corpus for a count the metadata already holds. A graph comp
+    // label can never collide with a singleton's: comp is the min
+    // member id, which is itself in the graph.
+    val members = comp.groupBy("comp")
       .agg(count(lit(1)).as("n_members"))
     keyed
       .select(col("comp"), posexplode(asDouble(col("embedding")))
@@ -999,7 +1067,8 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"),
           (col("s") / col("n")).as("m")))), e => e.getField("m"))
         .as("centroid"))
-      .join(members, Seq("comp"))
+      .join(broadcast(members), Seq("comp"), "left")
+      .withColumn("n_members", coalesce(col("n_members"), lit(1L)))
   }
 
   /** Embedding post-processing for retrieval/clustering prep:
