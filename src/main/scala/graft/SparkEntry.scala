@@ -2690,15 +2690,23 @@ object SparkEntry {
       // aggregate (TextAnalysis.docFilterMetrics) instead of
       // repetition + unigramScore separately (two explodes, a bigram
       // pass the filter never reads, and two corpus joins).
-      val fm = TextAnalysis.docFilterMetrics(docs, vocabSize = 20)
       val keeper = min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(md5(col("text"))))
-      val kept = docs
-        .withColumn("_keeper", keeper)
-        .where(col("doc_id") === col("_keeper")).drop("_keeper")
-        .join(broadcast(clusterDrop), Seq("doc_id"), "left_anti")
-        .join(fm, Seq("doc_id"))
+      // r12: the two token-level filter metrics are per-row array math
+      // over a broadcast top-20 vocabulary (withDocFilterMetrics) —
+      // the old docFilterMetrics frame re-shuffled every (doc, token)
+      // pair twice and then paid a corpus-wide join to re-attach two
+      // columns the row's own text determines. The vocabulary is still
+      // trained on the FULL corpus, and token-less docs still drop
+      // (the old inner join's semantics) — result set unchanged
+      // (oracle-checked).
+      val kept = TextAnalysis.withDocFilterMetrics(docs,
+          docs
+            .withColumn("_keeper", keeper)
+            .where(col("doc_id") === col("_keeper")).drop("_keeper")
+            .join(broadcast(clusterDrop), Seq("doc_id"), "left_anti"),
+          vocabSize = 20)
         .where(TextAnalysis.qualityScore("text") >= 0.3 &&
           col("dup_token_frac") <= 0.9 && col("oov_frac") <= 0.42)
       val sampled = Sampling.stratifiedSample(kept,

@@ -592,6 +592,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(one.groupBy("probe_id").count().collect().forall(_.getLong(1) <= 5))
   }
 
+  test("IVF assignment breaks exact cosine ties toward the lower cluster id") {
+    implicit val s: SparkSession = spark
+    // seeds 0 and 1 are IDENTICAL vectors: every corpus vector's
+    // rounded cosine to them ties exactly, so the argmax must resolve
+    // to cluster 0 — the window sort's (cos desc, cluster asc) rule
+    // the r12 shuffle-free rewrite must preserve bit-for-bit
+    val e = (Seq(
+        (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+        (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+        (2L, Array(0.0f, 1.0f, 0.0f, 0.0f))) ++
+      (3L until 20L).map(i =>
+        (i, Array.tabulate(4)(d => math.cos(i * 1.3 + d).toFloat))))
+      .toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(e, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // vectors equidistant from the duplicate seeds 0/1 land in 0
+    assert(assigned(0L) == 0L && assigned(1L) == 0L)
+    // every vector is assigned exactly once
+    assert(assigned.size == 20)
+    // a vector orthogonal to seeds 0/1 but equal to seed 2 lands in 2
+    assert(assigned(2L) == 2L)
+  }
+
   test("persisted IVF index serves identical results from cluster-partitioned lists") {
     implicit val s: SparkSession = spark
     val e = (0L until 40L).map(i =>
