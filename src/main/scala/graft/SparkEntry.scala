@@ -2743,13 +2743,18 @@ object SparkEntry {
       // pipeline recomputes per branch (measured 162 s → 53 s at the
       // 100× probe, 3.1×). Lazy local checkpoint of the narrow
       // (doc_id, text, n_removed) frame, the semanticDedup pattern.
-      val cleaned = Dedup.spanDedupedCorpus(docs, k = 5)
+      // r12: `lang` rides spanDedupedCorpus's existing final join and
+      // `n_removed` rides hashedLinearScore's restore join (carry
+      // params) — the old shape paid two corpus-sized joins to
+      // re-attach columns the upstream frames already held. Result
+      // set unchanged (oracle-checked).
+      val cleaned = Dedup.spanDedupedCorpus(docs, k = 5,
+          carry = Seq("lang"))
         .localCheckpoint(false)
-      val labeled = cleaned
-        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      val w = TextAnalysis.trainHashedWeights(labeled,
+      val w = TextAnalysis.trainHashedWeights(cleaned,
         when(col("lang") === "en", 1.0).otherwise(-1.0))
-      val scored = TextAnalysis.hashedLinearScore(cleaned, Some(w))
+      val scored = TextAnalysis.hashedLinearScore(cleaned, Some(w),
+          carry = Seq("n_removed"))
         .where(col("score").isNotNull)
       // DECIMAL-routed mean of the (already 6dp-rounded) scores: the
       // threshold must be bit-identical across engines and parallelism
@@ -2758,7 +2763,6 @@ object SparkEntry {
           .as("thr"))
       val kept = scored.crossJoin(broadcast(thr))
         .where(col("score") > col("thr"))
-        .join(cleaned.select(col("doc_id"), col("n_removed")), Seq("doc_id"))
       Sampling.hashSplit(kept,
           Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
         .select(col("doc_id"), col("n_removed"), col("n_features"),

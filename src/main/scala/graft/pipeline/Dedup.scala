@@ -1024,8 +1024,13 @@ object Dedup {
     * Keep the original column alongside when byte-exact survivors
     * matter; matching is on normalized tokens either way.
     */
+  /** `carry` forwards extra per-doc columns (e.g. a label the caller
+    * would otherwise RE-JOIN onto the cleaned corpus) through the
+    * existing final join — zero extra shuffle, same rows (r12).
+    */
   def spanDedupedCorpus(docs: DataFrame, k: Int = 5, minOcc: Int = 2,
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text",
+                        carry: Seq[String] = Nil): DataFrame = {
     require(k > 0, s"window length must be positive: $k")
     require(minOcc >= 2, s"minOcc below 2 would cut unique text: $minOcc")
     import org.apache.spark.sql.expressions.Window
@@ -1059,12 +1064,14 @@ object Dedup {
           array_sort(collect_list(struct(col("p"), col("tok")))),
           s => s.getField("tok"))).as(textCol),
         count(lit(1)).as("n_kept"))
-    docs.select(col("doc_id"),
-        size(tokens(textCol)).cast("long").as("n_toks"))
+    docs.select(col("doc_id") +:
+        size(tokens(textCol)).cast("long").as("n_toks") +:
+        carry.map(col): _*)
       .join(cleaned, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col(textCol), lit("")).as(textCol),
-        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .select(col("doc_id") +:
+        coalesce(col(textCol), lit("")).as(textCol) +:
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed") +:
+        carry.map(col): _*)
   }
 
   /** Exact all-co-shingled-pairs n-gram Jaccard — the BASELINE oracle

@@ -819,9 +819,14 @@ object TextAnalysis {
       .groupBy("feature_hash")
       .agg(sum(col("label")).as("weight"))
 
+  /** `carry` appends extra per-doc input columns to the output
+    * through the existing restore join — callers previously paid a
+    * corpus-sized join to re-attach them (r12).
+    */
   def hashedLinearScore(docs: DataFrame,
                         weights: Option[DataFrame] = None,
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text",
+                        carry: Seq[String] = Nil): DataFrame = {
     val feats = docs
       .select(col("doc_id"), toks(textCol).as("toks"))
       // sequence(1, 0) DESCENDS in Spark — a sub-2-token doc would
@@ -854,11 +859,11 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_features"),
         r6(col("sw").cast("double") / col("n_features")).as("score"),
         (col("sw") > 0).as("positive"))
-    docs.select(col("doc_id"))
+    docs.select(col("doc_id") +: carry.map(col): _*)
       .join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_features"), lit(0L)).as("n_features"),
-        col("score"), col("positive"))
+      .select(col("doc_id") +:
+        coalesce(col("n_features"), lit(0L)).as("n_features") +:
+        col("score") +: col("positive") +: carry.map(col): _*)
   }
 
   // ---- Count-min sketch heavy hitters -------------------------------
